@@ -1,0 +1,101 @@
+"""Text-analysis column functions (driver-mandated extension ops).
+
+All JVM-side built-ins — no Python UDFs in the hot path, so every one of
+these stays inside whole-stage codegen and scales linearly with executor
+count. Designed over the ``documents`` table (doc_id, text, lang, source,
+n_chars) but generic to any string column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Fixed marker-word profiles for heuristic language ID. Deterministic and
+# oracle-reproducible; in a real corpus these would be the top character
+# n-grams per language (textcat-style).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "es": ["el", "la", "que", "de", "es"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+# Small deterministic stopword list (subset of English function words that
+# also appear in the synthetic vocab).
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: words + single punct marks
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace — canonical form for fingerprints."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (array<string>); empty string → empty array."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish tokenization: count of word + punctuation tokens."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def avg_token_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return hits.cast("double") / F.size(toks)
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[^\w\s]", "")
+    return (F.length(col) - F.length(stripped)).cast("double") / F.length(col)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite doc-quality heuristic in [0,1]: long-enough, low punct,
+    sane stopword share. Pure column arithmetic — deterministic."""
+    length_term = F.least(F.length(col).cast("double") / F.lit(200.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_term = F.lit(1.0) - F.least(F.abs(sw - F.lit(0.15)) * 2.0, F.lit(1.0))
+    return (length_term + punct_term + sw_term) / F.lit(3.0)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Marker-word hit count per language over lowercased tokens."""
+    toks = tokens(F.lower(col))
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over language marker scores; ties break by language code
+    order (deterministic)."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(-1)
+    for lang in sorted(scores):  # ascending; strict > keeps earliest on ties
+        score = scores[lang]
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang

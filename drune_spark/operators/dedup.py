@@ -1,0 +1,221 @@
+"""Deduplication operators for large-scale text corpora (driver extension).
+
+Four strategies, all DataFrame-native and shuffle-conscious:
+
+- ``exact_dedup``: md5 fingerprint of normalized text → keep min-id doc
+  per fingerprint. One groupBy shuffle on a 32-byte key; at 100 TB hash
+  keys shuffle far cheaper than full rows, so we shuffle (id, fp) pairs
+  only, then semi-join survivors back if full rows are needed.
+- ``ngram_jaccard_pairs``: exact word-shingle Jaccard over all candidate
+  pairs that share >= 1 shingle. Exact but O(sum bucket^2) — the
+  correctness oracle for MinHash. Use at audit scale, not 100 TB.
+- ``minhash_lsh_pairs``: MinHash signatures (deterministic (a*x+b) mod p
+  permutations over xxhash64 shingle hashes) banded into LSH buckets;
+  pairs sharing a band-bucket are candidates, optionally verified with
+  their estimated Jaccard (signature agreement). This is the 100 TB
+  path: cost is #docs × num_perm narrow work + one shuffle on band
+  buckets; bucket skew is bounded because identical band-hash means
+  near-identical docs.
+- ``simhash_dedup``: 64-bit SimHash; near-dup = Hamming distance <= d.
+  Banding on 4×16-bit chunks finds all pairs within distance 3 with one
+  shuffle per chunk (pigeonhole), avoiding any O(n²) compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from drune_spark.functions.hashes import (
+    fingerprint_md5,
+    make_coeffs,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+    word_shingles,
+)
+from drune_spark.functions.text import tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One surviving (min id) doc per normalized-text fingerprint.
+    Returns (id_col, fingerprint). Shuffles only (id, fp) pairs."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fingerprint")
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(tokens(F.lower(F.col(text_col))), k).alias("shingles"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over word k-gram shingle sets for every
+    pair sharing at least one shingle. Returns (id_a, id_b, jaccard) with
+    id_a < id_b. jaccard = |∩| / (|A| + |B| - |∩|) — integer counts, one
+    final double division, so bit-identical to any SQL oracle."""
+    sh = _doc_shingles(df, text_col, id_col, k)
+    sizes = sh.select("doc", F.size("shingles").alias("n_shingles"))
+    exploded = sh.select("doc", F.explode("shingles").alias("shingle"))
+    inter = (
+        exploded.alias("a")
+        .join(exploded.alias("b"),
+              (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("doc", "id_a")
+                   .withColumnRenamed("n_shingles", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b")
+                   .withColumnRenamed("n_shingles", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc, signature array<bigint>[num_perm]). Narrow — no shuffle."""
+    coeffs = make_coeffs(num_perm, seed)
+    sh = _doc_shingles(df, text_col, id_col, k)
+    return sh.select(
+        "doc",
+        minhash_signature(shingle_hashes(F.col("shingles")), coeffs).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on all rows of >= 1 band.
+
+    Returns (id_a, id_b, est_jaccard) where est_jaccard is the fraction
+    of the num_perm signature slots that agree. Scale path: one shuffle
+    keyed on (band_id, band_hash); candidates deduped before the
+    signature-compare join.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, k, seed)
+    banded = sigs.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                     .alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc", "sig", "bb.band", "bb.bucket")
+
+    cands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ).cast("double") / F.lit(num_perm)
+    return (
+        cands.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, simhash bigint). Narrow; 64 aggregate passes fused by codegen."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        simhash64(tokens(F.lower(F.col(text_col)))).alias("simhash"),
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via 16-bit-chunk
+    banding (any pair within distance 3 shares one of 4 exact chunks)."""
+    sigs = simhash_fingerprints(df, text_col, id_col)
+    chunks = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftrightunsigned("simhash", i * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("ck"),
+    ).select("doc", "simhash", "ck.chunk", "ck.key")
+    pairs = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+             .alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

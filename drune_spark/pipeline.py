@@ -1,0 +1,214 @@
+"""Pipeline orchestrator — the Gen-2 lifecycle on Spark (SURVEY §3.1).
+
+``Project`` loads ``drune.yml`` (profiles deep-merged), ``Pipeline``
+loads a *directory* of YAML files merged key-wise (reference:
+core/pipeline.py:34-49,172-192 — merge order is sorted-filename,
+last-writer-wins per key, made deterministic here), then:
+
+read → apply_schema → constraints → steps → write
+
+All phases compose one lazy Catalyst plan; the only actions are the
+constraint-count aggregate and the final write. ``run(stop_at=...)``
+supports breakpointed execution and re-entry (step_manager.py:54-99).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any, Optional
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+
+from drune_spark.config.models import (
+    PipelineModel,
+    ProjectModel,
+    VOLATILE_COLUMNS,
+    deep_merge,
+    interpolate_vars,
+)
+from drune_spark.operators import steps as _steps  # noqa: F401 — register step types
+from drune_spark.operators.registry import StepRunner
+from drune_spark.plans.schema_apply import (
+    add_audit_columns,
+    add_data_hash,
+    add_hash_key,
+    apply_schema,
+)
+from drune_spark.quality.manager import QualityResult, apply_constraints
+from drune_spark.sources.readers import read_source
+from drune_spark.sinks.writers import write_target, write_validation_log
+
+
+class GoldenTestFailure(AssertionError):
+    pass
+
+
+def _merge_yaml_dir(path: str) -> dict[str, Any]:
+    files = sorted(glob.glob(os.path.join(path, "*.yml"))
+                   + glob.glob(os.path.join(path, "*.yaml")))
+    if not files:
+        raise FileNotFoundError(f"no YAML files under {path}")
+    merged: dict[str, Any] = {}
+    for f in files:
+        with open(f) as fh:
+            doc = yaml.safe_load(fh) or {}
+        merged = deep_merge(merged, doc)
+    return merged
+
+
+class Project:
+    def __init__(self, project_dir: str, profile: Optional[str] = None,
+                 spark: Optional[SparkSession] = None):
+        self.project_dir = project_dir
+        cfg_path = next(
+            (os.path.join(project_dir, n) for n in ("drune.yml", "drune.yaml")
+             if os.path.exists(os.path.join(project_dir, n))),
+            None,
+        )
+        if cfg_path is None:
+            raise FileNotFoundError(f"no drune.yml in {project_dir}")
+        with open(cfg_path) as fh:
+            self.model = ProjectModel.model_validate(yaml.safe_load(fh))
+        self.defaults = self.model.merge_defaults(profile)
+        if spark is None:
+            from drune_spark.session import get_spark
+            spark = get_spark(self.model.name,
+                              options=self.defaults.engine.options)
+        self.spark = spark
+
+    def pipeline(self, name: str) -> "Pipeline":
+        pipelines_dir = self.defaults.paths.get("pipelines", "pipelines")
+        pdir = os.path.join(self.project_dir, pipelines_dir, name)
+        raw = _merge_yaml_dir(pdir)
+        # Fold project-level type/source/target defaults under pipeline defaults.
+        raw.setdefault("defaults", {})
+        raw["defaults"] = deep_merge(
+            {
+                "types": {k: v.model_dump() for k, v in self.defaults.types.items()},
+                "sources": self.defaults.sources,
+                "targets": self.defaults.targets,
+            },
+            raw["defaults"],
+        )
+        raw = _interpolate(raw, self.defaults.vars)
+        model = PipelineModel.model_validate(raw)
+        return Pipeline(self.spark, model,
+                        failed_records_path=self.model.logging.failed_records_path)
+
+
+def _interpolate(node: Any, vars_: dict[str, Any]) -> Any:
+    if isinstance(node, dict):
+        return {k: _interpolate(v, vars_) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_interpolate(v, vars_) for v in node]
+    if isinstance(node, str):
+        return interpolate_vars(node, vars_)
+    return node
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, model: PipelineModel,
+                 failed_records_path: Optional[str] = None):
+        self.spark = spark
+        self.model = model
+        self.failed_records_path = failed_records_path
+        self.runner = StepRunner(spark)
+        self.sources: dict[str, DataFrame] = {}
+        self.target_df: Optional[DataFrame] = None
+        self.quality: Optional[QualityResult] = None
+
+    def reset(self) -> None:
+        self.runner.reset()
+        self.sources = {}
+        self.target_df = None
+        self.quality = None
+
+    # -- read phase ----------------------------------------------------------
+    def read(self, src_paths: Optional[dict[str, str]] = None) -> "Pipeline":
+        src_paths = src_paths or {}
+        for spec in self.model.sources:
+            df = read_source(self.spark, spec, src_paths.get(spec.name))
+            if spec.schema_ is not None:
+                df = apply_schema(df, spec.schema_)
+                if spec.schema_.primary_key:
+                    df = add_hash_key(df, spec.schema_.primary_key)
+                quality = apply_constraints(
+                    df, spec.schema_, pipeline_name=self.model.pipeline_name
+                )
+                self._log_failures(quality)
+                df = quality.passed
+            self.sources[spec.name] = df
+        if self.model.sources:
+            # Target starts as the first source (core/pipeline.py:116).
+            self.target_df = self.sources[self.model.sources[0].name]
+        return self
+
+    def _log_failures(self, quality: QualityResult) -> None:
+        self.quality = quality
+        if quality.failures is not None and quality.failed_total() > 0:
+            if self.model.validation_log_table:
+                write_validation_log(self.spark, quality.failures,
+                                     self.model.validation_log_table)
+            elif self.failed_records_path:
+                write_validation_log(self.spark, quality.failures,
+                                     self.failed_records_path)
+
+    # -- step phase ----------------------------------------------------------
+    def run(self, stop_at: Optional[str] = None) -> Optional[DataFrame]:
+        self.target_df = self.runner.run(
+            self.model.steps, self.sources, self.target_df, stop_at
+        )
+        return self.target_df
+
+    # -- write phase ---------------------------------------------------------
+    def write(self) -> None:
+        if self.model.target is None or self.target_df is None:
+            raise RuntimeError("nothing to write: no target config or no data")
+        tgt = self.model.target
+        df = self.target_df
+        if tgt.schema_ is not None and tgt.schema_.columns:
+            df = apply_schema(df, tgt.schema_)
+            if tgt.schema_.primary_key:
+                df = add_hash_key(df, tgt.schema_.primary_key)
+        if tgt.scd is not None and tgt.scd.type == 2:
+            track = tgt.scd.track_columns or [
+                c for c in df.columns
+                if c not in ("hash_key",) and c not in VOLATILE_COLUMNS
+            ]
+            df = add_data_hash(df, track)
+        if tgt.schema_ is not None and tgt.schema_.primary_key:
+            df = add_audit_columns(df)
+        write_target(self.spark, df, tgt)
+
+    def execute(self, src_paths: Optional[dict[str, str]] = None) -> None:
+        self.read(src_paths)
+        self.run()
+        self.write()
+
+    # -- golden test mode (O5) ----------------------------------------------
+    def golden_test(self, expected: DataFrame,
+                    actual: Optional[DataFrame] = None) -> None:
+        """Reference equality: schema ==, count ==, exceptAll both ways
+        empty, volatile columns dropped (spark_engine.py:206-230)."""
+        if actual is None:
+            actual = self.target_df
+        if actual is None:
+            raise RuntimeError("no result to test")
+        a = actual.drop(*VOLATILE_COLUMNS)
+        e = expected.drop(*VOLATILE_COLUMNS)
+        if sorted(a.columns) != sorted(e.columns):
+            raise GoldenTestFailure(f"schema mismatch: {a.columns} vs {e.columns}")
+        a = a.select(*sorted(a.columns))
+        e = e.select(*sorted(e.columns))
+        if a.count() != e.count():
+            raise GoldenTestFailure(f"row count {a.count()} != {e.count()}")
+        extra = a.exceptAll(e)
+        missing = e.exceptAll(a)
+        n_extra, n_missing = extra.count(), missing.count()
+        if n_extra or n_missing:
+            raise GoldenTestFailure(
+                f"{n_extra} unexpected rows, {n_missing} missing rows; "
+                f"sample unexpected: {extra.limit(5).collect()}"
+            )

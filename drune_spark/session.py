@@ -1,0 +1,59 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Defaults chosen for the 100 TB design brief:
+- AQE on (runtime re-plan: skew-join splitting, partition coalescing,
+  broadcast conversion after runtime stats)
+- shuffle partitions sized by env (32 locally; a real cluster overrides
+  via ``defaults.engine.options`` — with AQE the number is an upper bound
+  that coalescing shrinks)
+- Arrow enabled for any pandas-interop path
+- session timezone pinned to UTC so timestamp semantics match the
+  (naive-timestamp) parquet data and the DuckDB oracle everywhere
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+}
+
+
+def get_spark(
+    app_name: str = "drune_spark",
+    master: Optional[str] = None,
+    options: Optional[dict[str, Any]] = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = {**DEFAULT_CONF, **(options or {})}
+    for key, value in conf.items():
+        builder = builder.config(key, str(value))
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to an externally-provided session
+    (e.g. the driver's) without rebuilding it."""
+    for key in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.session.timeZone",
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.shuffle.partitions",
+    ):
+        try:
+            spark.conf.set(key, DEFAULT_CONF[key])
+        except Exception:
+            pass
+    return spark

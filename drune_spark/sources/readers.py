@@ -1,0 +1,108 @@
+"""Source readers (SURVEY §2.1, S1-S8).
+
+Dispatch on ``SourceSpec.type``:
+- file → ``spark.read.format(fmt).options(**o).load(path)`` — any DSv2
+  format string (csv/json/parquet/delta/orc/avro...), reference
+  engines/spark/steps/reader.py:23-30
+- table → ``spark.read.table`` (spark_engine.py:202-204)
+- sql → ``spark.sql`` (core/pipeline.py:150-153)
+
+Plus the reference's extras:
+- ``expected_columns`` width guard (reader.py:42-52) — delimiter sanity
+  check; schema-only (no data scan)
+- dynamic path injection: resolve a directory source to a concrete
+  runtime file (core/pipeline.py:119-142)
+
+Column pruning + predicate pushdown stay intact because this returns the
+raw lazy scan — projections land on top declaratively.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from drune_spark.config.models import SourceSpec
+
+
+class ReadError(RuntimeError):
+    pass
+
+
+def resolve_dynamic_path(spec: SourceSpec, runtime_path: Optional[str]) -> Optional[str]:
+    """If a runtime file is supplied for a directory-typed source, read
+    that concrete file; if the source already points at a file, replace
+    its basename (core/pipeline.py:119-142)."""
+    if runtime_path is None:
+        return spec.path
+    if spec.path is None:
+        return runtime_path
+    if os.path.splitext(spec.path)[1]:
+        return os.path.join(os.path.dirname(spec.path), os.path.basename(runtime_path))
+    return os.path.join(spec.path, os.path.basename(runtime_path))
+
+
+def read_parquet_nanos_safe(
+    spark: SparkSession, path: str, nanos_cols: Optional[list[str]] = None
+) -> DataFrame:
+    """Read parquet that may contain TIMESTAMP(NANOS) columns, which Spark
+    rejects outright ([PARQUET_TYPE_ILLEGAL]). With
+    ``spark.sql.legacy.parquet.nanosAsLong`` the nanos column arrives as
+    a bigint (ns since epoch); we convert to a microsecond timestamp
+    (integer division — exact, no float) so downstream window/date logic
+    is ordinary Spark. Falls back to a plain read when the file has no
+    nanos columns."""
+    targets = nanos_cols
+    if targets is None:
+        try:
+            import pyarrow.parquet as pq
+            schema = pq.read_schema(path.replace("file://", ""))
+            targets = [
+                f.name for f in schema if str(f.type).startswith("timestamp[ns")
+            ]
+        except Exception:
+            targets = []
+    if not targets:
+        return spark.read.parquet(path)
+    # Leave the conf set for the session: execution re-reads it, and all
+    # nanos-bearing reads route through this helper anyway.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+    for c in targets:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def read_source(
+    spark: SparkSession,
+    spec: SourceSpec,
+    runtime_path: Optional[str] = None,
+) -> DataFrame:
+    if spec.type == "file":
+        path = resolve_dynamic_path(spec, runtime_path)
+        if not path:
+            raise ReadError(f"source '{spec.name}' has no path")
+        reader = spark.read.format(spec.format)
+        if spec.options:
+            reader = reader.options(**{k: str(v) for k, v in spec.options.items()})
+        df = reader.load(path)
+    elif spec.type == "table":
+        if not spec.table_name:
+            raise ReadError(f"source '{spec.name}' has no table_name")
+        df = spark.read.table(spec.table_name)
+    elif spec.type == "sql":
+        if not spec.query:
+            raise ReadError(f"source '{spec.name}' has no query")
+        df = spark.sql(spec.query)
+    else:
+        raise ReadError(f"unknown source type '{spec.type}'")
+
+    if spec.expected_columns is not None and len(df.columns) != spec.expected_columns:
+        raise ReadError(
+            f"source '{spec.name}': expected {spec.expected_columns} columns, "
+            f"got {len(df.columns)} — check the delimiter/options"
+        )
+    return df

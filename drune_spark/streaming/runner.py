@@ -1,0 +1,82 @@
+"""Structured Streaming execution of declarative pipelines (SURVEY §2.12).
+
+The reference has zero streaming support; this is the additive extension:
+the same declarative ops run as micro-batch streams. Patterns:
+
+- file-stream source with explicit schema (streams cannot infer),
+- event-time tumbling windows + watermark for late data,
+- ``trigger(availableNow=True)`` drains everything currently available
+  then stops — which makes a streaming job batch-equivalent and lets the
+  DuckDB oracle check it exactly,
+- memory sink for tests; production would use kafka/delta sinks with
+  checkpointing (the ``writeStream`` options are the only difference).
+
+At scale the stateful window agg shuffles by (window, key); watermarks
+bound the state store size, and ``availableNow`` backfills historical
+data with the same code path as the live stream.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts + exact (decimal) value sums per event_type.
+
+    Returns the completed result as a static DataFrame with
+    (window_start_ms, event_type, n_events, total_value).
+    """
+    # Nanos-timestamp parquet needs the nanosAsLong read path; the stream
+    # inherits the raw (long) schema and converts in-stream.
+    import pyarrow.parquet as pq
+    raw_schema = pq.read_schema(events_path)
+    nanos_cols = [f.name for f in raw_schema
+                  if str(f.type).startswith("timestamp[ns")]
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(events_path)
+    # File-stream sources take a directory; select the file via glob filter.
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    for c in nanos_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    stream = stream.withWatermark(ts_col, watermark)
+    agg = (
+        stream.groupBy(F.window(ts_col, window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)")).alias("total_dec"),
+        )
+    )
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "event_type",
+        "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+    )
