@@ -1,0 +1,80 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full column
+materialization, no driver collect overhead). A warmup query first
+absorbs JVM/codegen startup so per-query numbers reflect plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "p1_schema_apply",
+    "p4_hash_key",
+    "p5_filter_step",
+    "j1_join_agg",
+    "a1_pricing_summary",
+    "a2_pivot",
+    "q2_sql_chain",
+    "topk_customers",
+    "dq_constraints",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk",
+    "text_metrics",
+    "doc_fingerprint",
+    "multimodal_features",
+    "stream_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from drune_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("drune_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("j1_join_agg")  # warmup: JVM + codegen + parquet footer caches
+    # Warm the Python worker pool (reused afterwards) so Arrow/pandas
+    # queries measure steady-state, as on a long-running cluster.
+    spark.range(0, 256, 1, int(spark.conf.get("spark.sql.shuffle.partitions"))) \
+        .mapInPandas(lambda it: it, schema="id long") \
+        .write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run(name), 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "total_headline_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

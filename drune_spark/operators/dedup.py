@@ -27,10 +27,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from drune_spark.functions.hashes import (
+    MERSENNE_P,
     fingerprint_md5,
     make_coeffs,
-    minhash_signature,
-    shingle_hashes,
     simhash64,
     word_shingles,
 )
@@ -49,6 +48,8 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    from drune_spark.functions.partitioning import fan_out
+    df = fan_out(df)
     return df.select(
         F.col(id_col).alias("doc"),
         word_shingles(tokens(F.lower(F.col(text_col))), k).alias("shingles"),
@@ -101,13 +102,34 @@ def minhash_signatures(
     k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(doc, signature array<bigint>[num_perm]). Narrow — no shuffle."""
+    """(doc, signature array<bigint>[num_perm]).
+
+    Shuffle-free formulation: one ``F.aggregate`` fold over the doc's
+    shingle-hash array with an array<bigint>[num_perm] accumulator —
+    each shingle hash is permuted num_perm ways and ``least``-merged in
+    place. The hash array is materialized once per doc (the naive
+    per-permutation ``array_min(transform(...))`` recomputes the shingle
+    hashing num_perm times → ~10× slower; an explode+groupBy agg adds a
+    shuffle and 64 aggregation buffers → also slower). Entirely narrow:
+    signatures are computed where the docs already live.
+    """
     coeffs = make_coeffs(num_perm, seed)
     sh = _doc_shingles(df, text_col, id_col, k)
-    return sh.select(
+    hashes = sh.select(
         "doc",
-        minhash_signature(shingle_hashes(F.col("shingles")), coeffs).alias("sig"),
+        F.transform(
+            "shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))
+        ).alias("h"),
     )
+    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), num_perm)
+
+    def step(acc, x):
+        vals = F.array(*[
+            F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P)) for a, b in coeffs
+        ])
+        return F.zip_with(acc, vals, lambda u, v: F.least(u, v))
+
+    return hashes.select("doc", F.aggregate("h", init, step).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -172,6 +194,8 @@ def minhash_lsh_pairs(
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc, simhash bigint). Narrow; 64 aggregate passes fused by codegen."""
+    from drune_spark.functions.partitioning import fan_out
+    df = fan_out(df)
     return df.select(
         F.col(id_col).alias("doc"),
         simhash64(tokens(F.lower(F.col(text_col)))).alias("simhash"),

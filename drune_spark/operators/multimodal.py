@@ -72,9 +72,13 @@ def extract_features(
 
     ``mapInPandas`` streams column batches; each batch is processed in
     Python once (not per-row), and the binary column is dropped on output
-    so only small feature rows shuffle onward.
+    so only small feature rows shuffle onward. Input is fanned across
+    cores so one Python worker per core decodes in parallel.
     """
     import hashlib
+
+    from drune_spark.functions.partitioning import fan_out
+    media = fan_out(media)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

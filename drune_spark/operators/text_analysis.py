@@ -44,7 +44,10 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def fingerprints(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
     """Content fingerprints: md5 of normalized text + winnowing-style
-    min-hash of char k-grams (near-dup resistant)."""
+    min-hash of char k-grams (near-dup resistant). Per-row md5 chains are
+    CPU-bound → fan the input across cores first."""
+    from drune_spark.functions.partitioning import fan_out
+    df = fan_out(df)
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
