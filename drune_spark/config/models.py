@@ -198,7 +198,14 @@ class PipelineModel(BaseModel):
                 continue
             if inh.columns and col.name not in inh.columns:
                 continue
-            inherited.append(col.model_copy(deep=True))
+            # The source-level rename/expression/constraints were already
+            # applied during read; at the target the inherited column is a
+            # typed passthrough under its FINAL name (re-casting only, per
+            # the reference's gold post-cast, transformer.py:79-95).
+            inherited.append(col.model_copy(deep=True, update={
+                "from_": None, "expression": None, "format": None,
+                "try_cast": False, "constraints": [],
+            }))
         self.target.schema_.columns = inherited + self.target.schema_.columns
         return self
 

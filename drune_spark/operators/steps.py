@@ -163,7 +163,18 @@ class DropDuplicatesStep(Step):
         if keep_by is None:
             return df.dropDuplicates(subset)
         from pyspark.sql import Window
-        w = Window.partitionBy(*subset).orderBy(F.expr(keep_by))
+        # keep_by is an ORDER BY clause ("version DESC, ts ASC") — F.expr
+        # can't parse sort direction, so split it out per term.
+        order_cols = []
+        for term in keep_by.split(","):
+            parts = term.strip().rsplit(None, 1)
+            if len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
+                expr = F.expr(parts[0])
+                order_cols.append(expr.desc() if parts[1].upper() == "DESC"
+                                  else expr.asc())
+            else:
+                order_cols.append(F.expr(term.strip()))
+        w = Window.partitionBy(*subset).orderBy(*order_cols)
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

@@ -111,7 +111,9 @@ def min_length(col: str, params: dict[str, Any]) -> Column:
 
 @RuleRegistry.register("is_date")
 def is_date(col: str, params: dict[str, Any]) -> Column:
+    # try_to_date: malformed input yields NULL instead of an ANSI error
+    # (Spark 4 runs ANSI-on by default, so plain to_date would throw).
     fmt = params.get("format") or (params.get("positional") or [None])[0]
     if fmt:
-        return F.to_date(F.col(col).cast("string"), fmt).isNotNull()
-    return F.to_date(F.col(col).cast("string")).isNotNull()
+        return F.try_to_date(F.col(col).cast("string"), F.lit(fmt)).isNotNull()
+    return F.try_to_date(F.col(col).cast("string")).isNotNull()

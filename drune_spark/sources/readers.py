@@ -37,7 +37,7 @@ def resolve_dynamic_path(spec: SourceSpec, runtime_path: Optional[str]) -> Optio
     its basename (core/pipeline.py:119-142)."""
     if runtime_path is None:
         return spec.path
-    if spec.path is None:
+    if spec.path is None or os.path.isabs(runtime_path):
         return runtime_path
     if os.path.splitext(spec.path)[1]:
         return os.path.join(os.path.dirname(spec.path), os.path.basename(runtime_path))

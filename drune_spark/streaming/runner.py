@@ -40,19 +40,34 @@ def windowed_event_counts(
     """
     # Nanos-timestamp parquet needs the nanosAsLong read path; the stream
     # inherits the raw (long) schema and converts in-stream.
+    import glob as globmod
+
     import pyarrow.parquet as pq
-    raw_schema = pq.read_schema(events_path)
+    schema_file = events_path
+    if os.path.isdir(events_path):
+        parts = sorted(globmod.glob(os.path.join(events_path, "*.parquet")))
+        schema_file = parts[0] if parts else events_path
+    raw_schema = pq.read_schema(schema_file)
     nanos_cols = [f.name for f in raw_schema
                   if str(f.type).startswith("timestamp[ns")]
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(events_path)
-    # File-stream sources take a directory; select the file via glob filter.
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
+    # INT96 files also look like timestamp[ns] to pyarrow but Spark reads
+    # them as TIMESTAMP directly — only convert columns that actually
+    # arrived as longs.
+    raw_types = dict(raw.dtypes)
+    nanos_cols = [c for c in nanos_cols if raw_types.get(c) == "bigint"]
+    # File-stream sources take a directory; a single-file path streams
+    # from its parent with a glob filter on the basename.
+    if os.path.isdir(events_path):
+        stream = spark.readStream.schema(raw.schema).parquet(events_path)
+    else:
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+            .parquet(os.path.dirname(events_path))
+        )
     for c in nanos_cols:
         stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     stream = stream.withWatermark(ts_col, watermark)

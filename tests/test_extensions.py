@@ -1,0 +1,145 @@
+"""Extension-operator tests: dedup recall/precision, ANN recall vs exact,
+SimHash locality, multimodal plumbing, streaming batch-equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from drune_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from drune_spark.operators.similarity import brute_force_topk, ivf_assign, lsh_topk
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    near = base.replace("lazy", "sleepy")          # 1-word edit → near-dup
+    far = "completely different words about spark sql engines and shuffles here"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], ["doc_id", "text"]
+    )
+
+
+class TestDedup:
+    def test_exact_dedup_collapses_identical(self, spark, docs):
+        out = exact_dedup(docs, "text", "doc_id")
+        ids = {r.doc_id for r in out.collect()}
+        assert ids == {1, 3, 4}  # 2 collapsed into 1 (min id)
+
+    def test_exact_dedup_normalizes_whitespace_case(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world")], ["doc_id", "text"]
+        )
+        assert exact_dedup(df, "text", "doc_id").count() == 1
+
+    def test_jaccard_finds_near_dup(self, spark, docs):
+        pairs = {(r.id_a, r.id_b): r.jaccard
+                 for r in ngram_jaccard_pairs(docs, "text", "doc_id",
+                                              threshold=0.3).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+        assert (1, 4) not in pairs
+
+    def test_minhash_lsh_recall_of_exact_pairs(self, spark, docs):
+        cands = {(r.id_a, r.id_b)
+                 for r in minhash_lsh_pairs(docs, "text", "doc_id",
+                                            num_perm=64, bands=16).collect()}
+        assert (1, 2) in cands    # identical docs always collide
+        assert (1, 3) in cands    # near-dup should be found at 16 bands
+
+    def test_simhash_identical_and_near(self, spark, docs):
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in simhash_near_dup_pairs(docs, "text", "doc_id",
+                                                 max_hamming=10).collect()}
+        assert pairs.get((1, 2)) == 0
+        assert (1, 4) not in pairs
+
+
+class TestSimilarity:
+    @pytest.fixture()
+    def emb(self, spark):
+        import math
+        rows = []
+        for i in range(50):
+            angle = (i % 10) * 0.1
+            rows.append((i, [math.cos(angle) + 0.001 * i, math.sin(angle), 0.1, 0.2]))
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_brute_force_topk_shape_and_rank(self, spark, emb):
+        queries = emb.filter("vec_id = 0") \
+            .withColumnRenamed("vec_id", "query_id")
+        out = brute_force_topk(emb, queries, k=3).collect()
+        assert len(out) == 3
+        assert [r.rank for r in out] == [1, 2, 3]
+        assert all(r.neighbor_id != 0 for r in out)
+        sims = [r.cosine for r in out]
+        assert sims == sorted(sims, reverse=True)
+
+    def test_lsh_topk_recall(self, spark, emb):
+        queries = emb.filter("vec_id < 3") \
+            .withColumnRenamed("vec_id", "query_id")
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in brute_force_topk(emb, queries, k=3).collect()}
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in lsh_topk(emb, queries, k=3, dim=4, bands=4,
+                                    planes_per_band=4).collect()}
+        # With clustered vectors, LSH should recover most exact neighbors.
+        assert len(exact & approx) / len(exact) >= 0.5
+
+    def test_ivf_assign_partitions_all_vectors(self, spark, emb):
+        out = ivf_assign(emb, n_centroids=4)
+        assert out.count() == emb.count()
+        assert out.select("centroid_id").distinct().count() <= 4
+
+
+class TestMultimodal:
+    def test_extract_features_plumbing(self, spark):
+        from drune_spark.operators.multimodal import (
+            attach_binary, extract_features, fake_feature,
+        )
+        docs = spark.createDataFrame(
+            [(1, "hello world"), (2, "spark")], ["doc_id", "text"]
+        )
+        media = attach_binary(docs, "text")
+        feats = {r.media_id: r for r in extract_features(media).collect()}
+        assert feats[1].n_bytes == len(b"hello world")
+        import hashlib
+        assert feats[1].sha256 == hashlib.sha256(b"hello world").hexdigest()
+        assert feats[1].feature == fake_feature(b"hello world")
+        assert len(feats[1].feature) == 8
+
+    def test_sample_frames_is_stubbed(self, spark):
+        from drune_spark.operators.multimodal import attach_binary, sample_frames
+        docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        stream = sample_frames(attach_binary(docs, "text"))
+        with pytest.raises(Exception):  # NotImplementedError inside workers
+            stream.collect()
+
+
+class TestStreaming:
+    def test_windowed_counts_equal_batch(self, spark, tmp_path):
+        from drune_spark.streaming.runner import windowed_event_counts
+        import datetime as dt
+
+        rows = [
+            (i, dt.datetime(2024, 1, 1, hour, minute), "click", 1.0)
+            for i, (hour, minute) in enumerate(
+                [(0, 5), (0, 25), (1, 10), (2, 59), (2, 0)]
+            )
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+        path = str(tmp_path / "events.parquet")
+        df.write.parquet(path)
+
+        out = windowed_event_counts(spark, path, window="1 hour")
+        got = {(r.window_start_ms, r.n_events) for r in out.collect()}
+        batch = {
+            (r.w, r.n) for r in df.groupBy(
+                F.unix_millis(F.date_trunc("hour", "ts")).alias("w")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert {(w, n) for w, n in got} == batch
+        assert {n for _, n in got} == {2, 1, 2}

@@ -1,0 +1,141 @@
+"""End-to-end pipeline + golden test + CLI + DDL tests, using the example
+project (the reference's customer pipeline re-homed —
+reference: examples/pipelines/customer/model.yml, examples/data/customer.csv)."""
+
+import os
+import shutil
+
+import pytest
+from click.testing import CliRunner
+
+from drune_spark.pipeline import GoldenTestFailure, Pipeline, Project
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PROJECT_DIR = os.path.join(REPO, "examples", "project")
+# target.path is a directory → the writer lands at <dir>/<name>.<format>
+OUT = "/tmp/drune_spark_example/dm_customer.parquet"
+
+
+@pytest.fixture()
+def clean_out():
+    shutil.rmtree("/tmp/drune_spark_example", ignore_errors=True)
+    yield
+    shutil.rmtree("/tmp/drune_spark_example", ignore_errors=True)
+
+
+class TestProjectPipeline:
+    def test_customer_pipeline_end_to_end(self, spark, clean_out, monkeypatch):
+        monkeypatch.chdir(REPO)
+        proj = Project(PROJECT_DIR, spark=spark)
+        pipe = proj.pipeline("customer")
+        pipe.execute()
+
+        out = spark.read.parquet(OUT)
+        # row 4 (null customer_id) dropped by the not_null/drop constraint +
+        # filter step; nu_document excluded by inheritance; ds_login derived.
+        assert out.count() == 3
+        cols = set(out.columns)
+        assert "nu_document" not in cols
+        assert {"cd_customer", "nm_first_name", "nm_last_name", "ds_email",
+                "ds_login", "hash_key", "updated_at", "created_at"} <= cols
+        row = {r.cd_customer: r for r in out.collect()}
+        assert row[1].nm_first_name == "JOHN"          # trimmed + uppered
+        assert row[1].ds_email == "john.doe@example.com"  # lowered
+        assert row[1].ds_login == "example.com"
+        assert row[2].ds_login == "mail.org"
+
+    def test_profile_overlay(self, spark):
+        proj = Project(PROJECT_DIR, profile="prod", spark=spark)
+        opts = proj.defaults.engine.options
+        assert opts["spark.sql.shuffle.partitions"] == "256"
+
+    def test_golden_test_mode(self, spark, clean_out, monkeypatch):
+        monkeypatch.chdir(REPO)
+        proj = Project(PROJECT_DIR, spark=spark)
+        pipe = proj.pipeline("customer")
+        pipe.read()
+        result = pipe.run()
+        expected = result  # self-comparison must pass
+        pipe.golden_test(expected, actual=result)
+        # and a mutated expectation must fail
+        with pytest.raises(GoldenTestFailure):
+            pipe.golden_test(result.filter("cd_customer != 1"), actual=result)
+
+    def test_dynamic_source_path(self, spark, tmp_path, monkeypatch):
+        monkeypatch.chdir(REPO)
+        alt = tmp_path / "alt.csv"
+        alt.write_text("customer_id,first_name,last_name,email,document\n"
+                       "9,Zed,Zara,z@z.io,99\n")
+        proj = Project(PROJECT_DIR, spark=spark)
+        pipe = proj.pipeline("customer")
+        pipe.read(src_paths={"customer_raw": str(alt)})
+        result = pipe.run()
+        rows = result.collect()
+        assert len(rows) == 1 and rows[0].cd_customer == 9
+
+
+class TestCli:
+    def test_cli_run(self, spark, clean_out, monkeypatch):
+        monkeypatch.chdir(REPO)
+        from drune_spark import cli as cli_mod
+
+        runner = CliRunner()
+        result = runner.invoke(
+            cli_mod.cli, ["run", "customer", "--project", PROJECT_DIR]
+        )
+        assert result.exit_code == 0, result.output
+        assert "completed" in result.output
+        assert spark.read.parquet(OUT).count() == 3
+
+    def test_cli_init(self, tmp_path):
+        from drune_spark import cli as cli_mod
+
+        runner = CliRunner()
+        target = str(tmp_path / "newproj")
+        result = runner.invoke(cli_mod.cli, ["init", target])
+        assert result.exit_code == 0
+        assert os.path.exists(os.path.join(target, "drune.yml"))
+        # init twice → clean error
+        again = runner.invoke(cli_mod.cli, ["init", target])
+        assert again.exit_code != 0
+
+
+class TestDdl:
+    def test_create_exists_update(self, spark, tmp_path):
+        from drune_spark.catalog.ddl import (
+            MetadataRegistry,
+            build_create_ddl,
+            table_exists,
+        )
+        from drune_spark.config.models import (
+            ColumnSpec, ConstraintSpec, SchemaSpec, TargetSpec,
+        )
+
+        spark.sql("DROP TABLE IF EXISTS ddl_demo")
+        spec = TargetSpec(
+            name="d", type="table", table_name="ddl_demo", format="parquet",
+            schema=SchemaSpec(
+                primary_key=["k"],
+                columns=[
+                    ColumnSpec(name="k", type="long",
+                               constraints=[ConstraintSpec(rule="not_null")],
+                               comment="the key"),
+                    ColumnSpec(name="v", type="str"),
+                ],
+            ),
+        )
+        ddl = build_create_ddl(spec)
+        assert "`k` BIGINT NOT NULL COMMENT 'the key'" in ddl
+        assert "'framework.primary_keys' = 'k'" in ddl
+
+        meta = MetadataRegistry.get("spark_catalog", spark)
+        meta.create(spec)
+        assert table_exists(spark, "ddl_demo")
+        assert meta.exists("ddl_demo")
+
+        spec.schema_.columns.append(ColumnSpec(name="extra", type="double"))
+        stmts = meta.update(spec)
+        assert stmts and "ADD COLUMNS" in stmts[0]
+        assert "extra" in {f.name for f in meta.get("ddl_demo").fields}
+        assert meta.update(spec) == []  # idempotent
+        spark.sql("DROP TABLE ddl_demo")

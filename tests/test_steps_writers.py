@@ -1,0 +1,178 @@
+"""Step runner + writer tests: join folding, SQL chains, pivot,
+stop_at/resume, merge upsert, SCD2 idempotency, safe-write rollback.
+SCD2 expectations follow the reference's semantics
+(reference: engines/spark/steps/writer.py:37-101)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from drune_spark.config.models import SCDConfig, StepConfig, TargetSpec
+from drune_spark.operators.registry import StepRunner
+import drune_spark.operators.steps  # noqa: F401 — register step types
+from drune_spark.plans.schema_apply import add_data_hash, add_hash_key
+from drune_spark.sinks.writers import (
+    merge_upsert,
+    rollback,
+    scd2_merge,
+    write_target,
+)
+
+
+@pytest.fixture()
+def sales_inputs(spark):
+    customers = spark.createDataFrame(
+        [(1, "ann"), (2, "bob")], ["cust_id", "name"]
+    )
+    sales = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 1, 7.0), (12, 2, 3.0)],
+        ["sale_id", "cust_id_fk", "amount"],
+    )
+    return {"customers": customers, "sales": sales}
+
+
+class TestSteps:
+    def test_join_fold_and_aggregate(self, spark, sales_inputs):
+        runner = StepRunner(spark)
+        out = runner.run([
+            StepConfig(name="j", type="join", params={
+                "sources": ["sales", "customers"],
+                "on": ["cust_id_fk = cust_id"],
+                "broadcast": ["customers"],
+            }),
+            StepConfig(name="a", type="aggregate", params={
+                "group_by": ["name"],
+                "aggs": {"total": "SUM(amount)", "n": "COUNT(*)"},
+            }),
+        ], sales_inputs, None)
+        rows = {r.name: (r.total, r.n) for r in out.collect()}
+        assert rows == {"ann": (12.0, 2), "bob": (3.0, 1)}
+
+    def test_sql_chain_views(self, spark, sales_inputs):
+        runner = StepRunner(spark)
+        out = runner.run([
+            StepConfig(name="g", type="sql", params={"statements": [
+                {"name": "big_sales", "sql":
+                    "SELECT * FROM sales WHERE amount > 4"},
+                {"name": "final", "sql":
+                    "SELECT COUNT(*) AS n FROM big_sales"},
+            ]}),
+        ], sales_inputs, None)
+        assert out.collect()[0].n == 2
+
+    def test_pivot_explicit_values(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)],
+            ["k", "p", "v"],
+        )
+        runner = StepRunner(spark)
+        out = runner.run([
+            StepConfig(name="pv", type="pivot", params={
+                "index": ["k"], "columns": "p", "values": "v",
+                "aggfunc": "sum", "pivot_values": ["x", "y"],
+            }),
+        ], {"t": df}, df)
+        rows = {r.k: (r.x, r.y) for r in out.collect()}
+        assert rows == {"a": (1.0, 2.0), "b": (3.0, None)}
+
+    def test_stop_at_and_resume(self, spark, sales_inputs):
+        runner = StepRunner(spark)
+        steps = [
+            StepConfig(name="s1", type="filter",
+                       params={"where": "amount > 4", "source": "sales"}),
+            StepConfig(name="s2", type="filter", params={"where": "amount > 6"}),
+        ]
+        mid = runner.run(steps, sales_inputs, None, stop_at="s1")
+        assert mid.count() == 2
+        final = runner.run(steps, sales_inputs, mid)  # resumes at s2
+        assert final.count() == 1
+        runner.reset()
+        assert runner._position == 0
+
+    def test_drop_duplicates_keep_by(self, spark):
+        df = spark.createDataFrame(
+            [(1, "old", 1), (1, "new", 2), (2, "only", 1)],
+            ["k", "v", "version"],
+        )
+        runner = StepRunner(spark)
+        out = runner.run([
+            StepConfig(name="dd", type="drop_duplicates", params={
+                "subset": ["k"], "keep_by": "version DESC",
+            }),
+        ], {"t": df}, df)
+        assert {r.v for r in out.collect()} == {"new", "only"}
+
+
+def _file_target(tmp_path, name="t", **kw):
+    return TargetSpec(name=name, type="file", format="parquet",
+                      path=os.path.join(str(tmp_path), name + ".parquet"), **kw)
+
+
+class TestWriters:
+    def test_overwrite_and_rollback(self, spark, tmp_path):
+        tgt = _file_target(tmp_path)
+        write_target(spark, spark.range(3), tgt)
+        write_target(spark, spark.range(5), tgt)
+        assert spark.read.parquet(tgt.path).count() == 5
+        rollback(tgt.path)
+        assert spark.read.parquet(tgt.path).count() == 3
+
+    def test_append(self, spark, tmp_path):
+        tgt = _file_target(tmp_path, mode="append")
+        write_target(spark, spark.range(3), tgt)
+        write_target(spark, spark.range(2), tgt)
+        assert spark.read.parquet(tgt.path).count() == 5
+
+    def test_partitioned_dynamic_overwrite(self, spark, tmp_path):
+        from drune_spark.config.models import SchemaSpec
+        tgt = _file_target(tmp_path, mode="overwrite_partition")
+        tgt.schema_ = SchemaSpec(partition_by=["part"])
+        df1 = spark.createDataFrame([("a", 1), ("b", 2)], ["part", "v"])
+        write_target(spark, df1, tgt)
+        # Overwrite only partition 'a'; 'b' must survive.
+        df2 = spark.createDataFrame([("a", 10)], ["part", "v"])
+        write_target(spark, df2, tgt)
+        rows = {(r.part, r.v) for r in spark.read.parquet(tgt.path).collect()}
+        assert rows == {("a", 10), ("b", 2)}
+
+    def _keyed(self, spark, rows):
+        df = spark.createDataFrame(rows, ["pk", "val"])
+        return add_hash_key(df, ["pk"])
+
+    def test_merge_upsert(self, spark, tmp_path):
+        tgt = _file_target(tmp_path)
+        base = self._keyed(spark, [(1, "a"), (2, "b")]) \
+            .withColumn("created_at", F.current_timestamp())
+        write_target(spark, base, tgt)
+        incoming = self._keyed(spark, [(2, "B"), (3, "c")]) \
+            .withColumn("created_at", F.current_timestamp())
+        merge_upsert(spark, incoming, tgt)
+        rows = {r.pk: r.val for r in spark.read.parquet(tgt.path).collect()}
+        assert rows == {1: "a", 2: "B", 3: "c"}
+
+    def _scd_frame(self, spark, rows):
+        df = spark.createDataFrame(rows, ["pk", "val"])
+        return add_data_hash(add_hash_key(df, ["pk"]), ["val"])
+
+    def test_scd2_new_changed_unchanged_and_idempotent(self, spark, tmp_path):
+        tgt = _file_target(tmp_path, scd=SCDConfig(type=2))
+        scd2_merge(spark, self._scd_frame(spark, [(1, "a"), (2, "b")]), tgt)
+        # batch 2: 1 unchanged, 2 changed, 3 new
+        batch2 = self._scd_frame(spark, [(1, "a"), (2, "B"), (3, "c")])
+        scd2_merge(spark, batch2, tgt)
+        state = spark.read.parquet(tgt.path)
+        current = {(r.pk, r.val) for r in
+                   state.filter("is_current").collect()}
+        assert current == {(1, "a"), (2, "B"), (3, "c")}
+        expired = state.filter("NOT is_current").collect()
+        assert len(expired) == 1 and expired[0].pk == 2
+        assert expired[0].end_date is not None
+        # Materialize before the next overwrite: the DataFrame's file
+        # listing goes stale once the target directory is swapped.
+        n_before = state.count()
+        # idempotency: same batch again is a no-op
+        scd2_merge(spark, batch2, tgt)
+        state2 = spark.read.parquet(tgt.path)
+        assert state2.count() == n_before
+        assert state2.filter("is_current").count() == 3
