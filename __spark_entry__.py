@@ -310,6 +310,160 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p3_snake_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: camelCase → snake_case auto-rename inside schema apply."""
+    _tune(spark)
+    from drune_spark.config.models import ColumnSpec, SchemaSpec
+    from drune_spark.plans.schema_apply import apply_schema
+
+    camel = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partKey"),
+        F.col("p_name").alias("partName"),
+        F.col("p_retailprice").alias("retailPrice"),
+    )
+    schema = SchemaSpec(
+        column_rename_pattern="snake_case",
+        columns=[
+            ColumnSpec(name="part_key", type="long"),
+            ColumnSpec(name="part_name", type="str"),
+            ColumnSpec(name="retail_price", type="double"),
+        ],
+    )
+    return apply_schema(camel, schema)
+
+
+def q_a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets via raw SQL (reachable-through-SQL op, SURVEY §2.4):
+    ROLLUP over returnflag/linestatus with exact decimal totals."""
+    _tune(spark)
+    from drune_spark.config.models import StepConfig
+    from drune_spark.operators.registry import StepRunner
+    import drune_spark.operators.steps  # noqa: F401
+
+    runner = StepRunner(spark)
+    return runner.run(
+        [StepConfig(name="cube", type="sql", params={"query": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """})],
+        {"lineitem": _t(spark, sf_dir, "lineitem")}, None,
+    )
+
+
+def q_w4_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window row_number: top-3 orders per customer (deterministic
+    tie-break on order key)."""
+    _tune(spark)
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def _orders_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from drune_spark.plans.schema_apply import add_data_hash, add_hash_key
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("vl_total")
+    )
+    return add_data_hash(add_hash_key(base, ["o_orderkey"]), ["vl_total"])
+
+
+def q_w5_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 merge (upsert on hash_key): update every key ≡ 0 (mod 4) with a
+    tripled total, insert shifted new keys for key ≡ 0 (mod 7). The final
+    table state is a pure function of `orders` → SQL oracle."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.config.models import TargetSpec
+    from drune_spark.plans.schema_apply import add_data_hash, add_hash_key
+    from drune_spark.sinks.writers import merge_upsert, write_target
+
+    tmp = tempfile.mkdtemp(prefix="drune_merge_")
+    tgt = TargetSpec(name="m", type="file", format="parquet",
+                     path=f"{tmp}/state.parquet")
+    write_target(spark, _orders_batch(spark, sf_dir), tgt)
+
+    orders = _t(spark, sf_dir, "orders")
+    updates = orders.filter("o_orderkey % 4 = 0").select(
+        "o_orderkey", (F.col("o_totalprice") * 3).alias("vl_total")
+    )
+    inserts = orders.filter("o_orderkey % 7 = 0").select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        F.col("o_totalprice").alias("vl_total"),
+    )
+    incoming = add_data_hash(
+        add_hash_key(updates.unionByName(inserts), ["o_orderkey"]), ["vl_total"]
+    )
+    merge_upsert(spark, incoming, tgt)
+    return spark.read.parquet(tgt.path).select("o_orderkey", "vl_total")
+
+
+def q_w6_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 SCD Type-2: batch 1 = orders as-is; batch 2 doubles the total
+    for key ≡ 0 (mod 3). Expect: doubled rows current, originals expired,
+    the rest untouched-current — a pure function of `orders` → SQL
+    oracle (volatile start/end dates excluded)."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.config.models import SCDConfig, TargetSpec
+    from drune_spark.plans.schema_apply import add_data_hash, add_hash_key
+    from drune_spark.sinks.writers import scd2_merge
+
+    tmp = tempfile.mkdtemp(prefix="drune_scd2_")
+    tgt = TargetSpec(name="s", type="file", format="parquet",
+                     path=f"{tmp}/state.parquet", scd=SCDConfig(type=2))
+    scd2_merge(spark, _orders_batch(spark, sf_dir), tgt)
+
+    orders = _t(spark, sf_dir, "orders")
+    batch2 = orders.select(
+        "o_orderkey",
+        F.when(F.expr("o_orderkey % 3 = 0"), F.col("o_totalprice") * 2)
+         .otherwise(F.col("o_totalprice")).alias("vl_total"),
+    )
+    batch2 = add_data_hash(add_hash_key(batch2, ["o_orderkey"]), ["vl_total"])
+    scd2_merge(spark, batch2, tgt)
+    # Idempotency probe: replaying batch 2 must not change the state.
+    scd2_merge(spark, batch2, tgt)
+    return spark.read.parquet(tgt.path).select(
+        "o_orderkey", "vl_total", "is_current"
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= 0.4) —
+    brute-force all-pairs at audit scale; LSH (ann_lsh) is the scale
+    path."""
+    _tune(spark)
+    from drune_spark.functions.vectors import cosine_similarity, to_double_array
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= 0.4).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline extensions (driver mandate)
 # --------------------------------------------------------------------------
@@ -439,6 +593,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_schema_apply": q_p1_schema_apply,
+        "p3_snake_case": q_p3_snake_case,
         "p4_hash_key": q_p4_hash_key,
         "p5_filter_step": q_p5_filter_step,
         "j1_join_agg": q_j1_join_agg,
@@ -446,11 +601,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_pricing_summary": q_a1_pricing_summary,
         "a2_pivot": q_a2_pivot,
         "a4_window_unique": q_a4_window_unique,
+        "a5_rollup": q_a5_rollup,
+        "w4_topn_per_group": q_w4_topn_per_group,
+        "w5_merge_upsert": q_w5_merge_upsert,
+        "w6_scd2": q_w6_scd2,
         "q2_sql_chain": q_q2_sql_chain,
         "topk_customers": q_topk_customers,
         "setops_except": q_setops_except,
         "dq_constraints": q_dq_constraints,
         "dedup_exact": q_dedup_exact,
+        "dedup_embedding": q_dedup_embedding,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -494,6 +654,60 @@ def oracle_sql() -> dict[str, str]:
                    substring(upper(trim(CAST(c_name AS VARCHAR))), 1, 8)
                        AS ds_name_prefix
             FROM customer
+        """,
+        "p3_snake_case": """
+            SELECT p_partkey AS part_key,
+                   CAST(p_name AS VARCHAR) AS part_name,
+                   CAST(p_retailprice AS DOUBLE) AS retail_price
+            FROM part
+        """,
+        "a5_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "w4_topn_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(rn AS INTEGER) AS rn
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "w5_merge_upsert": """
+            SELECT o_orderkey, CAST(o_totalprice * 3 AS DOUBLE) AS vl_total
+            FROM orders WHERE o_orderkey % 4 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_totalprice
+            FROM orders WHERE o_orderkey % 7 = 0
+        """,
+        "w6_scd2": """
+            SELECT o_orderkey, CAST(o_totalprice * 2 AS DOUBLE) AS vl_total,
+                   TRUE AS is_current
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, FALSE
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, TRUE
+            FROM orders WHERE o_orderkey % 3 <> 0
+        """,
+        "dedup_embedding": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         """,
         "p4_hash_key": """
             SELECT l_orderkey, l_linenumber,
