@@ -464,6 +464,42 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON field extraction from the events
+    `props` column (get_json_object — JVM-side, no UDF) + grouped exact
+    sum of the extracted values."""
+    _tune(spark)
+    events = _t(spark, sf_dir, "events")
+    extracted = events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+    return extracted.groupBy("event_type").agg(
+        F.sum("k_value").alias("k_total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (F.session_window, 30-min gap) over events per
+    user — the stateful sessionization primitive; batch mode here so the
+    DuckDB gaps-and-islands oracle can verify it exactly. The streaming
+    variant is the same expression under readStream (stream_window shows
+    the streaming plumbing)."""
+    _tune(spark)
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            "n_events",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline extensions (driver mandate)
 # --------------------------------------------------------------------------
@@ -620,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "f_json_extract": q_f_json_extract,
+        "sessionize": q_sessionize,
         "stream_window": q_stream_window,
     }
 
@@ -929,6 +967,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        "f_json_extract": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS k_total,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY event_type
+        """,
+        "sessionize": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM o
+            )
+            SELECT user_id,
+                   CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+                   COUNT(*) AS n_events
+            FROM s
+            GROUP BY user_id, sess_id
         """,
         "stream_window": """
             SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,

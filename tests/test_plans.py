@@ -1,0 +1,89 @@
+"""Physical-plan regression tests — the 100 TB guarantees as assertions.
+
+These inspect `.explain` output for the properties that make the engine
+scale: predicate pushdown reaching the parquet scan, column pruning,
+broadcast joins for small dims, TakeOrderedAndProject for top-k, and
+shuffle-free MinHash signatures. A refactor that silently breaks one of
+these would pass value-level tests and still be 10-100× slower at scale.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def full_plan(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as entrymod
+    return entrymod
+
+
+class TestPlans:
+    def test_filter_pushdown_reaches_scan(self, spark, entry):
+        plan = full_plan(entry.q_p5_filter_step(spark, SF))
+        assert "PushedFilters: [" in plan
+        assert "o_orderstatus" in plan.split("PushedFilters:")[1][:200]
+
+    def test_column_pruning_on_q1(self, spark, entry):
+        plan = full_plan(entry.q_a1_pricing_summary(spark, SF))
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        # The scan must not read the 5 unused lineitem columns.
+        assert "l_orderkey" not in read_schema
+        assert "l_quantity" in read_schema
+
+    def test_join_agg_broadcasts_dims(self, spark, entry):
+        plan = executed_plan(entry.q_j1_join_agg(spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_topk_is_take_ordered(self, spark, entry):
+        plan = executed_plan(entry.q_topk_customers(spark, SF))
+        assert "TakeOrderedAndProject" in plan
+        # No global sort of the full aggregate output.
+        assert "Sort [rev_dec" not in plan
+
+    def test_minhash_signatures_shuffle_free(self, spark):
+        from drune_spark.operators.dedup import minhash_signatures
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = executed_plan(minhash_signatures(docs, "text", "doc_id"))
+        # fan_out introduces exactly one round-robin repartition of the
+        # small input; there must be NO hash/range shuffle from the
+        # signature computation itself.
+        assert "hashpartitioning" not in plan
+        assert "rangepartitioning" not in plan
+
+    def test_schema_apply_is_single_projection(self, spark, entry):
+        plan = executed_plan(entry.q_p1_schema_apply(spark, SF))
+        assert "Exchange" not in plan  # narrow: no shuffle at all
+        assert plan.count("Project") <= 2  # base select + derived column
+
+    def test_quality_flags_no_shuffle(self, spark):
+        """Non-`unique` constraints must stay narrow (flag columns fused
+        into the scan stage)."""
+        from drune_spark.config.models import (
+            ColumnSpec, ConstraintSpec, SchemaSpec,
+        )
+        from drune_spark.quality.manager import apply_constraints
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        schema = SchemaSpec(columns=[
+            ColumnSpec(name="o_totalprice", type="double", constraints=[
+                ConstraintSpec(rule="isbetween:[0, 1000000]", on_fail="drop"),
+            ]),
+            ColumnSpec(name="o_orderstatus", type="str", constraints=[
+                ConstraintSpec(rule="isin:['O','F','P']", on_fail="warn"),
+            ]),
+        ])
+        from drune_spark.plans.schema_apply import apply_schema
+        df = apply_schema(orders, schema)
+        result = apply_constraints(df, schema, collect_counts=False)
+        plan = executed_plan(result.passed)
+        assert "Exchange" not in plan
