@@ -464,6 +464,31 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a6_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) per group (Catalyst expands to
+    per-distinct-column aggregates). approx_count_distinct is the scale
+    variant (pytest-checked — approximations can't hash-match)."""
+    _tune(spark)
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components (min-label propagation)
+    over n-gram-Jaccard near-dup pairs; singletons cluster to themselves.
+    Oracle: recursive-CTE transitive closure in DuckDB."""
+    _tune(spark)
+    from drune_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5)
+    return connected_components(pairs, docs.select("doc_id"))
+
+
 def q_f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access: JSON field extraction from the events
     `props` column (get_json_object — JVM-side, no UDF) + grouped exact
@@ -638,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_pivot": q_a2_pivot,
         "a4_window_unique": q_a4_window_unique,
         "a5_rollup": q_a5_rollup,
+        "a6_distinct_counts": q_a6_distinct_counts,
         "w4_topn_per_group": q_w4_topn_per_group,
         "w5_merge_upsert": q_w5_merge_upsert,
         "w6_scd2": q_w6_scd2,
@@ -647,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_constraints": q_dq_constraints,
         "dedup_exact": q_dedup_exact,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -967,6 +994,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        "a6_distinct_counts": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_suppkey) AS n_suppliers,
+                   COUNT(DISTINCT l_partkey) AS n_parts,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ),
+            shing AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+                FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS ns FROM shing GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+                FROM shing a JOIN shing b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS m FROM documents
+                UNION
+                SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, MIN(m) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "f_json_extract": """
             SELECT event_type,

@@ -95,6 +95,8 @@ class SourceSpec(BaseModel):
 class SchemaSpec(BaseModel):
     primary_key: list[str] = Field(default_factory=list)
     partition_by: list[str] = Field(default_factory=list)
+    bucket_by: list[str] = Field(default_factory=list)
+    num_buckets: int = 0
     inherits: Optional[InheritSpec] = None
     columns: list[ColumnSpec] = Field(default_factory=list)
     column_rename_pattern: Optional[Literal["snake_case"]] = None

@@ -15,6 +15,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot key of ``left`` across
+    ``num_salts`` shuffle partitions; replicate ``right`` rows once per
+    salt so every (key, salt) bucket still joins completely.
+
+    Use when one side has heavy key skew AND the other side is too big
+    to broadcast (otherwise prefer broadcast or AQE skew-join, which
+    this engine enables by default). Result is identical to a plain
+    join — salt values never affect matching, only placement.
+    """
+    from pyspark.sql import functions as F
+
+    left_s = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts)),
+    )
+    right_s = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return left_s.join(right_s, [key, "__salt"], how).drop("__salt")
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism

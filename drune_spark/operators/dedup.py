@@ -192,6 +192,57 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    all_nodes: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Dedup clustering: connected components over near-dup pairs via
+    min-label propagation (HashMin). Returns (doc_id, cluster_id) where
+    cluster_id = the minimum doc id in the component; singletons map to
+    themselves.
+
+    Iterative driver loop — each round is one join + one min-aggregate;
+    converges in O(component diameter) rounds (near-dup clusters are
+    shallow, typically <5). ``persist`` breaks lineage growth per round.
+    Deterministic: the fixpoint (min reachable id) is order-independent.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = all_nodes.select(
+        F.col(all_nodes.columns[0]).alias("node")
+    ).distinct().withColumn("label", F.col("node")).persist()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            both.join(labels, both.src == labels.node)
+            .groupBy("dst").agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                labels.node,
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc, simhash bigint). Narrow; 64 aggregate passes fused by codegen."""
     from drune_spark.functions.partitioning import fan_out

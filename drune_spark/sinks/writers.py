@@ -109,6 +109,13 @@ def write_target(spark: SparkSession, df: DataFrame, spec: TargetSpec) -> None:
         ).option("mergeSchema", "true")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        if spec.schema_ and spec.schema_.bucket_by and spec.schema_.num_buckets:
+            # Bucketed layout: joins/aggs on the bucket keys between
+            # co-bucketed tables skip the shuffle entirely — the cheap
+            # answer to repeated large joins at 100 TB.
+            writer = writer.bucketBy(
+                spec.schema_.num_buckets, *spec.schema_.bucket_by
+            ).sortBy(*spec.schema_.bucket_by)
         if spec.mode in ("overwrite_partition", "overwrite_where"):
             if HAS_DELTA and spec.overwrite_condition:
                 writer = writer.option("replaceWhere", spec.overwrite_condition)

@@ -1,0 +1,91 @@
+"""Scale-path helpers: salted joins, bucketed co-located joins,
+approximate distincts, connected components."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from drune_spark.functions.partitioning import fan_out, salted_join
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join(self, spark):
+        # Skewed fact: 90% of rows share one key.
+        fact = spark.createDataFrame(
+            [(1 if i < 90 else i, i) for i in range(100)], ["k", "v"]
+        )
+        dim = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(100)], ["k", "name"]
+        )
+        plain = {(r.k, r.v, r.name) for r in fact.join(dim, "k").collect()}
+        salted = {(r.k, r.v, r.name)
+                  for r in salted_join(fact, dim, "k", num_salts=4).collect()}
+        assert salted == plain and len(plain) == 90 + 10
+
+    def test_left_join_keeps_unmatched(self, spark):
+        fact = spark.createDataFrame([(1, "a"), (99, "b")], ["k", "v"])
+        dim = spark.createDataFrame([(1, "d1")], ["k", "name"])
+        out = salted_join(fact, dim, "k", num_salts=3, how="left").collect()
+        rows = {(r.k, r.name) for r in out}
+        assert rows == {(1, "d1"), (99, None)}
+
+
+class TestBucketedJoin:
+    def test_cobucketed_join_skips_shuffle(self, spark, tmp_path):
+        from drune_spark.config.models import SchemaSpec, TargetSpec
+        from drune_spark.sinks.writers import write_target
+
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        for name, df, key in [("b_orders", orders, "o_orderkey"),
+                              ("b_lineitem", lineitem, "l_orderkey")]:
+            write_target(spark, df, TargetSpec(
+                name=name, type="table", table_name=name, format="parquet",
+                schema=SchemaSpec(bucket_by=[key], num_buckets=4),
+            ))
+        # Disable broadcast + AQE so a shuffle-free plan can only come
+        # from the bucketed layout, not a broadcast rescue.
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            joined = spark.table("b_lineitem").join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # Co-bucketed on the join key: sort-merge join with no
+            # shuffle exchange on either side.
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            assert joined.count() == lineitem.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.sql("DROP TABLE b_orders")
+        spark.sql("DROP TABLE b_lineitem")
+
+
+class TestApproxDistinct:
+    def test_approx_count_distinct_close_to_exact(self, spark):
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        row = li.agg(
+            F.countDistinct("l_partkey").alias("exact"),
+            F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx"),
+        ).collect()[0]
+        assert abs(row.approx - row.exact) / row.exact < 0.15
+
+
+class TestConnectedComponents:
+    def test_chain_and_singleton(self, spark):
+        from drune_spark.operators.dedup import connected_components
+        # 1-2-3 chained, 4-5 pair, 6 singleton
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+        out = {r.doc_id: r.cluster_id
+               for r in connected_components(pairs, nodes).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
