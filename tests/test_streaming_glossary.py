@@ -1,0 +1,75 @@
+"""Stateful streaming monitor + glossary semantic layer tests."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestStatefulStreaming:
+    def test_user_monitor_matches_batch(self, spark, tmp_path):
+        from drune_spark.streaming.stateful import user_monitor_stream
+
+        rows = [
+            (1, 10, dt.datetime(2024, 1, 1, 0, 0), 1.5),
+            (2, 10, dt.datetime(2024, 1, 1, 0, 10), 2.5),
+            (3, 10, dt.datetime(2024, 1, 1, 1, 0), 4.0),   # 50-min gap
+            (4, 20, dt.datetime(2024, 1, 1, 2, 0), 7.0),
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+        path = str(tmp_path / "ev.parquet")
+        df.write.parquet(path)
+
+        out = {r.user_id: r for r in
+               user_monitor_stream(spark, path).collect()}
+        assert out[10].n_events == 3
+        assert out[10].total_value == 8.0
+        assert out[10].max_gap_us == 50 * 60 * 1_000_000
+        assert out[20].n_events == 1
+        assert out[20].max_gap_us == 0
+
+
+GLOSSARY_YAML = """
+concepts:
+  orders:
+    table: g_orders
+    description: customer orders
+    metrics:
+      total_revenue: "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+      n_orders: "COUNT(*)"
+    segments:
+      open: "o_orderstatus = 'O'"
+    dimensions: [o_orderpriority]
+"""
+
+
+class TestGlossary:
+    @pytest.fixture()
+    def glossary(self, spark, tmp_path):
+        from drune_spark.glossary import Glossary
+
+        path = tmp_path / "glossary.yml"
+        path.write_text(GLOSSARY_YAML)
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        orders.createOrReplaceTempView("g_orders")
+        return Glossary.from_yaml(str(path))
+
+    def test_metric_with_segment_and_dimension(self, spark, glossary):
+        df = glossary.query(spark, "orders", ["n_orders", "total_revenue"],
+                            segment="open", group_by=["o_orderpriority"])
+        rows = {r.o_orderpriority: r.n_orders for r in df.collect()}
+        expected = {
+            r.o_orderpriority: r.n
+            for r in spark.sql(
+                "SELECT o_orderpriority, COUNT(*) n FROM g_orders "
+                "WHERE o_orderstatus='O' GROUP BY o_orderpriority").collect()
+        }
+        assert rows == expected
+
+    def test_unknown_metric_and_segment_rejected(self, spark, glossary):
+        with pytest.raises(KeyError):
+            glossary.compile_sql("orders", ["nope"])
+        with pytest.raises(KeyError):
+            glossary.compile_sql("orders", ["n_orders"], segment="nope")
+        with pytest.raises(KeyError):
+            glossary.compile_sql("orders", ["n_orders"], group_by=["o_custkey"])
