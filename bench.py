@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "text_metrics",
     "doc_fingerprint",
     "multimodal_features",
+    "f_json_extract",
+    "sessionize",
     "stream_window",
 ]
 

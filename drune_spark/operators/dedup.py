@@ -47,6 +47,17 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Full surviving rows after exact dedup. Only (id, fingerprint)
+    pairs shuffle through the dedup groupBy; the wide rows are recovered
+    with a semi-join keyed on id — the documents themselves shuffle at
+    most once (id join) instead of through the fingerprint groupBy.
+    Survivor cardinality ≈ input cardinality, so no broadcast: AQE picks
+    the join strategy."""
+    survivors = exact_dedup(df, text_col, id_col).select(id_col)
+    return df.join(survivors, on=id_col, how="left_semi")
+
+
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     from drune_spark.functions.partitioning import fan_out
     df = fan_out(df)
@@ -150,7 +161,9 @@ def minhash_lsh_pairs(
     signature-compare join.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, k, seed)
+    # Persist: the self-join below consumes the signatures twice; without
+    # this the whole shingle+hash lineage recomputes for each side.
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, k, seed).persist()
     banded = sigs.select(
         "doc",
         "sig",
@@ -260,8 +273,9 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming via 16-bit-chunk
-    banding (any pair within distance 3 shares one of 4 exact chunks)."""
-    sigs = simhash_fingerprints(df, text_col, id_col)
+    banding (any pair within distance 3 shares one of 4 exact chunks).
+    Signatures are persisted — the chunk self-join reads them twice."""
+    sigs = simhash_fingerprints(df, text_col, id_col).persist()
     chunks = sigs.select(
         "doc",
         "simhash",

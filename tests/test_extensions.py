@@ -29,6 +29,12 @@ class TestDedup:
         ids = {r.doc_id for r in out.collect()}
         assert ids == {1, 3, 4}  # 2 collapsed into 1 (min id)
 
+    def test_exact_dedup_rows_returns_full_rows(self, spark, docs):
+        from drune_spark.operators.dedup import exact_dedup_rows
+        out = exact_dedup_rows(docs, "text", "doc_id")
+        assert {r.doc_id for r in out.collect()} == {1, 3, 4}
+        assert set(out.columns) == {"doc_id", "text"}
+
     def test_exact_dedup_normalizes_whitespace_case(self, spark):
         df = spark.createDataFrame(
             [(1, "Hello  World"), (2, "hello world")], ["doc_id", "text"]
