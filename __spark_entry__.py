@@ -448,12 +448,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force all-pairs at audit scale; LSH (ann_lsh) is the scale
     path."""
     _tune(spark)
+    from drune_spark.functions.partitioning import fan_out
     from drune_spark.functions.vectors import cosine_similarity, to_double_array
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    # Single-file corpus = 1 split; fan the probe side so the O(n²)
+    # scoring runs on all cores.
+    a, b = fan_out(emb).alias("a"), emb.alias("b")
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),

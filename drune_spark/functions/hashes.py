@@ -73,22 +73,6 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
 
 
-def minhash_signature(hashes: Column, coeffs: list[tuple[int, int]]) -> Column:
-    """MinHash signature: for each (a,b), min((a*x+b) mod p) over shingle
-    hashes. Returns array<bigint> of length len(coeffs). With x < 2^32
-    and a, b < 2^31, ``a*x + b`` < 2^63: exact in long arithmetic.
-    """
-    def perm(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(
-                hashes,
-                lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P)),
-            )
-        )
-
-    return F.array(*[perm(a, b) for a, b in coeffs])
-
-
 def make_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a,b) pairs generated driver-side from a fixed seed
     (execution stays RNG-free; same signature on any cluster)."""

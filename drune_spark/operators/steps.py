@@ -141,6 +141,32 @@ class AggregateStep(Step):
         return df.groupBy(*group_by).agg(*exprs)
 
 
+@StepRegistry.register("union")
+class UnionStep(Step):
+    """Union named inputs by column name (reference idiom: unionByName
+    with allowMissingColumns for failure-set consolidation,
+    engines/spark/steps/validator.py:112-121, writer.py:73)."""
+
+    def execute(
+        self,
+        inputs,
+        current,
+        *,
+        sources: list[str],
+        allow_missing_columns: bool = False,
+        distinct: bool = False,
+        **_: Any,
+    ) -> DataFrame:
+        if not sources:
+            raise ValueError("union step needs source names")
+        out = inputs[sources[0]]
+        for name in sources[1:]:
+            out = out.unionByName(
+                inputs[name], allowMissingColumns=allow_missing_columns
+            )
+        return out.distinct() if distinct else out
+
+
 @StepRegistry.register("drop_duplicates")
 class DropDuplicatesStep(Step):
     """Exact dedup. With ``keep_by`` (an ORDER BY clause) the survivor per

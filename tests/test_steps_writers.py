@@ -90,6 +90,19 @@ class TestSteps:
         runner.reset()
         assert runner._position == 0
 
+    def test_union_step(self, spark):
+        a = spark.createDataFrame([(1, "x")], ["k", "v"])
+        b = spark.createDataFrame([("y", 2)], ["v", "k"])        # reordered cols
+        c = spark.createDataFrame([(3,)], ["k"])                  # missing v
+        runner = StepRunner(spark)
+        out = runner.run([
+            StepConfig(name="u", type="union", params={
+                "sources": ["a", "b", "c"], "allow_missing_columns": True,
+            }),
+        ], {"a": a, "b": b, "c": c}, None)
+        rows = {(r.k, r.v) for r in out.collect()}
+        assert rows == {(1, "x"), (2, "y"), (3, None)}
+
     def test_drop_duplicates_keep_by(self, spark):
         df = spark.createDataFrame(
             [(1, "old", 1), (1, "new", 2), (2, "only", 1)],
