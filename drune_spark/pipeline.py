@@ -181,6 +181,8 @@ class Pipeline:
         if tgt.schema_ is not None and tgt.schema_.primary_key:
             df = add_audit_columns(df)
         write_target(self.spark, df, tgt)
+        if self.quality is not None:
+            self.quality.unpersist()
 
     def execute(self, src_paths: Optional[dict[str, str]] = None) -> None:
         self.read(src_paths)

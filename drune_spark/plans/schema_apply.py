@@ -51,6 +51,12 @@ def _cast_expr(source_sql: str, spec: ColumnSpec) -> str:
         if "{col}" in spec.expression:
             # {col} placeholder receives the already-cast source expression.
             return spec.expression.replace("{col}", cast)
+        if "{raw}" in spec.expression:
+            # {raw} receives the UNCAST source — for type-changing
+            # expressions (e.g. string → array<int>) where casting first
+            # is impossible; the result is cast to the declared type.
+            fn = "try_cast" if spec.try_cast else "cast"
+            return f"{fn}(({spec.expression.replace('{raw}', source_sql)}) AS {ty})"
         # Free expression (derived / multi-column): cast the result instead.
         fn = "try_cast" if spec.try_cast else "cast"
         return f"{fn}(({spec.expression}) AS {ty})"

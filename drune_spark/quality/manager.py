@@ -53,9 +53,17 @@ class QualityResult:
     passed: DataFrame              # rows surviving drop/fail rules, set_null applied
     failures: Optional[DataFrame]  # consolidated failure log (reference schema)
     counts: dict[str, int] = field(default_factory=dict)  # flag_col -> failed rows
+    _flagged: Optional[DataFrame] = None  # persisted intermediate
 
     def failed_total(self) -> int:
         return sum(self.counts.values())
+
+    def unpersist(self) -> None:
+        """Release the persisted flag frame once passed/failures have been
+        materialized (written or collected). Re-using them afterwards
+        recomputes from source — correct, just not cached."""
+        if self._flagged is not None:
+            self._flagged.unpersist()
 
 
 def _flags_for_schema(schema: SchemaSpec) -> list[FlaggedConstraint]:
@@ -150,4 +158,5 @@ def apply_constraints(
                     f"for {counts[fc.flag_col]} rows"
                 )
 
-    return QualityResult(passed=out, failures=failures, counts=counts)
+    return QualityResult(passed=out, failures=failures, counts=counts,
+                         _flagged=flagged)

@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _raw_stream(spark: SparkSession, events_path: str) -> DataFrame:
+def _raw_stream(
+    spark: SparkSession,
+    events_path: str,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
     """File-stream source over parquet, nanos/INT96-safe.
 
     Nanos-timestamp parquet needs the nanosAsLong read path; the stream
@@ -51,12 +55,14 @@ def _raw_stream(spark: SparkSession, events_path: str) -> DataFrame:
     raw = spark.read.parquet(events_path)
     raw_types = dict(raw.dtypes)
     nanos_cols = [c for c in nanos_cols if raw_types.get(c) == "bigint"]
+    reader = spark.readStream.schema(raw.schema)
+    for key, value in (options or {}).items():
+        reader = reader.option(key, value)
     if os.path.isdir(events_path):
-        stream = spark.readStream.schema(raw.schema).parquet(events_path)
+        stream = reader.parquet(events_path)
     else:
         stream = (
-            spark.readStream.schema(raw.schema)
-            .option("pathGlobFilter", os.path.basename(events_path))
+            reader.option("pathGlobFilter", os.path.basename(events_path))
             .parquet(os.path.dirname(events_path))
         )
     for c in nanos_cols:

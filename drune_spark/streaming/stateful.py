@@ -66,9 +66,14 @@ def user_monitor_stream(
     spark: SparkSession,
     events_path: str,
     ts_col: str = "ts",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Run the stateful monitor over a (bounded) event stream with
     ``availableNow`` and return the final per-user state.
+
+    ``max_files_per_trigger`` chunks a multi-file dataset into several
+    micro-batches (availableNow honors it), which exercises real
+    cross-batch state carry — the result must be identical either way.
 
     Update-mode memory sink: the LAST update per user is the final
     state; we dedup by user keeping the latest emission.
@@ -77,7 +82,11 @@ def user_monitor_stream(
 
     from drune_spark.streaming.runner import _raw_stream
 
-    stream = _raw_stream(spark, events_path)
+    stream = _raw_stream(
+        spark, events_path,
+        options={"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger else None,
+    )
     monitored = stream.groupBy("user_id").applyInPandasWithState(
         _update_user_monitor,
         outputStructType=OUTPUT_SCHEMA,

@@ -83,6 +83,22 @@ class TestSchemaApply:
         ))
         assert out.columns == ["user_id", "total_amount"]
 
+    def test_exotic_types_via_ddl_strings(self, spark):
+        """String-typed YAML resolves through Spark DDL parsing, so
+        decimal / array types come free (SURVEY §1.2)."""
+        df = spark.createDataFrame([("12.345", "1,2,3")], ["amount", "nums"])
+        out = apply_schema(df, SchemaSpec(columns=[
+            col("amount", type="decimal(10,2)"),
+            # {raw} = uncast source: the expression changes the type, so
+            # the declared cast applies to its result, not its input.
+            col("nums", type="array<int>", expression="split({raw}, ',')"),
+        ]))
+        row = out.collect()[0]
+        assert str(row.amount) == "12.35"
+        assert row.nums == [1, 2, 3]
+        assert dict(out.dtypes) == {"amount": "decimal(10,2)",
+                                    "nums": "array<int>"}
+
     def test_date_format(self, spark):
         df = spark.createDataFrame([("2025-08-01",)], ["d"])
         out = apply_schema(df, SchemaSpec(columns=[

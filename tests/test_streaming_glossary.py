@@ -29,6 +29,38 @@ class TestStatefulStreaming:
         assert out[20].max_gap_us == 0
 
 
+    def test_state_carries_across_micro_batches(self, spark, tmp_path):
+        """Chunked into one-file micro-batches, per-user state (incl. the
+        max gap spanning a batch boundary) must equal the single-batch
+        result."""
+        from drune_spark.streaming.stateful import user_monitor_stream
+
+        rows = [
+            (i, i % 5, dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=7 * i),
+             float(i))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+        path = str(tmp_path / "multi")
+        # 4 separate files, split by time so per-user gaps cross files.
+        df.filter("event_id < 10").coalesce(1).write.mode("append").parquet(path)
+        df.filter("event_id >= 10 AND event_id < 20").coalesce(1) \
+            .write.mode("append").parquet(path)
+        df.filter("event_id >= 20 AND event_id < 30").coalesce(1) \
+            .write.mode("append").parquet(path)
+        df.filter("event_id >= 30").coalesce(1).write.mode("append").parquet(path)
+
+        single = {r.user_id: (r.n_events, r.total_value, r.max_gap_us)
+                  for r in user_monitor_stream(spark, path).collect()}
+        chunked = {r.user_id: (r.n_events, r.total_value, r.max_gap_us)
+                   for r in user_monitor_stream(
+                       spark, path, max_files_per_trigger=1).collect()}
+        assert chunked == single
+        assert all(n == 8 for n, _, _ in single.values())
+        # consecutive events for a user are 35 min apart -> gap constant
+        assert all(g == 35 * 60 * 1_000_000 for _, _, g in single.values())
+
+
 GLOSSARY_YAML = """
 concepts:
   orders:
