@@ -189,6 +189,83 @@ class Pipeline:
         self.run()
         self.write()
 
+    # -- streaming execution (SURVEY §2.12, additive) ------------------------
+    def execute_streaming(
+        self,
+        trigger_available_now: bool = True,
+        checkpoint_dir: Optional[str] = None,
+    ) -> None:
+        """Run the SAME declarative pipeline as a Structured Streaming job:
+        file sources become file streams, the schema-apply projection and
+        narrow steps run per micro-batch, and the target is written
+        through ``writeStream``.
+
+        Batch/stream differences, by design:
+        - constraints evaluate as flag columns per micro-batch, but eager
+          failure COUNTS (and therefore on_fail='fail' aborts) are a
+          batch-only concept — streaming drops/set_nulls rows and routes
+          failures to the log sink via foreachBatch instead;
+        - steps must be stream-capable (filter/sql projections, stateless
+          joins against static frames); blocking ops raise at plan time;
+        - ``availableNow`` drains current data then stops, which makes a
+          backfill use the exact code path of the live stream.
+        """
+        import tempfile
+
+        from drune_spark.quality.manager import apply_constraints
+        from drune_spark.streaming.runner import _raw_stream
+
+        if self.model.target is None or self.model.target.path is None:
+            raise RuntimeError("streaming execution needs a file target")
+
+        streams: dict[str, DataFrame] = {}
+        for spec in self.model.sources:
+            if spec.type != "file":
+                raise RuntimeError(
+                    f"streaming source '{spec.name}' must be a file source"
+                )
+            if spec.format == "parquet":
+                df = _raw_stream(self.spark, spec.path)
+            else:
+                reader = self.spark.readStream.format(spec.format)
+                static = read_source(self.spark, spec)
+                reader = reader.schema(static.schema)
+                if spec.options:
+                    reader = reader.options(
+                        **{k: str(v) for k, v in spec.options.items()}
+                    )
+                df = reader.load(spec.path)
+            if spec.schema_ is not None:
+                df = apply_schema(df, spec.schema_)
+                if spec.schema_.primary_key:
+                    df = add_hash_key(df, spec.schema_.primary_key)
+                quality = apply_constraints(
+                    df, spec.schema_, pipeline_name=self.model.pipeline_name,
+                    collect_counts=False,
+                )
+                df = quality.passed
+            streams[spec.name] = df
+
+        current = streams[self.model.sources[0].name] if self.model.sources else None
+        current = self.runner.run(self.model.steps, streams, current)
+
+        tgt = self.model.target
+        out_path = tgt.path if os.path.splitext(tgt.path)[1] else os.path.join(
+            tgt.path, f"{tgt.name}.{tgt.format}"
+        )
+        ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="drune_ckpt_")
+        writer = (
+            current.writeStream.format(tgt.format)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_path)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        if trigger_available_now:
+            query.awaitTermination()
+
     # -- golden test mode (O5) ----------------------------------------------
     def golden_test(self, expected: DataFrame,
                     actual: Optional[DataFrame] = None) -> None:

@@ -105,8 +105,10 @@ def apply_constraints(
         flagged = flagged.withColumn(fc.flag_col, rule_fn(fc.column, params))
 
     # The flagged frame is read 2-3 times (counts, failures, output) —
-    # persist once so the scan+flag work is not recomputed.
-    flagged = flagged.persist()
+    # persist once so the scan+flag work is not recomputed. Streaming
+    # frames can't persist (each micro-batch is its own plan).
+    if not flagged.isStreaming:
+        flagged = flagged.persist()
 
     counts: dict[str, int] = {}
     if collect_counts:

@@ -61,6 +61,56 @@ class TestStatefulStreaming:
         assert all(g == 35 * 60 * 1_000_000 for _, _, g in single.values())
 
 
+class TestStreamingPipeline:
+    def test_same_pipeline_batch_and_streaming(self, spark, tmp_path):
+        """The SAME declarative pipeline (schema apply + drop constraint +
+        filter step) produces identical rows in batch and micro-batch
+        execution."""
+        from drune_spark.config.models import PipelineModel
+        from drune_spark.pipeline import Pipeline
+
+        src = tmp_path / "src"
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+            .coalesce(2).write.parquet(str(src))
+        model = {
+            "pipeline_name": "stream_par",
+            "sources": [{"name": "orders_src", "type": "file",
+                         "format": "parquet", "path": str(src),
+                         "schema": {"columns": [
+                             {"name": "cd_order", "from": "o_orderkey",
+                              "type": "long"},
+                             {"name": "vl_total", "from": "o_totalprice",
+                              "type": "double",
+                              "constraints": [{"rule": "isbetween:[0, 400000]",
+                                               "on_fail": "drop"}]},
+                             {"name": "st", "from": "o_orderstatus",
+                              "type": "str"},
+                         ]}}],
+            "steps": [{"name": "open_only", "type": "filter",
+                       "params": {"where": "st = 'O'"}}],
+            "target": {"name": "out", "type": "file", "format": "parquet",
+                       "path": str(tmp_path / "batch_out"),
+                       "mode": "overwrite"},
+        }
+        batch = Pipeline(spark, PipelineModel.model_validate(model))
+        batch.execute()
+        batch_rows = {
+            (r.cd_order, r.vl_total)
+            for r in spark.read.parquet(
+                str(tmp_path / "batch_out" / "out.parquet")).collect()
+        }
+
+        model["target"]["path"] = str(tmp_path / "stream_out")
+        streaming = Pipeline(spark, PipelineModel.model_validate(model))
+        streaming.execute_streaming()
+        stream_rows = {
+            (r.cd_order, r.vl_total)
+            for r in spark.read.parquet(
+                str(tmp_path / "stream_out" / "out.parquet")).collect()
+        }
+        assert stream_rows == batch_rows and len(batch_rows) > 0
+
+
 GLOSSARY_YAML = """
 concepts:
   orders:
