@@ -18,10 +18,14 @@ Determinism rules used throughout so Spark and DuckDB hash-match:
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# The driver may import this module from any CWD.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -467,6 +471,86 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted to this schema: top-10
+    unshipped orders by revenue for one market segment."""
+    _tune(spark)
+    customer = _t(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    orders = _t(spark, sf_dir, "orders").filter(
+        "o_orderdate < TIMESTAMP '1995-03-15 00:00:00'"
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        "l_shipdate > TIMESTAMP '1995-03-15 00:00:00'"
+    )
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderpriority").agg(
+        F.expr(REVENUE_DEC).alias("rev_dec")
+    )
+    return (
+        agg.orderBy(F.col("rev_dec").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "o_orderpriority",
+                F.col("rev_dec").cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation where the
+    customer and the supplier share a nation, region-restricted."""
+    _tune(spark)
+    from drune_spark.config.models import StepConfig
+    from drune_spark.operators.registry import StepRunner
+    import drune_spark.operators.steps  # noqa: F401
+
+    inputs = {t: _t(spark, sf_dir, t) for t in
+              ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    runner = StepRunner(spark)
+    return runner.run([StepConfig(name="q5", type="sql", params={"query": f"""
+        SELECT n_name,
+               CAST({REVENUE_DEC} AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """})], inputs, None)
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure filter + exact sum —
+    everything pushes to the scan."""
+    _tune(spark)
+    lineitem = _t(spark, sf_dir, "lineitem")
+    filtered = lineitem.filter(
+        "l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' AND "
+        "l_shipdate < TIMESTAMP '1995-01-01 00:00:00' AND "
+        "l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24"
+    )
+    return filtered.agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantization assignment: every vector → nearest of 16
+    seed centroids (the partition-pruned ANN layout). Deterministic
+    cosines both sides → exact oracle."""
+    _tune(spark)
+    from drune_spark.operators.similarity import ivf_assign
+
+    return ivf_assign(_t(spark, sf_dir, "embeddings"), n_centroids=16)
+
+
 def q_a6_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-column COUNT(DISTINCT) per group (Catalyst expands to
     per-distinct-column aggregates). approx_count_distinct is the scale
@@ -681,6 +765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_merge_upsert": q_w5_merge_upsert,
         "w6_scd2": q_w6_scd2,
         "q2_sql_chain": q_q2_sql_chain,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "topk_customers": q_topk_customers,
         "setops_except": q_setops_except,
         "dq_constraints": q_dq_constraints,
@@ -692,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf_assign": q_ann_ivf_assign,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -860,6 +948,65 @@ def oracle_sql() -> dict[str, str]:
                    SUM(n_orders) AS n_orders
             FROM cust_totals
             GROUP BY n_name
+        """,
+        "tpch_q3": f"""
+            SELECT l_orderkey, o_orderpriority,
+                   CAST(rev_dec AS DOUBLE) AS revenue
+            FROM (
+                SELECT l_orderkey, o_orderpriority, {revenue_dec} AS rev_dec
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+                  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+                GROUP BY l_orderkey, o_orderpriority
+                ORDER BY rev_dec DESC, l_orderkey ASC
+                LIMIT 10
+            )
+        """,
+        "tpch_q5": f"""
+            SELECT n_name, CAST({revenue_dec} AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "tpch_q6": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+              AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+        """,
+        "ann_ivf_assign": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            c AS (
+                SELECT vec_id AS centroid_id, v AS cv FROM e
+                ORDER BY vec_id LIMIT 16
+            ),
+            scored AS (
+                SELECT e.vec_id, c.centroid_id,
+                       list_cosine_similarity(e.v, c.cv) AS sim
+                FROM e, c
+            ),
+            ranked AS (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY sim DESC, centroid_id ASC) AS rn
+                FROM scored
+            )
+            SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
         """,
         "topk_customers": f"""
             SELECT o_custkey, CAST(rev_dec AS DOUBLE) AS revenue

@@ -24,6 +24,9 @@ BENCH_QUERIES = [
     "a1_pricing_summary",
     "a2_pivot",
     "q2_sql_chain",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
     "topk_customers",
     "dq_constraints",
     "dedup_exact",
