@@ -161,12 +161,14 @@ def minhash_lsh_pairs(
     signature-compare join.
     """
     rows_per_band = num_perm // bands
-    # Persist: the self-join below consumes the signatures twice; without
-    # this the whole shingle+hash lineage recomputes for each side.
+    # Persist: banding and the two signature joins below all read this;
+    # without it the whole shingle+hash lineage recomputes each time.
     sigs = minhash_signatures(df, text_col, id_col, num_perm, k, seed).persist()
+    # The self-join carries only (doc, band, bucket) — 24 bytes/row —
+    # never the 64-slot signatures; those join back onto the (much
+    # smaller) deduped candidate set afterwards.
     banded = sigs.select(
         "doc",
-        "sig",
         F.explode(
             F.array(*[
                 F.struct(
@@ -177,7 +179,7 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("doc", "sig", "bb.band", "bb.bucket")
+    ).select("doc", "bb.band", "bb.bucket")
 
     cands = (
         banded.alias("a")
@@ -187,19 +189,21 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    paired = (
+        cands
+        .join(sigs.select(F.col("doc").alias("id_a"),
+                          F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("doc").alias("id_b"),
+                          F.col("sig").alias("sig_b")), "id_b")
     )
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     ).cast("double") / F.lit(num_perm)
     return (
-        cands.withColumn("est_jaccard", est)
+        paired.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("id_a", "id_b", "est_jaccard")
     )
