@@ -141,6 +141,17 @@ class AggregateStep(Step):
         return df.groupBy(*group_by).agg(*exprs)
 
 
+@StepRegistry.register("select")
+class SelectStep(Step):
+    """Projection step: ``columns`` are SQL expressions with optional
+    ``AS`` aliases — narrow, fuses into codegen."""
+
+    def execute(self, inputs, current, *, columns: list[str],
+                source: Optional[str] = None, **_: Any) -> DataFrame:
+        df = self.pick_input(inputs, current, source)
+        return df.selectExpr(*columns)
+
+
 @StepRegistry.register("union")
 class UnionStep(Step):
     """Union named inputs by column name (reference idiom: unionByName

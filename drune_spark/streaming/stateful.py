@@ -62,6 +62,103 @@ def _update_user_monitor(
     })
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+
+
+def make_session_updater(gap_us: int):
+    """Custom sessionizer for applyInPandasWithState with event-time
+    timeouts: a session closes when a later event arrives beyond the gap
+    (emitted immediately) OR when the watermark passes last_event+gap
+    (emitted via timeout — the late-data-safe path the built-in
+    ``session_window`` handles internally). Bounded runs leave each
+    user's final session open unless a later batch advances the
+    watermark past it.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        out = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            out.append((user_id, start_us, last_us, n))
+            state.remove()
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_start_us",
+                              "session_end_us", "n_events"])
+            return
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            epochs = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            for ts_us in epochs:
+                ts_us = int(ts_us)
+                if start_us is None:
+                    start_us, last_us, n = ts_us, ts_us, 1
+                elif ts_us - last_us >= gap_us:
+                    out.append((user_id, start_us, last_us, n))
+                    start_us, last_us, n = ts_us, ts_us, 1
+                else:
+                    last_us, n = ts_us, n + 1
+        state.update((start_us, last_us, n))
+        # Close via watermark: timeout at last event + gap (epoch ms).
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start_us",
+                          "session_end_us", "n_events"])
+
+    return update
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful sessionization (the applyInPandasWithState
+    equivalent of ``F.session_window``) over a bounded file stream.
+    Returns CLOSED sessions (user_id, session_start_us, session_end_us,
+    n_events); sessions still open when the stream drains are not
+    emitted — by design, they have not ended."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from drune_spark.streaming.runner import _raw_stream
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    stream = _raw_stream(
+        spark, events_path,
+        options={"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger else None,
+    ).withWatermark("ts", watermark)
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        make_session_updater(gap_us),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        query = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name)
+
+
 def user_monitor_stream(
     spark: SparkSession,
     events_path: str,

@@ -87,6 +87,51 @@ class TestCli:
         assert "completed" in result.output
         assert spark.read.parquet(OUT).count() == 3
 
+    def test_cli_golden_test_command(self, spark, tmp_path, monkeypatch):
+        """`drune-spark test`: run the pipeline on its test source data
+        and diff against the expected table (exceptAll both ways)."""
+        from drune_spark import cli as cli_mod
+
+        proj = tmp_path / "proj"
+        (proj / "pipelines" / "p1").mkdir(parents=True)
+        (proj / "drune.yml").write_text(
+            "name: goldenproj\ndefaults:\n  engine: {name: spark}\n"
+            "  paths: {pipelines: pipelines}\n")
+        src = tmp_path / "in.csv"
+        src.write_text("a,b\n1,x\n2,y\n")
+        expected_dir = str(tmp_path / "expected")
+        (proj / "pipelines" / "p1" / "pipeline.yml").write_text(f"""
+pipeline_name: p1
+sources:
+  - name: s
+    type: file
+    format: csv
+    path: {src}
+    options: {{header: "true"}}
+    schema:
+      columns:
+        - name: a
+          type: int
+        - name: b
+          type: str
+target:
+  name: out
+  type: file
+  path: {tmp_path}/never_written
+test:
+  expected: {expected_dir}
+""")
+        spark.createDataFrame([(1, "x"), (2, "y")], ["a", "b"]) \
+            .write.parquet(expected_dir)
+        runner = CliRunner()
+        result = runner.invoke(cli_mod.cli, ["test", "p1", "--project", str(proj)])
+        assert result.exit_code == 0, result.output
+        assert "golden test passed" in result.output
+        # mutate the input -> diff detected
+        src.write_text("a,b\n1,x\n99,zz\n")
+        bad = runner.invoke(cli_mod.cli, ["test", "p1", "--project", str(proj)])
+        assert bad.exit_code != 0
+
     def test_cli_init(self, tmp_path):
         from drune_spark import cli as cli_mod
 

@@ -61,6 +61,40 @@ class TestStatefulStreaming:
         assert all(g == 35 * 60 * 1_000_000 for _, _, g in single.values())
 
 
+class TestCustomSessionizer:
+    def test_sessions_close_by_event_and_by_timeout(self, spark, tmp_path):
+        """applyInPandasWithState + EventTimeTimeout: a session closes when
+        a beyond-gap event arrives OR when the watermark passes
+        last+gap; the final still-open session is not emitted."""
+        from drune_spark.streaming.stateful import sessionize_stream
+
+        rows = [
+            (1, 1, dt.datetime(2024, 1, 1, 0, 0), 1.0),
+            (2, 1, dt.datetime(2024, 1, 1, 0, 10), 1.0),
+            (3, 1, dt.datetime(2024, 1, 1, 0, 50), 1.0),  # closes session 1
+            (4, 2, dt.datetime(2024, 1, 1, 1, 0), 1.0),
+            (5, 1, dt.datetime(2024, 1, 1, 2, 0), 1.0),   # advances watermark
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+        path = str(tmp_path / "sess")
+        for lo, hi in [(1, 3), (3, 5), (5, 6)]:  # chronological batches
+            df.filter(f"event_id >= {lo} AND event_id < {hi}") \
+                .coalesce(1).write.mode("append").parquet(path)
+
+        out = sessionize_stream(spark, path, gap="30 minutes",
+                                max_files_per_trigger=1)
+        got = {(r.user_id, r.session_start_us, r.n_events)
+               for r in out.collect()}
+        base = int(dt.datetime(2024, 1, 1).timestamp() * 1_000_000)
+        mins = 60 * 1_000_000
+        assert got == {
+            (1, base, 2),               # 00:00-00:10, closed by 00:50 event
+            (1, base + 50 * mins, 1),   # 00:50, closed by watermark timeout
+            (2, base + 60 * mins, 1),   # 01:00, closed by watermark timeout
+        }
+        # user 1's 02:00 session is still open -> correctly absent
+
+
 class TestStreamingPipeline:
     def test_same_pipeline_batch_and_streaming(self, spark, tmp_path):
         """The SAME declarative pipeline (schema apply + drop constraint +
