@@ -40,9 +40,13 @@ def _cast_expr(source_sql: str, spec: ColumnSpec) -> str:
     ty = {"str": "string", "int": "bigint", "long": "bigint", "float": "double",
           "datetime": "timestamp", "bool": "boolean"}.get(ty, ty)
     if ty == "date" and spec.format:
-        cast = f"to_date({source_sql}, '{spec.format}')"
+        # try_to_date: malformed input -> NULL (plain to_date throws
+        # under Spark 4's default ANSI mode).
+        fn = "try_to_date" if spec.try_cast else "to_date"
+        cast = f"{fn}({source_sql}, '{spec.format}')"
     elif ty == "timestamp" and spec.format:
-        cast = f"to_timestamp({source_sql}, '{spec.format}')"
+        fn = "try_to_timestamp" if spec.try_cast else "to_timestamp"
+        cast = f"{fn}({source_sql}, '{spec.format}')"
     elif spec.try_cast:
         cast = f"try_cast({source_sql} AS {ty})"
     else:
