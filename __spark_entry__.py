@@ -716,6 +716,47 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "kind", "n_bytes", "sha256")
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token statistics (dataset cards need these): doc
+    count, total/max token counts, vocabulary size. All integers —
+    exact on both engines."""
+    _tune(spark)
+    from drune_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.lower(F.col("text"))).alias("w"))
+    per_doc = toks.select(F.size("w").alias("n"))
+    vocab = toks.select(F.explode("w").alias("tok")).agg(
+        F.countDistinct("tok").alias("vocab_size")
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.max("n").alias("max_doc_tokens"),
+    )
+    return stats.crossJoin(vocab)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable deterministic sampling: md5-prefix threshold keeps
+    the SAME ~10% of lineitem rows in any engine at any parallelism —
+    the reproducible-subsample primitive training pipelines need."""
+    _tune(spark)
+    from drune_spark.operators.sampling import sample_by_hash
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    keyed = li.withColumn(
+        "row_key",
+        F.concat_ws(":", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string")),
+    )
+    return sample_by_hash(keyed, "row_key", fraction=0.1).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState: per-user stateful monitor (count, exact
     value sum, max inter-event gap in integer µs) carried across
@@ -785,6 +826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
         "f_json_extract": q_f_json_extract,
+        "corpus_stats": q_corpus_stats,
+        "hash_sample": q_hash_sample,
         "sessionize": q_sessionize,
         "stream_window": q_stream_window,
         "stream_stateful": q_stream_stateful,
@@ -1205,6 +1248,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM events
             GROUP BY event_type
+        """,
+        "corpus_stats": f"""
+            WITH toks AS (SELECT {toks_lower} AS w FROM documents)
+            SELECT (SELECT COUNT(*) FROM toks) AS total_docs,
+                   (SELECT SUM(len(w)) FROM toks) AS total_tokens,
+                   (SELECT MAX(len(w)) FROM toks) AS max_doc_tokens,
+                   (SELECT COUNT(DISTINCT tok)
+                    FROM toks, UNNEST(w) AS t(tok)) AS vocab_size
+        """,
+        "hash_sample": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE substr(md5(concat_ws(':', CAST(l_orderkey AS VARCHAR),
+                                       CAST(l_linenumber AS VARCHAR))), 1, 4)
+                  < '199a'
         """,
         "sessionize": """
             WITH o AS (

@@ -1,0 +1,86 @@
+"""Deterministic, engine-portable sampling (driver extension).
+
+Training-data pipelines need samples that are REPRODUCIBLE across reruns,
+cluster sizes, and even engines (the sample drawn by the Spark pipeline
+must be re-derivable by an auditing query elsewhere). ``df.sample()``
+fails all three (seeded per partition-split). Instead:
+
+    keep row ⟺ substring(md5(key), 1, 4) < threshold_hex
+
+md5 is identical everywhere; fixed-width lowercase hex compares like the
+number it encodes, so a string comparison implements the numeric
+threshold without any engine-specific hex-to-int conversion. The
+fraction granularity is 1/65536 per hex digit pair — 4 digits gives
+0.0015% steps, plenty for corpus subsampling.
+
+Also: salt the key to draw independent samples from the same data
+(different ``salt`` → statistically independent membership).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fraction_to_hex_threshold(fraction: float, digits: int = 4) -> str:
+    """Hex string such that P(md5 prefix < threshold) ≈ fraction.
+
+    Thresholds are compared LEXICOGRAPHICALLY against fixed-width hex
+    buckets, so fraction 1.0 must stay single-width: 'g' sorts above
+    every hex digit and therefore admits all buckets ('ffff' < 'g'; the
+    naive '10000' would sort BELOW 'ffff' and admit almost nothing).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    space = 16 ** digits
+    value = int(round(fraction * space))
+    if value >= space:
+        return "g"
+    return format(value, f"0{digits}x")
+
+
+def hash_bucket(key: Column, salt: str = "", digits: int = 4) -> Column:
+    """The row's md5-prefix string (lowercase hex, fixed width)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, digits)
+
+
+def sample_by_hash(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+    digits: int = 4,
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, deterministically by ``key_col``.
+
+    Same keys are kept on every rerun, at any parallelism, and by any
+    engine that can compute md5 — the property plain ``df.sample``
+    cannot give. Rows with equal keys are kept or dropped together
+    (stable dedup-aware sampling).
+    """
+    threshold = fraction_to_hex_threshold(fraction, digits)
+    return df.filter(hash_bucket(F.col(key_col), salt, digits) < F.lit(threshold))
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    digits: int = 4,
+) -> dict[str, DataFrame]:
+    """Disjoint train/val/test-style splits: consecutive hash ranges, so
+    membership is deterministic and the splits are exactly disjoint."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    for name, frac in fractions.items():
+        lo_hex = fraction_to_hex_threshold(lo, digits)
+        hi_hex = fraction_to_hex_threshold(lo + frac, digits)
+        bucket = hash_bucket(F.col(key_col), salt, digits)
+        out[name] = df.filter((bucket >= F.lit(lo_hex)) & (bucket < F.lit(hi_hex)))
+        lo += frac
+    return out

@@ -1,0 +1,43 @@
+"""Deterministic hash sampling / splitting tests."""
+
+from drune_spark.operators.sampling import (
+    fraction_to_hex_threshold,
+    sample_by_hash,
+    split_by_hash,
+)
+
+
+class TestHashSampling:
+    def test_threshold_encoding(self):
+        assert fraction_to_hex_threshold(0.0) == "0000"
+        # 'g' sorts above every hex digit -> admits all 4-char buckets
+        assert fraction_to_hex_threshold(1.0) == "g"
+        assert fraction_to_hex_threshold(0.1) == "199a"
+
+    def test_sample_fraction_and_stability(self, spark):
+        df = spark.range(20000).withColumnRenamed("id", "k")
+        s1 = sample_by_hash(df, "k", 0.2)
+        n = s1.count()
+        assert abs(n / 20000 - 0.2) < 0.02
+        # identical sample on rerun and at different parallelism
+        s2 = sample_by_hash(df.repartition(13), "k", 0.2)
+        assert {r.k for r in s1.collect()} == {r.k for r in s2.collect()}
+
+    def test_different_salts_draw_different_samples(self, spark):
+        df = spark.range(5000).withColumnRenamed("id", "k")
+        a = {r.k for r in sample_by_hash(df, "k", 0.2, salt="a").collect()}
+        b = {r.k for r in sample_by_hash(df, "k", 0.2, salt="b").collect()}
+        overlap = len(a & b) / max(len(a), 1)
+        assert 0.05 < overlap < 0.4  # ≈ independent 20% samples overlap ~20%
+
+    def test_split_disjoint_and_complete(self, spark):
+        df = spark.range(10000).withColumnRenamed("id", "k")
+        splits = split_by_hash(df, "k",
+                               {"train": 0.8, "val": 0.1, "test": 0.1})
+        sets = {name: {r.k for r in part.collect()}
+                for name, part in splits.items()}
+        assert not (sets["train"] & sets["val"])
+        assert not (sets["train"] & sets["test"])
+        assert not (sets["val"] & sets["test"])
+        assert len(sets["train"] | sets["val"] | sets["test"]) == 10000
+        assert abs(len(sets["train"]) / 10000 - 0.8) < 0.02
