@@ -26,6 +26,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class state_partitions:
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a stateful
+    streaming query: each shuffle partition owns a state-store instance,
+    and store open/commit overhead dominates small-to-medium streams
+    (32 stores ≈ 7.5s vs 8 ≈ 1.3s for the sf0.1 window query). A real
+    deployment sizes this to active-key cardinality / executor count;
+    availableNow queries here run synchronously, so restoring the conf
+    afterwards is safe."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark = spark
+        self.n = n
+        self.prev: str | None = None
+
+    def __enter__(self):
+        if self.n is not None:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def _raw_stream(
     spark: SparkSession,
     events_path: str,
@@ -76,6 +102,7 @@ def windowed_event_counts(
     window: str = "1 hour",
     watermark: str = "1 day",
     ts_col: str = "ts",
+    n_state_partitions: int | None = 8,
 ) -> DataFrame:
     """Tumbling-window counts + exact (decimal) value sums per event_type.
 
@@ -91,7 +118,8 @@ def windowed_event_counts(
         )
     )
     name = f"win_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, \
+            state_partitions(spark, n_state_partitions):
         query = (
             agg.writeStream.format("memory")
             .queryName(name)

@@ -122,6 +122,7 @@ def sessionize_stream(
     gap: str = "30 minutes",
     watermark: str = "0 seconds",
     max_files_per_trigger: int | None = None,
+    n_state_partitions: int | None = 8,
 ) -> DataFrame:
     """Custom stateful sessionization (the applyInPandasWithState
     equivalent of ``F.session_window``) over a bounded file stream.
@@ -145,8 +146,11 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+    from drune_spark.streaming.runner import state_partitions
+
     name = f"sess_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, \
+            state_partitions(spark, n_state_partitions):
         query = (
             sessions.writeStream.format("memory")
             .queryName(name)
@@ -164,6 +168,7 @@ def user_monitor_stream(
     events_path: str,
     ts_col: str = "ts",
     max_files_per_trigger: int | None = None,
+    n_state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the stateful monitor over a (bounded) event stream with
     ``availableNow`` and return the final per-user state.
@@ -191,8 +196,10 @@ def user_monitor_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    from drune_spark.streaming.runner import state_partitions as _sp
+
     name = f"mon_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _sp(spark, n_state_partitions):
         query = (
             monitored.writeStream.format("memory")
             .queryName(name)
