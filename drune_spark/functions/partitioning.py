@@ -30,9 +30,21 @@ def salted_join(
     to broadcast (otherwise prefer broadcast or AQE skew-join, which
     this engine enables by default). Result is identical to a plain
     join — salt values never affect matching, only placement.
+
+    Supported: inner/left/left_semi/left_anti. right/full would emit one
+    null-padded row PER SALT for unmatched right rows (the right side is
+    replicated) — rejected rather than silently wrong.
     """
     from pyspark.sql import functions as F
 
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "semi", "leftsemi",
+               "left_anti", "anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not '{how}' "
+            f"(right/full would duplicate unmatched right rows per salt)"
+        )
     left_s = left.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts)),

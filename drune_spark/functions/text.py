@@ -35,7 +35,13 @@ def normalize_text(col: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization (array<string>); empty string → empty array."""
+    """Whitespace tokenization (array<string>).
+
+    NOTE: Spark's split (like DuckDB's regexp_split_to_array — the
+    oracle relies on the parity) yields ``['']`` for empty/whitespace-only
+    input, not ``[]``. ``token_count`` corrects for it; ratio metrics
+    over empty docs inherit the quirk and should be filtered upstream.
+    """
     return F.split(F.trim(col), r"\s+")
 
 

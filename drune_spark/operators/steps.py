@@ -59,8 +59,23 @@ class JoinStep(Step):
             df = inputs[name]
             return F.broadcast(df) if name in broadcast else df
 
+        n_pairs = len(sources) - 1
+        # `on` disambiguation: for a SINGLE pair, a flat list of column
+        # names is a COMPOSITE key (['k1','k2'] must not truncate to
+        # 'k1'); for multiple pairs a list is per-pair conditions, where
+        # each element may itself be a list (composite) or a condition
+        # string.
+        if not isinstance(on, list):
+            per_pair: list = [on] * n_pairs
+        elif n_pairs == 1 and all(
+            isinstance(e, str) and not any(op in e for op in ("=", "<", ">"))
+            for e in on
+        ):
+            per_pair = [on]
+        else:
+            per_pair = on
+
         out = pick(sources[0])
-        per_pair = on if isinstance(on, list) else [on] * (len(sources) - 1)
         for i, name in enumerate(sources[1:]):
             cond = per_pair[i] if i < len(per_pair) else None
             if cond is None:
@@ -200,10 +215,14 @@ class DropDuplicatesStep(Step):
         if keep_by is None:
             return df.dropDuplicates(subset)
         from pyspark.sql import Window
+
+        from drune_spark.config.parsers import _split_top_level
         # keep_by is an ORDER BY clause ("version DESC, ts ASC") — F.expr
-        # can't parse sort direction, so split it out per term.
+        # can't parse sort direction, so split it out per term. Top-level-
+        # aware split: commas inside function calls ("coalesce(v, 0) DESC")
+        # must not tear the expression apart.
         order_cols = []
-        for term in keep_by.split(","):
+        for term in _split_top_level(keep_by, ","):
             parts = term.strip().rsplit(None, 1)
             if len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
                 expr = F.expr(parts[0])

@@ -118,12 +118,14 @@ class Pipeline:
         self.sources: dict[str, DataFrame] = {}
         self.target_df: Optional[DataFrame] = None
         self.quality: Optional[QualityResult] = None
+        self._quality_results: list[QualityResult] = []
 
     def reset(self) -> None:
         self.runner.reset()
         self.sources = {}
         self.target_df = None
         self.quality = None
+        self._quality_results = []
 
     # -- read phase ----------------------------------------------------------
     def read(self, src_paths: Optional[dict[str, str]] = None) -> "Pipeline":
@@ -147,6 +149,7 @@ class Pipeline:
 
     def _log_failures(self, quality: QualityResult) -> None:
         self.quality = quality
+        self._quality_results.append(quality)  # every source's persisted frame
         if quality.failures is not None and quality.failed_total() > 0:
             if self.model.validation_log_table:
                 write_validation_log(self.spark, quality.failures,
@@ -181,8 +184,9 @@ class Pipeline:
         if tgt.schema_ is not None and tgt.schema_.primary_key:
             df = add_audit_columns(df)
         write_target(self.spark, df, tgt)
-        if self.quality is not None:
-            self.quality.unpersist()
+        for quality in self._quality_results:
+            quality.unpersist()
+        self._quality_results = []
 
     def execute(self, src_paths: Optional[dict[str, str]] = None) -> None:
         self.read(src_paths)
@@ -203,8 +207,9 @@ class Pipeline:
         Batch/stream differences, by design:
         - constraints evaluate as flag columns per micro-batch, but eager
           failure COUNTS (and therefore on_fail='fail' aborts) are a
-          batch-only concept — streaming drops/set_nulls rows and routes
-          failures to the log sink via foreachBatch instead;
+          batch-only concept — streaming drops/set_nulls rows, and when a
+          ``validation_log_table``/failed-records path is configured the
+          failure rows stream into it as a parallel append sink;
         - steps must be stream-capable (filter/sql projections, stateless
           joins against static frames); blocking ops raise at plan time;
         - ``availableNow`` drains current data then stops, which makes a
@@ -219,6 +224,7 @@ class Pipeline:
             raise RuntimeError("streaming execution needs a file target")
 
         streams: dict[str, DataFrame] = {}
+        failure_streams: list[DataFrame] = []
         for spec in self.model.sources:
             if spec.type != "file":
                 raise RuntimeError(
@@ -244,15 +250,16 @@ class Pipeline:
                     collect_counts=False,
                 )
                 df = quality.passed
+                if quality.failures is not None:
+                    failure_streams.append(quality.failures)
             streams[spec.name] = df
 
         current = streams[self.model.sources[0].name] if self.model.sources else None
         current = self.runner.run(self.model.steps, streams, current)
 
         tgt = self.model.target
-        out_path = tgt.path if os.path.splitext(tgt.path)[1] else os.path.join(
-            tgt.path, f"{tgt.name}.{tgt.format}"
-        )
+        from drune_spark.sinks.writers import _file_path
+        out_path = _file_path(tgt)
         ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="drune_ckpt_")
         writer = (
             current.writeStream.format(tgt.format)
@@ -263,8 +270,27 @@ class Pipeline:
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
         query = writer.start()
+
+        # Constraint-failure rows stream into the configured audit sink in
+        # parallel (their own checkpoint; same exactly-once semantics).
+        failure_query = None
+        log_sink = self.model.validation_log_table or self.failed_records_path
+        if failure_streams and log_sink and "/" in log_sink:
+            failures = failure_streams[0]
+            for frame in failure_streams[1:]:
+                failures = failures.unionByName(frame)
+            failure_query = (
+                failures.writeStream.format("parquet")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt + "_failures")
+                .option("path", log_sink)
+                .trigger(availableNow=True)
+                .start()
+            )
         if trigger_available_now:
             query.awaitTermination()
+            if failure_query is not None:
+                failure_query.awaitTermination()
 
     # -- golden test mode (O5) ----------------------------------------------
     def golden_test(self, expected: DataFrame,

@@ -46,6 +46,7 @@ class FlaggedConstraint:
     rule_string: str
     on_fail: str
     flag_col: str
+    params: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -77,15 +78,12 @@ def _flags_for_schema(schema: SchemaSpec) -> list[FlaggedConstraint]:
                     rule_string=cons.rule,
                     on_fail=cons.on_fail,
                     flag_col=f"__dq_{col.name}_{i}_{j}_{parsed['function']}",
+                    # Carry the parsed params directly: re-parsing by
+                    # function name would return the FIRST occurrence's
+                    # params for a rule chain reusing the same function.
+                    params=parsed["params"],
                 ))
     return flags
-
-
-def _parsed_params(rule_string: str, rule_name: str) -> dict:
-    for parsed in parse_rules(rule_string):
-        if parsed["function"] == rule_name:
-            return parsed["params"]
-    return {}
 
 
 def apply_constraints(
@@ -101,8 +99,14 @@ def apply_constraints(
     flagged = df
     for fc in flags:
         rule_fn = RuleRegistry.get(fc.rule_name)
-        params = _parsed_params(fc.rule_string, fc.rule_name)
-        flagged = flagged.withColumn(fc.flag_col, rule_fn(fc.column, params))
+        # NULL-safe: a rule evaluating to NULL (NULL input to a
+        # comparison/isin/pattern) is a FAILURE, not a silent drop — it
+        # must be counted, logged, and honored by on_fail just like an
+        # explicit False. (not_null itself never yields NULL.)
+        flagged = flagged.withColumn(
+            fc.flag_col,
+            F.coalesce(rule_fn(fc.column, fc.params), F.lit(False)),
+        )
 
     # The flagged frame is read 2-3 times (counts, failures, output) —
     # persist once so the scan+flag work is not recomputed. Streaming
@@ -151,10 +155,13 @@ def apply_constraints(
         out = out.filter(F.col(fc.flag_col))
     out = out.drop(*[fc.flag_col for fc in flags])
 
-    # ...and fail rules abort the pipeline if anything failed.
+    # ...and fail rules abort the pipeline if anything failed (releasing
+    # the persisted flag frame — nobody will consume this result).
     if collect_counts:
         for fc in flags:
             if fc.on_fail == "fail" and counts.get(fc.flag_col, 0) > 0:
+                if not df.isStreaming:
+                    flagged.unpersist()
                 raise ConstraintError(
                     f"constraint '{fc.rule_string}' on '{fc.column}' failed "
                     f"for {counts[fc.flag_col]} rows"

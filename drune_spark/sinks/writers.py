@@ -147,6 +147,30 @@ def write_target(spark: SparkSession, df: DataFrame, spec: TargetSpec) -> None:
         _safe_overwrite(df, path, spec.format, partition_by, spec.options)
 
 
+def _rewrite_state(spark: SparkSession, df: DataFrame, spec: TargetSpec) -> None:
+    """Full-state rewrite for the non-Delta merge/SCD2 fallback.
+
+    File targets go through the safe tmp-dir swap. TABLE targets cannot
+    ``saveAsTable``-overwrite a table their own plan reads (Spark raises
+    'Cannot overwrite a path that is also being read from'), so the new
+    state lands in a ``__new__`` table first and is swapped in by
+    DROP + RENAME — the non-transactional analogue of what Delta MERGE
+    does atomically.
+    """
+    out_spec = spec.model_copy(update={"mode": "overwrite", "scd": None})
+    if spec.type != "table":
+        return write_target(spark, df, out_spec)
+    tmp_name = f"{spec.table_name}__new__"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    writer = df.write.mode("overwrite").format(spec.format or "parquet")
+    partition_by = (spec.schema_.partition_by if spec.schema_ else None) or None
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(tmp_name)
+    spark.sql(f"DROP TABLE IF EXISTS {spec.table_name}")
+    spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {spec.table_name}")
+
+
 def _read_existing(spark: SparkSession, spec: TargetSpec) -> Optional[DataFrame]:
     if spec.type == "table":
         if spark.catalog.tableExists(spec.table_name or ""):
@@ -205,9 +229,7 @@ def merge_upsert(spark: SparkSession, source: DataFrame, spec: TargetSpec,
             .drop("__created")
         )
     merged = survivors.unionByName(incoming, allowMissingColumns=True)
-    write_target(
-        spark, merged, spec.model_copy(update={"mode": "overwrite", "scd": None})
-    )
+    _rewrite_state(spark, merged, spec)
 
 
 def scd2_merge(spark: SparkSession, source: DataFrame, spec: TargetSpec) -> None:
@@ -259,9 +281,7 @@ def scd2_merge(spark: SparkSession, source: DataFrame, spec: TargetSpec) -> None
         .unionByName(expired, allowMissingColumns=True)
         .unionByName(fresh, allowMissingColumns=True)
     )
-    write_target(
-        spark, new_state, spec.model_copy(update={"mode": "overwrite", "scd": None})
-    )
+    _rewrite_state(spark, new_state, spec)
 
 
 def write_validation_log(spark: SparkSession, failures: DataFrame,

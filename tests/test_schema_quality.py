@@ -210,6 +210,43 @@ class TestQuality:
         assert out.count() == 1
         assert out.collect()[0].s == "abc"
 
+    def test_null_input_counts_as_failure(self, spark):
+        """A rule evaluating to NULL (NULL input to a comparison) must be
+        counted, logged, and honored by on_fail — not silently dropped."""
+        df = spark.createDataFrame([(1.0,), (None,), (30.0,)], ["v"])
+        schema = SchemaSpec(columns=[
+            col("v", type="double", constraints=[
+                ConstraintSpec(rule="greater_than:5", on_fail="warn"),
+            ]),
+        ])
+        result = apply_constraints(df, schema)
+        assert result.failed_total() == 2  # 1.0 and the NULL
+        assert result.failures.count() == 2
+        # and a fail rule must abort on the NULL row too
+        schema_fail = SchemaSpec(columns=[
+            col("v", type="double", constraints=[
+                ConstraintSpec(rule="greater_than:0"),
+            ]),
+        ])
+        with pytest.raises(ConstraintError):
+            apply_constraints(df, schema_fail)
+
+    def test_repeated_function_in_rule_chain(self, spark):
+        """Two isbetween rules in one chain must each use their own
+        params (regression: re-parse by name returned the first)."""
+        df = spark.createDataFrame([(5.0,), (55.0,), (200.0,)], ["v"])
+        schema = SchemaSpec(columns=[
+            col("v", type="double", constraints=[
+                ConstraintSpec(rule="isbetween:[0,10]|isbetween:[0,100]",
+                               on_fail="warn"),
+            ]),
+        ])
+        result = apply_constraints(df, schema)
+        by_flag = result.counts
+        vals = sorted(by_flag.values())
+        # first rule fails 55 and 200 (2); second fails only 200 (1)
+        assert vals == [1, 2]
+
     def test_failure_log_schema(self, spark):
         schema = SchemaSpec(columns=[
             col("col1", type="int",

@@ -90,6 +90,24 @@ class TestSteps:
         runner.reset()
         assert runner._position == 0
 
+    def test_join_composite_key_single_pair(self, spark):
+        """A flat list for one pair is a COMPOSITE key, not per-pair
+        conditions (regression: second key column silently ignored)."""
+        left = spark.createDataFrame(
+            [(1, "a", 10), (1, "b", 20)], ["k1", "k2", "v"]
+        )
+        right = spark.createDataFrame(
+            [(1, "a", "X"), (1, "b", "Y")], ["k1", "k2", "name"]
+        )
+        runner = StepRunner(spark)
+        out = runner.run([
+            StepConfig(name="j", type="join", params={
+                "sources": ["l", "r"], "on": ["k1", "k2"],
+            }),
+        ], {"l": left, "r": right}, None)
+        rows = {(r.v, r.name) for r in out.collect()}
+        assert rows == {(10, "X"), (20, "Y")}  # not the 4-row over-match
+
     def test_union_step(self, spark):
         a = spark.createDataFrame([(1, "x")], ["k", "v"])
         b = spark.createDataFrame([("y", 2)], ["v", "k"])        # reordered cols
@@ -167,6 +185,23 @@ class TestWriters:
     def _scd_frame(self, spark, rows):
         df = spark.createDataFrame(rows, ["pk", "val"])
         return add_data_hash(add_hash_key(df, ["pk"]), ["val"])
+
+    def test_merge_on_table_target_non_delta(self, spark):
+        """Regression: non-Delta TABLE merge must not overwrite the table
+        its own plan reads (temp-table swap path)."""
+        from drune_spark.config.models import TargetSpec as TS
+        spark.sql("DROP TABLE IF EXISTS m_tbl")
+        spark.sql("DROP TABLE IF EXISTS m_tbl__new__")
+        tgt = TS(name="m", type="table", table_name="m_tbl", format="parquet")
+        base = self._keyed(spark, [(1, "a"), (2, "b")])
+        write_target(spark, base, tgt)
+        incoming = self._keyed(spark, [(2, "B"), (3, "c")])
+        merge_upsert(spark, incoming, tgt)   # would previously throw
+        rows = {r.pk: r.val for r in spark.read.table("m_tbl").collect()}
+        assert rows == {1: "a", 2: "B", 3: "c"}
+        merge_upsert(spark, incoming, tgt)   # repeatable
+        assert spark.read.table("m_tbl").count() == 3
+        spark.sql("DROP TABLE IF EXISTS m_tbl")
 
     def test_scd2_new_changed_unchanged_and_idempotent(self, spark, tmp_path):
         tgt = _file_target(tmp_path, scd=SCDConfig(type=2))
