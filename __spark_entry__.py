@@ -988,7 +988,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n_name,
                    CAST(SUM(total_dec) AS DOUBLE) AS nation_revenue,
-                   SUM(n_orders) AS n_orders
+                   CAST(SUM(n_orders) AS BIGINT) AS n_orders
             FROM cust_totals
             GROUP BY n_name
         """,
@@ -1243,8 +1243,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f_json_extract": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                       AS k_total,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS k_total,
                    COUNT(*) AS n
             FROM events
             GROUP BY event_type
@@ -1252,7 +1252,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": f"""
             WITH toks AS (SELECT {toks_lower} AS w FROM documents)
             SELECT (SELECT COUNT(*) FROM toks) AS total_docs,
-                   (SELECT SUM(len(w)) FROM toks) AS total_tokens,
+                   (SELECT CAST(SUM(len(w)) AS BIGINT) FROM toks)
+                       AS total_tokens,
                    (SELECT MAX(len(w)) FROM toks) AS max_doc_tokens,
                    (SELECT COUNT(DISTINCT tok)
                     FROM toks, UNNEST(w) AS t(tok)) AS vocab_size

@@ -2,8 +2,17 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given sf dir, then compares row count, column names, and an
-order-insensitive value hash (rows sorted, columns sorted by name, values
-stringified with float rounding). Exit code 1 if anything mismatches.
+order-insensitive value hash (rows sorted, columns sorted by name).
+
+Deliberately STRICTER than the driver: DuckDB results are fetched via
+Arrow (so ``SUM(BIGINT)`` surfaces as HUGEINT -> decimal128, exactly the
+type the driver's harness sees) and the canonical form is TYPE-TAGGED
+(``i:`` int, ``f:`` float at full precision, ``d:`` Decimal, ...).  The
+round-1 replica stringified everything with ``str()``/``%.9g`` and
+collapsed int/float/Decimal into one representation, which masked three
+driver hash failures (DuckDB HUGEINT vs Spark BIGINT).  A pass here now
+implies the value TYPES align exactly, which hash-matches under any sane
+driver canonicalization.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -13,6 +22,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -20,17 +30,27 @@ import duckdb
 
 
 def canon(value) -> str:
+    """Type-tagged canonical string; int/float/Decimal never collide."""
     if value is None:
         return "NULL"
     if isinstance(value, bool):
-        return "true" if value else "false"
+        return "b:true" if value else "b:false"
+    if isinstance(value, int):
+        return f"i:{value}"
     if isinstance(value, float):
         if math.isnan(value):
-            return "NaN"
-        return f"{value:.9g}"
+            return "f:NaN"
+        return f"f:{value!r}"
+    if isinstance(value, Decimal):
+        return f"d:{value}"
     if isinstance(value, bytes):
-        return value.hex()
-    return str(value)
+        return "x:" + value.hex()
+    if isinstance(value, (list, tuple)):
+        return "[" + ",".join(canon(v) for v in value) + "]"
+    if isinstance(value, dict):
+        items = sorted(value.items())
+        return "{" + ",".join(f"{k}={canon(v)}" for k, v in items) + "}"
+    return "s:" + str(value)
 
 
 def frame_signature(columns: list[str], rows: list[tuple]) -> tuple:
@@ -45,6 +65,16 @@ def frame_signature(columns: list[str], rows: list[tuple]) -> tuple:
         h.update("\x1f".join(row).encode())
         h.update(b"\x1e")
     return cols_sorted, len(rows), h.hexdigest()
+
+
+def fetch_duckdb_arrow(con, sql: str) -> tuple[list[str], list[tuple]]:
+    """Fetch via Arrow so DuckDB types (HUGEINT, DECIMAL, ...) surface the
+    same way the driver's harness sees them, not collapsed by the Python
+    client (which renders HUGEINT as plain int)."""
+    tbl = con.execute(sql).fetch_arrow_table()
+    cols = list(tbl.column_names)
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    return cols, rows
 
 
 def main() -> int:
@@ -84,9 +114,7 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            ocols, orows = fetch_duckdb_arrow(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
@@ -100,10 +128,12 @@ def main() -> int:
             print(f"FAIL {name}: spark(cols={ssig[0]}, n={ssig[1]}, h={ssig[2][:12]}) "
                   f"vs duckdb(cols={osig[0]}, n={osig[1]}, h={osig[2][:12]})")
             if ssig[0] == osig[0] and ssig[1] == osig[1]:
-                sset = {tuple(canon(v) for v in row) for row in srows}
-                oset = {tuple(canon(v) for v in row) for row in orows}
-                diff1 = list(sset - oset)[:3]
-                diff2 = list(oset - sset)[:3]
+                order = sorted(range(len(scols)), key=lambda i: scols[i])
+                sset = {tuple(canon(row[i]) for i in order) for row in srows}
+                oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                oset = {tuple(canon(row[i]) for i in oorder) for row in orows}
+                diff1 = sorted(sset - oset)[:3]
+                diff2 = sorted(oset - sset)[:3]
                 print(f"    spark-only sample: {diff1}")
                 print(f"    duckdb-only sample: {diff2}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
