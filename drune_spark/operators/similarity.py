@@ -29,6 +29,34 @@ from pyspark.sql import functions as F
 from drune_spark.functions.vectors import cosine_similarity, dot, to_double_array
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Exact two-phase top-k over (query_id, neighbor_id, cosine).
+
+    The round-1 audit flagged the naive reading of this plan: a window
+    partitioned by query_id funnels every corpus score for a query
+    through one reducer task. The fix is a per-input-partition partial
+    top-k before the shuffle — and Spark's rank-limit pushdown
+    (optimizer rule InsertWindowGroupLimit, SPARK-37099) inserts exactly
+    that when a row_number window is immediately filtered to ``rank <=
+    k``: the physical plan shows ``WindowGroupLimit ... Partial`` BELOW
+    the Exchange (each map task keeps at most k rows per query) and
+    ``WindowGroupLimit ... Final`` above it, so the per-query reducer
+    receives <= k * num_input_partitions rows, never the corpus. One
+    shuffle total — strictly better than a hand-written two-stage window
+    (which shuffles the same pruned rows twice). The shape is pinned in
+    tests/test_plans.py::test_ann_topk_partial_window_limit so a Spark
+    config/version regression can't silently bring the funnel back.
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,14 +82,7 @@ def brute_force_topk(
         "neighbor_id",
         cosine_similarity(F.col("cvec"), F.col("qvec")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _topk_per_query(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -127,14 +148,7 @@ def lsh_topk(
         "neighbor_id",
         cosine_similarity(F.col("cvec"), F.col("qvec")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _topk_per_query(scored, k)
 
 
 def ivf_assign(
@@ -144,16 +158,26 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its nearest of n deterministic 'centroids'
-    (the vectors whose id ≡ 0 mod ceil(N/n) — a seed sample standing in
-    for k-means, which would be an iterative refinement of exactly this
-    assignment join). Output partitionable by ``centroid_id`` so a real
-    deployment writes the corpus bucketed by centroid and queries prune
-    partitions."""
+    (the first n vectors by id — a seed sample standing in for k-means,
+    which would be an iterative refinement of exactly this assignment
+    join). Output partitionable by ``centroid_id`` so a real deployment
+    writes the corpus bucketed by centroid and queries prune partitions.
+
+    Scale notes (round-1 audit fixes):
+    - The centroid pick is ``orderBy(id).limit(n)`` — Spark compiles it
+      to TakeOrderedAndProject (per-partition top-n, then merge n rows),
+      NOT a global no-partition window that would sort the whole corpus
+      in one task.
+    - The nearest-centroid argmax is a ``min(struct(-sim, centroid_id))``
+      aggregation, not a per-id window: partial (map-side) aggregation
+      collapses each vector's n_centroids candidate rows before the
+      shuffle, so only one row per vector crosses the wire and there is
+      no sort. Tie-break (sim desc, centroid_id asc) is preserved by the
+      struct ordering.
+    """
     centroids = (
-        corpus.withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.col(id_col)))
-        )
-        .filter(F.col("rn") <= n_centroids)
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
         .select(
             F.col(id_col).alias("centroid_id"),
             to_double_array(F.col(vec_col)).alias("centroid"),
@@ -167,11 +191,14 @@ def ivf_assign(
         "centroid_id",
         cosine_similarity(F.col("v"), F.col("centroid")).alias("sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("sim").desc(), F.col("centroid_id").asc()
-    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "centroid_id")
+        scored.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("sim")).alias("neg_sim"), F.col("centroid_id")
+                )
+            ).alias("best")
+        )
+        .select(id_col, F.col("best.centroid_id").alias("centroid_id"))
     )

@@ -65,6 +65,48 @@ class TestPlans:
         assert "Exchange" not in plan  # narrow: no shuffle at all
         assert plan.count("Project") <= 2  # base select + derived column
 
+    def test_ann_topk_partial_window_limit(self, spark):
+        """The per-query top-k must prune per input partition BEFORE the
+        shuffle (WindowGroupLimit Partial below the Exchange), so the
+        per-query reducer sees <= k * num_partitions rows, never the
+        whole corpus — the round-1 single-task-funnel fix."""
+        from pyspark.sql import functions as F
+
+        from drune_spark.operators.similarity import brute_force_topk
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        queries = emb.orderBy("vec_id").limit(5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        plan = executed_plan(brute_force_topk(emb, queries, k=5))
+        lines = plan.splitlines()
+        partial = [i for i, l in enumerate(lines)
+                   if "WindowGroupLimit" in l and "Partial" in l]
+        final = [i for i, l in enumerate(lines)
+                 if "WindowGroupLimit" in l and "Final" in l]
+        exchange = [i for i, l in enumerate(lines)
+                    if "Exchange hashpartitioning(query_id" in l]
+        assert partial and final and exchange
+        # Plan prints root-first: the Partial limit must sit BELOW the
+        # shuffle (appear after it), the Final above.
+        assert final[0] < exchange[0] < partial[0]
+        # Queries are broadcast; the corpus itself never hash-shuffles.
+        assert "BroadcastExchange" in plan
+
+    def test_ivf_assign_no_global_window(self, spark):
+        """Centroid pick must be TakeOrdered (never a no-partition window
+        sorting the corpus in one task) and the nearest-centroid argmax a
+        partial aggregation (one row per vector crosses the shuffle)."""
+        from drune_spark.operators.similarity import ivf_assign
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = executed_plan(ivf_assign(emb, n_centroids=16))
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
+        assert "partial_min" in plan
+        # Exactly one hash shuffle: the final argmax merge.
+        assert plan.count("Exchange hashpartitioning") == 1
+
     def test_quality_flags_no_shuffle(self, spark):
         """Non-`unique` constraints must stay narrow (flag columns fused
         into the scan stage)."""
