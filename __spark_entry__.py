@@ -636,24 +636,31 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 perms)+LSH(16 bands) candidate pairs — the 100 TB dedup
-    path. Deterministic (xxhash64 + fixed coefficients) but engine-
-    specific hashing → rows-only check."""
+    path. The gate entry runs the PORTABLE variant (md5-based shingle
+    hashes, same plan shape) so the DuckDB oracle reproduces signatures,
+    candidate pairs, and est_jaccard bit-for-bit; the xxhash64 fast path
+    stays covered by pytest. est_jaccard = n/64 is an exact dyadic
+    rational — identical double in both engines, no rounding needed."""
     _tune(spark)
     from drune_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
-        num_perm=64, bands=16, min_est_jaccard=0.5,
-    ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        num_perm=64, bands=16, min_est_jaccard=0.5, portable=True,
+    ).select("id_a", "id_b", "est_jaccard")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via 16-bit chunk banding (Hamming <= 3).
-    xxhash64-based → rows-only check."""
+    Gate entry uses the portable md5-bit-array variant — pairs AND
+    hamming values hash-checked against the DuckDB mirror; the xxhash64
+    bigint fast path stays covered by pytest."""
     _tune(spark)
-    from drune_spark.operators.dedup import simhash_near_dup_pairs
+    from drune_spark.operators.dedup import simhash_near_dup_pairs_portable
 
-    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return simhash_near_dup_pairs_portable(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -854,6 +861,28 @@ def oracle_sql() -> dict[str, str]:
         "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
         "CAST(1 - l_discount AS DECIMAL(18,2)))"
     )
+    # Mirrors for the portable dedup/ANN paths: the same driver-side
+    # constants (MinHash coefficients, SRP hyperplanes) are formatted
+    # into the SQL, so DuckDB reproduces the exact signatures. repr()
+    # gives shortest-roundtrip floats — DuckDB parses back the identical
+    # double.
+    from drune_spark.functions.hashes import make_coeffs
+    from drune_spark.operators.similarity import _hyperplanes
+
+    coeff_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(make_coeffs(64, 42))
+    )
+    plane_rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(x) for x in plane))
+        for i, plane in enumerate(_hyperplanes(64, 32, 42))
+    )
+    mh_band_slices = ", ".join(
+        f"list_slice(sig, {b * 4 + 1}, {b * 4 + 4})" for b in range(16)
+    )
+    # Portable 32-bit hash and 64-bit halves (see functions/hashes.py
+    # md5_u32 / md5_bits64): first 8 md5 hex chars = high half, next 8 =
+    # low half, both < 2^32 so everything stays in BIGINT range.
+    mersenne = str((1 << 61) - 1)
     return {
         "p1_schema_apply": """
             SELECT CAST(c_custkey AS BIGINT) AS cd_customer,
@@ -1104,6 +1133,146 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH toks AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ),
+            shing AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+                FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+            ),
+            h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv
+                FROM shing
+            ),
+            perms(i, a, b) AS (VALUES {coeff_rows}),
+            slots AS (
+                SELECT d.doc_id, p.i,
+                       COALESCE(MIN((p.a * h.hv + p.b) % {mersenne}),
+                                {mersenne}) AS slot
+                FROM (SELECT DISTINCT doc_id FROM documents) d
+                CROSS JOIN perms p
+                LEFT JOIN h ON h.doc_id = d.doc_id
+                GROUP BY d.doc_id, p.i
+            ),
+            sigs AS (
+                SELECT doc_id, list(slot ORDER BY i) AS sig
+                FROM slots GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, sig, unnest(range(0, 16)) AS band,
+                       unnest([{mh_band_slices}]) AS key
+                FROM sigs
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sig AS sa, b.sig AS sb
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, est_jaccard FROM (
+                SELECT id_a, id_b,
+                       CAST(len(list_filter(range(0, 64),
+                                            j -> sa[j+1] = sb[j+1]))
+                            AS DOUBLE) / 64 AS est_jaccard
+                FROM cands
+            ) WHERE est_jaccard >= 0.5
+        """,
+        "dedup_simhash": f"""
+            WITH toks AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+            th AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                       ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+                FROM tok
+            ),
+            bitrows AS (
+                SELECT doc_id, unnest(range(0, 64)) AS j,
+                       unnest(list_transform(range(0, 64),
+                              j -> CASE WHEN j < 32 THEN (lo >> j) & 1
+                                   ELSE (hi >> (j - 32)) & 1 END)) AS bit
+                FROM th
+            ),
+            votes AS (
+                SELECT doc_id, j, SUM(2 * bit - 1) AS v
+                FROM bitrows GROUP BY doc_id, j
+            ),
+            sigs AS (
+                SELECT doc_id,
+                       list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY j)
+                           AS bits
+                FROM votes GROUP BY doc_id
+            ),
+            chunks AS (
+                SELECT doc_id, bits, unnest(range(0, 4)) AS chunk,
+                       unnest([list_slice(bits, 1, 16),
+                               list_slice(bits, 17, 32),
+                               list_slice(bits, 33, 48),
+                               list_slice(bits, 49, 64)]) AS key
+                FROM sigs
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.bits AS ba, b.bits AS bb
+                FROM chunks a JOIN chunks b
+                  ON a.chunk = b.chunk AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM (
+                SELECT id_a, id_b,
+                       CAST(len(list_filter(range(0, 64),
+                                            j -> ba[j+1] <> bb[j+1]))
+                            AS INTEGER) AS hamming
+                FROM cands
+            ) WHERE hamming <= 3
+        """,
+        "ann_lsh": f"""
+            WITH planes(pid, pl) AS (VALUES {plane_rows}),
+            vecs AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            bits AS (
+                SELECT vec_id, pid // 8 AS band, pid,
+                       CASE WHEN list_dot_product(v, pl) >= 0
+                            THEN 1 ELSE 0 END AS bit
+                FROM vecs, planes
+            ),
+            sigs AS (
+                SELECT vec_id, band, list(bit ORDER BY pid) AS bsig
+                FROM bits GROUP BY vec_id, band
+            ),
+            cands AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM sigs c JOIN sigs q
+                  ON c.band = q.band AND c.bsig = q.bsig
+                WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       list_cosine_similarity(cv.v, qv.v) AS cs
+                FROM cands
+                JOIN vecs cv ON cv.vec_id = neighbor_id
+                JOIN vecs qv ON qv.vec_id = query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cs DESC, neighbor_id ASC) AS rank,
+                       cs
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   round(cs, 6) AS cosine
+            FROM ranked WHERE rank <= 5
         """,
         "ann_topk": """
             WITH q AS (

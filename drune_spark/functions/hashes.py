@@ -73,6 +73,48 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
 
 
+def md5_u32(col: Column) -> Column:
+    """Portable 32-bit content hash: the first 8 hex chars of md5 parsed
+    as an unsigned int. Identical in any engine with md5 + base
+    conversion (DuckDB: ``('0x' || substr(md5(s), 1, 8))::BIGINT``), so
+    MinHash built on it is hash-checkable end-to-end by the oracle gate.
+    Value < 2^32 keeps the (a*x+b) permutation inside long range."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def md5_bits64(col: Column) -> Column:
+    """Portable 64-bit hash as array<int>[64] of 0/1 bits (LSB-first:
+    element j is bit j of the value whose low 32 bits come from md5 hex
+    chars 9-16 and high 32 bits from chars 1-8). Two 32-bit halves keep
+    every intermediate in signed-long range in both Spark and DuckDB."""
+    h = F.md5(col)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    bits = [
+        F.shiftrightunsigned(lo, j).bitwiseAND(F.lit(1)).cast("int")
+        for j in range(32)
+    ] + [
+        F.shiftrightunsigned(hi, j - 32).bitwiseAND(F.lit(1)).cast("int")
+        for j in range(32, 64)
+    ]
+    return F.array(*bits)
+
+
+def simhash_bits(tokens_col: Column) -> Column:
+    """Portable SimHash as array<int>[64] of 0/1 bits: md5-derived token
+    bit arrays, one ``aggregate`` fold summing +1/-1 votes per bit, sign
+    of the vote gives the bit (votes > 0 → 1, matching ``simhash64``).
+    Oracle-mirrorable (md5 + integer arithmetic only); ``simhash64``
+    (xxhash64, single bigint) remains the fast path."""
+    token_bits = F.transform(tokens_col, md5_bits64)
+    votes = F.aggregate(
+        token_bits,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, tb: F.zip_with(acc, tb, lambda a, b: a + 2 * b - 1),
+    )
+    return F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
+
+
 def make_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a,b) pairs generated driver-side from a fixed seed
     (execution stays RNG-free; same signature on any cluster)."""

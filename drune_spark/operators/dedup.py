@@ -112,6 +112,7 @@ def minhash_signatures(
     num_perm: int = 64,
     k: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """(doc, signature array<bigint>[num_perm]).
 
@@ -124,13 +125,19 @@ def minhash_signatures(
     shuffle and 64 aggregation buffers → also slower). Entirely narrow:
     signatures are computed where the docs already live.
     """
+    from drune_spark.functions.hashes import md5_u32
+
     coeffs = make_coeffs(num_perm, seed)
     sh = _doc_shingles(df, text_col, id_col, k)
+    # portable=True swaps the shingle hash for md5_u32 so a SQL oracle
+    # can reproduce the signatures bit-for-bit; xxhash64 stays the fast
+    # default (one JVM call vs md5 + base conversion per shingle).
+    shingle_hash = (
+        md5_u32 if portable
+        else (lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+    )
     hashes = sh.select(
-        "doc",
-        F.transform(
-            "shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))
-        ).alias("h"),
+        "doc", F.transform("shingles", shingle_hash).alias("h")
     )
     init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), num_perm)
 
@@ -152,18 +159,23 @@ def minhash_lsh_pairs(
     k: int = 3,
     seed: int = 42,
     min_est_jaccard: float = 0.0,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on all rows of >= 1 band.
 
     Returns (id_a, id_b, est_jaccard) where est_jaccard is the fraction
     of the num_perm signature slots that agree. Scale path: one shuffle
     keyed on (band_id, band_hash); candidates deduped before the
-    signature-compare join.
+    signature-compare join. ``portable=True`` uses md5-based shingle
+    hashes (oracle-mirrorable; the band bucket stays xxhash64 — bucket
+    equality ⟺ band-slice equality, which is what a SQL twin joins on).
     """
     rows_per_band = num_perm // bands
     # Persist: banding and the two signature joins below all read this;
     # without it the whole shingle+hash lineage recomputes each time.
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, k, seed).persist()
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm, k, seed, portable
+    ).persist()
     # The self-join carries only (doc, band, bucket) — 24 bytes/row —
     # never the 64-slot signatures; those join back onto the (much
     # smaller) deduped candidate set afterwards.
@@ -312,3 +324,61 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def simhash_near_dup_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Oracle-mirrorable SimHash near-dup pairs: signatures are md5-based
+    bit arrays (``simhash_bits``) instead of xxhash64 bigints, so a SQL
+    twin reproduces pairs AND hamming values exactly. Same plan shape as
+    ``simhash_near_dup_pairs`` — 4×16-bit pigeonhole banding, one
+    self-join on (chunk, key), signatures persisted. The xxhash64
+    variant remains the fast path for production corpora."""
+    from drune_spark.functions.hashes import simhash_bits
+    from drune_spark.functions.partitioning import fan_out
+
+    d = fan_out(df)
+    sigs = d.select(
+        F.col(id_col).alias("doc"),
+        simhash_bits(tokens(F.lower(F.col(text_col)))).alias("bits"),
+    ).persist()
+    chunks = sigs.select(
+        "doc",
+        "bits",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.slice("bits", i * 16 + 1, 16).alias("key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("ck"),
+    ).select("doc", "bits", "ck.chunk", "ck.key")
+    return (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("a.bits"), F.col("b.bits"), lambda x, y: x != y
+                    ),
+                    lambda v: v,
+                )
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -63,6 +63,41 @@ class TestDedup:
         assert pairs.get((1, 2)) == 0
         assert (1, 4) not in pairs
 
+    def test_portable_minhash_same_locality(self, spark, docs):
+        """md5-based shingle hashing (the oracle-mirrorable gate path)
+        preserves the LSH locality behavior of the xxhash64 fast path."""
+        cands = {(r.id_a, r.id_b): r.est_jaccard
+                 for r in minhash_lsh_pairs(docs, "text", "doc_id",
+                                            num_perm=64, bands=16,
+                                            portable=True).collect()}
+        assert cands.get((1, 2)) == 1.0   # identical docs: all slots agree
+        assert (1, 3) in cands
+        assert (1, 4) not in cands
+
+    def test_portable_simhash_matches_semantics(self, spark, docs):
+        from drune_spark.operators.dedup import simhash_near_dup_pairs_portable
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in simhash_near_dup_pairs_portable(
+                     docs, "text", "doc_id", max_hamming=10).collect()}
+        assert pairs.get((1, 2)) == 0     # identical docs: hamming 0
+        assert (1, 4) not in pairs
+
+    def test_md5_u32_matches_duckdb(self, spark):
+        """The portable hash must equal DuckDB's hex-cast of the same md5
+        prefix — the whole point of the portable path."""
+        import duckdb
+
+        from drune_spark.functions.hashes import md5_u32
+        words = ["the quick brown", "", "fox", "über"]
+        df = spark.createDataFrame([(w,) for w in words], ["s"])
+        got = {r.s: r.h for r in df.select("s", md5_u32(F.col("s")).alias("h")).collect()}
+        con = duckdb.connect()
+        for w in words:
+            expected = con.execute(
+                "SELECT ('0x' || substr(md5(?), 1, 8))::BIGINT", [w]
+            ).fetchone()[0]
+            assert got[w] == expected, w
+
 
 class TestSimilarity:
     @pytest.fixture()
