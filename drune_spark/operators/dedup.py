@@ -244,6 +244,7 @@ def connected_components(
         F.col(all_nodes.columns[0]).alias("node")
     ).distinct().withColumn("label", F.col("node")).persist()
 
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             both.join(labels, both.src == labels.node)
@@ -267,6 +268,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Labels are NOT a fixpoint: one component may carry several
+        # cluster_ids. Surface it instead of silently returning split
+        # components (round-1 advisory).
+        import warnings
+        warnings.warn(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations; labels may split components "
+            f"(raise max_iterations for deep chains)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -36,7 +36,11 @@ from drune_spark.plans.schema_apply import (
     add_hash_key,
     apply_schema,
 )
-from drune_spark.quality.manager import QualityResult, apply_constraints
+from drune_spark.quality.manager import (
+    ConstraintError,
+    QualityResult,
+    apply_constraints,
+)
 from drune_spark.sources.readers import read_source
 from drune_spark.sinks.writers import write_target, write_validation_log
 
@@ -136,9 +140,17 @@ class Pipeline:
                 df = apply_schema(df, spec.schema_)
                 if spec.schema_.primary_key:
                     df = add_hash_key(df, spec.schema_.primary_key)
-                quality = apply_constraints(
-                    df, spec.schema_, pipeline_name=self.model.pipeline_name
-                )
+                try:
+                    quality = apply_constraints(
+                        df, spec.schema_, pipeline_name=self.model.pipeline_name
+                    )
+                except ConstraintError as err:
+                    # Write the audit trail before aborting (the
+                    # reference logs failures prior to raising).
+                    self._write_failure_log(err.failures)
+                    if err.flagged is not None:
+                        err.flagged.unpersist()
+                    raise
                 self._log_failures(quality)
                 df = quality.passed
             self.sources[spec.name] = df
@@ -147,16 +159,21 @@ class Pipeline:
             self.target_df = self.sources[self.model.sources[0].name]
         return self
 
+    def _write_failure_log(self, failures: Optional[DataFrame]) -> None:
+        if failures is None:
+            return
+        if self.model.validation_log_table:
+            write_validation_log(self.spark, failures,
+                                 self.model.validation_log_table)
+        elif self.failed_records_path:
+            write_validation_log(self.spark, failures,
+                                 self.failed_records_path)
+
     def _log_failures(self, quality: QualityResult) -> None:
         self.quality = quality
         self._quality_results.append(quality)  # every source's persisted frame
         if quality.failures is not None and quality.failed_total() > 0:
-            if self.model.validation_log_table:
-                write_validation_log(self.spark, quality.failures,
-                                     self.model.validation_log_table)
-            elif self.failed_records_path:
-                write_validation_log(self.spark, quality.failures,
-                                     self.failed_records_path)
+            self._write_failure_log(quality.failures)
 
     # -- step phase ----------------------------------------------------------
     def run(self, stop_at: Optional[str] = None) -> Optional[DataFrame]:
@@ -275,18 +292,24 @@ class Pipeline:
         # parallel (their own checkpoint; same exactly-once semantics).
         failure_query = None
         log_sink = self.model.validation_log_table or self.failed_records_path
-        if failure_streams and log_sink and "/" in log_sink:
+        if failure_streams and log_sink:
             failures = failure_streams[0]
             for frame in failure_streams[1:]:
                 failures = failures.unionByName(frame)
-            failure_query = (
-                failures.writeStream.format("parquet")
+            fw = (
+                failures.writeStream
                 .outputMode("append")
                 .option("checkpointLocation", ckpt + "_failures")
-                .option("path", log_sink)
                 .trigger(availableNow=True)
-                .start()
             )
+            if "/" in log_sink or log_sink.endswith(".parquet"):
+                failure_query = (
+                    fw.format("parquet").option("path", log_sink).start()
+                )
+            else:
+                # Table-name sinks stream via toTable — previously these
+                # rows were silently dropped (round-1 advisory).
+                failure_query = fw.toTable(log_sink)
         if trigger_available_now:
             query.awaitTermination()
             if failure_query is not None:

@@ -36,7 +36,15 @@ from drune_spark.quality.rules import RuleRegistry
 
 
 class ConstraintError(Exception):
-    """Raised when any on_fail='fail' constraint has failing rows."""
+    """Raised when any on_fail='fail' constraint has failing rows.
+
+    Carries ``failures`` (the consolidated failure-log DataFrame) and
+    ``flagged`` (the persisted flag frame, or None) so the caller can
+    write the audit trail BEFORE the pipeline aborts — the reference
+    logs failures prior to raising — and then release the cache."""
+
+    failures: Optional[DataFrame] = None
+    flagged: Optional[DataFrame] = None
 
 
 @dataclass
@@ -155,17 +163,19 @@ def apply_constraints(
         out = out.filter(F.col(fc.flag_col))
     out = out.drop(*[fc.flag_col for fc in flags])
 
-    # ...and fail rules abort the pipeline if anything failed (releasing
-    # the persisted flag frame — nobody will consume this result).
+    # ...and fail rules abort the pipeline if anything failed. The
+    # failure frame and persisted flag frame ride on the exception so
+    # the caller can write the audit log first, then unpersist.
     if collect_counts:
         for fc in flags:
             if fc.on_fail == "fail" and counts.get(fc.flag_col, 0) > 0:
-                if not df.isStreaming:
-                    flagged.unpersist()
-                raise ConstraintError(
+                err = ConstraintError(
                     f"constraint '{fc.rule_string}' on '{fc.column}' failed "
                     f"for {counts[fc.flag_col]} rows"
                 )
+                err.failures = failures
+                err.flagged = flagged if not df.isStreaming else None
+                raise err
 
     return QualityResult(passed=out, failures=failures, counts=counts,
                          _flagged=flagged)

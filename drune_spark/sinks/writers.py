@@ -29,7 +29,6 @@ Delta deployments get true time-travel RESTORE instead.
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +51,35 @@ class WriteError(RuntimeError):
     pass
 
 
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem + Path for ``path``. Resolves schemes exactly
+    the way ``df.write.save`` does (bare paths go through fs.defaultFS),
+    so existence checks and renames agree with where Spark actually
+    writes — os.path/os.rename only see the local disk and silently
+    report s3://, hdfs://, or defaultFS-resolved targets as absent,
+    which made merge/SCD2 fall into the overwrite branch and discard
+    target history (round-1 advisory)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, p = _fs(spark, path)
+    fs.delete(p, True)
+
+
+def _fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    fs, p = _fs(spark, src)
+    dst_p = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(p, dst_p):
+        raise WriteError(f"rename failed: {src} -> {dst}")
+
+
 def _file_path(spec: TargetSpec) -> str:
     if not spec.path:
         raise WriteError(f"target '{spec.name}' has no path")
@@ -65,6 +93,7 @@ def _safe_overwrite(df: DataFrame, path: str, fmt: str,
     """Overwrite keeping the previous version for rollback: write to a
     temp dir, swap directories. (Delta would make this a transactional
     no-copy operation — this is the parquet fallback.)"""
+    spark = df.sparkSession
     tmp = path + ".__new__"
     prev = path + ".__prev__"
     writer = df.write.mode("overwrite").format(fmt)
@@ -73,24 +102,27 @@ def _safe_overwrite(df: DataFrame, path: str, fmt: str,
     if options:
         writer = writer.options(**{k: str(v) for k, v in options.items()})
     writer.save(tmp)
-    if os.path.exists(prev):
-        shutil.rmtree(prev)
-    if os.path.exists(path):
-        os.rename(path, prev)
-    os.rename(tmp, path)
+    if _fs_exists(spark, prev):
+        _fs_delete(spark, prev)
+    if _fs_exists(spark, path):
+        _fs_rename(spark, path, prev)
+    _fs_rename(spark, tmp, path)
 
 
-def rollback(path: str) -> None:
+def rollback(path: str, spark: Optional[SparkSession] = None) -> None:
     """Restore the previous version of a safe-overwritten target (W9)."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise WriteError("rollback requires an active SparkSession")
     prev = path + ".__prev__"
-    if not os.path.exists(prev):
+    if not _fs_exists(spark, prev):
         raise WriteError(f"no previous version to roll back at {path}")
     undone = path + ".__undone__"
-    if os.path.exists(path):
-        os.rename(path, undone)
-    os.rename(prev, path)
-    if os.path.exists(undone):
-        shutil.rmtree(undone)
+    if _fs_exists(spark, path):
+        _fs_rename(spark, path, undone)
+    _fs_rename(spark, prev, path)
+    if _fs_exists(spark, undone):
+        _fs_delete(spark, undone)
 
 
 def write_target(spark: SparkSession, df: DataFrame, spec: TargetSpec) -> None:
@@ -177,7 +209,7 @@ def _read_existing(spark: SparkSession, spec: TargetSpec) -> Optional[DataFrame]
             return spark.read.table(spec.table_name)
         return None
     path = _file_path(spec)
-    if not os.path.exists(path):
+    if not _fs_exists(spark, path):
         return None
     return spark.read.format(spec.format).load(path)
 

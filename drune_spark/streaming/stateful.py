@@ -40,17 +40,27 @@ def _update_user_monitor(
         n, total, last_ts, max_gap = state.get
     else:
         n, total, last_ts, max_gap = 0, 0.0, None, 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+    # A key's micro-batch data may span several Arrow chunks (~10k rows
+    # each) with no ordering guarantee across them: concatenate and sort
+    # ONCE so processing is chronological within the batch (per-chunk
+    # sorting would interleave chunks out of order and corrupt max_gap).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values("ts")
         # Integer microseconds (exact) — float epochs lose ~1e-7 s at
         # 2024 magnitudes, which breaks oracle comparison. Normalize to
         # ns first: Arrow may hand pandas either datetime64[us] or [ns].
         epochs_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
         for ts_us, value in zip(epochs_us, pdf["value"]):
             ts_us = int(ts_us)
-            if last_ts is not None:
-                max_gap = max(max_gap, ts_us - last_ts)
-            last_ts = ts_us
+            if last_ts is None or ts_us >= last_ts:
+                if last_ts is not None:
+                    max_gap = max(max_gap, ts_us - last_ts)
+                last_ts = ts_us
+            # else: event older than state's last_ts (late arrival from a
+            # previous micro-batch) — counted in n/total, but it can't
+            # retroactively define a gap and must not move last_ts
+            # backwards.
             n += 1
             total += float(value)
     state.update((n, total, last_ts, max_gap))
@@ -94,9 +104,13 @@ def make_session_updater(gap_us: int):
         else:
             start_us = last_us = None
             n = 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            epochs = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        # Concatenate all Arrow chunks and sort once — per-chunk sorting
+        # would process chunks out of chronological order (see
+        # _update_user_monitor).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            both = pd.concat(chunks).sort_values("ts")
+            epochs = both["ts"].astype("datetime64[ns]").astype("int64") // 1000
             for ts_us in epochs:
                 ts_us = int(ts_us)
                 if start_us is None:
@@ -105,10 +119,17 @@ def make_session_updater(gap_us: int):
                     out.append((user_id, start_us, last_us, n))
                     start_us, last_us, n = ts_us, ts_us, 1
                 else:
-                    last_us, n = ts_us, n + 1
-        state.update((start_us, last_us, n))
-        # Close via watermark: timeout at last event + gap (epoch ms).
-        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+                    # min/max guards: an event late across micro-batches
+                    # (older than the open session's bounds, but inside
+                    # the gap) merges into the session without moving
+                    # last_us backwards.
+                    start_us = min(start_us, ts_us)
+                    last_us = max(last_us, ts_us)
+                    n += 1
+        if start_us is not None:
+            state.update((start_us, last_us, n))
+            # Close via watermark: timeout at last event + gap (epoch ms).
+            state.setTimeoutTimestamp((last_us + gap_us) // 1000)
         yield pd.DataFrame(
             out, columns=["user_id", "session_start_us",
                           "session_end_us", "n_events"])

@@ -82,6 +82,18 @@ class TestDedup:
         assert pairs.get((1, 2)) == 0     # identical docs: hamming 0
         assert (1, 4) not in pairs
 
+    def test_connected_components_warns_without_convergence(self, spark):
+        """A chain graph deeper than max_iterations must not silently
+        return split components."""
+        from drune_spark.operators.dedup import connected_components
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(7)], ["doc_id"])
+        with pytest.warns(RuntimeWarning, match="did not converge"):
+            out = connected_components(edges, nodes, max_iterations=1)
+            out.collect()
+
     def test_md5_u32_matches_duckdb(self, spark):
         """The portable hash must equal DuckDB's hex-cast of the same md5
         prefix — the whole point of the portable path."""

@@ -141,6 +141,49 @@ class TestQuality:
         with pytest.raises(ConstraintError):
             apply_constraints(self._df(spark), schema)
 
+    def test_fail_rule_carries_failure_log(self, spark, tmp_path):
+        """The audit trail must survive an aborted run: the exception
+        carries the failure frame, and Pipeline writes it before
+        re-raising (reference logs failures prior to aborting)."""
+        schema = SchemaSpec(columns=[
+            col("col1", type="int",
+                constraints=[ConstraintSpec(rule="not_null")]),
+        ])
+        with pytest.raises(ConstraintError) as ei:
+            apply_constraints(self._df(spark), schema)
+        err = ei.value
+        assert err.failures is not None
+        logged = err.failures.collect()
+        assert len(logged) == 1 and logged[0].failed_column == "col1"
+        if err.flagged is not None:
+            err.flagged.unpersist()
+
+    def test_pipeline_writes_failure_log_before_abort(self, spark, tmp_path):
+        from drune_spark.config.models import PipelineModel
+        from drune_spark.pipeline import Pipeline
+
+        src = tmp_path / "src"
+        self._df(spark).write.parquet(str(src))
+        log_path = str(tmp_path / "failed.parquet")
+        model = PipelineModel.model_validate({
+            "pipeline_name": "abort_log",
+            "sources": [{"name": "s", "type": "file", "format": "parquet",
+                         "path": str(src),
+                         "schema": {"columns": [
+                             {"name": "col1", "type": "int",
+                              "constraints": [{"rule": "not_null",
+                                               "on_fail": "fail"}]},
+                         ]}}],
+            "steps": [],
+            "target": {"name": "out", "type": "file", "format": "parquet",
+                       "path": str(tmp_path / "out"), "mode": "overwrite"},
+        })
+        pipe = Pipeline(spark, model, failed_records_path=log_path)
+        with pytest.raises(ConstraintError):
+            pipe.read()
+        logged = spark.read.parquet(log_path).collect()
+        assert len(logged) == 1 and logged[0].failed_column == "col1"
+
     def test_not_null_drop(self, spark):
         schema = SchemaSpec(columns=[
             col("col1", type="int",

@@ -61,6 +61,39 @@ class TestStatefulStreaming:
         assert all(g == 35 * 60 * 1_000_000 for _, _, g in single.values())
 
 
+class TestArrowChunkOrdering:
+    def test_multi_chunk_unordered_key_data(self, spark, tmp_path):
+        """A key's micro-batch data split across several small Arrow
+        chunks, stored in shuffled row order, must still produce the
+        chronological max_gap (the updater concatenates and sorts ONCE;
+        per-chunk sorting would interleave chunks out of order)."""
+        import random
+
+        from drune_spark.streaming.stateful import user_monitor_stream
+
+        minutes = [0, 5, 11, 18, 60, 62, 65, 90, 95, 96, 120, 121]
+        rows = [
+            (i, 1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), 1.0)
+            for i, m in enumerate(minutes)
+        ]
+        rnd = random.Random(7)
+        rnd.shuffle(rows)
+        df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+        path = str(tmp_path / "chunked")
+        df.coalesce(1).write.parquet(path)
+
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        try:
+            out = {r.user_id: r
+                   for r in user_monitor_stream(spark, path).collect()}
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        gaps = [b - a for a, b in zip(minutes, minutes[1:])]
+        assert out[1].n_events == len(minutes)
+        assert out[1].max_gap_us == max(gaps) * 60 * 1_000_000
+
+
 class TestCustomSessionizer:
     def test_sessions_close_by_event_and_by_timeout(self, spark, tmp_path):
         """applyInPandasWithState + EventTimeTimeout: a session closes when
