@@ -73,14 +73,41 @@ def ngram_jaccard_pairs(
     id_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word k-gram shingle sets for every
     pair sharing at least one shingle. Returns (id_a, id_b, jaccard) with
     id_a < id_b. jaccard = |∩| / (|A| + |B| - |∩|) — integer counts, one
-    final double division, so bit-identical to any SQL oracle."""
+    final double division, so bit-identical to any SQL oracle.
+
+    ``max_shingle_df`` caps hot shingles (standard in the dedup
+    literature): a shingle shared by m docs contributes m² rows to the
+    self-join, so one stopword trigram in 10^6 docs alone is 10^12 join
+    rows. With the cap, shingles whose document frequency exceeds it are
+    dropped from BOTH the intersection and the set sizes — jaccard stays
+    a true Jaccard over the capped shingle universe — and the join cost
+    is bounded by cap × |distinct shingles|. None = exact (audit scale
+    only)."""
     sh = _doc_shingles(df, text_col, id_col, k)
-    sizes = sh.select("doc", F.size("shingles").alias("n_shingles"))
     exploded = sh.select("doc", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        # The hot set is tiny (only shingles above the cap) → broadcast
+        # anti-join; the df count itself is one partial-aggregated
+        # shuffle of (shingle, count), never rows.
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(
+            F.broadcast(hot), on="shingle", how="left_anti"
+        )
+        sizes = exploded.groupBy("doc").agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        )
+    else:
+        sizes = sh.select("doc", F.size("shingles").alias("n_shingles"))
     inter = (
         exploded.alias("a")
         .join(exploded.alias("b"),

@@ -76,13 +76,30 @@ class Project:
         with open(cfg_path) as fh:
             self.model = ProjectModel.model_validate(yaml.safe_load(fh))
         self.defaults = self.model.merge_defaults(profile)
-        if spark is None:
-            from drune_spark.session import get_spark
-            spark = get_spark(self.model.name,
-                              options=self.defaults.engine.options)
-        self.spark = spark
+        self._spark = spark
 
-    def pipeline(self, name: str) -> "Pipeline":
+    @property
+    def spark(self) -> SparkSession:
+        """Lazy: config-only operations (``drune validate``) must not pay
+        JVM startup — the session materializes on first execution use."""
+        if self._spark is None:
+            from drune_spark.session import get_spark
+            self._spark = get_spark(self.model.name,
+                                    options=self.defaults.engine.options)
+        return self._spark
+
+    def pipeline_names(self) -> list[str]:
+        pipelines_dir = self.defaults.paths.get("pipelines", "pipelines")
+        root = os.path.join(self.project_dir, pipelines_dir)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            n for n in os.listdir(root)
+            if os.path.isdir(os.path.join(root, n))
+        )
+
+    def load_pipeline_model(self, name: str) -> PipelineModel:
+        """Config load + validation only — no SparkSession, no execution."""
         pipelines_dir = self.defaults.paths.get("pipelines", "pipelines")
         pdir = os.path.join(self.project_dir, pipelines_dir, name)
         raw = _merge_yaml_dir(pdir)
@@ -97,7 +114,10 @@ class Project:
             raw["defaults"],
         )
         raw = _interpolate(raw, self.defaults.vars)
-        model = PipelineModel.model_validate(raw)
+        return PipelineModel.model_validate(raw)
+
+    def pipeline(self, name: str) -> "Pipeline":
+        model = self.load_pipeline_model(name)
         return Pipeline(self.spark, model,
                         failed_records_path=self.model.logging.failed_records_path)
 

@@ -49,6 +49,37 @@ class TestDedup:
         assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
         assert (1, 4) not in pairs
 
+    def test_jaccard_hot_shingle_cap(self, spark):
+        """A shingle shared by every doc (the m² join-row skew source)
+        is dropped by the df cap without losing the pairs that hinge on
+        rare shingles; a generous cap reproduces the exact result."""
+        hot = "the cat sat on"  # 2 shingles, in every doc
+        rows = [(i, f"{hot} mat number {i}") for i in range(1, 11)]
+        rows += [(11, "alpha beta gamma delta epsilon"),
+                 (12, "alpha beta gamma delta zeta")]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        exact = {(r.id_a, r.id_b): r.jaccard
+                 for r in ngram_jaccard_pairs(docs, "text", "doc_id",
+                                              threshold=0.3).collect()}
+        capped = {(r.id_a, r.id_b): r.jaccard
+                  for r in ngram_jaccard_pairs(docs, "text", "doc_id",
+                                               threshold=0.3,
+                                               max_shingle_df=5).collect()}
+        # The rare-shingle pair survives the cap with a HIGHER jaccard
+        # (its shared shingles are rare; only its universe shrank).
+        assert (11, 12) in exact and (11, 12) in capped
+        assert capped[(11, 12)] >= exact[(11, 12)]
+        # Pairs held together ONLY by the hot shingles disappear.
+        assert any(a <= 10 and b <= 10 for a, b in exact)
+        assert not any(a <= 10 and b <= 10 for a, b in capped)
+        # A cap above the max document frequency is exact.
+        loose = {(r.id_a, r.id_b): r.jaccard
+                 for r in ngram_jaccard_pairs(docs, "text", "doc_id",
+                                              threshold=0.3,
+                                              max_shingle_df=1000).collect()}
+        assert loose == exact
+
     def test_minhash_lsh_recall_of_exact_pairs(self, spark, docs):
         cands = {(r.id_a, r.id_b)
                  for r in minhash_lsh_pairs(docs, "text", "doc_id",

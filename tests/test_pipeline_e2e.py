@@ -132,6 +132,72 @@ test:
         bad = runner.invoke(cli_mod.cli, ["test", "p1", "--project", str(proj)])
         assert bad.exit_code != 0
 
+    def test_cli_validate_good_and_bad(self, tmp_path):
+        """`drune-spark validate`: config-only check, no execution — a
+        valid pipeline passes, bad rule/step/target configs are each
+        reported with exit code 1, and no SparkSession is required."""
+        from drune_spark import cli as cli_mod
+
+        proj = tmp_path / "proj"
+        (proj / "pipelines" / "good").mkdir(parents=True)
+        (proj / "drune.yml").write_text(
+            "name: vproj\ndefaults:\n  engine: {name: spark}\n"
+            "  paths: {pipelines: pipelines}\n")
+        good_yaml = """
+pipeline_name: good
+sources:
+  - name: s
+    type: file
+    format: csv
+    path: /tmp/nonexistent.csv
+    schema:
+      columns:
+        - name: a
+          type: int
+          constraints:
+            - rule: "isbetween:[0, 10]"
+              on_fail: drop
+steps:
+  - name: f
+    type: filter
+    params: {where: "a > 0"}
+target:
+  name: out
+  type: file
+  path: /tmp/out
+"""
+        (proj / "pipelines" / "good" / "pipeline.yml").write_text(good_yaml)
+        runner = CliRunner()
+        ok = runner.invoke(cli_mod.cli, ["validate", "good",
+                                         "--project", str(proj)])
+        assert ok.exit_code == 0, ok.output
+        assert "ok good" in ok.output
+
+        (proj / "pipelines" / "bad").mkdir(parents=True)
+        (proj / "pipelines" / "bad" / "pipeline.yml").write_text(
+            good_yaml.replace("pipeline_name: good", "pipeline_name: bad")
+                     .replace("isbetween:[0, 10]", "no_such_rule:[1]")
+                     .replace("type: filter", "type: no_such_step")
+        )
+        bad = runner.invoke(cli_mod.cli, ["validate", "bad",
+                                          "--project", str(proj)])
+        assert bad.exit_code == 1
+        assert "no_such_rule" in bad.output and "no_such_step" in bad.output
+
+        # No name -> validates all; the bad one fails the run.
+        both = runner.invoke(cli_mod.cli, ["validate", "--project", str(proj)])
+        assert both.exit_code == 1
+        assert "ok good" in both.output and "INVALID bad" in both.output
+
+        # Broken YAML shape (pydantic) is also caught, not a traceback.
+        (proj / "pipelines" / "shape").mkdir(parents=True)
+        (proj / "pipelines" / "shape" / "pipeline.yml").write_text(
+            "pipeline_name: shape\nsources: {not: a_list}\n")
+        shape = runner.invoke(cli_mod.cli, ["validate", "shape",
+                                            "--project", str(proj)])
+        assert shape.exit_code == 1
+        assert "INVALID shape" in shape.output
+
     def test_cli_init(self, tmp_path):
         from drune_spark import cli as cli_mod
 
