@@ -447,6 +447,141 @@ def q_w6_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w1_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 file write exposed to the gate: write a deterministic projection
+    through write_target (safe-overwrite path), read the files back,
+    return the content. The oracle recomputes the projection straight
+    from `orders` — a hash match proves the sink round-trips schema and
+    values faithfully (and is order-independent of when the oracle
+    runs, since it never reads the written files)."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.config.models import TargetSpec
+    from drune_spark.sinks.writers import write_target
+
+    orders = _t(spark, sf_dir, "orders")
+    out = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").cast("double").alias("vl_total"),
+    )
+    path = tempfile.mkdtemp(prefix="drune_gate_w1_") + "/out.parquet"
+    write_target(spark, out, TargetSpec(
+        name="w1", type="file", format="parquet", path=path, mode="overwrite",
+    ))
+    return spark.read.parquet(path).select("o_orderkey", "st", "vl_total")
+
+
+def q_w3_replace_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 overwrite_partition semantics through the real writer: a full
+    partitioned write, then a dynamic partition overwrite replacing ONLY
+    the st='O' partition with doubled totals. Read-back must show 'O'
+    rows doubled and every other partition untouched."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.config.models import SchemaSpec, TargetSpec
+    from drune_spark.sinks.writers import write_target
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("vl_total"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    path = tempfile.mkdtemp(prefix="drune_gate_w3_") + "/t.parquet"
+    part_schema = SchemaSpec(partition_by=["st"])
+    write_target(spark, base, TargetSpec(
+        name="w3", type="file", format="parquet", path=path,
+        mode="overwrite", schema=part_schema,
+    ))
+    incoming = base.filter(F.col("st") == "O").withColumn(
+        "vl_total", F.col("vl_total") * 2
+    )
+    write_target(spark, incoming, TargetSpec(
+        name="w3", type="file", format="parquet", path=path,
+        mode="overwrite_partition", overwrite_condition="st = 'O'",
+        schema=part_schema,
+    ))
+    return spark.read.parquet(path).select(
+        "o_orderkey", "vl_total", F.col("st").cast("string").alias("st")
+    )
+
+
+def q_w4_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 partitioned write + pruned read-back: write partitioned by
+    status, read back ONE partition. The filter on the partition column
+    prunes directories at scan time (PartitionFilters, pinned in
+    tests/test_plans.py) — the 100 TB reason to partition at all."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.config.models import SchemaSpec, TargetSpec
+    from drune_spark.sinks.writers import write_target
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("vl_total"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    path = tempfile.mkdtemp(prefix="drune_gate_w4_") + "/t.parquet"
+    write_target(spark, base, TargetSpec(
+        name="w4", type="file", format="parquet", path=path,
+        mode="overwrite", schema=SchemaSpec(partition_by=["st"]),
+    ))
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("st") == "F")
+        .select("o_orderkey", "vl_total", F.col("st").cast("string").alias("st"))
+    )
+
+
+def q_d1_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 create-table DDL + W2 table write + catalog scan: CREATE TABLE
+    from a declared schema (build_create_ddl), append through the real
+    writer, read back via the catalog. Control timestamp columns are
+    NULL (determinism) and excluded from the output."""
+    _tune(spark)
+    from drune_spark.catalog.ddl import create_table
+    from drune_spark.config.models import ColumnSpec, SchemaSpec, TargetSpec
+    from drune_spark.sinks.writers import write_target
+
+    spark.sql("DROP TABLE IF EXISTS gate_d1_tbl")
+    # A previous SESSION may have left the managed-table directory behind
+    # while this session's catalog has no such table (DROP no-ops) —
+    # CREATE would then fail with LOCATION_ALREADY_EXISTS.
+    from drune_spark.sinks.writers import _fs_delete, _fs_exists
+    loc = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).rstrip("/") + "/gate_d1_tbl"
+    if _fs_exists(spark, loc):
+        _fs_delete(spark, loc)
+    schema = SchemaSpec(columns=[
+        ColumnSpec(name="cd_order", type="long"),
+        ColumnSpec(name="st", type="str"),
+        ColumnSpec(name="vl_total", type="double"),
+    ])
+    spec = TargetSpec(name="d1", type="table", table_name="gate_d1_tbl",
+                      format="parquet", mode="append", schema=schema)
+    create_table(spark, spec)
+    orders = _t(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.col("o_orderkey").alias("cd_order"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").cast("double").alias("vl_total"),
+        F.sha2(F.concat_ws("||", F.col("o_orderkey").cast("string")), 256)
+         .alias("hash_key"),
+        F.lit(None).cast("timestamp").alias("updated_at"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+    )
+    write_target(spark, rows, spec)
+    return spark.read.table("gate_d1_tbl").select(
+        "cd_order", "st", "vl_total", "hash_key"
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= 0.4) —
     brute-force all-pairs at audit scale; LSH (ann_lsh) is the scale
@@ -812,6 +947,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_topn_per_group": q_w4_topn_per_group,
         "w5_merge_upsert": q_w5_merge_upsert,
         "w6_scd2": q_w6_scd2,
+        "w1_file_roundtrip": q_w1_file_roundtrip,
+        "w3_replace_partition": q_w3_replace_partition,
+        "w4_partitioned_write": q_w4_partitioned_write,
+        "d1_ddl_roundtrip": q_d1_ddl_roundtrip,
         "q2_sql_chain": q_q2_sql_chain,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -918,6 +1057,31 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
                 FROM orders
             ) WHERE rn <= 3
+        """,
+        "w1_file_roundtrip": """
+            SELECT o_orderkey, o_orderstatus AS st,
+                   CAST(o_totalprice AS DOUBLE) AS vl_total
+            FROM orders
+        """,
+        "w3_replace_partition": """
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) * 2 AS vl_total,
+                   o_orderstatus AS st
+            FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS vl_total,
+                   o_orderstatus AS st
+            FROM orders WHERE o_orderstatus <> 'O'
+        """,
+        "w4_partitioned_write": """
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS vl_total,
+                   o_orderstatus AS st
+            FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "d1_ddl_roundtrip": """
+            SELECT o_orderkey AS cd_order, o_orderstatus AS st,
+                   CAST(o_totalprice AS DOUBLE) AS vl_total,
+                   sha256(CAST(o_orderkey AS VARCHAR)) AS hash_key
+            FROM orders
         """,
         "w5_merge_upsert": """
             SELECT o_orderkey, CAST(o_totalprice * 3 AS DOUBLE) AS vl_total

@@ -107,6 +107,17 @@ class TestPlans:
         # Exactly one hash shuffle: the final argmax merge.
         assert plan.count("Exchange hashpartitioning") == 1
 
+    def test_partitioned_readback_prunes_partitions(self, spark, entry):
+        """The w4 gate query's partition-column filter must prune
+        directories at scan time, not filter rows post-read."""
+        plan = full_plan(entry.q_w4_partitioned_write(spark, SF))
+        pf = plan.split("PartitionFilters:")[1][:200]
+        assert "st" in pf
+        # The pruned scan reads data columns only — st comes from the
+        # directory structure, never from row groups.
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "vl_total" in read_schema and "st:" not in read_schema
+
     def test_quality_flags_no_shuffle(self, spark):
         """Non-`unique` constraints must stay narrow (flag columns fused
         into the scan stage)."""
