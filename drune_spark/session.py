@@ -18,6 +18,12 @@ from typing import Any, Optional
 
 from pyspark.sql import SparkSession
 
+try:  # Feature flag: containers with delta-spark get Delta SQL support.
+    import delta  # type: ignore  # noqa: F401
+    HAS_DELTA = True
+except ImportError:
+    HAS_DELTA = False
+
 DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -38,6 +44,18 @@ def get_spark(
         master or f"local[{cpus}]"
     )
     conf = {**DEFAULT_CONF, **(options or {})}
+    if HAS_DELTA:
+        # Auto-enable Delta when delta-spark is installed: the writers'
+        # merge/replaceWhere/RESTORE fast paths (sinks/writers.py
+        # HAS_DELTA) and the skipif-gated Delta tests flip on with it.
+        conf.setdefault(
+            "spark.sql.extensions",
+            "io.delta.sql.DeltaSparkSessionExtension",
+        )
+        conf.setdefault(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
     for key, value in conf.items():
         builder = builder.config(key, str(value))
     return builder.getOrCreate()

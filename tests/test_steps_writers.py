@@ -224,3 +224,56 @@ class TestWriters:
         state2 = spark.read.parquet(tgt.path)
         assert state2.count() == n_before
         assert state2.filter("is_current").count() == 3
+
+
+class TestDeltaFastPaths:
+    """Delta-only behavior, auto-enabled when delta-spark is installed
+    (drune_spark.session.HAS_DELTA drives both the session extensions
+    and these markers). In containers without Delta these skip — the
+    parquet fallbacks above cover the same semantics."""
+
+    pytestmark = pytest.mark.skipif(
+        not __import__("drune_spark.session", fromlist=["HAS_DELTA"]).HAS_DELTA,
+        reason="delta-spark not installed",
+    )
+
+    def _delta_target(self, tmp_path, name="d", **kw):
+        return TargetSpec(name=name, type="file", format="delta",
+                          path=os.path.join(str(tmp_path), name), **kw)
+
+    def test_delta_table_merge(self, spark):
+        from drune_spark.plans.schema_apply import add_hash_key
+        spark.sql("DROP TABLE IF EXISTS delta_m_tbl")
+        tgt = TargetSpec(name="dm", type="table", table_name="delta_m_tbl",
+                         format="delta")
+        base = add_hash_key(
+            spark.createDataFrame([(1, "a"), (2, "b")], ["pk", "val"]), ["pk"])
+        write_target(spark, base, tgt)
+        incoming = add_hash_key(
+            spark.createDataFrame([(2, "B"), (3, "c")], ["pk", "val"]), ["pk"])
+        merge_upsert(spark, incoming, tgt)
+        rows = {r.pk: r.val for r in spark.read.table("delta_m_tbl").collect()}
+        assert rows == {1: "a", 2: "B", 3: "c"}
+        spark.sql("DROP TABLE IF EXISTS delta_m_tbl")
+
+    def test_delta_replace_where(self, spark, tmp_path):
+        from drune_spark.config.models import SchemaSpec
+        tgt = self._delta_target(tmp_path, mode="overwrite_partition",
+                                 overwrite_condition="part = 'a'")
+        tgt.schema_ = SchemaSpec(partition_by=["part"])
+        df1 = spark.createDataFrame([("a", 1), ("b", 2)], ["part", "v"])
+        write_target(spark, df1, tgt.model_copy(update={"mode": "overwrite"}))
+        df2 = spark.createDataFrame([("a", 10)], ["part", "v"])
+        write_target(spark, df2, tgt)
+        rows = {(r.part, r.v)
+                for r in spark.read.format("delta").load(tgt.path).collect()}
+        assert rows == {("a", 10), ("b", 2)}
+
+    def test_delta_time_travel_restore(self, spark, tmp_path):
+        path = os.path.join(str(tmp_path), "tt")
+        spark.range(3).write.format("delta").save(path)
+        spark.range(5).write.format("delta").mode("overwrite").save(path)
+        v0 = spark.read.format("delta").option("versionAsOf", 0).load(path)
+        assert v0.count() == 3
+        spark.sql(f"RESTORE TABLE delta.`{path}` TO VERSION AS OF 0")
+        assert spark.read.format("delta").load(path).count() == 3
