@@ -447,6 +447,76 @@ def q_w6_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 CSV scan through read_source (header + inferSchema options +
+    expected_columns width guard): customer projected to CSV, read back,
+    explicitly cast (inference-independent). Java's Double.toString /
+    parse round-trips doubles exactly, so the oracle recomputes from the
+    original table."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.config.models import SourceSpec
+    from drune_spark.sources.readers import read_source
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    path = tempfile.mkdtemp(prefix="drune_gate_s1_") + "/c.csv"
+    cust.write.mode("overwrite").option("header", "true").csv(path)
+    df = read_source(spark, SourceSpec(
+        name="s1", type="file", format="csv", path=path,
+        options={"header": "true", "inferSchema": "true"},
+        expected_columns=3,
+    ))
+    return df.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_name").cast("string").alias("c_name"),
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+
+
+def q_s2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 JSON scan through read_source: orders projected to JSON lines,
+    read back with schema inference, cast explicitly."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.config.models import SourceSpec
+    from drune_spark.sources.readers import read_source
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").cast("double").alias("vl_total"),
+    )
+    path = tempfile.mkdtemp(prefix="drune_gate_s2_") + "/o.json"
+    orders.write.mode("overwrite").json(path)
+    df = read_source(spark, SourceSpec(
+        name="s2", type="file", format="json", path=path, expected_columns=3,
+    ))
+    return df.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("st").cast("string").alias("st"),
+        F.col("vl_total").cast("double").alias("vl_total"),
+    )
+
+
+def q_s6_sql_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 SQL-query source: read_source(type='sql') over a registered
+    view — the reference's dependency-view source path."""
+    _tune(spark)
+    from drune_spark.config.models import SourceSpec
+    from drune_spark.sources.readers import read_source
+
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("s6_nation")
+    return read_source(spark, SourceSpec(
+        name="s6", type="sql",
+        query="SELECT n_nationkey, n_name, n_regionkey FROM s6_nation "
+              "WHERE n_regionkey IN (1, 2)",
+    ))
+
+
 def q_w1_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 file write exposed to the gate: write a deterministic projection
     through write_target (safe-overwrite path), read the files back,
@@ -947,6 +1017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_topn_per_group": q_w4_topn_per_group,
         "w5_merge_upsert": q_w5_merge_upsert,
         "w6_scd2": q_w6_scd2,
+        "s1_csv_roundtrip": q_s1_csv_roundtrip,
+        "s2_json_roundtrip": q_s2_json_roundtrip,
+        "s6_sql_source": q_s6_sql_source,
         "w1_file_roundtrip": q_w1_file_roundtrip,
         "w3_replace_partition": q_w3_replace_partition,
         "w4_partitioned_write": q_w4_partitioned_write,
@@ -1057,6 +1130,19 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
                 FROM orders
             ) WHERE rn <= 3
+        """,
+        "s1_csv_roundtrip": """
+            SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+            FROM customer
+        """,
+        "s2_json_roundtrip": """
+            SELECT o_orderkey, o_orderstatus AS st,
+                   CAST(o_totalprice AS DOUBLE) AS vl_total
+            FROM orders
+        """,
+        "s6_sql_source": """
+            SELECT n_nationkey, n_name, n_regionkey
+            FROM nation WHERE n_regionkey IN (1, 2)
         """,
         "w1_file_roundtrip": """
             SELECT o_orderkey, o_orderstatus AS st,
