@@ -652,6 +652,77 @@ def q_d1_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w7_validation_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7/W8 failure-log sink exposed to the gate: run a drop constraint,
+    write the consolidated failure log through write_validation_log,
+    read the sink back. failed_value comes from a DECIMAL column so the
+    string form is engine-deterministic; the volatile log_timestamp is
+    excluded."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.config.models import ColumnSpec, ConstraintSpec, SchemaSpec
+    from drune_spark.plans.schema_apply import apply_schema
+    from drune_spark.quality.manager import apply_constraints
+    from drune_spark.sinks.writers import write_validation_log
+
+    schema = SchemaSpec(columns=[
+        ColumnSpec(name="cd_customer", from_="c_custkey", type="long"),
+        ColumnSpec(name="vl_bal", from_="c_acctbal", type="decimal(12,2)",
+                   constraints=[ConstraintSpec(
+                       rule="greater_than_or_equal_to:0", on_fail="drop")]),
+    ])
+    cust = apply_schema(_t(spark, sf_dir, "customer"), schema)
+    res = apply_constraints(cust, schema, pipeline_name="w7")
+    path = tempfile.mkdtemp(prefix="drune_gate_w7_") + "/log.parquet"
+    write_validation_log(spark, res.failures, path)
+    out = spark.read.parquet(path).select(
+        "pipeline_name", "validation_rule", "failed_column", "failed_value"
+    )
+    res.unpersist()
+    return out
+
+
+def q_d2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 update-table: CREATE with one data column, evolve via
+    update_table (ADD COLUMNS diff), append rows carrying the new
+    column, read back — the output only exists if the evolution DDL
+    actually ran."""
+    _tune(spark)
+    from drune_spark.catalog.ddl import create_table, update_table
+    from drune_spark.config.models import ColumnSpec, SchemaSpec, TargetSpec
+    from drune_spark.sinks.writers import _fs_delete, _fs_exists, write_target
+
+    spark.sql("DROP TABLE IF EXISTS gate_d2_tbl")
+    loc = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).rstrip("/") + "/gate_d2_tbl"
+    if _fs_exists(spark, loc):
+        _fs_delete(spark, loc)
+    v1 = SchemaSpec(columns=[ColumnSpec(name="cd_order", type="long")])
+    spec_v1 = TargetSpec(name="d2", type="table", table_name="gate_d2_tbl",
+                         format="parquet", mode="append", schema=v1)
+    create_table(spark, spec_v1)
+    v2 = SchemaSpec(columns=[
+        ColumnSpec(name="cd_order", type="long"),
+        ColumnSpec(name="st", type="str"),
+    ])
+    spec_v2 = spec_v1.model_copy(update={"schema_": v2})
+    stmts = update_table(spark, spec_v2)
+    assert stmts, "schema evolution produced no DDL"
+    orders = _t(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.col("o_orderkey").alias("cd_order"),
+        F.col("o_orderstatus").alias("st"),
+        F.sha2(F.concat_ws("||", F.col("o_orderkey").cast("string")), 256)
+         .alias("hash_key"),
+        F.lit(None).cast("timestamp").alias("updated_at"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+    )
+    write_target(spark, rows, spec_v2)
+    return spark.read.table("gate_d2_tbl").select("cd_order", "st")
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= 0.4) —
     brute-force all-pairs at audit scale; LSH (ann_lsh) is the scale
@@ -1024,6 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_replace_partition": q_w3_replace_partition,
         "w4_partitioned_write": q_w4_partitioned_write,
         "d1_ddl_roundtrip": q_d1_ddl_roundtrip,
+        "w7_validation_log": q_w7_validation_log,
+        "d2_schema_evolution": q_d2_schema_evolution,
         "q2_sql_chain": q_q2_sql_chain,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1168,6 +1241,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_totalprice AS DOUBLE) AS vl_total,
                    sha256(CAST(o_orderkey AS VARCHAR)) AS hash_key
             FROM orders
+        """,
+        "w7_validation_log": """
+            SELECT 'w7' AS pipeline_name,
+                   'greater_than_or_equal_to:0' AS validation_rule,
+                   'vl_bal' AS failed_column,
+                   CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+                       AS failed_value
+            FROM customer
+            WHERE CAST(c_acctbal AS DECIMAL(12,2)) < 0
+        """,
+        "d2_schema_evolution": """
+            SELECT o_orderkey AS cd_order, o_orderstatus AS st FROM orders
         """,
         "w5_merge_upsert": """
             SELECT o_orderkey, CAST(o_totalprice * 3 AS DOUBLE) AS vl_total
