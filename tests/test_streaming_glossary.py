@@ -222,3 +222,68 @@ class TestGlossary:
             glossary.compile_sql("orders", ["n_orders"], segment="nope")
         with pytest.raises(KeyError):
             glossary.compile_sql("orders", ["n_orders"], group_by=["o_custkey"])
+
+
+class TestNl2Sql:
+    @pytest.fixture()
+    def engine(self, spark, tmp_path):
+        from drune_spark.ai import NLQueryEngine
+        from drune_spark.glossary import Glossary
+
+        path = tmp_path / "glossary.yml"
+        path.write_text(GLOSSARY_YAML)
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        orders.createOrReplaceTempView("g_orders")
+        return NLQueryEngine(Glossary.from_yaml(str(path)))
+
+    def test_metric_segment_dimension_question(self, spark, engine):
+        q = "total revenue by order priority for open orders"
+        parsed = engine.parse(q)
+        assert parsed.concept == "orders"
+        assert parsed.metrics == ["total_revenue"]
+        assert parsed.segment == "open"
+        assert parsed.group_by == ["o_orderpriority"]
+        rows = {r.o_orderpriority: r.total_revenue
+                for r in engine.ask(spark, q).collect()}
+        expected = {
+            r.o_orderpriority: r.tr
+            for r in spark.sql(
+                "SELECT o_orderpriority, CAST(SUM(CAST(o_totalprice AS "
+                "DECIMAL(18,2))) AS DOUBLE) tr FROM g_orders "
+                "WHERE o_orderstatus='O' GROUP BY o_orderpriority").collect()
+        }
+        assert rows == expected
+
+    def test_count_intent_maps_to_count_metric(self, spark, engine):
+        parsed = engine.parse("how many orders are there")
+        assert parsed.metrics == ["n_orders"]
+        assert engine.ask(spark, "how many orders").collect()[0].n_orders == \
+            spark.table("g_orders").count()
+
+    def test_top_k_orders_by_metric(self, spark, engine):
+        parsed = engine.parse("top 2 order priorities by total revenue")
+        assert parsed.limit == 2 and parsed.group_by == ["o_orderpriority"]
+        out = engine.ask(spark, "top 2 order priorities by total revenue")
+        rows = out.collect()
+        assert len(rows) == 2
+        assert rows[0].total_revenue >= rows[1].total_revenue
+
+    def test_unresolvable_questions_raise(self, engine):
+        from drune_spark.ai import NLQueryError
+        with pytest.raises(NLQueryError, match="no glossary concept"):
+            engine.parse("weather in paris tomorrow")
+        with pytest.raises(NLQueryError, match="no metric"):
+            engine.parse("orders something unknowable")
+        with pytest.raises(NLQueryError, match="needs a dimension"):
+            engine.parse("top 5 orders total revenue")
+
+    def test_llm_hook_is_validated(self, engine):
+        from drune_spark.ai import NLQueryEngine, NLQueryError
+        rogue = NLQueryEngine(engine.glossary,
+                              llm_fn=lambda q, hint: "SELECT * FROM secrets")
+        with pytest.raises(NLQueryError, match="undeclared tables"):
+            rogue.to_sql("total revenue")
+        ok = NLQueryEngine(engine.glossary,
+                           llm_fn=lambda q, hint:
+                           "SELECT COUNT(*) AS n FROM g_orders")
+        assert ok.to_sql("how many orders") == "SELECT COUNT(*) AS n FROM g_orders"
