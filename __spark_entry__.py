@@ -517,6 +517,48 @@ def q_s6_sql_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+def q_s4_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 generic DSv2 format scan: read_source is format-agnostic — any
+    format string reaches spark.read.format(...). Proven here with ORC
+    (present in every Spark distribution)."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.config.models import SourceSpec
+    from drune_spark.sources.readers import read_source
+
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = tempfile.mkdtemp(prefix="drune_gate_s4_") + "/n.orc"
+    nation.write.mode("overwrite").orc(path)
+    return read_source(spark, SourceSpec(
+        name="s4", type="file", format="orc", path=path, expected_columns=3,
+    )).select("n_nationkey", "n_name", "n_regionkey")
+
+
+def q_w9_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 safe write / rollback (declared-but-unimplemented in the
+    reference): overwrite v1 with v2, roll back, read back — the result
+    must be v1's content, recomputable by the oracle from `nation`."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.config.models import TargetSpec
+    from drune_spark.sinks.writers import rollback, write_target
+
+    nation = _t(spark, sf_dir, "nation")
+    v1 = nation.select("n_nationkey", "n_name")
+    v2 = nation.select("n_nationkey", F.upper("n_name").alias("n_name"))
+    path = tempfile.mkdtemp(prefix="drune_gate_w9_") + "/n.parquet"
+    spec = TargetSpec(name="w9", type="file", format="parquet",
+                      path=path, mode="overwrite")
+    write_target(spark, v1, spec)
+    write_target(spark, v2, spec)
+    rollback(path, spark)
+    return spark.read.parquet(path).select("n_nationkey", "n_name")
+
+
 def q_w1_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 file write exposed to the gate: write a deterministic projection
     through write_target (safe-overwrite path), read the files back,
@@ -1089,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_merge_upsert": q_w5_merge_upsert,
         "w6_scd2": q_w6_scd2,
         "s1_csv_roundtrip": q_s1_csv_roundtrip,
+        "s4_orc_roundtrip": q_s4_orc_roundtrip,
+        "w9_rollback": q_w9_rollback,
         "s2_json_roundtrip": q_s2_json_roundtrip,
         "s6_sql_source": q_s6_sql_source,
         "w1_file_roundtrip": q_w1_file_roundtrip,
@@ -1203,6 +1247,12 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
                 FROM orders
             ) WHERE rn <= 3
+        """,
+        "s4_orc_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "w9_rollback": """
+            SELECT n_nationkey, n_name FROM nation
         """,
         "s1_csv_roundtrip": """
             SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal

@@ -14,7 +14,12 @@ driver hash failures (DuckDB HUGEINT vs Spark BIGINT).  A pass here now
 implies the value TYPES align exactly, which hash-matches under any sane
 driver canonicalization.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--hostile] [sf_dir] [query ...]
+
+``--hostile`` simulates the external driver's session BEFORE the sweep:
+non-UTC timezone, AQE off, 200 shuffle partitions. Every query's
+``tune_session`` must absorb it — run this after touching session/
+timezone-sensitive code.
 """
 
 from __future__ import annotations
@@ -78,13 +83,28 @@ def fetch_duckdb_arrow(con, sql: str) -> tuple[list[str], list[tuple]]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    hostile = "--hostile" in args
+    if hostile:
+        args.remove("--hostile")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from drune_spark.session import get_spark
 
-    spark = get_spark("oracle_check")
+    if hostile:
+        from pyspark.sql import SparkSession
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle_check_hostile")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.sql.shuffle.partitions", "200")
+            .config("spark.sql.adaptive.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for table in ("region nation customer supplier part orders lineitem "
                   "events documents embeddings").split():
