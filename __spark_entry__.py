@@ -1009,6 +1009,22 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN search: 5 queries probe their 4 nearest of 16
+    coarse cells and score only those cells' vectors — the partition-
+    pruned search path over the ann_ivf_assign layout. Deterministic
+    cosines + id tie-breaks → exact oracle."""
+    _tune(spark)
+    from drune_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").withColumnRenamed("vec_id", "query_id")
+    out = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     from drune_spark.operators.text_analysis import text_profile
@@ -1157,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf_assign": q_ann_ivf_assign,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1657,6 +1674,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
                    round(cs, 6) AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            c AS (
+                SELECT vec_id AS centroid_id, v AS cv FROM e
+                ORDER BY vec_id LIMIT 16
+            ),
+            assigned AS (
+                SELECT neighbor_id, v, centroid_id FROM (
+                    SELECT e.vec_id AS neighbor_id, e.v, c.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                        c.centroid_id ASC) AS rn
+                    FROM e, c
+                ) WHERE rn = 1
+            ),
+            probes AS (
+                SELECT query_id, qv, centroid_id FROM (
+                    SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+                                        c.centroid_id ASC) AS rn
+                    FROM e q, c
+                    WHERE q.vec_id < 5
+                ) WHERE rn <= 4
+            ),
+            scored AS (
+                SELECT p.query_id, a.neighbor_id,
+                       list_cosine_similarity(a.v, p.qv) AS cosine
+                FROM assigned a JOIN probes p USING (centroid_id)
+                WHERE a.neighbor_id <> p.query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rank <= 5
         """,
         "ann_topk": """

@@ -151,6 +151,103 @@ def lsh_topk(
     return _topk_per_query(scored, k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN search: probe only the ``nprobe`` nearest coarse
+    cells per query. Returns (query_id, neighbor_id, rank, cosine).
+
+    The full partition-pruned layout ``ivf_assign`` sets up:
+
+    1. Centroids = first ``n_centroids`` vectors by id (TakeOrdered — see
+       ``ivf_assign``); a real deployment would k-means-refine these.
+    2. Corpus assignment: broadcast centroid join + map-side-partial
+       ``min(struct(-sim, centroid_id))`` argmax — one row per vector
+       crosses the one assignment shuffle, carrying (id, vec, cell).
+       At scale this happens once at WRITE time (corpus stored
+       partitioned/bucketed by ``centroid_id``), not per query.
+    3. Query probes: each query scores the (tiny, broadcast) centroid
+       table and keeps its ``nprobe`` best cells — rank-limit window over
+       queries only, never the corpus.
+    4. Candidate scoring: the assigned corpus joins ``broadcast(probes)``
+       on ``centroid_id`` — with a centroid-partitioned corpus table this
+       is partition pruning: only ``nprobe / n_centroids`` of the data is
+       read and scored. The corpus never shuffles in the search phase.
+    5. Exact top-k tail via the rank-limit pushdown plan (see
+       ``_topk_per_query``).
+
+    Deterministic: same sequential-fold cosine everywhere, ties break on
+    centroid_id / neighbor_id ascending → exact DuckDB oracle.
+    """
+    centroids = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            to_double_array(F.col(vec_col)).alias("centroid"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(F.col(vec_col)).alias("cvec"),
+    )
+    assigned = (
+        c.join(F.broadcast(centroids))
+        .select(
+            "neighbor_id",
+            "cvec",
+            "centroid_id",
+            cosine_similarity(F.col("cvec"), F.col("centroid")).alias("sim"),
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("sim")).alias("neg_sim"), F.col("centroid_id"))
+            ).alias("best"),
+            F.first("cvec").alias("cvec"),
+        )
+        .select(
+            "neighbor_id", F.col("best.centroid_id").alias("centroid_id"), "cvec"
+        )
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qvec"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qvec",
+            "centroid_id",
+            cosine_similarity(F.col("qvec"), F.col("centroid")).alias("qsim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("cvec"), F.col("qvec")).alias("cosine"),
+        )
+    )
+    return _topk_per_query(scored, k)
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 16,

@@ -107,6 +107,38 @@ class TestPlans:
         # Exactly one hash shuffle: the final argmax merge.
         assert plan.count("Exchange hashpartitioning") == 1
 
+    def test_ivf_topk_partition_pruned_search(self, spark):
+        """IVF search: centroid pick stays TakeOrdered, assignment argmax
+        stays a partial agg, probes broadcast into the corpus join on
+        centroid_id (the partition-pruning shape), and the exact top-k
+        tail keeps the rank-limit pushdown (Partial below the Exchange)."""
+        from pyspark.sql import functions as F
+
+        from drune_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        queries = emb.filter("vec_id < 5").withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        plan = executed_plan(ivf_topk(emb, queries, k=5, nprobe=4))
+        assert "TakeOrderedAndProject" in plan
+        assert "partial_min" in plan
+        # The search join: corpus probe-side is broadcast, keyed on the
+        # coarse cell — with a centroid-partitioned table this is the
+        # partition-pruned read.
+        assert "BroadcastHashJoin [centroid_id" in plan
+        # Rank-limit pushdown on the k=5 tail: Partial below the
+        # query_id shuffle, Final above (plan prints root-first).
+        lines = plan.splitlines()
+        partial = [i for i, l in enumerate(lines)
+                   if "row_number(), 5, Partial" in l]
+        final = [i for i, l in enumerate(lines)
+                 if "row_number(), 5, Final" in l]
+        exchange = [i for i, l in enumerate(lines)
+                    if "Exchange hashpartitioning(query_id" in l]
+        assert partial and final and exchange
+        assert final[0] < exchange[0] < partial[0]
+
     def test_partitioned_readback_prunes_partitions(self, spark, entry):
         """The w4 gate query's partition-column filter must prune
         directories at scan time, not filter rows post-read."""
