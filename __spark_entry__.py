@@ -1025,6 +1025,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rep_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality gate (Rae et al. 2021 app. A1.1,
+    adapted): per-doc dup-token fraction, top-2-gram char coverage,
+    dup-3-gram char fraction, avg token length — and the combined keep
+    flag. All narrow JVM array ops, one pass, zero shuffle; integer
+    arithmetic up to one final division → exact oracle."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import gopher_filter
+
+    return gopher_filter(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     from drune_spark.operators.text_analysis import text_profile
@@ -1174,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "rep_quality_filter": q_rep_quality_filter,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1744,6 +1757,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "rep_quality_filter": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, w,
+                       list_sum(list_transform(w, t -> length(t))) AS tc,
+                       list_transform(range(1, len(w)),
+                           i -> w[i] || ' ' || w[i+1]) AS g2,
+                       list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+                FROM base
+            ),
+            m AS (
+                SELECT doc_id,
+                       CAST(len(w) AS INTEGER) AS n_tokens,
+                       round(CAST(tc AS DOUBLE) / len(w), 6) AS avg_token_len,
+                       round(CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+                             / len(w), 6) AS dup_token_frac,
+                       CASE WHEN len(g2) > 0 AND tc > 0 THEN
+                           round(least(CAST(list_max(list_transform(g2,
+                               g -> len(list_filter(g2, x -> x = g))
+                                    * (length(g) - 1))) AS DOUBLE) / tc,
+                               1.0), 6)
+                       ELSE 0.0 END AS top_2gram_char_frac,
+                       CASE WHEN len(g3) > 0 AND tc > 0 THEN
+                           round(least(CAST(coalesce(list_sum(
+                               list_transform(g3,
+                                   g -> CASE WHEN len(list_filter(g3,
+                                           x -> x = g)) > 1
+                                        THEN length(g) - 2 ELSE 0 END)),
+                               0) AS DOUBLE) / tc, 1.0), 6)
+                       ELSE 0.0 END AS dup_3gram_char_frac
+                FROM g
+            )
+            SELECT *,
+                   (n_tokens BETWEEN 30 AND 100000
+                    AND avg_token_len BETWEEN 2.0 AND 12.0
+                    AND top_2gram_char_frac <= 0.10
+                    AND dup_3gram_char_frac <= 0.60) AS keep
+            FROM m
         """,
         "text_metrics": f"""
             WITH base AS (

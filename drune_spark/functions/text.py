@@ -105,3 +105,86 @@ def lang_id(col: Column) -> Column:
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, score).otherwise(best_score)
     return best_lang
+
+
+# --------------------------------------------------------------------------
+# Repetition metrics (Gopher/MassiveText-style quality heuristics)
+# --------------------------------------------------------------------------
+# All pure array higher-order functions: O(G^2) comparisons per document
+# where G = token count, entirely JVM-side and narrow — no shuffle, fuses
+# into the scan stage. G is bounded by document size, so per-row cost is
+# bounded; for books/megabyte documents switch to the explode+groupBy
+# formulation (same semantics, one (doc_id, gram) shuffle) instead.
+# Char fractions use token characters (separator spaces excluded) as the
+# denominator, and integer arithmetic up to one final double division —
+# bit-identical in any engine. Reference heuristics: Rae et al. 2021
+# (Gopher), app. A1.1 — thresholds adapted, not copied.
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams; empty array when the doc has < n
+    tokens. (Guarded: Spark's sequence(1, k) counts DOWN for k < 1.)"""
+    if n == 1:
+        return toks
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(sz >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_char_count(toks: Column) -> Column:
+    """Total characters across tokens (whitespace excluded)."""
+    return F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+
+
+def dup_token_frac(toks: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    (n - n_distinct) / n. 0 for empty docs."""
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(toks))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_char_frac(toks: Column, n: int) -> Column:
+    """Fraction of token characters covered by the single most-covering
+    word n-gram (count * gram char length / total token chars), capped
+    at 1.0 since overlapping occurrences are position-counted. Defined
+    as a max over grams of a number — no tie-break needed."""
+    grams = word_ngrams(toks, n)
+    chars = token_char_count(toks)
+    cover = F.transform(
+        grams,
+        lambda g: F.size(F.filter(grams, lambda x: x == g))
+        * (F.length(g) - F.lit(n - 1)),
+    )
+    return F.when(
+        (F.size(grams) > 0) & (chars > 0),
+        F.least(F.array_max(cover).cast("double") / chars, F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_char_frac(toks: Column, n: int) -> Column:
+    """Fraction of token characters sitting inside word n-grams that
+    occur more than once in the doc (position-weighted, capped at 1.0)."""
+    grams = word_ngrams(toks, n)
+    chars = token_char_count(toks)
+    contrib = F.transform(
+        grams,
+        lambda g: F.when(
+            F.size(F.filter(grams, lambda x: x == g)) > 1,
+            F.length(g) - F.lit(n - 1),
+        ).otherwise(F.lit(0)),
+    )
+    total = F.aggregate(contrib, F.lit(0), lambda acc, v: acc + v)
+    return F.when(
+        (F.size(grams) > 0) & (chars > 0),
+        F.least(total.cast("double") / chars, F.lit(1.0)),
+    ).otherwise(F.lit(0.0))

@@ -54,3 +54,78 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataF
         fingerprint_md5(t).alias("fingerprint"),
         rolling_min_fingerprint(t, k).alias("rolling_fingerprint"),
     )
+
+
+def repetition_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition metrics per document (word-level: this
+    corpus has no newlines; line-level metrics are the same machinery
+    over split(text, '\\n')). All narrow JVM array ops — one pass.
+
+    Reference heuristic set: Rae et al. 2021 (Gopher) app. A1.1;
+    reimagined as Spark column arithmetic (no counterpart in
+    /root/reference — driver-mandated LLM-data extension).
+    """
+    from drune_spark.functions.text import (
+        dup_ngram_char_frac,
+        dup_token_frac,
+        token_count,
+        tokens,
+        top_ngram_char_frac,
+    )
+
+    t = F.col(text_col)
+    w = tokens(t)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        F.round(dup_token_frac(w), 6).alias("dup_token_frac"),
+        F.round(top_ngram_char_frac(w, 1), 6).alias("top_unigram_char_frac"),
+        F.round(top_ngram_char_frac(w, 2), 6).alias("top_2gram_char_frac"),
+        F.round(dup_ngram_char_frac(w, 3), 6).alias("dup_3gram_char_frac"),
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    max_top_2gram_char_frac: float = 0.10,
+    max_dup_3gram_char_frac: float = 0.60,
+) -> DataFrame:
+    """Document-quality gate combining the repetition + shape heuristics:
+    returns (id, n_tokens, metrics..., keep). Filter on ``keep`` to get
+    the retained corpus; emitting the flag keeps both populations
+    auditable (and oracle-checkable). One narrow select — no join, no
+    shuffle; fuses into the scan like every other text op here."""
+    from drune_spark.functions.text import (
+        avg_token_length,
+        dup_ngram_char_frac,
+        dup_token_frac,
+        token_count,
+        tokens,
+        top_ngram_char_frac,
+    )
+
+    t = F.col(text_col)
+    w = tokens(t)
+    out = df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        F.round(avg_token_length(t), 6).alias("avg_token_len"),
+        F.round(dup_token_frac(w), 6).alias("dup_token_frac"),
+        F.round(top_ngram_char_frac(w, 2), 6).alias("top_2gram_char_frac"),
+        F.round(dup_ngram_char_frac(w, 3), 6).alias("dup_3gram_char_frac"),
+    )
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("avg_token_len") >= min_avg_token_len)
+        & (F.col("avg_token_len") <= max_avg_token_len)
+        & (F.col("top_2gram_char_frac") <= max_top_2gram_char_frac)
+        & (F.col("dup_3gram_char_frac") <= max_dup_3gram_char_frac)
+    )
+    return out.withColumn("keep", keep)

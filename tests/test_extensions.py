@@ -10,7 +10,12 @@ from drune_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from drune_spark.operators.similarity import brute_force_topk, ivf_assign, lsh_topk
+from drune_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    lsh_topk,
+)
 
 
 @pytest.fixture()
@@ -177,6 +182,79 @@ class TestSimilarity:
         out = ivf_assign(emb, n_centroids=4)
         assert out.count() == emb.count()
         assert out.select("centroid_id").distinct().count() <= 4
+
+    def test_ivf_topk_shape_and_probe_semantics(self, spark, emb):
+        queries = emb.filter("vec_id < 3") \
+            .withColumnRenamed("vec_id", "query_id")
+        out = ivf_topk(emb, queries, k=3, n_centroids=4, nprobe=2).collect()
+        by_q = {}
+        for r in out:
+            assert r.neighbor_id != r.query_id
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        assert all(sorted(v) == list(range(1, len(v) + 1))
+                   for v in by_q.values())
+
+    def test_ivf_topk_full_probe_equals_brute_force(self, spark, emb):
+        """nprobe == n_centroids means no pruning: results must equal the
+        exact brute-force top-k."""
+        queries = emb.filter("vec_id < 3") \
+            .withColumnRenamed("vec_id", "query_id")
+        ivf = {(r.query_id, r.neighbor_id, r.rank)
+               for r in ivf_topk(emb, queries, k=3, n_centroids=4,
+                                 nprobe=4).collect()}
+        exact = {(r.query_id, r.neighbor_id, r.rank)
+                 for r in brute_force_topk(emb, queries, k=3).collect()}
+        assert ivf == exact
+
+
+class TestRepetition:
+    def test_metrics_hand_computed(self, spark):
+        from drune_spark.operators.text_analysis import repetition_profile
+
+        df = spark.createDataFrame([(1, "a b a b c")], ["doc_id", "text"])
+        row = repetition_profile(df, "text", "doc_id").collect()[0]
+        # tokens a b a b c: n=5, distinct=3; token chars = 5
+        assert row.n_tokens == 5
+        assert row.dup_token_frac == 0.4
+        # top unigram: 'a' (or 'b') covers 2 chars → 0.4
+        assert row.top_unigram_char_frac == 0.4
+        # 2-grams: [a b, b a, a b, b c] — 'a b' ×2 × 2 chars = 4 → 0.8
+        assert row.top_2gram_char_frac == 0.8
+        # 3-grams all unique
+        assert row.dup_3gram_char_frac == 0.0
+
+    def test_dup_ngram_caps_at_one(self, spark):
+        from drune_spark.operators.text_analysis import repetition_profile
+
+        df = spark.createDataFrame([(1, "a b a b a")], ["doc_id", "text"])
+        row = repetition_profile(df, "text", "doc_id").collect()[0]
+        # 3-grams [a b a, b a b, a b a]: 'a b a' dup → 3+3 chars over 5 → cap
+        assert row.dup_3gram_char_frac == 1.0
+
+    def test_short_doc_degenerates_to_zero(self, spark):
+        from drune_spark.operators.text_analysis import repetition_profile
+
+        df = spark.createDataFrame([(1, "word")], ["doc_id", "text"])
+        row = repetition_profile(df, "text", "doc_id").collect()[0]
+        assert row.n_tokens == 1
+        assert row.dup_token_frac == 0.0
+        assert row.top_2gram_char_frac == 0.0
+        assert row.dup_3gram_char_frac == 0.0
+
+    def test_gopher_filter_splits_corpus_without_shuffle(self, spark):
+        from drune_spark.operators.text_analysis import gopher_filter
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        gf = gopher_filter(docs, "text", "doc_id")
+        counts = dict(
+            (r.keep, r["count"])
+            for r in gf.groupBy("keep").count().collect()
+        )
+        assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+        plan = gf._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
 
 
 class TestMultimodal:
