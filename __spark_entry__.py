@@ -1025,6 +1025,23 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture resampling with repetition: src0 ×2.5, src1
+    ×2.0, src2 ×0.4, everything else ×0.75 — floor copies via explode +
+    md5-hash-sampled partial epoch (deterministic, engine-portable, no
+    RNG). The corpus-mixing op of an LLM data pipeline; narrow plan."""
+    _tune(spark)
+    from drune_spark.operators.sampling import corpus_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus_mix(
+        docs, "source", "doc_id",
+        {"src0": 2.5, "src1": 2.0, "src2": 0.4},
+        default_weight=0.75,
+    )
+    return out.select("doc_id", "source", "copy_id")
+
+
 def q_rep_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality gate (Rae et al. 2021 app. A1.1,
     adapted): per-doc dup-token fraction, top-2-gram char coverage,
@@ -1187,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
         "rep_quality_filter": q_rep_quality_filter,
+        "corpus_mix": q_corpus_mix,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1757,6 +1775,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "corpus_mix": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 2
+                                   WHEN 'src2' THEN 0 ELSE 0 END AS floor_w,
+                       CASE source WHEN 'src0' THEN '8000'
+                                   WHEN 'src1' THEN '0000'
+                                   WHEN 'src2' THEN '6666'
+                                   ELSE 'c000' END AS thresh
+                FROM documents
+            ),
+            e AS (
+                SELECT doc_id, source, floor_w, thresh,
+                       unnest(range(0, floor_w + 1)) AS copy_id
+                FROM w
+            )
+            SELECT doc_id, source, CAST(copy_id AS INTEGER) AS copy_id
+            FROM e
+            WHERE copy_id < floor_w
+               OR substring(md5('e' || CAST(copy_id AS VARCHAR) || ':'
+                                || CAST(doc_id AS VARCHAR)), 1, 4) < thresh
         """,
         "rep_quality_filter": """
             WITH base AS (

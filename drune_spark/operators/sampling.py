@@ -84,3 +84,59 @@ def split_by_hash(
         out[name] = df.filter((bucket >= F.lit(lo_hex)) & (bucket < F.lit(hi_hex)))
         lo += frac
     return out
+
+
+def corpus_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "",
+    digits: int = 4,
+) -> DataFrame:
+    """Per-source mixture resampling with repetition (LLM corpus mixing).
+
+    Each source is resampled to ``weight`` expected epochs: weight 2.5
+    keeps every row twice (copy_id 0, 1) plus a deterministic 50%
+    hash-sample as a partial third epoch; weight 0.25 keeps a 25%
+    sample. The partial-epoch draw hashes (salt, copy_id, key) so
+    different epochs are independent, and — like everything in this
+    module — membership is reproducible across reruns, parallelism, and
+    engines.
+
+    Plan shape: one ``explode(sequence(...))`` (narrow, fan-out factor
+    ceil(weight) per row) + a filter — no shuffle, no RNG. Output =
+    input columns + ``copy_id``. At 100 TB the explode multiplies only
+    sources that are genuinely upsampled; downsampled sources are
+    filtered at the scan stage.
+    """
+    floor_w = F.lit(int(default_weight))
+    thresh = F.lit(
+        fraction_to_hex_threshold(default_weight - int(default_weight), digits)
+    )
+    for src, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for {src}")
+        cond = F.col(source_col) == src
+        floor_w = F.when(cond, F.lit(int(w))).otherwise(floor_w)
+        thresh = F.when(
+            cond, F.lit(fraction_to_hex_threshold(w - int(w), digits))
+        ).otherwise(thresh)
+    exploded = df.withColumn(
+        "copy_id", F.explode(F.sequence(F.lit(0), floor_w))
+    )
+    bucket = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(salt),
+                F.lit("e"),
+                F.col("copy_id").cast("string"),
+                F.lit(":"),
+                F.col(key_col).cast("string"),
+            )
+        ),
+        1,
+        digits,
+    )
+    return exploded.filter((F.col("copy_id") < floor_w) | (bucket < thresh))

@@ -41,3 +41,52 @@ class TestHashSampling:
         assert not (sets["val"] & sets["test"])
         assert len(sets["train"] | sets["val"] | sets["test"]) == 10000
         assert abs(len(sets["train"]) / 10000 - 0.8) < 0.02
+
+
+class TestCorpusMix:
+    def test_mix_counts_and_determinism(self, spark):
+        from drune_spark.operators.sampling import corpus_mix
+
+        rows = [(i, "a" if i < 400 else "b") for i in range(800)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = corpus_mix(df, "source", "doc_id", {"a": 2.5, "b": 0.25})
+        counts = {r.source: r["count"]
+                  for r in out.groupBy("source").count().collect()}
+        # a: 400*2 full copies + ~50% partial epoch; b: ~25% sample
+        assert 950 <= counts["a"] <= 1050
+        assert 70 <= counts["b"] <= 130
+        # exact determinism across reruns
+        first = sorted((r.doc_id, r.copy_id) for r in out.collect())
+        again = sorted(
+            (r.doc_id, r.copy_id)
+            for r in corpus_mix(df, "source", "doc_id",
+                                {"a": 2.5, "b": 0.25}).collect()
+        )
+        assert first == again
+
+    def test_integer_weight_is_exact_copies(self, spark):
+        from drune_spark.operators.sampling import corpus_mix
+
+        df = spark.createDataFrame([(i, "s") for i in range(50)],
+                                   ["doc_id", "source"])
+        out = corpus_mix(df, "source", "doc_id", {"s": 3.0})
+        assert out.count() == 150
+        assert out.select("copy_id").distinct().count() == 3
+
+    def test_zero_weight_drops_source(self, spark):
+        from drune_spark.operators.sampling import corpus_mix
+
+        df = spark.createDataFrame(
+            [(1, "keep"), (2, "drop")], ["doc_id", "source"]
+        )
+        out = corpus_mix(df, "source", "doc_id", {"drop": 0.0},
+                         default_weight=1.0)
+        assert [r.doc_id for r in out.collect()] == [1]
+
+    def test_mix_plan_is_narrow(self, spark):
+        from drune_spark.operators.sampling import corpus_mix
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = corpus_mix(df, "source", "doc_id", {"src0": 2.0})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
