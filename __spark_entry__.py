@@ -1042,6 +1042,43 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "copy_id")
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: the synthetic corpus has no PII, so the query
+    fabricates deterministic contact strings from doc_id (varying email/
+    ssn multiplicity), then scrubs emails, IPv4s, and SSNs via chained
+    JVM regexp_replace with per-label regexp_count audit columns. RE2-
+    safe patterns → byte-identical redaction in the DuckDB oracle."""
+    _tune(spark)
+    from drune_spark.operators.redaction import redact
+
+    docs = _t(spark, sf_dir, "documents")
+    contact = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" alt"), F.col("doc_id").cast("string"),
+                         F.lit("@mail.org")),
+            ).otherwise(F.lit("")),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789"))
+             .otherwise(F.lit("")),
+        ).alias("contact"),
+    )
+    out = redact(
+        contact, "contact",
+        patterns={
+            "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+            "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+        },
+    )
+    return out.select("doc_id", "redacted", "n_email", "n_ipv4", "n_ssn")
+
+
 def q_rep_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality gate (Rae et al. 2021 app. A1.1,
     adapted): per-doc dup-token fraction, top-2-gram char coverage,
@@ -1205,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "rep_quality_filter": q_rep_quality_filter,
         "corpus_mix": q_corpus_mix,
+        "redact_pii": q_redact_pii,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1775,6 +1813,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "redact_pii": """
+            WITH c AS (
+                SELECT doc_id,
+                       'user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' alt' || CAST(doc_id AS VARCHAR)
+                                    || '@mail.org' ELSE '' END
+                       || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.7'
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' ssn 123-45-6789' ELSE '' END
+                       AS contact
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(contact,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IPV4]', 'g'),
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g')
+                       AS redacted,
+                   CAST(len(regexp_extract_all(contact,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS INTEGER) AS n_email,
+                   CAST(len(regexp_extract_all(contact,
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
+                       AS INTEGER) AS n_ipv4,
+                   CAST(len(regexp_extract_all(contact,
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+                       AS INTEGER) AS n_ssn
+            FROM c
         """,
         "corpus_mix": """
             WITH w AS (

@@ -305,3 +305,37 @@ class TestStreaming:
         }
         assert {(w, n) for w, n in got} == batch
         assert {n for _, n in got} == {2, 1, 2}
+
+
+class TestRedaction:
+    def test_redacts_all_default_categories(self, spark):
+        from drune_spark.operators.redaction import redact
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b@x.io twice c@y.org, ip 192.168.0.1, "
+                 "ssn 123-45-6789, tel 555-123-4567")],
+            ["id", "text"],
+        )
+        row = redact(df, "text").collect()[0]
+        assert row.n_email == 2 and row.n_ipv4 == 1
+        assert row.n_ssn == 1 and row.n_phone == 1
+        assert "[EMAIL]" in row.redacted and "[IPV4]" in row.redacted
+        assert "[SSN]" in row.redacted and "[PHONE]" in row.redacted
+        assert "a.b@x.io" not in row.redacted
+        assert "192.168.0.1" not in row.redacted
+
+    def test_clean_text_untouched(self, spark):
+        from drune_spark.operators.redaction import redact
+
+        df = spark.createDataFrame([(1, "plain words only")], ["id", "text"])
+        row = redact(df, "text").collect()[0]
+        assert row.redacted == "plain words only"
+        assert row.n_email == row.n_ipv4 == row.n_ssn == row.n_phone == 0
+
+    def test_redact_plan_is_narrow(self, spark):
+        from drune_spark.operators.redaction import redact
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (redact(df, "text")._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "Exchange" not in plan
