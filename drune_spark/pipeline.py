@@ -248,7 +248,10 @@ class Pipeline:
           ``validation_log_table``/failed-records path is configured the
           failure rows stream into it as a parallel append sink;
         - steps must be stream-capable (filter/sql projections, stateless
-          joins against static frames); blocking ops raise at plan time;
+          joins against static frames — plus aggregations when the
+          target's mode is 'merge', which upserts each micro-batch's
+          changed keys via foreachBatch); other blocking ops raise at
+          plan time;
         - ``availableNow`` drains current data then stops, which makes a
           backfill use the exact code path of the live stream.
         """
@@ -268,7 +271,11 @@ class Pipeline:
                     f"streaming source '{spec.name}' must be a file source"
                 )
             if spec.format == "parquet":
-                df = _raw_stream(self.spark, spec.path)
+                df = _raw_stream(
+                    self.spark, spec.path,
+                    options={k: str(v) for k, v in spec.options.items()}
+                    if spec.options else None,
+                )
             else:
                 reader = self.spark.readStream.format(spec.format)
                 static = read_source(self.spark, spec)
@@ -298,12 +305,33 @@ class Pipeline:
         from drune_spark.sinks.writers import _file_path
         out_path = _file_path(tgt)
         ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="drune_ckpt_")
-        writer = (
-            current.writeStream.format(tgt.format)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .option("path", out_path)
-        )
+        if tgt.mode == "merge":
+            # Stateful (aggregating) pipelines: file sinks are append-only,
+            # so update-mode results upsert per micro-batch through
+            # foreachBatch + merge_upsert — each batch's changed keys merge
+            # into the target on the schema's primary key (hash_key when
+            # composite/absent). The standard Spark pattern for streaming
+            # aggregations into non-update sinks.
+            from drune_spark.sinks.writers import merge_upsert
+
+            pk = (tgt.schema_.primary_key if tgt.schema_ else None) or []
+            key = pk[0] if len(pk) == 1 else "hash_key"
+
+            def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
+                merge_upsert(self.spark, batch_df, tgt, key=key)
+
+            writer = (
+                current.writeStream.outputMode("update")
+                .foreachBatch(_upsert)
+                .option("checkpointLocation", ckpt)
+            )
+        else:
+            writer = (
+                current.writeStream.format(tgt.format)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .option("path", out_path)
+            )
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
         query = writer.start()

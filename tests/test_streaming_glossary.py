@@ -177,6 +177,59 @@ class TestStreamingPipeline:
         }
         assert stream_rows == batch_rows and len(batch_rows) > 0
 
+    def test_streaming_aggregation_upserts_to_merge_target(
+        self, spark, tmp_path
+    ):
+        """A stateful (aggregating) pipeline with a merge-mode target:
+        update-mode results upsert per micro-batch via foreachBatch;
+        after draining 3 single-file micro-batches the target equals the
+        batch aggregation exactly (cross-batch state + upsert both
+        exercised)."""
+        from drune_spark.config.models import PipelineModel
+        from drune_spark.pipeline import Pipeline
+
+        src = tmp_path / "src"
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+            .coalesce(3).write.parquet(str(src))
+        model = {
+            "pipeline_name": "stream_agg",
+            "sources": [{"name": "orders_src", "type": "file",
+                         "format": "parquet", "path": str(src),
+                         "options": {"maxFilesPerTrigger": 1}}],
+            "steps": [{"name": "agg", "type": "aggregate",
+                       "params": {"group_by": ["o_orderstatus"],
+                                  "aggs": {
+                                      "n_orders": "COUNT(*)",
+                                      "total": "CAST(SUM(CAST(o_totalprice"
+                                               " AS DECIMAL(18,2)))"
+                                               " AS DOUBLE)"}}}],
+            "target": {"name": "agg_out", "type": "file",
+                       "format": "parquet",
+                       "path": str(tmp_path / "out"), "mode": "merge",
+                       "schema": {"columns": [
+                           {"name": "o_orderstatus", "type": "str"}],
+                           "primary_key": ["o_orderstatus"]}},
+        }
+        p = Pipeline(spark, PipelineModel.model_validate(model))
+        p.execute_streaming()
+
+        got = {
+            (r.o_orderstatus, r.n_orders, r.total)
+            for r in spark.read.parquet(
+                str(tmp_path / "out" / "agg_out.parquet")).collect()
+        }
+        expect = {
+            (r.o_orderstatus, r.n_orders, r.total)
+            for r in spark.read.parquet(
+                "/root/testdata/sf0.001/orders.parquet")
+            .groupBy("o_orderstatus")
+            .agg(F.expr("COUNT(*)").alias("n_orders"),
+                 F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+                        "AS DOUBLE)").alias("total"))
+            .collect()
+        }
+        assert got == expect and len(got) >= 2
+
 
 GLOSSARY_YAML = """
 concepts:
