@@ -1079,6 +1079,34 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "redacted", "n_email", "n_ipv4", "n_ssn")
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-window chunking: 32-token chunks with 8-token overlap via
+    explode(sequence) + slice — narrow, zero shuffle. The training-prep
+    step between cleaning and packing."""
+    _tune(spark)
+    from drune_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        chunk_size=32, overlap=8,
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: contiguous-fill into ~256-token training
+    sequences inside 8 deterministic md5 hash groups — groups pack in
+    parallel (the scale layout; a global greedy pack is inherently
+    sequential). Window cumsum per group, integer math → exact oracle."""
+    _tune(spark)
+    from drune_spark.functions.text import token_count
+    from drune_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_toks")
+    )
+    return pack_sequences(docs, "n_toks", "doc_id", budget=256, n_groups=8)
+
+
 def q_rep_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality gate (Rae et al. 2021 app. A1.1,
     adapted): per-doc dup-token fraction, top-2-gram char coverage,
@@ -1243,6 +1271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_quality_filter": q_rep_quality_filter,
         "corpus_mix": q_corpus_mix,
         "redact_pii": q_redact_pii,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1813,6 +1843,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "doc_chunks": """
+            WITH b AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, w,
+                       CASE WHEN len(w) > 32
+                            THEN CAST(ceil(CAST(len(w) - 32 AS DOUBLE) / 24)
+                                      AS INTEGER)
+                            ELSE 0 END AS extra
+                FROM b
+            ),
+            e AS (
+                SELECT doc_id, w,
+                       unnest(range(0, extra + 1)) AS chunk_id
+                FROM s
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS INTEGER) AS chunk_id,
+                   CAST(len(list_slice(w, chunk_id * 24 + 1,
+                                       chunk_id * 24 + 32)) AS INTEGER)
+                       AS n_chunk_tokens,
+                   array_to_string(list_slice(w, chunk_id * 24 + 1,
+                                              chunk_id * 24 + 32), ' ')
+                       AS chunk_text
+            FROM e
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                            AS BIGINT) AS n_tokens,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8))::BIGINT % 8 AS INTEGER)
+                           AS pack_group
+                FROM documents
+            )
+            SELECT doc_id, n_tokens, pack_group,
+                   CAST(floor((SUM(n_tokens) OVER (
+                            PARTITION BY pack_group ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+                        - n_tokens) / 256.0) AS INTEGER) AS seq_id
+            FROM t
         """,
         "redact_pii": """
             WITH c AS (

@@ -1,0 +1,102 @@
+"""Document chunking and sequence packing (driver extension).
+
+Training pipelines cut documents into model-window-sized chunks and pack
+short documents together into fixed token budgets. Both are expressed as
+narrow / group-local DataFrame ops:
+
+- ``chunk_documents``: fixed-size token chunks with overlap via
+  ``explode(sequence(...))`` + ``slice`` — narrow, no shuffle, linear.
+- ``pack_sequences``: contiguous-fill packing — documents are routed to
+  one of ``n_groups`` deterministic hash groups, ordered by id within
+  the group, and assigned ``seq_id = floor(running_tokens / budget)``.
+  One shuffle on the group key; the per-group window sorts only its
+  group. A GLOBAL greedy pack is inherently sequential — the grouped
+  form is the 100 TB layout (groups pack in parallel; each sequence may
+  overflow the budget by at most one document, the standard contiguous
+  "best-effort" packing trade-off). Deterministic: md5-based grouping,
+  id ordering, integer arithmetic only.
+
+No counterpart in /root/reference (native engine has no corpus-prep
+ops); driver-mandated LLM-data extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from drune_spark.functions.hashes import md5_u32
+from drune_spark.functions.text import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into whitespace-token chunks of
+    ``chunk_size`` with ``overlap`` tokens of context between
+    consecutive chunks (stride = chunk_size - overlap). Output:
+    (id, chunk_id, n_chunk_tokens, chunk_text). Docs shorter than one
+    chunk yield exactly one chunk."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    w = tokens(F.col(text_col))
+    n = F.size(w)
+    # chunks start at 0, stride, 2*stride, ... while start < n; a doc
+    # with n <= chunk_size gets exactly one chunk.
+    extra = F.when(
+        n > chunk_size,
+        F.ceil((n - F.lit(chunk_size)).cast("double") / F.lit(stride)),
+    ).otherwise(F.lit(0)).cast("int")
+    exploded = df.select(
+        F.col(id_col),
+        w.alias("__w"),
+        F.explode(F.sequence(F.lit(0), extra)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("__w"), F.col("chunk_id") * stride + 1, chunk_size
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    id_col: str,
+    budget: int = 512,
+    n_groups: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Assign each document to a training sequence of ~``budget`` tokens
+    by contiguous fill within deterministic hash groups. Output:
+    (id, n_tokens, pack_group, seq_id) — all docs with the same
+    (pack_group, seq_id) are concatenated downstream into one training
+    sequence. seq_id = floor(tokens-before-this-doc / budget) within the
+    group, so a sequence overflows the budget by at most one document."""
+    group = F.pmod(
+        md5_u32(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(n_groups),
+    ).cast("int")
+    win = (
+        Window.partitionBy("pack_group")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(
+        F.col(id_col),
+        F.col(token_count_col).cast("long").alias("n_tokens"),
+        group.alias("pack_group"),
+    )
+    running = F.sum("n_tokens").over(win) - F.col("n_tokens")
+    return out.withColumn(
+        "seq_id", F.floor(running / F.lit(budget)).cast("int")
+    )

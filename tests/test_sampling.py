@@ -90,3 +90,76 @@ class TestCorpusMix:
         out = corpus_mix(df, "source", "doc_id", {"src0": 2.0})
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestPacking:
+    def test_chunks_cover_and_overlap(self, spark):
+        from drune_spark.operators.packing import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(70))
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        rows = sorted(
+            chunk_documents(df, "text", "doc_id", chunk_size=32,
+                            overlap=8).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        # 70 tokens, stride 24: starts 0/24/48 → 3 chunks, sizes 32/32/22
+        assert [r.n_chunk_tokens for r in rows] == [32, 32, 22]
+        c0, c1 = rows[0].chunk_text.split(), rows[1].chunk_text.split()
+        assert c0[24:] == c1[:8]          # 8-token overlap
+        assert c0[0] == "w0" and rows[2].chunk_text.split()[-1] == "w69"
+
+    def test_short_doc_single_chunk(self, spark):
+        from drune_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        rows = chunk_documents(df, "text", "doc_id", chunk_size=32,
+                               overlap=8).collect()
+        assert len(rows) == 1
+        assert rows[0].n_chunk_tokens == 3 and rows[0].chunk_text == "a b c"
+
+    def test_chunk_plan_is_narrow(self, spark):
+        from drune_spark.operators.packing import chunk_documents
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (chunk_documents(df, "text", "doc_id")._jdf
+                .queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+
+    def test_pack_respects_budget_overflow_bound(self, spark):
+        from drune_spark.operators.packing import pack_sequences
+
+        rows = [(i, 10 + (i * 7) % 90) for i in range(300)]
+        df = spark.createDataFrame(rows, ["doc_id", "n_toks"])
+        out = pack_sequences(df, "n_toks", "doc_id", budget=200,
+                             n_groups=4)
+        seqs = (out.groupBy("pack_group", "seq_id")
+                .agg({"n_tokens": "sum"})
+                .withColumnRenamed("sum(n_tokens)", "total").collect())
+        max_doc = max(n for _, n in rows)
+        # contiguous fill: every sequence starts below budget and can
+        # overflow by at most one document
+        assert all(s.total < 200 + max_doc for s in seqs)
+        # and packing is dense: a non-last sequence spans from the first
+        # cumsum >= k*budget (< k*budget + max_doc) to at least
+        # (k+1)*budget, so its total exceeds budget - max_doc
+        by_group = {}
+        for s in seqs:
+            by_group.setdefault(s.pack_group, []).append(
+                (s.seq_id, s.total))
+        for g, pairs in by_group.items():
+            pairs.sort()
+            assert all(t > 200 - max_doc for _, t in pairs[:-1])
+            # seq ids are contiguous from 0 (no empty sequences)
+            assert [k for k, _ in pairs] == list(range(len(pairs)))
+
+    def test_pack_deterministic(self, spark):
+        from drune_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame([(i, 50) for i in range(100)],
+                                   ["doc_id", "n_toks"])
+        a = sorted((r.doc_id, r.pack_group, r.seq_id)
+                   for r in pack_sequences(df, "n_toks", "doc_id").collect())
+        b = sorted((r.doc_id, r.pack_group, r.seq_id)
+                   for r in pack_sequences(df, "n_toks", "doc_id").collect())
+        assert a == b
