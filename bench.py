@@ -38,6 +38,14 @@ BENCH_QUERIES = [
     "f_json_extract",
     "sessionize",
     "stream_window",
+    # round-2 additions (widened set; compare per-query across rounds,
+    # not totals)
+    "ann_ivf_topk",
+    "rep_quality_filter",
+    "corpus_mix",
+    "redact_pii",
+    "doc_chunks",
+    "pack_sequences",
 ]
 
 

@@ -110,15 +110,18 @@ def lang_id(col: Column) -> Column:
 # --------------------------------------------------------------------------
 # Repetition metrics (Gopher/MassiveText-style quality heuristics)
 # --------------------------------------------------------------------------
-# All pure array higher-order functions: O(G^2) comparisons per document
-# where G = token count, entirely JVM-side and narrow — no shuffle, fuses
-# into the scan stage. G is bounded by document size, so per-row cost is
-# bounded; for books/megabyte documents switch to the explode+groupBy
-# formulation (same semantics, one (doc_id, gram) shuffle) instead.
-# Char fractions use token characters (separator spaces excluded) as the
-# denominator, and integer arithmetic up to one final double division —
-# bit-identical in any engine. Reference heuristics: Rae et al. 2021
-# (Gopher), app. A1.1 — thresholds adapted, not copied.
+# All pure array higher-order functions, entirely JVM-side and narrow —
+# no shuffle, fuses into the scan stage. Occurrence counting is
+# sort + run-length fold: O(G log G) per document (G = token count) with
+# each gram array built exactly ONCE. (The naive `transform(grams, g ->
+# size(filter(grams, ...)))` is quadratic in comparisons AND — because
+# higher-order functions evaluate interpreted, outside codegen — re-buildS
+# the whole grams subtree per outer element: measured ~1000× slower at
+# 5k docs. Don't go back to it.) Char fractions use token characters
+# (separator spaces excluded) as the denominator, and integer arithmetic
+# up to one final double division — bit-identical in any engine.
+# Reference heuristics: Rae et al. 2021 (Gopher), app. A1.1 — thresholds
+# adapted, not copied.
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
@@ -153,38 +156,73 @@ def dup_token_frac(toks: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def top_ngram_char_frac(toks: Column, n: int) -> Column:
-    """Fraction of token characters covered by the single most-covering
-    word n-gram (count * gram char length / total token chars), capped
-    at 1.0 since overlapping occurrences are position-counted. Defined
-    as a max over grams of a number — no tie-break needed."""
-    grams = word_ngrams(toks, n)
-    chars = token_char_count(toks)
-    cover = F.transform(
-        grams,
-        lambda g: F.size(F.filter(grams, lambda x: x == g))
-        * (F.length(g) - F.lit(n - 1)),
+def _run_length_fold(grams: Column, overhead: int, mode: str) -> Column:
+    """Fold array_sort(grams) tracking (prev, run, acc): equal grams are
+    adjacent after the sort, so occurrence counts are run lengths.
+    mode='max_cover': acc = max over grams of run_length * char_length.
+    mode='dup_chars': acc = total char length of grams in runs >= 2
+    (position-weighted). char_length = length(gram) - overhead (the
+    joining spaces)."""
+    clen = lambda x: F.length(x) - F.lit(overhead)  # noqa: E731
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        if mode == "max_cover":
+            out = F.greatest(acc["acc"], run * clen(x))
+        else:
+            out = acc["acc"] + F.when(run == 2, F.lit(2) * clen(x)) \
+                                .when(run > 2, clen(x)).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), out.alias("acc")
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("acc"),
     )
+    return F.aggregate(F.array_sort(grams), init, merge)["acc"]
+
+
+def top_ngram_char_frac_of(
+    grams: Column, chars: Column, overhead: int
+) -> Column:
+    """Fraction of token characters covered by the single most-covering
+    n-gram (count * gram char length / total token chars), capped at 1.0
+    since overlapping occurrences are position-counted. Defined as a max
+    over grams of a number — no tie-break needed. Pass MATERIALIZED
+    ``grams``/``chars`` columns (from a prior projection) so the arrays
+    are built once per row, not once per reference."""
+    best = _run_length_fold(grams, overhead, "max_cover")
     return F.when(
         (F.size(grams) > 0) & (chars > 0),
-        F.least(F.array_max(cover).cast("double") / chars, F.lit(1.0)),
+        F.least(best.cast("double") / chars, F.lit(1.0)),
     ).otherwise(F.lit(0.0))
 
 
-def dup_ngram_char_frac(toks: Column, n: int) -> Column:
-    """Fraction of token characters sitting inside word n-grams that
-    occur more than once in the doc (position-weighted, capped at 1.0)."""
-    grams = word_ngrams(toks, n)
-    chars = token_char_count(toks)
-    contrib = F.transform(
-        grams,
-        lambda g: F.when(
-            F.size(F.filter(grams, lambda x: x == g)) > 1,
-            F.length(g) - F.lit(n - 1),
-        ).otherwise(F.lit(0)),
-    )
-    total = F.aggregate(contrib, F.lit(0), lambda acc, v: acc + v)
+def dup_ngram_char_frac_of(
+    grams: Column, chars: Column, overhead: int
+) -> Column:
+    """Fraction of token characters sitting inside n-grams that occur
+    more than once in the doc (position-weighted, capped at 1.0). Same
+    materialized-column contract as ``top_ngram_char_frac_of``."""
+    total = _run_length_fold(grams, overhead, "dup_chars")
     return F.when(
         (F.size(grams) > 0) & (chars > 0),
         F.least(total.cast("double") / chars, F.lit(1.0)),
     ).otherwise(F.lit(0.0))
+
+
+def top_ngram_char_frac(toks: Column, n: int) -> Column:
+    """Convenience form over a raw token column (builds the gram array
+    inline — fine for single-metric use; batch callers should
+    materialize, see operators/text_analysis.py)."""
+    return top_ngram_char_frac_of(
+        word_ngrams(toks, n), token_char_count(toks), n - 1
+    )
+
+
+def dup_ngram_char_frac(toks: Column, n: int) -> Column:
+    """Convenience form — see ``top_ngram_char_frac``."""
+    return dup_ngram_char_frac_of(
+        word_ngrams(toks, n), token_char_count(toks), n - 1
+    )

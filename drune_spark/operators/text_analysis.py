@@ -66,22 +66,45 @@ def repetition_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     /root/reference — driver-mandated LLM-data extension).
     """
     from drune_spark.functions.text import (
-        dup_ngram_char_frac,
+        dup_ngram_char_frac_of,
         dup_token_frac,
+        token_char_count,
         token_count,
         tokens,
-        top_ngram_char_frac,
+        top_ngram_char_frac_of,
+        word_ngrams,
     )
+    from drune_spark.functions.partitioning import fan_out
 
+    # Interpreted-HOF work is CPU-bound per row: widen single-split
+    # inputs first (on a real cluster parallelism comes from file
+    # splits; locally one parquet file = one task).
     t = F.col(text_col)
-    w = tokens(t)
-    return df.select(
+    staged = fan_out(df.select(F.col(id_col), t)).select(
         F.col(id_col),
         token_count(t).alias("n_tokens"),
+        tokens(t).alias("__w"),
+    ).select(
+        # second stage: gram arrays built ONCE per row (CollapseProject
+        # never inlines expensive multi-referenced aliases)
+        F.col(id_col),
+        "n_tokens",
+        "__w",
+        token_char_count(F.col("__w")).alias("__chars"),
+        word_ngrams(F.col("__w"), 2).alias("__g2"),
+        word_ngrams(F.col("__w"), 3).alias("__g3"),
+    )
+    w, chars = F.col("__w"), F.col("__chars")
+    return staged.select(
+        F.col(id_col),
+        F.col("n_tokens"),
         F.round(dup_token_frac(w), 6).alias("dup_token_frac"),
-        F.round(top_ngram_char_frac(w, 1), 6).alias("top_unigram_char_frac"),
-        F.round(top_ngram_char_frac(w, 2), 6).alias("top_2gram_char_frac"),
-        F.round(dup_ngram_char_frac(w, 3), 6).alias("dup_3gram_char_frac"),
+        F.round(top_ngram_char_frac_of(w, chars, 0), 6)
+         .alias("top_unigram_char_frac"),
+        F.round(top_ngram_char_frac_of(F.col("__g2"), chars, 1), 6)
+         .alias("top_2gram_char_frac"),
+        F.round(dup_ngram_char_frac_of(F.col("__g3"), chars, 2), 6)
+         .alias("dup_3gram_char_frac"),
     )
 
 
@@ -99,26 +122,46 @@ def gopher_filter(
     """Document-quality gate combining the repetition + shape heuristics:
     returns (id, n_tokens, metrics..., keep). Filter on ``keep`` to get
     the retained corpus; emitting the flag keeps both populations
-    auditable (and oracle-checkable). One narrow select — no join, no
-    shuffle; fuses into the scan like every other text op here."""
+    auditable (and oracle-checkable). Staged narrow selects — no join,
+    no data-dependent shuffle (fan_out round-robins single-split inputs
+    for the CPU-bound gram folds; see repetition_profile)."""
     from drune_spark.functions.text import (
-        avg_token_length,
-        dup_ngram_char_frac,
+        dup_ngram_char_frac_of,
         dup_token_frac,
+        token_char_count,
         token_count,
         tokens,
-        top_ngram_char_frac,
+        top_ngram_char_frac_of,
+        word_ngrams,
     )
+    from drune_spark.functions.partitioning import fan_out
 
     t = F.col(text_col)
-    w = tokens(t)
-    out = df.select(
+    staged = fan_out(df.select(F.col(id_col), t)).select(
         F.col(id_col),
         token_count(t).alias("n_tokens"),
-        F.round(avg_token_length(t), 6).alias("avg_token_len"),
+        tokens(t).alias("__w"),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        "__w",
+        token_char_count(F.col("__w")).alias("__chars"),
+        word_ngrams(F.col("__w"), 2).alias("__g2"),
+        word_ngrams(F.col("__w"), 3).alias("__g3"),
+    )
+    w, chars = F.col("__w"), F.col("__chars")
+    out = staged.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(chars.cast("double") / F.col("n_tokens"), 6),
+        ).otherwise(F.lit(0.0)).alias("avg_token_len"),
         F.round(dup_token_frac(w), 6).alias("dup_token_frac"),
-        F.round(top_ngram_char_frac(w, 2), 6).alias("top_2gram_char_frac"),
-        F.round(dup_ngram_char_frac(w, 3), 6).alias("dup_3gram_char_frac"),
+        F.round(top_ngram_char_frac_of(F.col("__g2"), chars, 1), 6)
+         .alias("top_2gram_char_frac"),
+        F.round(dup_ngram_char_frac_of(F.col("__g3"), chars, 2), 6)
+         .alias("dup_3gram_char_frac"),
     )
     keep = (
         (F.col("n_tokens") >= min_tokens)

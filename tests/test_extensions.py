@@ -253,8 +253,11 @@ class TestRepetition:
             for r in gf.groupBy("keep").count().collect()
         )
         assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+        # No data-dependent shuffle: the only exchange allowed is the
+        # fan_out round-robin that widens the single-split local file.
         plan = gf._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange rangepartitioning" not in plan
 
 
 class TestMultimodal:
