@@ -1107,6 +1107,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "n_toks", "doc_id", budget=256, n_groups=8)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 17th doc plays the eval set;
+    corpus docs sharing >= 2 distinct word-3-gram shingles with any eval
+    doc are flagged. Slim (id, shingle-hash) join, eval set broadcast —
+    the corpus text never shuffles."""
+    _tune(spark)
+    from drune_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter("doc_id % 17 <> 0"),
+        docs.filter("doc_id % 17 = 0"),
+        "text", "doc_id", k=3, min_shared=2,
+    )
+
+
 def q_rep_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality gate (Rae et al. 2021 app. A1.1,
     adapted): per-doc dup-token fraction, top-2-gram char coverage,
@@ -1273,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1611,6 +1628,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, md5({norm}) AS fingerprint
             FROM documents
             GROUP BY md5({norm})
+        """,
+        "decontaminate": f"""
+            WITH toks AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ),
+            shing AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(
+                           concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 8)
+                       )::BIGINT AS shingle
+                FROM toks, UNNEST(generate_series(1,
+                         greatest(len(w) - 2, 0))) AS t(i)
+            ),
+            bshing AS (
+                SELECT DISTINCT shingle FROM shing WHERE doc_id % 17 = 0
+            ),
+            hits AS (
+                SELECT s.doc_id, COUNT(*) AS n_shared
+                FROM shing s JOIN bshing USING (shingle)
+                WHERE s.doc_id % 17 <> 0
+                GROUP BY s.doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+                   coalesce(h.n_shared, 0) >= 2 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) c
+            LEFT JOIN hits h USING (doc_id)
         """,
         "dedup_jaccard": f"""
             WITH toks AS (

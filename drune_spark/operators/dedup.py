@@ -422,3 +422,55 @@ def simhash_near_dup_pairs_portable(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_shared: int = 2,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    ``min_shared`` distinct word-k-gram shingles with ANY benchmark/eval
+    document (the standard guard against test-set leakage into training
+    data). Returns (id, n_shared, contaminated) for every corpus doc.
+
+    Scale shape: both sides reduce to (id, 32-bit shingle hash) — the
+    corpus text never shuffles. Benchmark suites are small → their
+    distinct-shingle set broadcasts (set ``broadcast_benchmark=False``
+    for a giant holdout, falling back to a shuffle join on the hash).
+    The md5-based hash keeps the op engine-portable / oracle-checkable.
+    """
+    from drune_spark.functions.hashes import md5_u32, word_shingles
+    from drune_spark.functions.text import tokens
+
+    def sh(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                word_shingles(tokens(F.lower(F.col(text_col))), k)
+            ).alias("__g"),
+        ).select(id_col, md5_u32(F.col("__g")).alias("__shingle"))
+
+    c = sh(corpus)
+    b = sh(benchmark).select("__shingle").distinct()
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    hits = (
+        c.join(b, "__shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= min_shared)
+            .alias("contaminated"),
+        )
+    )

@@ -342,3 +342,38 @@ class TestRedaction:
         plan = (redact(df, "text")._jdf.queryExecution()
                 .executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestDecontamination:
+    def test_flags_exact_and_partial_overlap(self, spark):
+        from drune_spark.operators.dedup import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),  # exact
+             (2, "intro words then the quick brown fox appears"),  # 2 shared
+             (3, "completely unrelated text about spark engines here"),
+             (4, "the quick wolf howls")],                         # 0 shared
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: (r.n_shared, r.contaminated)
+               for r in decontaminate(corpus, bench, "text", "doc_id",
+                                      k=3, min_shared=2).collect()}
+        assert got[1][1] is True and got[1][0] >= 5
+        assert got[2] == (2, True)       # 'the quick brown', 'quick brown fox'
+        assert got[3] == (0, False)
+        assert got[4] == (0, False)
+        assert set(got) == {1, 2, 3, 4}  # every corpus doc reported
+
+    def test_benchmark_side_broadcasts(self, spark):
+        from drune_spark.operators.dedup import decontaminate
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = decontaminate(docs.filter("doc_id % 17 <> 0"),
+                            docs.filter("doc_id % 17 = 0"),
+                            "text", "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
