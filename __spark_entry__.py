@@ -1107,6 +1107,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "n_toks", "doc_id", budget=256, n_groups=8)
 
 
+def q_token_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative token-frequency scoring (perplexity-filter proxy):
+    avg corpus frequency of each doc's tokens + below-mean-frequency
+    token fraction. All-integer provenance (rare ⟺ c*V < N by
+    cross-multiplication) → exact oracle; log-prob averages would be
+    FP-order-dependent."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import token_frequency_score
+
+    return token_frequency_score(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 17th doc plays the eval set;
     corpus docs sharing >= 2 distinct word-3-gram shingles with any eval
@@ -1290,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "token_freq_score": q_token_freq_score,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1628,6 +1643,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, md5({norm}) AS fingerprint
             FROM documents
             GROUP BY md5({norm})
+        """,
+        "token_freq_score": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({toks_lower}) AS w FROM documents
+            ),
+            freq AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                FROM toks GROUP BY w
+            ),
+            tot AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS N,
+                       CAST(COUNT(*) AS BIGINT) AS V
+                FROM freq
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   round(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_token_freq,
+                   round(CAST(CAST(SUM(CASE WHEN c * V < N THEN 1
+                                             ELSE 0 END) AS BIGINT)
+                              AS DOUBLE) / COUNT(*), 6) AS rare_token_frac
+            FROM toks JOIN freq USING (w) CROSS JOIN tot
+            GROUP BY doc_id
         """,
         "decontaminate": f"""
             WITH toks AS (

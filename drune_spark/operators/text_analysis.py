@@ -172,3 +172,52 @@ def gopher_filter(
         & (F.col("dup_3gram_char_frac") <= max_dup_3gram_char_frac)
     )
     return out.withColumn("keep", keep)
+
+
+def token_frequency_score(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Corpus-relative token-frequency quality signal (the cheap,
+    engine-exact proxy for CCNet-style LM-perplexity filtering): per doc,
+    the average corpus frequency of its tokens and the fraction of
+    "rare" tokens — rare ⟺ c(w) * V < N (below-mean frequency, computed
+    by integer cross-multiplication so there is no FP-order dependence;
+    log-prob averages would sum doubles in partition order and break
+    reproducibility).
+
+    Plan: explode tokens (narrow) → one groupBy(w) for the frequency
+    table → token⋈freq join (AQE broadcasts the table when it fits —
+    vocab ≪ corpus) → per-doc partial agg. Shuffles carry tokens and
+    counts, never documents.
+    """
+    from drune_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = freq.agg(
+        F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    j = toks.join(freq, "w").crossJoin(F.broadcast(totals))
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("__sum_c"),
+            F.sum(
+                F.when(F.col("c") * F.col("V") < F.col("N"), 1).otherwise(0)
+            ).alias("__n_rare"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.col("__sum_c").cast("double") / F.col("n_tokens"), 6
+            ).alias("avg_token_freq"),
+            F.round(
+                F.col("__n_rare").cast("double") / F.col("n_tokens"), 6
+            ).alias("rare_token_frac"),
+        )
+    )

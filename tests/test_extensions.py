@@ -377,3 +377,31 @@ class TestDecontamination:
                             "text", "doc_id")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestTokenFrequencyScore:
+    def test_hand_computed_frequencies(self, spark):
+        from drune_spark.operators.text_analysis import token_frequency_score
+
+        # corpus: 'a' ×4, 'b' ×2, 'c' ×1, 'd' ×1  (N=8, V=4, mean=2)
+        df = spark.createDataFrame(
+            [(1, "a a b c"), (2, "a a b d")], ["doc_id", "text"]
+        )
+        got = {r.doc_id: r for r in
+               token_frequency_score(df, "text", "doc_id").collect()}
+        # doc1 freqs: 4,4,2,1 → avg 2.75; rare (c*4 < 8 ⟺ c<2): only c=1
+        assert got[1].n_tokens == 4
+        assert got[1].avg_token_freq == 2.75
+        assert got[1].rare_token_frac == 0.25
+        assert got[2].avg_token_freq == 2.75
+        assert got[2].rare_token_frac == 0.25
+
+    def test_uniform_corpus_has_no_rare_tokens(self, spark):
+        from drune_spark.operators.text_analysis import token_frequency_score
+
+        df = spark.createDataFrame(
+            [(1, "x y"), (2, "y x")], ["doc_id", "text"]
+        )
+        rows = token_frequency_score(df, "text", "doc_id").collect()
+        assert all(r.rare_token_frac == 0.0 for r in rows)
+        assert all(r.avg_token_freq == 2.0 for r in rows)
