@@ -1107,6 +1107,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "n_toks", "doc_id", budget=256, n_groups=8)
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (4× ANN storage path),
+    flattened to (vec_id, scale, pos, q). Rounding spelled as
+    floor(x/scale + 0.5) so both engines run the identical FP sequence —
+    every code hash-checked."""
+    _tune(spark)
+    from drune_spark.operators.embeddings import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.posexplode("qvec").alias("pos", "q"),
+    )
+
+
 def q_token_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative token-frequency scoring (perplexity-filter proxy):
     avg corpus frequency of each doc's tokens + below-mean-frequency
@@ -1305,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "token_freq_score": q_token_freq_score,
+        "quantize_embeddings": q_quantize_embeddings,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1643,6 +1660,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, md5({norm}) AS fingerprint
             FROM documents
             GROUP BY md5({norm})
+        """,
+        "quantize_embeddings": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            s AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0
+                           AS scale
+                FROM v
+            )
+            SELECT vec_id,
+                   round(scale, 6) AS scale,
+                   CAST(i - 1 AS INTEGER) AS pos,
+                   CAST(CASE WHEN scale > 0
+                             THEN floor(v[i] / scale + 0.5)
+                             ELSE 0 END AS INTEGER) AS q
+            FROM s, UNNEST(generate_series(1, len(v))) AS t(i)
         """,
         "token_freq_score": f"""
             WITH toks AS (

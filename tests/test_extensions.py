@@ -405,3 +405,40 @@ class TestTokenFrequencyScore:
         rows = token_frequency_score(df, "text", "doc_id").collect()
         assert all(r.rare_token_frac == 0.0 for r in rows)
         assert all(r.avg_token_freq == 2.0 for r in rows)
+
+
+class TestEmbeddingQuantization:
+    def test_codes_bounded_and_reconstruction_close(self, spark):
+        from drune_spark.operators.embeddings import quantize_embeddings
+
+        rows = [(i, [0.5 * i, -1.0, 0.25, 2.0]) for i in range(1, 20)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = quantize_embeddings(df).collect()
+        by_id = {r.vec_id: r for r in out}
+        for i, vec in rows:
+            r = by_id[i]
+            assert all(-127 <= q <= 127 for q in r.qvec)
+            # max-|x| element quantizes to ±qmax exactly
+            amax = max(abs(x) for x in vec)
+            assert any(abs(q) == 127 for q in r.qvec)
+            # dequantization error bounded by scale/2 per element
+            for x, q in zip(vec, r.qvec):
+                assert abs(q * r.scale - x) <= r.scale / 2 + 1e-12
+            assert abs(r.scale - amax / 127.0) < 1e-12
+
+    def test_zero_vector_gets_zero_codes(self, spark):
+        from drune_spark.operators.embeddings import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+        )
+        r = quantize_embeddings(df).collect()[0]
+        assert r.scale == 0.0 and list(r.qvec) == [0, 0, 0]
+
+    def test_quantize_plan_is_narrow(self, spark):
+        from drune_spark.operators.embeddings import quantize_embeddings
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = (quantize_embeddings(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "Exchange" not in plan
