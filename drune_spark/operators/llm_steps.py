@@ -1,0 +1,122 @@
+"""Declarative step wrappers for the LLM-data operators.
+
+The reference's pipeline surface is YAML steps (SURVEY §2.2-2.4); these
+registrations make the corpus-prep operators first-class there too, so a
+declarative pipeline can express clean → dedup → decontaminate → mix →
+chunk without leaving the config format:
+
+    steps:
+      - {name: clean,  type: quality_filter, params: {text_col: text, id_col: doc_id}}
+      - {name: dedup,  type: dedup,          params: {text_col: text, id_col: doc_id}}
+      - {name: decon,  type: decontaminate,  params: {benchmark: eval_docs, text_col: text, id_col: doc_id}}
+      - {name: mix,    type: corpus_mix,     params: {source_col: source, key_col: doc_id, weights: {web: 0.5}}}
+      - {name: chunk,  type: chunk,          params: {text_col: text, id_col: doc_id, chunk_size: 512}}
+
+Each wrapper delegates to the tested operator (see operators/dedup.py,
+text_analysis.py, sampling.py, packing.py, redaction.py) — plan shapes
+and scale arguments are identical to the direct API.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from drune_spark.operators.registry import Step, StepRegistry
+
+
+@StepRegistry.register("dedup")
+class DedupStep(Step):
+    """Exact near-identical-row removal: keeps the min-id row per
+    normalized-text fingerprint (full rows, all columns preserved)."""
+
+    def execute(self, inputs, current, *, text_col: str, id_col: str,
+                source: Optional[str] = None, **_: Any) -> DataFrame:
+        from drune_spark.operators.dedup import exact_dedup_rows
+
+        df = self.pick_input(inputs, current, source)
+        return exact_dedup_rows(df, text_col, id_col)
+
+
+@StepRegistry.register("quality_filter")
+class QualityFilterStep(Step):
+    """Gopher-style repetition/shape gate. ``keep_only`` (default true)
+    returns the retained rows of the ORIGINAL frame; false returns the
+    per-doc metric profile with the keep flag for auditing."""
+
+    def execute(self, inputs, current, *, text_col: str, id_col: str,
+                keep_only: bool = True, source: Optional[str] = None,
+                **params: Any) -> DataFrame:
+        from drune_spark.operators.text_analysis import gopher_filter
+
+        df = self.pick_input(inputs, current, source)
+        flags = gopher_filter(df, text_col, id_col, **params)
+        if not keep_only:
+            return flags
+        keep_ids = flags.filter(F.col("keep")).select(id_col)
+        return df.join(keep_ids, id_col, "left_semi")
+
+
+@StepRegistry.register("redact")
+class RedactStep(Step):
+    """Regex PII scrubbing; replaces ``text_col`` with the redacted text
+    and keeps the per-label audit counts."""
+
+    def execute(self, inputs, current, *, text_col: str,
+                patterns: Optional[dict[str, str]] = None,
+                source: Optional[str] = None, **_: Any) -> DataFrame:
+        from drune_spark.operators.redaction import redact
+
+        df = self.pick_input(inputs, current, source)
+        out = redact(df, text_col, patterns=patterns)
+        return out.drop(text_col).withColumnRenamed("redacted", text_col)
+
+
+@StepRegistry.register("decontaminate")
+class DecontaminateStep(Step):
+    """Drop corpus rows sharing >= ``min_shared`` shingles with the
+    ``benchmark`` input (a named pipeline source)."""
+
+    def execute(self, inputs, current, *, benchmark: str, text_col: str,
+                id_col: str, k: int = 3, min_shared: int = 2,
+                source: Optional[str] = None, **_: Any) -> DataFrame:
+        from drune_spark.operators.dedup import decontaminate
+
+        df = self.pick_input(inputs, current, source)
+        if benchmark not in inputs:
+            raise ValueError(f"unknown benchmark source '{benchmark}'")
+        flags = decontaminate(df, inputs[benchmark], text_col, id_col,
+                              k=k, min_shared=min_shared)
+        clean = flags.filter(~F.col("contaminated")).select(id_col)
+        return df.join(clean, id_col, "left_semi")
+
+
+@StepRegistry.register("corpus_mix")
+class CorpusMixStep(Step):
+    """Per-source mixture resampling with repetition (adds copy_id)."""
+
+    def execute(self, inputs, current, *, source_col: str, key_col: str,
+                weights: dict[str, float], default_weight: float = 1.0,
+                source: Optional[str] = None, **_: Any) -> DataFrame:
+        from drune_spark.operators.sampling import corpus_mix
+
+        df = self.pick_input(inputs, current, source)
+        return corpus_mix(df, source_col, key_col, weights,
+                          default_weight=default_weight)
+
+
+@StepRegistry.register("chunk")
+class ChunkStep(Step):
+    """Model-window chunking into (id, chunk_id, n_chunk_tokens,
+    chunk_text)."""
+
+    def execute(self, inputs, current, *, text_col: str, id_col: str,
+                chunk_size: int = 512, overlap: int = 32,
+                source: Optional[str] = None, **_: Any) -> DataFrame:
+        from drune_spark.operators.packing import chunk_documents
+
+        df = self.pick_input(inputs, current, source)
+        return chunk_documents(df, text_col, id_col,
+                               chunk_size=chunk_size, overlap=overlap)

@@ -29,6 +29,7 @@ from drune_spark.config.models import (
     interpolate_vars,
 )
 from drune_spark.operators import steps as _steps  # noqa: F401 — register step types
+from drune_spark.operators import llm_steps as _llm_steps  # noqa: F401 — corpus-prep steps
 from drune_spark.operators.registry import StepRunner
 from drune_spark.plans.schema_apply import (
     add_audit_columns,
@@ -174,6 +175,9 @@ class Pipeline:
                 self._log_failures(quality)
                 df = quality.passed
             self.sources[spec.name] = df
+            # Dependency views (Q1): later type='sql' sources and SQL
+            # chain steps can reference every earlier source by name.
+            df.createOrReplaceTempView(spec.name)
         if self.model.sources:
             # Target starts as the first source (core/pipeline.py:116).
             self.target_df = self.sources[self.model.sources[0].name]

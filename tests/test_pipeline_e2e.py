@@ -250,3 +250,51 @@ class TestDdl:
         assert "extra" in {f.name for f in meta.get("ddl_demo").fields}
         assert meta.update(spec) == []  # idempotent
         spark.sql("DROP TABLE ddl_demo")
+
+
+class TestCorpusPrepPipeline:
+    def test_declarative_corpus_prep_chain(self, spark, tmp_path):
+        """clean → dedup → decontaminate → mix → chunk expressed entirely
+        as YAML-style steps; each stage delegates to the tested operator."""
+        from drune_spark.config.models import PipelineModel
+        from drune_spark.pipeline import Pipeline
+
+        model = {
+            "pipeline_name": "corpus_prep",
+            "sources": [
+                {"name": "docs", "type": "file", "format": "parquet",
+                 "path": "/root/testdata/sf0.001/documents.parquet"},
+                {"name": "eval_docs", "type": "sql",
+                 "query": "SELECT * FROM docs WHERE doc_id % 17 = 0"},
+            ],
+            "steps": [
+                {"name": "corpus", "type": "filter",
+                 "params": {"source": "docs",
+                            "where": "doc_id % 17 <> 0"}},
+                {"name": "clean", "type": "quality_filter",
+                 "params": {"text_col": "text", "id_col": "doc_id"}},
+                {"name": "dedup", "type": "dedup",
+                 "params": {"text_col": "text", "id_col": "doc_id"}},
+                {"name": "decon", "type": "decontaminate",
+                 "params": {"benchmark": "eval_docs", "text_col": "text",
+                            "id_col": "doc_id", "min_shared": 4}},
+                {"name": "mix", "type": "corpus_mix",
+                 "params": {"source_col": "source", "key_col": "doc_id",
+                            "weights": {"src0": 2.0},
+                            "default_weight": 1.0}},
+                {"name": "chunks", "type": "chunk",
+                 "params": {"text_col": "text", "id_col": "doc_id",
+                            "chunk_size": 32, "overlap": 8}},
+            ],
+            "target": {"name": "prep_out", "type": "file",
+                       "format": "parquet",
+                       "path": str(tmp_path / "out"), "mode": "overwrite"},
+        }
+        p = Pipeline(spark, PipelineModel.model_validate(model))
+        p.execute()
+        out = spark.read.parquet(str(tmp_path / "out" / "prep_out.parquet"))
+        assert out.count() > 0
+        assert set(out.columns) == {"doc_id", "chunk_id",
+                                    "n_chunk_tokens", "chunk_text"}
+        # eval docs were excluded before prep and src0 upsampling happened
+        assert out.filter("doc_id % 17 = 0").count() == 0
