@@ -1123,6 +1123,36 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no builtin): each click gets the latest
+    purchase at-or-before it per user, within a 1-hour tolerance. The
+    union-window formulation — one key shuffle + per-key sort, never the
+    O(n·m) inequality-join fallback. Oracle = DuckDB's native ASOF LEFT
+    JOIN. Purchases pre-aggregated to unique (user, ts) so the tie is
+    deterministic in both engines; integer-µs outputs."""
+    _tune(spark)
+    from drune_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    j = asof_join(clicks, purch, on="ts", by="user_id",
+                  tolerance_us=3_600_000_000)
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_right").alias("purchase_ts_us"),
+        F.col("purchase_value_right").alias("purchase_value"),
+    )
+
+
 def q_token_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative token-frequency scoring (perplexity-filter proxy):
     avg corpus frequency of each doc's tokens + below-mean-frequency
@@ -1322,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "token_freq_score": q_token_freq_score,
         "quantize_embeddings": q_quantize_embeddings,
+        "asof_join": q_asof_join,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1660,6 +1691,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, md5({norm}) AS fingerprint
             FROM documents
             GROUP BY md5({norm})
+        """,
+        "asof_join": """
+            WITH p AS (
+                SELECT user_id, ts, max(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            ),
+            c AS (
+                SELECT event_id, user_id, ts
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id,
+                   CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+                   CASE WHEN epoch_us(c.ts) - epoch_us(p.ts)
+                             <= 3600000000
+                        THEN CAST(epoch_us(p.ts) AS BIGINT)
+                   END AS purchase_ts_us,
+                   CASE WHEN epoch_us(c.ts) - epoch_us(p.ts)
+                             <= 3600000000
+                        THEN p.purchase_value
+                   END AS purchase_value
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "quantize_embeddings": """
             WITH v AS (

@@ -442,3 +442,71 @@ class TestEmbeddingQuantization:
         plan = (quantize_embeddings(df)._jdf.queryExecution()
                 .executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestAsofJoin:
+    def test_backward_match_with_ties_and_tolerance(self, spark):
+        import datetime as dt
+
+        from drune_spark.operators.asof import asof_join
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        left = spark.createDataFrame(
+            [(1, 100, ts(10)), (2, 100, ts(30)), (3, 100, ts(5)),
+             (4, 200, ts(10))],
+            ["event_id", "user_id", "ts"],
+        )
+        right = spark.createDataFrame(
+            [(100, ts(10), 1.0),   # equal-ts → inclusive match for id 1
+             (100, ts(25), 2.0),
+             (200, ts(9), 9.0)],
+            ["user_id", "ts", "val"],
+        )
+        got = {r.event_id: (r.ts_right, r.val_right)
+               for r in asof_join(left, right, on="ts",
+                                  by="user_id").collect()}
+        assert got[1] == (ts(10), 1.0)   # ts-equal is inclusive
+        assert got[2] == (ts(25), 2.0)   # latest preceding
+        assert got[3] == (None, None)    # nothing before 00:05
+        assert got[4] == (ts(9), 9.0)    # per-key isolation
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        import datetime as dt
+
+        from drune_spark.operators.asof import asof_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, 5, t0 + dt.timedelta(hours=3))],
+            ["event_id", "user_id", "ts"],
+        )
+        right = spark.createDataFrame(
+            [(5, t0, 7.0)], ["user_id", "ts", "val"]
+        )
+        no_tol = asof_join(left, right).collect()[0]
+        assert no_tol.val_right == 7.0
+        tol = asof_join(left, right,
+                        tolerance_us=60_000_000).collect()[0]
+        assert tol.val_right is None and tol.ts_right is None
+
+    def test_single_shuffle_no_nested_loop(self, spark):
+        from drune_spark.operators.asof import asof_join
+        from drune_spark.sources.readers import read_parquet_nanos_safe
+
+        ev = read_parquet_nanos_safe(
+            spark, "/root/testdata/sf0.001/events.parquet"
+        )
+        left = ev.filter("event_type = 'click'").select(
+            "event_id", "user_id", "ts"
+        )
+        right = ev.filter("event_type = 'purchase'").select(
+            "user_id", "ts", "value"
+        )
+        plan = (asof_join(left, right)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "NestedLoop" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
