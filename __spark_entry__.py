@@ -1153,6 +1153,33 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: clicks falling inside [signup, signup
+    + 30 min] windows, via the bucketed equi-join plan (one shuffle on
+    the time bucket + residual filter) instead of the
+    BroadcastNestedLoop Spark would plan for a raw BETWEEN join."""
+    _tune(spark)
+    from drune_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), F.col("ts")
+    )
+    signups = ev.filter("event_type = 'signup'").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    j = range_join(clicks, signups, left_ts="ts",
+                   right_start="start", right_end="end",
+                   bucket_us=1_800_000_000)
+    return j.select(
+        "click_id", "signup_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.unix_micros("start").alias("signup_ts_us"),
+    )
+
+
 def q_token_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative token-frequency scoring (perplexity-filter proxy):
     avg corpus frequency of each doc's tokens + below-mean-frequency
@@ -1353,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_score": q_token_freq_score,
         "quantize_embeddings": q_quantize_embeddings,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1691,6 +1719,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, md5({norm}) AS fingerprint
             FROM documents
             GROUP BY md5({norm})
+        """,
+        "range_join": """
+            WITH c AS (
+                SELECT event_id AS click_id, ts
+                FROM events WHERE event_type = 'click'
+            ),
+            s AS (
+                SELECT event_id AS signup_id, ts AS start_ts
+                FROM events WHERE event_type = 'signup'
+            )
+            SELECT c.click_id, s.signup_id,
+                   CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+                   CAST(epoch_us(s.start_ts) AS BIGINT) AS signup_ts_us
+            FROM c JOIN s
+              ON c.ts >= s.start_ts
+             AND c.ts <= s.start_ts + INTERVAL 30 MINUTE
         """,
         "asof_join": """
             WITH p AS (

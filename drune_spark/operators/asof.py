@@ -92,3 +92,46 @@ def asof_join(
         for c in rvals
     ]
     return filled.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str = "ts",
+    right_start: str = "start",
+    right_end: str = "end",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval-containment join (left.ts ∈ [right.start, right.end])
+    via time bucketing — the scale-safe plan for a predicate Spark would
+    otherwise execute as BroadcastNestedLoopJoin.
+
+    Each left row lands in exactly ONE bucket; each right interval
+    explodes into the buckets it overlaps (⌈duration/bucket⌉ + 1 rows).
+    An equi-join on the bucket then a residual containment filter gives
+    exactly one output row per qualifying pair — no dedup needed,
+    because a left row's single bucket meets a given interval at most
+    once. Pick ``bucket_us`` near the typical interval length: shuffle
+    volume is rows + intervals × avg_buckets, never |L|×|R|.
+    """
+    lb = left.withColumn(
+        "__bucket",
+        F.floor(F.unix_micros(F.col(left_ts)) / F.lit(bucket_us)),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(right_start)) / F.lit(bucket_us)),
+                F.floor(F.unix_micros(F.col(right_end)) / F.lit(bucket_us)),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "__bucket")
+        .filter(
+            (F.col(left_ts) >= F.col(right_start))
+            & (F.col(left_ts) <= F.col(right_end))
+        )
+        .drop("__bucket")
+    )

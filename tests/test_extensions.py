@@ -510,3 +510,64 @@ class TestAsofJoin:
                 .executedPlan().toString())
         assert "NestedLoop" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestRangeJoin:
+    def test_containment_and_boundary_semantics(self, spark):
+        import datetime as dt
+
+        from drune_spark.operators.asof import range_join
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        left = spark.createDataFrame(
+            [(1, ts(0)), (2, ts(30)), (3, ts(31)), (4, ts(200))],
+            ["lid", "ts"],
+        )
+        right = spark.createDataFrame(
+            [(10, ts(0), ts(30)),       # covers 1 (start), 2 (end)
+             (11, ts(25), ts(400))],    # long interval spanning buckets
+            ["rid", "start", "end"],
+        )
+        pairs = {(r.lid, r.rid)
+                 for r in range_join(left, right,
+                                     bucket_us=600_000_000).collect()}
+        assert pairs == {(1, 10), (2, 10), (2, 11), (3, 11), (4, 11)}
+
+    def test_no_duplicate_pairs_across_buckets(self, spark):
+        import datetime as dt
+
+        from drune_spark.operators.asof import range_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, t0 + dt.timedelta(hours=5))], ["lid", "ts"]
+        )
+        # interval spans 10 hourly buckets, but the pair must appear once
+        right = spark.createDataFrame(
+            [(9, t0, t0 + dt.timedelta(hours=10))], ["rid", "start", "end"]
+        )
+        out = range_join(left, right).collect()
+        assert len(out) == 1
+
+    def test_equi_join_not_nested_loop(self, spark):
+        import datetime as dt
+
+        from drune_spark.operators.asof import range_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(i, t0 + dt.timedelta(minutes=i)) for i in range(100)],
+            ["lid", "ts"],
+        )
+        right = spark.createDataFrame(
+            [(i, t0 + dt.timedelta(minutes=10 * i),
+              t0 + dt.timedelta(minutes=10 * i + 9)) for i in range(10)],
+            ["rid", "start", "end"],
+        )
+        plan = (range_join(left, right)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "NestedLoop" not in plan
