@@ -1153,6 +1153,19 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous-aggregate pattern: one rollup pass emits
+    (event_type, day, hour) cells plus every coarser level. Integer
+    milli-unit sums → order-independent, exact oracle."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import hypertable_rollup
+
+    return hypertable_rollup(
+        _t(spark, sf_dir, "events"), ts_col="ts",
+        dim_cols=["event_type"], value_col="value",
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join: clicks falling inside [signup, signup
     + 30 min] windows, via the bucketed equi-join plan (one shuffle on
@@ -1381,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1719,6 +1733,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, md5({norm}) AS fingerprint
             FROM documents
             GROUP BY md5({norm})
+        """,
+        "time_rollup": """
+            WITH b AS (
+                SELECT event_type,
+                       strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(hour(ts) AS INTEGER) AS hr,
+                       CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vmilli
+                FROM events
+            )
+            SELECT event_type, day, hr,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(vmilli) AS BIGINT) AS value_milli_total
+            FROM b
+            GROUP BY ROLLUP(event_type, day, hr)
         """,
         "range_join": """
             WITH c AS (

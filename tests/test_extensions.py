@@ -571,3 +571,29 @@ class TestRangeJoin:
         plan = (range_join(left, right)._jdf.queryExecution()
                 .executedPlan().toString())
         assert "NestedLoop" not in plan
+
+
+class TestHypertableRollup:
+    def test_levels_and_exact_milli_sums(self, spark):
+        import datetime as dt
+
+        from drune_spark.operators.timeseries import hypertable_rollup
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0)
+        df = spark.createDataFrame(
+            [("a", t0, 0.1), ("a", t0, 0.2),
+             ("a", t0 + dt.timedelta(hours=1), 0.4),
+             ("b", t0 + dt.timedelta(days=1), 1.0)],
+            ["event_type", "ts", "value"],
+        )
+        rows = hypertable_rollup(df, dim_cols=["event_type"]).collect()
+        cells = {(r.event_type, r.day, r.hr):
+                 (r.n_events, r.value_milli_total) for r in rows}
+        # finest grain
+        assert cells[("a", "2024-01-01", 10)] == (2, 300)
+        assert cells[("a", "2024-01-01", 11)] == (1, 400)
+        # day level (hr NULL), dim level (day NULL), grand total
+        assert cells[("a", "2024-01-01", None)] == (3, 700)
+        assert cells[("a", None, None)] == (3, 700)
+        assert cells[(None, None, None)] == (4, 1700)
+        assert cells[("b", "2024-01-02", None)] == (1, 1000)
