@@ -46,6 +46,12 @@ BENCH_QUERIES = [
     "redact_pii",
     "doc_chunks",
     "pack_sequences",
+    "asof_join",
+    "range_join",
+    "time_rollup",
+    "token_freq_score",
+    "decontaminate",
+    "quantize_embeddings",
 ]
 
 

@@ -445,10 +445,13 @@ def decontaminate(
     The md5-based hash keeps the op engine-portable / oracle-checkable.
     """
     from drune_spark.functions.hashes import md5_u32, word_shingles
+    from drune_spark.functions.partitioning import fan_out
     from drune_spark.functions.text import tokens
 
     def sh(df: DataFrame) -> DataFrame:
-        return df.select(
+        # Interpreted shingle transform + md5 chains are CPU-bound:
+        # widen single-split inputs first (see _doc_shingles).
+        return fan_out(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col),
             F.explode(
                 word_shingles(tokens(F.lower(F.col(text_col))), k)
