@@ -1223,6 +1223,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (distributed suffix-array stand-in,
+    Lee et al. 2022): per-position 8-gram fingerprints → doc-frequency
+    filter → per-doc island merge into maximal covered spans. No
+    doc-doc pairwise join anywhere; windows partition by doc. Integer
+    span arithmetic + one final division → exact oracle."""
+    _tune(spark)
+    from drune_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, min_df=2
+    )
+
+
 def q_rep_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality gate (Rae et al. 2021 app. A1.1,
     adapted): per-doc dup-token fraction, top-2-gram char coverage,
@@ -1390,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "dup_spans": q_dup_spans,
         "token_freq_score": q_token_freq_score,
         "quantize_embeddings": q_quantize_embeddings,
         "asof_join": q_asof_join,
@@ -1855,6 +1870,55 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_shared, 0) >= 2 AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) c
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "dup_spans": f"""
+            WITH toks AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ),
+            occ AS (
+                SELECT doc_id, len(w) AS total_tokens, i - 1 AS pos,
+                       md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                                     w[i+4], w[i+5], w[i+6], w[i+7])) AS fp
+                FROM toks, UNNEST(generate_series(1,
+                         greatest(len(w) - 7, 0))) AS t(i)
+            ),
+            freq AS (
+                SELECT fp FROM occ
+                GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            dup AS (
+                SELECT o.doc_id, o.total_tokens, o.pos
+                FROM occ o JOIN freq USING (fp)
+            ),
+            marked AS (
+                SELECT doc_id, total_tokens, pos,
+                       CASE WHEN pos - lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos) > 8
+                            THEN 1 ELSE 0 END AS brk
+                FROM dup
+            ),
+            islands AS (
+                SELECT doc_id, total_tokens, pos,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS span_id
+                FROM marked
+            ),
+            spans AS (
+                SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 7 AS e,
+                       MAX(total_tokens) AS total_tokens
+                FROM islands GROUP BY doc_id, span_id
+            )
+            SELECT doc_id, n_dup_spans, dup_tokens, max_span_tokens,
+                   total_tokens,
+                   CAST(dup_tokens AS DOUBLE) / total_tokens AS dup_frac
+            FROM (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+                       CAST(MAX(e - s + 1) AS BIGINT) AS max_span_tokens,
+                       CAST(MAX(total_tokens) AS BIGINT) AS total_tokens
+                FROM spans GROUP BY doc_id
+            )
         """,
         "dedup_jaccard": f"""
             WITH toks AS (

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "time_rollup",
     "token_freq_score",
     "decontaminate",
+    "dup_spans",
     "quantize_embeddings",
 ]
 

@@ -477,3 +477,100 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated token spans — the distributed
+    formulation of suffix-array exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    A monolithic suffix array is single-machine and memory-bound; the
+    equivalent signal at cluster scale is per-POSITION k-gram matching:
+
+    1. positional k-gram fingerprints ``(doc, pos, md5(gram))`` — narrow
+       projection, no shuffle.
+    2. document frequency per fingerprint: one groupBy shuffle carrying
+       (fp, doc) pairs, never text.
+    3. occurrences equi-join the ``df >= min_df`` fingerprint set (hash
+       join on fp — there is NO pairwise doc-doc join anywhere, so hot
+       spans cost O(occurrences), not O(occurrences²)).
+    4. per-doc island merge: positions p < q chain into one covered span
+       while ``q - p <= k``; a running-sum window assigns span ids.
+       Windows are partitioned by doc — bounded by doc length, never
+       global, so the pass survives any corpus size.
+
+    Returns one row per document containing at least one duplicated
+    span: ``(id, n_dup_spans, dup_tokens, max_span_tokens, total_tokens,
+    dup_frac)`` where dup_tokens counts tokens covered by >=1 span of
+    tokens whose k-gram appears in >= min_df distinct docs.
+
+    The reference engine has no counterpart (native dedup uses one-node
+    suffix automata); included because LLM training-data curation at
+    100 TB needs the distributed form. md5 fingerprints keep the op
+    engine-portable for the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    from drune_spark.functions.partitioning import fan_out
+
+    base = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("doc"),
+        tokens(F.lower(F.col(text_col))).alias("w"),
+    )
+    n = F.size("w") - F.lit(k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.expr("cast(array() as array<int>)")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("w"), i + j + 1) for j in range(k)]
+            )
+        ),
+    )
+    occ = base.select(
+        "doc",
+        F.size("w").alias("total_tokens"),
+        F.posexplode(grams).alias("pos", "fp"),
+    )
+    freq = (
+        occ.groupBy("fp")
+        .agg(F.countDistinct("doc").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_df)
+        .select("fp")
+    )
+    dup = occ.join(freq, "fp").select("doc", "total_tokens", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    marked = dup.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+    ).withColumn("span_id", F.sum("brk").over(w))
+    spans = marked.groupBy("doc", "span_id").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(k - 1)).alias("e"),
+        F.max("total_tokens").alias("total_tokens"),
+    )
+    return (
+        spans.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+            F.max(F.col("e") - F.col("s") + 1).alias("max_span_tokens"),
+            F.max("total_tokens").alias("total_tokens"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_dup_spans",
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            F.col("max_span_tokens").cast("long").alias("max_span_tokens"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            (F.col("dup_tokens").cast("double") / F.col("total_tokens"))
+            .alias("dup_frac"),
+        )
+    )

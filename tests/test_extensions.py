@@ -597,3 +597,65 @@ class TestHypertableRollup:
         assert cells[("a", None, None)] == (3, 700)
         assert cells[(None, None, None)] == (4, 1700)
         assert cells[("b", "2024-01-02", None)] == (1, 1000)
+
+
+class TestDuplicateSpans:
+    SHARED = ("alpha beta gamma delta epsilon zeta eta theta "
+              "iota kappa lambda mu")  # 12 tokens
+
+    def _run(self, spark, rows):
+        from drune_spark.operators.dedup import duplicate_spans
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = duplicate_spans(df, "text", "doc_id", k=8, min_df=2)
+        return {r.doc_id: r for r in out.collect()}
+
+    def test_shared_run_yields_one_span(self, spark):
+        rows = [
+            (1, "one two three " + self.SHARED + " four five"),
+            (2, "x y " + self.SHARED + " z"),
+            (3, "totally unrelated words about engines shuffles and joins"
+                " going on here for quite a while longer"),
+        ]
+        got = self._run(spark, rows)
+        assert set(got) == {1, 2}
+        r1 = got[1]
+        # only 8-grams fully inside the shared 12-token run match
+        assert r1.n_dup_spans == 1
+        assert r1.dup_tokens == 12
+        assert r1.max_span_tokens == 12
+        assert r1.total_tokens == 17
+        assert abs(r1.dup_frac - 12 / 17) < 1e-12
+
+    def test_distant_runs_split_into_two_spans(self, spark):
+        run2 = "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+        gap = " ".join(f"g{i}" for i in range(12))       # > k unique tokens
+        rows = [
+            (1, self.SHARED + " " + gap + " " + run2),
+            (2, "a b " + self.SHARED + " c d"),
+            (3, "e f " + run2 + " g h"),
+        ]
+        got = self._run(spark, rows)
+        assert got[1].n_dup_spans == 2
+        assert got[1].dup_tokens == 24
+
+    def test_self_repetition_does_not_count(self, spark):
+        rows = [
+            (1, self.SHARED + " break one two three four five six seven "
+                + self.SHARED),
+            (2, "entirely distinct content with no overlap whatsoever in"
+                " any eight token window of this document text"),
+        ]
+        got = self._run(spark, rows)
+        assert got == {}  # min_df counts DISTINCT docs
+
+
+class TestDuplicateSpansPlan:
+    def test_no_pairwise_doc_join(self, spark):
+        """The scale property: occurrences join a fingerprint frequency
+        set — never doc-to-doc. No cartesian, no nested-loop join."""
+        from drune_spark.operators.dedup import duplicate_spans
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = duplicate_spans(docs, "text", "doc_id")._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
