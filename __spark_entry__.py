@@ -882,6 +882,34 @@ def q_a6_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches: per-(event_type, day) register
+    frames merged (max per register) into per-event_type sketches, then
+    estimated. Integer-exact harmonic numerator + one final division →
+    the approximate estimate is still bit-deterministic, so the oracle
+    hash-checks it (merge(max) ≡ direct sketch, which is what the SQL
+    mirror computes). Exact distinct joined alongside for calibration."""
+    _tune(spark)
+    from drune_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.expr("unix_micros(ts) div 86400000000")
+    )
+    daily = hll_registers(ev, "event_id", ["event_type", "day"])
+    merged = hll_merge(daily, ["event_type"])
+    est = hll_estimate(merged, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "zero_registers", "hll_estimate", "exact_distinct"
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components (min-label propagation)
     over n-gram-Jaccard near-dup pairs; singletons cluster to themselves.
@@ -1391,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
+        "hll_distinct": q_hll_distinct,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1465,6 +1494,12 @@ def oracle_sql() -> dict[str, str]:
     # md5_u32 / md5_bits64): first 8 md5 hex chars = high half, next 8 =
     # low half, both < 2^32 so everything stays in BIGINT range.
     mersenne = str((1 << 61) - 1)
+    # HLL estimate scale (operators/sketches.py): alpha_m * m^2 * 2^(w+1)
+    # as ONE driver-side double — repr() round-trips identically in
+    # DuckDB, and the integer numerator is exact on both sides.
+    from drune_spark.operators.sketches import hll_alpha
+
+    hll_scale = repr(hll_alpha(9) * 512 * 512 * float(1 << 24))
     return {
         "p1_schema_apply": """
             SELECT CAST(c_custkey AS BIGINT) AS cd_customer,
@@ -2374,6 +2409,39 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        "hll_distinct": f"""
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                       1, 8))::BIGINT AS hv
+                FROM events
+            ),
+            regs AS (
+                SELECT event_type, hv >> 23 AS idx,
+                       MAX(CASE WHEN (hv & 8388607) = 0 THEN 24
+                                ELSE 24 - length(bin(hv & 8388607))
+                           END) AS rho
+                FROM h GROUP BY event_type, hv >> 23
+            ),
+            agg AS (
+                SELECT event_type,
+                       CAST(SUM(1::BIGINT << (24 - rho)) AS BIGINT)
+                           AS present_sum,
+                       COUNT(*) AS n_regs
+                FROM regs GROUP BY event_type
+            )
+            SELECT a.event_type,
+                   CAST(512 - n_regs AS BIGINT) AS zero_registers,
+                   {hll_scale} / CAST(present_sum
+                       + (512 - n_regs) * 16777216 AS DOUBLE)
+                       AS hll_estimate,
+                   x.exact_distinct
+            FROM agg a JOIN (
+                SELECT event_type,
+                       COUNT(DISTINCT event_id) AS exact_distinct
+                FROM events GROUP BY event_type
+            ) x USING (event_type)
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE toks AS (

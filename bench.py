@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "token_freq_score",
     "decontaminate",
     "dup_spans",
+    "hll_distinct",
     "quantize_embeddings",
 ]
 

@@ -659,3 +659,40 @@ class TestDuplicateSpansPlan:
             .queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestHllSketch:
+    def test_estimate_accuracy(self, spark):
+        from drune_spark.operators.sketches import hll_count_distinct
+        df = spark.range(5000).select(
+            (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+        )
+        got = {r.g: r for r in
+               hll_count_distinct(df, "v", ["g"]).collect()}
+        # m=512 → ~4.6% std err; 2500 distinct per group, allow ~3 sigma
+        for g in (0, 1):
+            assert abs(got[g].hll_estimate - 2500) / 2500 < 0.15
+
+    def test_merge_equals_direct(self, spark):
+        """Merging per-slice sketches must yield EXACTLY the registers
+        of a direct sketch over the union (max is associative)."""
+        from drune_spark.operators.sketches import hll_merge, hll_registers
+        df = spark.range(2000).select(
+            F.lit("all").alias("g"),
+            (F.col("id") % 4).alias("slice"),
+            F.col("id").alias("v"),
+        )
+        direct = hll_registers(df, "v", ["g"])
+        sliced = hll_registers(df, "v", ["g", "slice"])
+        merged = hll_merge(sliced, ["g"])
+        d = {(r.idx): r.rho for r in direct.collect()}
+        m = {(r.idx): r.rho for r in merged.collect()}
+        assert d == m
+
+    def test_sketch_is_bounded(self, spark):
+        from drune_spark.operators.sketches import hll_registers
+        df = spark.range(100000).select(
+            F.lit(1).alias("g"), F.col("id").alias("v")
+        )
+        regs = hll_registers(df, "v", ["g"])
+        assert regs.count() <= 512  # never more than m rows per group
