@@ -1194,6 +1194,41 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate refresh: materialize the day
+    rollup WITHOUT the late rows (late = every 13th event on ~1/7 of
+    days), then refresh ONLY the invalidated day partitions from the
+    full hypertable and read the table back. Correct iff partition-
+    targeted refresh + untouched partitions ≡ a full recompute — which
+    is exactly what the oracle computes, with no knowledge of the
+    split. Read-back scan prunes to day directories; refresh rewrites
+    4 of 30 partitions."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.operators.timeseries import (
+        materialize_day_rollup,
+        refresh_day_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    day_u = F.expr("unix_micros(ts) div 86400000000")
+    is_late = (F.col("event_id") % 13 == 0) & (day_u % 7 == 3)
+    path = tempfile.mkdtemp(prefix="drune_gate_cagg_") + "/rollup.parquet"
+    materialize_day_rollup(
+        spark, ev.filter(~is_late), path, dim_cols=["event_type"]
+    )
+    refresh_day_rollup(
+        spark, ev, ev.filter(is_late), path, dim_cols=["event_type"]
+    )
+    return spark.read.parquet(path).select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_milli_total").cast("long").alias("value_milli_total"),
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join: clicks falling inside [signup, signup
     + 30 min] windows, via the bucketed equi-join plan (one shuffle on
@@ -1439,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
+        "rollup_refresh": q_rollup_refresh,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1797,6 +1833,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(vmilli) AS BIGINT) AS value_milli_total
             FROM b
             GROUP BY ROLLUP(event_type, day, hr)
+        """,
+        # Full recompute of the day grain — the incremental refresh on
+        # the Spark side must be indistinguishable from it.
+        "rollup_refresh": """
+            WITH b AS (
+                SELECT event_type,
+                       strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vmilli
+                FROM events
+            )
+            SELECT event_type, day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(vmilli) AS BIGINT) AS value_milli_total
+            FROM b
+            GROUP BY event_type, day
         """,
         "range_join": """
             WITH c AS (

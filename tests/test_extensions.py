@@ -598,6 +598,63 @@ class TestHypertableRollup:
         assert cells[(None, None, None)] == (4, 1700)
         assert cells[("b", "2024-01-02", None)] == (1, 1000)
 
+    def test_incremental_refresh_equals_full_recompute(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from drune_spark.operators.timeseries import (
+            day_rollup,
+            materialize_day_rollup,
+            refresh_day_rollup,
+        )
+        from tests.conftest import assert_df_equal
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0)
+        rows = [("a", t0 + dt.timedelta(days=d, minutes=m), 0.1 * (m + 1))
+                for d in range(5) for m in range(4)]
+        full = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+        # late rows: minute-3 events on days 1 and 3
+        import pyspark.sql.functions as F
+        is_late = (F.minute("ts") == 3) & F.dayofmonth("ts").isin(2, 4)
+        path = str(tmp_path / "rollup.parquet")
+
+        materialize_day_rollup(spark, full.filter(~is_late), path,
+                               dim_cols=["event_type"])
+        before = {d: os.stat(os.path.join(path, d)).st_mtime_ns
+                  for d in os.listdir(path) if d.startswith("day=")}
+
+        refreshed = refresh_day_rollup(spark, full, full.filter(is_late),
+                                       path, dim_cols=["event_type"])
+        assert refreshed == ["2024-01-02", "2024-01-04"]
+
+        got = spark.read.parquet(path).select(
+            "event_type", F.col("day").cast("string").alias("day"),
+            "n_events", "value_milli_total")
+        assert_df_equal(got, day_rollup(full, dim_cols=["event_type"]))
+
+        # untouched day partitions were not rewritten
+        after = {d: os.stat(os.path.join(path, d)).st_mtime_ns
+                 for d in os.listdir(path) if d.startswith("day=")}
+        untouched = {d for d in before
+                     if d not in ("day=2024-01-02", "day=2024-01-04")}
+        assert untouched and all(before[d] == after[d] for d in untouched)
+
+    def test_refresh_with_no_late_rows_is_noop(self, spark, tmp_path):
+        import datetime as dt
+
+        from drune_spark.operators.timeseries import (
+            materialize_day_rollup,
+            refresh_day_rollup,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("a", t0, 1.0)], ["event_type", "ts", "value"])
+        path = str(tmp_path / "rollup.parquet")
+        materialize_day_rollup(spark, df, path, dim_cols=["event_type"])
+        assert refresh_day_rollup(
+            spark, df, df.limit(0), path, dim_cols=["event_type"]) == []
+
 
 class TestDuplicateSpans:
     SHARED = ("alpha beta gamma delta epsilon zeta eta theta "
