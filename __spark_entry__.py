@@ -910,6 +910,29 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketch set operations (the Druid audience-overlap
+    pattern, which HLL cannot answer): per-(event_type, day) sketches of
+    the user_id set, merged per event_type, then pairwise union /
+    intersection / difference / Jaccard estimates between event types.
+    The oracle sketches each type directly from raw rows — a hash match
+    simultaneously proves merge(per-day) ≡ direct and that every
+    estimate (single division of exact integers) is bit-portable."""
+    _tune(spark)
+    from drune_spark.operators.sketches import (
+        kmv_merge,
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.expr("unix_micros(ts) div 86400000000")
+    )
+    daily = kmv_sketch(ev, "user_id", ["event_type", "day"])
+    merged = kmv_merge(daily, ["event_type"])
+    return kmv_set_ops(merged, "event_type")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components (min-label propagation)
     over n-gram-Jaccard near-dup pairs; singletons cluster to themselves.
@@ -1455,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "hll_distinct": q_hll_distinct,
+        "kmv_set_ops": q_kmv_set_ops,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2493,6 +2517,83 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(DISTINCT event_id) AS exact_distinct
                 FROM events GROUP BY event_type
             ) x USING (event_type)
+        """,
+        # KMV mirror: sketch per type directly from raw rows (no per-day
+        # merge — merge losslessness is exactly what the hash match
+        # proves). 1095216660480 = (k-1)*2^32 for k=256; every estimate
+        # is one division of exact integers.
+        "kmv_set_ops": """
+            WITH h AS (
+                SELECT DISTINCT event_type AS l,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                       1, 8))::BIGINT AS h
+                FROM events
+            ),
+            sk AS (
+                SELECT l, h FROM (
+                    SELECT l, h,
+                           row_number() OVER (PARTITION BY l ORDER BY h)
+                               AS rn
+                    FROM h
+                ) WHERE rn <= 256
+            ),
+            stats AS (
+                SELECT l,
+                       CASE WHEN COUNT(*) < 256
+                            THEN CAST(COUNT(*) AS DOUBLE)
+                            ELSE 1095216660480.0 / CAST(MAX(h) AS DOUBLE)
+                       END AS est_l
+                FROM sk GROUP BY l
+            ),
+            pairs AS (
+                SELECT a.l AS label_a, b.l AS label_b
+                FROM (SELECT DISTINCT l FROM sk) a
+                JOIN (SELECT DISTINCT l FROM sk) b ON a.l < b.l
+            ),
+            tagged AS (
+                SELECT p.label_a, p.label_b, s.h,
+                       bool_or(s.l = p.label_a) AS in_a,
+                       bool_or(s.l = p.label_b) AS in_b
+                FROM pairs p JOIN sk s ON s.l IN (p.label_a, p.label_b)
+                GROUP BY p.label_a, p.label_b, s.h
+            ),
+            uk AS (
+                SELECT * FROM (
+                    SELECT *,
+                           row_number() OVER (
+                               PARTITION BY label_a, label_b ORDER BY h
+                           ) AS rn
+                    FROM tagged
+                ) WHERE rn <= 256
+            ),
+            agg AS (
+                SELECT label_a, label_b,
+                       CAST(COUNT(*) AS BIGINT) AS k_union,
+                       MAX(h) AS theta,
+                       CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                            AS BIGINT) AS k_inter,
+                       CAST(SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0
+                            END) AS BIGINT) AS k_a_only
+                FROM uk GROUP BY label_a, label_b
+            )
+            SELECT a.label_a, a.label_b, k_union, k_inter,
+                   CASE WHEN k_union < 256 THEN CAST(k_union AS DOUBLE)
+                        ELSE 1095216660480.0 / CAST(theta AS DOUBLE)
+                   END AS est_union,
+                   CASE WHEN k_union < 256 THEN CAST(k_inter AS DOUBLE)
+                        ELSE CAST(k_inter * 1095216660480 AS DOUBLE)
+                             / CAST(256 * theta AS DOUBLE)
+                   END AS est_intersection,
+                   CASE WHEN k_union < 256 THEN CAST(k_a_only AS DOUBLE)
+                        ELSE CAST(k_a_only * 1095216660480 AS DOUBLE)
+                             / CAST(256 * theta AS DOUBLE)
+                   END AS est_difference_a,
+                   CAST(k_inter AS DOUBLE) / CAST(k_union AS DOUBLE)
+                       AS jaccard,
+                   sa.est_l AS est_a, sb.est_l AS est_b
+            FROM agg a
+            JOIN stats sa ON sa.l = a.label_a
+            JOIN stats sb ON sb.l = a.label_b
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE toks AS (

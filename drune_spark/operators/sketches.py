@@ -139,3 +139,206 @@ def hll_count_distinct(
     return hll_estimate(
         hll_registers(df, value_col, group_cols, p), group_cols, p
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / "theta") sketches — SET OPERATIONS on sketches.
+#
+# HLL answers "how many distinct"; it cannot intersect. The KMV sketch
+# (Beyer, Haas, Reinwald, Sismanis, Gemulla, SIGMOD 2007; the basis of
+# Apache DataSketches' theta sketch) keeps the k smallest distinct hash
+# values of a set. It is mergeable (k smallest of a union of per-slice
+# k-smallest = global k smallest) and supports union / intersection /
+# difference / Jaccard estimates — the Druid "audience overlap" pattern.
+#
+# Determinism for the oracle gate: hashes are md5_u32 (portable), ties
+# are impossible (hashes are distinct within a group), estimates are a
+# single division of exact BIGINTs (numerator ≤ 2^49, denominator ≤
+# 2^41 — both exact as doubles), so estimates are bit-identical across
+# engines. Exact-small regime: a sketch with < k rows IS the complete
+# hash set, so estimates degrade to exact counts (both engines apply
+# the same CASE).
+
+KMV_DEFAULT_K = 256  # rel. std. err. ≈ 1/sqrt(k-2) ≈ 6.3%
+_KMV_RANGE = 1 << 32  # md5_u32 values are uniform on [0, 2^32)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = KMV_DEFAULT_K,
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest distinct md5_u32 hashes of
+    ``value_col`` as rows (group_cols..., h).
+
+    One partial-aggregated distinct on (group, h) — raw values never
+    shuffle, only 4-byte hashes — then a per-group k-smallest via a
+    row_number window, which Spark's WindowGroupLimit rewrites into a
+    Partial limit BELOW the exchange: each map task forwards at most k
+    hashes per group, so the shuffle is sketch-sized, not data-sized
+    (same plan property pinned for ANN top-k in tests/test_plans.py).
+    """
+    from pyspark.sql.window import Window
+
+    hashed = (
+        df.select(
+            *group_cols,
+            md5_u32(F.col(value_col).cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int = KMV_DEFAULT_K,
+) -> DataFrame:
+    """Merge sketches into a coarser grouping (e.g. per-day → per-type):
+    distinct hashes, re-truncated to the k smallest per output group.
+    Lossless: the global k smallest all survive their slice's local
+    top-k, so merge(per-slice sketches) ≡ sketch(union of slices)."""
+    from pyspark.sql.window import Window
+
+    deduped = sketches.select(*group_cols, "h").distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        deduped.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _kmv_est(n_col, kth_col, k: int):
+    """Distinct estimate from (sketch size, k-th smallest hash): exact n
+    below k, else (k-1)*2^32/h_k — one division of exact integers."""
+    c = float((k - 1) * _KMV_RANGE)
+    return F.when(n_col < k, n_col.cast("double")).otherwise(
+        F.lit(c) / kth_col.cast("double")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: list[str],
+    k: int = KMV_DEFAULT_K,
+) -> DataFrame:
+    """Per-group distinct-count estimate from a sketch frame."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("h").alias("kth"),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n_sketch").cast("long").alias("n_sketch"),
+        _kmv_est(F.col("n_sketch"), F.col("kth"), k).alias("kmv_estimate"),
+    )
+
+
+def kmv_set_ops(
+    sketch: DataFrame,
+    label_col: str,
+    k: int = KMV_DEFAULT_K,
+) -> DataFrame:
+    """All pairwise set-operation estimates between the labelled sets of
+    a sketch frame (rows: label, h; ≤ k per label).
+
+    For each label pair (a < b): take the k smallest hashes of the union
+    of the two sketches (theta = the k-th); every such hash's membership
+    in A and B is decided correctly by its presence in the respective
+    sketch, because theta_union ≤ min(theta_a, theta_b). Estimates
+    (Beyer et al. 2007):
+
+        |A∪B| ≈ (k-1)·2^32 / theta       |A∩B| ≈ (K∩/k)·|A∪B|
+        J(A,B) = K∩ / k_union            |A\\B| ≈ (K_a_only/k)·|A∪B|
+
+    spelled as single divisions of exact integers. When the union
+    sketch holds < k hashes both input sets were captured completely
+    and every output is exact. Everything after the sketches is
+    sketch-sized: the pairs frame is |labels|², each sketch row fans
+    out to ≤ |labels|-1 pairs — broadcast joins, no data-sized shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    labels = sketch.select(F.col(label_col).alias("__l")).distinct()
+    pairs = (
+        labels.alias("la")
+        .join(labels.alias("lb"), F.col("la.__l") < F.col("lb.__l"))
+        .select(
+            F.col("la.__l").alias("label_a"), F.col("lb.__l").alias("label_b")
+        )
+    )
+    # Per-label sketch stats for the standalone estimates of A and B.
+    per_label = sketch.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n_l"), F.max("h").alias("kth_l")
+    ).select(
+        F.col(label_col).alias("__l"),
+        _kmv_est(F.col("n_l"), F.col("kth_l"), k).alias("est_l"),
+    )
+
+    # Fan each sketch row out to the pairs its label participates in,
+    # collapse duplicate hashes per pair while tagging membership.
+    tagged = (
+        sketch.join(
+            F.broadcast(pairs),
+            (F.col(label_col) == F.col("label_a"))
+            | (F.col(label_col) == F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b", "h")
+        .agg(
+            F.max(F.col(label_col) == F.col("label_a")).alias("in_a"),
+            F.max(F.col(label_col) == F.col("label_b")).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("label_a", "label_b").orderBy("h")
+    union_k = tagged.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = union_k.groupBy("label_a", "label_b").agg(
+        F.count(F.lit(1)).alias("k_union"),
+        F.max("h").alias("theta"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("k_inter"),
+        F.sum((F.col("in_a") & ~F.col("in_b")).cast("long")).alias("k_a_only"),
+    )
+    c = (k - 1) * _KMV_RANGE
+    exact = F.col("k_union") < k
+
+    def _op(count_col):
+        # (count/k) · (k-1)·2^32/theta == exact-integer numerator over
+        # exact-integer denominator: one portable division.
+        return F.when(exact, count_col.cast("double")).otherwise(
+            (count_col * F.lit(c)).cast("double")
+            / (F.lit(k) * F.col("theta")).cast("double")
+        )
+
+    out = agg.select(
+        "label_a",
+        "label_b",
+        F.col("k_union").cast("long").alias("k_union"),
+        F.col("k_inter").cast("long").alias("k_inter"),
+        _kmv_est(F.col("k_union"), F.col("theta"), k).alias("est_union"),
+        _op(F.col("k_inter")).alias("est_intersection"),
+        _op(F.col("k_a_only")).alias("est_difference_a"),
+        (
+            F.col("k_inter").cast("double") / F.col("k_union").cast("double")
+        ).alias("jaccard"),
+    )
+    return (
+        out.join(
+            F.broadcast(per_label).withColumnRenamed("est_l", "est_a"),
+            out.label_a == F.col("__l"),
+        )
+        .drop("__l")
+        .join(
+            F.broadcast(per_label).withColumnRenamed("est_l", "est_b"),
+            F.col("label_b") == F.col("__l"),
+        )
+        .drop("__l")
+    )

@@ -753,3 +753,88 @@ class TestHllSketch:
         )
         regs = hll_registers(df, "v", ["g"])
         assert regs.count() <= 512  # never more than m rows per group
+
+
+class TestKmvSketch:
+    def test_merge_equals_direct(self, spark):
+        """k smallest of a union of per-slice k-smallest = global k
+        smallest: merged sketch must be ROW-identical to a direct one."""
+        from drune_spark.operators.sketches import kmv_merge, kmv_sketch
+        df = spark.range(3000).select(
+            F.lit("all").alias("g"),
+            (F.col("id") % 4).alias("slice"),
+            F.col("id").alias("v"),
+        )
+        direct = {r.h for r in kmv_sketch(df, "v", ["g"], k=64).collect()}
+        sliced = kmv_sketch(df, "v", ["g", "slice"], k=64)
+        merged = {r.h for r in
+                  kmv_merge(sliced, ["g"], k=64).collect()}
+        assert direct == merged and len(merged) == 64
+
+    def test_estimate_accuracy_and_exact_small(self, spark):
+        from drune_spark.operators.sketches import kmv_estimate, kmv_sketch
+        df = spark.range(5000).select(
+            F.when(F.col("id") < 4900, F.lit("big"))
+            .otherwise(F.lit("small")).alias("g"),
+            F.col("id").alias("v"),
+        )
+        sk = kmv_sketch(df, "v", ["g"], k=256)
+        got = {r.g: r for r in kmv_estimate(sk, ["g"], k=256).collect()}
+        # k=256 → ~6.3% std err; allow ~3 sigma
+        assert abs(got["big"].kmv_estimate - 4900) / 4900 < 0.2
+        # 100 < k → the sketch is the complete hash set: exact
+        assert got["small"].kmv_estimate == 100.0
+
+    def test_set_ops_exact_small_regime(self, spark):
+        """Sets smaller than k are captured completely — intersection,
+        difference, union, jaccard all exact."""
+        from drune_spark.operators.sketches import kmv_set_ops, kmv_sketch
+        rows = ([("a", v) for v in range(100)]
+                + [("b", v) for v in range(60, 160)])
+        df = spark.createDataFrame(rows, ["label", "v"])
+        sk = kmv_sketch(df, "v", ["label"], k=256)
+        r = kmv_set_ops(sk, "label", k=256).collect()[0]
+        assert (r.label_a, r.label_b) == ("a", "b")
+        assert r.k_union == 160 and r.k_inter == 40
+        assert r.est_union == 160.0 and r.est_intersection == 40.0
+        assert r.est_difference_a == 60.0
+        assert abs(r.jaccard - 40 / 160) < 1e-12
+        assert r.est_a == 100.0 and r.est_b == 100.0
+
+    def test_set_ops_estimate_accuracy(self, spark):
+        """Large overlapping sets: estimates within ~3 sigma of truth."""
+        from drune_spark.operators.sketches import kmv_set_ops, kmv_sketch
+        df = spark.range(8000).select(
+            F.when(F.col("id") < 4000, F.lit("a"))
+            .otherwise(F.lit("b")).alias("label"),
+            # a = [0, 4000), b = [2000, 6000) → |∩| = 2000, |∪| = 6000
+            F.when(F.col("id") < 4000, F.col("id"))
+            .otherwise(F.col("id") - 2000).alias("v"),
+        )
+        sk = kmv_sketch(df, "v", ["label"], k=256)
+        r = kmv_set_ops(sk, "label", k=256).collect()[0]
+        assert abs(r.est_union - 6000) / 6000 < 0.2
+        assert abs(r.est_intersection - 2000) / 2000 < 0.35
+        assert abs(r.jaccard - 2000 / 6000) < 0.1
+
+    def test_sketch_is_bounded_and_plan_partial_limit(self, spark):
+        """≤ k rows per group, and the k-smallest prunes per input
+        partition BEFORE the shuffle (WindowGroupLimit Partial below
+        the Exchange) — the sketch shuffle is sketch-sized."""
+        from drune_spark.operators.sketches import kmv_sketch
+        df = spark.range(100000).select(
+            (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+        )
+        sk = kmv_sketch(df, "v", ["g"], k=32)
+        assert sk.groupBy("g").count().agg(
+            F.max("count")).collect()[0][0] <= 32
+        plan = (sk._jdf.queryExecution().executedPlan().toString())
+        lines = plan.splitlines()
+        partial = [i for i, l in enumerate(lines)
+                   if "WindowGroupLimit" in l and "Partial" in l]
+        final = [i for i, l in enumerate(lines)
+                 if "WindowGroupLimit" in l and "Final" in l]
+        exchange = [i for i, l in enumerate(lines)
+                    if "Exchange hashpartitioning(g" in l]
+        assert partial and final and exchange
+        assert final[0] < exchange[0] < partial[0]
