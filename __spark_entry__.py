@@ -1076,6 +1076,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid training: 2 Lloyd rounds of integer-exact k-means
+    over unsigned-quantized embeddings (8 cells, seeded by first ids),
+    final centroids flattened to (centroid_id, pos, c) with member
+    count and integer SSE per cell. Every value is exact integer
+    arithmetic — the oracle replays the identical training rounds in
+    SQL and must match bit-for-bit."""
+    _tune(spark)
+    from drune_spark.operators.kmeans import ivf_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_train(emb, n_centroids=8, n_iters=2, dim=64)
+    return out.select(
+        "centroid_id",
+        F.posexplode("centroid").alias("pos", "c"),
+        "n_members",
+        "sse",
+    )
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source mixture resampling with repetition: src0 ×2.5, src1
     ×2.0, src2 ×0.4, everything else ×0.75 — floor copies via explode +
@@ -1486,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ivf_train": q_ivf_train,
         "rep_quality_filter": q_rep_quality_filter,
         "corpus_mix": q_corpus_mix,
         "redact_pii": q_redact_pii,
@@ -1510,6 +1531,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window": q_stream_window,
         "stream_stateful": q_stream_stateful,
     }
+
+
+def _ivf_train_oracle(k: int = 8, t_iters: int = 2, dim: int = 64) -> str:
+    """SQL replay of operators/kmeans.py ivf_train: quantize with the
+    identical FP sequence, then unroll ``t_iters`` Lloyd rounds as CTEs
+    (assign = row_number argmin with (dist, centroid_id) tie-break;
+    update = per-position rounded integer mean (2s+n)//(2n), empty
+    cells keep their previous centroid), then a final assignment pass
+    for member counts and integer SSE. All-integer after quantization,
+    so the hash match proves the whole training replays exactly."""
+    parts = [
+        f"""
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                           x -> CAST(floor((x + 1.0) * 127.0 + 0.5)
+                                     AS BIGINT)) AS q
+                FROM embeddings
+            ),
+            c0 AS (
+                SELECT vec_id AS centroid_id, q AS c
+                FROM q ORDER BY vec_id LIMIT {k}
+            )"""
+    ]
+    for t in range(t_iters + 1):
+        parts.append(
+            f""",
+            d{t} AS (
+                SELECT vec_id, qv, centroid_id,
+                       CAST(list_sum(list_transform(
+                           generate_series(1, {dim}),
+                           i -> (qv[i] - cv[i]) * (qv[i] - cv[i])
+                       )) AS BIGINT) AS dist
+                FROM (SELECT q.vec_id, q.q AS qv, c.c AS cv,
+                             c.centroid_id
+                      FROM q, c{t} c) x{t}
+            ),
+            a{t} AS (
+                SELECT vec_id, qv, centroid_id, dist FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY dist, centroid_id) AS rn
+                    FROM d{t}
+                ) WHERE rn = 1
+            )"""
+        )
+        if t < t_iters:
+            parts.append(
+                f""",
+            u{t} AS (
+                SELECT centroid_id, pos,
+                       CAST((2 * CAST(SUM(val) AS BIGINT)
+                             + CAST(COUNT(*) AS BIGINT))
+                            // (2 * CAST(COUNT(*) AS BIGINT))
+                            AS BIGINT) AS m
+                FROM (SELECT centroid_id, unnest(qv) AS val,
+                             generate_subscripts(qv, 1) AS pos
+                      FROM a{t})
+                GROUP BY centroid_id, pos
+            ),
+            c{t + 1} AS (
+                SELECT p.centroid_id, COALESCE(u.c, p.c) AS c
+                FROM c{t} p LEFT JOIN (
+                    SELECT centroid_id, list(m ORDER BY pos) AS c
+                    FROM u{t} GROUP BY centroid_id
+                ) u USING (centroid_id)
+            )"""
+            )
+    t_final = t_iters
+    parts.append(
+        f""",
+            stats AS (
+                SELECT centroid_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_members,
+                       CAST(SUM(dist) AS BIGINT) AS sse
+                FROM a{t_final} GROUP BY centroid_id
+            )
+            SELECT p.centroid_id,
+                   CAST(t.i - 1 AS INTEGER) AS pos,
+                   p.c[t.i] AS c,
+                   CAST(COALESCE(s.n_members, 0) AS BIGINT) AS n_members,
+                   CAST(COALESCE(s.sse, 0) AS BIGINT) AS sse
+            FROM c{t_final} p
+            LEFT JOIN stats s USING (centroid_id),
+            UNNEST(generate_series(1, {dim})) AS t(i)
+        """
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2262,6 +2371,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rank <= 5
         """,
+        "ivf_train": _ivf_train_oracle(k=8, t_iters=2, dim=64),
         "doc_chunks": """
             WITH b AS (
                 SELECT doc_id,

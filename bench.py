@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "dup_spans",
     "hll_distinct",
     "quantize_embeddings",
+    "kmv_set_ops",
+    "rollup_refresh",
 ]
 
 

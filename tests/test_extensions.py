@@ -838,3 +838,85 @@ class TestKmvSketch:
                     if "Exchange hashpartitioning(g" in l]
         assert partial and final and exchange
         assert final[0] < exchange[0] < partial[0]
+
+
+class TestIvfTrain:
+    @staticmethod
+    def _replica(vecs, ids, k, n_iters):
+        """Pure-python replay of operators/kmeans.py ivf_train."""
+        import math
+        q = {i: [int(math.floor((x + 1.0) * 127.0 + 0.5)) for x in v]
+             for i, v in zip(ids, vecs)}
+        cents = [(i, list(q[i])) for i in sorted(ids)[:k]]
+
+        def assign():
+            out = {}
+            for i, v in q.items():
+                best = min(
+                    (sum((a - b) * (a - b) for a, b in zip(v, c)), cid)
+                    for cid, c in cents
+                )
+                out[i] = best  # (dist, cid)
+            return out
+
+        for _ in range(n_iters):
+            a = assign()
+            members = {}
+            for i, (_, cid) in a.items():
+                members.setdefault(cid, []).append(q[i])
+            nxt = []
+            for cid, old in cents:
+                m = members.get(cid)
+                if not m:
+                    nxt.append((cid, old))
+                else:
+                    n = len(m)
+                    nxt.append((cid, [
+                        (2 * sum(col) + n) // (2 * n) for col in zip(*m)
+                    ]))
+            cents = nxt
+        a = assign()
+        stats = {}
+        for i, (d, cid) in a.items():
+            n, s = stats.get(cid, (0, 0))
+            stats[cid] = (n + 1, s + d)
+        return {cid: (c, *stats.get(cid, (0, 0))) for cid, c in cents}
+
+    def test_matches_pure_python_replica(self, spark):
+        from drune_spark.operators.kmeans import ivf_train
+        import random
+        rng = random.Random(7)
+        dim = 8
+        vecs = [[rng.uniform(-0.9, 0.9) for _ in range(dim)]
+                for _ in range(80)]
+        ids = list(range(80))
+        df = spark.createDataFrame(
+            list(zip(ids, vecs)), "vec_id long, embedding array<double>"
+        )
+        got = {
+            r.centroid_id: (list(r.centroid), r.n_members, r.sse)
+            for r in ivf_train(df, n_centroids=4, n_iters=2,
+                               dim=dim).collect()
+        }
+        want = self._replica(vecs, ids, k=4, n_iters=2)
+        assert got == want
+        assert sum(v[1] for v in got.values()) == 80
+
+    def test_empty_cell_keeps_seed_and_zero_stats(self, spark):
+        """All-identical vectors tie to the smallest centroid_id; the
+        other cells keep their seed centroid with n=sse=0."""
+        from drune_spark.operators.kmeans import ivf_train
+        dim = 4
+        df = spark.createDataFrame(
+            [(i, [0.5] * dim) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {r.centroid_id: r
+                for r in ivf_train(df, n_centroids=3, n_iters=2,
+                                   dim=dim).collect()}
+        code = int((0.5 + 1.0) * 127.0 + 0.5)
+        assert rows[0].n_members == 20 and rows[0].sse == 0
+        assert list(rows[0].centroid) == [code] * dim
+        for cid in (1, 2):
+            assert rows[cid].n_members == 0 and rows[cid].sse == 0
+            assert list(rows[cid].centroid) == [code] * dim
