@@ -1076,6 +1076,40 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, order day):
+    exact-integer min-max normalization to 16 bits each, bit
+    interleave, then per-top-6-bit-bucket counts and per-dimension
+    min/max windows — each bucket's window covers ~1/8 of BOTH ranges,
+    the property that lets parquet row-group stats prune on either
+    predicate after a zorder_write. All-integer → oracle replays the
+    normalization and interleave bit-for-bit."""
+    _tune(spark)
+    from drune_spark.operators.layout import zorder_column
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        # o_orderdate is TIMESTAMP_NTZ; session tz is UTC-pinned so the
+        # cast keeps wall-clock == DuckDB's naive epoch_us
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("day"),
+    )
+    z = zorder_column(o, ["o_custkey", "day"], bits=16)
+    return (
+        z.withColumn("bucket", F.shiftright(F.col("zval"), 26))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_custkey").alias("min_ck"),
+            F.max("o_custkey").alias("max_ck"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )
+
+
 def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF centroid training: 2 Lloyd rounds of integer-exact k-means
     over unsigned-quantized embeddings (8 cells, seeded by first ids),
@@ -1507,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ivf_train": q_ivf_train,
+        "zorder_layout": q_zorder_layout,
         "rep_quality_filter": q_rep_quality_filter,
         "corpus_mix": q_corpus_mix,
         "redact_pii": q_redact_pii,
@@ -1619,6 +1654,50 @@ def _ivf_train_oracle(k: int = 8, t_iters: int = 2, dim: int = 64) -> str:
         """
     )
     return "".join(parts)
+
+
+def _zorder_oracle(bits: int = 16, top_bits: int = 6) -> str:
+    """SQL replay of operators/layout.py zorder_column over
+    (o_custkey, day): integer min-max normalization (nonnegative, so
+    // matches Spark's div) and the unrolled Morton interleave."""
+    scale = (1 << bits) - 1
+    terms = " + ".join(
+        f"(((n{k} >> {j}) & 1) << {j * 2 + k})"
+        for j in range(bits)
+        for k in range(2)
+    )
+    shift = bits * 2 - top_bits
+    return f"""
+            WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(epoch_us(o_orderdate) // 86400000000
+                            AS BIGINT) AS day
+                FROM orders
+            ),
+            r AS (
+                SELECT CAST(MIN(o_custkey) AS BIGINT) AS mn0,
+                       CAST(MAX(o_custkey) AS BIGINT) AS mx0,
+                       CAST(MIN(day) AS BIGINT) AS mn1,
+                       CAST(MAX(day) AS BIGINT) AS mx1
+                FROM o
+            ),
+            n AS (
+                SELECT o_custkey, day,
+                       CASE WHEN mx0 <= mn0 THEN 0
+                            ELSE ((o_custkey - mn0) * {scale})
+                                 // (mx0 - mn0) END AS n0,
+                       CASE WHEN mx1 <= mn1 THEN 0
+                            ELSE ((day - mn1) * {scale})
+                                 // (mx1 - mn1) END AS n1
+                FROM o, r
+            ),
+            z AS (SELECT o_custkey, day, {terms} AS zval FROM n)
+            SELECT CAST(zval >> {shift} AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+                   MIN(day) AS min_day, MAX(day) AS max_day
+            FROM z GROUP BY bucket
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2372,6 +2451,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "ivf_train": _ivf_train_oracle(k=8, t_iters=2, dim=64),
+        "zorder_layout": _zorder_oracle(bits=16, top_bits=6),
         "doc_chunks": """
             WITH b AS (
                 SELECT doc_id,

@@ -89,3 +89,64 @@ class TestConnectedComponents:
         out = {r.doc_id: r.cluster_id
                for r in connected_components(pairs, nodes).collect()}
         assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+class TestZorderLayout:
+    def test_interleave_matches_reference_morton(self, spark):
+        """Identity normalization (values already span [0, 2^bits)):
+        zval must equal the textbook Morton code."""
+        from drune_spark.operators.layout import zorder_column
+        pts = [(x, y) for x in range(4) for y in range(4)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {(r.x, r.y): r.zval
+               for r in zorder_column(df, ["x", "y"], bits=2).collect()}
+
+        def morton(x, y):
+            z = 0
+            for j in range(2):
+                z |= ((x >> j) & 1) << (2 * j)
+                z |= ((y >> j) & 1) << (2 * j + 1)
+            return z
+
+        assert got == {(x, y): morton(x, y) for x, y in pts}
+        assert sorted(got.values()) == list(range(16))
+
+    def test_constant_column_normalizes_to_zero(self, spark):
+        from drune_spark.operators.layout import zorder_column
+        df = spark.createDataFrame(
+            [(i, 7) for i in range(8)], "x long, c long"
+        )
+        rows = zorder_column(df, ["c", "x"], bits=3).collect()
+        # c contributes nothing; z is x's bits spread to odd positions
+        for r in rows:
+            assert r.zval == sum(
+                ((r.x >> j) & 1) << (2 * j + 1) for j in range(3)
+            )
+
+    def test_zorder_write_narrows_both_file_spans(self, spark, tmp_path):
+        """The layout claim itself: on a 64x64 grid split into 16
+        files, sorting by x alone leaves every file spanning ALL of y;
+        z-ordering bounds the per-file span of BOTH dimensions."""
+        from drune_spark.operators.layout import file_spans, zorder_write
+        grid = spark.createDataFrame(
+            [(x, y) for x in range(64) for y in range(64)],
+            "x long, y long",
+        )
+        zpath = str(tmp_path / "zorder")
+        xpath = str(tmp_path / "xsort")
+        zorder_write(grid, ["x", "y"], zpath, n_files=16, bits=6)
+        (grid.repartitionByRange(16, "x").sortWithinPartitions("x")
+             .write.mode("overwrite").parquet(xpath))
+
+        def avg_span(path, col):
+            sp = file_spans(spark, path, ["x", "y"]).collect()
+            return sum(r[f"max_{col}"] - r[f"min_{col}"] for r in sp) / len(sp)
+
+        # x-sorted: y is unclustered — every file spans ~the full 0..63
+        assert avg_span(xpath, "y") > 55
+        # z-ordered: both dimensions bounded (16 z-contiguous files of
+        # a 64x64 grid => each file covers about a quarter-row strip)
+        assert avg_span(zpath, "y") < 35
+        assert avg_span(zpath, "x") < 35
+        # and the data itself round-trips
+        assert spark.read.parquet(zpath).count() == 64 * 64
