@@ -840,6 +840,138 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """})], inputs, None)
 
 
+# TPC-H adaptations sharing ONE SQL text between the Spark SqlStep and
+# the DuckDB oracle (dialect-common subset: DECIMAL money casts, year(),
+# FILTER-free CASE sums, deterministic tie-breaks). Columns the synthetic
+# tables lack (l_commitdate/l_receiptdate/l_shipmode/partsupp) rule out
+# q2/q4/q9/q11/q12/q16/q20; these four exercise the remaining shapes:
+# two-sided nation pair join (q7), group-filter semi join (q18), top-n
+# revenue per customer (q10), conditional-aggregate ratio (q14).
+TPCH_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(1 - l_discount AS DECIMAL(18,2)) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+          AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+TPCH_Q10_SQL = """
+    SELECT c_custkey, c_name, CAST(rev_dec AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM (
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(1 - l_discount AS DECIMAL(18,2))) AS rev_dec
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY rev_dec DESC, c_custkey ASC
+        LIMIT 20
+    ) t
+"""
+
+TPCH_Q14_SQL = """
+    SELECT CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         CAST(1 - l_discount AS DECIMAL(18,2))
+                    END) AS DOUBLE) * 100.0 /
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+TPCH_Q18_SQL = """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
+    FROM (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                   AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    ) big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def _tpch_sql_query(spark, sf_dir, tables, sql, name):
+    from drune_spark.config.models import StepConfig
+    from drune_spark.operators.registry import StepRunner
+    import drune_spark.operators.steps  # noqa: F401
+
+    _tune(spark)
+    inputs = {t: _t(spark, sf_dir, t) for t in tables}
+    runner = StepRunner(spark)
+    return runner.run(
+        [StepConfig(name=name, type="sql", params={"query": sql})],
+        inputs,
+        None,
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional nation-pair trade
+    volume per year. Dims broadcast; lineitem shuffles once on the
+    order join key."""
+    return _tpch_sql_query(
+        spark, sf_dir,
+        ("supplier", "lineitem", "orders", "customer", "nation"),
+        TPCH_Q7_SQL, "q7",
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items): top-20 customers by Q4-1996 returned
+    revenue; DECIMAL money, (revenue desc, custkey) tie-break."""
+    return _tpch_sql_query(
+        spark, sf_dir,
+        ("customer", "orders", "lineitem", "nation"),
+        TPCH_Q10_SQL, "q10",
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue share): conditional DECIMAL aggregate
+    ratio over one month; part dim broadcast."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("lineitem", "part"), TPCH_Q14_SQL, "q14"
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose exact DECIMAL
+    quantity sum exceeds 250, joined back to customer."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("lineitem", "orders", "customer"),
+        TPCH_Q18_SQL, "q18",
+    )
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (forecast revenue change): pure filter + exact sum —
     everything pushes to the scan."""
@@ -1525,6 +1657,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
         "topk_customers": q_topk_customers,
         "setops_except": q_setops_except,
         "dq_constraints": q_dq_constraints,
@@ -1979,6 +2115,10 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
               AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
         """,
+        "tpch_q7": TPCH_Q7_SQL,
+        "tpch_q10": TPCH_Q10_SQL,
+        "tpch_q14": TPCH_Q14_SQL,
+        "tpch_q18": TPCH_Q18_SQL,
         "ann_ivf_assign": """
             WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

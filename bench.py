@@ -27,6 +27,10 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
     "topk_customers",
     "dq_constraints",
     "dedup_exact",
