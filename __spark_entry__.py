@@ -1208,6 +1208,45 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-wire mock producer→consumer roundtrip: events wrapped as
+    (key, JSON value, topic, md5-keyed partition, dense per-partition
+    offset), then consumer-decoded with from_json and aggregated per
+    partition. The hash match proves the partitioner math, the offset
+    assignment, and JSON encode/decode losslessness for every typed
+    field — the oracle replays partition/offset from raw rows (the
+    roundtrip is identity)."""
+    _tune(spark)
+    from drune_spark.sources.kafka_mock import (
+        kafka_wire_frame,
+        parse_kafka_value,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    wire = kafka_wire_frame(
+        ev, key_col="user_id", ts_col="ts_us", topic="events",
+        n_partitions=4, tie_cols=["event_id"],
+    )
+    parsed = parse_kafka_value(
+        wire,
+        "event_id bigint, user_id bigint, event_type string, "
+        "ts_us bigint, value double",
+    )
+    return parsed.groupBy("topic", "partition").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("offset").alias("max_offset"),
+        F.sum("event_id").alias("sum_ids"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (o_custkey, order day):
     exact-integer min-max normalization to 16 bits each, bit
@@ -1678,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ivf_train": q_ivf_train,
         "zorder_layout": q_zorder_layout,
+        "kafka_roundtrip": q_kafka_roundtrip,
         "rep_quality_filter": q_rep_quality_filter,
         "corpus_mix": q_corpus_mix,
         "redact_pii": q_redact_pii,
@@ -2592,6 +2632,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_train": _ivf_train_oracle(k=8, t_iters=2, dim=64),
         "zorder_layout": _zorder_oracle(bits=16, top_bits=6),
+        # Roundtrip is identity, so the oracle replays partition/offset
+        # math from raw rows — no JSON needed on the DuckDB side.
+        "kafka_roundtrip": """
+            WITH base AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+                FROM events
+            ),
+            p AS (
+                SELECT *,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 8))::BIGINT % 4
+                            AS INTEGER) AS partition
+                FROM base
+            ),
+            o AS (
+                SELECT 'events' AS topic, partition,
+                       CAST(row_number() OVER (
+                           PARTITION BY partition
+                           ORDER BY ts_us, event_id) - 1
+                            AS BIGINT) AS "offset",
+                       event_id, user_id, value
+                FROM p
+            )
+            SELECT topic, partition,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MAX("offset") AS max_offset,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(MAX(value), 6) AS max_value
+            FROM o GROUP BY topic, partition
+        """,
         "doc_chunks": """
             WITH b AS (
                 SELECT doc_id,

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "quantize_embeddings",
     "kmv_set_ops",
     "rollup_refresh",
+    "kafka_roundtrip",
 ]
 
 

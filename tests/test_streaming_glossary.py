@@ -340,3 +340,103 @@ class TestNl2Sql:
                            llm_fn=lambda q, hint:
                            "SELECT COUNT(*) AS n FROM g_orders")
         assert ok.to_sql("how many orders") == "SELECT COUNT(*) AS n FROM g_orders"
+
+
+class TestKafkaMock:
+    def _events(self, spark):
+        rows = [
+            (i, i % 5, "click" if i % 3 else "view",
+             1_700_000_000_000_000 + i * 1_000_000, float(i) / 7.0)
+            for i in range(60)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, "
+            "ts_us long, value double",
+        )
+
+    def test_wire_contract_and_offsets(self, spark):
+        from drune_spark.sources.kafka_mock import (
+            KAFKA_WIRE_COLUMNS, kafka_wire_frame,
+        )
+        ev = self._events(spark)
+        wire = kafka_wire_frame(
+            ev, "user_id", "ts_us", "t", n_partitions=3,
+            tie_cols=["event_id"],
+        )
+        assert wire.columns == KAFKA_WIRE_COLUMNS
+        rows = wire.collect()
+        assert {type(r.key) for r in rows} <= {bytes, bytearray}
+        # offsets are dense 0..n-1 within each partition
+        by_part = {}
+        for r in rows:
+            by_part.setdefault(r.partition, []).append(r.offset)
+        assert set(by_part) <= {0, 1, 2}
+        for offs in by_part.values():
+            assert sorted(offs) == list(range(len(offs)))
+        # same key always lands on the same partition
+        key_parts = {}
+        for r in rows:
+            key_parts.setdefault(bytes(r.key), set()).add(r.partition)
+        assert all(len(p) == 1 for p in key_parts.values())
+
+    def test_log_replay_stream_matches_batch(self, spark, tmp_path):
+        """Producer writes the broker log; a streaming consumer replays
+        it file-by-file and the decoded per-type counts match batch."""
+        from drune_spark.sources.kafka_mock import (
+            kafka_wire_frame, parse_kafka_value, read_kafka_log,
+            write_kafka_log,
+        )
+        ev = self._events(spark)
+        wire = kafka_wire_frame(
+            ev, "user_id", "ts_us", "t", n_partitions=3,
+            tie_cols=["event_id"],
+        )
+        log = str(tmp_path / "kafka_log")
+        write_kafka_log(wire, log)
+        # one file per partition on disk → 3 replay steps
+        schema = ("event_id long, user_id long, event_type string, "
+                  "ts_us long, value double")
+        stream = read_kafka_log(
+            spark, log, options={"maxFilesPerTrigger": "1"}
+        )
+        parsed = parse_kafka_value(stream, schema)
+        out = str(tmp_path / "out")
+        chk = str(tmp_path / "chk")
+        (parsed.writeStream.format("parquet")
+            .option("checkpointLocation", chk)
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120))
+        got = {r.event_type: (r.n, r.sum_ids)
+               for r in spark.read.parquet(out)
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("event_id").alias("sum_ids"))
+               .collect()}
+        want = {r.event_type: (r.n, r.sum_ids)
+                for r in ev.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("event_id").alias("sum_ids")).collect()}
+        assert got == want
+
+    def test_value_json_roundtrip_is_lossless(self, spark):
+        from drune_spark.sources.kafka_mock import (
+            kafka_wire_frame, parse_kafka_value,
+        )
+        ev = self._events(spark)
+        wire = kafka_wire_frame(
+            ev, "user_id", "ts_us", "t", n_partitions=2,
+            tie_cols=["event_id"],
+        )
+        parsed = parse_kafka_value(
+            wire,
+            "event_id long, user_id long, event_type string, "
+            "ts_us long, value double",
+        )
+        got = {(r.event_id, r.user_id, r.event_type, r.ts_us, r.value)
+               for r in parsed.collect()}
+        want = {tuple(r) for r in ev.collect()}
+        assert got == want
