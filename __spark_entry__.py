@@ -1208,6 +1208,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_QUERIES = [
+    ("q_hash_join", ["hash", "join"]),
+    ("q_stream_window", ["stream", "window"]),
+    ("q_sort_merge_scan", ["sort", "merge", "scan"]),
+]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-10 docs for three multi-term
+    queries, one corpus pass for all of them. The float term-sum is
+    order-sensitive, so the scoring expression text is generated once
+    (operators/search.py score_sql) and evaluated verbatim by both
+    Spark and DuckDB — identical FP op sequence, rounded to 6, doc_id
+    tie-break."""
+    _tune(spark)
+    from drune_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERIES, k=10)
+
+
 def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka-wire mock producer→consumer roundtrip: events wrapped as
     (key, JSON value, topic, md5-keyed partition, dense per-partition
@@ -1718,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_train": q_ivf_train,
         "zorder_layout": q_zorder_layout,
         "kafka_roundtrip": q_kafka_roundtrip,
+        "bm25_search": q_bm25_search,
         "rep_quality_filter": q_rep_quality_filter,
         "corpus_mix": q_corpus_mix,
         "redact_pii": q_redact_pii,
@@ -1877,6 +1899,8 @@ def _zorder_oracle(bits: int = 16, top_bits: int = 6) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from drune_spark.operators.search import bm25_oracle_sql
+
     toks = "regexp_split_to_array(trim(text), '\\s+')"
     toks_lower = "regexp_split_to_array(trim(lower(text)), '\\s+')"
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -2632,6 +2656,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_train": _ivf_train_oracle(k=8, t_iters=2, dim=64),
         "zorder_layout": _zorder_oracle(bits=16, top_bits=6),
+        "bm25_search": bm25_oracle_sql(BM25_QUERIES, k=10),
         # Roundtrip is identity, so the oracle replays partition/offset
         # math from raw rows — no JSON needed on the DuckDB side.
         "kafka_roundtrip": """

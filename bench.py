@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "kmv_set_ops",
     "rollup_refresh",
     "kafka_roundtrip",
+    "bm25_search",
 ]
 
 

@@ -1,0 +1,229 @@
+"""BM25 keyword retrieval over a document corpus — the text-search
+query an analytics engine needs next to its dedup/quality ops.
+
+Shape (one corpus pass for ANY number of queries):
+- tokenize once; tf per (doc, term), doc length, corpus stats (N,
+  Σdl) and per-term document frequencies all come from that pass.
+- the per-doc feature row carries tf for the UNION of all query
+  terms (conditional-aggregate pivot — terms are few, the row is
+  narrow); corpus stats and the df row are broadcast cross joins.
+- every query's score is evaluated from the same feature frame and
+  fanned out with one explode(array(struct(...))) — no per-query
+  rescan, no union of scans.
+- top-k per query via the rank-limit-pushdown window ((score desc,
+  doc_id) after rounding), the same Partial-below-Exchange plan
+  pinned for ANN top-k in tests/test_plans.py.
+
+At 100 TB: the only wide ops are the tf/dl aggregations (map-side
+partial, keys are (doc, term)); queries/stats/dfs are broadcast;
+scoring is codegen arithmetic. Nothing about the query count touches
+the corpus scan count.
+
+Determinism (oracle hash-match): a BM25 score is a float sum over a
+query's terms, which is order-sensitive — so the scoring expression is
+generated ONCE as SQL text (fixed term order, explicit casts, explicit
+constant folds) by ``score_sql`` below, and that identical text runs
+through Spark's ``F.expr`` AND inside the DuckDB oracle. Both engines
+execute the same written FP op sequence; scores are rounded to 6
+decimals and ranked with a doc_id tie-break, the same discipline as
+the cosine queries. (``ln`` is the one libm call — worst case a 1-ulp
+engine difference, orders below the rounding grain.)
+
+No counterpart in /root/reference; driver-mandated LLM-data extension
+(retrieval over the documents table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from drune_spark.functions.text import tokens
+
+
+def collect_terms(queries: list[tuple[str, list[str]]]) -> list[str]:
+    """Sorted union of all query terms — the global term index that
+    tf_{i}/df_{i} columns are numbered by."""
+    seen = set()
+    for _, terms in queries:
+        seen.update(terms)
+    return sorted(seen)
+
+
+def score_sql(
+    term_idx: list[int], k1: float = 1.2, b: float = 0.75
+) -> str:
+    """The shared Spark/DuckDB BM25 scoring expression for one query,
+    over columns n_docs, sum_dl, dl, tf_{i}, df_{i} (i = global term
+    indices, in the query's term order). Lucene-style idf:
+    ln(1 + (N - df + 0.5)/(df + 0.5)) — always positive."""
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    parts = []
+    for i in term_idx:
+        idf = (
+            f"ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)"
+        )
+        tfd = f"CAST(tf_{i} AS DOUBLE)"
+        denom = (
+            f"({tfd} + {k1} * (1.0 - {b} + {b} * "
+            f"CAST(dl AS DOUBLE) / {avgdl}))"
+        )
+        parts.append(
+            f"CASE WHEN tf_{i} > 0 THEN {idf} * ({tfd} * {k1 + 1.0})"
+            f" / {denom} ELSE 0.0 END"
+        )
+    return " + ".join(parts)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents per query by BM25. Returns (query_id, doc_id,
+    rank, score); only docs containing at least one query term (score
+    > 0) rank."""
+    all_terms = collect_terms(queries)
+    idx = {t: i for i, t in enumerate(all_terms)}
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qterm_tf = tf.filter(F.col("w").isin(all_terms))
+    dfs = qterm_tf.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    df_row = dfs.agg(
+        *[
+            F.max(F.when(F.col("w") == t, F.col("df"))).alias(f"df_{i}")
+            for i, t in enumerate(all_terms)
+        ]
+    )
+    features = (
+        qterm_tf.groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("w") == t, F.col("tf"))).alias(f"tf_{i}")
+                for i, t in enumerate(all_terms)
+            ]
+        )
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(df_row))
+    )
+    scored = features.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).alias("query_id"),
+                        F.round(
+                            F.expr(
+                                score_sql([idx[t] for t in terms], k1, b)
+                            ),
+                            6,
+                        ).alias("score"),
+                    )
+                    for qid, terms in queries
+                ]
+            )
+        ).alias("__q"),
+    ).select("doc_id", "__q.query_id", "__q.score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.filter(F.col("score") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
+def bm25_oracle_sql(
+    queries: list[tuple[str, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    toks_expr: str = "regexp_split_to_array(trim(lower(text)), '\\s+')",
+) -> str:
+    """DuckDB replay sharing ``score_sql``'s exact expression text."""
+    all_terms = collect_terms(queries)
+    idx = {t: i for i, t in enumerate(all_terms)}
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    tf_cols = ",\n                       ".join(
+        f"MAX(CASE WHEN w = '{t}' THEN tf END) AS tf_{i}"
+        for i, t in enumerate(all_terms)
+    )
+    df_cols = ",\n                       ".join(
+        f"MAX(CASE WHEN w = '{t}' THEN df END) AS df_{i}"
+        for i, t in enumerate(all_terms)
+    )
+    branches = "\n                UNION ALL\n".join(
+        f"""                SELECT doc_id, '{qid}' AS query_id,
+                       round({score_sql([idx[t] for t in terms], k1, b)},
+                             6) AS score
+                FROM features"""
+        for qid, terms in queries
+    )
+    return f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({toks_expr}) AS w FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, w
+            ),
+            dl AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+                FROM toks GROUP BY doc_id
+            ),
+            stats AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(dl) AS BIGINT) AS sum_dl
+                FROM dl
+            ),
+            qtf AS (SELECT * FROM tf WHERE w IN ({in_list})),
+            dfs AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+                FROM qtf GROUP BY w
+            ),
+            df_row AS (
+                SELECT {df_cols}
+                FROM dfs
+            ),
+            features AS (
+                SELECT t.*, dl.dl, stats.*, df_row.*
+                FROM (
+                    SELECT doc_id,
+                       {tf_cols}
+                    FROM qtf GROUP BY doc_id
+                ) t
+                JOIN dl USING (doc_id), stats, df_row
+            ),
+            scored AS (
+{branches}
+            ),
+            ranked AS (
+                SELECT query_id, doc_id, score,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC
+                       ) AS INTEGER) AS rank
+                FROM scored WHERE score > 0
+            )
+            SELECT query_id, doc_id, rank, score
+            FROM ranked WHERE rank <= {k}
+        """

@@ -920,3 +920,72 @@ class TestIvfTrain:
         for cid in (1, 2):
             assert rows[cid].n_members == 0 and rows[cid].sse == 0
             assert list(rows[cid].centroid) == [code] * dim
+
+
+class TestBm25:
+    DOCS = [
+        (0, "spark join hash join"),
+        (1, "hash table scan"),
+        (2, "stream window stream"),
+        (3, "filter sort"),
+    ]
+
+    def test_matches_hand_computed_bm25(self, spark):
+        import math
+        from drune_spark.operators.search import bm25_topk
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        out = bm25_topk(docs, [("q", ["hash", "join"])], k=4)
+        got = {r.doc_id: (r.rank, r.score) for r in out.collect()}
+
+        # corpus: N=4, dl = [4,3,3,2], avgdl = 3.0
+        def idf(df):
+            return math.log((4 - df + 0.5) / (df + 0.5) + 1.0)
+
+        def contrib(tf, dl, df):
+            if tf == 0:
+                return 0.0
+            return idf(df) * (tf * 2.2) / (
+                tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 3.0)
+            )
+
+        # df(hash)=2, df(join)=1
+        want = {
+            0: contrib(1, 4, 2) + contrib(2, 4, 1),
+            1: contrib(1, 3, 2) + contrib(0, 3, 1),
+        }
+        assert set(got) == {0, 1}  # docs 2,3 score 0 and drop
+        assert got[0][0] == 1 and got[1][0] == 2
+        assert got[0][1] == pytest.approx(round(want[0], 6), abs=1e-6)
+        assert got[1][1] == pytest.approx(round(want[1], 6), abs=1e-6)
+
+    def test_multi_query_single_corpus_scan(self, spark):
+        """All queries are scored off one feature frame: the physical
+        plan reads the source once, not once per query, and the
+        per-query top-k uses the rank-limit pushdown."""
+        from drune_spark.operators.search import bm25_topk
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        out = bm25_topk(
+            docs,
+            [("q1", ["hash"]), ("q2", ["join"]), ("q3", ["stream"])],
+            k=2,
+        )
+        rows = out.collect()
+        assert {r.query_id for r in rows} == {"q1", "q2", "q3"}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # localtablescan of DOCS appears once per aggregation path
+        # (tf/dl), NOT once per query (3 queries, would be 6+)
+        n_scans = plan.count("LocalTableScan")
+        assert n_scans <= 4
+        assert "WindowGroupLimit" in plan
+
+    def test_absent_term_contributes_zero(self, spark):
+        from drune_spark.operators.search import bm25_topk
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        with_missing = bm25_topk(
+            docs, [("q", ["hash", "zzz_not_a_word"])], k=4
+        ).collect()
+        only_hash = bm25_topk(docs, [("q", ["hash"])], k=4).collect()
+        assert (
+            {(r.doc_id, r.score) for r in with_missing}
+            == {(r.doc_id, r.score) for r in only_hash}
+        )
