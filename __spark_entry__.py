@@ -1208,6 +1208,29 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column table profile of orders: row/null/exact
+    distinct counts plus typed min/max (numeric as double, timestamp
+    as epoch-µs, string by binary collation). One agg over the data;
+    the per-column fan-out is a union over the 1-row result."""
+    _tune(spark)
+    from drune_spark.operators.profile import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(o)
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 10-bucket histogram of events.value with bounds
+    from a broadcast min/max agg (no collect); fixed FP op sequence
+    for the bucket index so both engines bin identically."""
+    _tune(spark)
+    from drune_spark.operators.profile import numeric_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return numeric_histogram(ev, "value", n_buckets=10)
+
+
 BM25_QUERIES = [
     ("q_hash_join", ["hash", "join"]),
     ("q_stream_window", ["stream", "window"]),
@@ -1740,6 +1763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "kafka_roundtrip": q_kafka_roundtrip,
         "bm25_search": q_bm25_search,
+        "table_profile": q_table_profile,
+        "value_histogram": q_value_histogram,
         "rep_quality_filter": q_rep_quality_filter,
         "corpus_mix": q_corpus_mix,
         "redact_pii": q_redact_pii,
@@ -1896,6 +1921,43 @@ def _zorder_oracle(bits: int = 16, top_bits: int = 6) -> str:
                    MIN(day) AS min_day, MAX(day) AS max_day
             FROM z GROUP BY bucket
         """
+
+
+def _profile_oracle() -> str:
+    """Per-column UNION ALL replay of operators/profile.py
+    profile_table over orders (numeric → double min/max, timestamp →
+    epoch-µs, string → collation min/max)."""
+    spec = [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ]
+    null_d = "CAST(NULL AS DOUBLE)"
+    null_s = "CAST(NULL AS VARCHAR)"
+    branches = []
+    for c, k in spec:
+        if k == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            mns = mxs = null_s
+        elif k == "ts":
+            mn = f"CAST(MIN(epoch_us({c})) AS DOUBLE)"
+            mx = f"CAST(MAX(epoch_us({c})) AS DOUBLE)"
+            mns = mxs = null_s
+        else:
+            mn = mx = null_d
+            mns, mxs = f"MIN({c})", f"MAX({c})"
+        branches.append(f"""
+            SELECT '{c}' AS col,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   {mn} AS min_num, {mx} AS max_num,
+                   {mns} AS min_str, {mxs} AS max_str
+            FROM orders""")
+    return "\n            UNION ALL".join(branches)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2657,6 +2719,22 @@ def oracle_sql() -> dict[str, str]:
         "ivf_train": _ivf_train_oracle(k=8, t_iters=2, dim=64),
         "zorder_layout": _zorder_oracle(bits=16, top_bits=6),
         "bm25_search": bm25_oracle_sql(BM25_QUERIES, k=10),
+        "table_profile": _profile_oracle(),
+        "value_histogram": """
+            WITH b AS (
+                SELECT CAST(MIN(value) AS DOUBLE) AS mn,
+                       CAST(MAX(value) AS DOUBLE) AS mx
+                FROM events
+            )
+            SELECT CAST(CASE WHEN mx <= mn THEN 0
+                        ELSE least(9, CAST(floor(
+                            ((value - mn) / (mx - mn)) * 10.0
+                        ) AS BIGINT)) END AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events, b
+            WHERE value IS NOT NULL
+            GROUP BY 1
+        """,
         # Roundtrip is identity, so the oracle replays partition/offset
         # math from raw rows — no JSON needed on the DuckDB side.
         "kafka_roundtrip": """

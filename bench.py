@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "rollup_refresh",
     "kafka_roundtrip",
     "bm25_search",
+    "table_profile",
+    "value_histogram",
 ]
 
 

@@ -989,3 +989,56 @@ class TestBm25:
             {(r.doc_id, r.score) for r in with_missing}
             == {(r.doc_id, r.score) for r in only_hash}
         )
+
+
+class TestProfile:
+    def test_profile_counts_and_minmax(self, spark):
+        from drune_spark.operators.profile import profile_table
+        df = spark.createDataFrame(
+            [(1, "a", 2.0), (2, "b", None), (2, None, 8.0)],
+            "k long, s string, v double",
+        )
+        rows = {r.col: r for r in profile_table(df).collect()}
+        assert rows["k"].n == 3 and rows["k"].n_null == 0
+        assert rows["k"].n_distinct == 2
+        assert rows["k"].min_num == 1.0 and rows["k"].max_num == 2.0
+        assert rows["k"].min_str is None
+        assert rows["s"].n_null == 1 and rows["s"].n_distinct == 2
+        assert rows["s"].min_str == "a" and rows["s"].max_str == "b"
+        assert rows["s"].min_num is None
+        assert rows["v"].n_null == 1
+        assert rows["v"].min_num == 2.0 and rows["v"].max_num == 8.0
+
+    def test_approx_distinct_avoids_expand(self, spark):
+        from drune_spark.operators.profile import profile_table
+        df = spark.range(1000).select(
+            F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+        )
+        exact = profile_table(df, distinct="exact")
+        approx = profile_table(df, distinct="approx")
+        assert "Expand" in exact._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in (
+            approx._jdf.queryExecution().executedPlan().toString()
+        )
+        got = {r.col: r.n_distinct for r in approx.collect()}
+        assert abs(got["a"] - 1000) / 1000 < 0.15 and got["b"] == 7
+
+    def test_histogram_boundaries(self, spark):
+        from drune_spark.operators.profile import numeric_histogram
+        df = spark.createDataFrame(
+            [(float(x),) for x in range(101)], "v double"
+        )
+        got = {r.bucket: r.n for r in
+               numeric_histogram(df, "v", n_buckets=10).collect()}
+        # 0..100: buckets 0-9, max value folds into the last bucket
+        assert sum(got.values()) == 101
+        assert got[9] == 11 and all(got[i] == 10 for i in range(9))
+
+    def test_histogram_constant_and_null(self, spark):
+        from drune_spark.operators.profile import numeric_histogram
+        df = spark.createDataFrame(
+            [(5.0,), (5.0,), (None,)], "v double"
+        )
+        got = {r.bucket: r.n for r in
+               numeric_histogram(df, "v", n_buckets=4).collect()}
+        assert got == {0: 2}
