@@ -1231,6 +1231,60 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_histogram(ev, "value", n_buckets=10)
 
 
+# Shared window-analytics body: Spark runs it over a temp view of the
+# µs-normalized events; the oracle prepends a DuckDB base CTE with the
+# same columns. One text → identical window semantics and FP op order.
+WINDOW_ANALYTICS_BODY = """
+    SELECT event_id, user_id,
+           CAST(ts_us - lag(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ) AS BIGINT) AS gap_us,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ) AS INTEGER) AS seq,
+           CAST(SUM(vmilli) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS run_milli,
+           CAST(SUM(vmilli) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS win3_milli
+    FROM wa_base
+"""
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence analytics in one window pass: gap to
+    previous event (µs), sequence number, running and 3-row-window
+    integer-milli value sums. All four windows share one (user_id,
+    ts_us) sort — one shuffle, one sort, four outputs. Integer
+    measures → exact; the SQL body text is shared with the oracle."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vmilli"),
+    )
+    ev.createOrReplaceTempView("wa_base")
+    return spark.sql(WINDOW_ANALYTICS_BODY)
+
+
+def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type value percentiles (p25/p50/p90/p99):
+    Spark's percentile aggregate interpolates bit-identically to
+    DuckDB's quantile_cont (verified), rounded to 6. The approx
+    t-digest path is the 100 TB variant (operators/stats.py)."""
+    _tune(spark)
+    from drune_spark.operators.stats import grouped_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_percentiles(
+        ev, "value", ["event_type"], [0.25, 0.5, 0.9, 0.99]
+    )
+
+
 BM25_QUERIES = [
     ("q_hash_join", ["hash", "join"]),
     ("q_stream_window", ["stream", "window"]),
@@ -1765,6 +1819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "table_profile": q_table_profile,
         "value_histogram": q_value_histogram,
+        "window_analytics": q_window_analytics,
+        "grouped_percentiles": q_grouped_percentiles,
         "rep_quality_filter": q_rep_quality_filter,
         "corpus_mix": q_corpus_mix,
         "redact_pii": q_redact_pii,
@@ -2720,6 +2776,27 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _zorder_oracle(bits=16, top_bits=6),
         "bm25_search": bm25_oracle_sql(BM25_QUERIES, k=10),
         "table_profile": _profile_oracle(),
+        "window_analytics": f"""
+            WITH wa_base AS (
+                SELECT event_id, user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vmilli
+                FROM events
+            )
+            {WINDOW_ANALYTICS_BODY}
+        """,
+        "grouped_percentiles": """
+            WITH q AS (
+                SELECT event_type, COUNT(value) AS n,
+                       quantile_cont(value, [0.25, 0.5, 0.9, 0.99]) AS ps
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST([0.25, 0.5, 0.9, 0.99][i] AS DOUBLE) AS p,
+                   CAST(n AS BIGINT) AS n,
+                   round(ps[i], 6) AS value
+            FROM q, UNNEST(generate_series(1, 4)) AS t(i)
+        """,
         "value_histogram": """
             WITH b AS (
                 SELECT CAST(MIN(value) AS DOUBLE) AS mn,

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "bm25_search",
     "table_profile",
     "value_histogram",
+    "window_analytics",
+    "grouped_percentiles",
 ]
 
 

@@ -1042,3 +1042,39 @@ class TestProfile:
         got = {r.bucket: r.n for r in
                numeric_histogram(df, "v", n_buckets=4).collect()}
         assert got == {0: 2}
+
+
+class TestGroupedPercentiles:
+    def test_exact_hand_computed(self, spark):
+        from drune_spark.operators.stats import grouped_percentiles
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in range(11)], "grp string, v double"
+        )
+        got = {r.p: r.value for r in grouped_percentiles(
+            df, "v", ["grp"], [0.0, 0.5, 0.95, 1.0]).collect()}
+        assert got == {0.0: 0.0, 0.5: 5.0, 0.95: 9.5, 1.0: 10.0}
+
+    def test_approx_close_to_exact_and_mergeable_plan(self, spark):
+        from drune_spark.operators.stats import grouped_percentiles
+        df = spark.range(5000).select(
+            (F.col("id") % 3).alias("grp"),
+            (F.col("id") % 997).cast("double").alias("v"),
+        )
+        exact = {(r.grp, r.p): r.value for r in grouped_percentiles(
+            df, "v", ["grp"], [0.5, 0.9]).collect()}
+        approx = {(r.grp, r.p): r.value for r in grouped_percentiles(
+            df, "v", ["grp"], [0.5, 0.9], mode="approx").collect()}
+        for k, v in exact.items():
+            assert abs(approx[k] - v) <= 997 * 0.05
+        # approx path partial-aggregates map-side (mergeable sketch)
+        plan = (grouped_percentiles(df, "v", ["grp"], [0.5], mode="approx")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "partial_percentile_approx" in plan
+
+    def test_null_values_excluded_from_n(self, spark):
+        from drune_spark.operators.stats import grouped_percentiles
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", None), ("g", 3.0)], "grp string, v double"
+        )
+        rows = grouped_percentiles(df, "v", ["grp"], [0.5]).collect()
+        assert rows[0].n == 2 and rows[0].value == 2.0

@@ -172,3 +172,27 @@ class TestPlans:
         result = apply_constraints(df, schema, collect_counts=False)
         plan = executed_plan(result.passed)
         assert "Exchange" not in plan
+
+    def test_window_analytics_single_sort_exchange(self, spark, entry):
+        """Four window outputs (lag, row_number, running sum, 3-row
+        sum) over the same (user_id, ts) ordering must share ONE
+        Exchange and ONE Sort — Catalyst collapses same-spec windows;
+        a regression here doubles the shuffle count."""
+        df = entry.q_window_analytics(spark, SF)
+        plan = executed_plan(df)
+        assert plan.count("Exchange hashpartitioning(user_id") == 1
+        assert plan.count("Sort [") == 1
+
+    def test_profile_table_single_scan(self, spark, entry):
+        """The per-column profile fan-out must not replan one scan per
+        column (6 columns → 1 scan, not 6)."""
+        df = entry.q_table_profile(spark, SF)
+        plan = executed_plan(df)
+        assert plan.count("Scan parquet") == 1
+
+    def test_zorder_minmax_is_broadcast_not_collect(self, spark, entry):
+        """zorder_column keeps the min/max bounds in-plan via a
+        broadcast join (no driver collect)."""
+        df = entry.q_zorder_layout(spark, SF)
+        plan = executed_plan(df)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
