@@ -120,3 +120,74 @@ class ChunkStep(Step):
         df = self.pick_input(inputs, current, source)
         return chunk_documents(df, text_col, id_col,
                                chunk_size=chunk_size, overlap=overlap)
+
+
+@StepRegistry.register("profile")
+class ProfileStep(Step):
+    """Per-column table profile (operators/profile.py). ``distinct``:
+    'exact' (Expand plan) or 'approx' (HLL, single-pass at scale)."""
+
+    def execute(self, inputs, current, *, columns: Optional[list] = None,
+                distinct: str = "exact", source: Optional[str] = None,
+                **_: Any) -> DataFrame:
+        from drune_spark.operators.profile import profile_table
+
+        df = self.pick_input(inputs, current, source)
+        return profile_table(df, columns=columns, distinct=distinct)
+
+
+@StepRegistry.register("histogram")
+class HistogramStep(Step):
+    """Equal-width numeric histogram (bucket, n)."""
+
+    def execute(self, inputs, current, *, column: str,
+                n_buckets: int = 10, source: Optional[str] = None,
+                **_: Any) -> DataFrame:
+        from drune_spark.operators.profile import numeric_histogram
+
+        df = self.pick_input(inputs, current, source)
+        return numeric_histogram(df, column, n_buckets=n_buckets)
+
+
+@StepRegistry.register("percentiles")
+class PercentilesStep(Step):
+    """Grouped percentiles; mode='approx' for the t-digest scale path."""
+
+    def execute(self, inputs, current, *, column: str,
+                group_by: list, percentiles: list,
+                mode: str = "exact", source: Optional[str] = None,
+                **_: Any) -> DataFrame:
+        from drune_spark.operators.stats import grouped_percentiles
+
+        df = self.pick_input(inputs, current, source)
+        return grouped_percentiles(df, column, list(group_by),
+                                   [float(p) for p in percentiles],
+                                   mode=mode)
+
+
+@StepRegistry.register("bm25")
+class Bm25Step(Step):
+    """BM25 retrieval: params.queries is [[query_id, [terms...]], ...]."""
+
+    def execute(self, inputs, current, *, queries: list, k: int = 10,
+                text_col: str = "text", id_col: str = "doc_id",
+                source: Optional[str] = None, **_: Any) -> DataFrame:
+        from drune_spark.operators.search import bm25_topk
+
+        df = self.pick_input(inputs, current, source)
+        qs = [(str(qid), list(terms)) for qid, terms in queries]
+        return bm25_topk(df, qs, k=k, id_col=id_col, text_col=text_col)
+
+
+@StepRegistry.register("zorder")
+class ZorderStep(Step):
+    """Append a Morton z-value column over ``columns`` (write it with a
+    range-partitioned sink for the clustered layout)."""
+
+    def execute(self, inputs, current, *, columns: list, bits: int = 16,
+                out_col: str = "zval", source: Optional[str] = None,
+                **_: Any) -> DataFrame:
+        from drune_spark.operators.layout import zorder_column
+
+        df = self.pick_input(inputs, current, source)
+        return zorder_column(df, list(columns), bits=bits, out_col=out_col)

@@ -298,3 +298,60 @@ class TestCorpusPrepPipeline:
                                     "n_chunk_tokens", "chunk_text"}
         # eval docs were excluded before prep and src0 upsampling happened
         assert out.filter("doc_id % 17 = 0").count() == 0
+
+
+class TestAnalyticsSteps:
+    def test_profile_histogram_percentile_steps_chain(self, spark):
+        from drune_spark.config.models import StepConfig
+        from drune_spark.operators.registry import StepRunner
+        import drune_spark.operators.llm_steps  # noqa: F401
+        from pyspark.sql import functions as F
+
+        df = spark.range(100).select(
+            (F.col("id") % 4).alias("grp"),
+            F.col("id").cast("double").alias("v"),
+        )
+        prof = StepRunner(spark).run(
+            [StepConfig(name="p", type="profile", params={"source": "t"})],
+            {"t": df}, None,
+        )
+        assert {r.col for r in prof.collect()} == {"grp", "v"}
+        hist = StepRunner(spark).run(
+            [StepConfig(name="h", type="histogram",
+                        params={"source": "t", "column": "v",
+                                "n_buckets": 4})],
+            {"t": df}, None,
+        )
+        assert sum(r.n for r in hist.collect()) == 100
+        pct = StepRunner(spark).run(
+            [StepConfig(name="q", type="percentiles",
+                        params={"source": "t", "column": "v",
+                                "group_by": ["grp"],
+                                "percentiles": [0.5]})],
+            {"t": df}, None,
+        )
+        assert pct.count() == 4
+
+    def test_bm25_and_zorder_steps(self, spark):
+        from drune_spark.config.models import StepConfig
+        from drune_spark.operators.registry import StepRunner
+        import drune_spark.operators.llm_steps  # noqa: F401
+
+        docs = spark.createDataFrame(
+            [(0, "hash join"), (1, "scan sort")],
+            "doc_id long, text string",
+        )
+        hits = StepRunner(spark).run(
+            [StepConfig(name="s", type="bm25",
+                        params={"source": "d",
+                                "queries": [["q1", ["hash"]]]})],
+            {"d": docs}, None,
+        )
+        assert [r.doc_id for r in hits.collect()] == [0]
+        z = StepRunner(spark).run(
+            [StepConfig(name="z", type="zorder",
+                        params={"source": "d", "columns": ["doc_id"],
+                                "bits": 4})],
+            {"d": docs}, None,
+        )
+        assert "zval" in z.columns and z.count() == 2
