@@ -1254,6 +1254,57 @@ WINDOW_ANALYTICS_BODY = """
 """
 
 
+FUNNEL_BODY = """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts_us) AS t1 FROM f_base
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT b.user_id, MIN(b.ts_us) AS t2
+        FROM f_base b JOIN s1 ON b.user_id = s1.user_id
+        WHERE b.event_type = 'click' AND b.ts_us >= s1.t1
+        GROUP BY b.user_id
+    ),
+    s3 AS (
+        SELECT b.user_id, MIN(b.ts_us) AS t3
+        FROM f_base b JOIN s2 ON b.user_id = s2.user_id
+        WHERE b.event_type = 'purchase' AND b.ts_us >= s2.t2
+        GROUP BY b.user_id
+    ),
+    counts AS (
+        SELECT CAST(1 AS INTEGER) AS step_no, 'signup' AS step,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), 'click', CAST(COUNT(*) AS BIGINT)
+        FROM s2
+        UNION ALL
+        SELECT CAST(3 AS INTEGER), 'purchase', CAST(COUNT(*) AS BIGINT)
+        FROM s3
+    ),
+    base_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM s1)
+    SELECT step_no, step, n_users,
+           round(CAST(n_users AS DOUBLE) * 100.0 / CAST(n1 AS DOUBLE), 6)
+               AS pct
+    FROM counts, base_n
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel signup → click → purchase:
+    each stage's first-touch time must be at or after the previous
+    stage's, per user; output is users reaching each step plus the
+    conversion percentage (single rounded division). Each stage is a
+    user-keyed agg + join — same shuffle key throughout, so at scale
+    the chain reuses one partitioning. SQL body shared with the
+    oracle."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    ev.createOrReplaceTempView("f_base")
+    return spark.sql(FUNNEL_BODY)
+
+
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-sequence analytics in one window pass: gap to
     previous event (µs), sequence number, running and 3-row-window
@@ -1821,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "window_analytics": q_window_analytics,
         "grouped_percentiles": q_grouped_percentiles,
+        "funnel": q_funnel,
         "rep_quality_filter": q_rep_quality_filter,
         "corpus_mix": q_corpus_mix,
         "redact_pii": q_redact_pii,
@@ -2785,6 +2837,16 @@ def oracle_sql() -> dict[str, str]:
             )
             {WINDOW_ANALYTICS_BODY}
         """,
+        "funnel": (
+            """
+            WITH f_base AS (
+                SELECT user_id, event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                FROM events
+            ),
+            """
+            + FUNNEL_BODY.strip().removeprefix("WITH")
+        ),
         "grouped_percentiles": """
             WITH q AS (
                 SELECT event_type, COUNT(value) AS n,

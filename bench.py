@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "value_histogram",
     "window_analytics",
     "grouped_percentiles",
+    "funnel",
 ]
 
 

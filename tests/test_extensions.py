@@ -1078,3 +1078,31 @@ class TestGroupedPercentiles:
         )
         rows = grouped_percentiles(df, "v", ["grp"], [0.5]).collect()
         assert rows[0].n == 2 and rows[0].value == 2.0
+
+
+class TestFunnel:
+    def test_strict_ordering(self, spark):
+        """A stage only counts when its first touch is at/after the
+        previous stage's first touch."""
+        import __spark_entry__ as entry
+        rows = [
+            # user 1: full ordered funnel
+            (1, "signup", 100), (1, "click", 200), (1, "purchase", 300),
+            # user 2: click BEFORE signup → stops at signup
+            (2, "click", 50), (2, "signup", 100),
+            # user 3: purchase before click → stops at click
+            (3, "signup", 10), (3, "purchase", 20), (3, "click", 30),
+            # user 4: never signs up → not in funnel at all
+            (4, "click", 10), (4, "purchase", 20),
+            # user 5: same-ts signup+click (>= is inclusive) + purchase
+            (5, "signup", 10), (5, "click", 10), (5, "purchase", 11),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts_us long"
+        )
+        df.createOrReplaceTempView("f_base")
+        got = {r.step: (r.n_users, r.pct)
+               for r in spark.sql(entry.FUNNEL_BODY).collect()}
+        assert got["signup"] == (4, 100.0)
+        assert got["click"] == (3, 75.0)   # users 1, 3, 5
+        assert got["purchase"] == (2, 50.0)  # users 1, 5
