@@ -1254,6 +1254,83 @@ WINDOW_ANALYTICS_BODY = """
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact weighted PageRank (3 damped rounds, 10^6 scale)
+    over the event-type transition graph (edges = consecutive events
+    per user, weighted by count). All-integer rank math → sums are
+    order-independent at any parallelism and the oracle replays every
+    round bit-for-bit in unrolled CTEs."""
+    _tune(spark)
+    from drune_spark.operators.graph import pagerank_int, transition_edges
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    edges = transition_edges(
+        ev, "user_id", ["ts_us", "event_id"], "event_type"
+    )
+    out = pagerank_int(edges, n_iters=3)
+    return out.select(F.col("node").alias("event_type"), "rank_int")
+
+
+def _pagerank_oracle(n_iters: int = 3, damping_pct: int = 85,
+                     scale: int = 1_000_000) -> str:
+    """SQL replay of operators/graph.py pagerank_int over the event
+    transition graph — per-edge integer contributions, damped integer
+    update, unrolled rounds."""
+    base = ((100 - damping_pct) * scale) // 100
+    parts = [f"""
+            WITH seq AS (
+                SELECT user_id, event_type AS src,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                       ) AS dst
+                FROM events
+            ),
+            edges AS (
+                SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+                FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+            ),
+            nodes AS (
+                SELECT src AS node FROM edges
+                UNION
+                SELECT dst FROM edges
+            ),
+            outw AS (
+                SELECT src, CAST(SUM(w) AS BIGINT) AS w_out
+                FROM edges GROUP BY src
+            ),
+            r0 AS (
+                SELECT node, CAST({scale} AS BIGINT) AS rank_int
+                FROM nodes
+            )"""]
+    for t in range(n_iters):
+        parts.append(f""",
+            c{t} AS (
+                SELECT e.dst AS node,
+                       CAST(SUM((r.rank_int * e.w) // o.w_out)
+                            AS BIGINT) AS c_sum
+                FROM edges e
+                JOIN outw o ON e.src = o.src
+                JOIN r{t} r ON r.node = e.src
+                GROUP BY e.dst
+            ),
+            r{t + 1} AS (
+                SELECT n.node,
+                       CAST({base} + ({damping_pct} * COALESCE(c.c_sum, 0))
+                            // 100 AS BIGINT) AS rank_int
+                FROM nodes n LEFT JOIN c{t} c USING (node)
+            )""")
+    parts.append(f"""
+            SELECT node AS event_type, rank_int FROM r{n_iters}
+        """)
+    return "".join(parts)
+
+
 FUNNEL_BODY = """
     WITH s1 AS (
         SELECT user_id, MIN(ts_us) AS t1 FROM f_base
@@ -1873,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_analytics": q_window_analytics,
         "grouped_percentiles": q_grouped_percentiles,
         "funnel": q_funnel,
+        "pagerank": q_pagerank,
         "rep_quality_filter": q_rep_quality_filter,
         "corpus_mix": q_corpus_mix,
         "redact_pii": q_redact_pii,
@@ -2847,6 +2925,7 @@ def oracle_sql() -> dict[str, str]:
             """
             + FUNNEL_BODY.strip().removeprefix("WITH")
         ),
+        "pagerank": _pagerank_oracle(n_iters=3),
         "grouped_percentiles": """
             WITH q AS (
                 SELECT event_type, COUNT(value) AS n,

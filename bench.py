@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "window_analytics",
     "grouped_percentiles",
     "funnel",
+    "pagerank",
 ]
 
 

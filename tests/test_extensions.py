@@ -1106,3 +1106,44 @@ class TestFunnel:
         assert got["signup"] == (4, 100.0)
         assert got["click"] == (3, 75.0)   # users 1, 3, 5
         assert got["purchase"] == (2, 50.0)  # users 1, 5
+
+
+class TestPagerank:
+    def test_transition_edges_counts(self, spark):
+        from drune_spark.operators.graph import transition_edges
+        rows = [(1, "a", 1), (1, "b", 2), (1, "a", 3),
+                (2, "a", 1), (2, "b", 2)]
+        df = spark.createDataFrame(rows, "u long, t string, ts long")
+        edges = {(r.src, r.dst): r.w for r in
+                 transition_edges(df, "u", ["ts"], "t").collect()}
+        assert edges == {("a", "b"): 2, ("b", "a"): 1}
+
+    def test_pagerank_matches_pure_python(self, spark):
+        from drune_spark.operators.graph import pagerank_int
+        e = [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("a", "c", 1)]
+        edges = spark.createDataFrame(e, "src string, dst string, w long")
+        got = {r.node: r.rank_int
+               for r in pagerank_int(edges, n_iters=3).collect()}
+
+        nodes = {"a", "b", "c"}
+        outw = {}
+        for s, _, w in e:
+            outw[s] = outw.get(s, 0) + w
+        r = {n: 1_000_000 for n in nodes}
+        for _ in range(3):
+            c = {n: 0 for n in nodes}
+            for s, d, w in e:
+                c[d] += (r[s] * w) // outw[s]
+            r = {n: 150_000 + (85 * c[n]) // 100 for n in nodes}
+        assert got == r
+
+    def test_sink_node_settles_at_base(self, spark):
+        from drune_spark.operators.graph import pagerank_int
+        edges = spark.createDataFrame(
+            [("a", "b", 1)], "src string, dst string, w long"
+        )
+        got = {r.node: r.rank_int
+               for r in pagerank_int(edges, n_iters=2).collect()}
+        # a has no in-edges → teleport base only
+        assert got["a"] == 150_000
+        assert got["b"] > got["a"]
