@@ -106,3 +106,39 @@ def file_spans(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
     return df.groupBy("__file").agg(*aggs)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite ``src_path`` into
+    ``ceil(rows / target_rows_per_file)`` files at ``dst_path``.
+    Returns the output file count.
+
+    With ``sort_cols`` the rewrite range-partitions + sorts on them —
+    compaction and re-clustering in one shuffle (parquet stats become
+    selective again, see ``file_spans``). Without, it coalesces
+    round-robin. The row count is one metadata-cheap pass; everything
+    else is the single write shuffle. The 100 TB version of this runs
+    per partition directory, not whole-table."""
+    import math
+
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    if sort_cols:
+        out = df.repartitionByRange(
+            n_files, *[F.col(c) for c in sort_cols]
+        ).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst_path)
+    written = spark.read.parquet(dst_path)
+    files = written.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    return files

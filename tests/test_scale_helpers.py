@@ -150,3 +150,32 @@ class TestZorderLayout:
         assert avg_span(zpath, "x") < 35
         # and the data itself round-trips
         assert spark.read.parquet(zpath).count() == 64 * 64
+
+
+class TestCompaction:
+    def test_compacts_small_files_preserving_rows(self, spark, tmp_path):
+        from drune_spark.operators.layout import compact_parquet
+        src = str(tmp_path / "small")
+        dst = str(tmp_path / "compact")
+        (spark.range(1000).repartition(50)
+             .write.mode("overwrite").parquet(src))
+        n_src_files = (spark.read.parquet(src)
+                       .select(F.input_file_name()).distinct().count())
+        assert n_src_files == 50
+        n_files = compact_parquet(spark, src, dst, target_rows_per_file=300)
+        assert n_files == 4  # ceil(1000/300)
+        assert spark.read.parquet(dst).count() == 1000
+
+    def test_compaction_with_sort_restores_clustering(
+        self, spark, tmp_path
+    ):
+        from drune_spark.operators.layout import compact_parquet, file_spans
+        src = str(tmp_path / "shuffled")
+        dst = str(tmp_path / "clustered")
+        (spark.range(1000).select(
+            (F.col("id") * 7919 % 1000).alias("k"))
+            .repartition(20).write.mode("overwrite").parquet(src))
+        compact_parquet(spark, src, dst, 250, sort_cols=["k"])
+        spans = file_spans(spark, dst, ["k"]).collect()
+        avg = sum(r.max_k - r.min_k for r in spans) / len(spans)
+        assert avg < 400  # clustered: ~250-wide windows, not ~1000
