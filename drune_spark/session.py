@@ -29,6 +29,11 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Naive parquet timestamps (timestamp[us] without tz — the driver has
+    # regenerated testdata in this flavor) should land as TIMESTAMP, not
+    # TIMESTAMP_NTZ: every event-time op (unix_micros, window, watermark)
+    # needs TIMESTAMP, and the UTC-pinned session makes them equivalent.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
@@ -67,6 +72,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     for key in (
         "spark.sql.adaptive.enabled",
         "spark.sql.session.timeZone",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.shuffle.partitions",
     ):

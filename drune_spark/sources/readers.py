@@ -44,16 +44,37 @@ def resolve_dynamic_path(spec: SourceSpec, runtime_path: Optional[str]) -> Optio
     return os.path.join(spec.path, os.path.basename(runtime_path))
 
 
+def _cast_ntz_to_timestamp(df: DataFrame) -> DataFrame:
+    """Normalize any TIMESTAMP_NTZ column to TIMESTAMP. The session
+    timezone is pinned to UTC (session.py DEFAULT_CONF), so the cast is
+    lossless: the same wall-clock instant, now with event-time semantics
+    that ``unix_micros``/``window``/``withWatermark`` accept."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_parquet_nanos_safe(
     spark: SparkSession, path: str, nanos_cols: Optional[list[str]] = None
 ) -> DataFrame:
-    """Read parquet that may contain TIMESTAMP(NANOS) columns, which Spark
-    rejects outright ([PARQUET_TYPE_ILLEGAL]). With
-    ``spark.sql.legacy.parquet.nanosAsLong`` the nanos column arrives as
-    a bigint (ns since epoch); we convert to a microsecond timestamp
-    (integer division — exact, no float) so downstream window/date logic
-    is ordinary Spark. Falls back to a plain read when the file has no
-    nanos columns."""
+    """Read parquet whose timestamp columns may arrive in any physical
+    flavor — the testdata has been regenerated between rounds with
+    different writers, so this adapts per-file instead of assuming one:
+
+    - TIMESTAMP(NANOS): Spark rejects it outright ([PARQUET_TYPE_ILLEGAL]).
+      With ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
+      a bigint (ns since epoch); convert to a microsecond timestamp via
+      integer division — exact, no float.
+    - timestamp[us/ms] WITHOUT timezone: Spark 4 infers TIMESTAMP_NTZ,
+      which breaks ``unix_micros``/``withWatermark``; cast to TIMESTAMP
+      (lossless under the pinned UTC session).
+    - timestamp with tz / INT96: plain read already yields TIMESTAMP.
+    """
     targets = nanos_cols
     if targets is None:
         try:
@@ -65,15 +86,19 @@ def read_parquet_nanos_safe(
         except Exception:
             targets = []
     if not targets:
-        return spark.read.parquet(path)
+        return _cast_ntz_to_timestamp(spark.read.parquet(path))
     # Leave the conf set for the session: execution re-reads it, and all
     # nanos-bearing reads route through this helper anyway.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F
+    raw_types = dict(df.dtypes)
     for c in targets:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+        # INT96 looks like timestamp[ns] to pyarrow but Spark reads it as
+        # TIMESTAMP directly — only convert columns that arrive as longs.
+        if raw_types.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _cast_ntz_to_timestamp(df)
 
 
 def read_source(

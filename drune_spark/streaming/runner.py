@@ -93,7 +93,11 @@ def _raw_stream(
         )
     for c in nanos_cols:
         stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return stream
+    # us/ms-naive parquet arrives as TIMESTAMP_NTZ, which withWatermark
+    # rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — cast to TIMESTAMP,
+    # lossless under the pinned UTC session.
+    from drune_spark.sources.readers import _cast_ntz_to_timestamp
+    return _cast_ntz_to_timestamp(stream)
 
 
 def windowed_event_counts(

@@ -64,6 +64,54 @@ class TestReadSource:
         assert dict(df.dtypes)["ts"] == "timestamp"
         assert df.count() == 1000
 
+    # The driver has regenerated events.parquet with a different
+    # timestamp flavor between rounds (ns in r1/r2, us-naive in r3).
+    # Whatever the writer emits, `ts` must land as TIMESTAMP with the
+    # same UTC instants — parametrized so future drift fails in pytest,
+    # not in the driver gate.
+    @pytest.mark.parametrize("flavor", ["ns", "us_ntz", "us_ltz", "int96", "ms_ntz"])
+    def test_timestamp_flavor_drift(self, spark, tmp_path, flavor):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        instants = [
+            dt.datetime(2024, 1, 1, 0, 0, 0, 123456),
+            dt.datetime(2024, 6, 15, 12, 30, 45, 500000),
+            dt.datetime(2025, 12, 31, 23, 59, 59, 0),
+        ]
+        p = str(tmp_path / f"ev_{flavor}.parquet")
+        if flavor == "int96":
+            sdf = spark.createDataFrame(
+                [(t,) for t in instants], ["ts"])
+            spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "INT96")
+            try:
+                sdf.write.parquet(p)
+            finally:
+                spark.conf.set(
+                    "spark.sql.parquet.outputTimestampType",
+                    "TIMESTAMP_MICROS")
+        else:
+            unit, tz = {
+                "ns": ("ns", None), "us_ntz": ("us", None),
+                "us_ltz": ("us", "UTC"), "ms_ntz": ("ms", None),
+            }[flavor]
+            arr = pa.array(instants, type=pa.timestamp(unit, tz=tz))
+            pq.write_table(pa.table({"ts": arr}), p)
+
+        df = read_parquet_nanos_safe(spark, p)
+        assert dict(df.dtypes)["ts"] == "timestamp", flavor
+        got = sorted(r.ts for r in df.collect())
+        want = instants
+        if flavor == "ms_ntz":  # ms storage truncates sub-ms precision
+            want = [t.replace(microsecond=t.microsecond // 1000 * 1000)
+                    for t in instants]
+        assert [t.replace(tzinfo=None) for t in got] == want, flavor
+        # event-time ops must accept it (this is what NTZ breaks)
+        df.selectExpr("unix_micros(ts)").collect()
+
 
 class TestTryCastDates:
     def test_try_cast_formatted_date_nulls_malformed(self, spark):
