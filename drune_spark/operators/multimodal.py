@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,15 +43,20 @@ def decode_image(content: bytes) -> "object":
 def fake_feature(content: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for an embedding model: byte-histogram
     moments. Same output on any worker — lets the pipeline be tested
-    end-to-end without a codec."""
+    end-to-end without a codec.
+
+    Vectorized: position-bucketed byte sums via one numpy pass instead
+    of dim Python generator sweeps (~50× less interpreter work per row;
+    this showed up as the whole cost of the bench entry)."""
     if not content:
         return [0.0] * dim
     step = max(1, len(content) // 1024)
-    sample = content[::step]
-    return [
-        float(sum(b for i, b in enumerate(sample) if i % dim == j) % 997) / 997.0
-        for j in range(dim)
-    ]
+    sample = np.frombuffer(content[::step], dtype=np.uint8)
+    pad = (-len(sample)) % dim
+    if pad:
+        sample = np.concatenate([sample, np.zeros(pad, dtype=np.uint8)])
+    sums = sample.reshape(-1, dim).sum(axis=0, dtype=np.int64)
+    return [float(s % 997) / 997.0 for s in sums]
 
 
 def attach_binary(df: DataFrame, source_col: str, kind: str = "text") -> DataFrame:
