@@ -1209,15 +1209,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass per-column table profile of orders: row/null/exact
-    distinct counts plus typed min/max (numeric as double, timestamp
-    as epoch-µs, string by binary collation). One agg over the data;
-    the per-column fan-out is a union over the 1-row result."""
+    """Per-column table profile of orders: row/null/exact distinct
+    counts plus typed min/max (numeric as double, timestamp as epoch-µs,
+    string by binary collation). Exact mode = two hash-aggregated passes
+    (distinct-only Expand agg + keyless min/max agg — see profile.py for
+    why fusing them forces a SortAggregate of C× the data); the
+    per-column fan-out is a union over the 1-row result. The library
+    default is the single-pass approx/HLL profile; exact here so the
+    DuckDB oracle matches bit-for-bit."""
     _tune(spark)
     from drune_spark.operators.profile import profile_table
 
     o = _t(spark, sf_dir, "orders")
-    return profile_table(o)
+    return profile_table(o, distinct="exact")
 
 
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -125,10 +125,11 @@ class ChunkStep(Step):
 @StepRegistry.register("profile")
 class ProfileStep(Step):
     """Per-column table profile (operators/profile.py). ``distinct``:
-    'exact' (Expand plan) or 'approx' (HLL, single-pass at scale)."""
+    'approx' (HLL, single-pass — the wide-table default) or 'exact'
+    (two hash-agg passes: distinct-only Expand + keyless min/max)."""
 
     def execute(self, inputs, current, *, columns: Optional[list] = None,
-                distinct: str = "exact", source: Optional[str] = None,
+                distinct: str = "approx", source: Optional[str] = None,
                 **_: Any) -> DataFrame:
         from drune_spark.operators.profile import profile_table
 

@@ -1,19 +1,24 @@
 """Table profiling — per-column statistics and value histograms, the
 "describe my table" operator every analytics engine ships.
 
-``profile_table`` computes, in ONE aggregation pass over the data,
-per-column: row count, null count, distinct count, and typed min/max
-(numeric columns as double, timestamps as epoch-µs, strings as binary
-collation min/max). The single agg row then fans out to one output row
-per column with trivial driver-free selects — a union over a 1-row
-frame, not over scans.
+``profile_table`` computes per-column: row count, null count, distinct
+count, and typed min/max (numeric columns as double, timestamps as
+epoch-µs, strings as binary collation min/max). The agg row then fans
+out to one output row per column with trivial driver-free selects — a
+union over a 1-row frame, not over scans.
 
-Scale note: exact distinct counts for C columns plan as one Expand of
-the input (C× rows through the partial agg — still one scan, map-side
-combined). At 100 TB profile with ``distinct="approx"``:
-approx_count_distinct keeps the pass Expand-free with HLL registers
-per column. The gate query uses exact so the DuckDB oracle can match
-it bit-for-bit.
+Scale note: the default ``distinct="approx"`` profiles in ONE
+Expand-free pass (approx_count_distinct keeps HLL registers per column)
+— what a wide-table user should get. ``distinct="exact"`` splits into
+two cheap passes: (a) distinct counts alone over the C-way Expand —
+with only long-typed count buffers the whole agg stays HashAggregate —
+and (b) a keyless single-pass agg for counts/min/max. Fusing them (as
+the first version did) drags every min/max/count column through the
+Expand, and the string min/max buffers demote the entire aggregate to
+SortAggregate: a full Sort of C× the input (measured 2.4-5.2s vs 0.8s
+split, orders @ sf0.1; at 100 TB the sort of 7× the data dwarfs a
+second column-pruned scan). The gate query uses exact so the DuckDB
+oracle can match it bit-for-bit.
 
 ``numeric_histogram`` buckets a numeric column into ``n_buckets``
 equal-width bins with the bounds taken from the same frame (broadcast
@@ -47,7 +52,7 @@ def _kind(dtype: str) -> str:
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
-    distinct: str = "exact",
+    distinct: str = "approx",
 ) -> DataFrame:
     """Long-format profile: one row per column with
     (col, n, n_null, n_distinct, min_num, max_num, min_str, max_str).
@@ -55,14 +60,11 @@ def profile_table(
     (epoch-µs) columns, in *_str for strings, NULL otherwise."""
     cols = columns or df.columns
     kinds = {c: _kind(t) for c, t in df.dtypes}
-    nd = (
-        F.countDistinct if distinct == "exact"
-        else F.approx_count_distinct
-    )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.count(c).alias(f"__nn_{c}"))
-        aggs.append(nd(c).alias(f"__nd_{c}"))
+        if distinct != "exact":
+            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
         k = kinds[c]
         if k == "num":
             aggs.append(F.min(c).cast("double").alias(f"__mn_{c}"))
@@ -75,6 +77,16 @@ def profile_table(
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
     row = df.agg(*aggs)
+    if distinct == "exact":
+        # Distinct counts in their OWN agg: the multi-distinct rewrite
+        # Expands the scan C ways, and with nothing but long count
+        # buffers aboard it stays HashAggregate end-to-end. Riding the
+        # min/max/count payload on the same agg (string buffers →
+        # SortAggregate) forces a full Sort of the expanded input.
+        dist_row = df.agg(
+            *[F.countDistinct(c).alias(f"__nd_{c}") for c in cols]
+        )
+        row = row.crossJoin(dist_row)
 
     # ONE agg row fanned out with explode(array(struct...)) — a union
     # of per-column selects would make Catalyst re-plan (and re-scan)

@@ -185,10 +185,25 @@ class TestPlans:
 
     def test_profile_table_single_scan(self, spark, entry):
         """The per-column profile fan-out must not replan one scan per
-        column (6 columns → 1 scan, not 6)."""
+        column (6 columns -> 2 scans for exact mode: the distinct-only
+        Expand agg + the keyless min/max agg — NOT 6). And no Sort
+        anywhere: fusing the two aggs demotes the Expand side to a
+        sort-BASED aggregate (string min/max buffers aren't hash-agg
+        mutable), which plans a full Sort of C× the input. The keyless
+        min/max agg may itself be a SortAggregate — keyless needs no
+        Sort, so the plan pin is on Sort nodes, not the agg flavor."""
         df = entry.q_table_profile(spark, SF)
         plan = executed_plan(df)
+        assert plan.count("Scan parquet") == 2
+        assert "Sort [" not in plan
+
+    def test_profile_table_approx_single_scan(self, spark, entry):
+        """Default (approx/HLL) profile is one Expand-free scan."""
+        from drune_spark.operators.profile import profile_table
+        df = profile_table(entry._t(spark, SF, "orders"))
+        plan = executed_plan(df)
         assert plan.count("Scan parquet") == 1
+        assert "Expand" not in plan
 
     def test_zorder_minmax_is_broadcast_not_collect(self, spark, entry):
         """zorder_column keeps the min/max bounds in-plan via a
