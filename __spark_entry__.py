@@ -918,6 +918,81 @@ TPCH_Q18_SQL = """
     JOIN customer ON c_custkey = o_custkey
 """
 
+# Q8/Q13/Q19/Q22 below are TPC-H *shaped*, adapted to this testdata's
+# reduced schema (no partsupp / l_shipmode / commitdate / c_phone /
+# o_comment): the join topology, predicate structure and aggregate
+# shapes are the spec's; filter columns are substituted.
+
+TPCH_Q8_SQL = """
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nat = 'NATION_3' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+                CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_items
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(1 - l_discount AS DECIMAL(18,2)) AS volume,
+               n2.n_name AS nat
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+TPCH_Q13_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+TPCH_Q19_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+TPCH_Q22_SQL = """
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+    FROM customer c
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'FURNITURE', 'BUILDING')
+      AND c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*)
+          FROM customer
+          WHERE c_acctbal > 0.0
+            AND c_mktsegment IN ('AUTOMOBILE', 'FURNITURE', 'BUILDING'))
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+"""
+
 
 def _tpch_sql_query(spark, sf_dir, tables, sql, name):
     from drune_spark.config.models import StepConfig
@@ -969,6 +1044,47 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tpch_sql_query(
         spark, sf_dir, ("lineitem", "orders", "customer"),
         TPCH_Q18_SQL, "q18",
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of
+    EUROPE-customer revenue per order year — 7-table join tree, all
+    dims broadcast, lineitem shuffles once; exact DECIMAL volume sums
+    divided as doubles only at the end."""
+    return _tpch_sql_query(
+        spark, sf_dir,
+        ("part", "lineitem", "supplier", "orders", "customer",
+         "nation", "region"),
+        TPCH_Q8_SQL, "q8",
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with an ON-clause predicate (kept rows with zero matches count
+    0), two-level aggregation. All-integer output."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("customer", "orders"), TPCH_Q13_SQL, "q13",
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive discounted revenue): OR-of-ANDs
+    predicate across both join sides — the p_brand/p_size conjuncts
+    push to the part scan, quantity bounds to lineitem, residual OR
+    evaluates post-join."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("lineitem", "part"), TPCH_Q19_SQL, "q19",
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar AVG subquery
+    (exact decimal sum / count) + NOT EXISTS anti-join against urgent
+    orders, grouped balances per segment."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("customer", "orders"), TPCH_Q22_SQL, "q22",
     )
 
 
@@ -1545,6 +1661,84 @@ def q_compact_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned exact decontamination (operators/bloom.py): corpus
+    docs whose text exactly matches any doc in the doc_id%17 'holdout'
+    slice. The bloom build shuffles (word, bits) pairs only; the probe
+    is a broadcast one-row map + codegen bit tests on the corpus scan;
+    the final semi-join sees only bloom survivors, so the result equals
+    the plain semi-join the oracle runs — the runtime-filter join for
+    key sets too big to broadcast as rows."""
+    _tune(spark)
+    from drune_spark.operators.bloom import bloom_prune_semi_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    dirty = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    out = bloom_prune_semi_join(docs, dirty, "text")
+    return out.select("doc_id", "n_chars")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic stratified sampling (en 50%, zh 75%,
+    others 25%) by md5-prefix threshold on doc_id — reproducible at any
+    parallelism and re-derivable by the oracle engine; pure codegen
+    CASE, no join, no shuffle."""
+    _tune(spark)
+    from drune_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.5, "zh": 0.75},
+        default_fraction=0.25,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join through the real writer (W2 bucket_by):
+    orders and lineitem land bucketed+sorted on the join key, and the
+    read-back join aggregates revenue per order status. With matching
+    bucket counts the SortMergeJoin needs NO Exchange on either side
+    (pinned in tests/test_scale_helpers.py) — the answer to repeated
+    100 TB fact-fact joins. Oracle recomputes from the raw tables, so a
+    hash match also proves the bucketed write/read round-trip."""
+    _tune(spark)
+    from drune_spark.config.models import SchemaSpec, TargetSpec
+    from drune_spark.sinks.writers import write_target
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, df, key in (
+        ("drune_gate_borders", orders.select("o_orderkey", "o_orderstatus"),
+         "o_orderkey"),
+        ("drune_gate_blineitem", lineitem, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a prior session's in-memory catalog forgot the table but left
+        # its warehouse dir; saveAsTable refuses to reuse the location
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        write_target(spark, df, TargetSpec(
+            name=name, type="table", table_name=name, format="parquet",
+            mode="overwrite",
+            schema=SchemaSpec(bucket_by=[key], num_buckets=8),
+        ))
+    joined = spark.table("drune_gate_blineitem").join(
+        spark.table("drune_gate_borders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF centroid training: 2 Lloyd rounds of integer-exact k-means
     over unsigned-quantized embeddings (8 cells, seeded by first ids),
@@ -1941,6 +2135,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round ------------------------------------------------
         "compact_parquet": q_compact_parquet,
+        "bloom_prune_join": q_bloom_prune_join,
+        "stratified_sample": q_stratified_sample,
+        "bucketed_join": q_bucketed_join,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         # -- failed in the r02 driver window (NTZ drift, now fixed) --------
         "hll_distinct": q_hll_distinct,
         "kmv_set_ops": q_kmv_set_ops,
@@ -2483,6 +2684,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q10": TPCH_Q10_SQL,
         "tpch_q14": TPCH_Q14_SQL,
         "tpch_q18": TPCH_Q18_SQL,
+        "tpch_q8": TPCH_Q8_SQL,
+        "tpch_q13": TPCH_Q13_SQL,
+        "tpch_q19": TPCH_Q19_SQL,
+        "tpch_q22": TPCH_Q22_SQL,
         "ann_ivf_assign": """
             WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2961,6 +3166,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_totalprice AS DOUBLE) AS vl,
                    CAST(CEIL(COUNT(*) OVER () / 4000.0) AS BIGINT) AS n_files
             FROM orders
+        """,
+        "bloom_prune_join": """
+            SELECT d.doc_id, d.n_chars
+            FROM documents d
+            WHERE EXISTS (SELECT 1 FROM documents e
+                          WHERE e.doc_id % 17 = 0 AND e.text = d.text)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE lang WHEN 'en' THEN '8000'
+                            WHEN 'zh' THEN 'c000'
+                            ELSE '4000' END
+        """,
+        "bucketed_join": """
+            SELECT o_orderstatus,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price,
+                   COUNT(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus
         """,
         "bm25_search": bm25_oracle_sql(BM25_QUERIES, k=10),
         "table_profile": _profile_oracle(),

@@ -78,6 +78,13 @@ BENCH_QUERIES = [
     "pagerank",
     # round-3 additions
     "compact_parquet",
+    "bloom_prune_join",
+    "stratified_sample",
+    "bucketed_join",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q19",
+    "tpch_q22",
 ]
 
 

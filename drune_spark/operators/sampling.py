@@ -63,6 +63,33 @@ def sample_by_hash(
     return df.filter(hash_bucket(F.col(key_col), salt, digits) < F.lit(threshold))
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+    digits: int = 4,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each group keeps ≈ its own
+    fraction, by the same md5-prefix threshold as ``sample_by_hash`` —
+    so membership is reproducible at any parallelism and re-derivable
+    by any engine. The per-group threshold is a CASE expression over
+    the (small, config-sized) fractions dict: pure codegen, no join, no
+    shuffle — the corpus-rebalancing primitive (upweight rare
+    languages/sources, cap dominant ones) when an exact per-group quota
+    is not required (quotas need a per-group rank = one shuffle;
+    thresholds are free)."""
+    threshold = F.lit(fraction_to_hex_threshold(default_fraction, digits))
+    for name, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(group_col) == F.lit(name),
+            F.lit(fraction_to_hex_threshold(frac, digits)),
+        ).otherwise(threshold)
+    return df.filter(hash_bucket(F.col(key_col), salt, digits) < threshold)
+
+
 def split_by_hash(
     df: DataFrame,
     key_col: str,

@@ -68,6 +68,100 @@ class TestBucketedJoin:
         spark.sql("DROP TABLE b_lineitem")
 
 
+class TestBloomPruneJoin:
+    def test_equals_plain_semi_join(self, spark):
+        from drune_spark.operators.bloom import bloom_prune_semi_join
+        big = spark.range(0, 5000).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key"),
+            (F.col("id") * 3).alias("v"),
+        )
+        keys = spark.range(0, 5000, 13).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key")
+        )
+        got = {(r.key, r.v) for r in
+               bloom_prune_semi_join(big, keys, "key").collect()}
+        want = {(r.key, r.v) for r in
+                big.join(keys, "key", "left_semi").collect()}
+        assert got == want and len(want) == len(range(0, 5000, 13))
+
+    def test_false_positives_are_removed(self, spark):
+        # Tiny bitmap -> many bloom false positives; the semi-join must
+        # still return the exact match set.
+        from drune_spark.operators.bloom import (
+            bloom_prune_semi_join, build_bloom_map, bloom_might_contain)
+        big = spark.range(0, 2000).select(F.col("id").alias("key"))
+        keys = spark.range(0, 2000, 100).select(F.col("id").alias("key"))
+        n_bits, n_hashes = 128, 2
+        bloom = build_bloom_map(keys, "key", n_bits, n_hashes)
+        survivors = (big.crossJoin(F.broadcast(bloom))
+                     .filter(bloom_might_contain(F.col("key"), n_bits,
+                                                 n_hashes)).count())
+        assert survivors > 20  # the tiny filter really does leak FPs
+        exact = bloom_prune_semi_join(big, keys, "key",
+                                      n_bits=n_bits, n_hashes=n_hashes)
+        assert sorted(r.key for r in exact.collect()) == \
+            list(range(0, 2000, 100))
+
+    def test_no_false_negatives_at_default_size(self, spark):
+        from drune_spark.operators.bloom import (
+            build_bloom_map, bloom_might_contain)
+        keys = spark.range(0, 10000).select(
+            F.concat(F.lit("doc"), F.col("id")).alias("key"))
+        bloom = build_bloom_map(keys, "key")
+        kept = (keys.crossJoin(F.broadcast(bloom))
+                .filter(bloom_might_contain(F.col("key"))).count())
+        assert kept == 10000  # every true key passes its own filter
+
+    def test_probe_is_scan_side_filter(self, spark):
+        # The bloom membership test must run as a Filter BEFORE the
+        # semi-join (that is the point: candidates only cross the
+        # shuffle), visible as xxhash64 bit tests under the join.
+        from drune_spark.operators.bloom import bloom_prune_semi_join
+        big = spark.range(0, 1000).select(F.col("id").alias("key"))
+        keys = spark.range(0, 1000, 7).select(F.col("id").alias("key"))
+        df = bloom_prune_semi_join(big, keys, "key")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" in plan and "Join LeftSemi" in plan or \
+            "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestStratifiedSample:
+    def test_per_group_fractions_and_determinism(self, spark):
+        from drune_spark.operators.sampling import (
+            sample_by_hash, stratified_sample)
+        df = spark.range(0, 3000).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 3 == 0, "a")
+             .when(F.col("id") % 3 == 1, "b")
+             .otherwise("c").alias("g"),
+        )
+        out = stratified_sample(df, "g", "k", {"a": 0.8, "b": 0.1},
+                                default_fraction=0.4)
+        counts = {r.g: r.n for r in
+                  out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        assert abs(counts["a"] / 1000 - 0.8) < 0.1
+        assert abs(counts["b"] / 1000 - 0.1) < 0.06
+        assert abs(counts["c"] / 1000 - 0.4) < 0.1
+        # group-restricted equality with the global sampler: same key,
+        # same salt, same fraction -> identical membership
+        only_a = {r.k for r in out.filter("g = 'a'").collect()}
+        global_a = {r.k for r in
+                    sample_by_hash(df.filter("g = 'a'"), "k", 0.8).collect()}
+        assert only_a == global_a
+        # rerun is identical
+        again = {(r.k, r.g) for r in stratified_sample(
+            df, "g", "k", {"a": 0.8, "b": 0.1}, 0.4).collect()}
+        assert again == {(r.k, r.g) for r in out.collect()}
+
+    def test_no_shuffle(self, spark):
+        from drune_spark.operators.sampling import stratified_sample
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("g").alias("g"))
+        out = stratified_sample(df, "g", "k", {"g": 0.5})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestApproxDistinct:
     def test_approx_count_distinct_close_to_exact(self, spark):
         li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
