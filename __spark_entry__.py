@@ -1374,6 +1374,63 @@ WINDOW_ANALYTICS_BODY = """
 """
 
 
+# Time-RANGE window frames (vs window_analytics' ROWS frames): sliding
+# 1-hour / 1-day aggregates per user, frame bounds in integer µs. RANGE
+# includes order-value peers per the SQL standard on both engines, so
+# results are tie-order independent. One (user_id, ts_us) sort serves
+# all four outputs.
+ROLLING_FEATURES_BODY = """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_1h,
+           CAST(SUM(vmilli) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS v_1h,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_1d,
+           CAST(SUM(vmilli) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS v_1d
+    FROM rf_base
+"""
+
+
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding time-RANGE window features (1h/1d event counts and
+    integer-milli value sums per user) — the rolling-aggregate feature
+    primitive for behavioral/training features; complements
+    window_analytics' ROWS frames. Shared SQL body with the oracle;
+    integer measures and µs bounds → exact."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vmilli"),
+    )
+    ev.createOrReplaceTempView("rf_base")
+    return spark.sql(ROLLING_FEATURES_BODY)
+
+
+def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter key diagnostic (functions/partitioning.py
+    key_skew_profile): top-20 event users by row count with exact
+    integer-ppm share — the pre-flight measurement for salting / AQE
+    skew-join decisions. TakeOrdered top-k, broadcast total, no
+    collect."""
+    _tune(spark)
+    from drune_spark.functions.partitioning import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", k=20)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact weighted PageRank (3 damped rounds, 10^6 scale)
     over the event-type transition graph (edges = consecutive events
@@ -2138,6 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_join": q_bloom_prune_join,
         "stratified_sample": q_stratified_sample,
         "bucketed_join": q_bucketed_join,
+        "rolling_features": q_rolling_features,
+        "skew_keys": q_skew_keys,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q19": q_tpch_q19,
@@ -3188,6 +3247,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus
+        """,
+        "rolling_features": f"""
+            WITH rf_base AS (
+                SELECT event_id, user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vmilli
+                FROM events
+            )
+            {ROLLING_FEATURES_BODY}
+        """,
+        "skew_keys": """
+            WITH c AS (
+                SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+            ),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+            SELECT user_id, n,
+                   CAST((n * 1000000) // total AS BIGINT) AS ppm
+            FROM c, t
+            ORDER BY n DESC, user_id
+            LIMIT 20
         """,
         "bm25_search": bm25_oracle_sql(BM25_QUERIES, k=10),
         "table_profile": _profile_oracle(),

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "tpch_q13",
     "tpch_q19",
     "tpch_q22",
+    "rolling_features",
+    "skew_keys",
 ]
 
 

@@ -55,6 +55,33 @@ def salted_join(
     return left_s.join(right_s, [key, "__salt"], how).drop("__salt")
 
 
+def key_skew_profile(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """Heavy-hitter diagnostic for join/agg keys: top-``k`` keys by row
+    count with their integer-ppm share of the table — the measurement
+    that decides between plain join, AQE skew-join, and ``salted_join``
+    (a key at >~5% of rows will dominate one reducer).
+
+    Plan: one groupBy(key) shuffle of (key, count) pairs, the total via
+    a broadcast single-row agg over those counts (no second scan, no
+    collect), and TakeOrdered for the top-k — per-partition heaps, no
+    global sort. Share as exact integer ppm (n·10^6 div total), so the
+    output is parallelism-independent."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "n",
+            F.expr("(n * 1000000L) div __total").alias("ppm"),
+        )
+        .orderBy(F.col("n").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism

@@ -183,6 +183,21 @@ class TestPlans:
         assert plan.count("Exchange hashpartitioning(user_id") == 1
         assert plan.count("Sort [") == 1
 
+    def test_rolling_features_single_sort_exchange(self, spark, entry):
+        """Both 1h and 1d RANGE frames order by the same (user_id,
+        ts_us) — one Exchange, one Sort for all four outputs."""
+        df = entry.q_rolling_features(spark, SF)
+        plan = executed_plan(df)
+        assert plan.count("Exchange hashpartitioning(user_id") == 1
+        assert plan.count("Sort [") == 1
+
+    def test_skew_keys_takeordered(self, spark, entry):
+        """Top-k heavy hitters must be TakeOrdered (per-partition
+        heaps), never a global sort of all keys."""
+        df = entry.q_skew_keys(spark, SF)
+        plan = executed_plan(df)
+        assert "TakeOrderedAndProject" in plan
+
     def test_profile_table_single_scan(self, spark, entry):
         """The per-column profile fan-out must not replan one scan per
         column (6 columns -> 2 scans for exact mode: the distinct-only

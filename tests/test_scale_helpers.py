@@ -162,6 +162,20 @@ class TestStratifiedSample:
         assert "Exchange" not in plan
 
 
+class TestKeySkewProfile:
+    def test_counts_and_ppm(self, spark):
+        from drune_spark.functions.partitioning import key_skew_profile
+        # 60 rows of key 'hot', 4 singletons
+        rows = [("hot",)] * 60 + [(f"k{i}",) for i in range(4)]
+        df = spark.createDataFrame(rows, ["k"])
+        out = key_skew_profile(df, "k", k=3).collect()
+        assert out[0].k == "hot" and out[0].n == 60
+        assert out[0].ppm == 60 * 1_000_000 // 64
+        assert len(out) == 3
+        # deterministic tie-break: singleton keys ordered by key
+        assert [r.k for r in out[1:]] == ["k0", "k1"]
+
+
 class TestApproxDistinct:
     def test_approx_count_distinct_close_to_exact(self, spark):
         li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
