@@ -1418,6 +1418,28 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(ROLLING_FEATURES_BODY)
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/runner.py
+    stream_static_enrich): the events file-stream joins the static
+    customer dim (broadcast per micro-batch) and aggregates exact
+    decimal revenue per (mktsegment, event_type). availableNow drains
+    the backlog through the live-stream plan, so the batch oracle
+    matches exactly."""
+    _tune(spark)
+    from drune_spark.streaming.runner import stream_static_enrich
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return stream_static_enrich(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        cust,
+        on=("user_id", "c_custkey"),
+        group_cols=["c_mktsegment", "event_type"],
+    )
+
+
 def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter key diagnostic (functions/partitioning.py
     key_skew_profile): top-20 event users by row count with exact
@@ -2197,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "rolling_features": q_rolling_features,
         "skew_keys": q_skew_keys,
+        "stream_enrich": q_stream_enrich,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q19": q_tpch_q19,
@@ -3256,6 +3279,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             {ROLLING_FEATURES_BODY}
+        """,
+        "stream_enrich": """
+            SELECT c_mktsegment, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE)
+                       AS total_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment, event_type
         """,
         "skew_keys": """
             WITH c AS (

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "tpch_q22",
     "rolling_features",
     "skew_keys",
+    "stream_enrich",
 ]
 
 

@@ -139,3 +139,49 @@ def windowed_event_counts(
         "n_events",
         F.col("total_dec").cast("double").alias("total_value"),
     )
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    on: tuple[str, str],
+    group_cols: list[str],
+    n_state_partitions: int | None = 8,
+) -> DataFrame:
+    """Stream-static enrichment join + grouped aggregation.
+
+    The canonical streaming-ETL shape: a micro-batch stream joins a
+    STATIC dimension (no watermark needed on the dim — Spark re-plans it
+    per batch, and broadcasts it when small), then aggregates. At scale
+    the dim is broadcast once per executor per batch; only the grouped
+    cells hit the state store. ``availableNow`` drains the backlog with
+    the identical plan a live stream runs, which is what lets the batch
+    oracle verify it exactly.
+
+    Returns (group_cols..., n_events, total_value) as a static frame.
+    """
+    stream_col, dim_col = on
+    stream = _raw_stream(spark, events_path)
+    joined = stream.join(F.broadcast(dim), stream[stream_col] == dim[dim_col])
+    agg = joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,3)")).alias("total_dec"),
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt, \
+            state_partitions(spark, n_state_partitions):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select(
+        *group_cols,
+        "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+    )

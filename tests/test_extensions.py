@@ -309,6 +309,35 @@ class TestStreaming:
         assert {(w, n) for w, n in got} == batch
         assert {n for _, n in got} == {2, 1, 2}
 
+    def test_stream_static_enrich_equals_batch_join(self, spark, tmp_path):
+        from drune_spark.streaming.runner import stream_static_enrich
+        import datetime as dt
+
+        rows = [
+            (i, dt.datetime(2024, 1, 1, 0, i), i % 3, "click", float(i))
+            for i in range(12)
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value"])
+        path = str(tmp_path / "events.parquet")
+        ev.write.parquet(path)
+        dim = spark.createDataFrame(
+            [(0, "gold"), (1, "silver")], ["uid", "tier"])  # user 2 unmatched
+
+        out = stream_static_enrich(
+            spark, path, dim, on=("user_id", "uid"), group_cols=["tier"])
+        got = {(r.tier, r.n_events, r.total_value) for r in out.collect()}
+        batch = {
+            (r.tier, r.n, r.tv) for r in ev.join(
+                dim, ev.user_id == dim.uid
+            ).groupBy("tier").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,3)"))
+                .cast("double").alias("tv"),
+            ).collect()
+        }
+        assert got == batch and len(got) == 2  # inner join drops user 2
+
 
 class TestRedaction:
     def test_redacts_all_default_categories(self, spark):
