@@ -1418,6 +1418,56 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(ROLLING_FEATURES_BODY)
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → final state (operators/cdc.py cdc_latest): events as
+    a change stream keyed by (user_id, day); the last event of the day
+    wins (ts, event_id total order), days ending in an 'error' are
+    tombstoned. One key shuffle, WindowGroupLimit partial top-1 below
+    the Exchange (plan-pinned) — map tasks ship one candidate per key,
+    never the key's history."""
+    _tune(spark)
+    from drune_spark.operators.cdc import cdc_latest
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vmilli"),
+    )
+    out = cdc_latest(
+        ev,
+        key_cols=["user_id", "day"],
+        order_cols=["ts_us", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+    )
+    return out.select("user_id", "day", "event_type", "vmilli")
+
+
+def q_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source) with GROUPING() markers — all four
+    grouping-set levels (detail, per-lang, per-source, grand total) in
+    one Expand pass; integer counts/sums are exact on both engines.
+    Complements a5_rollup (hierarchical) with the full cross-product
+    lattice."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("documents",), CUBE_AGG_SQL, "cube_agg",
+    )
+
+
+CUBE_AGG_SQL = """
+    SELECT lang, source,
+           CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+           CAST(GROUPING(source) AS INTEGER) AS g_source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+"""
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment (streaming/runner.py
     stream_static_enrich): the events file-stream joins the static
@@ -2220,6 +2270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_features": q_rolling_features,
         "skew_keys": q_skew_keys,
         "stream_enrich": q_stream_enrich,
+        "cdc_apply": q_cdc_apply,
+        "cube_aggregate": q_cube_aggregate,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q19": q_tpch_q19,
@@ -3280,6 +3332,25 @@ def oracle_sql() -> dict[str, str]:
             )
             {ROLLING_FEATURES_BODY}
         """,
+        "cdc_apply": """
+            WITH ch AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       event_id, event_type,
+                       CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vmilli,
+                       row_number() OVER (
+                           PARTITION BY user_id,
+                               CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                           ORDER BY CAST(epoch_us(ts) AS BIGINT) DESC,
+                                    event_id DESC
+                       ) AS rn
+                FROM events
+            )
+            SELECT user_id, day, event_type, vmilli
+            FROM ch WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cube_aggregate": CUBE_AGG_SQL,
         "stream_enrich": """
             SELECT c_mktsegment, event_type,
                    COUNT(*) AS n_events,

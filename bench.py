@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "rolling_features",
     "skew_keys",
     "stream_enrich",
+    "cdc_apply",
+    "cube_aggregate",
 ]
 
 

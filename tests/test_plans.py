@@ -198,6 +198,16 @@ class TestPlans:
         plan = executed_plan(df)
         assert "TakeOrderedAndProject" in plan
 
+    def test_cdc_apply_partial_top1_below_exchange(self, spark, entry):
+        """row_number()==1 must plan as WindowGroupLimit with a Partial
+        pass BELOW the key Exchange — map tasks forward one candidate
+        per key, never the key's change history."""
+        df = entry.q_cdc_apply(spark, SF)
+        plan = executed_plan(df)
+        # two instances: Partial (map side, below Exchange) + Final
+        assert plan.count("WindowGroupLimit") == 2
+        assert "Partial" in plan and "Final" in plan
+
     def test_profile_table_single_scan(self, spark, entry):
         """The per-column profile fan-out must not replan one scan per
         column (6 columns -> 2 scans for exact mode: the distinct-only

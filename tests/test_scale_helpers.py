@@ -176,6 +176,34 @@ class TestKeySkewProfile:
         assert [r.k for r in out[1:]] == ["k0", "k1"]
 
 
+class TestCdcLatest:
+    def test_later_wins_and_tombstones(self, spark):
+        from drune_spark.operators.cdc import cdc_latest
+        changes = spark.createDataFrame(
+            [
+                ("k1", 1, 1, "upsert", 10),
+                ("k1", 2, 2, "upsert", 20),   # later wins
+                ("k2", 1, 3, "upsert", 30),
+                ("k2", 5, 4, "delete", 0),    # tombstoned
+                ("k3", 7, 5, "upsert", 70),
+                ("k3", 7, 6, "upsert", 71),   # same ts: unique id breaks tie
+            ],
+            ["k", "ts", "change_id", "op", "v"],
+        )
+        out = {(r.k, r.v) for r in cdc_latest(
+            changes, ["k"], ["ts", "change_id"], "op", ("delete",)
+        ).collect()}
+        assert out == {("k1", 20), ("k3", 71)}
+
+    def test_no_op_col_keeps_all_latest(self, spark):
+        from drune_spark.operators.cdc import cdc_latest
+        changes = spark.createDataFrame(
+            [("a", 1, 1), ("a", 2, 9), ("b", 1, 5)], ["k", "ts", "v"])
+        out = {(r.k, r.v) for r in
+               cdc_latest(changes, ["k"], ["ts"]).collect()}
+        assert out == {("a", 9), ("b", 5)}
+
+
 class TestApproxDistinct:
     def test_approx_count_distinct_close_to_exact(self, spark):
         li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
