@@ -1446,6 +1446,38 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "day", "event_type", "vmilli")
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed reconciliation (operators/diff.py table_diff): orders vs a
+    deterministically mutated copy (every 97th key dropped, every 13th
+    price doubled, every 101st re-added under key+10^8). Both sides
+    reduce to (key, md5 fingerprint) before the full-outer join, so the
+    shuffle carries 32-byte fingerprints, never payload rows; equal
+    keys emit nothing. The migration/backfill validation op."""
+    _tune(spark)
+    from drune_spark.operators.diff import table_diff
+
+    left = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("v")
+    )
+    base = _t(spark, sf_dir, "orders")
+    right = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 13 == 0,
+                   F.col("o_totalprice") * 2)
+            .otherwise(F.col("o_totalprice")).alias("v"),
+        )
+        .unionAll(
+            base.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.col("o_totalprice").alias("v"),
+            )
+        )
+    )
+    return table_diff(left, right, ["o_orderkey"], ["v"])
+
+
 def q_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (lang, source) with GROUPING() markers — all four
     grouping-set levels (detail, per-lang, per-source, grand total) in
@@ -2272,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": q_stream_enrich,
         "cdc_apply": q_cdc_apply,
         "cube_aggregate": q_cube_aggregate,
+        "table_diff": q_table_diff,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q19": q_tpch_q19,
@@ -3351,6 +3384,27 @@ def oracle_sql() -> dict[str, str]:
             FROM ch WHERE rn = 1 AND event_type <> 'error'
         """,
         "cube_aggregate": CUBE_AGG_SQL,
+        "table_diff": """
+            WITH l AS (
+                SELECT o_orderkey, o_totalprice AS v FROM orders
+            ),
+            r AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+                            ELSE o_totalprice END AS v
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_totalprice
+                FROM orders WHERE o_orderkey % 101 = 0
+            )
+            SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+                   CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                        WHEN r.o_orderkey IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change_type
+            FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+            WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+               OR l.v <> r.v
+        """,
         "stream_enrich": """
             SELECT c_mktsegment, event_type,
                    COUNT(*) AS n_events,

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "stream_enrich",
     "cdc_apply",
     "cube_aggregate",
+    "table_diff",
 ]
 
 

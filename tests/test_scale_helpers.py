@@ -204,6 +204,41 @@ class TestCdcLatest:
         assert out == {("a", 9), ("b", 5)}
 
 
+class TestTableDiff:
+    def test_added_removed_changed(self, spark):
+        from drune_spark.operators.diff import table_diff
+        left = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+            ["k", "s", "v"])
+        right = spark.createDataFrame(
+            [(2, "b", 20), (3, "CHANGED", 30), (4, None, 40), (5, "e", 50)],
+            ["k", "s", "v"])
+        out = {(r.k, r.change_type) for r in
+               table_diff(left, right, ["k"]).collect()}
+        assert out == {(1, "removed"), (3, "changed"), (5, "added")}
+        # keys 2 and 4 (identical, incl. the NULL) emit nothing
+
+    def test_null_vs_empty_string_differ(self, spark):
+        from drune_spark.operators.diff import table_diff
+        left = spark.createDataFrame([(1, None)], "k int, s string")
+        right = spark.createDataFrame([(1, "")], "k int, s string")
+        out = table_diff(left, right, ["k"]).collect()
+        assert [(r.k, r.change_type) for r in out] == [(1, "changed")]
+
+    def test_fingerprints_shuffle_not_payload(self, spark):
+        # The full-outer join input projections must be (key, md5) —
+        # payload columns pruned before the Exchange.
+        from drune_spark.operators.diff import table_diff
+        left = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("x").alias("payload"))
+        right = spark.range(50).select(
+            F.col("id").alias("k"), F.lit("y").alias("payload"))
+        plan = table_diff(left, right, ["k"])._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "md5" in plan and "payload" not in plan.split("Join")[0] \
+            or "payload" not in plan[plan.find("Exchange"):]
+
+
 class TestApproxDistinct:
     def test_approx_count_distinct_close_to_exact(self, spark):
         li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
