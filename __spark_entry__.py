@@ -1446,6 +1446,75 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "day", "event_type", "vmilli")
 
 
+def _ann_topk_oracle(n_queries: int, k: int) -> str:
+    """Brute-force cosine top-k oracle text, parameterized so ann_topk
+    (5 queries, k=5) and the hybrid fusion (3 queries, k=10) replay the
+    SAME expression sequence."""
+    return f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < {n_queries}
+            ),
+            c AS (
+                SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       list_cosine_similarity(cv, qv) AS cosine
+                FROM c, q WHERE neighbor_id <> query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+            FROM ranked WHERE rank <= {k}
+        """
+
+
+def _hybrid_qid_case() -> str:
+    """Shared text mapping BM25 query names to the paired vector query
+    index (list order in BM25_QUERIES)."""
+    whens = " ".join(
+        f"WHEN '{qid}' THEN {i}" for i, (qid, _) in enumerate(BM25_QUERIES)
+    )
+    return f"CAST(CASE query_id {whens} END AS INTEGER)"
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword top-10 and brute-force cosine
+    top-10 (text query i paired with vector query i) fused by integer
+    reciprocal-rank fusion (operators/search.py rrf_fuse) — Σ 10^6 div
+    (60+rank) per doc, re-ranked. Integer RRF points are
+    order-independent, so the fusion is exact on both engines; the two
+    input rankings are the already-oracle-verified bm25/ann queries."""
+    _tune(spark)
+    from drune_spark.operators.search import bm25_topk, rrf_fuse
+    from drune_spark.operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    qid_case = _hybrid_qid_case()
+    bm = bm25_topk(docs, BM25_QUERIES, k=10).select(
+        F.expr(qid_case).alias("qid"), "doc_id", "rank"
+    )
+    n_q = len(BM25_QUERIES)
+    queries = emb.filter(f"vec_id < {n_q}").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    ann = brute_force_topk(emb, queries, k=10).select(
+        F.col("query_id").cast("int").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([bm, ann], k_rrf=60, out_k=5)
+
+
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed reconciliation (operators/diff.py table_diff): orders vs a
     deterministically mutated copy (every 97th key dropped, every 13th
@@ -2305,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "cube_aggregate": q_cube_aggregate,
         "table_diff": q_table_diff,
+        "hybrid_search": q_hybrid_search,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q19": q_tpch_q19,
@@ -3302,29 +3372,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rank <= 5
         """,
-        "ann_topk": """
-            WITH q AS (
-                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                FROM embeddings WHERE vec_id < 5
+        "ann_topk": _ann_topk_oracle(n_queries=5, k=5),
+        "hybrid_search": f"""
+            WITH bm AS (
+                SELECT {_hybrid_qid_case()} AS qid, doc_id, rank
+                FROM ({bm25_oracle_sql(BM25_QUERIES, k=10)}) bm_sub
             ),
-            c AS (
-                SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-                FROM embeddings
+            ann AS (
+                SELECT CAST(query_id AS INTEGER) AS qid,
+                       neighbor_id AS doc_id, rank
+                FROM ({_ann_topk_oracle(n_queries=len(BM25_QUERIES), k=10)}
+                ) ann_sub
             ),
-            scored AS (
-                SELECT query_id, neighbor_id,
-                       list_cosine_similarity(cv, qv) AS cosine
-                FROM c, q WHERE neighbor_id <> query_id
+            pairs AS (
+                SELECT qid, doc_id, rank FROM bm
+                UNION ALL
+                SELECT qid, doc_id, rank FROM ann
             ),
-            ranked AS (
-                SELECT query_id, neighbor_id, cosine,
+            rrf AS (
+                SELECT qid, doc_id,
+                       CAST(SUM(1000000 // (60 + rank)) AS BIGINT)
+                           AS rrf_milli
+                FROM pairs GROUP BY qid, doc_id
+            ),
+            fused AS (
+                SELECT qid, doc_id, rrf_milli,
                        CAST(row_number() OVER (
-                           PARTITION BY query_id
-                           ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
-                FROM scored
+                           PARTITION BY qid
+                           ORDER BY rrf_milli DESC, doc_id ASC
+                       ) AS INTEGER) AS fused_rank
+                FROM rrf
             )
-            SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
-            FROM ranked WHERE rank <= 5
+            SELECT qid, doc_id, rrf_milli, fused_rank
+            FROM fused WHERE fused_rank <= 5
         """,
         "ivf_train": _ivf_train_oracle(k=8, t_iters=2, dim=64),
         "zorder_layout": _zorder_oracle(bits=16, top_bits=6),

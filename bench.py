@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "cdc_apply",
     "cube_aggregate",
     "table_diff",
+    "hybrid_search",
 ]
 
 

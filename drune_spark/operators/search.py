@@ -227,3 +227,36 @@ def bm25_oracle_sql(
             SELECT query_id, doc_id, rank, score
             FROM ranked WHERE rank <= {k}
         """
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k_rrf: int = 60,
+    out_k: int = 5,
+) -> DataFrame:
+    """Reciprocal-rank fusion of retrieval lists — the standard hybrid
+    (keyword + vector) merge. Inputs share the schema (qid, doc_id,
+    rank); output is (qid, doc_id, rrf_milli, fused_rank ≤ out_k).
+
+    The textbook RRF score Σ 1/(k+rank) is a float sum whose value
+    depends on addition order; as integer micro-points per list
+    (10^6 div (k+rank), then an integer SUM) it is order-independent —
+    same ranking, exact on any engine at any parallelism. One shuffle
+    on (qid, doc_id), then the same rank-limit window discipline as the
+    other top-k ops (TakeOrdered-class per-qid work, never a global
+    sort)."""
+    from functools import reduce
+
+    both = reduce(DataFrame.unionAll, ranked_lists)
+    scores = both.groupBy("qid", "doc_id").agg(
+        F.expr(f"CAST(SUM(1000000 div ({k_rrf} + rank)) AS BIGINT)")
+        .alias("rrf_milli")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rrf_milli").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn(
+            "fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= out_k)
+    )

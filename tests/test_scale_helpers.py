@@ -204,6 +204,31 @@ class TestCdcLatest:
         assert out == {("a", 9), ("b", 5)}
 
 
+class TestRrfFuse:
+    def test_integer_rrf_ranks(self, spark):
+        from drune_spark.operators.search import rrf_fuse
+        a = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2), (0, 12, 3)], ["qid", "doc_id", "rank"])
+        b = spark.createDataFrame(
+            [(0, 11, 1), (0, 10, 2), (0, 13, 3)], ["qid", "doc_id", "rank"])
+        out = {r.doc_id: (r.rrf_milli, r.fused_rank)
+               for r in rrf_fuse([a, b], k_rrf=60, out_k=4).collect()}
+        # doc 10: 10^6//61 + 10^6//62 ; doc 11: same sums reversed -> tie
+        assert out[10][0] == 1000000 // 61 + 1000000 // 62
+        assert out[11][0] == out[10][0]
+        # tie broken by doc_id: 10 before 11
+        assert out[10][1] == 1 and out[11][1] == 2
+        assert out[12][0] == 1000000 // 63 and out[13][0] == 1000000 // 63
+        assert out[12][1] == 3 and out[13][1] == 4
+
+    def test_out_k_limits_per_query(self, spark):
+        from drune_spark.operators.search import rrf_fuse
+        rows = [(q, d, d + 1) for q in (0, 1) for d in range(10)]
+        lst = spark.createDataFrame(rows, ["qid", "doc_id", "rank"])
+        out = rrf_fuse([lst], out_k=3).groupBy("qid").count().collect()
+        assert {r["count"] for r in out} == {3}
+
+
 class TestTableDiff:
     def test_added_removed_changed(self, spark):
         from drune_spark.operators.diff import table_diff
