@@ -1515,6 +1515,35 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, ann], k_rrf=60, out_k=5)
 
 
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile binning of events.value per event_type
+    (operators/stats.py equidepth_bins): exact percentile boundaries
+    (bit-matching DuckDB quantile_cont) broadcast back, bin = count of
+    boundaries strictly below the value via an array-fold — the
+    scale-correct NTILE replacement (no per-group sort of the data)."""
+    _tune(spark)
+    from drune_spark.operators.stats import equidepth_bins
+
+    ev = _t(spark, sf_dir, "events")
+    return equidepth_bins(ev, "value", ["event_type"], n_bins=10)
+
+
+def q_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (operators/graph.py
+    transition_edges — the sequence-mining/bigram primitive that also
+    feeds pagerank): consecutive events in (ts, event_id) total order,
+    one window pass + one (src,dst) agg."""
+    _tune(spark)
+    from drune_spark.operators.graph import transition_edges
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"), "event_id",
+    )
+    return transition_edges(ev, "user_id", ["ts_us", "event_id"],
+                            "event_type")
+
+
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed reconciliation (operators/diff.py table_diff): orders vs a
     deterministically mutated copy (every 97th key dropped, every 13th
@@ -2375,6 +2404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_aggregate": q_cube_aggregate,
         "table_diff": q_table_diff,
         "hybrid_search": q_hybrid_search,
+        "equidepth_bins": q_equidepth_bins,
+        "event_bigrams": q_event_bigrams,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q19": q_tpch_q19,
@@ -3464,6 +3495,36 @@ def oracle_sql() -> dict[str, str]:
             FROM ch WHERE rn = 1 AND event_type <> 'error'
         """,
         "cube_aggregate": CUBE_AGG_SQL,
+        "equidepth_bins": """
+            WITH b AS (
+                SELECT event_type,
+                       quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                             0.6, 0.7, 0.8, 0.9])
+                           AS bounds
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_type,
+                   CAST(len(list_filter(b.bounds, x -> e.value > x))
+                        AS INTEGER) AS bin,
+                   COUNT(*) AS n
+            FROM events e JOIN b USING (event_type)
+            WHERE e.value IS NOT NULL
+            GROUP BY e.event_type, bin
+        """,
+        "event_bigrams": """
+            WITH seq AS (
+                SELECT user_id, event_type AS src,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(epoch_us(ts) AS BIGINT) ASC,
+                                    event_id ASC
+                       ) AS dst
+                FROM events
+            )
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+            FROM seq WHERE dst IS NOT NULL
+            GROUP BY src, dst
+        """,
         "table_diff": """
             WITH l AS (
                 SELECT o_orderkey, o_totalprice AS v FROM orders

@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "cube_aggregate",
     "table_diff",
     "hybrid_search",
+    "equidepth_bins",
+    "event_bigrams",
 ]
 
 

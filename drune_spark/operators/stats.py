@@ -56,3 +56,45 @@ def grouped_percentiles(
         ).alias("value"),
     )
     return out
+
+
+def equidepth_bins(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_bins: int = 10,
+    mode: str = "exact",
+) -> DataFrame:
+    """Equi-depth (quantile) binning per group: boundaries are the
+    interior percentile cut points (i/n_bins), broadcast back onto the
+    rows, and each row's bin is the count of boundaries strictly below
+    its value — a whole-stage-codegen array fold, no per-row UDF.
+
+    This is the scale-correct form of NTILE: a global/grouped ntile
+    needs a full sort per group, while boundaries-then-assign is one
+    percentile aggregate (t-digest ``mode="approx"`` keeps it
+    map-side partial at 100 TB) plus a broadcast join and a narrow
+    scan. Exact mode's boundaries bit-match DuckDB quantile_cont, so
+    bin populations are oracle-checkable.
+
+    Returns (group_cols..., bin, n) — the per-bin population (≈ equal
+    by construction, shifted only by ties)."""
+    ps = ", ".join(
+        repr(i / n_bins) for i in range(1, n_bins)
+    )
+    if mode == "exact":
+        agg = F.expr(f"percentile({value_col}, array({ps}))")
+    else:
+        agg = F.expr(f"percentile_approx({value_col}, array({ps}), 10000)")
+    bounds = df.groupBy(*group_cols).agg(agg.alias("__bounds"))
+    joined = df.filter(F.col(value_col).isNotNull()).join(
+        F.broadcast(bounds), on=group_cols
+    )
+    bin_expr = F.expr(
+        f"CAST(size(filter(__bounds, b -> {value_col} > b)) AS INTEGER)"
+    )
+    return (
+        joined.select(*group_cols, bin_expr.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

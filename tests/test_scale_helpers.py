@@ -229,6 +229,29 @@ class TestRrfFuse:
         assert {r["count"] for r in out} == {3}
 
 
+class TestEquidepthBins:
+    def test_near_equal_populations(self, spark):
+        from drune_spark.operators.stats import equidepth_bins
+        df = spark.range(0, 1000).select(
+            F.lit("g").alias("g"), (F.col("id") * 7 % 1000)
+            .cast("double").alias("v"))
+        out = {r.bin: r.n for r in
+               equidepth_bins(df, "v", ["g"], n_bins=10).collect()}
+        assert set(out) == set(range(10))
+        assert all(90 <= n <= 110 for n in out.values())
+
+    def test_no_sort_of_rows(self, spark):
+        # boundaries-then-assign must not globally sort the data the
+        # way NTILE would (percentile agg sorts within the aggregate
+        # buffer, not as a plan-level Sort of the joined rows)
+        from drune_spark.operators.stats import equidepth_bins
+        df = spark.range(0, 1000).select(
+            F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+        plan = equidepth_bins(df, "v", ["g"])._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
 class TestTableDiff:
     def test_added_removed_changed(self, spark):
         from drune_spark.operators.diff import table_diff
