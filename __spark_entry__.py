@@ -993,6 +993,189 @@ TPCH_Q22_SQL = """
     GROUP BY c_mktsegment
 """
 
+# Round-3 completion of the TPC-H shape set: the 10 remaining query
+# topologies (q2/q4/q9/q11/q12/q15/q16/q17/q20/q21), adapted to the
+# reduced synthetic schema. `lineitem` stands in for the missing
+# `partsupp` ((l_partkey,l_suppkey) pairs with MIN(l_extendedprice) as
+# supplycost) and `l_returnflag = 'R'` stands in for the missing
+# receipt/commit-date lateness predicates. Every comparison that the
+# spec states as a fraction (q11's 0.0001, q17's 0.2*avg, q20's 0.5*sum)
+# is rewritten in cross-multiplied exact form (DECIMAL/integer, or
+# integer-valued doubles) so both engines decide each row identically —
+# no FP-accumulation-order dependence anywhere.
+
+TPCH_Q2_SQL = """
+    WITH ps AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               MIN(l_extendedprice) AS supplycost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           CAST(supplycost AS DOUBLE) AS supplycost
+    FROM part
+    JOIN ps ON p_partkey = pk
+    JOIN eu ON sk = s_suppkey
+    WHERE p_size <= 15 AND p_type = 'LARGE'
+      AND supplycost = (
+          SELECT MIN(ps2.supplycost)
+          FROM ps ps2 JOIN eu eu2 ON ps2.sk = eu2.s_suppkey
+          WHERE ps2.pk = p_partkey)
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+"""
+
+TPCH_Q4_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+"""
+
+TPCH_Q9_SQL = """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit,
+           COUNT(*) AS n_lines
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(1 - l_discount AS DECIMAL(18,2)) -
+               CAST(p_retailprice AS DECIMAL(18,2)) *
+               CAST(l_quantity AS DECIMAL(18,2)) AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+"""
+
+TPCH_Q11_SQL = """
+    WITH pv AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(l_quantity AS DECIMAL(18,2))) AS value_dec
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(value_dec AS DOUBLE) * 1000.0 >
+          CAST((SELECT SUM(value_dec) FROM pv) AS DOUBLE)
+"""
+
+TPCH_Q12_SQL = """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag <> 'A'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+"""
+
+TPCH_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(1 - l_discount AS DECIMAL(18,2))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+TPCH_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25, 28)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+TPCH_Q17_SQL = """
+    WITH pq AS (
+        SELECT l_partkey AS pk,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq ON pk = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+      AND l_quantity * 5.0 * cnt < CAST(sum_qty AS DOUBLE)
+"""
+
+TPCH_Q20_SQL = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%blue%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >
+               CAST(200 AS DECIMAL(18,2)))
+      AND s_nationkey IN (
+          SELECT n_nationkey FROM nation
+          WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2',
+                           'NATION_3', 'NATION_4', 'NATION_5'))
+"""
+
+TPCH_Q21_SQL = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+                     'NATION_4', 'NATION_5', 'NATION_6', 'NATION_7')
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+"""
+
 
 def _tpch_sql_query(spark, sf_dir, tables, sql, name):
     from drune_spark.config.models import StepConfig
@@ -1104,6 +1287,112 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated MIN scalar
+    subquery picks, per qualifying part, the EUROPE supplier(s) at the
+    minimum supply cost (lineitem (part,supplier) pairs stand in for
+    partsupp). Catalyst rewrites the correlated scalar into an
+    aggregate + join; region/nation/supplier dims broadcast; total
+    ORDER BY tie-break before LIMIT 100."""
+    return _tpch_sql_query(
+        spark, sf_dir,
+        ("part", "lineitem", "supplier", "nation", "region"),
+        TPCH_Q2_SQL, "q2",
+    )
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS correlated
+    subquery → left-semi join on o_orderkey; the orders date filter
+    pushes to the scan, all-integer output."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("orders", "lineitem"), TPCH_Q4_SQL, "q4",
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): 5-table join, profit =
+    revenue − cost as a DIFFERENCE of two 2-factor DECIMAL products
+    (3-factor products promote precision differently across engines),
+    grouped by supplier nation × order year."""
+    return _tpch_sql_query(
+        spark, sf_dir,
+        ("part", "lineitem", "supplier", "orders", "nation"),
+        TPCH_Q9_SQL, "q9",
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part DECIMAL-exact value
+    vs a one-row global-total scalar subquery, cross-multiplied
+    (value·1000 > total) on deterministically-cast doubles — no
+    division, no FP accumulation order."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("lineitem", "supplier", "nation"),
+        TPCH_Q11_SQL, "q11",
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split): conditional
+    CASE counts per l_linestatus; integer sums cast BIGINT (DuckDB
+    SUM(int) is HUGEINT)."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("orders", "lineitem"), TPCH_Q12_SQL, "q12",
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue view + scalar MAX
+    subquery; DECIMAL equality is exact so the argmax set is
+    engine-identical."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("supplier", "lineitem"), TPCH_Q15_SQL, "q15",
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT
+    suppkey) per (brand,type,size) with a NOT IN anti-join excluding
+    negative-balance suppliers (the complaints surrogate)."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("part", "lineitem", "supplier"),
+        TPCH_Q16_SQL, "q16",
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the 0.2·avg
+    correlated predicate cross-multiplied to qty·5·cnt < sum_qty —
+    every factor integer-valued, so the double comparison is exact on
+    both engines; per-part pre-agg joins instead of a correlated AVG
+    (FP-order-dependent) subquery."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("lineitem", "part"), TPCH_Q17_SQL, "q17",
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): nested IN
+    semi-joins — suppliers of 'blue' parts whose shipped-1996 DECIMAL
+    quantity clears a constant-folded threshold, in a nation set."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("supplier", "lineitem", "part", "nation"),
+        TPCH_Q20_SQL, "q20",
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS +
+    NOT EXISTS double correlation on the same fact table (semi- then
+    anti-join on l_orderkey), l_returnflag='R' standing in for the
+    missing receipt>commit lateness predicate."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("lineitem", "supplier", "orders", "nation"),
+        TPCH_Q21_SQL, "q21",
     )
 
 
@@ -2393,6 +2682,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     time-based rather than positional."""
     return {
         # -- new this round ------------------------------------------------
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "compact_parquet": q_compact_parquet,
         "bloom_prune_join": q_bloom_prune_join,
         "stratified_sample": q_stratified_sample,
@@ -2956,6 +3255,16 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q13": TPCH_Q13_SQL,
         "tpch_q19": TPCH_Q19_SQL,
         "tpch_q22": TPCH_Q22_SQL,
+        "tpch_q2": TPCH_Q2_SQL,
+        "tpch_q4": TPCH_Q4_SQL,
+        "tpch_q9": TPCH_Q9_SQL,
+        "tpch_q11": TPCH_Q11_SQL,
+        "tpch_q12": TPCH_Q12_SQL,
+        "tpch_q15": TPCH_Q15_SQL,
+        "tpch_q16": TPCH_Q16_SQL,
+        "tpch_q17": TPCH_Q17_SQL,
+        "tpch_q20": TPCH_Q20_SQL,
+        "tpch_q21": TPCH_Q21_SQL,
         "ann_ivf_assign": """
             WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
