@@ -1396,6 +1396,105 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (functions/partitioning.py
+    salted_join): lineitem×orders spread across 8 salts per key, then
+    the revenue aggregate — result provably identical to the plain
+    join (salts affect placement, never matching), which is exactly
+    what the plain-SQL oracle checks. The mitigation for a hot key
+    too big for one reducer when the other side can't broadcast."""
+    _tune(spark)
+    from drune_spark.functions.partitioning import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "okey"
+    )
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "okey"
+    )
+    joined = salted_join(li, orders, "okey", num_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.expr(f"CAST({REVENUE_DEC} AS DOUBLE)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) robust summary per event_type
+    (operators/stats.py winsorize): one percentile agg, boundaries
+    broadcast back, clamp + DECIMAL sum."""
+    _tune(spark)
+    from drune_spark.operators.stats import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorize(ev, "value", ["event_type"], lo=0.05, hi=0.95)
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle membership over the undirected event-type
+    transition graph (operators/graph.py triangle_counts): ordered
+    a<b<c wedge join — each triangle enumerated once, all-integer."""
+    _tune(spark)
+    from drune_spark.operators.graph import transition_edges, triangle_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"), "event_id",
+    )
+    edges = transition_edges(ev, "user_id", ["ts_us", "event_id"],
+                             "event_type")
+    return triangle_counts(edges)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over documents (operators/search.py
+    inverted_index): distinct (term, doc) pairs → df + sorted posting
+    prefix per term, top-200 terms via TakeOrdered."""
+    _tune(spark)
+    from drune_spark.operators.search import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=2, max_terms=200,
+                          postings_head=32)
+
+
+def q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (operators/linkage.py fuzzy_link):
+    customer names with one deterministically-deleted character are
+    re-linked to the clean roster — bigram blocking with a hot-block
+    cap, levenshtein residual, best-match window. The oracle replays
+    the identical blocking + distance algorithm in SQL."""
+    _tune(spark)
+    from drune_spark.operators.linkage import fuzzy_link
+
+    cust = _t(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.expr(
+            "concat(substring(c_name, 1, (1 + c_custkey % length(c_name)) - 1), "
+            "substring(c_name, (1 + c_custkey % length(c_name)) + 1))"
+        ).alias("dirty_name"),
+    )
+    linked = fuzzy_link(
+        dirty, cust, "dirty_id", "dirty_name", "c_custkey", "c_name",
+        max_dist=2, max_block_df=64,
+    )
+    return linked.select(
+        "dirty_id", F.col("c_custkey").alias("matched_id"), "dist"
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (streaming/runner.py streamed_distinct):
+    dropDuplicates in append mode over the event stream, drained with
+    availableNow — first-seen (event_type, day) keys, batch-exact."""
+    _tune(spark)
+    from drune_spark.streaming.runner import streamed_distinct
+
+    path = os.path.join(sf_dir, "events.parquet")
+    return streamed_distinct(spark, path)
+
+
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantization assignment: every vector → nearest of 16
     seed centroids (the partition-pruned ANN layout). Deterministic
@@ -2682,6 +2781,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     time-based rather than positional."""
     return {
         # -- new this round ------------------------------------------------
+        "salted_join_agg": q_salted_join_agg,
+        "winsorized_stats": q_winsorized_stats,
+        "triangle_count": q_triangle_count,
+        "inverted_index": q_inverted_index,
+        "fuzzy_link": q_fuzzy_link,
+        "stream_dedup": q_stream_dedup,
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
@@ -3255,6 +3360,146 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q13": TPCH_Q13_SQL,
         "tpch_q19": TPCH_Q19_SQL,
         "tpch_q22": TPCH_Q22_SQL,
+        "salted_join_agg": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(1 - l_discount AS DECIMAL(18,2)))
+                        AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "winsorized_stats": """
+            WITH b AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.05) AS p_lo,
+                       quantile_cont(value, 0.95) AS p_hi
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_type, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN value < p_lo THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_lo,
+                   CAST(SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hi,
+                   MIN(p_lo) AS p_lo,
+                   MIN(p_hi) AS p_hi,
+                   (CAST(SUM(CASE WHEN value >= p_lo AND value <= p_hi
+                                  THEN CAST(value AS DECIMAL(18,3))
+                                  END) AS DOUBLE)
+                    + CAST(SUM(CASE WHEN value < p_lo THEN 1 ELSE 0 END)
+                           AS DOUBLE) * MIN(p_lo))
+                   + CAST(SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END)
+                          AS DOUBLE) * MIN(p_hi) AS winsorized_sum
+            FROM events e JOIN b USING (event_type)
+            WHERE e.value IS NOT NULL
+            GROUP BY e.event_type
+        """,
+        "triangle_count": """
+            WITH seq AS (
+                SELECT user_id, event_type AS src,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(epoch_us(ts) AS BIGINT) ASC,
+                                    event_id ASC
+                       ) AS dst
+                FROM events
+            ),
+            e AS (
+                SELECT DISTINCT LEAST(src, dst) AS a,
+                       GREATEST(src, dst) AS b
+                FROM seq WHERE dst IS NOT NULL AND src <> dst
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            nodes AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT node, COUNT(*) AS n_triangles
+            FROM nodes GROUP BY node
+        """,
+        "inverted_index": """
+            WITH pairs AS (
+                SELECT DISTINCT doc_id, term
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(
+                               trim(lower(text)), '\\s+')) AS term
+                    FROM documents
+                )
+                WHERE length(term) > 0
+            ),
+            p AS (
+                SELECT term, COUNT(*) AS df_docs,
+                       array_to_string(
+                           (list_sort(list(doc_id)))[1:32], ',')
+                           AS postings
+                FROM pairs GROUP BY term
+            )
+            SELECT term, df_docs, postings
+            FROM p WHERE df_docs >= 2
+            ORDER BY df_docs DESC, term ASC
+            LIMIT 200
+        """,
+        "fuzzy_link": """
+            WITH l AS (
+                SELECT c_custkey AS dirty_id,
+                       concat(substring(c_name, 1,
+                                  (1 + c_custkey % length(c_name)) - 1),
+                              substring(c_name,
+                                  (1 + c_custkey % length(c_name)) + 1))
+                           AS dirty_name
+                FROM customer
+            ),
+            lb AS (
+                SELECT DISTINCT dirty_id, dirty_name,
+                       substring(dirty_name, i, 2) AS bigram
+                FROM (SELECT dirty_id, dirty_name,
+                             unnest(range(1, length(dirty_name))) AS i
+                      FROM l)
+            ),
+            rb AS (
+                SELECT DISTINCT c_custkey, c_name,
+                       substring(c_name, i, 2) AS bigram
+                FROM (SELECT c_custkey, c_name,
+                             unnest(range(1, length(c_name))) AS i
+                      FROM customer)
+            ),
+            cold AS (
+                SELECT bigram FROM rb
+                GROUP BY bigram HAVING COUNT(*) <= 64
+            ),
+            cand AS (
+                SELECT DISTINCT dirty_id, dirty_name, c_custkey, c_name
+                FROM lb
+                JOIN (SELECT rb.* FROM rb JOIN cold USING (bigram)) rc
+                  USING (bigram)
+            ),
+            scored AS (
+                SELECT dirty_id, c_custkey AS matched_id,
+                       levenshtein(dirty_name, c_name) AS dist
+                FROM cand
+                WHERE levenshtein(dirty_name, c_name) <= 2
+            )
+            SELECT dirty_id, matched_id, dist
+            FROM (
+                SELECT dirty_id, matched_id, dist,
+                       row_number() OVER (
+                           PARTITION BY dirty_id
+                           ORDER BY dist ASC, matched_id ASC) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        """,
+        "stream_dedup": """
+            SELECT DISTINCT event_type,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+            FROM events
+        """,
         "tpch_q2": TPCH_Q2_SQL,
         "tpch_q4": TPCH_Q4_SQL,
         "tpch_q9": TPCH_Q9_SQL,

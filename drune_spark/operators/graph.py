@@ -93,3 +93,51 @@ def pagerank_int(
             ).cast("long").alias("rank_int"),
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle membership counts over an undirected view of
+    ``edges`` (src, dst[, w]).
+
+    Edges are canonicalized (min, max) and deduplicated, then triangles
+    are enumerated as ordered wedges a<b<c via two self-joins —
+    (a,b)⋈(b,c)⋈(a,c) — so every triangle is produced exactly once and
+    the join never forms unordered pair blowups. At real graph scale
+    the standard refinement is degree ordering (orient each edge from
+    the lower-degree endpoint) which bounds wedge fan-out by max core
+    number; with the event-transition graphs here (|V| = event types)
+    the ordered-id orientation is already minimal. All-integer output:
+    parallelism-invariant.
+
+    Returns (node, n_triangles) for nodes in ≥1 triangle.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a"))
+            & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    exploded = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
+    )
+    return exploded.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

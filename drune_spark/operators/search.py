@@ -260,3 +260,55 @@ def rrf_fuse(
             "fused_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("fused_rank") <= out_k)
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_terms: int = 200,
+    postings_head: int = 32,
+) -> DataFrame:
+    """Build an inverted index: per term, its document frequency and
+    the head of its sorted posting list — the layout a keyword-search
+    engine (and the bm25 scorer above) reads instead of rescanning the
+    corpus.
+
+    One tokenize pass → distinct (term, doc) → one groupBy(term) that
+    produces df AND the postings in the same aggregate. The posting
+    arrays are built per-term from collect_list and made deterministic
+    with sort_array, then truncated to ``postings_head`` ids and
+    serialized — at 100 TB a term's full posting list is written as a
+    bucketed/partitioned table keyed by term, and ``postings_head``
+    is the per-term stats stripe kept hot; the shuffle here carries
+    (term, doc_id) pairs, never documents. Top-``max_terms`` terms by
+    (df desc, term) via TakeOrdered — no global sort.
+
+    Returns (term, df_docs, postings) with postings a comma-joined
+    sorted doc-id prefix.
+    """
+    from drune_spark.functions.text import tokens
+
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    postings = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, postings_head
+            ),
+        ).alias("postings"),
+    )
+    return (
+        postings.filter(F.col("df_docs") >= min_df)
+        .orderBy(F.col("df_docs").desc(), F.col("term").asc())
+        .limit(max_terms)
+    )

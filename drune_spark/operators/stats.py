@@ -98,3 +98,77 @@ def equidepth_bins(
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float = 0.05,
+    hi: float = 0.95,
+    mode: str = "exact",
+) -> DataFrame:
+    """Per-group winsorized (outlier-clipped) summary: values below the
+    ``lo`` quantile or above the ``hi`` quantile are clamped to the
+    boundary before aggregation — the robust-mean primitive for
+    feature pipelines where a handful of corrupt rows would otherwise
+    dominate a plain mean.
+
+    Plan shape: ONE percentile aggregate per group (t-digest partial
+    in ``mode="approx"`` — the 100 TB path), boundaries broadcast back,
+    then a narrow clamp + second grouped aggregate. Rows never shuffle
+    twice: the clamp scan reuses the first shuffle's partitioning only
+    for cells, and the second aggregate is map-side partial.
+
+    Determinism: exact percentile bit-matches DuckDB quantile_cont.
+    The winsorized sum is interior-DECIMAL-sum + n_lo·p_lo + n_hi·p_hi
+    in a fixed-order double expression — clipped rows contribute via
+    one count×boundary product instead of per-row casts of the
+    boundary double (whose →DECIMAL rounding is the one spot Spark's
+    BigDecimal conversion and DuckDB's float-multiply rounding can
+    disagree by 1 ulp-of-scale).
+
+    Returns (group..., n, n_lo, n_hi, p_lo, p_hi, winsorized_sum).
+    """
+    if mode == "exact":
+        agg_lo = F.expr(f"percentile({value_col}, {lo!r})")
+        agg_hi = F.expr(f"percentile({value_col}, {hi!r})")
+    else:
+        agg_lo = F.expr(f"percentile_approx({value_col}, {lo!r}, 10000)")
+        agg_hi = F.expr(f"percentile_approx({value_col}, {hi!r}, 10000)")
+    bounds = df.groupBy(*group_cols).agg(
+        agg_lo.alias("p_lo"), agg_hi.alias("p_hi")
+    )
+    rows = df.filter(F.col(value_col).isNotNull()).join(
+        F.broadcast(bounds), on=group_cols
+    )
+    interior = F.when(
+        (F.col(value_col) >= F.col("p_lo"))
+        & (F.col(value_col) <= F.col("p_hi")),
+        F.col(value_col),
+    )
+    agged = rows.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col(value_col) < F.col("p_lo"), 1).otherwise(0)
+        ).cast("long").alias("n_lo"),
+        F.sum(
+            F.when(F.col(value_col) > F.col("p_hi"), 1).otherwise(0)
+        ).cast("long").alias("n_hi"),
+        F.first("p_lo").alias("p_lo"),
+        F.first("p_hi").alias("p_hi"),
+        F.sum(interior.cast("decimal(18,3)")).alias("__interior_dec"),
+    )
+    return agged.select(
+        *group_cols,
+        "n",
+        "n_lo",
+        "n_hi",
+        "p_lo",
+        "p_hi",
+        F.expr(
+            "(CAST(__interior_dec AS DOUBLE)"
+            " + CAST(n_lo AS DOUBLE) * p_lo)"
+            " + CAST(n_hi AS DOUBLE) * p_hi"
+        ).alias("winsorized_sum"),
+    )

@@ -185,3 +185,43 @@ def stream_static_enrich(
         "n_events",
         F.col("total_dec").cast("double").alias("total_value"),
     )
+
+
+def streamed_distinct(
+    spark: SparkSession,
+    events_path: str,
+    n_state_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming deduplication: first-seen (event_type, day) pairs via
+    ``dropDuplicates`` in append mode — the at-least-once-delivery
+    dedup stage every streaming ingest needs in front of its sinks.
+
+    The key set here is calendar-bounded (types × days), so unbounded
+    dedup state is exact AND small; for unbounded keys (message ids)
+    production swaps in ``dropDuplicatesWithinWatermark``, trading
+    exactness outside the watermark horizon for bounded state — that
+    variant can't be batch-oracle-checked (results depend on arrival
+    order vs watermark), which is why the gate runs this one.
+    ``availableNow`` drains the backlog through the identical plan a
+    live stream runs. Output is the distinct key set: arrival order
+    decides which physical row is FIRST seen, so only the (exact,
+    order-free) keys are emitted.
+    """
+    stream = _raw_stream(spark, events_path).select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    dd = stream.dropDuplicates(["event_type", "day"])
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt, \
+            state_partitions(spark, n_state_partitions):
+        query = (
+            dd.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select("event_type", "day")

@@ -1176,3 +1176,162 @@ class TestPagerank:
         # a has no in-edges → teleport base only
         assert got["a"] == 150_000
         assert got["b"] > got["a"]
+
+
+class TestWinsorize:
+    def test_hand_computed(self, spark):
+        from drune_spark.operators.stats import winsorize
+        # 10 values 1..10 in one group: p_lo(0.05)=1.45, p_hi(0.95)=9.55
+        rows = [("g", float(i)) for i in range(1, 11)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = winsorize(df, "v", ["g"], lo=0.05, hi=0.95).collect()[0]
+        assert out.n == 10 and out.n_lo == 1 and out.n_hi == 1
+        assert abs(out.p_lo - 1.45) < 1e-9
+        assert abs(out.p_hi - 9.55) < 1e-9
+        # interior 2..9 sums to 44; + 1*1.45 + 1*9.55 = 55.0
+        assert abs(out.winsorized_sum - 55.0) < 1e-9
+
+    def test_nulls_ignored(self, spark):
+        from drune_spark.operators.stats import winsorize
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", None), ("g", 3.0)], "g string, v double"
+        )
+        out = winsorize(df, "v", ["g"]).collect()[0]
+        assert out.n == 2
+
+
+class TestTriangles:
+    def test_hand_computed(self, spark):
+        from drune_spark.operators.graph import triangle_counts
+        # K3 on {a,b,c} plus chord-free path to d: one triangle.
+        e = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1), ("c", "d", 1)]
+        edges = spark.createDataFrame(e, "src string, dst string, w long")
+        got = {r.node: r.n_triangles
+               for r in triangle_counts(edges).collect()}
+        assert got == {"a": 1, "b": 1, "c": 1}
+
+    def test_direction_and_duplicates_collapse(self, spark):
+        from drune_spark.operators.graph import triangle_counts
+        # both directions + self-loop: still exactly one triangle
+        e = [("a", "b", 1), ("b", "a", 5), ("b", "c", 1),
+             ("c", "a", 1), ("a", "c", 2), ("a", "a", 9)]
+        edges = spark.createDataFrame(e, "src string, dst string, w long")
+        got = {r.node: r.n_triangles
+               for r in triangle_counts(edges).collect()}
+        assert got == {"a": 1, "b": 1, "c": 1}
+
+    def test_k4_counts(self, spark):
+        from drune_spark.operators.graph import triangle_counts
+        nodes = ["a", "b", "c", "d"]
+        e = [(x, y, 1) for i, x in enumerate(nodes)
+             for y in nodes[i + 1:]]
+        edges = spark.createDataFrame(e, "src string, dst string, w long")
+        got = {r.node: r.n_triangles
+               for r in triangle_counts(edges).collect()}
+        # K4: 4 triangles, each node in 3
+        assert got == {n: 3 for n in nodes}
+
+
+class TestInvertedIndex:
+    def test_postings_and_df(self, spark):
+        from drune_spark.operators.search import inverted_index
+        docs = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the dog sat"), (3, "a cat")],
+            "doc_id long, text string",
+        )
+        out = {r.term: (r.df_docs, r.postings)
+               for r in inverted_index(
+                   docs, min_df=1, max_terms=10, postings_head=2
+               ).collect()}
+        assert out["the"] == (2, "1,2")
+        assert out["cat"] == (2, "1,3")
+        assert out["sat"] == (2, "1,2")
+        assert out["dog"] == (1, "2")
+
+    def test_min_df_and_limit(self, spark):
+        from drune_spark.operators.search import inverted_index
+        docs = spark.createDataFrame(
+            [(1, "x y"), (2, "x z")], "doc_id long, text string",
+        )
+        out = inverted_index(docs, min_df=2, max_terms=5).collect()
+        assert [r.term for r in out] == ["x"]
+
+
+class TestFuzzyLink:
+    def test_links_single_deletion(self, spark):
+        from drune_spark.operators.linkage import fuzzy_link
+        clean = spark.createDataFrame(
+            [(1, "jonathan-9731"), (2, "margaret-5624"), (3, "william-8815")],
+            "rid long, rname string",
+        )
+        dirty = spark.createDataFrame(
+            [(10, "jonathn-9731"), (20, "margret-5624")],
+            "lid long, lname string",
+        )
+        got = {(r.lid, r.rid): r.dist
+               for r in fuzzy_link(dirty, clean, "lid", "lname",
+                                   "rid", "rname").collect()}
+        assert got == {(10, 1): 1, (20, 2): 1}
+
+    def test_hot_block_cap_drops_universal_bigrams(self, spark):
+        from drune_spark.operators.linkage import fuzzy_link
+        # every name shares 'xx'; cap=1 kills that block, and with no
+        # surviving shared bigram the pair can't be found
+        clean = spark.createDataFrame(
+            [(1, "xxab"), (2, "xxcd")], "rid long, rname string",
+        )
+        dirty = spark.createDataFrame(
+            [(10, "xxabq")], "lid long, lname string",
+        )
+        got = fuzzy_link(dirty, clean, "lid", "lname", "rid", "rname",
+                         max_dist=3, max_block_df=1).collect()
+        assert {(r.lid, r.rid) for r in got} == {(10, 1)}  # via 'ab'
+
+    def test_best_match_tie_break(self, spark):
+        from drune_spark.operators.linkage import fuzzy_link
+        clean = spark.createDataFrame(
+            [(5, "abcd"), (2, "abcd")], "rid long, rname string",
+        )
+        dirty = spark.createDataFrame(
+            [(1, "abxd")], "lid long, lname string",
+        )
+        got = fuzzy_link(dirty, clean, "lid", "lname", "rid", "rname",
+                         max_dist=2).collect()
+        assert len(got) == 1
+        assert (got[0].rid, got[0].dist) == (2, 1)  # min rid under tie
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join(self, spark):
+        from drune_spark.functions.partitioning import salted_join
+        left = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, lv string"
+        )
+        right = spark.createDataFrame(
+            [(1, "X"), (2, "Y"), (4, "Z")], "k long, rv string"
+        )
+        got = sorted(
+            (r.k, r.lv, r.rv)
+            for r in salted_join(left, right, "k", num_salts=4).collect()
+        )
+        want = sorted(
+            (r.k, r.lv, r.rv) for r in left.join(right, "k").collect()
+        )
+        assert got == want
+
+    def test_left_and_anti(self, spark):
+        from drune_spark.functions.partitioning import salted_join
+        left = spark.createDataFrame([(1, "a"), (9, "q")], "k long, lv string")
+        right = spark.createDataFrame([(1, "X")], "k long, rv string")
+        lj = sorted((r.k, r.lv, r.rv) for r in
+                    salted_join(left, right, "k", how="left").collect())
+        assert lj == [(1, "a", "X"), (9, "q", None)]
+        anti = [(r.k, r.lv) for r in
+                salted_join(left, right, "k", how="left_anti").collect()]
+        assert anti == [(9, "q")]
+
+    def test_rejects_right_join(self, spark):
+        from drune_spark.functions.partitioning import salted_join
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        with pytest.raises(ValueError):
+            salted_join(df, df, "k", how="right")

@@ -440,3 +440,38 @@ class TestKafkaMock:
                for r in parsed.collect()}
         want = {tuple(r) for r in ev.collect()}
         assert got == want
+
+
+class TestStreamedDistinct:
+    def test_matches_batch_distinct(self, spark, tmp_path):
+        from drune_spark.streaming.runner import streamed_distinct
+        import datetime as dt
+
+        rows = []
+        base = dt.datetime(2024, 1, 1)
+        for d in range(3):
+            for t in ("click", "view"):
+                for _ in range(4):  # duplicates within each key
+                    rows.append(
+                        (len(rows), base + dt.timedelta(days=d, minutes=len(rows)),
+                         1, t, 1.0, "{}")
+                    )
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        path = str(tmp_path / "ev")
+        df.write.parquet(path)
+        got = sorted(
+            (r.event_type, r.day)
+            for r in streamed_distinct(spark, path).collect()
+        )
+        want = sorted(
+            (r.event_type, r.day)
+            for r in df.select(
+                "event_type",
+                F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            ).distinct().collect()
+        )
+        assert got == want and len(got) == 6
