@@ -1484,6 +1484,36 @@ def q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/timeseries.py
+    cohort_retention): distinct users active per (first-seen-week,
+    weeks-since-first) cell — all-integer µs-day arithmetic."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average (operators/timeseries.py
+    time_weighted_avg): Σ(value·Δt)/ΣΔt over consecutive observations,
+    DECIMAL×µs integral, one window pass per user."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import time_weighted_avg
+
+    return time_weighted_avg(_t(spark, sf_dir, "events"))
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily LOCF gap-fill (operators/timeseries.py gap_fill_locf):
+    dense per-type daily series, gap days carry the last observed
+    value; calendar frame generated via explode(sequence)."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import gap_fill_locf
+
+    return gap_fill_locf(_t(spark, sf_dir, "events"))
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication (streaming/runner.py streamed_distinct):
     dropDuplicates in append mode over the event stream, drained with
@@ -2787,6 +2817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "fuzzy_link": q_fuzzy_link,
         "stream_dedup": q_stream_dedup,
+        "cohort_retention": q_cohort_retention,
+        "time_weighted_avg": q_time_weighted_avg,
+        "gap_fill": q_gap_fill,
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
@@ -3499,6 +3532,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT event_type,
                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
             FROM events
+        """,
+        "cohort_retention": """
+            WITH ev AS (
+                SELECT user_id AS k,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+                FROM events
+            ),
+            first AS (SELECT k, MIN(d) AS d0 FROM ev GROUP BY k),
+            active AS (SELECT DISTINCT k, d FROM ev)
+            SELECT CAST(d0 // 7 AS BIGINT) AS cohort_week,
+                   CAST((d - d0) // 7 AS BIGINT) AS offset_weeks,
+                   COUNT(DISTINCT k) AS n_users
+            FROM active JOIN first USING (k)
+            GROUP BY 1, 2
+        """,
+        "time_weighted_avg": """
+            WITH rows0 AS (
+                SELECT user_id, event_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       CAST(value AS DECIMAL(18,3)) AS v_dec
+                FROM events WHERE value IS NOT NULL
+            ),
+            seq AS (
+                SELECT user_id, v_dec,
+                       lead(ts_us) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts_us ASC, event_id ASC) - ts_us AS dt
+                FROM rows0
+            )
+            SELECT user_id,
+                   CAST(SUM(dt) AS BIGINT) AS total_us,
+                   ROUND(CAST(SUM(v_dec * CAST(dt AS DECIMAL(18,0)))
+                              AS DOUBLE)
+                         / CAST(SUM(dt) AS DOUBLE), 6) AS twap
+            FROM seq WHERE dt IS NOT NULL
+            GROUP BY user_id
+        """,
+        "gap_fill": """
+            WITH ev AS (
+                SELECT event_type AS dim,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       event_id, value
+                FROM events WHERE value IS NOT NULL
+            ),
+            daily AS (
+                SELECT dim, day, value FROM (
+                    SELECT dim, day, value,
+                           row_number() OVER (
+                               PARTITION BY dim, day
+                               ORDER BY ts_us DESC, event_id DESC) AS rn
+                    FROM ev
+                ) WHERE rn = 1
+            ),
+            span AS (
+                SELECT dim, MIN(day) AS d0, MAX(day) AS d1
+                FROM daily GROUP BY dim
+            ),
+            frame AS (
+                SELECT dim, unnest(range(d0, d1 + 1)) AS day FROM span
+            ),
+            j AS (
+                SELECT f.dim, f.day, d.value AS raw_value
+                FROM frame f LEFT JOIN daily d USING (dim, day)
+            )
+            SELECT dim, day,
+                   last_value(raw_value IGNORE NULLS) OVER (
+                       PARTITION BY dim ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS value,
+                   raw_value IS NULL AS filled
+            FROM j
         """,
         "tpch_q2": TPCH_Q2_SQL,
         "tpch_q4": TPCH_Q4_SQL,

@@ -131,3 +131,158 @@ def refresh_day_rollup(
         schema=SchemaSpec(partition_by=["day"]),
     ))
     return days
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, and
+    per (cohort_week, weeks-since-first) the count of distinct users
+    still active — the product-analytics companion to the funnel
+    operator.
+
+    Two shuffles, both on ``key_col``: the first-seen MIN aggregate and
+    the distinct (user, week) activity set reuse the same hash
+    partitioning, and the final (cohort, offset) cell aggregate carries
+    cells, not users. All-integer (µs-day arithmetic), so results are
+    parallelism-invariant. At 100 TB the cell count is calendar-bounded
+    (weeks²), no matter the row count.
+
+    Returns (cohort_week, offset_weeks, n_users).
+    """
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000")
+    ev = df.select(F.col(key_col).alias("k"), day.alias("d"))
+    first = ev.groupBy("k").agg(F.min("d").alias("d0"))
+    active = ev.distinct()
+    return (
+        active.join(first, "k")
+        .select(
+            "k",
+            F.expr("d0 div 7").alias("cohort_week"),
+            F.expr("(d - d0) div 7").alias("offset_weeks"),
+        )
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.countDistinct("k").alias("n_users"))
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-key time-weighted average (the TimescaleDB ``time_weight``
+    / LOCF-integral pattern): each observation holds its value until
+    the next one, so the mean is Σ(value·Δt)/ΣΔt over consecutive
+    pairs. The trailing observation has no interval and drops out —
+    standard left-closed TWAP.
+
+    One Exchange+Sort per key (the same window family as
+    window_analytics); weights are integer µs and values DECIMAL(18,3),
+    so the accumulated integral is exact at any parallelism. The final
+    division is the one FP step; the integral exceeds 2^53 scaled
+    units, so its DECIMAL→DOUBLE conversion may differ by 1 ulp across
+    engines — the quotient is rounded to 6 decimals, the same
+    discipline as the bm25/cosine scores.
+
+    Returns (key, total_us, twap) for keys with ≥2 observations.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__ts_us").asc(), F.col(order_tiebreak).asc()
+    )
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.col(order_tiebreak),
+            F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+            F.col(value_col).cast("decimal(18,3)").alias("__v_dec"),
+        )
+        .withColumn("__dt", F.lead("__ts_us").over(w) - F.col("__ts_us"))
+        .filter(F.col("__dt").isNotNull())
+    )
+    agged = rows.groupBy(key_col).agg(
+        F.sum("__dt").alias("total_us"),
+        F.sum(
+            F.col("__v_dec") * F.col("__dt").cast("decimal(18,0)")
+        ).alias("__integral_dec"),
+    )
+    return agged.select(
+        key_col,
+        "total_us",
+        F.round(
+            F.col("__integral_dec").cast("double")
+            / F.col("total_us").cast("double"),
+            6,
+        ).alias("twap"),
+    )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    dim_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Daily gap-fill with last-observation-carried-forward: one row
+    per (dim, day) for EVERY day in the dim's observed span, carrying
+    the last observed value on gap days — the interpolation step that
+    turns an irregular event stream into a dense daily series.
+
+    Per (dim, day) the representative is the LAST event by (ts,
+    tiebreak) via the rank-limit-pushdown window; the calendar frame is
+    explode(sequence(min_day, max_day)) — generated, never scanned —
+    and the fill is one last(ignorenulls) pass ordered by day. Work is
+    calendar-bounded: after the per-day top-1, everything downstream is
+    (dims × days) cells regardless of input row count.
+
+    Returns (dim, day, value, filled).
+    """
+    from pyspark.sql import Window
+
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000")
+    ev = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(dim_col).alias("dim"),
+            day.alias("day"),
+            F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+            F.col(order_tiebreak).alias("__tb"),
+            F.col(value_col).alias("value"),
+        )
+    )
+    w = Window.partitionBy("dim", "day").orderBy(
+        F.col("__ts_us").desc(), F.col("__tb").desc()
+    )
+    daily = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("dim", "day", "value")
+    )
+    frame = (
+        daily.groupBy("dim")
+        .agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+        .select(
+            "dim",
+            F.explode(F.expr("sequence(__d0, __d1)")).alias("day"),
+        )
+    )
+    wf = (
+        Window.partitionBy("dim")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = frame.join(daily, ["dim", "day"], "left")
+    return joined.select(
+        "dim",
+        "day",
+        F.last("value", ignorenulls=True).over(wf).alias("value"),
+        F.col("value").isNull().alias("filled"),
+    )

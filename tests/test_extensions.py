@@ -1335,3 +1335,74 @@ class TestSaltedJoin:
         df = spark.createDataFrame([(1, "a")], "k long, v string")
         with pytest.raises(ValueError):
             salted_join(df, df, "k", how="right")
+
+
+class TestCohortRetention:
+    def test_hand_computed(self, spark):
+        from drune_spark.operators.timeseries import cohort_retention
+        import datetime as dt
+        # u1 first week 0, active weeks 0 and 1; u2 first week 1 only
+        base = dt.datetime(1970, 1, 1)
+        rows = [
+            (1, base),                              # day 0  -> week 0
+            (1, base + dt.timedelta(days=8)),       # day 8  -> week 1
+            (2, base + dt.timedelta(days=7)),       # day 7  -> week 1
+            (2, base + dt.timedelta(days=7, hours=2)),  # dup day
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {(r.cohort_week, r.offset_weeks): r.n_users
+               for r in cohort_retention(df).collect()}
+        assert got == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
+
+
+class TestTimeWeightedAvg:
+    def test_hand_computed(self, spark):
+        from drune_spark.operators.timeseries import time_weighted_avg
+        import datetime as dt
+        base = dt.datetime(2024, 1, 1)
+        # value 10 held 2s, value 20 held 1s, trailing 99 dropped
+        rows = [
+            (1, 1, base, 10.0),
+            (1, 2, base + dt.timedelta(seconds=2), 20.0),
+            (1, 3, base + dt.timedelta(seconds=3), 99.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, value double"
+        )
+        out = time_weighted_avg(df).collect()[0]
+        assert out.total_us == 3_000_000
+        assert abs(out.twap - (10 * 2 + 20 * 1) / 3) < 1e-6  # 6-dp rounded
+
+    def test_single_observation_key_dropped(self, spark):
+        from drune_spark.operators.timeseries import time_weighted_avg
+        import datetime as dt
+        df = spark.createDataFrame(
+            [(1, 1, dt.datetime(2024, 1, 1), 5.0)],
+            "user_id long, event_id long, ts timestamp, value double",
+        )
+        assert time_weighted_avg(df).count() == 0
+
+
+class TestGapFill:
+    def test_fills_interior_gaps_with_last_value(self, spark):
+        from drune_spark.operators.timeseries import gap_fill_locf
+        import datetime as dt
+        base = dt.datetime(1970, 1, 1)
+        rows = [
+            (1, base, "a", 1.0),
+            (2, base + dt.timedelta(hours=3), "a", 2.0),   # same day, later
+            (3, base + dt.timedelta(days=3), "a", 7.0),    # gap days 1,2
+            (4, base + dt.timedelta(days=1), "b", 5.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        got = {(r.dim, r.day): (r.value, r.filled)
+               for r in gap_fill_locf(df).collect()}
+        assert got == {
+            ("a", 0): (2.0, False),   # last of day 0
+            ("a", 1): (2.0, True),
+            ("a", 2): (2.0, True),
+            ("a", 3): (7.0, False),
+            ("b", 1): (5.0, False),
+        }
