@@ -94,6 +94,24 @@ BENCH_QUERIES = [
     "hybrid_search",
     "equidepth_bins",
     "event_bigrams",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
+    "salted_join_agg",
+    "winsorized_stats",
+    "triangle_count",
+    "inverted_index",
+    "fuzzy_link",
+    "cohort_retention",
+    "time_weighted_avg",
+    "gap_fill",
 ]
 
 
