@@ -1484,6 +1484,47 @@ def q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct users per (event_type, day) from merged
+    daily HLL sketches (operators/sketches.py hll_sliding_estimate):
+    raw rows touched once; the windowed merge moves register triples
+    only. The mergeable-sketch answer to weekly-active-users."""
+    _tune(spark)
+    from drune_spark.operators.sketches import hll_sliding_estimate
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.expr("unix_micros(ts) div 86400000000")
+    )
+    return hll_sliding_estimate(ev, "user_id", "event_type", "day",
+                                window_days=7)
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quota sampling (operators/sampling.py
+    stratified_quota_sample): exactly 100 orders per priority, chosen
+    by portable md5 order; WindowGroupLimit keeps map outputs ≤ quota
+    per group."""
+    _tune(spark)
+    from drune_spark.operators.sampling import stratified_quota_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    out = stratified_quota_sample(
+        orders, "o_orderpriority", "o_orderkey", quota=100
+    )
+    return out.select("o_orderkey", "o_orderpriority")
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier summary per event_type
+    (operators/stats.py mad_outliers): two percentile passes, flags
+    |x−med| > 3·MAD counted map-side."""
+    _tune(spark)
+    from drune_spark.operators.stats import mad_outliers
+
+    return mad_outliers(_t(spark, sf_dir, "events"), "value",
+                        ["event_type"], k=3.0)
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix (operators/timeseries.py
     cohort_retention): distinct users active per (first-seen-week,
@@ -2820,6 +2861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "time_weighted_avg": q_time_weighted_avg,
         "gap_fill": q_gap_fill,
+        "hll_sliding": q_hll_sliding,
+        "quota_sample": q_quota_sample,
+        "mad_outliers": q_mad_outliers,
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
@@ -3532,6 +3576,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT event_type,
                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
             FROM events
+        """,
+        "hll_sliding": """
+            WITH base AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                       1, 8))::BIGINT AS hv
+                FROM events
+            ),
+            daily AS (
+                SELECT event_type, day, hv >> 23 AS idx,
+                       MAX(CASE WHEN (hv & 8388607) = 0 THEN 24
+                                ELSE 24 - length(bin(hv & 8388607))
+                           END) AS rho
+                FROM base GROUP BY event_type, day, hv >> 23
+            ),
+            fan AS (
+                SELECT event_type, idx, rho,
+                       unnest(range(day, day + 7)) AS end_day
+                FROM daily
+            ),
+            ends AS (
+                SELECT DISTINCT event_type, day AS end_day FROM base
+            ),
+            merged AS (
+                SELECT f.event_type, f.end_day, idx, MAX(rho) AS rho
+                FROM fan f JOIN ends USING (event_type, end_day)
+                GROUP BY f.event_type, f.end_day, idx
+            ),
+            agg AS (
+                SELECT event_type, end_day,
+                       CAST(SUM(1::BIGINT << (24 - rho)) AS BIGINT)
+                           AS present_sum,
+                       COUNT(*) AS n_regs
+                FROM merged GROUP BY event_type, end_day
+            )
+            SELECT event_type, end_day,
+                   CAST(512 - n_regs AS BIGINT) AS zero_registers,
+                   3165639610296.211 / CAST(present_sum
+                       + (512 - n_regs) * 16777216 AS DOUBLE)
+                       AS hll_estimate
+            FROM agg
+        """,
+        "quota_sample": """
+            SELECT o_orderkey, o_orderpriority
+            FROM (
+                SELECT o_orderkey, o_orderpriority,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
+                                    o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 100
+        """,
+        "mad_outliers": """
+            WITH rows0 AS (
+                SELECT event_type, value FROM events
+                WHERE value IS NOT NULL
+            ),
+            med AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS med
+                FROM rows0 GROUP BY event_type
+            ),
+            dev AS (
+                SELECT r.event_type, r.value, m.med,
+                       abs(r.value - m.med) AS d
+                FROM rows0 r JOIN med m USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type, quantile_cont(d, 0.5) AS mad
+                FROM dev GROUP BY event_type
+            )
+            SELECT d.event_type, COUNT(*) AS n,
+                   MIN(d.med) AS med, MIN(mad.mad) AS mad,
+                   CAST(SUM(CASE WHEN d.d > 3.0 * mad.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+            FROM dev d JOIN mad USING (event_type)
+            GROUP BY d.event_type
         """,
         "cohort_retention": """
             WITH ev AS (

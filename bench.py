@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "cohort_retention",
     "time_weighted_avg",
     "gap_fill",
+    "hll_sliding",
+    "quota_sample",
+    "mad_outliers",
 ]
 
 

@@ -167,3 +167,34 @@ def corpus_mix(
         digits,
     )
     return exploded.filter((F.col("copy_id") < floor_w) | (bucket < thresh))
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    quota: int,
+) -> DataFrame:
+    """Exact per-group quotas (complement of the fraction-based
+    ``stratified_sample``): EXACTLY ``min(quota, group size)`` rows per
+    group, chosen deterministically by md5(key) order — the
+    fixed-budget eval-set / per-source-cap pattern where "83 rows ± a
+    few" isn't acceptable.
+
+    Cost model vs the fraction sampler: fractions are a shuffle-free
+    CASE filter, but quotas need a per-group rank — ONE hash shuffle on
+    the group key with the WindowGroupLimit partial below the Exchange,
+    so map tasks already ship ≤ quota rows per group, never the group.
+    The md5 orders rows uniformly and portably (engine-identical), with
+    the raw key as total-order tie-break.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

@@ -342,3 +342,50 @@ def kmv_set_ops(
         )
         .drop("__l")
     )
+
+
+def hll_sliding_estimate(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    day_col: str,
+    window_days: int = 7,
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """Sliding-window distinct counts from MERGED daily sketches — the
+    "7-day active users per day" query answered without ever rescanning
+    7 days of raw data.
+
+    The mergeability that justifies sketches operationally: daily
+    register frames are built ONCE (at ingest); every window-end day's
+    sketch is the max-merge of the trailing ``window_days`` daily
+    frames. A naive windowed COUNT(DISTINCT) recomputes each day over
+    W days of raw rows (W× scan amplification); here raw rows are
+    touched once ever, and the windowed merge moves only register
+    triples — each daily register row fans out to the ≤W window ends
+    it serves (explode(sequence), narrow), then one (group, end_day,
+    idx) max-agg. Window ends are restricted to observed (group, day)
+    pairs by an equi-join with the distinct-day set (no range join,
+    no nested loop).
+
+    Returns (group, end_day, zero_registers, hll_estimate) — same
+    integer-exact-numerator estimate discipline as ``hll_estimate``.
+    """
+    daily = hll_registers(df, value_col, [group_col, day_col], p)
+    fan = daily.select(
+        group_col,
+        "idx",
+        "rho",
+        F.explode(
+            F.expr(f"sequence({day_col}, {day_col} + {window_days - 1})")
+        ).alias("end_day"),
+    )
+    ends = (
+        df.select(group_col, F.col(day_col).alias("end_day")).distinct()
+    )
+    merged = (
+        fan.join(ends, [group_col, "end_day"])
+        .groupBy(group_col, "end_day", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return hll_estimate(merged, [group_col, "end_day"], p)

@@ -172,3 +172,49 @@ def winsorize(
             " + CAST(n_hi AS DOUBLE) * p_hi"
         ).alias("winsorized_sum"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 3.0,
+    mode: str = "exact",
+) -> DataFrame:
+    """Robust per-group outlier summary via median/MAD — the
+    skew-immune alternative to mean/stddev z-scores (one corrupt 1e12
+    row moves a mean arbitrarily; it moves a median not at all).
+
+    Two percentile aggregates (median, then median absolute
+    deviation), each broadcast back; the outlier test
+    |x − med| > k·MAD runs in the final map-side-partial count pass.
+    ``mode="approx"`` swaps both percentiles for t-digest partials —
+    the 100 TB monitoring path. All compared doubles derive from the
+    bit-portable percentile (== DuckDB quantile_cont) and identical
+    op sequences, so the flag set is engine-identical.
+
+    Returns (group..., n, med, mad, n_outliers).
+    """
+    fn = "percentile" if mode == "exact" else "percentile_approx"
+    suffix = "" if mode == "exact" else ", 10000"
+    rows = df.filter(F.col(value_col).isNotNull())
+    med = rows.groupBy(*group_cols).agg(
+        F.expr(f"{fn}({value_col}, 0.5{suffix})").alias("med")
+    )
+    with_dev = rows.join(F.broadcast(med), on=group_cols).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = with_dev.groupBy(*group_cols).agg(
+        F.expr(f"{fn}(__dev, 0.5{suffix})").alias("mad")
+    )
+    flagged = with_dev.join(F.broadcast(mad), on=group_cols)
+    return flagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("med").alias("med"),
+        F.first("mad").alias("mad"),
+        F.sum(
+            F.when(
+                F.col("__dev") > F.lit(float(k)) * F.col("mad"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )

@@ -1406,3 +1406,81 @@ class TestGapFill:
             ("a", 3): (7.0, False),
             ("b", 1): (5.0, False),
         }
+
+
+class TestHllSliding:
+    def test_window_merge_equals_direct_window_sketch(self, spark):
+        from drune_spark.operators.sketches import (
+            hll_registers, hll_estimate, hll_sliding_estimate,
+        )
+        import itertools
+        rows = [("t", d, u) for d, u in itertools.product(
+            range(10), range(30)) if (u + d) % 3]
+        df = spark.createDataFrame(rows, "g string, day long, uid long")
+        got = {(r.g, r.end_day): r.hll_estimate
+               for r in hll_sliding_estimate(
+                   df, "uid", "g", "day", window_days=7).collect()}
+        # direct: sketch each 7-day slice of raw rows
+        for end_day in (0, 3, 9):
+            sliced = df.filter(
+                (F.col("day") >= end_day - 6) & (F.col("day") <= end_day)
+            )
+            direct = hll_estimate(
+                hll_registers(sliced, "uid", ["g"]), ["g"]
+            ).collect()[0].hll_estimate
+            assert got[("t", end_day)] == direct  # merge is lossless
+
+    def test_ends_restricted_to_observed_days(self, spark):
+        from drune_spark.operators.sketches import hll_sliding_estimate
+        df = spark.createDataFrame(
+            [("t", 0, 1), ("t", 5, 2)], "g string, day long, uid long"
+        )
+        days = sorted(r.end_day for r in hll_sliding_estimate(
+            df, "uid", "g", "day").collect())
+        assert days == [0, 5]  # no synthetic rows for days 1-4
+
+
+class TestQuotaSample:
+    def test_exact_quota_and_determinism(self, spark):
+        from drune_spark.operators.sampling import stratified_quota_sample
+        rows = [(i, "a" if i % 2 else "b") for i in range(50)]
+        df = spark.createDataFrame(rows, "k long, g string")
+        s1 = stratified_quota_sample(df, "g", "k", quota=10)
+        assert s1.groupBy("g").count().collect()[0]["count"] == 10
+        got1 = sorted((r.g, r.k) for r in s1.collect())
+        got2 = sorted(
+            (r.g, r.k)
+            for r in stratified_quota_sample(
+                df.repartition(7), "g", "k", quota=10).collect()
+        )
+        assert got1 == got2  # partitioning-independent pick
+
+    def test_small_group_kept_whole(self, spark):
+        from drune_spark.operators.sampling import stratified_quota_sample
+        df = spark.createDataFrame([(1, "a"), (2, "a")], "k long, g string")
+        assert stratified_quota_sample(df, "g", "k", quota=10).count() == 2
+
+
+class TestMadOutliers:
+    def test_hand_computed(self, spark):
+        from drune_spark.operators.stats import mad_outliers
+        # values 1..9 plus a wild 1000: med of 10 vals = 5.5,
+        # devs = 4.5,3.5,...,994.5 -> mad = 2.5; threshold 7.5
+        rows = [("g", float(v)) for v in list(range(1, 10)) + [1000]]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = mad_outliers(df, "v", ["g"], k=3.0).collect()[0]
+        assert out.n == 10
+        assert abs(out.med - 5.5) < 1e-9
+        assert abs(out.mad - 2.5) < 1e-9
+        assert out.n_outliers == 1  # only the 1000
+
+    def test_median_immune_to_outlier(self, spark):
+        from drune_spark.operators.stats import mad_outliers
+        base = [("g", float(v)) for v in range(1, 10)]
+        df1 = spark.createDataFrame(base, "g string, v double")
+        df2 = spark.createDataFrame(
+            base + [("g", 1e12)], "g string, v double"
+        )
+        m1 = mad_outliers(df1, "v", ["g"]).collect()[0].med
+        m2 = mad_outliers(df2, "v", ["g"]).collect()[0].med
+        assert abs(m1 - 5.0) < 1e-9 and abs(m2 - 5.5) < 1e-9
