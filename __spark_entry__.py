@@ -1525,6 +1525,44 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ["event_type"], k=3.0)
 
 
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (operators/sketches.py
+    cms_build/cms_estimate) for the top-20 true-heaviest users:
+    (user_id, true_n, cms_count) — cms_count ≥ true_n always, exact
+    integer cells so the approximate answer is still hash-checkable."""
+    _tune(spark)
+    from drune_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id", depth=4, width=256)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    est = cms_estimate(cms, top.select("user_id"), "user_id",
+                       depth=4, width=256)
+    return top.join(est, "user_id").select(
+        "user_id", "true_n", "cms_count"
+    )
+
+
+def q_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact sufficient statistics + covariance + Pearson corr
+    (operators/stats.py grouped_moments): quantity×price per
+    returnflag, long-exact integer moments, IEEE-shared-op-order
+    cov/corr — bit-identical without rounding."""
+    _tune(spark)
+    from drune_spark.operators.stats import grouped_moments
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_moments(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"],
+        scale_x=1000, scale_y=10,
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix (operators/timeseries.py
     cohort_retention): distinct users active per (first-seen-week,
@@ -2864,6 +2902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sliding": q_hll_sliding,
         "quota_sample": q_quota_sample,
         "mad_outliers": q_mad_outliers,
+        "cms_topk": q_cms_topk,
+        "corr_moments": q_corr_moments,
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
@@ -3576,6 +3616,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT event_type,
                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
             FROM events
+        """,
+        "cms_topk": """
+            WITH cells AS (
+                SELECT j,
+                       ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                            CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 256 AS bucket,
+                       COUNT(*) AS n
+                FROM (SELECT user_id, unnest(range(0, 4)) AS j
+                      FROM events)
+                GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT user_id, COUNT(*) AS true_n
+                FROM events GROUP BY user_id
+                ORDER BY true_n DESC, user_id ASC
+                LIMIT 20
+            ),
+            probes AS (
+                SELECT user_id, true_n, j,
+                       ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                            CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 256 AS bucket
+                FROM (SELECT user_id, true_n, unnest(range(0, 4)) AS j
+                      FROM top)
+            )
+            SELECT p.user_id,
+                   CAST(MIN(p.true_n) AS BIGINT) AS true_n,
+                   CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS cms_count
+            FROM probes p
+            LEFT JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+            GROUP BY p.user_id
+        """,
+        "corr_moments": """
+            WITH q AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_quantity * 1000 + 0.5) AS BIGINT)
+                           AS x,
+                       CAST(floor(l_extendedprice * 10 + 0.5) AS BIGINT)
+                           AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ),
+            a AS (
+                SELECT l_returnflag, COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sx2,
+                       CAST(SUM(y * y) AS BIGINT) AS sy2
+                FROM q GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n, sx, sy, sxy, sx2, sy2,
+                   (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS cov_pop,
+                   ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE))
+                   / sqrt(((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE))
+                     * ((CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+                        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE))) AS corr
+            FROM a
         """,
         "hll_sliding": """
             WITH base AS (

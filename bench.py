@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "hll_sliding",
     "quota_sample",
     "mad_outliers",
+    "cms_topk",
+    "corr_moments",
 ]
 
 

@@ -389,3 +389,86 @@ def hll_sliding_estimate(
         .agg(F.max("rho").alias("rho"))
     )
     return hll_estimate(merged, [group_col, "end_day"], p)
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) of the
+    frequency distribution of ``value_col`` — the third leg of the
+    sketch family here: HLL answers distinct counts, KMV answers set
+    overlaps, CMS answers "how often does key X occur" in d×w integer
+    cells instead of a full frequency table.
+
+    Each row increments one cell per hash row j (bucket =
+    md5_u32(j:value) mod width — the portable hash discipline of
+    ``minhash``/``hll``). The sketch is (j, bucket, n) triples: at most
+    d·w rows forever, mergeable by cell-wise SUM across any slicing
+    (days, partitions, clusters) — integer-exact, so per-slice sketches
+    roll up bit-identically at any parallelism.
+
+    One groupBy shuffle carrying d rows per input row; at 100 TB build
+    per-slice sketches map-side (the d×w cell grid fits any executor)
+    and merge the tiny frames.
+    """
+    from drune_spark.functions.hashes import md5_u32
+
+    j = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("j")
+    cells = df.select(
+        F.col(value_col).cast("string").alias("__v")
+    ).select(
+        "__v", j
+    ).select(
+        "j",
+        F.pmod(
+            md5_u32(F.concat_ws(":", F.col("j"), F.col("__v"))),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    return cells.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` from a count-min sketch:
+    est(k) = min over hash rows j of cell(j, h_j(k)) — an upper bound
+    on the true count (collisions only ever inflate). The sketch is
+    broadcast (d·w cells); keys never shuffle.
+
+    Returns (key, cms_count).
+    """
+    from drune_spark.functions.hashes import md5_u32
+
+    j = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("j")
+    probes = keys.select(
+        F.col(key_col), F.col(key_col).cast("string").alias("__v")
+    ).select(
+        key_col, "__v", j
+    ).select(
+        key_col,
+        "j",
+        F.pmod(
+            md5_u32(F.concat_ws(":", F.col("j"), F.col("__v"))),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(cms), ["j", "bucket"], "left").select(
+        key_col, F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    return joined.groupBy(key_col).agg(
+        F.min("n").alias("cms_count")
+    )

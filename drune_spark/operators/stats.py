@@ -218,3 +218,69 @@ def mad_outliers(
             ).otherwise(0)
         ).cast("long").alias("n_outliers"),
     )
+
+
+def grouped_moments(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    scale_x: int = 1000,
+    scale_y: int = 1000,
+) -> DataFrame:
+    """Per-group second-moment sufficient statistics + covariance +
+    Pearson correlation, engine-exact.
+
+    Inputs are quantized to LONGs (floor(v·scale + 0.5) — the
+    ``hypertable_rollup`` discipline), so every sufficient statistic
+    (n, Σx, Σy, Σxy, Σx², Σy²) is an exact integer at any parallelism
+    and the frames are MERGEABLE — combine per-slice statistics by
+    summing, the distributed-moments pattern. Covariance/correlation
+    derive from those longs via IEEE double arithmetic in one written
+    op order (long→double conversion is correctly-rounded and
+    identical across engines, unlike wide-DECIMAL→double), so cov and
+    corr are bit-identical without any output rounding.
+
+    Size the scales to the column magnitudes: the caller must keep
+    n·(v·scale)² under 2^63 (e.g. prices to 1e5 at 10⁸ rows → scale_y
+    ≤ 10). The quantization grain is the documented precision trade;
+    overflow-free by construction once the bound holds.
+
+    Returns (group..., n, sx, sy, sxy, sx2, sy2, cov_pop, corr).
+    """
+    qx = F.floor(F.col(x_col) * scale_x + F.lit(0.5)).cast("long")
+    qy = F.floor(F.col(y_col) * scale_y + F.lit(0.5)).cast("long")
+    rows = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            *group_cols, qx.alias("__x"), qy.alias("__y")
+        )
+    )
+    agged = rows.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sx2"),
+        F.sum(F.col("__y") * F.col("__y")).alias("sy2"),
+    )
+    # one shared-op-order double expression family (mirrored in SQL)
+    nd = "CAST(n AS DOUBLE)"
+    cov = (
+        f"(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+        f" / {nd}) / {nd}"
+    )
+    vx = (
+        f"(CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+        f" / {nd}) / {nd}"
+    )
+    vy = (
+        f"(CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+        f" / {nd}) / {nd}"
+    )
+    return agged.select(
+        *group_cols,
+        "n", "sx", "sy", "sxy", "sx2", "sy2",
+        F.expr(cov).alias("cov_pop"),
+        F.expr(f"({cov}) / sqrt(({vx}) * ({vy}))").alias("corr"),
+    )

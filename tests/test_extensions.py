@@ -1484,3 +1484,67 @@ class TestMadOutliers:
         m1 = mad_outliers(df1, "v", ["g"]).collect()[0].med
         m2 = mad_outliers(df2, "v", ["g"]).collect()[0].med
         assert abs(m1 - 5.0) < 1e-9 and abs(m2 - 5.5) < 1e-9
+
+
+class TestCountMinSketch:
+    def test_estimates_upper_bound_and_exact_when_sparse(self, spark):
+        from drune_spark.operators.sketches import cms_build, cms_estimate
+        rows = [(k,) for k in [1] * 50 + [2] * 30 + [3] * 5 + [4]]
+        df = spark.createDataFrame(rows, "k long")
+        cms = cms_build(df, "k", depth=4, width=256)
+        keys = spark.createDataFrame([(1,), (2,), (3,), (4,)], "k long")
+        got = {r.k: r.cms_count
+               for r in cms_estimate(cms, keys, "k",
+                                     depth=4, width=256).collect()}
+        true = {1: 50, 2: 30, 3: 5, 4: 1}
+        for k, t in true.items():
+            assert got[k] >= t           # never underestimates
+        # 4 distinct keys in 4x256 cells: collisions ~impossible
+        assert got == true
+
+    def test_sketch_is_bounded_and_mergeable(self, spark):
+        from drune_spark.operators.sketches import cms_build
+        df = spark.createDataFrame([(i % 97,) for i in range(2000)], "k long")
+        cms = cms_build(df, "k", depth=4, width=64)
+        assert cms.count() <= 4 * 64
+        # merging two half-sketches cell-wise == sketching the whole
+        h1 = cms_build(df.filter("k < 50"), "k", depth=4, width=64)
+        h2 = cms_build(df.filter("k >= 50"), "k", depth=4, width=64)
+        merged = (
+            h1.unionAll(h2).groupBy("j", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+        a = sorted(map(tuple, cms.collect()))
+        b = sorted(map(tuple, merged.collect()))
+        assert a == b
+
+
+class TestGroupedMoments:
+    def test_hand_computed_perfect_correlation(self, spark):
+        from drune_spark.operators.stats import grouped_moments
+        rows = [("g", float(i), float(2 * i)) for i in range(1, 6)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        out = grouped_moments(df, "x", "y", ["g"],
+                              scale_x=1, scale_y=1).collect()[0]
+        assert out.n == 5 and out.sx == 15 and out.sy == 30
+        assert out.sxy == 110 and out.sx2 == 55 and out.sy2 == 220
+        # cov_pop = (110 - 15*30/5)/5 = 4; corr = 1 exactly
+        assert abs(out.cov_pop - 4.0) < 1e-12
+        assert abs(out.corr - 1.0) < 1e-12
+
+    def test_statistics_merge_across_slices(self, spark):
+        from drune_spark.operators.stats import grouped_moments
+        rows = [("g", float(i % 7), float((i * 3) % 11))
+                for i in range(100)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        whole = grouped_moments(df, "x", "y", ["g"]).collect()[0]
+        rows_a = rows[:40]
+        rows_b = rows[40:]
+        pa = grouped_moments(
+            spark.createDataFrame(rows_a, "g string, x double, y double"),
+            "x", "y", ["g"]).collect()[0]
+        pb = grouped_moments(
+            spark.createDataFrame(rows_b, "g string, x double, y double"),
+            "x", "y", ["g"]).collect()[0]
+        for f in ("n", "sx", "sy", "sxy", "sx2", "sy2"):
+            assert getattr(pa, f) + getattr(pb, f) == getattr(whole, f)
