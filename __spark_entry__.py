@@ -1525,6 +1525,70 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ["event_type"], k=3.0)
 
 
+RANK_FAMILY_SQL = """
+    SELECT o_orderkey, o_orderpriority,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           row_number() OVER w AS rn,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cdist,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WHERE o_orderkey % 17 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+STRING_FUNCS_SQL = """
+    SELECT c_custkey,
+           upper(c_name) AS up,
+           lower(c_mktsegment) AS lo,
+           reverse(c_name) AS rev,
+           lpad(CAST(c_custkey AS STRING), 12, '0') AS padded,
+           replace(c_name, 'Customer', 'Cust') AS repl,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS transl,
+           substring(c_name, 10, 4) AS sub,
+           concat(c_mktsegment, '|', c_name) AS joined,
+           length(c_name) AS len,
+           instr(c_name, '#') AS hash_pos,
+           repeat('-', 1 + CAST(c_custkey % 3 AS INTEGER)) AS dashes
+    FROM customer
+    WHERE c_custkey % 7 = 0
+"""
+
+
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank-function breadth: rank / dense_rank / row_number /
+    percent_rank / cume_dist / ntile off ONE shared sort (single
+    WINDOW clause → one Exchange+Sort), total-ordered so every output
+    is deterministic. percent_rank/cume_dist are single divisions of
+    exact integers — engine-identical."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("orders",), RANK_FAMILY_SQL, "rank_family"
+    )
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface parity (upper/lower/reverse/lpad/
+    replace/translate/substring/concat/length/strpos/repeat) — one
+    shared SQL text, all codegen scalar expressions, zero shuffle."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("customer",), STRING_FUNCS_SQL,
+        "string_functions",
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate vs the corpus top-16 vocabulary
+    (operators/text_analysis.py vocab_coverage; the synthetic corpus
+    has ~31 distinct tokens, so a 16-token vocab exercises real OOV).
+    Vocab broadcast; docs never shuffle; integer-ppm shares."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"), vocab_size=16)
+
+
 def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates (operators/sketches.py
     cms_build/cms_estimate) for the top-20 true-heaviest users:
@@ -2904,6 +2968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "cms_topk": q_cms_topk,
         "corr_moments": q_corr_moments,
+        "rank_family": q_rank_family,
+        "string_functions": q_string_functions,
+        "vocab_coverage": q_vocab_coverage,
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
@@ -3616,6 +3683,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT event_type,
                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
             FROM events
+        """,
+        "rank_family": RANK_FAMILY_SQL,
+        "string_functions": STRING_FUNCS_SQL,
+        "vocab_coverage": """
+            WITH toks AS (
+                SELECT doc_id, w FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(
+                               trim(lower(text)), '\\s+')) AS w
+                    FROM documents
+                ) WHERE length(w) > 0
+            ),
+            vocab AS (
+                SELECT w FROM (
+                    SELECT w, COUNT(*) AS n FROM toks GROUP BY w
+                    ORDER BY n DESC, w ASC LIMIT 16
+                )
+            )
+            SELECT t.doc_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                        * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm
+            FROM toks t LEFT JOIN vocab v ON t.w = v.w
+            GROUP BY t.doc_id
         """,
         "cms_topk": """
             WITH cells AS (

@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "mad_outliers",
     "cms_topk",
     "corr_moments",
+    "rank_family",
+    "string_functions",
+    "vocab_coverage",
 ]
 
 

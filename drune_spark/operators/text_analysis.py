@@ -221,3 +221,54 @@ def token_frequency_score(
             ).alias("rare_token_frac"),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document vocabulary coverage against the corpus's own
+    top-``vocab_size`` tokens — the OOV-rate screen run before
+    committing to a tokenizer/vocab: documents with high out-of-vocab
+    ratios are misencoded, off-language, or boilerplate.
+
+    One tokenize pass feeds BOTH sides: the vocabulary (one token-count
+    agg + TakeOrdered top-k, tie-broken (count desc, token)) and the
+    per-doc token stream. The vocab is broadcast (≤ vocab_size rows) —
+    documents never shuffle; the per-doc agg is map-side partial.
+    OOV share as exact integer ppm (n_oov·10⁶ div n_tokens):
+    parallelism-invariant.
+
+    Returns (doc_id, n_tokens, n_oov, oov_ppm).
+    """
+    from drune_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).filter(F.length("w") > 0)
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "w", "left")
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000000L) div n_tokens").alias("oov_ppm"),
+        )
+    )

@@ -1548,3 +1548,27 @@ class TestGroupedMoments:
             "x", "y", ["g"]).collect()[0]
         for f in ("n", "sx", "sy", "sxy", "sx2", "sy2"):
             assert getattr(pa, f) + getattr(pb, f) == getattr(whole, f)
+
+
+class TestVocabCoverage:
+    def test_oov_counts(self, spark):
+        from drune_spark.operators.text_analysis import vocab_coverage
+        docs = spark.createDataFrame(
+            [(1, "a a a b"), (2, "a b c d")],
+            "doc_id long, text string",
+        )
+        # vocab_size=2 -> vocab {a, b} (a:4, b:2); c,d are OOV
+        got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_ppm)
+               for r in vocab_coverage(docs, vocab_size=2).collect()}
+        assert got[1] == (4, 0, 0)
+        assert got[2] == (4, 2, 500000)
+
+    def test_vocab_tie_break_deterministic(self, spark):
+        from drune_spark.operators.text_analysis import vocab_coverage
+        docs = spark.createDataFrame(
+            [(1, "x y"), (2, "y x")], "doc_id long, text string",
+        )
+        # both tokens tf=2; vocab_size=1 keeps 'x' (count desc, token asc)
+        got = {r.doc_id: r.n_oov
+               for r in vocab_coverage(docs, vocab_size=1).collect()}
+        assert got == {1: 1, 2: 1}

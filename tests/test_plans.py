@@ -236,3 +236,57 @@ class TestPlans:
         df = entry.q_zorder_layout(spark, SF)
         plan = executed_plan(df)
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_quota_sample_partial_limit_below_exchange(self, spark, entry):
+        """Exact-quota sampling must push the per-group limit below the
+        shuffle: map tasks ship <= quota rows per group."""
+        df = entry.q_quota_sample(spark, SF)
+        plan = executed_plan(df)
+        assert "WindowGroupLimit" in plan
+        assert "Partial" in plan and "Final" in plan
+
+    def test_fuzzy_link_no_nested_loop(self, spark, entry):
+        """Bigram blocking must plan as equi-joins — a fuzzy join that
+        falls back to BroadcastNestedLoop is the |L|x|R| death it is
+        supposed to avoid."""
+        df = entry.q_fuzzy_link(spark, SF)
+        plan = executed_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_hll_sliding_no_range_join(self, spark, entry):
+        """The windowed sketch merge restricts ends via an equi-join
+        (explode fan-out), never a range/theta join."""
+        df = entry.q_hll_sliding(spark, SF)
+        plan = executed_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_cms_probe_is_broadcast(self, spark, entry):
+        """CMS point-estimates broadcast the d x w cell frame; probe
+        keys must not shuffle to meet the sketch."""
+        df = entry.q_cms_topk(spark, SF)
+        plan = executed_plan(df)
+        assert "BroadcastExchange" in plan
+
+    def test_inverted_index_takeordered(self, spark, entry):
+        """Top-terms selection must be TakeOrdered (per-partition
+        heaps), not a global Sort+Limit."""
+        df = entry.q_inverted_index(spark, SF)
+        plan = executed_plan(df)
+        assert "TakeOrderedAndProject" in plan
+
+    def test_rank_family_single_sort_exchange(self, spark, entry):
+        """Six rank functions off ONE WINDOW clause: exactly one
+        Exchange hashpartitioning + one Sort."""
+        df = entry.q_rank_family(spark, SF)
+        plan = executed_plan(df)
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Sort [") == 1
+
+    def test_string_functions_no_shuffle(self, spark, entry):
+        """Scalar string expressions stay in one codegen stage —
+        no Exchange of any kind."""
+        df = entry.q_string_functions(spark, SF)
+        plan = executed_plan(df)
+        assert "Exchange" not in plan
