@@ -1578,6 +1578,45 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh (operators/mv.py
+    mv_merge): the orders⋈lineitem revenue view absorbs a late batch
+    (l_orderkey % 11 == 0) by aggregating ONLY the delta and merging
+    per-key partial sums — the oracle computes the full view blind to
+    the split, so the hash match proves refresh ≡ recompute."""
+    _tune(spark)
+    from drune_spark.operators.mv import mv_merge
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+    def view_agg(fact):
+        return (
+            fact.join(F.broadcast(orders),
+                      fact["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.expr(
+                    "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+                    "CAST(1 - l_discount AS DECIMAL(18,2)))"
+                ).alias("rev_dec"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+        )
+
+    base_mv = view_agg(li.filter("l_orderkey % 11 != 0"))
+    delta = view_agg(li.filter("l_orderkey % 11 = 0"))
+    merged = mv_merge(base_mv, delta, ["o_orderpriority"],
+                      ["rev_dec", "n_lines"])
+    return merged.select(
+        "o_orderpriority",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document OOV rate vs the corpus top-16 vocabulary
     (operators/text_analysis.py vocab_coverage; the synthetic corpus
@@ -2971,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_family": q_rank_family,
         "string_functions": q_string_functions,
         "vocab_coverage": q_vocab_coverage,
+        "incremental_mv": q_incremental_mv,
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
@@ -3686,6 +3726,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rank_family": RANK_FAMILY_SQL,
         "string_functions": STRING_FUNCS_SQL,
+        "incremental_mv": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(1 - l_discount AS DECIMAL(18,2)))
+                        AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
         "vocab_coverage": """
             WITH toks AS (
                 SELECT doc_id, w FROM (

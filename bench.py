@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "rank_family",
     "string_functions",
     "vocab_coverage",
+    "incremental_mv",
 ]
 
 

@@ -1572,3 +1572,39 @@ class TestVocabCoverage:
         got = {r.doc_id: r.n_oov
                for r in vocab_coverage(docs, vocab_size=1).collect()}
         assert got == {1: 1, 2: 1}
+
+
+class TestIncrementalMv:
+    def test_refresh_equals_recompute(self, spark):
+        from drune_spark.operators.mv import mv_merge
+        rows = [(i, i % 3, float(i)) for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, k long, v double")
+
+        def agg(d):
+            return d.groupBy("k").agg(
+                F.sum(F.col("v").cast("decimal(18,3)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+
+        base = agg(df.filter("id < 20"))
+        delta = agg(df.filter("id >= 20"))
+        merged = {(r.k): (float(r.s), r.n)
+                  for r in mv_merge(base, delta, ["k"], ["s", "n"]).collect()}
+        full = {(r.k): (float(r.s), r.n) for r in agg(df).collect()}
+        assert merged == full
+
+    def test_negative_delta_applies_deletes(self, spark):
+        from drune_spark.operators.mv import mv_merge
+        base = spark.createDataFrame([(1, 10.0, 4)], "k long, s double, n long")
+        # CDC-style delete batch: negative measures
+        delta = spark.createDataFrame([(1, -2.5, -1)], "k long, s double, n long")
+        out = mv_merge(base, delta, ["k"], ["s", "n"]).collect()[0]
+        assert (out.s, out.n) == (7.5, 3)
+
+    def test_new_key_appears(self, spark):
+        from drune_spark.operators.mv import mv_merge
+        base = spark.createDataFrame([(1, 1.0, 1)], "k long, s double, n long")
+        delta = spark.createDataFrame([(2, 5.0, 2)], "k long, s double, n long")
+        got = {r.k: (r.s, r.n)
+               for r in mv_merge(base, delta, ["k"], ["s", "n"]).collect()}
+        assert got == {1: (1.0, 1), 2: (5.0, 2)}
