@@ -1666,6 +1666,23 @@ def q_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form linear regression (operators/stats.py
+    grouped_ols): extendedprice-on-quantity slope/intercept/r² per
+    (returnflag, linestatus) from long-exact mergeable sufficient
+    statistics; slope/intercept/r² doubles share one written op order
+    with the oracle — bit-identical unrounded."""
+    _tune(spark)
+    from drune_spark.operators.stats import grouped_ols
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_ols(
+        li, "l_quantity", "l_extendedprice",
+        ["l_returnflag", "l_linestatus"],
+        scale_x=1000, scale_y=10,
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix (operators/timeseries.py
     cohort_retention): distinct users active per (first-seen-week,
@@ -2993,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     time-based rather than positional."""
     return {
         # -- new this round ------------------------------------------------
+        "grouped_ols": q_grouped_ols,
         "salted_join_agg": q_salted_join_agg,
         "winsorized_stats": q_winsorized_stats,
         "triangle_count": q_triangle_count,
@@ -3297,6 +3315,9 @@ def _profile_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from drune_spark.operators.search import bm25_oracle_sql
+    from drune_spark.operators.stats import ols_sql_exprs
+
+    _OLS_SLOPE, _OLS_INTERCEPT, _OLS_R2 = ols_sql_exprs()
 
     toks = "regexp_split_to_array(trim(text), '\\s+')"
     toks_lower = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -3790,6 +3811,32 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p
             LEFT JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
             GROUP BY p.user_id
+        """,
+        "grouped_ols": f"""
+            WITH q AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(floor(l_quantity * 1000 + 0.5) AS BIGINT)
+                           AS x,
+                       CAST(floor(l_extendedprice * 10 + 0.5) AS BIGINT)
+                           AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ),
+            a AS (
+                SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sx2,
+                       CAST(SUM(y * y) AS BIGINT) AS sy2
+                FROM q GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT l_returnflag, l_linestatus, n,
+                   {_OLS_SLOPE} AS slope,
+                   {_OLS_INTERCEPT} AS intercept,
+                   {_OLS_R2} AS r2
+            FROM a
         """,
         "corr_moments": """
             WITH q AS (

@@ -220,6 +220,86 @@ def mad_outliers(
     )
 
 
+def grouped_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    scale_x: int = 1000,
+    scale_y: int = 1000,
+) -> DataFrame:
+    """Per-group simple linear regression (y = intercept + slope·x in
+    QUANTIZED units) from the same long-exact mergeable sufficient
+    statistics as ``grouped_moments`` — the distributed closed-form OLS:
+    one map-side-partial aggregate per group, no iteration, no solver.
+
+    slope  = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    r²     = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+
+    Every double derives from exact longs through ONE written operation
+    order (mirrored verbatim in the DuckDB oracle), so slope/intercept/
+    r² are bit-identical across engines without rounding. At 100 TB
+    this is a single shuffle of 6 longs per group; the per-key
+    regression pattern (price elasticity per SKU, drift slope per
+    sensor) that MLlib's global LinearRegression can't express without
+    a per-group fit loop.
+
+    Returns (group..., n, slope, intercept, r2) — slope/intercept in
+    quantized units (documented; callers rescale by scale_y/scale_x).
+    """
+    qx = F.floor(F.col(x_col) * scale_x + F.lit(0.5)).cast("long")
+    qy = F.floor(F.col(y_col) * scale_y + F.lit(0.5)).cast("long")
+    rows = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(*group_cols, qx.alias("__x"), qy.alias("__y"))
+    )
+    agged = rows.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sx2"),
+        F.sum(F.col("__y") * F.col("__y")).alias("sy2"),
+    )
+    return agged.select(*group_cols, "n", *ols_output_exprs())
+
+
+def ols_output_exprs() -> list:
+    """The shared-op-order slope/intercept/r² expression family over
+    (n, sx, sy, sxy, sx2, sy2) longs — built from the SAME SQL text the
+    oracle embeds (``ols_sql_exprs``); that textual identity IS the
+    determinism proof."""
+    slope, intercept, r2 = ols_sql_exprs()
+    return [
+        F.expr(slope).alias("slope"),
+        F.expr(intercept).alias("intercept"),
+        F.expr(r2).alias("r2"),
+    ]
+
+
+def ols_sql_exprs() -> tuple[str, str, str]:
+    """(slope, intercept, r2) SQL texts — identical to the Spark side."""
+    num = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    denx = (
+        "(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    deny = (
+        "(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    slope = f"({num} / {denx})"
+    intercept = (
+        f"((CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE))"
+        " / CAST(n AS DOUBLE))"
+    )
+    r2 = f"(({num} * {num}) / ({denx} * {deny}))"
+    return slope, intercept, r2
+
+
 def grouped_moments(
     df: DataFrame,
     x_col: str,

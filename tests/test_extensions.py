@@ -1550,6 +1550,37 @@ class TestGroupedMoments:
             assert getattr(pa, f) + getattr(pb, f) == getattr(whole, f)
 
 
+class TestGroupedOls:
+    def test_exact_line_recovered(self, spark):
+        from drune_spark.operators.stats import grouped_ols
+        # y = 3 + 2x exactly -> slope 2, intercept 3, r2 = 1
+        rows = [("g", float(i), float(3 + 2 * i)) for i in range(1, 8)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        out = grouped_ols(df, "x", "y", ["g"],
+                          scale_x=1, scale_y=1).collect()[0]
+        assert out.n == 7
+        assert abs(out.slope - 2.0) < 1e-12
+        assert abs(out.intercept - 3.0) < 1e-12
+        assert abs(out.r2 - 1.0) < 1e-12
+
+    def test_matches_numpy_polyfit(self, spark):
+        from drune_spark.operators.stats import grouped_ols
+        import numpy as np
+        xs = [float(i % 13) for i in range(60)]
+        ys = [float((i * 7) % 17) for i in range(60)]
+        df = spark.createDataFrame(
+            [("g", x, y) for x, y in zip(xs, ys)],
+            "g string, x double, y double",
+        )
+        out = grouped_ols(df, "x", "y", ["g"],
+                          scale_x=1, scale_y=1).collect()[0]
+        slope, intercept = np.polyfit(np.array(xs), np.array(ys), 1)
+        assert abs(out.slope - slope) < 1e-9
+        assert abs(out.intercept - intercept) < 1e-9
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert abs(out.r2 - r * r) < 1e-9
+
+
 class TestVocabCoverage:
     def test_oov_counts(self, spark):
         from drune_spark.operators.text_analysis import vocab_coverage
