@@ -1868,6 +1868,20 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style exact set-similarity self-join with prefix filtering
+    (operators/dedup.py prefix_filter_join): word-set Jaccard ≥ 0.6
+    pairs, candidates generated only from each doc's rarest tokens
+    (df-ordered prefix), verified by integer cross-multiplied test —
+    all-integer, full algorithm replayed in the oracle."""
+    _tune(spark)
+    from drune_spark.operators.dedup import prefix_filter_join
+
+    return prefix_filter_join(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold_pct=60
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 perms)+LSH(16 bands) candidate pairs — the 100 TB dedup
     path. The gate entry runs the PORTABLE variant (md5-based shingle
@@ -3011,6 +3025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round ------------------------------------------------
         "grouped_ols": q_grouped_ols,
+        "set_sim_join": q_set_sim_join,
         "salted_join_agg": q_salted_join_agg,
         "winsorized_stats": q_winsorized_stats,
         "triangle_count": q_triangle_count,
@@ -4272,6 +4287,60 @@ def oracle_sql() -> dict[str, str]:
                        CAST(MAX(total_tokens) AS BIGINT) AS total_tokens
                 FROM spans GROUP BY doc_id
             )
+        """,
+        "set_sim_join": f"""
+            WITH tok AS (
+                SELECT DISTINCT doc, token FROM (
+                    SELECT doc_id AS doc,
+                           unnest({toks_lower}) AS token
+                    FROM documents
+                ) WHERE token <> ''
+            ),
+            sizes AS (SELECT doc, COUNT(*) AS sz FROM tok GROUP BY doc),
+            dfreq AS (
+                SELECT token, COUNT(*) AS tdf FROM tok GROUP BY token
+            ),
+            ranked AS (
+                SELECT t.doc, t.token, s.sz,
+                       row_number() OVER (
+                           PARTITION BY t.doc ORDER BY d.tdf, t.token
+                       ) AS rn
+                FROM tok t
+                JOIN dfreq d USING (token)
+                JOIN sizes s USING (doc)
+            ),
+            pref AS (
+                SELECT doc, token, sz FROM ranked
+                WHERE rn <= sz - ((60 * sz + 99) // 100) + 1
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc AS a, y.doc AS b,
+                       x.sz AS size_a, y.sz AS size_b
+                FROM pref x JOIN pref y
+                  ON x.token = y.token AND x.doc < y.doc
+            ),
+            cand2 AS (
+                SELECT * FROM cand
+                WHERE 100 * least(size_a, size_b)
+                      >= 60 * greatest(size_a, size_b)
+            ),
+            inter AS (
+                SELECT c.a, c.b, COUNT(*) AS n_common
+                FROM cand2 c
+                JOIN tok ta ON ta.doc = c.a
+                JOIN tok tb ON tb.doc = c.b AND tb.token = ta.token
+                GROUP BY c.a, c.b
+            )
+            SELECT c.a, c.b,
+                   CAST(c.size_a AS BIGINT) AS size_a,
+                   CAST(c.size_b AS BIGINT) AS size_b,
+                   CAST(i.n_common AS BIGINT) AS n_common,
+                   CAST((1000000 * i.n_common)
+                        // (c.size_a + c.size_b - i.n_common)
+                       AS BIGINT) AS jaccard_ppm
+            FROM cand2 c JOIN inter i ON c.a = i.a AND c.b = i.b
+            WHERE 100 * i.n_common
+                  >= 60 * (c.size_a + c.size_b - i.n_common)
         """,
         "dedup_jaccard": f"""
             WITH toks AS (

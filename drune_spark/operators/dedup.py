@@ -132,6 +132,104 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Exact set-similarity self-join with PPJoin-style prefix filtering
+    (Xiao et al., WWW'08): find all doc pairs whose word-SET Jaccard is
+    ≥ threshold_pct/100, generating candidates only from each doc's
+    RAREST tokens instead of all of them.
+
+    Every doc's distinct tokens are globally ordered by (document
+    frequency asc, token asc); a pair with Jaccard ≥ t must share at
+    least one token among the first ``p = |x| − ceil(t·|x|) + 1`` tokens
+    of each side (pigeonhole on the ≥ t·|x| overlap), so joining on
+    prefix tokens alone is provably complete. Because prefixes hold the
+    rarest tokens, join buckets are small by construction — the inverse
+    of the hot-shingle problem ``ngram_jaccard_pairs`` has to cap: cost
+    is Σ_prefix-token df² over RARE tokens, not over stopwords. A
+    100·min(|x|,|y|) ≥ t·max(|x|,|y|) length filter prunes candidates
+    before verification; verification joins the candidate pairs back to
+    the token table (equi-join on id then (id, token)) and applies the
+    exact integer cross-multiplied test 100·|∩| ≥ t·(|x|+|y|−|∩|).
+
+    All-integer end to end (sizes, intersection, ppm Jaccard) → the
+    DuckDB oracle replays the identical algorithm bit-for-bit.
+
+    Returns (a, b, size_a, size_b, n_common, jaccard_ppm), a < b.
+    """
+    from drune_spark.functions.partitioning import fan_out
+    t = int(threshold_pct)
+    tok = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.array_distinct(tokens(F.lower(F.col(text_col))))
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
+    from pyspark.sql import Window
+    ranked = (
+        tok.join(dfreq, "token")
+        .join(sizes, "doc")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("tdf", "token")
+            ),
+        )
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.expr(f"({t} * sz + 99) div 100") + 1
+    ).select("doc", "token", "sz")
+    cand = (
+        pref.alias("x")
+        .join(pref.alias("y"),
+              (F.col("x.token") == F.col("y.token"))
+              & (F.col("x.doc") < F.col("y.doc")))
+        .select(
+            F.col("x.doc").alias("a"),
+            F.col("y.doc").alias("b"),
+            F.col("x.sz").alias("size_a"),
+            F.col("y.sz").alias("size_b"),
+        )
+        .distinct()
+        .filter(
+            100 * F.least("size_a", "size_b")
+            >= t * F.greatest("size_a", "size_b")
+        )
+    )
+    ta = tok.select(F.col("doc").alias("a"), "token")
+    tb = tok.select(F.col("doc").alias("b"), "token")
+    inter = (
+        cand.select("a", "b")
+        .join(ta, "a")
+        .join(tb, ["b", "token"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        cand.join(inter, ["a", "b"])
+        .filter(
+            100 * F.col("n_common")
+            >= t * (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+        )
+        .select(
+            "a", "b", "size_a", "size_b", "n_common",
+            F.expr(
+                "1000000 * n_common div (size_a + size_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,

@@ -147,6 +147,70 @@ class TestDedup:
             assert got[w] == expected, w
 
 
+class TestPrefixFilterJoin:
+    def _brute(self, rows, t):
+        sets = {i: set(txt.lower().split()) for i, txt in rows}
+        out = {}
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and 100 * inter >= t * union:
+                    out[(a, b)] = (len(sets[a]), len(sets[b]), inter)
+        return out
+
+    def test_matches_brute_force_all_pairs(self, spark):
+        from drune_spark.operators.dedup import prefix_filter_join
+        rows = [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),      # J(1,2)=4/6
+            (3, "alpha beta gamma delta epsilon"),   # exact dup of 1
+            (4, "one two three four five six"),
+            (5, "one two three four five seven"),    # J(4,5)=5/7
+            (6, "totally unrelated words here now"),
+            (7, "alpha omega psi chi phi"),          # J(1,7)=1/9
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.a, r.b): (r.size_a, r.size_b, r.n_common)
+            for r in prefix_filter_join(
+                df, "text", "doc_id", threshold_pct=60
+            ).collect()
+        }
+        assert got == self._brute(rows, 60)
+
+    def test_completeness_randomized_vs_brute(self, spark):
+        """Prefix filtering must never LOSE a qualifying pair — compare
+        against all-pairs brute force on a corpus with overlapping
+        vocab at two thresholds."""
+        from drune_spark.operators.dedup import prefix_filter_join
+        vocab = [f"w{j}" for j in range(20)]
+        rows = [
+            (i, " ".join(vocab[(i * 3 + j * 7) % 20]
+                         for j in range(8)))
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for t in (50, 80):
+            got = {
+                (r.a, r.b)
+                for r in prefix_filter_join(
+                    df, "text", "doc_id", threshold_pct=t
+                ).collect()
+            }
+            assert got == set(self._brute(rows, t))
+
+    def test_jaccard_ppm_integer(self, spark):
+        from drune_spark.operators.dedup import prefix_filter_join
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+        )
+        r = prefix_filter_join(df, "text", "doc_id", 50).collect()[0]
+        assert (r.a, r.b, r.n_common) == (1, 2, 3)
+        assert r.jaccard_ppm == 1000000 * 3 // 5
+
+
 class TestSimilarity:
     @pytest.fixture()
     def emb(self, spark):
