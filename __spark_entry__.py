@@ -1514,6 +1514,21 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_orderpriority")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py weighted_sample): integer lottery-ticket
+    weights, narrow min-ticket fold, global top-n via
+    TakeOrderedAndProject — all-integer md5 math, engine-portable."""
+    _tune(spark)
+    from drune_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "weight", F.expr("CAST(1 + n_chars % 5 AS INT)")
+    )
+    out = weighted_sample(docs, "doc_id", "weight", 500, salt="ws1")
+    return out.select("doc_id", "weight", "ticket")
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier summary per event_type
     (operators/stats.py mad_outliers): two percentile passes, flags
@@ -3026,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round ------------------------------------------------
         "grouped_ols": q_grouped_ols,
         "set_sim_join": q_set_sim_join,
+        "weighted_sample": q_weighted_sample,
         "salted_join_agg": q_salted_join_agg,
         "winsorized_stats": q_winsorized_stats,
         "triangle_count": q_triangle_count,
@@ -3929,6 +3945,24 @@ def oracle_sql() -> dict[str, str]:
                        + (512 - n_regs) * 16777216 AS DOUBLE)
                        AS hll_estimate
             FROM agg
+        """,
+        "weighted_sample": """
+            WITH w AS (
+                SELECT doc_id,
+                       CAST(1 + n_chars % 5 AS INTEGER) AS weight
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, weight,
+                       list_min(list_transform(range(1, weight + 1),
+                           i -> ('0x' || substr(md5('ws1:'
+                               || CAST(doc_id AS VARCHAR) || ':'
+                               || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                       )) AS ticket
+                FROM w
+            )
+            SELECT doc_id, weight, ticket
+            FROM t ORDER BY ticket, doc_id LIMIT 500
         """,
         "quota_sample": """
             SELECT o_orderkey, o_orderpriority

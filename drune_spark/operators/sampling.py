@@ -113,6 +113,50 @@ def split_by_hash(
     return out
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement for integer
+    weights — the lottery-ticket scheme: a row of weight w holds w
+    tickets, ticket i hashes to md5_u32("salt:key:i"), the row's draw
+    key is its MINIMUM ticket, and the global n smallest draw keys win.
+    Selection probability rises with weight (P(min of w uniform hashes
+    beats the field) ≈ w× a unit row's for n ≪ N), membership is
+    reproducible at any parallelism / engine (pure md5 integer math —
+    no ``rand()``, no pow/ln doubles whose libm rounding differs
+    across engines), and disjoint salts draw independent samples.
+
+    Plan shape at 100 TB: the ticket fold is a NARROW
+    array_min(transform(sequence(1, w), …)) — no explode, no shuffle —
+    and the global top-n is orderBy+limit = TakeOrderedAndProject:
+    every map task ships at most n (draw_key, row) candidates, never a
+    full sort. Weights must be small integers (tickets are materialized
+    per row inside the fold; cap ~10⁴) — the corpus-mixing upsample
+    convention (``corpus_mix`` uses the same integer-weight contract).
+
+    Returns the winning rows + (weight, ticket), ticket ascending.
+    """
+    key = f"CAST({key_col} AS STRING)"
+    ticket_hash = (
+        f"CAST(conv(substring(md5(concat('{salt}:', {key}, ':', "
+        f"CAST(i AS STRING))), 1, 8), 16, 10) AS LONG)"
+    )
+    draw = (
+        f"array_min(transform(sequence(1, CAST({weight_col} AS INT)), "
+        f"i -> {ticket_hash}))"
+    )
+    return (
+        df.filter(F.col(weight_col) >= 1)
+        .withColumn("ticket", F.expr(draw))
+        .orderBy("ticket", key_col)
+        .limit(n)
+    )
+
+
 def corpus_mix(
     df: DataFrame,
     source_col: str,

@@ -43,6 +43,56 @@ class TestHashSampling:
         assert abs(len(sets["train"]) / 10000 - 0.8) < 0.02
 
 
+class TestWeightedSample:
+    def test_hand_computed_ticket_and_stability(self, spark):
+        import hashlib
+        from drune_spark.operators.sampling import weighted_sample
+        df = spark.createDataFrame(
+            [(i, (i % 3) + 1) for i in range(50)], "k long, w int"
+        )
+
+        def ticket(k, w, salt=""):
+            return min(
+                int(hashlib.md5(f"{salt}:{k}:{i}".encode())
+                    .hexdigest()[:8], 16)
+                for i in range(1, w + 1)
+            )
+
+        out = weighted_sample(df, "k", "w", 10).collect()
+        expect = sorted(
+            ((ticket(k, (k % 3) + 1), k) for k in range(50))
+        )[:10]
+        assert [(r.ticket, r.k) for r in out] == expect
+        # identical at different parallelism
+        out2 = weighted_sample(df.repartition(7), "k", "w", 10).collect()
+        assert sorted((r.ticket, r.k) for r in out2) == expect
+
+    def test_weight_bias(self, spark):
+        """Rows with weight 8 must win far more often than weight 1."""
+        from drune_spark.operators.sampling import weighted_sample
+        df = spark.range(4000).selectExpr(
+            "id AS k", "CASE WHEN id < 2000 THEN 8 ELSE 1 END AS w"
+        )
+        won = weighted_sample(df, "k", "w", 400).collect()
+        heavy = sum(1 for r in won if r.k < 2000)
+        assert heavy > 300  # expected ≈ 8/9 · 400 ≈ 355
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from drune_spark.operators.sampling import weighted_sample
+        df = spark.createDataFrame(
+            [(1, 0), (2, 3), (3, 1)], "k long, w int"
+        )
+        ks = {r.k for r in weighted_sample(df, "k", "w", 10).collect()}
+        assert ks == {2, 3}
+
+    def test_plan_is_take_ordered(self, spark):
+        from drune_spark.operators.sampling import weighted_sample
+        df = spark.range(1000).selectExpr("id AS k", "2 AS w")
+        plan = weighted_sample(df, "k", "w", 5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
 class TestCorpusMix:
     def test_mix_counts_and_determinism(self, spark):
         from drune_spark.operators.sampling import corpus_mix
