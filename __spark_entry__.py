@@ -1514,6 +1514,18 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_orderpriority")
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text vectorizer (operators/features.py
+    feature_hash): signed hashed bag-of-words triples over the whole
+    corpus — no vocabulary pass, fixed dimensionality, all-integer
+    md5 math."""
+    _tune(spark)
+    from drune_spark.operators.features import feature_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return feature_hash(docs, "text", "doc_id", n_buckets=64)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/sampling.py weighted_sample): integer lottery-ticket
@@ -3042,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_ols": q_grouped_ols,
         "set_sim_join": q_set_sim_join,
         "weighted_sample": q_weighted_sample,
+        "feature_hash": q_feature_hash,
         "salted_join_agg": q_salted_join_agg,
         "winsorized_stats": q_winsorized_stats,
         "triangle_count": q_triangle_count,
@@ -3945,6 +3958,23 @@ def oracle_sql() -> dict[str, str]:
                        + (512 - n_regs) * 16777216 AS DOUBLE)
                        AS hll_estimate
             FROM agg
+        """,
+        "feature_hash": f"""
+            WITH tok AS (
+                SELECT doc, token FROM (
+                    SELECT doc_id AS doc,
+                           unnest({toks_lower}) AS token
+                    FROM documents
+                ) WHERE token <> ''
+            ),
+            h AS (
+                SELECT doc,
+                       ('0x' || substr(md5(token), 1, 8))::BIGINT AS hv
+                FROM tok
+            )
+            SELECT doc, CAST(hv % 64 AS INTEGER) AS bucket,
+                   CAST(SUM(1 - 2 * ((hv // 64) % 2)) AS BIGINT) AS value
+            FROM h GROUP BY doc, bucket
         """,
         "weighted_sample": """
             WITH w AS (

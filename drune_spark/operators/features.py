@@ -1,0 +1,69 @@
+"""Feature engineering for ML training pipelines (driver extension).
+
+``feature_hash`` is the hashing trick (Weinberger et al., ICML'09 —
+sklearn ``HashingVectorizer`` semantics): token → fixed bucket by hash,
+signed count per (doc, bucket). The vectorizer needs NO vocabulary pass,
+no fitted state, and a fixed output dimensionality — which is why it is
+the standard text featurizer at corpus scale: any executor can vectorize
+any shard independently, and two corpora vectorize into the same space
+without coordinating a vocabulary.
+
+No counterpart in /root/reference (native engine has no ML-prep surface);
+driver-mandated LLM-data extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from drune_spark.functions.hashes import md5_u32
+from drune_spark.functions.text import tokens
+
+
+def feature_hash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 256,
+    signed: bool = True,
+) -> DataFrame:
+    """Sparse hashed bag-of-words: (doc, bucket, value) triples.
+
+    bucket = md5_u32(token) % n_buckets; the sign bit comes from the
+    NEXT bit of the same hash (1 − 2·((h div n_buckets) mod 2)), the
+    standard collision-debiasing trick — colliding tokens cancel in
+    expectation instead of inflating the bucket. ``signed=False`` gives
+    plain counts. All-integer md5 math → engine-portable bit-for-bit.
+
+    Plan shape at 100 TB: one narrow explode + one aggregate keyed on
+    (doc, bucket) with map-side partial combine; the output is ≤
+    min(tokens, n_buckets) rows per doc. No vocabulary broadcast, no
+    fitted model, no Python — whole-stage codegen end to end.
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    h = md5_u32(F.col("token"))
+    withb = tok.select(
+        "doc",
+        (h % n_buckets).cast("int").alias("bucket"),
+        (
+            F.expr(f"1 - 2 * (({md5_u32_sql('token')} div {n_buckets}) % 2)")
+            if signed else F.lit(1)
+        ).cast("long").alias("sign"),
+    )
+    return (
+        withb.groupBy("doc", "bucket")
+        .agg(F.sum("sign").alias("value"))
+    )
+
+
+def md5_u32_sql(col: str) -> str:
+    """SQL text of ``md5_u32`` (Spark dialect) — kept here so the sign
+    expression and any oracle mirror derive from one definition."""
+    return f"CAST(conv(substring(md5({col}), 1, 8), 16, 10) AS LONG)"

@@ -147,6 +147,56 @@ class TestDedup:
             assert got[w] == expected, w
 
 
+class TestFeatureHash:
+    @staticmethod
+    def _h(token):
+        import hashlib
+        return int(hashlib.md5(token.encode()).hexdigest()[:8], 16)
+
+    def test_hand_computed_buckets_and_signs(self, spark):
+        from drune_spark.operators.features import feature_hash
+        df = spark.createDataFrame(
+            [(1, "apple banana apple cherry")], "doc_id long, text string"
+        )
+        out = {(r.bucket, r.value)
+               for r in feature_hash(df, "text", "doc_id", 64).collect()}
+        expect = {}
+        for t in ["apple", "banana", "apple", "cherry"]:
+            h = self._h(t)
+            sign = 1 - 2 * ((h // 64) % 2)
+            expect[h % 64] = expect.get(h % 64, 0) + sign
+        assert out == set(expect.items())
+
+    def test_unsigned_mode_is_plain_counts(self, spark):
+        from drune_spark.operators.features import feature_hash
+        df = spark.createDataFrame(
+            [(1, "x x y")], "doc_id long, text string"
+        )
+        out = {r.bucket: r.value
+               for r in feature_hash(df, "text", "doc_id", 64,
+                                     signed=False).collect()}
+        assert sorted(out.values()) == [1, 2]
+
+    def test_fixed_space_across_corpora(self, spark):
+        """Two corpora vectorize the same token into the same bucket
+        with no shared state — the hashing trick's point."""
+        from drune_spark.operators.features import feature_hash
+        a = spark.createDataFrame([(1, "zebra")], "doc_id long, text string")
+        b = spark.createDataFrame([(9, "zebra")], "doc_id long, text string")
+        ba = feature_hash(a, "text", "doc_id", 128).collect()[0].bucket
+        bb = feature_hash(b, "text", "doc_id", 128).collect()[0].bucket
+        assert ba == bb
+
+    def test_plan_single_exchange(self, spark):
+        from drune_spark.operators.features import feature_hash
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        plan = feature_hash(df, "text", "doc_id")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Exchange") == 1  # only the (doc,bucket) agg
+
+
 class TestPrefixFilterJoin:
     def _brute(self, rows, t):
         sets = {i: set(txt.lower().split()) for i, txt in rows}
