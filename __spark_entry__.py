@@ -1751,6 +1751,18 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streamed_distinct(spark, path)
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition
+    (streaming/runner.py stream_stream_join): click→purchase
+    attribution pairs within 2 hours per user, both sides
+    watermarked, drained availableNow — batch-exact, integer-µs gap."""
+    _tune(spark)
+    from drune_spark.streaming.runner import stream_stream_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    return stream_stream_join(spark, path)
+
+
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantization assignment: every vector → nearest of 16
     seed centroids (the partition-pruned ANN layout). Deterministic
@@ -3055,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_sim_join": q_set_sim_join,
         "weighted_sample": q_weighted_sample,
         "feature_hash": q_feature_hash,
+        "stream_join": q_stream_join,
         "salted_join_agg": q_salted_join_agg,
         "winsorized_stats": q_winsorized_stats,
         "triangle_count": q_triangle_count,
@@ -3783,6 +3796,14 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY dist ASC, matched_id ASC) AS rn
                 FROM scored
             ) WHERE rn = 1
+        """,
+        "stream_join": """
+            SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+                   epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+            FROM events l JOIN events r
+              ON r.user_id = l.user_id
+             AND l.event_type = 'click' AND r.event_type = 'purchase'
+             AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
         """,
         "stream_dedup": """
             SELECT DISTINCT event_type,

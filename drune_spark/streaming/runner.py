@@ -187,6 +187,81 @@ def stream_static_enrich(
     )
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "2 hours",
+    watermark: str = "1 day",
+    n_state_partitions: int | None = 8,
+) -> DataFrame:
+    """Stream-STREAM inner join with an event-time range condition —
+    the attribution join (click → purchase within the horizon), Spark's
+    flagship stateful operator: both sides buffer rows in the state
+    store, and the watermark + time-bound condition let Spark evict a
+    buffered row once no future match can arrive (state is bounded by
+    horizon + watermark, not by stream length).
+
+    Inner joins emit exactly the matched pairs, so draining with
+    ``availableNow`` is batch-equivalent and the DuckDB oracle checks
+    it row-for-row (outer stream-stream joins emit null-padded rows on
+    watermark expiry — arrival-order-dependent, deliberately not the
+    gate shape). At 100 TB the join shuffles both streams by user_id
+    once; per-key state is (clicks + purchases within horizon), which
+    the time condition keeps small.
+
+    Returns (user_id, l_id, r_id, gap_us) as a static frame; gap_us is
+    the integer µs from left event to right event (0 ≤ gap ≤ horizon).
+    """
+    base = _raw_stream(spark, events_path)
+    left = (
+        base.filter(F.col("event_type") == left_type)
+        .select(
+            "user_id",
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        _raw_stream(spark, events_path)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.expr(f"l_ts + INTERVAL {horizon}")),
+        "inner",
+    )
+    out = joined.select(
+        "user_id",
+        "l_id",
+        "r_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt, \
+            state_partitions(spark, n_state_partitions):
+        query = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select("user_id", "l_id", "r_id", "gap_us")
+
+
 def streamed_distinct(
     spark: SparkSession,
     events_path: str,

@@ -128,6 +128,54 @@ class TestCustomSessionizer:
         # user 1's 02:00 session is still open -> correctly absent
 
 
+class TestStreamStreamJoin:
+    def _write(self, spark, tmp_path):
+        rows = [
+            # (event_id, user_id, event_type, ts)
+            (1, 10, "click", dt.datetime(2024, 1, 1, 0, 0)),
+            (2, 10, "purchase", dt.datetime(2024, 1, 1, 0, 30)),   # in
+            (3, 10, "purchase", dt.datetime(2024, 1, 1, 3, 0)),    # out
+            (4, 20, "click", dt.datetime(2024, 1, 1, 1, 0)),
+            (5, 20, "purchase", dt.datetime(2024, 1, 1, 1, 0)),    # gap 0
+            (6, 30, "purchase", dt.datetime(2024, 1, 1, 0, 10)),   # before
+            (7, 30, "click", dt.datetime(2024, 1, 1, 0, 20)),
+            (8, 40, "click", dt.datetime(2024, 1, 1, 5, 0)),       # cross-
+            (9, 50, "purchase", dt.datetime(2024, 1, 1, 5, 10)),   # user
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+        path = str(tmp_path / "ev.parquet")
+        df.write.parquet(path)
+        return path
+
+    def test_matches_batch_join_semantics(self, spark, tmp_path):
+        from drune_spark.streaming.runner import stream_stream_join
+        path = self._write(spark, tmp_path)
+        out = {(r.user_id, r.l_id, r.r_id): r.gap_us
+               for r in stream_stream_join(
+                   spark, path, horizon="2 hours").collect()}
+        # only in-horizon same-user click→purchase pairs survive
+        assert out == {
+            (10, 1, 2): 30 * 60 * 1_000_000,
+            (20, 4, 5): 0,
+        }
+
+    def test_horizon_boundary_inclusive(self, spark, tmp_path):
+        from drune_spark.streaming.runner import stream_stream_join
+        rows = [
+            (1, 1, "click", dt.datetime(2024, 1, 1, 0, 0)),
+            (2, 1, "purchase", dt.datetime(2024, 1, 1, 2, 0)),  # == bound
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+        path = str(tmp_path / "b.parquet")
+        df.write.parquet(path)
+        got = stream_stream_join(spark, path, horizon="2 hours").collect()
+        assert len(got) == 1 and got[0].gap_us == 2 * 3600 * 1_000_000
+
+
 class TestStreamingPipeline:
     def test_same_pipeline_batch_and_streaming(self, spark, tmp_path):
         """The SAME declarative pipeline (schema apply + drop constraint +
