@@ -447,6 +447,47 @@ def q_w6_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time time travel over the SCD2 state table
+    (sinks/writers.py scd2_snapshot): snapshot between batches = batch-1
+    content, snapshot now = batch-2 content; both are pure functions of
+    `orders` so the union is fully oracle-checkable even though the
+    version timestamps themselves are wall-clock."""
+    _tune(spark)
+    import datetime as dt
+    import tempfile
+    import time
+
+    from drune_spark.config.models import SCDConfig, TargetSpec
+    from drune_spark.plans.schema_apply import add_data_hash, add_hash_key
+    from drune_spark.sinks.writers import scd2_merge, scd2_snapshot
+
+    tmp = tempfile.mkdtemp(prefix="drune_scd2_tt_")
+    tgt = TargetSpec(name="s", type="file", format="parquet",
+                     path=f"{tmp}/state.parquet", scd=SCDConfig(type=2))
+    scd2_merge(spark, _orders_batch(spark, sf_dir), tgt)
+    time.sleep(0.05)
+    t_mid = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    time.sleep(0.05)
+    orders = _t(spark, sf_dir, "orders")
+    batch2 = orders.select(
+        "o_orderkey",
+        F.when(F.expr("o_orderkey % 3 = 0"), F.col("o_totalprice") * 2)
+         .otherwise(F.col("o_totalprice")).alias("vl_total"),
+    )
+    batch2 = add_data_hash(add_hash_key(batch2, ["o_orderkey"]), ["vl_total"])
+    scd2_merge(spark, batch2, tgt)
+    time.sleep(0.05)
+    t_now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    v1 = scd2_snapshot(spark, tgt.path, t_mid).select(
+        F.lit("v1").alias("version"), "o_orderkey", "vl_total"
+    )
+    v2 = scd2_snapshot(spark, tgt.path, t_now).select(
+        F.lit("v2").alias("version"), "o_orderkey", "vl_total"
+    )
+    return v1.unionByName(v2)
+
+
 def q_s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 CSV scan through read_source (header + inferSchema options +
     expected_columns width guard): customer projected to CSV, read back,
@@ -3068,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "feature_hash": q_feature_hash,
         "stream_join": q_stream_join,
+        "scd2_snapshot": q_scd2_snapshot,
         "salted_join_agg": q_salted_join_agg,
         "winsorized_stats": q_winsorized_stats,
         "triangle_count": q_triangle_count,
@@ -3523,6 +3565,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey + 10000000, o_totalprice
             FROM orders WHERE o_orderkey % 7 = 0
+        """,
+        "scd2_snapshot": """
+            SELECT 'v1' AS version, o_orderkey, o_totalprice AS vl_total
+            FROM orders
+            UNION ALL
+            SELECT 'v2', o_orderkey,
+                   CAST(CASE WHEN o_orderkey % 3 = 0
+                             THEN o_totalprice * 2
+                             ELSE o_totalprice END AS DOUBLE)
+            FROM orders
         """,
         "w6_scd2": """
             SELECT o_orderkey, CAST(o_totalprice * 2 AS DOUBLE) AS vl_total,

@@ -31,7 +31,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from drune_spark.config.models import TargetSpec
@@ -314,6 +314,29 @@ def scd2_merge(spark: SparkSession, source: DataFrame, spec: TargetSpec) -> None
         .unionByName(fresh, allowMissingColumns=True)
     )
     _rewrite_state(spark, new_state, spec)
+
+
+def scd2_snapshot(spark: SparkSession, path: str, as_of) -> DataFrame:
+    """Point-in-time (time-travel) query over an SCD2 state table: the
+    version rows that were VALID at ``as_of`` — start_date ≤ as_of and
+    (end_date is null or end_date > as_of). Exactly one version per key
+    that existed then; keys first inserted later vanish, expired
+    versions resurface — the "what did the warehouse believe on date X"
+    query that is the point of keeping Type-2 history (the pattern
+    Delta's VERSION AS OF answers by file metadata; over plain-parquet
+    SCD2 state it is this pure predicate).
+
+    Scale shape: the two timestamp comparisons push down to the parquet
+    scan (row-group min/max pruning on start_date); no join, no shuffle.
+
+    ``as_of``: python datetime (naive = session timezone) or Column.
+    """
+    df = spark.read.parquet(path)
+    as_of_col = as_of if isinstance(as_of, Column) else F.lit(as_of)
+    return df.filter(
+        (F.col("start_date") <= as_of_col)
+        & (F.col("end_date").isNull() | (F.col("end_date") > as_of_col))
+    )
 
 
 def write_validation_log(spark: SparkSession, failures: DataFrame,

@@ -226,6 +226,37 @@ class TestWriters:
         assert state2.filter("is_current").count() == 3
 
 
+    def test_scd2_snapshot_time_travel(self, spark, tmp_path):
+        import datetime as dt
+        import time
+        from drune_spark.sinks.writers import scd2_snapshot
+        tgt = _file_target(tmp_path, scd=SCDConfig(type=2))
+
+        def now():
+            time.sleep(0.05)
+            t = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            time.sleep(0.05)
+            return t
+
+        t0 = now()
+        scd2_merge(spark, self._scd_frame(spark, [(1, "a"), (2, "b")]), tgt)
+        t1 = now()
+        scd2_merge(spark,
+                   self._scd_frame(spark, [(1, "a"), (2, "B"), (3, "c")]),
+                   tgt)
+        t2 = now()
+        # before creation: nothing existed
+        assert scd2_snapshot(spark, tgt.path, t0).count() == 0
+        # between batches: batch-1 state, including the later-expired v
+        s1 = {(r.pk, r.val)
+              for r in scd2_snapshot(spark, tgt.path, t1).collect()}
+        assert s1 == {(1, "a"), (2, "b")}
+        # now: current state
+        s2 = {(r.pk, r.val)
+              for r in scd2_snapshot(spark, tgt.path, t2).collect()}
+        assert s2 == {(1, "a"), (2, "B"), (3, "c")}
+
+
 class TestDeltaFastPaths:
     """Delta-only behavior, auto-enabled when delta-spark is installed
     (drune_spark.session.HAS_DELTA drives both the session extensions
