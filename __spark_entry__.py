@@ -1567,6 +1567,18 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_hash(docs, "text", "doc_id", n_buckets=64)
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining (operators/text_analysis.py
+    collocations): top-100 bigrams by integer lift (monotone PMI) with
+    min_count pruning — token-keyed aggregates, broadcast totals,
+    TakeOrdered top-n; documents never shuffle."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), "text",
+                        min_count=5, top_n=100)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/sampling.py weighted_sample): integer lottery-ticket
@@ -3110,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "stream_join": q_stream_join,
         "scd2_snapshot": q_scd2_snapshot,
+        "collocations": q_collocations,
         "salted_join_agg": q_salted_join_agg,
         "winsorized_stats": q_winsorized_stats,
         "triangle_count": q_triangle_count,
@@ -4031,6 +4044,41 @@ def oracle_sql() -> dict[str, str]:
                        + (512 - n_regs) * 16777216 AS DOUBLE)
                        AS hll_estimate
             FROM agg
+        """,
+        "collocations": f"""
+            WITH w AS (
+                SELECT {toks_lower} AS w FROM documents
+            ),
+            uni AS (
+                SELECT t, COUNT(*) AS n FROM (
+                    SELECT unnest(w) AS t FROM w
+                ) WHERE t <> '' GROUP BY t
+            ),
+            bi AS (
+                SELECT w1, w2, COUNT(*) AS n_ab FROM (
+                    SELECT w[i] AS w1, w[i + 1] AS w2
+                    FROM w, UNNEST(generate_series(1, len(w) - 1)) AS s(i)
+                    WHERE len(w) >= 2
+                ) WHERE w1 <> '' AND w2 <> ''
+                GROUP BY w1, w2 HAVING COUNT(*) >= 5
+            ),
+            tu AS (SELECT CAST(SUM(n) AS BIGINT) AS nu FROM uni),
+            tb AS (
+                SELECT CAST(SUM(len(w) - 1) AS BIGINT) AS nb
+                FROM w WHERE len(w) >= 2
+            )
+            SELECT b.w1, b.w2,
+                   CAST(b.n_ab AS BIGINT) AS n_ab,
+                   CAST(ua.n AS BIGINT) AS n_a,
+                   CAST(ub.n AS BIGINT) AS n_b,
+                   CAST(CAST(1000000 AS HUGEINT) * b.n_ab * tu.nu * tu.nu
+                        // (CAST(tb.nb AS HUGEINT) * ua.n * ub.n)
+                       AS BIGINT) AS lift_ppm
+            FROM bi b
+            JOIN uni ua ON ua.t = b.w1
+            JOIN uni ub ON ub.t = b.w2, tu, tb
+            ORDER BY lift_ppm DESC, b.w1, b.w2
+            LIMIT 100
         """,
         "feature_hash": f"""
             WITH tok AS (

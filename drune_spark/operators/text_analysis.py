@@ -19,6 +19,7 @@ from drune_spark.functions.text import (
     regex_token_count,
     stopword_ratio,
     token_count,
+    tokens,
 )
 
 
@@ -172,6 +173,85 @@ def gopher_filter(
         & (F.col("dup_3gram_char_frac") <= max_dup_3gram_char_frac)
     )
     return out.withColumn("keep", keep)
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus collocation mining: the top bigrams by LIFT — the
+    integer-exact monotone transform of PMI:
+
+        lift = P(ab) / (P(a)·P(b)) = n_ab·N_uni² / (N_bi·n_a·n_b)
+
+    (PMI = log(lift); ranking by lift ≡ ranking by PMI, and staying in
+    integers — scaled to ppm via one wide-decimal floor division —
+    avoids cross-engine libm ``log`` rounding entirely.) The standard
+    phrase-detection primitive (word2vec's phrase pass, n-gram
+    tokenizer vocab induction) for training-corpus prep.
+
+    Plan shape at 100 TB: two narrow explodes over the corpus, two
+    token-keyed aggregates (map-side partial — vocabulary-sized
+    outputs, not corpus-sized), corpus totals as broadcast single-row
+    joins (no collect), bigram→unigram-count joins are vocab-sized,
+    and the final top-n is TakeOrderedAndProject. Documents themselves
+    never shuffle. ``min_count`` prunes the hapax tail before the
+    joins — the classic noise filter (a bigram seen twice has huge
+    lift by accident).
+
+    Returns (w1, w2, n_ab, n_a, n_b, lift_ppm) — top_n by lift desc,
+    ties by (w1, w2).
+    """
+    words = df.select(tokens(F.lower(F.col(text_col))).alias("w"))
+    uni = (
+        words.select(F.explode("w").alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bi = (
+        words.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> "
+                    "named_struct('w1', element_at(w, i), "
+                    "'w2', element_at(w, i + 1)))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    tot_u = uni.agg(F.sum("n").alias("nu"))
+    tot_b = (
+        words.filter(F.size("w") >= 2)
+        .select((F.size("w") - 1).alias("k"))
+        .agg(F.sum("k").alias("nb"))
+    )
+    joined = (
+        bi.join(uni.select(F.col("t").alias("w1"), F.col("n").alias("n_a")),
+                "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("n").alias("n_b")),
+              "w2")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    out = joined.select(
+        "w1", "w2", "n_ab", "n_a", "n_b",
+        F.expr(
+            "CAST(1000000 AS DECIMAL(38,0)) * n_ab * nu * nu"
+            " div (CAST(nb AS DECIMAL(38,0)) * n_a * n_b)"
+        ).alias("lift_ppm"),
+    )
+    return out.orderBy(
+        F.col("lift_ppm").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_n)
 
 
 def token_frequency_score(

@@ -147,6 +147,48 @@ class TestDedup:
             assert got[w] == expected, w
 
 
+class TestCollocations:
+    def test_hand_computed_lift(self, spark):
+        from drune_spark.operators.text_analysis import collocations
+        # "new york" appears 3×; unigrams: new=3, york=3; corpus has
+        # 12 tokens, 9 bigrams (3 docs × 3 bigrams)
+        docs = [(i, "new york is big") for i in range(3)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {(r.w1, r.w2): r for r in
+               collocations(df, "text", min_count=3, top_n=10).collect()}
+        r = out[("new", "york")]
+        assert (r.n_ab, r.n_a, r.n_b) == (3, 3, 3)
+        # lift = n_ab·Nu² / (Nb·n_a·n_b) = 3·144 / (9·9) = 16/3
+        assert r.lift_ppm == 1000000 * 3 * 12 * 12 // (9 * 3 * 3)
+
+    def test_min_count_prunes(self, spark):
+        from drune_spark.operators.text_analysis import collocations
+        df = spark.createDataFrame(
+            [(1, "rare pair"), (2, "c d"), (3, "c d")],
+            "doc_id long, text string",
+        )
+        got = {(r.w1, r.w2) for r in
+               collocations(df, "text", min_count=2, top_n=10).collect()}
+        assert got == {("c", "d")}
+
+    def test_single_token_docs_ignored(self, spark):
+        from drune_spark.operators.text_analysis import collocations
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, ""), (3, "a b"), (4, "a b")],
+            "doc_id long, text string",
+        )
+        got = collocations(df, "text", min_count=2, top_n=10).collect()
+        assert [(r.w1, r.w2, r.n_ab) for r in got] == [("a", "b", 2)]
+
+    def test_plan_take_ordered(self, spark):
+        from drune_spark.operators.text_analysis import collocations
+        df = spark.createDataFrame([(1, "a b c")],
+                                   "doc_id long, text string")
+        plan = collocations(df, "text")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
 class TestFeatureHash:
     @staticmethod
     def _h(token):
