@@ -1919,6 +1919,45 @@ def q_f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON round trip — the semi-structured toolkit end to end:
+    build per-order JSON documents ({"o": key, "lines": [{ln, qty},…]}
+    via collect_list(struct)+to_json), then parse them back with an
+    explicit from_json array<struct> schema and explode to rows. All
+    JVM-side codegen (no UDF); Java's Double.toString/parse round-trips
+    qty exactly, so the flattened rows equal the original lineitem
+    projection and the oracle is a plain scan."""
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").filter("l_orderkey % 7 = 0")
+    docs = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_quantity").alias("qty"),
+                )
+            ).alias("lines")
+        )
+        .select(
+            F.to_json(
+                F.struct(F.col("l_orderkey").alias("o"), F.col("lines"))
+            ).alias("js")
+        )
+    )
+    parsed = docs.select(
+        F.from_json(
+            "js", "o BIGINT, lines ARRAY<STRUCT<ln: INT, qty: DOUBLE>>"
+        ).alias("d")
+    )
+    return (
+        parsed.select(F.col("d.o").alias("o_key"),
+                      F.explode("d.lines").alias("line"))
+        .select("o_key", F.col("line.ln").alias("ln"),
+                F.col("line.qty").alias("qty"))
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (F.session_window, 30-min gap) over events per
     user — the stateful sessionization primitive; batch mode here so the
@@ -3123,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": q_stream_join,
         "scd2_snapshot": q_scd2_snapshot,
         "collocations": q_collocations,
+        "json_flatten": q_json_flatten,
         "salted_join_agg": q_salted_join_agg,
         "winsorized_stats": q_winsorized_stats,
         "triangle_count": q_triangle_count,
@@ -4044,6 +4084,12 @@ def oracle_sql() -> dict[str, str]:
                        + (512 - n_regs) * 16777216 AS DOUBLE)
                        AS hll_estimate
             FROM agg
+        """,
+        "json_flatten": """
+            SELECT l_orderkey AS o_key,
+                   CAST(l_linenumber AS INTEGER) AS ln,
+                   l_quantity AS qty
+            FROM lineitem WHERE l_orderkey % 7 = 0
         """,
         "collocations": f"""
             WITH w AS (
