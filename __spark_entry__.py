@@ -2349,6 +2349,100 @@ def q_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order-function surface parity over the embedding
+    column: size, array_max/min, lambda filter count, array_sort
+    selection, element arithmetic, exists — all whole-stage-codegen
+    lambdas, mirrored to DuckDB list_* equivalents. Only order-free or
+    exactly-representable ops (float→double casts are exact), so no
+    rounding is needed."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n"),
+        F.expr("CAST(array_max(embedding) AS DOUBLE)").alias("maxv"),
+        F.expr("CAST(array_min(embedding) AS DOUBLE)").alias("minv"),
+        F.expr("size(filter(embedding, x -> x > 0))").alias("n_pos"),
+        F.expr("CAST(element_at(array_sort(embedding), 2) AS DOUBLE)")
+            .alias("second_smallest"),
+        F.expr("CAST(element_at(embedding, 1) AS DOUBLE) * 2")
+            .alias("doubled_head"),
+        F.expr("exists(embedding, x -> x > 0.5)").alias("has_big"),
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface parity over o_orderdate: extract
+    fields, truncation, month arithmetic, last_day, day-of-week
+    (normalized to Sunday=1), day diffs from an epoch, formatting —
+    dates emitted as strings per the determinism rules."""
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders").filter("o_orderkey % 11 = 0")
+    d = F.expr("to_date(o_orderdate)")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofyear(d).alias("doy"),
+        F.dayofweek(d).alias("dow"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd")
+            .alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd")
+            .alias("next_month"),
+        F.datediff(d, F.lit("1995-01-01")).alias("days_since"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS lattice — the third grouping-set form
+    beside a5_rollup (hierarchy) and cube_aggregate (cross product):
+    hand-picked sets ((flag,status), (flag), ()) skip the per-status
+    level a CUBE would compute, one Expand pass, shared SQL text."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("lineitem",), GROUPING_SETS_SQL, "grouping_sets",
+    )
+
+
+GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+"""
+
+
+def q_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI aggregate FILTER (WHERE …) clause parity — conditional
+    aggregation without CASE scaffolding; one hash-agg pass computes
+    all four conditional aggregates, shared SQL text on both engines
+    (exact DECIMAL sums → identical doubles)."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("lineitem",), AGG_FILTER_SQL, "agg_filter",
+    )
+
+
+AGG_FILTER_SQL = """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_tax < 0.04) AS DOUBLE) AS price_lowtax
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
 CUBE_AGG_SQL = """
     SELECT lang, source,
            CAST(GROUPING(lang) AS INTEGER) AS g_lang,
@@ -3122,6 +3216,21 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_monitor_stream(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding (hopping) window: 2h window sliding
+    every 1h — each event lands in 2 overlapping windows
+    (streaming/runner.py windowed_event_counts with slide). Drained
+    availableNow → batch-exact; oracle fans each event out to its two
+    hour-aligned window starts."""
+    _tune(spark)
+    from drune_spark.streaming.runner import windowed_event_counts
+
+    return windowed_event_counts(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        window="2 hours", slide="1 hour",
+    )
+
+
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling 1h window counts over events with a
     watermark, availableNow trigger, memory sink. Batch-equivalent
@@ -3163,6 +3272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_snapshot": q_scd2_snapshot,
         "collocations": q_collocations,
         "json_flatten": q_json_flatten,
+        "stream_sliding": q_stream_sliding,
+        "grouping_sets": q_grouping_sets,
+        "agg_filter": q_agg_filter,
+        "array_functions": q_array_functions,
+        "date_functions": q_date_functions,
         "salted_join_agg": q_salted_join_agg,
         "winsorized_stats": q_winsorized_stats,
         "triangle_count": q_triangle_count,
@@ -4873,6 +4987,44 @@ def oracle_sql() -> dict[str, str]:
             FROM ch WHERE rn = 1 AND event_type <> 'error'
         """,
         "cube_aggregate": CUBE_AGG_SQL,
+        "grouping_sets": GROUPING_SETS_SQL,
+        "agg_filter": AGG_FILTER_SQL,
+        "array_functions": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS INTEGER) AS n,
+                   CAST(list_max(embedding) AS DOUBLE) AS maxv,
+                   CAST(list_min(embedding) AS DOUBLE) AS minv,
+                   CAST(len(list_filter(embedding, x -> x > 0))
+                       AS INTEGER) AS n_pos,
+                   CAST(list_sort(embedding)[2] AS DOUBLE)
+                       AS second_smallest,
+                   CAST(embedding[1] AS DOUBLE) * 2 AS doubled_head,
+                   len(list_filter(embedding, x -> x > 0.5)) > 0
+                       AS has_big
+            FROM embeddings
+        """,
+        "date_functions": """
+            WITH o AS (
+                SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+                FROM orders WHERE o_orderkey % 11 = 0
+            )
+            SELECT o_orderkey,
+                   CAST(year(d) AS INTEGER) AS y,
+                   CAST(quarter(d) AS INTEGER) AS q,
+                   CAST(month(d) AS INTEGER) AS m,
+                   CAST(day(d) AS INTEGER) AS dom,
+                   CAST(dayofyear(d) AS INTEGER) AS doy,
+                   CAST(dayofweek(d) + 1 AS INTEGER) AS dow,
+                   strftime(d, '%Y-%m') AS ym,
+                   strftime(date_trunc('month', d), '%Y-%m-%d')
+                       AS month_start,
+                   strftime(last_day(d), '%Y-%m-%d') AS month_end,
+                   strftime(d + INTERVAL 1 MONTH, '%Y-%m-%d')
+                       AS next_month,
+                   CAST(date_diff('day', DATE '1995-01-01', d)
+                       AS INTEGER) AS days_since
+            FROM o
+        """,
         "equidepth_bins": """
             WITH b AS (
                 SELECT event_type,
@@ -5449,6 +5601,22 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(value), 3) AS total_value,
                    coalesce(MAX(gap_us), 0) AS max_gap_us
             FROM g GROUP BY user_id
+        """,
+        "stream_sliding": """
+            WITH x AS (
+                SELECT unnest([
+                           epoch_ms(date_trunc('hour', ts)),
+                           epoch_ms(date_trunc('hour', ts)
+                                    - INTERVAL 1 HOUR)
+                       ]) AS ws,
+                       event_type, value
+                FROM events
+            )
+            SELECT CAST(ws AS BIGINT) AS window_start_ms, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE)
+                       AS total_value
+            FROM x GROUP BY 1, 2
         """,
         "stream_window": """
             SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,

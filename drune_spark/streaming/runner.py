@@ -107,15 +107,25 @@ def windowed_event_counts(
     watermark: str = "1 day",
     ts_col: str = "ts",
     n_state_partitions: int | None = 8,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts + exact (decimal) value sums per event_type.
+    """Tumbling (or, with ``slide``, SLIDING/hopping) window counts +
+    exact (decimal) value sums per event_type. A sliding window
+    assigns each event to window/slide overlapping windows — the
+    alerting shape ("2h failure count, refreshed hourly"); state-store
+    rows scale by the overlap factor, which is why production slides
+    are small multiples, not window≫slide.
 
     Returns the completed result as a static DataFrame with
     (window_start_ms, event_type, n_events, total_value).
     """
     stream = _raw_stream(spark, events_path).withWatermark(ts_col, watermark)
+    win = (
+        F.window(ts_col, window, slide) if slide
+        else F.window(ts_col, window)
+    )
     agg = (
-        stream.groupBy(F.window(ts_col, window), "event_type")
+        stream.groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,3)")).alias("total_dec"),
