@@ -202,6 +202,37 @@ def q_a2_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 variant: DYNAMIC pivot — pivot_values omitted, so Spark runs
+    the two-phase plan (distinct scan of the pivot column, bounded by
+    spark.sql.pivotMaxValues, then the pivot agg). Exact decimal sums;
+    the oracle enumerates the same columns as conditional aggregates."""
+    _tune(spark)
+    from drune_spark.config.models import StepConfig
+    from drune_spark.operators.registry import StepRunner
+    import drune_spark.operators.steps  # noqa: F401
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,3)")
+    )
+    runner = StepRunner(spark)
+    out = runner.run(
+        [StepConfig(name="user_type_totals", type="pivot", params={
+            "index": ["user_id"],
+            "columns": "event_type",
+            "values": "value_dec",
+            "aggfunc": "sum",
+        })],
+        {"events": events},
+        events,
+    )
+    return out.select(
+        "user_id",
+        *[F.col(t).cast("double").alias(f"sum_{t}")
+          for t in PIVOT_EVENT_TYPES],
+    )
+
+
 def q_a4_window_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: windowed uniqueness flag (the `unique` constraint's window form)."""
     _tune(spark)
@@ -1565,6 +1596,20 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return feature_hash(docs, "text", "doc_id", n_buckets=64)
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift screen (operators/
+    text_analysis.py source_divergence): top-10 chi-square-contribution
+    tokens per source in wide-decimal ppb — log-free divergence
+    ranking, WindowGroupLimit top-n, broadcast corpus total."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import source_divergence
+
+    return source_divergence(
+        _t(spark, sf_dir, "documents"), "text", "source",
+        top_n=10, min_count=5,
+    )
 
 
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3277,6 +3322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_filter": q_agg_filter,
         "array_functions": q_array_functions,
         "date_functions": q_date_functions,
+        "dynamic_pivot": q_dynamic_pivot,
+        "source_divergence": q_source_divergence,
         "salted_join_agg": q_salted_join_agg,
         "winsorized_stats": q_winsorized_stats,
         "triangle_count": q_triangle_count,
@@ -4989,6 +5036,66 @@ def oracle_sql() -> dict[str, str]:
         "cube_aggregate": CUBE_AGG_SQL,
         "grouping_sets": GROUPING_SETS_SQL,
         "agg_filter": AGG_FILTER_SQL,
+        "source_divergence": f"""
+            WITH tok AS (
+                SELECT source AS src, token FROM (
+                    SELECT source, unnest({toks_lower}) AS token
+                    FROM documents
+                ) WHERE token <> ''
+            ),
+            st AS (
+                SELECT src, token, COUNT(*) AS n_st
+                FROM tok GROUP BY src, token
+            ),
+            s_tot AS (SELECT src, COUNT(*) AS n_s FROM tok GROUP BY src),
+            t_tot AS (
+                SELECT token, COUNT(*) AS n_t FROM tok
+                GROUP BY token HAVING COUNT(*) >= 5
+            ),
+            n_all AS (SELECT COUNT(*) AS n_corpus FROM tok),
+            scored AS (
+                SELECT st.src, st.token,
+                       CAST(st.n_st AS BIGINT) AS n_st,
+                       CAST(s_tot.n_s AS BIGINT) AS n_s,
+                       CAST(t_tot.n_t AS BIGINT) AS n_t,
+                       CAST(CAST(1000000000 AS HUGEINT)
+                            * (CAST(st.n_st AS HUGEINT) * n_corpus
+                               - CAST(s_tot.n_s AS HUGEINT) * t_tot.n_t)
+                            * (CAST(st.n_st AS HUGEINT) * n_corpus
+                               - CAST(s_tot.n_s AS HUGEINT) * t_tot.n_t)
+                            // (CAST(n_corpus AS HUGEINT)
+                                * s_tot.n_s * t_tot.n_t)
+                           AS BIGINT) AS contrib_ppb
+                FROM st
+                JOIN t_tot USING (token)
+                JOIN s_tot USING (src), n_all
+            )
+            SELECT src, token, n_st, n_s, n_t, contrib_ppb FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY src
+                    ORDER BY contrib_ppb DESC, token ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 10
+        """,
+        "dynamic_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(value AS DECIMAL(18,3)) END)
+                       AS DOUBLE) AS sum_click,
+                   CAST(SUM(CASE WHEN event_type = 'error'
+                       THEN CAST(value AS DECIMAL(18,3)) END)
+                       AS DOUBLE) AS sum_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(18,3)) END)
+                       AS DOUBLE) AS sum_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup'
+                       THEN CAST(value AS DECIMAL(18,3)) END)
+                       AS DOUBLE) AS sum_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(value AS DECIMAL(18,3)) END)
+                       AS DOUBLE) AS sum_view
+            FROM events GROUP BY user_id
+        """,
         "array_functions": """
             SELECT vec_id,
                    CAST(len(embedding) AS INTEGER) AS n,

@@ -254,6 +254,81 @@ def collocations(
     ).limit(top_n)
 
 
+def source_divergence(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    top_n: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-source distribution-drift screen: which tokens are most
+    OVER/UNDER-represented in each source vs the whole corpus, by the
+    per-cell chi-square contribution
+
+        (n_st·N − n_s·n_t)² / (N·n_s·n_t)
+
+    (n_st = token count in source, n_s = source size, n_t = corpus
+    token count, N = corpus size). The data-mixture QA primitive: a
+    source whose top contributions are boilerplate tokens is template
+    spam; one whose top contributions are another language's stopwords
+    is mislabeled. Computed in wide-decimal integer math scaled to ppb
+    — one floor division per cell, no logs — so rankings are
+    engine-exact (the log-free cousin of KL divergence; per-cell
+    ranking is what matters for the screen).
+
+    Plan shape at 100 TB: one corpus explode, three aggregates whose
+    outputs are vocabulary-/source-sized (map-side partial), the
+    corpus total as a broadcast single-row join (no collect), and the
+    per-source top-n as a row_number window → WindowGroupLimit ships
+    ≤ top_n rows per source per map task. ``min_count`` drops hapax
+    cells (a once-seen token trivially maxes the statistic).
+
+    Returns (src, token, n_st, n_s, n_t, contrib_ppb), top_n per
+    source by (contrib_ppb desc, token).
+    """
+    from pyspark.sql import Window
+    tok = (
+        df.select(
+            F.col(group_col).alias("src"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    st = tok.groupBy("src", "token").agg(F.count(F.lit(1)).alias("n_st"))
+    s_tot = tok.groupBy("src").agg(F.count(F.lit(1)).alias("n_s"))
+    t_tot = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+        .filter(F.col("n_t") >= min_count)
+    )
+    n_all = tok.agg(F.count(F.lit(1)).alias("n_corpus"))
+    joined = (
+        st.join(t_tot, "token")
+        .join(s_tot, "src")
+        .crossJoin(F.broadcast(n_all))
+    )
+    diff = (
+        "(CAST(n_st AS DECIMAL(38,0)) * n_corpus"
+        " - CAST(n_s AS DECIMAL(38,0)) * n_t)"
+    )
+    contrib = (
+        f"CAST(1000000000 AS DECIMAL(38,0)) * {diff} * {diff}"
+        f" div (CAST(n_corpus AS DECIMAL(38,0)) * n_s * n_t)"
+    )
+    scored = joined.select(
+        "src", "token", "n_st", "n_s", "n_t",
+        F.expr(contrib).alias("contrib_ppb"),
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("contrib_ppb").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .drop("rn")
+    )
+
+
 def token_frequency_score(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

@@ -147,6 +147,49 @@ class TestDedup:
             assert got[w] == expected, w
 
 
+class TestSourceDivergence:
+    def test_hand_computed_contribution(self, spark):
+        from drune_spark.operators.text_analysis import source_divergence
+        # src A: 6×x 2×y ; src B: 2×x 6×y  → x over-represented in A
+        docs = [
+            (1, "A", "x x x x x x y y"),
+            (2, "B", "x x y y y y y y"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+        out = {(r.src, r.token): r for r in
+               source_divergence(df, "text", "source",
+                                 top_n=5, min_count=1).collect()}
+        r = out[("A", "x")]
+        # N=16, n_s=8, n_t=8, n_st=6: diff = 6·16 − 8·8 = 32
+        assert (r.n_st, r.n_s, r.n_t) == (6, 8, 8)
+        assert r.contrib_ppb == 10**9 * 32 * 32 // (16 * 8 * 8)
+        # symmetric under-representation scores the same cell value
+        assert out[("B", "x")].contrib_ppb == r.contrib_ppb
+
+    def test_min_count_drops_hapax(self, spark):
+        from drune_spark.operators.text_analysis import source_divergence
+        df = spark.createDataFrame(
+            [(1, "A", "common common rareword"), (2, "B", "common common")],
+            "doc_id long, source string, text string",
+        )
+        toks = {r.token for r in
+                source_divergence(df, "text", "source",
+                                  min_count=2).collect()}
+        assert "rareword" not in toks
+
+    def test_top_n_limits_per_source(self, spark):
+        from drune_spark.operators.text_analysis import source_divergence
+        rows = [(i, "A" if i % 2 else "B",
+                 " ".join(f"w{j}" for j in range(10)))
+                for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = source_divergence(df, "text", "source",
+                                top_n=3, min_count=1).collect()
+        from collections import Counter
+        per_src = Counter(r.src for r in out)
+        assert all(v <= 3 for v in per_src.values())
+
+
 class TestCollocations:
     def test_hand_computed_lift(self, spark):
         from drune_spark.operators.text_analysis import collocations
