@@ -722,6 +722,44 @@ def q_w4_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is written partitioned
+    by priority; joining it to a FILTERED tiny dim on the partition
+    column lets Spark inject a runtime pruning subquery into the scan
+    (dynamicpruningexpression in PartitionFilters, pinned in
+    tests/test_plans.py) — at 100 TB only the matching partition
+    directories are ever read, without the user hand-writing the IN
+    list. Exact decimal sums per surviving priority."""
+    _tune(spark)
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="drune_gate_dpp_") + "/fact.parquet"
+    (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+            "o_orderpriority",
+        )
+        .write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+         ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold")],
+        "prio string, tier string",
+    )
+    hot = dim.filter(F.col("tier") == "hot")
+    joined = fact.join(hot, fact.o_orderpriority == hot.prio)
+    return joined.groupBy(
+        F.col("o_orderpriority").cast("string").alias("o_orderpriority")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_dec").cast("double").alias("total"),
+    )
+
+
 def q_d1_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 create-table DDL + W2 table write + catalog scan: CREATE TABLE
     from a declared schema (build_create_ddl), append through the real
@@ -2443,6 +2481,58 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the dimension-with-unknown
+    -bucket join shape. Both sides reduce to grouped counts first, so
+    the join is cell-sized."""
+    _tune(spark)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.expr("nullif(l_linestatus, 'O')").alias("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n_l"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(F.expr("nullif(o_orderstatus, 'O')").alias("k2"))
+        .groupBy("k2").agg(F.count(F.lit(1)).alias("n_r"))
+    )
+    return (
+        li.join(orders, li.k.eqNullSafe(orders.k2))
+        .select("k", "n_l", "n_r")
+    )
+
+
+def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function surface parity: extract, global replace, rlike,
+    regex split — Java regex on the Spark side mirrored to RE2-safe
+    DuckDB patterns (ASCII classes only, where the dialects agree)."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).alias("n_digits"),
+        F.col("text").rlike("[A-Z]").alias("has_upper"),
+        F.substring(
+            F.regexp_replace(F.lower("text"), r"[aeiou]", ""), 1, 20
+        ).alias("devoweled_prefix"),
+        F.size(F.split("text", r"\s+")).alias("n_ws_chunks"),
+    )
+
+
+def q_pandas_udf_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow scalar pandas_udf path (operators/features.py
+    hash_udf_features): Python-computed md5 + utf-8 byte length over
+    Arrow batches, verified bit-for-bit by the SQL oracle — the
+    'Python escape hatch is lossless' proof."""
+    _tune(spark)
+    from drune_spark.operators.features import hash_udf_features
+
+    return hash_udf_features(_t(spark, sf_dir, "documents"),
+                             "text", "doc_id")
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS lattice — the third grouping-set form
     beside a5_rollup (hierarchy) and cube_aggregate (cross product):
@@ -3324,6 +3414,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_functions": q_date_functions,
         "dynamic_pivot": q_dynamic_pivot,
         "source_divergence": q_source_divergence,
+        "dpp_join": q_dpp_join,
+        "nullsafe_join": q_nullsafe_join,
+        "regex_functions": q_regex_functions,
+        "pandas_udf_hash": q_pandas_udf_hash,
         "salted_join_agg": q_salted_join_agg,
         "winsorized_stats": q_winsorized_stats,
         "triangle_count": q_triangle_count,
@@ -5036,6 +5130,43 @@ def oracle_sql() -> dict[str, str]:
         "cube_aggregate": CUBE_AGG_SQL,
         "grouping_sets": GROUPING_SETS_SQL,
         "agg_filter": AGG_FILTER_SQL,
+        "nullsafe_join": """
+            WITH li AS (
+                SELECT nullif(l_linestatus, 'O') AS k, COUNT(*) AS n_l
+                FROM lineitem GROUP BY 1
+            ),
+            o AS (
+                SELECT nullif(o_orderstatus, 'O') AS k2, COUNT(*) AS n_r
+                FROM orders GROUP BY 1
+            )
+            SELECT li.k, li.n_l, o.n_r
+            FROM li JOIN o ON li.k IS NOT DISTINCT FROM o.k2
+        """,
+        "regex_functions": """
+            SELECT doc_id,
+                   regexp_extract(text, '^(\\w+)', 1) AS first_word,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       AS INTEGER) AS n_digits,
+                   regexp_matches(text, '[A-Z]') AS has_upper,
+                   substr(regexp_replace(lower(text), '[aeiou]', '', 'g'),
+                          1, 20) AS devoweled_prefix,
+                   CAST(len(regexp_split_to_array(text, '\\s+'))
+                       AS INTEGER) AS n_ws_chunks
+            FROM documents
+        """,
+        "pandas_udf_hash": """
+            SELECT doc_id, md5(text) AS h,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        "dpp_join": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS total
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            GROUP BY o_orderpriority
+        """,
         "source_divergence": f"""
             WITH tok AS (
                 SELECT source AS src, token FROM (

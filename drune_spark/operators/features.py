@@ -63,6 +63,44 @@ def feature_hash(
     )
 
 
+def hash_udf_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Arrow-vectorized SCALAR pandas_udf demonstration with an exact
+    oracle: md5 hex + utf-8 byte length computed in Python over Arrow
+    batches. md5 of the utf-8 bytes is engine-universal, so this is the
+    one Python-UDF shape a SQL oracle can verify bit-for-bit — proving
+    the Arrow transfer itself is lossless for string columns.
+
+    This is the SLOW-PATH escape hatch pattern (the fast path for these
+    exact functions is F.md5/F.octet_length — see the plan note in
+    PERF.md): when a transform genuinely needs Python (tokenizers,
+    codecs), a scalar ``@pandas_udf`` processes whole Arrow batches —
+    ~10-100× the throughput of a row-at-a-time Python UDF — and chains
+    inside the surrounding codegen stage without extra shuffles.
+    """
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: no parameter annotations — ``from __future__ import
+    # annotations`` stringifies them and pandas_udf's hint inference
+    # rejects string hints; the explicit return type is authoritative.
+    @pandas_udf("string")
+    def md5_py(s):
+        return s.map(
+            lambda x: hashlib.md5(x.encode("utf-8")).hexdigest()
+        )
+
+    @pandas_udf("long")
+    def byte_len_py(s):
+        return s.map(lambda x: len(x.encode("utf-8")))
+
+    return df.select(
+        F.col(id_col),
+        md5_py(F.col(text_col)).alias("h"),
+        byte_len_py(F.col(text_col)).alias("n_bytes"),
+    )
+
+
 def md5_u32_sql(col: str) -> str:
     """SQL text of ``md5_u32`` (Spark dialect) — kept here so the sign
     expression and any oracle mirror derive from one definition."""

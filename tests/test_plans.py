@@ -290,3 +290,10 @@ class TestPlans:
         df = entry.q_string_functions(spark, SF)
         plan = executed_plan(df)
         assert "Exchange" not in plan
+
+    def test_dpp_join_runtime_partition_pruning(self, spark, entry):
+        """Joining the partitioned fact to a filtered dim must inject a
+        dynamic-pruning subquery into the partition filters — at scale
+        only the matching partition directories are read."""
+        plan = full_plan(entry.q_dpp_join(spark, SF))
+        assert "dynamicpruning" in plan.lower()
