@@ -3378,6 +3378,92 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands streak analytics (operators/timeseries.py
+    activity_streaks): per user the consecutive-active-day run
+    structure — day − row_number() island trick, all shuffles on
+    user_id, all-integer µs-day math."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import activity_streaks
+
+    return activity_streaks(_t(spark, sf_dir, "events"))
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (operators/skyline.py skyline_2d):
+    parts minimizing (p_size, price-in-cents) jointly — cell-reduced
+    frontier scan (distinct-x cells only, never an all-pairs join),
+    survivors recovered by broadcast join. Oracle is the independent
+    all-pairs NOT EXISTS dominance spec. Integer dims → exact."""
+    _tune(spark)
+    from drune_spark.operators.skyline import skyline_2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size",
+        F.expr(
+            "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"
+        ).alias("price_cents"),
+    )
+    out = skyline_2d(p, "p_size", "price_cents")
+    return out.select("p_partkey", "p_size", "price_cents")
+
+
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) operator parity: lineitem's four measure columns
+    rotate into (metric, val) rows via DataFrame.unpivot (one Expand
+    pass, the inverse of a2_pivot), then one hash-agg per metric with
+    DECIMAL-exact sums. Oracle states the same rotation as a UNION ALL
+    of per-column selects — independent formulation, same lattice."""
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return melted.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+# Correlated-subquery surface: EXISTS / NOT EXISTS plus a correlated
+# scalar COUNT subquery (the "count bug" case — customers with no open
+# orders must get 0, not NULL, after decorrelation). Catalyst rewrites
+# the three subqueries to semi/anti/left-outer joins; the shared text
+# runs verbatim on both engines.
+EXISTS_SUBQUERY_SQL = """
+    SELECT c_custkey, c_mktsegment,
+           (SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderstatus = 'O') AS n_open
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 150000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT'
+                         AND o.o_orderstatus = 'F')
+"""
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery decorrelation parity (J-family surface):
+    EXISTS → left-semi, NOT EXISTS → left-anti, correlated scalar
+    COUNT → left-outer + coalesce(0). One shared ANSI text; integer
+    outputs."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("customer", "orders"),
+        EXISTS_SUBQUERY_SQL, "exists_subquery",
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3399,6 +3485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     time-based rather than positional."""
     return {
         # -- new this round ------------------------------------------------
+        "activity_streaks": q_activity_streaks,
+        "skyline_pareto": q_skyline_pareto,
+        "unpivot_melt": q_unpivot_melt,
+        "exists_subquery": q_exists_subquery,
         "grouped_ols": q_grouped_ols,
         "set_sim_join": q_set_sim_join,
         "weighted_sample": q_weighted_sample,
@@ -3774,6 +3864,72 @@ def oracle_sql() -> dict[str, str]:
 
     hll_scale = repr(hll_alpha(9) * 512 * 512 * float(1 << 24))
     return {
+        "activity_streaks": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, day,
+                       day - row_number() OVER (
+                           PARTITION BY user_id ORDER BY day
+                       ) AS isl
+                FROM d
+            ),
+            s AS (
+                SELECT user_id, isl, COUNT(*) AS len,
+                       MIN(day) AS start_day
+                FROM r GROUP BY user_id, isl
+            ),
+            u AS (
+                SELECT user_id,
+                       CAST(SUM(len) AS BIGINT) AS n_active_days,
+                       COUNT(*) AS n_streaks,
+                       CAST(MAX(len) AS BIGINT) AS longest
+                FROM s GROUP BY user_id
+            )
+            SELECT u.user_id, u.n_active_days, u.n_streaks, u.longest,
+                   CAST(MIN(s.start_day) AS BIGINT) AS longest_start_day
+            FROM u JOIN s ON s.user_id = u.user_id AND s.len = u.longest
+            GROUP BY u.user_id, u.n_active_days, u.n_streaks, u.longest
+        """,
+        "skyline_pareto": """
+            WITH p AS (
+                SELECT p_partkey, p_size,
+                       CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                           AS price_cents
+                FROM part
+            )
+            SELECT p_partkey, p_size, price_cents
+            FROM p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p q
+                WHERE q.p_size <= p.p_size
+                  AND q.price_cents <= p.price_cents
+                  AND (q.p_size < p.p_size
+                       OR q.price_cents < p.price_cents)
+            )
+        """,
+        "unpivot_melt": """
+            WITH m AS (
+                SELECT 'l_quantity' AS metric, l_quantity AS val
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', l_discount FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', l_tax FROM lineitem
+            )
+            SELECT metric, COUNT(*) AS n,
+                   CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_val,
+                   MIN(val) AS min_val,
+                   MAX(val) AS max_val
+            FROM m GROUP BY metric
+        """,
+        "exists_subquery": EXISTS_SUBQUERY_SQL,
         "p1_schema_apply": """
             SELECT CAST(c_custkey AS BIGINT) AS cd_customer,
                    upper(trim(CAST(c_name AS VARCHAR))) AS nm_customer,

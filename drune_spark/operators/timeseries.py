@@ -286,3 +286,55 @@ def gap_fill_locf(
         F.last("value", ignorenulls=True).over(wf).alias("value"),
         F.col("value").isNull().alias("filled"),
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands: per key, the consecutive-active-day streak
+    structure — total active days, number of streaks (islands), the
+    longest streak and the day it started (earliest such streak on
+    ties).
+
+    The classic island trick: over the distinct (key, day) set,
+    ``day - row_number()`` is constant within a run of consecutive
+    days, so one grouped window plus two cell aggregates recover every
+    island. All three shuffles hash on ``key_col`` (distinct, window,
+    island agg reuse one partitioning; the final per-key agg carries
+    island cells, not rows). All-integer µs-day arithmetic — results
+    are parallelism-invariant, and per-key cost is bounded by the
+    calendar (≤ days in retention), never by event volume.
+
+    Reference analog: drune exposes windowed uniqueness (A4) but no
+    run-length analytics; this is the standard product-analytics
+    extension of that surface.
+
+    Returns (key, n_active_days, n_streaks, longest, longest_start_day).
+    """
+    from pyspark.sql import Window
+
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000")
+    d = df.select(F.col(key_col).alias("k"), day.alias("day")).distinct()
+    w = Window.partitionBy("k").orderBy(F.col("day").asc())
+    isl = d.withColumn("isl", F.col("day") - F.row_number().over(w))
+    runs = isl.groupBy("k", "isl").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    per_key = runs.groupBy("k").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest"),
+    )
+    return (
+        runs.join(per_key, "k")
+        .filter(F.col("len") == F.col("longest"))
+        .groupBy("k", "n_active_days", "n_streaks", "longest")
+        .agg(F.min("start_day").alias("longest_start_day"))
+        .select(
+            F.col("k").alias(key_col),
+            "n_active_days", "n_streaks", "longest", "longest_start_day",
+        )
+    )

@@ -1838,3 +1838,51 @@ class TestIncrementalMv:
         got = {r.k: (r.s, r.n)
                for r in mv_merge(base, delta, ["k"], ["s", "n"]).collect()}
         assert got == {1: (1.0, 1), 2: (5.0, 2)}
+
+
+class TestActivityStreaks:
+    def test_hand_computed(self, spark):
+        from drune_spark.operators.timeseries import activity_streaks
+        import datetime as dt
+        base = dt.datetime(1970, 1, 1)
+        rows = [
+            # u1: days 0,1,2 (streak 3) then 5,6 (streak 2)
+            (1, base), (1, base + dt.timedelta(days=1)),
+            (1, base + dt.timedelta(days=2, hours=5)),   # dup-day safe
+            (1, base + dt.timedelta(days=2)),
+            (1, base + dt.timedelta(days=5)),
+            (1, base + dt.timedelta(days=6)),
+            # u2: two singleton streaks of length 1 → earliest start wins
+            (2, base + dt.timedelta(days=10)),
+            (2, base + dt.timedelta(days=12)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {r.user_id: (r.n_active_days, r.n_streaks, r.longest,
+                           r.longest_start_day)
+               for r in activity_streaks(df).collect()}
+        assert got == {1: (5, 2, 3, 0), 2: (2, 2, 1, 10)}
+
+
+class TestSkyline:
+    def test_hand_computed_with_ties(self, spark):
+        from drune_spark.operators.skyline import skyline_2d
+        rows = [
+            (1, 1, 50),   # frontier
+            (2, 2, 50),   # dominated: (1,50) has smaller x, same y
+            (3, 2, 40),   # frontier
+            (4, 2, 40),   # exact tie of 3 → both survive
+            (5, 3, 40),   # dominated by (2,40)
+            (6, 5, 10),   # frontier
+            (7, 5, 11),   # dominated within its x cell
+        ]
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        got = sorted(r.id for r in skyline_2d(df, "x", "y").collect())
+        assert got == [1, 3, 4, 6]
+
+    def test_frontier_is_broadcast_join(self, spark):
+        from drune_spark.operators.skyline import skyline_2d
+        rows = [(i, i % 7, (i * 13) % 31) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        plan = skyline_2d(df, "x", "y")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoop" not in plan
