@@ -3464,6 +3464,92 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ordered categorical codes (operators/features.py
+    label_encode — the StringIndexer contract with deterministic
+    count-then-value tie-break): one hash agg to cells, row_number
+    over cells only (bounded by category cardinality)."""
+    _tune(spark)
+    from drune_spark.operators.features import label_encode
+
+    return label_encode(_t(spark, sf_dir, "part"), "p_brand")
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial neighbor join (operators/spatial.py
+    grid_neighbor_join): customers x suppliers on md5-derived integer
+    planar coords, 3x3 cell-neighborhood equi-join + exact integer
+    distance filter — never a BroadcastNestedLoop. Oracle is the
+    naive cross join with the same md5 coordinate math."""
+    _tune(spark)
+    from drune_spark.functions.hashes import md5_u32
+    from drune_spark.operators.spatial import grid_neighbor_join
+
+    def coords(df, key, tagx, tagy):
+        k = F.col(key).cast("string")
+        return df.select(
+            F.col(key),
+            (md5_u32(F.concat(F.lit(tagx), k)) % 1000000).alias("x"),
+            (md5_u32(F.concat(F.lit(tagy), k)) % 1000000).alias("y"),
+        )
+
+    cust = coords(_t(spark, sf_dir, "customer"), "c_custkey", "cx", "cy")
+    supp = coords(_t(spark, sf_dir, "supplier"), "s_suppkey", "sx", "sy")
+    pairs = grid_neighbor_join(cust, supp, cell=100000, radius=100000)
+    return pairs.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_nearby"),
+        F.min("dist2").alias("min_dist2"),
+    )
+
+
+def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS hop distance (operators/graph.py bfs_khop): 3-hop
+    reachability from seed parts over the co-purchase graph (parts
+    sharing >= 2 distinct orders). Level-synchronous frontier joins,
+    all-integer → parallelism-invariant; oracle is the unrolled
+    level-CTE chain (the pagerank_int oracle pattern)."""
+    _tune(spark)
+    from drune_spark.operators.graph import bfs_khop
+
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 100 == 1)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    out = bfs_khop(edges, seeds, k=3)
+    return out.select(F.col("node").alias("p_partkey"), "dist")
+
+
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-motif counting (operators/timeseries.py
+    sequence_pattern_counts): per-user event history as a code string,
+    non-overlapping 'V[CE]*P' (view → clicks/errors → purchase)
+    matches counted by regex — identical leftmost-first semantics in
+    Java regex and RE2, so the string_agg oracle is bit-portable."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import sequence_pattern_counts
+
+    return sequence_pattern_counts(
+        _t(spark, sf_dir, "events"), "V[CE]*P"
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3489,6 +3575,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_pareto": q_skyline_pareto,
         "unpivot_melt": q_unpivot_melt,
         "exists_subquery": q_exists_subquery,
+        "label_encode": q_label_encode,
+        "spatial_join": q_spatial_join,
+        "bfs_khop": q_bfs_khop,
+        "event_pattern": q_event_pattern,
         "grouped_ols": q_grouped_ols,
         "set_sim_join": q_set_sim_join,
         "weighted_sample": q_weighted_sample,
@@ -3930,6 +4020,105 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY metric
         """,
         "exists_subquery": EXISTS_SUBQUERY_SQL,
+        "label_encode": """
+            SELECT p_brand, COUNT(*) AS n,
+                   CAST(row_number() OVER (
+                       ORDER BY COUNT(*) DESC, p_brand
+                   ) AS INTEGER) AS code
+            FROM part GROUP BY p_brand
+        """,
+        "spatial_join": """
+            WITH c AS (
+                SELECT c_custkey,
+                       ('0x' || substr(md5('cx' ||
+                           CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                           % 1000000 AS x,
+                       ('0x' || substr(md5('cy' ||
+                           CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                           % 1000000 AS y
+                FROM customer
+            ),
+            s AS (
+                SELECT s_suppkey,
+                       ('0x' || substr(md5('sx' ||
+                           CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                           % 1000000 AS x,
+                       ('0x' || substr(md5('sy' ||
+                           CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                           % 1000000 AS y
+                FROM supplier
+            ),
+            p AS (
+                SELECT c.c_custkey,
+                       (c.x - s.x) * (c.x - s.x)
+                           + (c.y - s.y) * (c.y - s.y) AS dist2
+                FROM c CROSS JOIN s
+            )
+            SELECT c_custkey, COUNT(*) AS n_nearby,
+                   CAST(MIN(dist2) AS BIGINT) AS min_dist2
+            FROM p
+            WHERE dist2 <= 10000000000
+            GROUP BY c_custkey
+        """,
+        "bfs_khop": """
+            WITH lp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            e AS (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+                GROUP BY a.l_partkey, b.l_partkey
+                HAVING COUNT(*) >= 2
+            ),
+            l0 AS (
+                SELECT DISTINCT p_partkey AS node FROM part
+                WHERE p_partkey % 100 = 1
+            ),
+            l1 AS (
+                SELECT DISTINCT e.dst AS node
+                FROM e JOIN l0 ON e.src = l0.node
+                WHERE e.dst NOT IN (SELECT node FROM l0)
+            ),
+            l2 AS (
+                SELECT DISTINCT e.dst AS node
+                FROM e JOIN l1 ON e.src = l1.node
+                WHERE e.dst NOT IN (SELECT node FROM l0)
+                  AND e.dst NOT IN (SELECT node FROM l1)
+            ),
+            l3 AS (
+                SELECT DISTINCT e.dst AS node
+                FROM e JOIN l2 ON e.src = l2.node
+                WHERE e.dst NOT IN (SELECT node FROM l0)
+                  AND e.dst NOT IN (SELECT node FROM l1)
+                  AND e.dst NOT IN (SELECT node FROM l2)
+            )
+            SELECT node AS p_partkey, CAST(0 AS INTEGER) AS dist FROM l0
+            UNION ALL
+            SELECT node, CAST(1 AS INTEGER) FROM l1
+            UNION ALL
+            SELECT node, CAST(2 AS INTEGER) FROM l2
+            UNION ALL
+            SELECT node, CAST(3 AS INTEGER) FROM l3
+        """,
+        "event_pattern": """
+            WITH b AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                       upper(substr(event_type, 1, 1)) AS code
+                FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       string_agg(code, '' ORDER BY ts_us, event_id)
+                           AS seq
+                FROM b GROUP BY user_id
+            )
+            SELECT user_id, CAST(length(seq) AS INTEGER) AS n_events,
+                   CAST(len(regexp_extract_all(seq, 'V[CE]*P'))
+                        AS INTEGER) AS n_matches
+            FROM s
+        """,
         "p1_schema_apply": """
             SELECT CAST(c_custkey AS BIGINT) AS cd_customer,
                    upper(trim(CAST(c_name AS VARCHAR))) AS nm_customer,

@@ -105,3 +105,25 @@ def md5_u32_sql(col: str) -> str:
     """SQL text of ``md5_u32`` (Spark dialect) — kept here so the sign
     expression and any oracle mirror derive from one definition."""
     return f"CAST(conv(substring(md5({col}), 1, 8), 16, 10) AS LONG)"
+
+
+def label_encode(df: DataFrame, col: str) -> DataFrame:
+    """Frequency-ordered dense integer codes for a categorical column —
+    the StringIndexer contract (most frequent category = code 1), made
+    deterministic by breaking count ties on the value itself.
+
+    One hash aggregate reduces rows to (value, count) cells, then a
+    single-partition row_number window assigns codes over the CELLS
+    only — bounded by category cardinality, never row count (the same
+    cells-not-rows discipline as skew_keys/label vocabularies). Apply
+    the mapping back to rows via a broadcast join on the value.
+
+    Returns (value_col, n, code); code is 1-based INT.
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col(col).asc())
+    return cells.withColumn(
+        "code", F.row_number().over(w).cast("int")
+    )

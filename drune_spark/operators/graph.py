@@ -141,3 +141,51 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return exploded.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def bfs_khop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Breadth-first hop distance from a seed set, bounded at ``k``
+    hops: (node, dist) with dist = min #edges from any seed, dist <= k.
+
+    Level-synchronous frontier expansion — the standard distributed BFS
+    (Pregel's shape without the framework): each round is one equi-join
+    of the current frontier against the edge list, a distinct, and an
+    anti-join against the visited set, all hash-partitioned on node id.
+    The driver holds nothing but the loop counter (k rounds, k small
+    and fixed); frontiers/visited stay distributed and are persisted
+    per round because round N+1 reads round N twice (expand + anti).
+    At 100 TB the cost per round is degree(frontier) shuffle rows —
+    the optimal label-free BFS; skewed hub nodes are AQE-split like
+    any hot join key.
+
+    Reference analog: none (drune has no iterative operators); the
+    unrolled-CTE oracle pattern follows pagerank_int above.
+    """
+    visited = seeds.select(F.col(node)).distinct().withColumn(
+        "dist", F.lit(0)
+    ).persist()
+    frontier = visited.select(node)
+    out = [visited]
+    for hop in range(1, k + 1):
+        nxt = (
+            edges.join(frontier, edges[src] == frontier[node])
+            .select(F.col(dst).alias(node))
+            .distinct()
+            .join(visited.select(node), node, "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .persist()
+        )
+        out.append(nxt)
+        visited = visited.unionByName(nxt).persist()
+        frontier = nxt.select(node)
+    result = out[0]
+    for nxt in out[1:]:
+        result = result.unionByName(nxt)
+    return result

@@ -338,3 +338,49 @@ def activity_streaks(
             "n_active_days", "n_streaks", "longest", "longest_start_day",
         )
     )
+
+
+def sequence_pattern_counts(
+    df: DataFrame,
+    pattern: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: encode each key's event history as a
+    one-char-per-event string (upper-cased first letter of the type,
+    ordered by time with a unique tiebreak) and count non-overlapping
+    regex matches — the funnel operator's free-form sibling for
+    arbitrary sequence motifs.
+
+    One shuffle on ``key_col``; the per-key sequence is built with
+    collect_list + array_sort (deterministic: the sort key is the
+    struct (ts_us, tiebreak, code)), so per-key memory is bounded by
+    events/key — same envelope as any grouped window over the key.
+    Keep patterns to constructs with identical leftmost-first
+    semantics in Java regex and RE2 (literals, classes, ``*``/``+``)
+    so the oracle is bit-portable.
+
+    Returns (key, n_events INT, n_matches INT).
+    """
+    base = df.select(
+        F.col(key_col),
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(order_tiebreak).alias("tb"),
+            F.upper(F.substring(F.col(type_col), 1, 1)).alias("code"),
+        ).alias("s"),
+    )
+    seq = base.groupBy(key_col).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(s)),"
+            " x -> x.code), '')"
+        ).alias("seq")
+    )
+    return seq.select(
+        key_col,
+        F.length("seq").cast("int").alias("n_events"),
+        F.size(F.expr(f"regexp_extract_all(seq, '{pattern}', 0)"))
+        .cast("int").alias("n_matches"),
+    )

@@ -1886,3 +1886,101 @@ class TestSkyline:
         plan = skyline_2d(df, "x", "y")._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestLabelEncode:
+    def test_frequency_order_with_tie_break(self, spark):
+        from drune_spark.operators.features import label_encode
+        df = spark.createDataFrame(
+            [("b",), ("b",), ("a",), ("a",), ("c",)], "v string"
+        )
+        got = {r.v: (r.n, r.code) for r in label_encode(df, "v").collect()}
+        # a and b tie at 2 → value order breaks the tie; c is last
+        assert got == {"a": (2, 1), "b": (2, 2), "c": (1, 3)}
+
+
+class TestSpatialJoin:
+    def test_pairs_match_naive(self, spark):
+        from drune_spark.operators.spatial import grid_neighbor_join
+        import itertools
+        lrows = [(i, (i * 37) % 500, (i * 91) % 500) for i in range(40)]
+        rrows = [(100 + i, (i * 53) % 500, (i * 17) % 500)
+                 for i in range(25)]
+        left = spark.createDataFrame(lrows, "lid long, x long, y long")
+        right = spark.createDataFrame(rrows, "rid long, x long, y long")
+        got = sorted(
+            (r.lid, r.rid, r.dist2)
+            for r in grid_neighbor_join(left, right, cell=120,
+                                        radius=100).collect()
+        )
+        want = sorted(
+            (l[0], r[0], d)
+            for l, r in itertools.product(lrows, rrows)
+            if (d := (l[1] - r[1]) ** 2 + (l[2] - r[2]) ** 2) <= 100 * 100
+        )
+        assert got == want
+
+    def test_rejects_insufficient_cell(self, spark):
+        from drune_spark.operators.spatial import grid_neighbor_join
+        df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+        with pytest.raises(ValueError):
+            grid_neighbor_join(df, df, cell=10, radius=20)
+
+    def test_no_nested_loop_join(self, spark):
+        from drune_spark.operators.spatial import grid_neighbor_join
+        left = spark.createDataFrame(
+            [(i, i, i) for i in range(50)], "lid long, x long, y long")
+        right = spark.createDataFrame(
+            [(i, i, i) for i in range(20)], "rid long, x long, y long")
+        plan = grid_neighbor_join(
+            left, right, cell=100, radius=50
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan
+
+
+class TestBfsKhop:
+    def test_hand_computed_path_graph(self, spark):
+        from drune_spark.operators.graph import bfs_khop
+        # path 1-2-3-4-5 (undirected via both directions), seed at 1
+        und = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.dist for r in bfs_khop(edges, seeds, 3).collect()}
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops → absent
+
+    def test_min_distance_wins_on_multiple_paths(self, spark):
+        from drune_spark.operators.graph import bfs_khop
+        und = [(1, 2), (2, 4), (1, 3), (3, 5), (5, 4)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.dist for r in bfs_khop(edges, seeds, 3).collect()}
+        assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
+class TestSequencePattern:
+    def test_hand_computed(self, spark):
+        from drune_spark.operators.timeseries import sequence_pattern_counts
+        import datetime as dt
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1: V C P V P  → 'V[CE]*P' matches twice
+            (1, base, 1, "view"), (1, base.replace(hour=1), 2, "click"),
+            (1, base.replace(hour=2), 3, "purchase"),
+            (1, base.replace(hour=3), 4, "view"),
+            (1, base.replace(hour=4), 5, "purchase"),
+            # user 2: P V C C  → zero matches
+            (2, base, 6, "purchase"), (2, base.replace(hour=1), 7, "view"),
+            (2, base.replace(hour=2), 8, "click"),
+            (2, base.replace(hour=3), 9, "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, "
+                  "event_type string"
+        )
+        got = {r.user_id: (r.n_events, r.n_matches)
+               for r in sequence_pattern_counts(df, "V[CE]*P").collect()}
+        assert got == {1: (5, 2), 2: (4, 0)}
