@@ -3550,6 +3550,67 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/basket.py
+    basket_rules): brand pairs co-purchased within an order, with
+    integer support/confidence/lift (ppm) — pair fan-out over distinct
+    (order, brand) only, frequency tables broadcast, scalar total via
+    broadcast agg join (no driver action)."""
+    _tune(spark)
+    from drune_spark.operators.basket import basket_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(part),
+                      li.l_partkey == part.p_partkey)
+    return basket_rules(baskets, "l_orderkey", "p_brand",
+                        min_pair_support=5)
+
+
+def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit (operators/integrity.py
+    referential_audit): orphan counts for four FK relations of the
+    schema, each a broadcast LEFT JOIN + map-side conditional counts —
+    the DQ constraint surface (quality/rules.py) extended to
+    relations."""
+    _tune(spark)
+    from drune_spark.operators.integrity import referential_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return referential_audit([
+        ("lineitem.partkey", li, "l_partkey",
+         _t(spark, sf_dir, "part"), "p_partkey"),
+        ("lineitem.suppkey", li, "l_suppkey",
+         _t(spark, sf_dir, "supplier"), "s_suppkey"),
+        ("orders.custkey", _t(spark, sf_dir, "orders"), "o_custkey",
+         _t(spark, sf_dir, "customer"), "c_custkey"),
+        ("customer.nationkey", _t(spark, sf_dir, "customer"),
+         "c_nationkey", _t(spark, sf_dir, "nation"), "n_nationkey"),
+    ])
+
+
+def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation (operators/timeseries.py
+    date_dimension): one generated row per day across the orders date
+    span — sequence() explode of a single min/max agg row, weekday from
+    integer epoch-day math (engine-numbering-proof)."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import date_dimension
+
+    return date_dimension(_t(spark, sf_dir, "orders"), "o_orderdate")
+
+
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day (operators/timeseries.py
+    cumulative_distinct): the first-seen transform — min-day per user
+    + day-cell cumulative sum — instead of a distinct-over-expanding-
+    window rescan. All-integer."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import cumulative_distinct
+
+    return cumulative_distinct(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3579,6 +3640,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "bfs_khop": q_bfs_khop,
         "event_pattern": q_event_pattern,
+        "basket_rules": q_basket_rules,
+        "ri_audit": q_ri_audit,
+        "date_dim": q_date_dim,
+        "running_distinct": q_running_distinct,
         "grouped_ols": q_grouped_ols,
         "set_sim_join": q_set_sim_join,
         "weighted_sample": q_weighted_sample,
@@ -4118,6 +4183,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(seq, 'V[CE]*P'))
                         AS INTEGER) AS n_matches
             FROM s
+        """,
+        "basket_rules": """
+            WITH items AS (
+                SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            ),
+            tot AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM items),
+            freq AS (SELECT i, COUNT(*) AS n_i FROM items GROUP BY i),
+            pairs AS (
+                SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_ab
+                FROM items a JOIN items c
+                  ON a.b = c.b AND a.i < c.i
+                GROUP BY a.i, c.i
+                HAVING COUNT(*) >= 5
+            )
+            SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST(fa.n_i AS BIGINT) AS n_a,
+                   CAST(fb.n_i AS BIGINT) AS n_b,
+                   CAST(n_ab * 1000000 // fa.n_i AS BIGINT)
+                       AS conf_ab_ppm,
+                   CAST(n_ab * 1000000 // fb.n_i AS BIGINT)
+                       AS conf_ba_ppm,
+                   CAST(n_ab * n_baskets * 1000000
+                        // (fa.n_i * fb.n_i) AS BIGINT) AS lift_ppm
+            FROM pairs
+            JOIN freq fa ON fa.i = pairs.item_a
+            JOIN freq fb ON fb.i = pairs.item_b
+            CROSS JOIN tot
+        """,
+        "ri_audit": """
+            SELECT 'lineitem.partkey' AS relation, COUNT(*) AS n_rows,
+                   COUNT(*) FILTER (WHERE l.l_partkey IS NULL)
+                       AS n_null_fk,
+                   COUNT(*) FILTER (WHERE l.l_partkey IS NOT NULL
+                                      AND p.p_partkey IS NULL)
+                       AS n_orphans
+            FROM lineitem l LEFT JOIN part p
+              ON l.l_partkey = p.p_partkey
+            UNION ALL
+            SELECT 'lineitem.suppkey', COUNT(*),
+                   COUNT(*) FILTER (WHERE l.l_suppkey IS NULL),
+                   COUNT(*) FILTER (WHERE l.l_suppkey IS NOT NULL
+                                      AND s.s_suppkey IS NULL)
+            FROM lineitem l LEFT JOIN supplier s
+              ON l.l_suppkey = s.s_suppkey
+            UNION ALL
+            SELECT 'orders.custkey', COUNT(*),
+                   COUNT(*) FILTER (WHERE o.o_custkey IS NULL),
+                   COUNT(*) FILTER (WHERE o.o_custkey IS NOT NULL
+                                      AND c.c_custkey IS NULL)
+            FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            UNION ALL
+            SELECT 'customer.nationkey', COUNT(*),
+                   COUNT(*) FILTER (WHERE c.c_nationkey IS NULL),
+                   COUNT(*) FILTER (WHERE c.c_nationkey IS NOT NULL
+                                      AND n.n_nationkey IS NULL)
+            FROM customer c LEFT JOIN nation n
+              ON c.c_nationkey = n.n_nationkey
+        """,
+        "date_dim": """
+            WITH span AS (
+                SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+                       CAST(MAX(o_orderdate) AS DATE) AS d1
+                FROM orders
+            ),
+            days AS (
+                SELECT CAST(unnest(generate_series(d0, d1,
+                           INTERVAL 1 DAY)) AS DATE) AS day
+                FROM span
+            )
+            SELECT strftime(day, '%Y-%m-%d') AS day_str,
+                   CAST(day - DATE '1970-01-01' AS INTEGER)
+                       AS epoch_day,
+                   CAST(year(day) AS INTEGER) AS y,
+                   CAST(month(day) AS INTEGER) AS m,
+                   CAST(dayofmonth(day) AS INTEGER) AS d,
+                   CAST((day - DATE '1970-01-01' + 3) % 7 + 1
+                        AS INTEGER) AS dow_iso,
+                   day = last_day(day) AS is_month_end
+            FROM days
+        """,
+        "running_distinct": """
+            WITH f AS (
+                SELECT user_id,
+                       CAST(MIN(epoch_us(ts) // 86400000000) AS BIGINT)
+                           AS day
+                FROM events GROUP BY user_id
+            ),
+            cells AS (
+                SELECT day, COUNT(*) AS n_new FROM f GROUP BY day
+            )
+            SELECT day, n_new,
+                   CAST(SUM(n_new) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW
+                   ) AS BIGINT) AS cum_keys
+            FROM cells
         """,
         "p1_schema_apply": """
             SELECT CAST(c_custkey AS BIGINT) AS cd_customer,

@@ -384,3 +384,67 @@ def sequence_pattern_counts(
         F.size(F.expr(f"regexp_extract_all(seq, '{pattern}', 0)"))
         .cast("int").alias("n_matches"),
     )
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Running COUNT(DISTINCT key) by day — the growth curve every
+    analytics store special-cases, computed with the first-seen
+    transform: a key contributes to the cumulative count exactly from
+    its first active day, so min-per-key + a day-cell cumulative sum
+    replaces a distinct-over-expanding-window (which would rescan every
+    prior day per day). One shuffle on the key for the MIN, then all
+    window work happens on day CELLS (calendar-bounded) — the same
+    cells-not-rows discipline as cohort_retention above.
+
+    Returns (day, n_new, cum_keys), all integers (µs-epoch days).
+    """
+    from pyspark.sql import Window
+
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000")
+    first = (
+        df.select(F.col(key_col).alias("k"), day.alias("d"))
+        .groupBy("k").agg(F.min("d").alias("day"))
+    )
+    cells = first.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = (
+        Window.orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.withColumn("cum_keys", F.sum("n_new").over(w))
+
+
+def date_dimension(df: DataFrame, date_col: str) -> DataFrame:
+    """Calendar-dimension generator spanning [min, max] of ``date_col``:
+    one row per day with engine-portable attributes. The span comes
+    from a single agg row whose sequence() explodes into the frame —
+    rows are GENERATED, never scanned, so the cost is the one min/max
+    pass regardless of input size (the gap_fill calendar pattern).
+
+    Weekday is computed from the integer epoch day ((d + 3) % 7 + 1,
+    1=Monday — 1970-01-01 was a Thursday) rather than engine dayofweek
+    builtins, whose numbering conventions differ; year/month/month-end
+    use Gregorian builtins both engines agree on.
+
+    Returns (day_str, epoch_day, y, m, d, dow_iso, is_month_end).
+    """
+    span = df.agg(
+        F.min(F.to_date(date_col)).alias("d0"),
+        F.max(F.to_date(date_col)).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    return days.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+        epoch_day.cast("int").alias("epoch_day"),
+        F.year("day").cast("int").alias("y"),
+        F.month("day").cast("int").alias("m"),
+        F.dayofmonth("day").cast("int").alias("d"),
+        ((epoch_day + 3) % 7 + 1).cast("int").alias("dow_iso"),
+        (F.col("day") == F.last_day("day")).alias("is_month_end"),
+    )

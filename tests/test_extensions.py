@@ -1984,3 +1984,69 @@ class TestSequencePattern:
         got = {r.user_id: (r.n_events, r.n_matches)
                for r in sequence_pattern_counts(df, "V[CE]*P").collect()}
         assert got == {1: (5, 2), 2: (4, 0)}
+
+
+class TestBasketRules:
+    def test_hand_computed(self, spark):
+        from drune_spark.operators.basket import basket_rules
+        # baskets: {1: xy, 2: xy, 3: xz, 4: x}; N=4
+        rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (2, "y"),
+                (3, "x"), (3, "z"), (4, "x")]
+        df = spark.createDataFrame(rows, "b long, i string")
+        out = {(r.item_a, r.item_b): r
+               for r in basket_rules(df, "b", "i",
+                                     min_pair_support=2).collect()}
+        assert set(out) == {("x", "y")}
+        r = out[("x", "y")]
+        assert (r.n_ab, r.n_a, r.n_b) == (2, 4, 2)
+        assert r.conf_ab_ppm == 500000        # 2/4
+        assert r.conf_ba_ppm == 1000000       # 2/2
+        assert r.lift_ppm == 1000000          # 2*4/(4*2)
+
+
+class TestReferentialAudit:
+    def test_counts_orphans_and_nulls(self, spark):
+        from drune_spark.operators.integrity import referential_audit
+        child = spark.createDataFrame(
+            [(1,), (2,), (9,), (None,)], "fk long"
+        )
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+        got = referential_audit(
+            [("child.fk", child, "fk", parent, "pk")]
+        ).collect()[0]
+        assert (got.relation, got.n_rows, got.n_null_fk,
+                got.n_orphans) == ("child.fk", 4, 1, 1)
+
+
+class TestCumulativeDistinct:
+    def test_first_seen_only_counts_once(self, spark):
+        from drune_spark.operators.timeseries import cumulative_distinct
+        import datetime as dt
+        base = dt.datetime(1970, 1, 1)
+        rows = [
+            (1, base), (2, base),
+            (1, base + dt.timedelta(days=1)),   # returning, not new
+            (3, base + dt.timedelta(days=2)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {r.day: (r.n_new, r.cum_keys)
+               for r in cumulative_distinct(df).collect()}
+        assert got == {0: (2, 2), 2: (1, 3)}
+
+
+class TestDateDimension:
+    def test_span_and_attributes(self, spark):
+        from drune_spark.operators.timeseries import date_dimension
+        import datetime as dt
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 2, 27),), (dt.datetime(2024, 3, 1),)],
+            "d timestamp",
+        )
+        rows = {r.day_str: r for r in date_dimension(df, "d").collect()}
+        assert sorted(rows) == ["2024-02-27", "2024-02-28", "2024-02-29",
+                                "2024-03-01"]
+        leap = rows["2024-02-29"]
+        assert (leap.y, leap.m, leap.d, leap.is_month_end) == (
+            2024, 2, 29, True)
+        assert leap.dow_iso == 4          # 2024-02-29 was a Thursday
+        assert rows["2024-03-01"].dow_iso == 5
