@@ -3611,6 +3611,53 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cumulative_distinct(_t(spark, sf_dir, "events"))
 
 
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-merged interval coverage (operators/timeseries.py
+    interval_union): ±15-minute presence intervals around each event,
+    merged per user via the cummax island trick — one Exchange+Sort on
+    user, island cells aggregated. Integer µs bounds → exact."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import interval_union
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") - F.lit(900000000)).alias("s"),
+        (F.unix_micros("ts") + F.lit(900000000)).alias("e"),
+    )
+    return interval_union(ev)
+
+
+def q_json_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record JSON parsing parity (S2 robustness surface):
+    every 7th props payload is deterministically mangled, then parsed
+    PERMISSIVE with a _corrupt_record column — per event_type counts
+    of good/bad rows and the sum of the extracted field over good
+    rows. Oracle mirrors the mangling and uses json_valid."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.concat(F.lit("x"), "props")
+        ).otherwise(F.col("props")).alias("payload"),
+    )
+    parsed = ev.select(
+        "event_type",
+        F.from_json(
+            "payload",
+            "k INT, _corrupt_record STRING",
+            {"mode": "PERMISSIVE",
+             "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("j._corrupt_record").isNotNull()).alias("n_bad"),
+        F.sum(
+            F.when(F.col("j._corrupt_record").isNull(), F.col("j.k"))
+        ).cast("bigint").alias("sum_k"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3644,6 +3691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_audit": q_ri_audit,
         "date_dim": q_date_dim,
         "running_distinct": q_running_distinct,
+        "interval_union": q_interval_union,
+        "json_badrecords": q_json_badrecords,
         "grouped_ols": q_grouped_ols,
         "set_sim_join": q_set_sim_join,
         "weighted_sample": q_weighted_sample,
@@ -4282,6 +4331,55 @@ def oracle_sql() -> dict[str, str]:
                                 AND CURRENT ROW
                    ) AS BIGINT) AS cum_keys
             FROM cells
+        """,
+        "interval_union": """
+            WITH iv AS (
+                SELECT user_id,
+                       epoch_us(ts) - 900000000 AS s,
+                       epoch_us(ts) + 900000000 AS e
+                FROM events
+            ),
+            f AS (
+                SELECT user_id, s, e,
+                       CASE WHEN max(e) OVER w IS NULL
+                              OR s > max(e) OVER w
+                            THEN 1 ELSE 0 END AS new_isl
+                FROM iv
+                WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+            ),
+            g AS (
+                SELECT user_id, s, e,
+                       SUM(new_isl) OVER (
+                           PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW
+                       ) AS isl
+                FROM f
+            ),
+            i AS (
+                SELECT user_id, isl, MIN(s) AS s, MAX(e) AS e
+                FROM g GROUP BY user_id, isl
+            )
+            SELECT user_id, COUNT(*) AS n_intervals,
+                   CAST(SUM(e - s) AS BIGINT) AS covered
+            FROM i GROUP BY user_id
+        """,
+        "json_badrecords": """
+            WITH p AS (
+                SELECT event_type,
+                       CASE WHEN event_id % 7 = 0
+                            THEN 'x' || props ELSE props END AS payload
+                FROM events
+            )
+            SELECT event_type, COUNT(*) AS n,
+                   COUNT(*) FILTER (WHERE NOT json_valid(payload))
+                       AS n_bad,
+                   CAST(SUM(CASE WHEN json_valid(payload)
+                       THEN CAST(json_extract_string(payload, '$.k')
+                                 AS INTEGER) END) AS BIGINT) AS sum_k
+            FROM p GROUP BY event_type
         """,
         "p1_schema_apply": """
             SELECT CAST(c_custkey AS BIGINT) AS cd_customer,

@@ -448,3 +448,52 @@ def date_dimension(df: DataFrame, date_col: str) -> DataFrame:
         ((epoch_day + 3) % 7 + 1).cast("int").alias("dow_iso"),
         (F.col("day") == F.last_day("day")).alias("is_month_end"),
     )
+
+
+def interval_union(
+    df: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Per-key union length of (possibly overlapping) intervals: merge
+    overlaps, then report how many merged intervals remain and the
+    total covered span — the second classic gaps-and-islands form
+    (activity_streaks merges consecutive DAYS; this merges arbitrary
+    numeric intervals).
+
+    The cummax island trick: order a key's intervals by start; a new
+    island begins exactly where the start exceeds the running max of
+    previous ends. One Exchange+Sort on the key (the window_analytics
+    partitioning family) + an island-cell aggregate. Integer bounds →
+    exact at any parallelism; per-key cost ∝ intervals/key.
+
+    Returns (key, n_intervals, covered).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new_isl",
+        F.when(
+            prev_max_end.isNull()
+            | (F.col(start_col) > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "__isl",
+        F.sum("__new_isl").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = flagged.groupBy(key_col, "__isl").agg(
+        F.min(start_col).alias("__s"), F.max(end_col).alias("__e")
+    )
+    return islands.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("__e") - F.col("__s")).alias("covered"),
+    )

@@ -2050,3 +2050,20 @@ class TestDateDimension:
             2024, 2, 29, True)
         assert leap.dow_iso == 4          # 2024-02-29 was a Thursday
         assert rows["2024-03-01"].dow_iso == 5
+
+
+class TestIntervalUnion:
+    def test_merges_overlaps_and_abutting_edges(self, spark):
+        from drune_spark.operators.timeseries import interval_union
+        rows = [
+            # u1: [0,10] + [5,20] overlap → [0,20]; [30,40] separate;
+            #     [40,50] shares only the endpoint 40 → NOT a new island
+            #     (start 40 is not > cummax end 40) → merges to [30,50]
+            (1, 0, 10), (1, 5, 20), (1, 30, 40), (1, 40, 50),
+            # u2: containment [0,100] ⊇ [10,20]
+            (2, 0, 100), (2, 10, 20),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, s long, e long")
+        got = {r.user_id: (r.n_intervals, r.covered)
+               for r in interval_union(df).collect()}
+        assert got == {1: (2, 40), 2: (1, 100)}
