@@ -121,6 +121,21 @@ BENCH_QUERIES = [
     "string_functions",
     "vocab_coverage",
     "incremental_mv",
+    # round-3 second wave
+    "activity_streaks",
+    "skyline_pareto",
+    "unpivot_melt",
+    "exists_subquery",
+    "label_encode",
+    "spatial_join",
+    "bfs_khop",
+    "event_pattern",
+    "basket_rules",
+    "ri_audit",
+    "date_dim",
+    "running_distinct",
+    "interval_union",
+    "json_badrecords",
 ]
 
 
