@@ -3658,6 +3658,129 @@ def q_json_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle downsampling (operators/timeseries.py
+    ohlc_resample): 6-hour open/high/low/close/count per event type,
+    integer milli-values, one Exchange+Sort + one hash agg (no second
+    descending sort for close)."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import ohlc_resample
+
+    return ohlc_resample(
+        _t(spark, sf_dir, "events"), bucket_us=21600000000
+    )
+
+
+def q_union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union surface (unionByName with
+    allowMissingColumns): customer and supplier project to different
+    shapes; missing columns NULL-fill per side. Oracle states the
+    explicit NULL-padded UNION ALL. DECIMAL-exact balance sum per
+    source tag proves the rows landed in the right branch."""
+    _tune(spark)
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+    )
+    u = c.unionByName(s, allowMissingColumns=True)
+    return u.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sum_bal"),
+        F.count_if(F.col("segment").isNull()).alias("n_null_segment"),
+        F.count_if(F.col("nationkey").isNull()).alias("n_null_nation"),
+    )
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel timing: per-user first-view → first-subsequent-purchase
+    lag, summarized with exact interpolated percentiles (Spark
+    percentile == DuckDB quantile_cont bit-for-bit, verified r2).
+    Two grouped aggs share the user_id partitioning; integer-µs
+    lags."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts_us").alias("v_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") >= F.col("v_us"))
+        .groupBy("user_id").agg(F.min("ts_us").alias("p_us"))
+    )
+    lags = v.join(p, "user_id").select(
+        (F.col("p_us") - F.col("v_us")).alias("lag_us")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("lag_us").alias("min_lag"),
+        F.expr("CAST(percentile(lag_us, 0.5) AS DOUBLE)").alias("p50_lag"),
+        F.expr("CAST(percentile(lag_us, 0.9) AS DOUBLE)").alias("p90_lag"),
+        F.max("lag_us").alias("max_lag"),
+    )
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (operators/attribution.py
+    linear_attribution): view/click touches credit their next
+    at-or-after purchase within a 2h lookback; exact integer ppm
+    credit (remainder to the last touch, so each conversion sums to
+    exactly 1e6). Union-window next-conversion scan — no touch x
+    conversion fan-out."""
+    _tune(spark)
+    from drune_spark.operators.attribution import linear_attribution
+
+    return linear_attribution(
+        _t(spark, sf_dir, "events"),
+        touch_types=["view", "click"],
+        conversion_type="purchase",
+        lookback_us=7200000000,
+    )
+
+
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split (operators/sampling.py
+    split_by_hash keyed on user_id): all of a user's events land in
+    ONE split, deterministically. Output proves it: per-split event
+    and distinct-user counts plus the max splits-per-user across the
+    corpus (must be 1), computed from the data."""
+    _tune(spark)
+    from drune_spark.operators.sampling import split_by_hash
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    splits = split_by_hash(
+        ev, "user_id", {"train": 0.8, "test": 0.2}, salt="gs1"
+    )
+    tagged = None
+    for name, df in splits.items():
+        part = df.withColumn("split", F.lit(name))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    straddle = (
+        tagged.select("split", "user_id").distinct()
+        .groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k").alias("max_splits_per_user"))
+    )
+    return per_split.crossJoin(F.broadcast(straddle))
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3693,6 +3816,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct": q_running_distinct,
         "interval_union": q_interval_union,
         "json_badrecords": q_json_badrecords,
+        "ohlc_resample": q_ohlc_resample,
+        "union_align": q_union_align,
+        "conversion_lag": q_conversion_lag,
+        "attribution": q_attribution,
+        "group_split": q_group_split,
         "grouped_ols": q_grouped_ols,
         "set_sim_join": q_set_sim_join,
         "weighted_sample": q_weighted_sample,
@@ -4380,6 +4508,156 @@ def oracle_sql() -> dict[str, str]:
                        THEN CAST(json_extract_string(payload, '$.k')
                                  AS INTEGER) END) AS BIGINT) AS sum_k
             FROM p GROUP BY event_type
+        """,
+        "ohlc_resample": """
+            WITH b AS (
+                SELECT event_type,
+                       epoch_us(ts) AS ts_us, event_id AS tb,
+                       CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                           AS vmilli,
+                       epoch_us(ts) // 21600000000 AS bucket
+                FROM events WHERE value IS NOT NULL
+            ),
+            r AS (
+                SELECT event_type, bucket, vmilli,
+                       row_number() OVER (
+                           PARTITION BY event_type, bucket
+                           ORDER BY ts_us, tb
+                       ) AS rn,
+                       COUNT(*) OVER (
+                           PARTITION BY event_type, bucket
+                       ) AS cnt
+                FROM b
+            )
+            SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(MAX(CASE WHEN rn = 1 THEN vmilli END)
+                        AS BIGINT) AS open,
+                   CAST(MAX(vmilli) AS BIGINT) AS high,
+                   CAST(MIN(vmilli) AS BIGINT) AS low,
+                   CAST(MAX(CASE WHEN rn = cnt THEN vmilli END)
+                        AS BIGINT) AS close,
+                   COUNT(*) AS n
+            FROM r GROUP BY event_type, bucket
+        """,
+        "union_align": """
+            WITH u AS (
+                SELECT 'customer' AS src, c_custkey AS key,
+                       c_acctbal AS acctbal, c_mktsegment AS segment,
+                       CAST(NULL AS INTEGER) AS nationkey
+                FROM customer
+                UNION ALL
+                SELECT 'supplier', s_suppkey, s_acctbal,
+                       CAST(NULL AS VARCHAR),
+                       CAST(s_nationkey AS INTEGER)
+                FROM supplier
+            )
+            SELECT src, COUNT(*) AS n,
+                   CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_bal,
+                   COUNT(*) FILTER (WHERE segment IS NULL)
+                       AS n_null_segment,
+                   COUNT(*) FILTER (WHERE nationkey IS NULL)
+                       AS n_null_nation
+            FROM u GROUP BY src
+        """,
+        "conversion_lag": """
+            WITH v AS (
+                SELECT user_id, MIN(epoch_us(ts)) AS v_us
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id
+            ),
+            p AS (
+                SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'purchase'
+                  AND epoch_us(e.ts) >= v.v_us
+                GROUP BY e.user_id
+            ),
+            l AS (
+                SELECT p.p_us - v.v_us AS lag_us
+                FROM v JOIN p ON v.user_id = p.user_id
+            )
+            SELECT COUNT(*) AS n_users,
+                   CAST(MIN(lag_us) AS BIGINT) AS min_lag,
+                   CAST(quantile_cont(lag_us, 0.5) AS DOUBLE)
+                       AS p50_lag,
+                   CAST(quantile_cont(lag_us, 0.9) AS DOUBLE)
+                       AS p90_lag,
+                   CAST(MAX(lag_us) AS BIGINT) AS max_lag
+            FROM l
+        """,
+        "attribution": """
+            WITH b AS (
+                SELECT user_id AS k, epoch_us(ts) AS ts_us,
+                       event_id AS tb, event_type AS etype,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS side
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            nx AS (
+                SELECT *,
+                       MIN(CASE WHEN side = 1 THEN ts_us END) OVER (
+                           PARTITION BY k
+                           ORDER BY ts_us, side, tb
+                           ROWS BETWEEN CURRENT ROW
+                                    AND UNBOUNDED FOLLOWING
+                       ) AS conv_us
+                FROM b
+            ),
+            c AS (
+                SELECT k, ts_us, tb, etype,
+                       CASE WHEN conv_us - ts_us <= 7200000000
+                            THEN conv_us END AS conv_us
+                FROM nx WHERE side = 0
+            ),
+            s AS (
+                SELECT k, etype, conv_us,
+                       CASE WHEN conv_us IS NOT NULL THEN
+                           COUNT(*) OVER (PARTITION BY k, conv_us)
+                       END AS n_in_conv,
+                       CASE WHEN conv_us IS NOT NULL THEN
+                           row_number() OVER (
+                               PARTITION BY k, conv_us
+                               ORDER BY ts_us DESC, tb DESC
+                           ) = 1
+                       ELSE FALSE END AS is_last
+                FROM c
+            )
+            SELECT etype AS touch_type, COUNT(*) AS n_touches,
+                   COUNT(*) FILTER (WHERE conv_us IS NOT NULL)
+                       AS n_attributed,
+                   CAST(SUM(CASE
+                       WHEN conv_us IS NULL THEN 0
+                       WHEN is_last THEN 1000000
+                            - (n_in_conv - 1) * (1000000 // n_in_conv)
+                       ELSE 1000000 // n_in_conv END) AS BIGINT)
+                       AS credit_ppm
+            FROM s GROUP BY etype
+        """,
+        "group_split": """
+            WITH tagged AS (
+                SELECT user_id, event_id,
+                       CASE WHEN substr(md5('gs1' ||
+                                CAST(user_id AS VARCHAR)), 1, 4)
+                                < 'cccd'
+                            THEN 'train' ELSE 'test' END AS split
+                FROM events
+            ),
+            per_split AS (
+                SELECT split, COUNT(*) AS n_events,
+                       COUNT(DISTINCT user_id) AS n_users
+                FROM tagged GROUP BY split
+            ),
+            straddle AS (
+                SELECT CAST(MAX(k) AS BIGINT) AS max_splits_per_user
+                FROM (
+                    SELECT user_id, COUNT(DISTINCT split) AS k
+                    FROM tagged GROUP BY user_id
+                )
+            )
+            SELECT split, n_events, n_users, max_splits_per_user
+            FROM per_split CROSS JOIN straddle
         """,
         "p1_schema_apply": """
             SELECT CAST(c_custkey AS BIGINT) AS cd_customer,

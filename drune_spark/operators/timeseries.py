@@ -497,3 +497,54 @@ def interval_union(
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum(F.col("__e") - F.col("__s")).alias("covered"),
     )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    bucket_us: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """OHLC (open/high/low/close) downsampling to fixed time buckets —
+    the candlestick resample every time-series store ships. Values are
+    rounded to integer milli-units BEFORE aggregation (the hypertable
+    rollup discipline above), so every output is exact and
+    parallelism-invariant.
+
+    One Exchange+Sort on (key, bucket) computes a row_number and the
+    bucket size, then a single hash agg turns first/last rows into
+    open/close via conditional max — no second descending sort, no
+    min_by/max_by engine-divergence on struct ordering. Per-bucket
+    cost ∝ rows in the bucket.
+
+    Returns (key, bucket, open/high/low/close milli ints, n).
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(order_tiebreak).alias("tb"),
+        F.expr(
+            f"CAST(floor({value_col} * 1000 + 0.5) AS BIGINT)"
+        ).alias("vmilli"),
+    ).withColumn("bucket", F.expr(f"ts_us div {int(bucket_us)}"))
+    w = Window.partitionBy("k", "bucket").orderBy(
+        F.col("ts_us").asc(), F.col("tb").asc()
+    )
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(
+            Window.partitionBy("k", "bucket")
+        )
+    )
+    return ranked.groupBy("k", "bucket").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("vmilli"))).alias("open"),
+        F.max("vmilli").alias("high"),
+        F.min("vmilli").alias("low"),
+        F.max(
+            F.when(F.col("rn") == F.col("cnt"), F.col("vmilli"))
+        ).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    ).withColumnRenamed("k", key_col)

@@ -2067,3 +2067,65 @@ class TestIntervalUnion:
         got = {r.user_id: (r.n_intervals, r.covered)
                for r in interval_union(df).collect()}
         assert got == {1: (2, 40), 2: (1, 100)}
+
+
+class TestOhlcResample:
+    def test_hand_computed(self, spark):
+        from drune_spark.operators.timeseries import ohlc_resample
+        import datetime as dt
+        base = dt.datetime(1970, 1, 1)
+        rows = [
+            # bucket 0 (0-10s): values 5.0, 1.0, 9.0 in time order
+            ("a", base, 1, 5.0),
+            ("a", base + dt.timedelta(seconds=3), 2, 1.0),
+            ("a", base + dt.timedelta(seconds=6), 3, 9.0),
+            # same ts as event 3 but higher tiebreak → close
+            ("a", base + dt.timedelta(seconds=6), 4, 2.0),
+            # bucket 1: single value
+            ("a", base + dt.timedelta(seconds=15), 5, 7.5),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, event_id long, "
+                  "value double"
+        )
+        got = {(r.event_type, r.bucket):
+               (r.open, r.high, r.low, r.close, r.n)
+               for r in ohlc_resample(df, bucket_us=10_000_000).collect()}
+        assert got == {
+            ("a", 0): (5000, 9000, 1000, 2000, 4),
+            ("a", 1): (7500, 7500, 7500, 7500, 1),
+        }
+
+
+class TestLinearAttribution:
+    def test_hand_computed_credit_split(self, spark):
+        from drune_spark.operators.attribution import linear_attribution
+        import datetime as dt
+        base = dt.datetime(2024, 1, 1)
+        h = dt.timedelta(hours=1)
+        rows = [
+            # u1: V(0h) C(1h) → P(2h): 2 touches split 1e6 (C last:
+            # 500000 each, no remainder); V(5h) no conversion after
+            (1, base, 1, "view"), (1, base + h, 2, "click"),
+            (1, base + 2 * h, 3, "purchase"), (1, base + 5 * h, 4, "view"),
+            # u2: V(0h) → P(10h) outside 2h lookback → uncredited
+            (2, base, 5, "view"), (2, base + 10 * h, 6, "purchase"),
+            # u3: V V V (0,1,1.5h) → P(2h): 3 touches, 333333+333333+
+            # 333334 (last = latest touch takes the remainder)
+            (3, base, 7, "view"), (3, base + h, 8, "view"),
+            (3, base + dt.timedelta(minutes=90), 9, "view"),
+            (3, base + 2 * h, 10, "purchase"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, "
+                  "event_type string"
+        )
+        got = {r.touch_type: (r.n_touches, r.n_attributed, r.credit_ppm)
+               for r in linear_attribution(
+                   df, ["view", "click"], "purchase",
+                   lookback_us=7_200_000_000).collect()}
+        # views: 6 total; attributed: u1's V(0h) + u3's 3 = 4
+        # credit: u1 V 500000 + u3 333333+333333+333334 = 1500000
+        assert got["view"] == (6, 4, 1500000)
+        # clicks: u1's C is the last touch of its conversion → 500000
+        assert got["click"] == (1, 1, 500000)
