@@ -136,6 +136,11 @@ BENCH_QUERIES = [
     "running_distinct",
     "interval_union",
     "json_badrecords",
+    "ohlc_resample",
+    "union_align",
+    "conversion_lag",
+    "attribution",
+    "group_split",
 ]
 
 
