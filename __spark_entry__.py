@@ -3781,6 +3781,53 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_split.crossJoin(F.broadcast(straddle))
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (operators/features.py
+    target_encode_loo): per-order LOO mean of total-price cents within
+    the order-priority category — integer-exact (sum/count cells
+    broadcast back, rows never shuffle)."""
+    _tune(spark)
+    from drune_spark.operators.features import target_encode_loo
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("price_cents"),
+    )
+    return target_encode_loo(
+        od, "o_orderpriority", "price_cents", ["o_orderkey"]
+    )
+
+
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period comparison (operators/timeseries.py
+    period_over_period): 6h-bucket counts per event type with
+    previous-calendar-period join via gap-aware lag — all window work
+    on cells, integer ratio_ppm."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import period_over_period
+
+    return period_over_period(
+        _t(spark, sf_dir, "events"), period_us=21600000000
+    )
+
+
+def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency (operators/timeseries.py
+    concurrency_peak): max simultaneous ±10-minute presence intervals
+    per event type, half-open endpoints; one Exchange+Sort per dim."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import concurrency_peak
+
+    iv = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros("ts") - F.lit(600000000)).alias("s"),
+        (F.unix_micros("ts") + F.lit(600000000)).alias("e"),
+    )
+    return concurrency_peak(iv, dim_col="event_type")
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3821,6 +3868,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_lag": q_conversion_lag,
         "attribution": q_attribution,
         "group_split": q_group_split,
+        "target_encode": q_target_encode,
+        "period_over_period": q_period_over_period,
+        "concurrency_peak": q_concurrency_peak,
         "grouped_ols": q_grouped_ols,
         "set_sim_join": q_set_sim_join,
         "weighted_sample": q_weighted_sample,
@@ -4658,6 +4708,73 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT split, n_events, n_users, max_splits_per_user
             FROM per_split CROSS JOIN straddle
+        """,
+        "target_encode": """
+            WITH od AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS price_cents
+                FROM orders
+            ),
+            cells AS (
+                SELECT o_orderpriority,
+                       CAST(SUM(price_cents) AS BIGINT) AS sum_g,
+                       COUNT(*) AS n_cat
+                FROM od GROUP BY o_orderpriority
+            )
+            SELECT od.o_orderkey, od.o_orderpriority, cells.n_cat,
+                   CASE WHEN n_cat > 1 THEN
+                       (sum_g - price_cents) // (n_cat - 1)
+                   END AS loo_enc
+            FROM od JOIN cells
+              ON od.o_orderpriority = cells.o_orderpriority
+        """,
+        "period_over_period": """
+            WITH cells AS (
+                SELECT event_type AS dim,
+                       epoch_us(ts) // 21600000000 AS bucket,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            lagged AS (
+                SELECT dim, bucket, n,
+                       lag(bucket) OVER w AS pb,
+                       lag(n) OVER w AS pn
+                FROM cells
+                WINDOW w AS (PARTITION BY dim ORDER BY bucket)
+            )
+            SELECT dim, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(CASE WHEN pb = bucket - 1 THEN pn END
+                        AS BIGINT) AS prev_n,
+                   CAST(CASE WHEN pb = bucket - 1 THEN n - pn END
+                        AS BIGINT) AS delta,
+                   CAST(CASE WHEN pb = bucket - 1
+                        THEN n * 1000000 // pn END AS BIGINT)
+                       AS ratio_ppm
+            FROM lagged
+        """,
+        "concurrency_peak": """
+            WITH sweep AS (
+                SELECT event_type AS dim,
+                       epoch_us(ts) - 600000000 AS t, 1 AS d
+                FROM events
+                UNION ALL
+                SELECT event_type, epoch_us(ts) + 600000000, -1
+                FROM events
+            ),
+            load AS (
+                SELECT dim,
+                       SUM(d) OVER (
+                           PARTITION BY dim ORDER BY t, d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW
+                       ) AS load
+                FROM sweep
+            )
+            SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
+                   CAST(MAX(load) AS BIGINT) AS peak
+            FROM load GROUP BY dim
         """,
         "p1_schema_apply": """
             SELECT CAST(c_custkey AS BIGINT) AS cd_customer,

@@ -127,3 +127,36 @@ def label_encode(df: DataFrame, col: str) -> DataFrame:
     return cells.withColumn(
         "code", F.row_number().over(w).cast("int")
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_int_col: str,
+    id_cols: list[str],
+) -> DataFrame:
+    """Leave-one-out target encoding with exact integer arithmetic —
+    the ML feature transform where each row gets its category's mean
+    target EXCLUDING itself (the standard leakage guard), as an
+    integer division of pre-scaled units.
+
+    One hash agg builds (category, sum, count) cells — map-side
+    partial, mergeable — which broadcast back onto the scan, so rows
+    never shuffle: loo = (sum_g - x) div (n_g - 1). Groups of one have
+    no leave-one-out mean → NULL (caller imputes the global prior).
+    Integer sums and floor division are parallelism-invariant, unlike
+    the float mean every naive implementation uses.
+
+    Returns id_cols + (cat_col, n_cat, loo_enc).
+    """
+    cells = df.groupBy(cat_col).agg(
+        F.sum(target_int_col).alias("__sum_g"),
+        F.count(F.lit(1)).alias("n_cat"),
+    )
+    return df.join(F.broadcast(cells), cat_col).select(
+        *id_cols, cat_col, "n_cat",
+        F.when(
+            F.col("n_cat") > 1,
+            F.expr(f"(__sum_g - {target_int_col}) div (n_cat - 1)"),
+        ).alias("loo_enc"),
+    )

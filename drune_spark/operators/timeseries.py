@@ -548,3 +548,96 @@ def ohlc_resample(
         ).alias("close"),
         F.count(F.lit(1)).alias("n"),
     ).withColumnRenamed("k", key_col)
+
+
+def period_over_period(
+    df: DataFrame,
+    period_us: int,
+    dim_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Period-over-period deltas: per (dim, period-bucket) row counts
+    with the previous CALENDAR period's count, the delta, and an
+    integer-ppm change ratio. A missing previous period (gap or series
+    start) yields NULLs — the lag is matched on bucket-1 via
+    self-join-free window over dense cells is WRONG under gaps, so
+    the window checks the lagged bucket id explicitly.
+
+    One raw-scan agg to (dim, bucket) cells, then all window work on
+    cells (calendar-bounded). All-integer.
+
+    The ratio is emitted as n/prev in ppm (always non-negative) rather
+    than a signed pct-change: signed integer division truncates toward
+    zero in Spark but floors in DuckDB, so a negative-delta ppm would
+    diverge by 1 between engines (the CLAUDE.md `div` trap); the
+    signed delta itself is exact.
+
+    Returns (dim, bucket, n, prev_n, delta, ratio_ppm).
+    """
+    from pyspark.sql import Window
+
+    bucket = F.expr(f"unix_micros({ts_col}) div {int(period_us)}")
+    cells = (
+        df.select(F.col(dim_col).alias("dim"), bucket.alias("bucket"))
+        .groupBy("dim", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("dim").orderBy(F.col("bucket").asc())
+    lagged = cells.select(
+        "dim", "bucket", "n",
+        F.lag("bucket").over(w).alias("__pb"),
+        F.lag("n").over(w).alias("__pn"),
+    )
+    prev_n = F.when(F.col("__pb") == F.col("bucket") - 1, F.col("__pn"))
+    return lagged.select(
+        "dim", "bucket", "n",
+        prev_n.alias("prev_n"),
+        (F.col("n") - prev_n).alias("delta"),
+        F.expr(
+            "CASE WHEN __pb = bucket - 1 THEN "
+            "n * 1000000 div __pn END"
+        ).alias("ratio_ppm"),
+    )
+
+
+def concurrency_peak(
+    df: DataFrame,
+    dim_col: str = "event_type",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Peak simultaneous intervals per dimension — the staffing/load
+    question ("max concurrent sessions"), solved with the sweep-line:
+    each interval contributes (+1 at start, -1 at end), one sorted
+    window per dim accumulates the running load, and the max is the
+    peak. End events sort BEFORE same-timestamp starts (half-open
+    [s, e) intervals: touching endpoints do not overlap).
+
+    One Exchange+Sort per dim over 2× the interval count — the same
+    envelope as any grouped window; the final agg carries one row per
+    dim. Integer bounds → exact.
+
+    Returns (dim, n_intervals, peak).
+    """
+    from pyspark.sql import Window
+
+    starts = df.select(
+        F.col(dim_col).alias("dim"),
+        F.col(start_col).alias("t"),
+        F.lit(1).alias("d"),
+    )
+    ends = df.select(
+        F.col(dim_col).alias("dim"),
+        F.col(end_col).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    sweep = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("dim")
+        .orderBy(F.col("t").asc(), F.col("d").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    load = sweep.withColumn("load", F.sum("d").over(w))
+    return load.groupBy("dim").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        F.max("load").alias("peak"),
+    )

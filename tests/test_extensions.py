@@ -2129,3 +2129,46 @@ class TestLinearAttribution:
         assert got["view"] == (6, 4, 1500000)
         # clicks: u1's C is the last touch of its conversion → 500000
         assert got["click"] == (1, 1, 500000)
+
+
+class TestTargetEncodeLoo:
+    def test_hand_computed(self, spark):
+        from drune_spark.operators.features import target_encode_loo
+        rows = [(1, "a", 10), (2, "a", 20), (3, "a", 33), (4, "b", 7)]
+        df = spark.createDataFrame(rows, "id long, cat string, t long")
+        got = {r.id: (r.n_cat, r.loo_enc)
+               for r in target_encode_loo(df, "cat", "t", ["id"])
+               .collect()}
+        # a: sums exclude self over 2 others; b: singleton → NULL
+        assert got == {1: (3, 26), 2: (3, 21), 3: (3, 15), 4: (1, None)}
+
+
+class TestPeriodOverPeriod:
+    def test_gap_breaks_the_lag(self, spark):
+        from drune_spark.operators.timeseries import period_over_period
+        import datetime as dt
+        base = dt.datetime(1970, 1, 1)
+        mk = lambda b, n: [("x", base + dt.timedelta(hours=6 * b,
+                                                     minutes=i))
+                           for i in range(n)]
+        rows = mk(0, 4) + mk(1, 6) + mk(3, 2)   # bucket 2 missing
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        got = {r.bucket: (r.n, r.prev_n, r.delta, r.ratio_ppm)
+               for r in period_over_period(df, 21600000000).collect()}
+        assert got[0] == (4, None, None, None)
+        assert got[1] == (6, 4, 2, 1500000)
+        assert got[3] == (2, None, None, None)   # gap → no comparison
+
+
+class TestConcurrencyPeak:
+    def test_half_open_touching_intervals(self, spark):
+        from drune_spark.operators.timeseries import concurrency_peak
+        rows = [
+            ("a", 0, 10), ("a", 5, 15), ("a", 15, 20),  # peak 2;
+            # [5,15) and [15,20) touch → not concurrent
+            ("b", 0, 100), ("b", 10, 20), ("b", 12, 18),  # nested → 3
+        ]
+        df = spark.createDataFrame(rows, "dim string, s long, e long")
+        got = {r.dim: (r.n_intervals, r.peak)
+               for r in concurrency_peak(df, dim_col="dim").collect()}
+        assert got == {"a": (3, 2), "b": (3, 3)}
