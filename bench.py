@@ -141,6 +141,9 @@ BENCH_QUERIES = [
     "conversion_lag",
     "attribution",
     "group_split",
+    "target_encode",
+    "period_over_period",
+    "concurrency_peak",
 ]
 
 
