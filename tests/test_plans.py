@@ -297,3 +297,42 @@ class TestPlans:
         only the matching partition directories are read."""
         plan = full_plan(entry.q_dpp_join(spark, SF))
         assert "dynamicpruning" in plan.lower()
+
+
+class TestSecondWavePlans:
+    def test_target_encode_broadcast_cells_no_smj(self, spark, entry):
+        plan = executed_plan(entry.q_target_encode(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_basket_rules_frequency_joins_broadcast(self, spark, entry):
+        plan = executed_plan(entry.q_basket_rules(spark, SF))
+        # freq tables and the 1-row totals frame must broadcast; the
+        # only SMJ allowed is the pair self-join on the basket key.
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row totals cross join
+        assert "CartesianProduct" not in plan
+
+    def test_skyline_no_row_level_global_sort(self, spark, entry):
+        plan = executed_plan(entry.q_skyline_pareto(spark, SF))
+        # frontier scan runs over cells after a partial agg; the raw
+        # scan side must not be globally range-partitioned.
+        assert "rangepartitioning" not in plan.lower().split("broadcast")[0]
+        assert "BroadcastHashJoin" in plan
+
+    def test_ri_audit_broadcast_parents(self, spark, entry):
+        plan = executed_plan(entry.q_ri_audit(spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert "SortMergeJoin" not in plan
+
+    def test_spatial_join_equi_not_nested_loop(self, spark, entry):
+        plan = executed_plan(entry.q_spatial_join(spark, SF))
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_running_distinct_windows_on_cells(self, spark, entry):
+        plan = executed_plan(entry.q_running_distinct(spark, SF))
+        # the running-sum window must sit above the day-cell aggregate
+        # (partial agg before its exchange), not above raw events
+        assert "Window" in plan
+        assert "partial_count" in plan or "partial" in plan.lower()
