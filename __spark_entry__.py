@@ -3828,6 +3828,101 @@ def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concurrency_peak(iv, dim_col="event_type")
 
 
+# NULL-aware NOT IN semantics: one NULL in the subquery list makes
+# NOT IN unknowable for every row (three-valued logic), so the naive
+# count collapses to 0 while the null-filtered variant keeps rows.
+# Catalyst plans the first as a null-aware anti join (NAAJ); both
+# engines implement ANSI semantics, one shared text.
+NOT_IN_NULLS_SQL = """
+    SELECT
+        (SELECT COUNT(*) FROM customer
+          WHERE c_custkey NOT IN
+            (SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                         ELSE o_custkey END
+             FROM orders)) AS n_naive,
+        (SELECT COUNT(*) FROM customer
+          WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM orders
+             WHERE o_orderkey % 2 = 1)) AS n_filtered
+"""
+
+
+def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with NULLs — the classic three-valued-logic trap, as a
+    parity gate (null-aware anti join vs filtered anti join)."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("customer", "orders"),
+        NOT_IN_NULLS_SQL, "not_in_nulls",
+    )
+
+
+INTERSECT_ALL_SQL = """
+    SELECT p_brand, COUNT(*) AS n FROM (
+        SELECT p_brand FROM part WHERE p_size < 10
+        INTERSECT ALL
+        SELECT p_brand FROM part WHERE p_retailprice > 910
+    ) GROUP BY p_brand
+"""
+
+
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL multiset semantics (min multiplicity per value) —
+    completes the set-operator surface beside setops_except's
+    EXCEPT ALL. Shared text."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("part",), INTERSECT_ALL_SQL, "intersect_all",
+    )
+
+
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 user-defined TABLE function,
+    LATERAL-joined in SQL): tokenize sampled documents into
+    (word, length) rows, aggregated to counts per word length.
+    Surface-parity gate for the row-generating UDF family — corpus
+    hot paths stay on explode/codegen (see doc_chunks), this pins the
+    API works end-to-end. Oracle is the engine-native unnest+length
+    formulation."""
+    _tune(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, wlen: int")
+    class WordLens:
+        def eval(self, text: str):
+            if text:
+                for w in text.split():
+                    yield (w, len(w))
+
+    spark.udtf.register("wordlens_udtf", WordLens)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql("""
+        SELECT t.wlen, COUNT(*) AS n
+        FROM udtf_docs, LATERAL wordlens_udtf(text) t
+        GROUP BY t.wlen
+    """)
+
+
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type surface (Spark 4 parse_json /
+    variant_get): the props payload through the binary VARIANT
+    encoding instead of per-call string parsing (f_json_extract's
+    path) — per event type, count and exact sum of the extracted
+    field."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "variant_get(parse_json(props), '$.k', 'int')"
+        ).alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3871,6 +3966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "period_over_period": q_period_over_period,
         "concurrency_peak": q_concurrency_peak,
+        "not_in_nulls": q_not_in_nulls,
+        "intersect_all": q_intersect_all,
+        "python_udtf": q_python_udtf,
+        "variant_json": q_variant_json,
         "grouped_ols": q_grouped_ols,
         "set_sim_join": q_set_sim_join,
         "weighted_sample": q_weighted_sample,
@@ -4775,6 +4874,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "not_in_nulls": NOT_IN_NULLS_SQL,
+        "intersect_all": INTERSECT_ALL_SQL,
+        "python_udtf": """
+            SELECT CAST(length(w) AS INTEGER) AS wlen, COUNT(*) AS n
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(text),
+                              '\\s+')) AS w
+                FROM documents WHERE doc_id % 50 = 0
+            )
+            WHERE w <> ''
+            GROUP BY length(w)
+        """,
+        "variant_json": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k')
+                                 AS INTEGER)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
         """,
         "p1_schema_apply": """
             SELECT CAST(c_custkey AS BIGINT) AS cd_customer,

@@ -144,6 +144,10 @@ BENCH_QUERIES = [
     "target_encode",
     "period_over_period",
     "concurrency_peak",
+    "not_in_nulls",
+    "intersect_all",
+    "python_udtf",
+    "variant_json",
 ]
 
 
