@@ -37,9 +37,13 @@ def basket_rules(
     Returns (item_a, item_b, n_ab, n_a, n_b, conf_ab_ppm, conf_ba_ppm,
     lift_ppm) — all integers; *_ppm are floor(1e6 * ratio).
     """
+    # The distinct item set feeds FOUR consumers (totals, frequencies,
+    # both sides of the pair self-join); without persist each branch
+    # re-runs the scan+distinct (measured: 10 exchanges). One
+    # materialization, four InMemoryTableScans.
     items = baskets.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
+    ).distinct().persist()
     # Scalar total as a broadcast 1-row frame — no driver action, the
     # whole rule table stays one lazy plan (same pattern as zorder's
     # min/max normalization join).

@@ -301,11 +301,17 @@ def activity_streaks(
     The classic island trick: over the distinct (key, day) set,
     ``day - row_number()`` is constant within a run of consecutive
     days, so one grouped window plus two cell aggregates recover every
-    island. All three shuffles hash on ``key_col`` (distinct, window,
-    island agg reuse one partitioning; the final per-key agg carries
-    island cells, not rows). All-integer µs-day arithmetic — results
-    are parallelism-invariant, and per-key cost is bounded by the
-    calendar (≤ days in retention), never by event volume.
+    island. Exactly TWO shuffles: the (key, day) distinct and the
+    per-key window; the island aggregate and the final per-key
+    aggregate both reuse the window's hash partitioning (their keys
+    are supersets of key_col), and the longest-streak argmax is an
+    integer-encoded MAX — ``len*1e7 + (1e7-1-start_day)`` — instead of
+    a len==longest self-join, which would re-execute the whole subtree
+    per branch (measured: 4 exchanges + doubled work). All-integer
+    µs-day arithmetic — parallelism-invariant; per-key cost is bounded
+    by the calendar (≤ days in retention), never by event volume.
+    Encoding bounds: streak length < 1e5 days and epoch day < 1e7, so
+    the code stays far inside int64.
 
     Reference analog: drune exposes windowed uniqueness (A4) but no
     run-length analytics; this is the standard product-analytics
@@ -323,20 +329,19 @@ def activity_streaks(
         F.count(F.lit(1)).alias("len"),
         F.min("day").alias("start_day"),
     )
-    per_key = runs.groupBy("k").agg(
+    enc = F.col("len") * F.lit(10_000_000) + (
+        F.lit(9_999_999) - F.col("start_day")
+    )
+    return runs.groupBy("k").agg(
         F.sum("len").alias("n_active_days"),
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("len").alias("longest"),
-    )
-    return (
-        runs.join(per_key, "k")
-        .filter(F.col("len") == F.col("longest"))
-        .groupBy("k", "n_active_days", "n_streaks", "longest")
-        .agg(F.min("start_day").alias("longest_start_day"))
-        .select(
-            F.col("k").alias(key_col),
-            "n_active_days", "n_streaks", "longest", "longest_start_day",
-        )
+        F.max(enc).alias("__code"),
+    ).select(
+        F.col("k").alias(key_col),
+        "n_active_days", "n_streaks", "longest",
+        (F.lit(9_999_999) - F.col("__code") % F.lit(10_000_000))
+        .alias("longest_start_day"),
     )
 
 
