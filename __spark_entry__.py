@@ -3923,6 +3923,52 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality screen: per-label squared-L2-norm statistics
+    in integer units (each component rounded to 1/1024 steps BEFORE
+    squaring, one fixed-order aggregate fold per vector) — catches
+    collapsed or exploding vectors before they poison ANN indexes.
+    Integer per-vector norms make min/max/sum order-independent, so
+    the screen is parallelism-invariant where naive float norms are
+    not. Narrow (no shuffle before the label agg)."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr(
+            "aggregate(embedding, 0L, (acc, x) -> acc + "
+            "CAST(floor(x * 1024 + 0.5) AS BIGINT) * "
+            "CAST(floor(x * 1024 + 0.5) AS BIGINT))"
+        ).alias("norm2_scaled"),
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("norm2_scaled").alias("min_norm2"),
+        F.max("norm2_scaled").alias("max_norm2"),
+        F.sum("norm2_scaled").alias("sum_norm2"),
+    )
+
+
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit: per event type, event count, last-seen
+    time and staleness relative to the corpus watermark (the global
+    max event time — an anchor derived from data, not wall clock, so
+    the check is deterministic). One agg to type cells + a broadcast
+    1-row watermark join."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    cells = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("ts_us").alias("last_us"),
+    )
+    wm = ev.agg(F.max("ts_us").alias("wm_us"))
+    return cells.crossJoin(F.broadcast(wm)).select(
+        "event_type", "n", "last_us",
+        (F.col("wm_us") - F.col("last_us")).alias("staleness_us"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3970,6 +4016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_all": q_intersect_all,
         "python_udtf": q_python_udtf,
         "variant_json": q_variant_json,
+        "embedding_norms": q_embedding_norms,
+        "freshness_audit": q_freshness_audit,
         "grouped_ols": q_grouped_ols,
         "set_sim_join": q_set_sim_join,
         "weighted_sample": q_weighted_sample,
@@ -4874,6 +4922,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "embedding_norms": """
+            WITH v AS (
+                SELECT label,
+                       (SELECT CAST(SUM(
+                            CAST(floor(x * 1024 + 0.5) AS BIGINT)
+                            * CAST(floor(x * 1024 + 0.5) AS BIGINT))
+                            AS BIGINT)
+                        FROM unnest(embedding) AS t(x))
+                           AS norm2_scaled
+                FROM embeddings
+            )
+            SELECT label, COUNT(*) AS n,
+                   CAST(MIN(norm2_scaled) AS BIGINT) AS min_norm2,
+                   CAST(MAX(norm2_scaled) AS BIGINT) AS max_norm2,
+                   CAST(SUM(norm2_scaled) AS BIGINT) AS sum_norm2
+            FROM v GROUP BY label
+        """,
+        "freshness_audit": """
+            WITH ev AS (
+                SELECT event_type, epoch_us(ts) AS ts_us FROM events
+            ),
+            cells AS (
+                SELECT event_type, COUNT(*) AS n,
+                       CAST(MAX(ts_us) AS BIGINT) AS last_us
+                FROM ev GROUP BY event_type
+            ),
+            wm AS (SELECT MAX(ts_us) AS wm_us FROM ev)
+            SELECT event_type, n, last_us,
+                   CAST(wm_us - last_us AS BIGINT) AS staleness_us
+            FROM cells CROSS JOIN wm
         """,
         "not_in_nulls": NOT_IN_NULLS_SQL,
         "intersect_all": INTERSECT_ALL_SQL,

@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "intersect_all",
     "python_udtf",
     "variant_json",
+    "embedding_norms",
+    "freshness_audit",
 ]
 
 
