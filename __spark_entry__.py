@@ -3969,6 +3969,28 @@ def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporally-blocked MinHash-LSH (operators/dedup.py
+    minhash_lsh_pairs_recent): near-dup pairs only within a 7-day
+    horizon — the week joins the LSH blocking key (probe side fans to
+    3 adjacent weeks), so candidate volume tracks weekly ingest, not
+    corpus age. Portable md5 signature math; ingest day derived
+    deterministically from doc_id (md5 % 60-day span)."""
+    _tune(spark)
+    from drune_spark.functions.hashes import md5_u32
+    from drune_spark.operators.dedup import minhash_lsh_pairs_recent
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        (md5_u32(F.concat(F.lit("day"), F.col("doc_id").cast("string")))
+         % 60).alias("day"),
+    )
+    return minhash_lsh_pairs_recent(
+        docs, "text", "doc_id", "day",
+        horizon_days=7, min_est_jaccard=0.5, portable=True,
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4018,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_json": q_variant_json,
         "embedding_norms": q_embedding_norms,
         "freshness_audit": q_freshness_audit,
+        "dedup_recent": q_dedup_recent,
         "grouped_ols": q_grouped_ols,
         "set_sim_join": q_set_sim_join,
         "weighted_sample": q_weighted_sample,
@@ -6048,6 +6071,67 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
+        """,
+        "dedup_recent": f"""
+            WITH toks AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ),
+            days AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('day' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 60 AS day
+                FROM documents
+            ),
+            shing AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+                FROM toks, UNNEST(generate_series(1,
+                     greatest(len(w) - 2, 0))) AS t(i)
+            ),
+            h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv
+                FROM shing
+            ),
+            perms(i, a, b) AS (VALUES {coeff_rows}),
+            slots AS (
+                SELECT d.doc_id, p.i,
+                       COALESCE(MIN((p.a * h.hv + p.b) % {mersenne}),
+                                {mersenne}) AS slot
+                FROM (SELECT DISTINCT doc_id FROM documents) d
+                CROSS JOIN perms p
+                LEFT JOIN h ON h.doc_id = d.doc_id
+                GROUP BY d.doc_id, p.i
+            ),
+            sigs AS (
+                SELECT doc_id, list(slot ORDER BY i) AS sig
+                FROM slots GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, sig, unnest(range(0, 16)) AS band,
+                       unnest([{mh_band_slices}]) AS key
+                FROM sigs
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sig AS sa, b.sig AS sb
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, day_a, day_b, est_jaccard FROM (
+                SELECT id_a, id_b,
+                       CAST(da.day AS BIGINT) AS day_a,
+                       CAST(db.day AS BIGINT) AS day_b,
+                       CAST(len(list_filter(range(0, 64),
+                                            j -> sa[j+1] = sb[j+1]))
+                            AS DOUBLE) / 64 AS est_jaccard
+                FROM cands
+                JOIN days da ON da.doc_id = cands.id_a
+                JOIN days db ON db.doc_id = cands.id_b
+                WHERE abs(da.day - db.day) <= 7
+            ) WHERE est_jaccard >= 0.5
         """,
         "dedup_minhash_lsh": f"""
             WITH toks AS (

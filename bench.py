@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "variant_json",
     "embedding_norms",
     "freshness_audit",
+    "dedup_recent",
 ]
 
 

@@ -672,3 +672,100 @@ def duplicate_spans(
             .alias("dup_frac"),
         )
     )
+
+
+def minhash_lsh_pairs_recent(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    day_col: str,
+    horizon_days: int = 7,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+    min_est_jaccard: float = 0.0,
+    portable: bool = False,
+) -> DataFrame:
+    """Temporally-blocked LSH near-dup pairs: only pairs whose
+    ``day_col`` values differ by at most ``horizon_days`` — the
+    production "dedup against recent history" contract (a steady-state
+    ingest pipeline never compares against the full corpus).
+
+    The horizon becomes part of the BLOCKING key, not a post-filter:
+    docs band on (band, bucket, week) with week = day div horizon, and
+    the probe side fans out to weeks {w-1, w, w+1}, so a bucket's
+    candidate set shrinks from all-history to a 3-window slice — at
+    100 TB this is the difference between candidate volume growing
+    with corpus AGE versus staying proportional to weekly INGEST. An
+    exact |Δday| <= horizon residual filter then trims the corner
+    pairs the coarse week grid admits. Same signature math as
+    minhash_lsh_pairs (shuffle-free folds, pairs carry 24-byte keys).
+
+    Returns (id_a, id_b, day_a, day_b, est_jaccard).
+    """
+    rows_per_band = num_perm // bands
+    days = df.select(F.col(id_col).alias("doc"),
+                     F.col(day_col).alias("day"))
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm, k, seed, portable
+    ).join(days, "doc").persist()
+    week = F.expr(f"day div {int(horizon_days)}")
+
+    def banded(fan_out: bool):
+        weeks = (
+            F.explode(F.array(week - 1, week, week + 1))
+            if fan_out else week
+        )
+        return sigs.select(
+            "doc", "day",
+            weeks.alias("wk"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1,
+                                    rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bb"),
+        ).select("doc", "day", "wk", "bb.band", "bb.bucket")
+
+    cands = (
+        banded(False).alias("a")
+        .join(
+            banded(True).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .filter(
+            F.abs(F.col("a.day") - F.col("b.day"))
+            <= F.lit(int(horizon_days))
+        )
+        .select(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
+            F.col("a.day").alias("day_a"), F.col("b.day").alias("day_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    paired = (
+        cands
+        .join(sigs.select(F.col("doc").alias("id_a"),
+                          F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("doc").alias("id_b"),
+                          F.col("sig").alias("sig_b")), "id_b")
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                 lambda v: v)
+    ).cast("double") / F.lit(num_perm)
+    return (
+        paired.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "day_a", "day_b", "est_jaccard")
+    )

@@ -2172,3 +2172,44 @@ class TestConcurrencyPeak:
         got = {r.dim: (r.n_intervals, r.peak)
                for r in concurrency_peak(df, dim_col="dim").collect()}
         assert got == {"a": (3, 2), "b": (3, 3)}
+
+
+class TestDedupRecent:
+    def test_horizon_filters_old_pairs(self, spark):
+        from drune_spark.operators.dedup import minhash_lsh_pairs_recent
+        base = ("the quick brown fox jumps over the lazy dog and runs "
+                "far away home tonight")
+        near = base.replace("lazy", "sleepy")
+        rows = [
+            (1, base, 0), (2, base, 3),     # dup pair within horizon
+            (3, near, 5),                   # near-dup of 1 (5d) & 2 (2d)
+            (4, base, 30),                  # exact dup but 30 days out
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                         "day long")
+        got = {(r.id_a, r.id_b) for r in minhash_lsh_pairs_recent(
+            df, "text", "doc_id", "day",
+            horizon_days=7, min_est_jaccard=0.5).collect()}
+        assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+        assert not any(4 in p for p in got)
+
+    def test_pairs_equal_unblocked_plus_day_filter(self, spark):
+        from drune_spark.operators.dedup import (
+            minhash_lsh_pairs, minhash_lsh_pairs_recent)
+        import random
+        rng = random.Random(7)
+        words = ["spark", "sql", "join", "scan", "sort", "hash", "agg"]
+        rows = [
+            (i, " ".join(rng.choice(words) for _ in range(12)), i % 11)
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                         "day long")
+        day = {i: d for i, _, d in rows}
+        blocked = {(r.id_a, r.id_b) for r in minhash_lsh_pairs_recent(
+            df, "text", "doc_id", "day", horizon_days=4,
+            min_est_jaccard=0.5).collect()}
+        unblocked = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+            df, "text", "doc_id", min_est_jaccard=0.5).collect()
+            if abs(day[r.id_a] - day[r.id_b]) <= 4}
+        assert blocked == unblocked
