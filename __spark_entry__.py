@@ -3991,6 +3991,19 @@ def q_dedup_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert sink (streaming/runner.py stream_upsert):
+    foreachBatch last-wins merge into a keyed state table, drained
+    availableNow — final state is each user's last event, a pure
+    function of the input regardless of micro-batch splits."""
+    _tune(spark)
+    from drune_spark.streaming.runner import stream_upsert
+
+    return stream_upsert(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4041,6 +4054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "freshness_audit": q_freshness_audit,
         "dedup_recent": q_dedup_recent,
+        "stream_upsert": q_stream_upsert,
         "grouped_ols": q_grouped_ols,
         "set_sim_join": q_set_sim_join,
         "weighted_sample": q_weighted_sample,
@@ -4945,6 +4959,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "stream_upsert": """
+            SELECT user_id,
+                   CAST(last_ts_us AS BIGINT) AS last_ts_us,
+                   CAST(last_event_id AS BIGINT) AS last_event_id,
+                   last_type
+            FROM (
+                SELECT user_id, epoch_us(ts) AS last_ts_us,
+                       event_id AS last_event_id,
+                       event_type AS last_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts) DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "embedding_norms": """
             WITH v AS (

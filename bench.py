@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "embedding_norms",
     "freshness_audit",
     "dedup_recent",
+    "stream_upsert",
 ]
 
 

@@ -310,3 +310,78 @@ def streamed_distinct(
         )
         query.awaitTermination()
     return spark.table(name).select("event_type", "day")
+
+
+def stream_upsert(
+    spark: SparkSession,
+    events_path: str,
+    n_state_partitions: int | None = 8,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming upsert sink via foreachBatch — the stream→MERGE
+    pattern (each micro-batch merges into a keyed state table instead
+    of appending): final state holds each user's LAST event.
+
+    The merge is last-wins by the total order (ts_us, event_id), and
+    each batch re-reduces the union of (existing state, batch), so the
+    final table is a pure function of the input regardless of how the
+    availableNow drain splits micro-batches — that is what makes the
+    gate batch-exact. With a Delta/Iceberg sink the re-reduce becomes
+    a keyed MERGE (sinks/writers.py merge_upsert fast path) touching
+    only changed keys; the parquet fallback rewrites state, which is
+    keys-sized, not events-sized.
+
+    Returns the final state (user_id, last_ts_us, last_event_id,
+    last_type).
+    """
+    from pyspark.sql import Window
+
+    stream = _raw_stream(spark, events_path, options).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.col("event_type").alias("last_type"),
+    )
+    state_dir = tempfile.mkdtemp(prefix="drune_stream_upsert_")
+    state_path = os.path.join(state_dir, "state.parquet")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            existing = sess.read.parquet(state_path)
+        except Exception:  # noqa: BLE001 — first batch, no state yet
+            existing = None
+        unioned = (
+            batch_df if existing is None
+            else batch_df.unionByName(existing)
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        reduced = (
+            unioned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        # state is keys-sized; rewrite via a temp dir + atomic-ish swap
+        tmp_out = state_path + f".b{batch_id}"
+        reduced.write.mode("overwrite").parquet(tmp_out)
+        final = sess.read.parquet(tmp_out)
+        final.write.mode("overwrite").parquet(state_path)
+
+    with tempfile.TemporaryDirectory() as ckpt, \
+            state_partitions(spark, n_state_partitions):
+        query = (
+            stream.writeStream
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    out = spark.read.parquet(state_path)
+    return out.select(
+        "user_id",
+        F.col("ts_us").alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        "last_type",
+    )

@@ -523,3 +523,38 @@ class TestStreamedDistinct:
             ).distinct().collect()
         )
         assert got == want and len(got) == 6
+
+
+class TestStreamUpsert:
+    def test_multi_batch_equals_single_batch(self, spark, tmp_path):
+        """maxFilesPerTrigger=1 over 3 files forces 3 micro-batches;
+        the final state must equal the one-batch (and pure-batch)
+        answer — the batch-split-invariance contract."""
+        import datetime as dt
+        from drune_spark.streaming.runner import stream_upsert
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(minutes=i), 100 + i,
+             "click" if i % 2 else "view", (i % 5) + 1)
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, x long, "
+                  "event_type string, user_id long"
+        ).select("event_id", "ts", "user_id", "event_type")
+        src = str(tmp_path / "ev")
+        df.repartition(3).write.parquet(src)
+
+        multi = stream_upsert(spark, src,
+                              options={"maxFilesPerTrigger": "1"})
+        single = stream_upsert(spark, src)
+        want = {u: max((r for r in rows if r[4] == u),
+                       key=lambda r: (r[1], r[0]))
+                for u in {r[4] for r in rows}}
+        got_multi = {r.user_id: (r.last_event_id, r.last_type)
+                     for r in multi.collect()}
+        got_single = {r.user_id: (r.last_event_id, r.last_type)
+                      for r in single.collect()}
+        expect = {u: (w[0], w[3]) for u, w in want.items()}
+        assert got_multi == expect
+        assert got_single == expect
