@@ -177,9 +177,19 @@ def main() -> None:
         .mapInPandas(lambda it: it, schema="id long") \
         .write.format("noop").mode("overwrite").save()
 
+    # Wall-clock budget: min-of-2 steady-state timing while under
+    # budget, degrade to single-pass beyond it (the box throttles under
+    # sustained load — see CLAUDE.md — and a driver-side timeout would
+    # turn a slow run into NO numbers, which is strictly worse).
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+    t_start = time.time()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        timings[name] = round(min(run(name), run(name)), 3)
+        first = run(name)
+        if time.time() - t_start < budget_s:
+            timings[name] = round(min(first, run(name)), 3)
+        else:
+            timings[name] = round(first, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
