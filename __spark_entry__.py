@@ -4004,6 +4004,36 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two mandate halves composed: drune's declarative StepRunner
+    (O1/Q-family) chaining the LLM corpus steps (operators/
+    llm_steps.py) — exact dedup then model-window chunking — as ONE
+    lazy Catalyst plan. The oracle replays the same chain as a single
+    SQL pipeline, so the gate proves step composition, not just the
+    operators in isolation."""
+    _tune(spark)
+    from drune_spark.config.models import StepConfig
+    from drune_spark.operators.registry import StepRunner
+    import drune_spark.operators.llm_steps  # noqa: F401
+    import drune_spark.operators.steps  # noqa: F401
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    runner = StepRunner(spark)
+    out = runner.run(
+        [
+            StepConfig(name="dedup", type="dedup",
+                       params={"text_col": "text", "id_col": "doc_id"}),
+            StepConfig(name="chunk", type="chunk",
+                       params={"text_col": "text", "id_col": "doc_id",
+                               "chunk_size": 32, "overlap": 8}),
+        ],
+        {"documents": docs},
+        docs,
+    )
+    return out.select("doc_id", "chunk_id", "n_chunk_tokens",
+                      "chunk_text")
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4055,6 +4085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_audit": q_freshness_audit,
         "dedup_recent": q_dedup_recent,
         "stream_upsert": q_stream_upsert,
+        "corpus_pipeline": q_corpus_pipeline,
         "grouped_ols": q_grouped_ols,
         "set_sim_join": q_set_sim_join,
         "weighted_sample": q_weighted_sample,
@@ -5838,6 +5869,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, md5({norm}) AS fingerprint
             FROM documents
             GROUP BY md5({norm})
+        """,
+        "corpus_pipeline": f"""
+            WITH kept AS (
+                SELECT min(doc_id) AS doc_id FROM documents
+                GROUP BY md5({norm})
+            ),
+            d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM kept)
+            ),
+            s AS (
+                SELECT doc_id, w,
+                       CASE WHEN len(w) > 32
+                            THEN CAST(ceil(CAST(len(w) - 32 AS DOUBLE)
+                                           / 24) AS INTEGER)
+                            ELSE 0 END AS extra
+                FROM d
+            ),
+            e AS (
+                SELECT doc_id, w,
+                       unnest(range(0, extra + 1)) AS chunk_id
+                FROM s
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS INTEGER) AS chunk_id,
+                   CAST(len(list_slice(w, chunk_id * 24 + 1,
+                                       chunk_id * 24 + 32)) AS INTEGER)
+                       AS n_chunk_tokens,
+                   array_to_string(list_slice(w, chunk_id * 24 + 1,
+                                              chunk_id * 24 + 32), ' ')
+                       AS chunk_text
+            FROM e
         """,
         "time_rollup": """
             WITH b AS (

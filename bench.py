@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "freshness_audit",
     "dedup_recent",
     "stream_upsert",
+    "corpus_pipeline",
 ]
 
 
