@@ -4034,6 +4034,107 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "chunk_text")
 
 
+def q_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted percentiles (operators/stats.py
+    weighted_percentile): revenue-weighted quantity quantiles per
+    return flag — integer lower-bound rule over (group, value) cells,
+    no interpolation FP, no repetition blow-up."""
+    _tune(spark)
+    from drune_spark.operators.stats import weighted_percentile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("w_cents"),
+    )
+    return weighted_percentile(
+        li, ["l_returnflag"], "qty", "w_cents",
+        q_ppm=[500000, 900000],
+    )
+
+
+def q_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (operators/stats.py grouped_mode):
+    most frequent quantity per return flag, smallest value on ties —
+    integer-encoded argmax, cells only, no window/join."""
+    _tune(spark)
+    from drune_spark.operators.stats import grouped_mode
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    return grouped_mode(li, ["l_returnflag"], "qty")
+
+
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator-semantics surface: posexplode vs explode_outer over
+    word arrays that are NULLed for small parts — outer preserves the
+    NULL-array rows, inner drops them, positions are 0-based. The
+    oracle states the same quantities in closed form (no generator),
+    so the row-accounting semantics are checked, not assumed."""
+    _tune(spark)
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(
+            F.col("p_size") >= 5, F.split(F.col("p_name"), " ")
+        ).alias("arr"),
+    )
+    inner = p.select(
+        "p_partkey", F.posexplode("arr").alias("pos", "w")
+    )
+    outer = p.select(
+        "p_partkey",
+        F.explode_outer("arr").alias("w"),
+    )
+    a = inner.agg(
+        F.lit("posexplode").alias("mode"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("pos").cast("bigint").alias("sum_pos"),
+        F.count_if(F.col("w").isNull()).alias("n_null_vals"),
+    )
+    b = outer.agg(
+        F.lit("explode_outer").alias("mode"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("bigint").alias("sum_pos"),
+        F.count_if(F.col("w").isNull()).alias("n_null_vals"),
+    )
+    return a.unionByName(b)
+
+
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of total revenue in exact
+    integer ppm — DECIMAL cent sums to cells, broadcast 1-row total,
+    integer division. The BI staple beside rank_family's window
+    surface."""
+    _tune(spark)
+    from drune_spark.operators.registry import StepRunner  # noqa: F401
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) "
+                "AS BIGINT)) AS BIGINT)"
+            ).alias("rev_cents")
+        )
+    )
+    total = rev.agg(F.sum("rev_cents").alias("tot_cents"))
+    return rev.crossJoin(F.broadcast(total)).select(
+        "n_name", "rev_cents",
+        F.expr("rev_cents * 1000000 div tot_cents").alias("share_ppm"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4086,6 +4187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recent": q_dedup_recent,
         "stream_upsert": q_stream_upsert,
         "corpus_pipeline": q_corpus_pipeline,
+        "weighted_percentile": q_weighted_percentile,
+        "grouped_mode": q_grouped_mode,
+        "explode_outer": q_explode_outer,
+        "percent_of_total": q_percent_of_total,
         "grouped_ols": q_grouped_ols,
         "set_sim_join": q_set_sim_join,
         "weighted_sample": q_weighted_sample,
@@ -4990,6 +5095,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "weighted_percentile": """
+            WITH cells AS (
+                SELECT l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS qty,
+                       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS w
+                FROM lineitem GROUP BY l_returnflag, qty
+            ),
+            cum AS (
+                SELECT l_returnflag, qty,
+                       SUM(w) OVER (
+                           PARTITION BY l_returnflag ORDER BY qty
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW
+                       ) AS cw,
+                       SUM(w) OVER (PARTITION BY l_returnflag) AS W
+                FROM cells
+            )
+            SELECT l_returnflag, q_ppm,
+                   CAST(MIN(qty) AS BIGINT) AS wpct_value
+            FROM cum
+            CROSS JOIN (SELECT unnest([500000, 900000]) AS q_ppm)
+            WHERE cw >= CAST(ceil(W * q_ppm / 1000000.0) AS BIGINT)
+            GROUP BY l_returnflag, q_ppm
+        """,
+        "grouped_mode": """
+            WITH cells AS (
+                SELECT l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS qty,
+                       COUNT(*) AS cnt
+                FROM lineitem GROUP BY l_returnflag, qty
+            ),
+            r AS (
+                SELECT l_returnflag, qty, cnt,
+                       row_number() OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY cnt DESC, qty ASC
+                       ) AS rn
+                FROM cells
+            )
+            SELECT l_returnflag, CAST(qty AS BIGINT) AS mode_value,
+                   CAST(cnt AS BIGINT) AS mode_count
+            FROM r WHERE rn = 1
+        """,
+        "explode_outer": """
+            WITH p AS (
+                SELECT p_partkey,
+                       CASE WHEN p_size >= 5 THEN
+                           string_split(p_name, ' ')
+                       END AS arr
+                FROM part
+            ),
+            stats AS (
+                SELECT COUNT(*) FILTER (WHERE arr IS NULL) AS n_null,
+                       CAST(SUM(CASE WHEN arr IS NOT NULL
+                                     THEN len(arr) ELSE 0 END)
+                            AS BIGINT) AS n_elems,
+                       CAST(SUM(CASE WHEN arr IS NOT NULL
+                                THEN len(arr) * (len(arr) - 1) / 2
+                                ELSE 0 END) AS BIGINT) AS sum_pos
+                FROM p
+            )
+            SELECT 'posexplode' AS mode, n_elems AS n_rows,
+                   sum_pos, CAST(0 AS BIGINT) AS n_null_vals
+            FROM stats
+            UNION ALL
+            SELECT 'explode_outer', n_elems + n_null,
+                   CAST(NULL AS BIGINT), n_null
+            FROM stats
+        """,
+        "percent_of_total": """
+            WITH rev AS (
+                SELECT n_name,
+                       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS rev_cents
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY n_name
+            ),
+            tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot_cents
+                    FROM rev)
+            SELECT n_name, rev_cents,
+                   CAST(rev_cents * 1000000 // tot_cents AS BIGINT)
+                       AS share_ppm
+            FROM rev CROSS JOIN tot
         """,
         "stream_upsert": """
             SELECT user_id,

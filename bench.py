@@ -153,6 +153,10 @@ BENCH_QUERIES = [
     "dedup_recent",
     "stream_upsert",
     "corpus_pipeline",
+    "weighted_percentile",
+    "grouped_mode",
+    "explode_outer",
+    "percent_of_total",
 ]
 
 

@@ -364,3 +364,83 @@ def grouped_moments(
         F.expr(cov).alias("cov_pop"),
         F.expr(f"({cov}) / sqrt(({vx}) * ({vy}))").alias("corr"),
     )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    q_ppm: list[int],
+) -> DataFrame:
+    """Exact weighted percentiles (lower-bound rule): per group, the
+    smallest value whose cumulative weight reaches ceil(q * W) — the
+    inventory/latency quantile where each row counts ``weight`` times,
+    which Spark's percentile/approx_percentile cannot express with
+    non-integral repetition semantics kept exact.
+
+    All-integer: (group, value) cells carry summed weights (one
+    map-side-partial agg), a per-group cumulative window runs over
+    CELLS (bounded by the value domain), and each requested quantile
+    is a filtered MIN — parallelism-invariant, no interpolation-order
+    FP. Returns group_cols + (q_ppm, wpct_value).
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(*group_cols, value_col).agg(
+        F.sum(weight_col).alias("__w")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*group_cols)
+    cum = cells.select(
+        *group_cols, value_col,
+        F.sum("__w").over(w).alias("__cw"),
+        F.sum("__w").over(tot).alias("__W"),
+    )
+    outs = []
+    for q in q_ppm:
+        thresh = F.expr(f"CAST(ceil(__W * {int(q)} / 1000000.0) AS BIGINT)")
+        outs.append(
+            cum.filter(F.col("__cw") >= thresh)
+            .groupBy(*group_cols)
+            .agg(F.min(value_col).alias("wpct_value"))
+            .withColumn("q_ppm", F.lit(int(q)))
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result.select(*group_cols, "q_ppm", "wpct_value")
+
+
+def grouped_mode(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    value_bound: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic per-group mode (most frequent value, smallest
+    value on ties) via the integer-encoded argmax — one cell aggregate
+    plus one group aggregate, no join back, no window (the
+    activity_streaks argmax pattern). ``value_col`` must be integral,
+    non-negative, and < value_bound.
+
+    Returns group_cols + (mode_value, mode_count).
+    """
+    enc = F.col("__cnt") * F.lit(int(value_bound)) + (
+        F.lit(int(value_bound) - 1) - F.col(value_col)
+    )
+    cells = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return cells.groupBy(*group_cols).agg(
+        F.max(enc).alias("__code")
+    ).select(
+        *group_cols,
+        (F.lit(int(value_bound) - 1)
+         - F.col("__code") % F.lit(int(value_bound))).alias("mode_value"),
+        F.expr(f"__code div {int(value_bound)}L").alias("mode_count"),
+    )

@@ -2213,3 +2213,31 @@ class TestDedupRecent:
             df, "text", "doc_id", min_est_jaccard=0.5).collect()
             if abs(day[r.id_a] - day[r.id_b]) <= 4}
         assert blocked == unblocked
+
+
+class TestWeightedPercentile:
+    def test_hand_computed_lower_bound_rule(self, spark):
+        from drune_spark.operators.stats import weighted_percentile
+        # values 1,2,3 with weights 1,1,2 → W=4; p50 thresh=2 → value 2;
+        # p90 thresh=ceil(3.6)=4 → value 3
+        df = spark.createDataFrame(
+            [("g", 1, 1), ("g", 2, 1), ("g", 3, 2)],
+            "grp string, v long, w long",
+        )
+        got = {r.q_ppm: r.wpct_value
+               for r in weighted_percentile(
+                   df, ["grp"], "v", "w", [500000, 900000]).collect()}
+        assert got == {500000: 2, 900000: 3}
+
+
+class TestGroupedMode:
+    def test_tie_breaks_to_smallest_value(self, spark):
+        from drune_spark.operators.stats import grouped_mode
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 5), ("a", 2), ("a", 2), ("a", 9),
+             ("b", 7)],
+            "grp string, v long",
+        )
+        got = {r.grp: (r.mode_value, r.mode_count)
+               for r in grouped_mode(df, ["grp"], "v").collect()}
+        assert got == {"a": (2, 2), "b": (7, 1)}
