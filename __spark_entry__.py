@@ -4135,6 +4135,41 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation: do daily view counts move with daily
+    purchase counts? Day-cell counts per type, full-outer day join
+    (absent days count 0), then operators/stats.py grouped_moments —
+    integer sufficient statistics, bit-identical corr; everything
+    after the first agg runs on calendar-bounded cells."""
+    _tune(spark)
+    from drune_spark.operators.stats import grouped_moments
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "event_type",
+    )
+    cells = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    v = cells.filter(F.col("event_type") == "view").select(
+        "day", F.col("n").alias("n_view")
+    )
+    p = cells.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("n").alias("n_purch")
+    )
+    series = (
+        v.join(p, "day", "full_outer")
+        .select(
+            F.lit("view_vs_purchase").alias("pair"),
+            F.coalesce("n_view", F.lit(0)).alias("n_view"),
+            F.coalesce("n_purch", F.lit(0)).alias("n_purch"),
+        )
+    )
+    return grouped_moments(
+        series, "n_view", "n_purch", ["pair"], scale_x=1, scale_y=1
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4187,6 +4222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recent": q_dedup_recent,
         "stream_upsert": q_stream_upsert,
         "corpus_pipeline": q_corpus_pipeline,
+        "series_corr": q_series_corr,
         "weighted_percentile": q_weighted_percentile,
         "grouped_mode": q_grouped_mode,
         "explode_outer": q_explode_outer,
@@ -5095,6 +5131,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "series_corr": """
+            WITH ev AS (
+                SELECT epoch_us(ts) // 86400000000 AS day, event_type
+                FROM events
+            ),
+            cells AS (
+                SELECT day, event_type, COUNT(*) AS n
+                FROM ev GROUP BY day, event_type
+            ),
+            v AS (SELECT day, n AS n_view FROM cells
+                  WHERE event_type = 'view'),
+            p AS (SELECT day, n AS n_purch FROM cells
+                  WHERE event_type = 'purchase'),
+            series AS (
+                SELECT COALESCE(v.n_view, 0) AS x,
+                       COALESCE(p.n_purch, 0) AS y
+                FROM v FULL OUTER JOIN p ON v.day = p.day
+            ),
+            a AS (
+                SELECT 'view_vs_purchase' AS pair, COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sx2,
+                       CAST(SUM(y * y) AS BIGINT) AS sy2
+                FROM series
+            )
+            SELECT pair, n, sx, sy, sxy, sx2, sy2,
+                   (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS cov_pop,
+                   ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE))
+                   / sqrt(((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE))
+                     * ((CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+                        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE))) AS corr
+            FROM a
         """,
         "weighted_percentile": """
             WITH cells AS (

@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "grouped_mode",
     "explode_outer",
     "percent_of_total",
+    "series_corr",
 ]
 
 
