@@ -4170,6 +4170,85 @@ def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GROUP_BY_ALL_SQL = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+"""
+
+
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL surface (infer grouping keys from the non-aggregate
+    select list) — both engines support the modern shorthand; shared
+    text."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("lineitem",), GROUP_BY_ALL_SQL, "group_by_all",
+    )
+
+
+NULLS_ORDERING_SQL = """
+    SELECT o_orderkey,
+           CAST(row_number() OVER (
+               ORDER BY nullif(o_orderpriority, '3-MEDIUM')
+                        ASC NULLS FIRST,
+                        o_orderkey
+           ) AS BIGINT) AS rn_nf,
+           CAST(row_number() OVER (
+               ORDER BY nullif(o_orderpriority, '3-MEDIUM')
+                        DESC NULLS LAST,
+                        o_orderkey
+           ) AS BIGINT) AS rn_nl
+    FROM orders
+    WHERE o_orderkey % 37 = 0
+"""
+
+
+def q_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST sort semantics under window ordering
+    (engine defaults differ — ASC implies NULLS FIRST in Spark but
+    NULLS LAST in DuckDB, so the explicit spelling is the portable
+    form this gate pins). Shared text."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("orders",), NULLS_ORDERING_SQL,
+        "nulls_ordering",
+    )
+
+
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant expression surface: TRY_CAST on mixed-validity
+    strings and NULL-on-zero division under ANSI mode — the PERMISSIVE
+    companion to json_badrecords for scalar expressions. Spark side
+    uses try_cast/try_divide; the oracle states the same semantics
+    with TRY_CAST + NULLIF."""
+    _tune(spark)
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        # every 3rd part gets a non-numeric suffix → cast must NULL
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.col("p_size").cast("string"), F.lit("x")),
+        ).otherwise(F.col("p_size").cast("string")).alias("s"),
+        (F.col("p_size") % 7).alias("den"),
+    )
+    out = p.select(
+        F.expr("try_cast(s AS INT)").alias("v"),
+        F.expr("try_divide(p_partkey, den)").alias("q"),
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("v").isNull()).alias("n_bad_cast"),
+        F.sum("v").cast("bigint").alias("sum_v"),
+        F.count_if(F.col("q").isNull()).alias("n_div0"),
+        # floor before summing: an FP sum of quotients is accumulation-
+        # order-dependent; the floored integer sum is exact
+        F.expr(
+            "CAST(SUM(CAST(floor(q) AS BIGINT)) AS BIGINT)"
+        ).alias("sum_qfloor"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4223,6 +4302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert": q_stream_upsert,
         "corpus_pipeline": q_corpus_pipeline,
         "series_corr": q_series_corr,
+        "group_by_all": q_group_by_all,
+        "nulls_ordering": q_nulls_ordering,
+        "try_arithmetic": q_try_arithmetic,
         "weighted_percentile": q_weighted_percentile,
         "grouped_mode": q_grouped_mode,
         "explode_outer": q_explode_outer,
@@ -5131,6 +5213,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "group_by_all": GROUP_BY_ALL_SQL,
+        "nulls_ordering": NULLS_ORDERING_SQL,
+        "try_arithmetic": """
+            WITH p AS (
+                SELECT p_partkey,
+                       CASE WHEN p_partkey % 3 = 0
+                            THEN CAST(p_size AS VARCHAR) || 'x'
+                            ELSE CAST(p_size AS VARCHAR) END AS s,
+                       p_size % 7 AS den
+                FROM part
+            ),
+            o AS (
+                SELECT TRY_CAST(s AS INTEGER) AS v,
+                       CAST(p_partkey AS DOUBLE) / NULLIF(den, 0) AS q
+                FROM p
+            )
+            SELECT COUNT(*) AS n,
+                   COUNT(*) FILTER (WHERE v IS NULL) AS n_bad_cast,
+                   CAST(SUM(v) AS BIGINT) AS sum_v,
+                   COUNT(*) FILTER (WHERE q IS NULL) AS n_div0,
+                   CAST(SUM(CAST(floor(q) AS BIGINT)) AS BIGINT)
+                       AS sum_qfloor
+            FROM o
         """,
         "series_corr": """
             WITH ev AS (

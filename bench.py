@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     "explode_outer",
     "percent_of_total",
     "series_corr",
+    "group_by_all",
+    "nulls_ordering",
+    "try_arithmetic",
 ]
 
 
