@@ -4249,6 +4249,90 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIT_AGG_SQL = """
+    SELECT l_returnflag,
+           CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS b_and,
+           CAST(bit_or(CAST(l_quantity AS BIGINT)) AS BIGINT) AS b_or,
+           CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS b_xor,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+def q_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface (bit_and/bit_or/bit_xor) — integer,
+    commutative and associative, so parallelism-invariant by
+    construction; shared text."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("lineitem",), BIT_AGG_SQL, "bit_aggregates",
+    )
+
+
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation surface: intersect/union/except cardinality
+    between each part's name words and the NEXT part's (names share
+    color vocabulary, so the overlap distribution is non-trivial) —
+    normalized to SET semantics on both engines (distinct before the
+    op), since engine duplicate handling differs; sizes are
+    integers."""
+    _tune(spark)
+    base = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.array_distinct(F.split("p_name", " ")).alias("a"),
+    )
+    nxt = base.select(
+        (F.col("p_partkey") - 1).alias("p_partkey"),
+        F.col("a").alias("b"),
+    )
+    p = base.join(nxt, "p_partkey")
+    out = p.select(
+        "p_partkey",
+        F.size(F.array_intersect("a", "b")).alias("n_common"),
+        F.size(F.array_distinct(F.concat("a", "b"))).alias("n_union"),
+        F.size(F.array_except("a", "b")).alias("n_only_a"),
+    )
+    return out.groupBy("n_common").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("n_union").cast("bigint").alias("sum_union"),
+        F.sum("n_only_a").cast("bigint").alias("sum_only_a"),
+    )
+
+
+DATE_TRUNC_SQL = """
+    SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')
+               AS wk,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+               AS mo,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')
+               AS qtr,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3
+"""
+
+
+def q_date_trunc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc grain parity (ISO-Monday weeks, month, quarter) —
+    calendar-bucket counts; formatted to strings so the check is
+    type-proof. Spark side is DataFrame API, oracle is DuckDB
+    strftime — independent formulations of the same calendar."""
+    _tune(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    return o.select(
+        F.date_format(F.date_trunc("week", "d"), "yyyy-MM-dd")
+        .alias("wk"),
+        F.date_format(F.date_trunc("month", "d"), "yyyy-MM-dd")
+        .alias("mo"),
+        F.date_format(F.date_trunc("quarter", "d"), "yyyy-MM-dd")
+        .alias("qtr"),
+    ).groupBy("wk", "mo", "qtr").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4305,6 +4389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_all": q_group_by_all,
         "nulls_ordering": q_nulls_ordering,
         "try_arithmetic": q_try_arithmetic,
+        "bit_aggregates": q_bit_aggregates,
+        "array_setops": q_array_setops,
+        "date_trunc_parity": q_date_trunc_parity,
         "weighted_percentile": q_weighted_percentile,
         "grouped_mode": q_grouped_mode,
         "explode_outer": q_explode_outer,
@@ -5214,6 +5301,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
         """,
+        "bit_aggregates": BIT_AGG_SQL,
+        "array_setops": """
+            WITH base AS (
+                SELECT p_partkey,
+                       list_distinct(string_split(p_name, ' ')) AS a
+                FROM part
+            ),
+            p AS (
+                SELECT x.p_partkey, x.a, y.a AS b
+                FROM base x JOIN base y
+                  ON y.p_partkey = x.p_partkey + 1
+            ),
+            o AS (
+                SELECT p_partkey,
+                       len(list_intersect(a, b)) AS n_common,
+                       len(list_distinct(list_concat(a, b)))
+                           AS n_union,
+                       len(list_filter(a, x -> NOT list_contains(b, x)))
+                           AS n_only_a
+                FROM p
+            )
+            SELECT CAST(n_common AS INTEGER) AS n_common,
+                   COUNT(*) AS n_parts,
+                   CAST(SUM(n_union) AS BIGINT) AS sum_union,
+                   CAST(SUM(n_only_a) AS BIGINT) AS sum_only_a
+            FROM o GROUP BY n_common
+        """,
+        "date_trunc_parity": DATE_TRUNC_SQL,
         "group_by_all": GROUP_BY_ALL_SQL,
         "nulls_ordering": NULLS_ORDERING_SQL,
         "try_arithmetic": """

@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     "group_by_all",
     "nulls_ordering",
     "try_arithmetic",
+    "bit_aggregates",
+    "array_setops",
+    "date_trunc_parity",
 ]
 
 
