@@ -4333,6 +4333,136 @@ def q_date_trunc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RFM quintiles: ntile(5) is deterministic once the ORDER BY is a
+# total order (metric + custkey tiebreak), and both engines implement
+# identical ntile bucket-size semantics. All-integer inputs.
+RFM_SQL = """
+    WITH base AS (
+        SELECT o_custkey,
+               MAX(CAST(epoch_us(o_orderdate) // 86400000000
+                        AS BIGINT)) AS last_day,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(5) OVER (ORDER BY last_day, o_custkey) AS r,
+               ntile(5) OVER (ORDER BY n_orders, o_custkey) AS f,
+               ntile(5) OVER (ORDER BY cents, o_custkey) AS m
+        FROM base
+    )
+    SELECT CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+           CAST(m AS INTEGER) AS m, COUNT(*) AS n_customers
+    FROM scored GROUP BY r, f, m
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency/frequency/monetary quintiles per
+    customer, deterministic total-order ntile) — the classic marketing
+    segmentation; windows run over customer CELLS (one per customer),
+    never orders. Shared text.
+
+    Spark quirk: epoch_us is DuckDB-only, so the Spark side uses
+    unix_micros via a pre-projected view — see the gate body."""
+    _tune(spark)
+    from drune_spark.config.models import StepConfig
+    from drune_spark.operators.registry import StepRunner
+    import drune_spark.operators.steps  # noqa: F401
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("day"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    base = o.groupBy("o_custkey").agg(
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+    base.createOrReplaceTempView("rfm_base")
+    return spark.sql("""
+        WITH scored AS (
+            SELECT o_custkey,
+                   ntile(5) OVER (ORDER BY last_day, o_custkey) AS r,
+                   ntile(5) OVER (ORDER BY n_orders, o_custkey) AS f,
+                   ntile(5) OVER (ORDER BY cents, o_custkey) AS m
+            FROM rfm_base
+        )
+        SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f,
+               CAST(m AS INT) AS m, COUNT(*) AS n_customers
+        FROM scored GROUP BY r, f, m
+    """)
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification: parts ranked by revenue, cumulative
+    share in integer ppm, A ≤ 80% / B ≤ 95% / C above — the inventory-
+    analysis staple. The global window runs over part CELLS
+    (dimension-sized after the fact aggregate), never lineitem rows."""
+    _tune(spark)
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)"
+            " AS BIGINT)) AS BIGINT)"
+        ).alias("cents")
+    )
+    w = (
+        Window.orderBy(F.col("cents").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = rev.agg(F.sum("cents").alias("tot"))
+    scored = rev.withColumn("cum", F.sum("cents").over(w)).crossJoin(
+        F.broadcast(tot)
+    ).withColumn(
+        "cum_ppm", F.expr("cum * 1000000 div tot")
+    ).withColumn(
+        "abc",
+        F.when(F.col("cum_ppm") <= 800000, "A")
+        .when(F.col("cum_ppm") <= 950000, "B")
+        .otherwise("C"),
+    )
+    return scored.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("class_cents"),
+    )
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-path distribution (the Sankey feed): each user's first
+    three event codes as a path string, counted — same deterministic
+    collect+sort sequence construction as event_pattern, prefix
+    instead of regex."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id").alias("tb"),
+            F.upper(F.substring("event_type", 1, 1)).alias("code"),
+        ).alias("s"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.expr(
+            "substring(array_join(transform(array_sort("
+            "collect_list(s)), x -> x.code), ''), 1, 3)"
+        ).alias("path")
+    )
+    return seq.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4392,6 +4522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bit_aggregates": q_bit_aggregates,
         "array_setops": q_array_setops,
         "date_trunc_parity": q_date_trunc_parity,
+        "rfm_segments": q_rfm_segments,
+        "abc_classification": q_abc_classification,
+        "top_paths": q_top_paths,
         "weighted_percentile": q_weighted_percentile,
         "grouped_mode": q_grouped_mode,
         "explode_outer": q_explode_outer,
@@ -5300,6 +5433,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "rfm_segments": RFM_SQL,
+        "abc_classification": """
+            WITH rev AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM lineitem GROUP BY l_partkey
+            ),
+            tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM rev),
+            scored AS (
+                SELECT cents,
+                       CAST(SUM(cents) OVER (
+                           ORDER BY cents DESC, l_partkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW
+                       ) * 1000000 // tot AS BIGINT) AS cum_ppm
+                FROM rev CROSS JOIN tot
+            )
+            SELECT CASE WHEN cum_ppm <= 800000 THEN 'A'
+                        WHEN cum_ppm <= 950000 THEN 'B'
+                        ELSE 'C' END AS abc,
+                   COUNT(*) AS n_parts,
+                   CAST(SUM(cents) AS BIGINT) AS class_cents
+            FROM scored GROUP BY 1
+        """,
+        "top_paths": """
+            WITH b AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                       upper(substr(event_type, 1, 1)) AS code
+                FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       substr(string_agg(code, ''
+                              ORDER BY ts_us, event_id), 1, 3) AS path
+                FROM b GROUP BY user_id
+            )
+            SELECT path, COUNT(*) AS n_users FROM s GROUP BY path
         """,
         "bit_aggregates": BIT_AGG_SQL,
         "array_setops": """

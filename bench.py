@@ -164,6 +164,9 @@ BENCH_QUERIES = [
     "bit_aggregates",
     "array_setops",
     "date_trunc_parity",
+    "rfm_segments",
+    "abc_classification",
+    "top_paths",
 ]
 
 
