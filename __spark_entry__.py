@@ -4463,6 +4463,27 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-aggregation surface: the distinct ship months per
+    (returnflag, linestatus), emitted as a SORTED joined string —
+    collect_set's arrival order is nondeterministic, so sort_array
+    before join is the only portable form (pinned here); n_distinct
+    cross-checks the set size."""
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        F.date_format(
+            F.to_date("l_shipdate"), "yyyy-MM"
+        ).alias("mo"),
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("mo")), ","
+        ).alias("months"),
+        F.countDistinct("mo").alias("n_months"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4525,6 +4546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "abc_classification": q_abc_classification,
         "top_paths": q_top_paths,
+        "collect_set": q_collect_set,
         "weighted_percentile": q_weighted_percentile,
         "grouped_mode": q_grouped_mode,
         "explode_outer": q_explode_outer,
@@ -5433,6 +5455,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "collect_set": """
+            WITH b AS (
+                SELECT l_returnflag, l_linestatus,
+                       strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS mo
+                FROM lineitem
+            )
+            SELECT l_returnflag, l_linestatus,
+                   array_to_string(list_sort(list(DISTINCT mo)), ',')
+                       AS months,
+                   COUNT(DISTINCT mo) AS n_months
+            FROM b GROUP BY l_returnflag, l_linestatus
         """,
         "rfm_segments": RFM_SQL,
         "abc_classification": """

@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "rfm_segments",
     "abc_classification",
     "top_paths",
+    "collect_set",
 ]
 
 
