@@ -355,3 +355,32 @@ class TestAnalyticsSteps:
             {"d": docs}, None,
         )
         assert "zval" in z.columns and z.count() == 2
+
+
+class TestCorpusExamplePipeline:
+    def test_cli_runs_llm_steps_chain(self, spark, monkeypatch):
+        """The examples/project `corpus` pipeline: redact →
+        quality_filter → dedup → chunk declaratively over the sf0.001
+        documents table — the LLM-step surface consumed the way a
+        drune user would."""
+        monkeypatch.chdir(REPO)
+        import shutil
+        from drune_spark import cli as cli_mod
+
+        out = "/tmp/drune_spark_example_corpus"
+        shutil.rmtree(out, ignore_errors=True)
+        runner = CliRunner()
+        result = runner.invoke(
+            cli_mod.cli, ["run", "corpus", "--project", PROJECT_DIR]
+        )
+        assert result.exit_code == 0, result.output
+        chunks = spark.read.parquet(f"{out}/dm_corpus_chunks.parquet")
+        assert chunks.count() > 0
+        assert set(chunks.columns) >= {
+            "doc_id", "chunk_id", "n_chunk_tokens", "chunk_text"}
+        import pyspark.sql.functions as SF
+        assert chunks.agg(
+            SF.max("n_chunk_tokens")).collect()[0][0] <= 64
+        # dedup ran: chunk doc_ids are unique per (doc, chunk)
+        assert chunks.select("doc_id", "chunk_id").distinct().count() \
+            == chunks.count()
