@@ -4484,6 +4484,59 @@ def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-parsing surface (parse_url HOST/PATH/QUERY-param — the log
+    and clickstream-processing staple): deterministic synthetic URLs
+    built from event fields, parsed and aggregated per host. Oracle
+    reproduces the parse with anchored regexes — an independent
+    formulation of the same grammar."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("https://s"), (F.col("user_id") % 5).cast("string"),
+            F.lit(".example.com/"), F.col("event_type"),
+            F.lit("/p?id="), F.col("event_id").cast("string"),
+            F.lit("&u="), F.col("user_id").cast("string"),
+        ).alias("url")
+    )
+    parsed = ev.select(
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("CAST(parse_url(url, 'QUERY', 'u') AS BIGINT)")
+        .alias("uid"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("path").alias("n_paths"),
+        F.countDistinct("uid").alias("n_uids"),
+    )
+
+
+HASH_FUNCS_SQL = """
+    SELECT COUNT(DISTINCT md5(c_name)) AS n_md5,
+           COUNT(DISTINCT sha256(c_name)) AS n_sha,
+           MIN(md5(c_name)) AS min_md5,
+           MIN(sha256(c_name)) AS min_sha
+    FROM customer
+"""
+
+
+def q_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-digest parity (md5 / sha-256 hex): distinct counts
+    and lexicographic minima over customer names — both engines must
+    produce byte-identical digests (the foundation every portable
+    fingerprint in this repo builds on). Spark side spells sha-256 as
+    sha2(x, 256); otherwise the same text."""
+    _tune(spark)
+    c = _t(spark, sf_dir, "customer")
+    return c.agg(
+        F.countDistinct(F.md5("c_name")).alias("n_md5"),
+        F.countDistinct(F.sha2("c_name", 256)).alias("n_sha"),
+        F.min(F.md5("c_name")).alias("min_md5"),
+        F.min(F.sha2("c_name", 256)).alias("min_sha"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4547,6 +4600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abc_classification": q_abc_classification,
         "top_paths": q_top_paths,
         "collect_set": q_collect_set,
+        "url_parse": q_url_parse,
+        "hash_functions": q_hash_functions,
         "weighted_percentile": q_weighted_percentile,
         "grouped_mode": q_grouped_mode,
         "explode_outer": q_explode_outer,
@@ -5456,6 +5511,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
         """,
+        "url_parse": """
+            WITH ev AS (
+                SELECT 'https://s' || CAST(user_id % 5 AS VARCHAR)
+                       || '.example.com/' || event_type || '/p?id='
+                       || CAST(event_id AS VARCHAR) || '&u='
+                       || CAST(user_id AS VARCHAR) AS url
+                FROM events
+            ),
+            parsed AS (
+                SELECT regexp_extract(url,
+                           '^https://([^/]+)/', 1) AS host,
+                       regexp_extract(url,
+                           '^https://[^/]+(/[^?]*)', 1) AS path,
+                       CAST(regexp_extract(url, 'u=([0-9]+)$', 1)
+                            AS BIGINT) AS uid
+                FROM ev
+            )
+            SELECT host, COUNT(*) AS n,
+                   COUNT(DISTINCT path) AS n_paths,
+                   COUNT(DISTINCT uid) AS n_uids
+            FROM parsed GROUP BY host
+        """,
+        "hash_functions": HASH_FUNCS_SQL,
         "collect_set": """
             WITH b AS (
                 SELECT l_returnflag, l_linestatus,

@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "abc_classification",
     "top_paths",
     "collect_set",
+    "url_parse",
+    "hash_functions",
 ]
 
 
