@@ -4537,6 +4537,38 @@ def q_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution, log2-bucketed (the latency-
+    histogram shape): per event type, counts of per-user consecutive
+    gaps by power-of-two µs bucket. The bucket index is
+    length(bin(gap)) — integer floor(log2)+1 with NO floating-point
+    log (log2 of exact powers of two differs by ulp across libm
+    builds); zero gaps get bucket 0. One (user,type)-keyed window
+    pass, then bucket-cell counts."""
+    _tune(spark)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id",
+        F.unix_micros("ts").alias("ts_us"), "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    gaps = ev.withColumn(
+        "gap", F.col("ts_us") - F.lag("ts_us").over(w)
+    ).filter(F.col("gap").isNotNull())
+    bucketed = gaps.select(
+        "event_type",
+        F.when(F.col("gap") <= 0, F.lit(0)).otherwise(
+            F.length(F.bin("gap"))
+        ).cast("int").alias("bucket"),
+    )
+    return bucketed.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4602,6 +4634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_set": q_collect_set,
         "url_parse": q_url_parse,
         "hash_functions": q_hash_functions,
+        "gap_histogram": q_gap_histogram,
         "weighted_percentile": q_weighted_percentile,
         "grouped_mode": q_grouped_mode,
         "explode_outer": q_explode_outer,
@@ -5510,6 +5543,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "gap_histogram": """
+            WITH ev AS (
+                SELECT event_type, user_id, epoch_us(ts) AS ts_us,
+                       event_id
+                FROM events
+            ),
+            g AS (
+                SELECT event_type,
+                       ts_us - lag(ts_us) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts_us, event_id
+                       ) AS gap
+                FROM ev
+            )
+            SELECT event_type,
+                   CAST(CASE WHEN gap <= 0 THEN 0
+                             ELSE length(bin(gap)) END AS INTEGER)
+                       AS bucket,
+                   COUNT(*) AS n
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY event_type, bucket
         """,
         "url_parse": """
             WITH ev AS (

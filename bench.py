@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "collect_set",
     "url_parse",
     "hash_functions",
+    "gap_histogram",
 ]
 
 
