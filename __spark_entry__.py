@@ -4569,6 +4569,82 @@ def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (dead/exploding-dimension
+    screen — the companion to embedding_norms' per-vector view):
+    posexplode each vector, integer-scaled per-dim sums/min/max.
+    Shuffle carries (dim, partial) cells — dim-count-bounded. Oracle
+    zips parallel unnests (DuckDB's posexplode)."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(floor(x * 1024 + 0.5) AS BIGINT))"
+            )
+        ).alias("dim", "v")
+    )
+    return emb.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sum_scaled"),
+        F.min("v").alias("min_scaled"),
+        F.max("v").alias("max_scaled"),
+    )
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per order priority over the DEMEANED daily
+    revenue equity curve (raw revenue cumsum is monotone, so its
+    drawdown is trivially zero): cum_dm = cum·n_days − idx·total stays
+    integer (no mean division), can fall, and its peak-minus-current
+    maximum is the deepest below-average-pace streak — the quant
+    drawdown shape on an all-integer series. Every window runs over
+    DAY CELLS after one fact aggregate."""
+    _tune(spark)
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("day"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    daily = o.groupBy("o_orderpriority", "day").agg(
+        F.sum("cents").alias("rev")
+    )
+    wrun = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    wseq = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("day").asc()
+    )
+    cum = (
+        daily
+        .withColumn("cum", F.sum("rev").over(wrun))
+        .withColumn("idx", F.row_number().over(wseq))
+        .withColumn("total", F.sum("rev").over(wall))
+        .withColumn("nd", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "cum_dm",
+            F.col("cum") * F.col("nd") - F.col("idx") * F.col("total"),
+        )
+        .withColumn("peak", F.max("cum_dm").over(wrun))
+    )
+    return cum.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max(F.col("peak") - F.col("cum_dm"))
+        .alias("max_drawdown_scaled"),
+        F.max("cum").alias("final_cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4635,6 +4711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parse": q_url_parse,
         "hash_functions": q_hash_functions,
         "gap_histogram": q_gap_histogram,
+        "dim_stats": q_dim_stats,
+        "max_drawdown": q_max_drawdown,
         "weighted_percentile": q_weighted_percentile,
         "grouped_mode": q_grouped_mode,
         "explode_outer": q_explode_outer,
@@ -5543,6 +5621,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "dim_stats": """
+            WITH x AS (
+                SELECT unnest(range(0, len(embedding))) AS dim,
+                       unnest(list_transform(embedding,
+                           v -> CAST(floor(v * 1024 + 0.5) AS BIGINT)))
+                           AS v
+                FROM embeddings
+            )
+            SELECT CAST(dim AS INTEGER) AS dim, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sum_scaled,
+                   CAST(MIN(v) AS BIGINT) AS min_scaled,
+                   CAST(MAX(v) AS BIGINT) AS max_scaled
+            FROM x GROUP BY dim
+        """,
+        "max_drawdown": """
+            WITH o AS (
+                SELECT o_orderpriority,
+                       CAST(epoch_us(o_orderdate) // 86400000000
+                            AS BIGINT) AS day,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders
+            ),
+            daily AS (
+                SELECT o_orderpriority, day,
+                       CAST(SUM(cents) AS BIGINT) AS rev
+                FROM o GROUP BY o_orderpriority, day
+            ),
+            c AS (
+                SELECT o_orderpriority, day, rev,
+                       SUM(rev) OVER (
+                           PARTITION BY o_orderpriority ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW
+                       ) AS cum,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority ORDER BY day
+                       ) AS idx,
+                       SUM(rev) OVER (
+                           PARTITION BY o_orderpriority
+                       ) AS total,
+                       COUNT(*) OVER (
+                           PARTITION BY o_orderpriority
+                       ) AS nd
+                FROM daily
+            ),
+            d AS (
+                SELECT o_orderpriority, cum,
+                       cum * nd - idx * total AS cum_dm,
+                       MAX(cum * nd - idx * total) OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW
+                       ) AS peak
+                FROM c
+            )
+            SELECT o_orderpriority, COUNT(*) AS n_days,
+                   CAST(MAX(peak - cum_dm) AS BIGINT)
+                       AS max_drawdown_scaled,
+                   CAST(MAX(cum) AS BIGINT) AS final_cents
+            FROM d GROUP BY o_orderpriority
         """,
         "gap_histogram": """
             WITH ev AS (

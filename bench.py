@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "url_parse",
     "hash_functions",
     "gap_histogram",
+    "dim_stats",
+    "max_drawdown",
 ]
 
 
