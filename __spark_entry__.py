@@ -4645,6 +4645,58 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day sliding COUNT(DISTINCT user) per day — the exact
+    twin of hll_sliding's sketch answer (same serve-day fan-out
+    economics: each distinct (user, active-day) serves <= 7 end days
+    via explode(sequence), then one distinct + count per serve day;
+    no per-day rescans of raw events). Serve days are restricted to
+    days that actually appear, matching the sketch gate's frame."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).distinct()
+    observed = ev.select("day").distinct()
+    served = ev.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + 6)")
+        ).alias("serve_day"),
+    ).distinct()
+    return (
+        served.join(
+            observed.withColumnRenamed("day", "serve_day"),
+            "serve_day",
+        )
+        .groupBy("serve_day")
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+    )
+
+
+def q_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly quantile bands per event type (p10/p50/p90 of the value
+    in milli-units) — the time-series health-band feed; exact
+    interpolated percentiles over (type, week) cells (Spark percentile
+    == DuckDB quantile_cont bit-for-bit, verified r2)."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.expr("unix_micros(ts) div 604800000000").alias("week"),
+        F.expr(
+            "CAST(floor(value * 1000 + 0.5) AS BIGINT)"
+        ).alias("vmilli"),
+    )
+    return ev.groupBy("event_type", "week").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(percentile(vmilli, 0.1) AS DOUBLE)").alias("p10"),
+        F.expr("CAST(percentile(vmilli, 0.5) AS DOUBLE)").alias("p50"),
+        F.expr("CAST(percentile(vmilli, 0.9) AS DOUBLE)").alias("p90"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4713,6 +4765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_histogram": q_gap_histogram,
         "dim_stats": q_dim_stats,
         "max_drawdown": q_max_drawdown,
+        "sliding_distinct_exact": q_sliding_distinct_exact,
+        "percentile_trend": q_percentile_trend,
         "weighted_percentile": q_weighted_percentile,
         "grouped_mode": q_grouped_mode,
         "explode_outer": q_explode_outer,
@@ -5621,6 +5675,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "sliding_distinct_exact": """
+            WITH ev AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                           AS day
+                FROM events
+            ),
+            observed AS (SELECT DISTINCT day FROM ev),
+            served AS (
+                SELECT DISTINCT user_id,
+                       day + d.off AS serve_day
+                FROM ev, (SELECT unnest(range(0, 7)) AS off) d
+            )
+            SELECT s.serve_day,
+                   COUNT(DISTINCT s.user_id) AS n_users_7d
+            FROM served s
+            JOIN observed o ON o.day = s.serve_day
+            GROUP BY s.serve_day
+        """,
+        "percentile_trend": """
+            WITH ev AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 604800000000 AS BIGINT)
+                           AS week,
+                       CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                           AS vmilli
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT event_type, week, COUNT(*) AS n,
+                   CAST(quantile_cont(vmilli, 0.1) AS DOUBLE) AS p10,
+                   CAST(quantile_cont(vmilli, 0.5) AS DOUBLE) AS p50,
+                   CAST(quantile_cont(vmilli, 0.9) AS DOUBLE) AS p90
+            FROM ev GROUP BY event_type, week
         """,
         "dim_stats": """
             WITH x AS (

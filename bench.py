@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "gap_histogram",
     "dim_stats",
     "max_drawdown",
+    "sliding_distinct_exact",
+    "percentile_trend",
 ]
 
 
