@@ -4697,6 +4697,121 @@ def q_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: each weekday's revenue share
+    scaled to a 1e6-mean index (rev_dow · 7 · 1e6 div total) — the
+    seasonal-adjustment factor table, all integer. Weekday from epoch-
+    day math (engine-numbering-proof, the date_dimension trick)."""
+    _tune(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000 + 3) % 7 + 1"
+        ).alias("dow_iso"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    cells = o.groupBy("dow_iso").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    total = cells.agg(F.sum("rev_cents").alias("tot"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        F.col("dow_iso").cast("int").alias("dow_iso"),
+        "n_orders", "rev_cents",
+        F.expr("rev_cents * 7 * 1000000 div tot").alias("index_ppm"),
+    )
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split: an event is "new" iff its
+    day is the user's first-seen day — one min-day aggregate per user
+    (broadcast back, the target_encode shape) then day-cell counts.
+    The DAU decomposition every growth dashboard leads with."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("dau"),
+            F.countDistinct(
+                F.when(F.col("day") == F.col("d0"), F.col("user_id"))
+            ).alias("new_users"),
+        )
+        .withColumn(
+            "returning_users", F.col("dau") - F.col("new_users")
+        )
+    )
+
+
+def q_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch attribution in one table (the model-
+    comparison view beside `attribution`'s linear split): for each
+    purchase, the earliest and the latest view/click in its 2h
+    lookback window get one credit each; per touch type both credit
+    counts. Window scans per user — no touch×conversion fan-out."""
+    _tune(spark)
+    from pyspark.sql import Window
+
+    base = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(["view", "click", "purchase"])
+    ).select(
+        F.col("user_id").alias("k"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("tb"),
+        F.col("event_type").alias("etype"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("side"),
+    )
+    w_next = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts_us").asc(), F.col("side").asc(),
+                 F.col("tb").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = base.select(
+        "*",
+        F.first(
+            F.when(F.col("side") == 1, F.col("ts_us")),
+            ignorenulls=True,
+        ).over(w_next).alias("conv_us"),
+    )
+    touches = (
+        nxt.filter(F.col("side") == 0)
+        .withColumn(
+            "conv_us",
+            F.when(
+                F.col("conv_us") - F.col("ts_us") <= 7200000000,
+                F.col("conv_us"),
+            ),
+        )
+        .filter(F.col("conv_us").isNotNull())
+    )
+    w_conv_asc = Window.partitionBy("k", "conv_us").orderBy(
+        F.col("ts_us").asc(), F.col("tb").asc()
+    )
+    w_conv_desc = Window.partitionBy("k", "conv_us").orderBy(
+        F.col("ts_us").desc(), F.col("tb").desc()
+    )
+    flagged = touches.withColumn(
+        "is_first", F.row_number().over(w_conv_asc) == 1
+    ).withColumn(
+        "is_last", F.row_number().over(w_conv_desc) == 1
+    )
+    return flagged.groupBy(F.col("etype").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_credited_touches"),
+        F.count_if("is_first").alias("first_touch_credits"),
+        F.count_if("is_last").alias("last_touch_credits"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4767,6 +4882,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown": q_max_drawdown,
         "sliding_distinct_exact": q_sliding_distinct_exact,
         "percentile_trend": q_percentile_trend,
+        "dow_seasonality": q_dow_seasonality,
+        "new_vs_returning": q_new_vs_returning,
+        "first_last_touch": q_first_last_touch,
         "weighted_percentile": q_weighted_percentile,
         "grouped_mode": q_grouped_mode,
         "explode_outer": q_explode_outer,
@@ -5675,6 +5793,93 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "dow_seasonality": """
+            WITH o AS (
+                SELECT (epoch_us(o_orderdate) // 86400000000 + 3)
+                           % 7 + 1 AS dow_iso,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders
+            ),
+            cells AS (
+                SELECT dow_iso, COUNT(*) AS n_orders,
+                       CAST(SUM(cents) AS BIGINT) AS rev_cents
+                FROM o GROUP BY dow_iso
+            ),
+            tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot
+                    FROM cells)
+            SELECT CAST(dow_iso AS INTEGER) AS dow_iso, n_orders,
+                   rev_cents,
+                   CAST(rev_cents * 7 * 1000000 // tot AS BIGINT)
+                       AS index_ppm
+            FROM cells CROSS JOIN tot
+        """,
+        "new_vs_returning": """
+            WITH ev AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                           AS day
+                FROM events
+            ),
+            f AS (
+                SELECT user_id, MIN(day) AS d0 FROM ev
+                GROUP BY user_id
+            )
+            SELECT ev.day, COUNT(*) AS n_events,
+                   COUNT(DISTINCT ev.user_id) AS dau,
+                   COUNT(DISTINCT CASE WHEN ev.day = f.d0
+                         THEN ev.user_id END) AS new_users,
+                   CAST(COUNT(DISTINCT ev.user_id)
+                        - COUNT(DISTINCT CASE WHEN ev.day = f.d0
+                                THEN ev.user_id END) AS BIGINT)
+                       AS returning_users
+            FROM ev JOIN f ON ev.user_id = f.user_id
+            GROUP BY ev.day
+        """,
+        "first_last_touch": """
+            WITH b AS (
+                SELECT user_id AS k, epoch_us(ts) AS ts_us,
+                       event_id AS tb, event_type AS etype,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS side
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            nx AS (
+                SELECT *,
+                       MIN(CASE WHEN side = 1 THEN ts_us END) OVER (
+                           PARTITION BY k
+                           ORDER BY ts_us, side, tb
+                           ROWS BETWEEN CURRENT ROW
+                                    AND UNBOUNDED FOLLOWING
+                       ) AS conv_us
+                FROM b
+            ),
+            t AS (
+                SELECT k, ts_us, tb, etype, conv_us
+                FROM nx
+                WHERE side = 0 AND conv_us - ts_us <= 7200000000
+            ),
+            fl AS (
+                SELECT etype,
+                       row_number() OVER (
+                           PARTITION BY k, conv_us
+                           ORDER BY ts_us, tb
+                       ) = 1 AS is_first,
+                       row_number() OVER (
+                           PARTITION BY k, conv_us
+                           ORDER BY ts_us DESC, tb DESC
+                       ) = 1 AS is_last
+                FROM t
+            )
+            SELECT etype AS touch_type,
+                   COUNT(*) AS n_credited_touches,
+                   COUNT(*) FILTER (WHERE is_first)
+                       AS first_touch_credits,
+                   COUNT(*) FILTER (WHERE is_last)
+                       AS last_touch_credits
+            FROM fl GROUP BY etype
         """,
         "sliding_distinct_exact": """
             WITH ev AS (

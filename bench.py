@@ -175,6 +175,9 @@ BENCH_QUERIES = [
     "max_drawdown",
     "sliding_distinct_exact",
     "percentile_trend",
+    "dow_seasonality",
+    "new_vs_returning",
+    "first_last_touch",
 ]
 
 
