@@ -4812,6 +4812,129 @@ def q_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship lag bands per priority (the supply-chain
+    cycle-time metric): integer day lags from the order/lineitem join,
+    exact interpolated percentiles over priority groups."""
+    _tune(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("od"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("sd"),
+    )
+    first_ship = li.groupBy("l_orderkey").agg(F.min("sd").alias("fs"))
+    lags = o.join(
+        first_ship, o.o_orderkey == first_ship.l_orderkey
+    ).select(
+        "o_orderpriority", (F.col("fs") - F.col("od")).alias("lag_days")
+    )
+    return lags.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lag_days").alias("min_lag"),
+        F.expr("CAST(percentile(lag_days, 0.5) AS DOUBLE)").alias("p50"),
+        F.expr("CAST(percentile(lag_days, 0.9) AS DOUBLE)").alias("p90"),
+        F.max("lag_days").alias("max_lag"),
+    )
+
+
+def q_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog (orders open from order day until
+    their last ship day): the sweep-line on day cells — +1/−1 deltas
+    aggregated per day, one cumulative window over the calendar-
+    bounded day frame; never a per-day interval rescan. Emitted as a
+    monthly summary (month, max open, end-of-month open) to keep the
+    output calendar-sized."""
+    _tune(spark)
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("od"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("sd"),
+    )
+    last_ship = li.groupBy("l_orderkey").agg(F.max("sd").alias("ls"))
+    iv = o.join(last_ship, o.o_orderkey == last_ship.l_orderkey)
+    deltas = iv.select(F.col("od").alias("day"), F.lit(1).alias("d")) \
+        .unionByName(
+            iv.select((F.col("ls") + 1).alias("day"),
+                      F.lit(-1).alias("d"))
+        )
+    cells = deltas.groupBy("day").agg(F.sum("d").alias("dd"))
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    daily = cells.withColumn("open_orders", F.sum("dd").over(w))
+    monthly = daily.withColumn(
+        "month", F.expr("day div 30")
+    )
+    wm = Window.partitionBy("month").orderBy(F.col("day").desc())
+    return monthly.groupBy("month").agg(
+        F.max("open_orders").alias("peak_open"),
+        F.min("open_orders").alias("min_open"),
+        F.max_by("open_orders", "day").alias("eom_open"),
+    )
+
+
+def q_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration HHI per brand (the antitrust index):
+    per (part, supplier) quantity shares in integer ppm, HHI = Σshare²
+    per part, averaged over each brand's parts with integer division —
+    deterministic end to end; share fan-out is bounded by suppliers
+    per part."""
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("q").alias("qs")
+    )
+    pt = ps.groupBy("l_partkey").agg(F.sum("qs").alias("qt"))
+    shares = ps.join(pt, "l_partkey").select(
+        "l_partkey",
+        F.expr("qs * 1000000 div qt").alias("share_ppm"),
+    )
+    hhi = shares.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("share_ppm") * F.col("share_ppm")
+        ).alias("hhi_ppm2"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        hhi.join(F.broadcast(part),
+                 hhi.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr(
+                "CAST(SUM(hhi_ppm2) div COUNT(1) AS BIGINT)"
+            ).alias("avg_hhi_ppm2"),
+            F.expr(
+                "CAST(SUM(n_suppliers) AS BIGINT)"
+            ).alias("sum_suppliers"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4885,6 +5008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_seasonality": q_dow_seasonality,
         "new_vs_returning": q_new_vs_returning,
         "first_last_touch": q_first_last_touch,
+        "fulfillment_lag": q_fulfillment_lag,
+        "daily_backlog": q_daily_backlog,
+        "concentration_hhi": q_concentration_hhi,
         "weighted_percentile": q_weighted_percentile,
         "grouped_mode": q_grouped_mode,
         "explode_outer": q_explode_outer,
@@ -5793,6 +5919,101 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "fulfillment_lag": """
+            WITH o AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CAST(epoch_us(o_orderdate) // 86400000000
+                            AS BIGINT) AS od
+                FROM orders
+            ),
+            fs AS (
+                SELECT l_orderkey,
+                       MIN(CAST(epoch_us(l_shipdate) // 86400000000
+                                AS BIGINT)) AS fs
+                FROM lineitem GROUP BY l_orderkey
+            ),
+            lags AS (
+                SELECT o_orderpriority, fs.fs - o.od AS lag_days
+                FROM o JOIN fs ON o.o_orderkey = fs.l_orderkey
+            )
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   CAST(MIN(lag_days) AS BIGINT) AS min_lag,
+                   CAST(quantile_cont(lag_days, 0.5) AS DOUBLE) AS p50,
+                   CAST(quantile_cont(lag_days, 0.9) AS DOUBLE) AS p90,
+                   CAST(MAX(lag_days) AS BIGINT) AS max_lag
+            FROM lags GROUP BY o_orderpriority
+        """,
+        "daily_backlog": """
+            WITH o AS (
+                SELECT o_orderkey,
+                       CAST(epoch_us(o_orderdate) // 86400000000
+                            AS BIGINT) AS od
+                FROM orders
+            ),
+            ls AS (
+                SELECT l_orderkey,
+                       MAX(CAST(epoch_us(l_shipdate) // 86400000000
+                                AS BIGINT)) AS ls
+                FROM lineitem GROUP BY l_orderkey
+            ),
+            iv AS (
+                SELECT o.od, ls.ls
+                FROM o JOIN ls ON o.o_orderkey = ls.l_orderkey
+            ),
+            deltas AS (
+                SELECT od AS day, 1 AS d FROM iv
+                UNION ALL
+                SELECT ls + 1, -1 FROM iv
+            ),
+            cells AS (
+                SELECT day, SUM(d) AS dd FROM deltas GROUP BY day
+            ),
+            daily AS (
+                SELECT day,
+                       SUM(dd) OVER (
+                           ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW
+                       ) AS open_orders
+                FROM cells
+            )
+            SELECT CAST(day // 30 AS BIGINT) AS month,
+                   CAST(MAX(open_orders) AS BIGINT) AS peak_open,
+                   CAST(MIN(open_orders) AS BIGINT) AS min_open,
+                   CAST(arg_max(open_orders, day) AS BIGINT)
+                       AS eom_open
+            FROM daily GROUP BY day // 30
+        """,
+        "concentration_hhi": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS qs
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ),
+            pt AS (
+                SELECT l_partkey, CAST(SUM(qs) AS BIGINT) AS qt
+                FROM ps GROUP BY l_partkey
+            ),
+            shares AS (
+                SELECT ps.l_partkey,
+                       qs * 1000000 // qt AS share_ppm
+                FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+            ),
+            hhi AS (
+                SELECT l_partkey,
+                       CAST(SUM(share_ppm * share_ppm) AS BIGINT)
+                           AS hhi_ppm2,
+                       COUNT(*) AS n_suppliers
+                FROM shares GROUP BY l_partkey
+            )
+            SELECT p_brand, COUNT(*) AS n_parts,
+                   CAST(SUM(hhi_ppm2) // COUNT(*) AS BIGINT)
+                       AS avg_hhi_ppm2,
+                   CAST(SUM(n_suppliers) AS BIGINT) AS sum_suppliers
+            FROM hhi JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
         """,
         "dow_seasonality": """
             WITH o AS (

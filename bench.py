@@ -178,6 +178,9 @@ BENCH_QUERIES = [
     "dow_seasonality",
     "new_vs_returning",
     "first_last_touch",
+    "fulfillment_lag",
+    "daily_backlog",
+    "concentration_hhi",
 ]
 
 
