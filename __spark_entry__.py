@@ -4935,6 +4935,78 @@ def q_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic term per document — the tf-idf argmax made
+    integer-exact: rank terms by (tf DESC, df ASC, term ASC) via one
+    lexicographic integer encode (tf·2^40 + (2^20−df)·2^20 + rank of
+    term hash truncated) — no FP log, no window: the grouped-argmax
+    pattern. Output: how many docs each term characterizes (top 0 df
+    filter keeps it corpus-bounded)."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower("text")), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "w")
+    # integer lexicographic encode; term tie-break via min(w) AFTER
+    # the (tf, df) argmax — two-stage, all deterministic
+    enc = (
+        F.col("tf") * F.lit(1 << 40)
+        + (F.lit(1 << 20) - F.col("df")) * F.lit(1 << 20)
+    )
+    best = scored.withColumn("code", enc).groupBy("doc_id").agg(
+        F.max("code").alias("best_code")
+    )
+    winners = (
+        scored.withColumn("code", enc)
+        .join(best, "doc_id")
+        .filter(F.col("code") == F.col("best_code"))
+        .groupBy("doc_id")
+        .agg(F.min("w").alias("term"))
+    )
+    return winners.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def q_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count anomaly screen per event type: flag days where
+    |count − median| > 3·MAD (the robust z-score on day cells —
+    composition of the mad_outliers statistics with the time-series
+    slicing). Median/MAD via exact percentiles (bit-equal across
+    engines); all comparisons on those exact values."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    cells = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    med = cells.groupBy("event_type").agg(
+        F.expr("CAST(percentile(n, 0.5) AS DOUBLE)").alias("med")
+    )
+    dev = cells.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(percentile(absdev, 0.5) AS DOUBLE)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_spike", F.col("absdev") > 3 * F.col("mad")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count_if("is_spike").alias("n_spike_days"),
+        F.max(F.when(F.col("is_spike"), F.col("n"))).alias("worst_n"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5011,6 +5083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulfillment_lag": q_fulfillment_lag,
         "daily_backlog": q_daily_backlog,
         "concentration_hhi": q_concentration_hhi,
+        "char_terms": q_char_terms,
+        "spike_days": q_spike_days,
         "weighted_percentile": q_weighted_percentile,
         "grouped_mode": q_grouped_mode,
         "explode_outer": q_explode_outer,
@@ -5919,6 +5993,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "char_terms": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({toks_lower}) AS w
+                FROM documents
+            ),
+            t2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+            tf AS (
+                SELECT doc_id, w, COUNT(*) AS tf
+                FROM t2 GROUP BY doc_id, w
+            ),
+            dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+            scored AS (
+                SELECT tf.doc_id, tf.w,
+                       tf.tf * (1::BIGINT << 40)
+                       + ((1::BIGINT << 20) - dft.df)
+                         * (1::BIGINT << 20) AS code
+                FROM tf JOIN dft ON tf.w = dft.w
+            ),
+            best AS (
+                SELECT doc_id, MAX(code) AS best_code
+                FROM scored GROUP BY doc_id
+            ),
+            winners AS (
+                SELECT s.doc_id, MIN(s.w) AS term
+                FROM scored s JOIN best b
+                  ON s.doc_id = b.doc_id AND s.code = b.best_code
+                GROUP BY s.doc_id
+            )
+            SELECT term, COUNT(*) AS n_docs
+            FROM winners GROUP BY term
+        """,
+        "spike_days": """
+            WITH cells AS (
+                SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            med AS (
+                SELECT event_type,
+                       CAST(quantile_cont(n, 0.5) AS DOUBLE) AS med
+                FROM cells GROUP BY event_type
+            ),
+            dev AS (
+                SELECT c.event_type, c.n,
+                       abs(c.n - m.med) AS absdev
+                FROM cells c JOIN med m
+                  ON c.event_type = m.event_type
+            ),
+            mad AS (
+                SELECT event_type,
+                       CAST(quantile_cont(absdev, 0.5) AS DOUBLE)
+                           AS mad
+                FROM dev GROUP BY event_type
+            )
+            SELECT d.event_type, COUNT(*) AS n_days,
+                   COUNT(*) FILTER (WHERE d.absdev > 3 * md.mad)
+                       AS n_spike_days,
+                   CAST(MAX(CASE WHEN d.absdev > 3 * md.mad
+                            THEN d.n END) AS BIGINT) AS worst_n
+            FROM dev d JOIN mad md ON d.event_type = md.event_type
+            GROUP BY d.event_type
         """,
         "fulfillment_lag": """
             WITH o AS (

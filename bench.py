@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "fulfillment_lag",
     "daily_backlog",
     "concentration_hhi",
+    "char_terms",
+    "spike_days",
 ]
 
 
