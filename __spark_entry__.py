@@ -5007,6 +5007,42 @@ def q_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGINATION_SQL = """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 15 OFFSET 30
+"""
+
+
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination surface (Spark 3.4+ OFFSET): page 3 of
+    the price-ranked orders — only deterministic because the ORDER BY
+    is a total order (the pagination contract this gate pins); shared
+    text."""
+    return _tpch_sql_query(
+        spark, sf_dir, ("orders",), PAGINATION_SQL, "pagination",
+    )
+
+
+def q_intraday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday activity profile: events per UTC hour-of-day with each
+    hour's share of the total in integer ppm — hour from pure µs math
+    (no timezone-dependent hour() call), cells + broadcast total."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(
+            "(unix_micros(ts) % 86400000000) div 3600000000"
+        ).alias("hour_utc")
+    )
+    cells = ev.groupBy("hour_utc").agg(F.count(F.lit(1)).alias("n"))
+    total = cells.agg(F.sum("n").alias("tot"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        F.col("hour_utc").cast("int").alias("hour_utc"), "n",
+        F.expr("n * 1000000 div tot").alias("share_ppm"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5085,6 +5121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration_hhi": q_concentration_hhi,
         "char_terms": q_char_terms,
         "spike_days": q_spike_days,
+        "pagination": q_pagination,
+        "intraday_profile": q_intraday_profile,
         "weighted_percentile": q_weighted_percentile,
         "grouped_mode": q_grouped_mode,
         "explode_outer": q_explode_outer,
@@ -5993,6 +6031,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "pagination": PAGINATION_SQL,
+        "intraday_profile": """
+            WITH cells AS (
+                SELECT (epoch_us(ts) % 86400000000) // 3600000000
+                           AS hour_utc,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1
+            ),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM cells)
+            SELECT CAST(hour_utc AS INTEGER) AS hour_utc,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(n * 1000000 // tot AS BIGINT) AS share_ppm
+            FROM cells CROSS JOIN tot
         """,
         "char_terms": f"""
             WITH tok AS (

@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "concentration_hhi",
     "char_terms",
     "spike_days",
+    "pagination",
+    "intraday_profile",
 ]
 
 
