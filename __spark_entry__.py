@@ -5043,6 +5043,73 @@ def q_intraday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate (the dataset-card quality row):
+    normalized-text fingerprints counted once per source, dup rate in
+    integer ppm. Shuffle carries (source, 32-char fp) pairs."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("fp"),
+    )
+    per_fp = docs.groupBy("source", "fp").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_fp.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.expr(
+            "(SUM(n) - COUNT(1)) * 1000000 div SUM(n)"
+        ).alias("dup_ppm"),
+    )
+
+
+def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language mix per source (corpus composition report): counts and
+    integer ppm share within each source — cells + per-source totals
+    via a window over cells."""
+    _tune(spark)
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("source", "lang")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("source")
+    return cells.select(
+        "source", "lang", "n",
+        F.expr(
+            "n * 1000000 div SUM(n) OVER (PARTITION BY source)"
+        ).alias("share_ppm"),
+    )
+
+
+def q_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn screen against the data-derived watermark (freshness_audit
+    discipline — no wall clock): users whose last activity is more
+    than 7/14 days before the corpus max day. One per-user MAX agg +
+    broadcast watermark + one count row."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    last = ev.groupBy("user_id").agg(F.max("day").alias("last_day"))
+    wm = ev.agg(F.max("day").alias("wm"))
+    flagged = last.crossJoin(F.broadcast(wm))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(
+            F.col("wm") - F.col("last_day") > 7
+        ).alias("churned_7d"),
+        F.count_if(
+            F.col("wm") - F.col("last_day") > 14
+        ).alias("churned_14d"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5123,6 +5190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spike_days": q_spike_days,
         "pagination": q_pagination,
         "intraday_profile": q_intraday_profile,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "lang_mix": q_lang_mix,
+        "churn_flags": q_churn_flags,
         "weighted_percentile": q_weighted_percentile,
         "grouped_mode": q_grouped_mode,
         "explode_outer": q_explode_outer,
@@ -6031,6 +6101,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "dup_rate_by_source": f"""
+            WITH d AS (
+                SELECT source, md5({norm}) AS fp FROM documents
+            ),
+            per_fp AS (
+                SELECT source, fp, COUNT(*) AS n
+                FROM d GROUP BY source, fp
+            )
+            SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+                   COUNT(*) AS n_unique,
+                   CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n)
+                        AS BIGINT) AS dup_ppm
+            FROM per_fp GROUP BY source
+        """,
+        "lang_mix": """
+            WITH cells AS (
+                SELECT source, lang, COUNT(*) AS n
+                FROM documents GROUP BY source, lang
+            )
+            SELECT source, lang, n,
+                   CAST(n * 1000000 // SUM(n) OVER (
+                       PARTITION BY source) AS BIGINT) AS share_ppm
+            FROM cells
+        """,
+        "churn_flags": """
+            WITH ev AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                           AS day
+                FROM events
+            ),
+            last AS (
+                SELECT user_id, MAX(day) AS last_day
+                FROM ev GROUP BY user_id
+            ),
+            wm AS (SELECT MAX(day) AS wm FROM ev)
+            SELECT COUNT(*) AS n_users,
+                   COUNT(*) FILTER (WHERE wm - last_day > 7)
+                       AS churned_7d,
+                   COUNT(*) FILTER (WHERE wm - last_day > 14)
+                       AS churned_14d
+            FROM last CROSS JOIN wm
         """,
         "pagination": PAGINATION_SQL,
         "intraday_profile": """

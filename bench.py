@@ -185,6 +185,9 @@ BENCH_QUERIES = [
     "spike_days",
     "pagination",
     "intraday_profile",
+    "dup_rate_by_source",
+    "lang_mix",
+    "churn_flags",
 ]
 
 
