@@ -5110,6 +5110,40 @@ def q_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup leakage (the train/test-contamination
+    screen between corpus slices): MinHash-LSH pairs (portable md5
+    signatures, est >= 0.5) whose two documents come from DIFFERENT
+    sources, counted per unordered source pair — the decision input
+    for which slices must be co-deduplicated before splitting."""
+    _tune(spark)
+    from drune_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", min_est_jaccard=0.5, portable=True
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"),
+                    F.col("source").alias("source_a"))
+    sb = src.select(F.col("doc_id").alias("id_b"),
+                    F.col("source").alias("source_b"))
+    tagged = (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .select(
+            F.least("source_a", "source_b").alias("src_lo"),
+            F.greatest("source_a", "source_b").alias("src_hi"),
+        )
+    )
+    return tagged.groupBy("src_lo", "src_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5190,6 +5224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spike_days": q_spike_days,
         "pagination": q_pagination,
         "intraday_profile": q_intraday_profile,
+        "cross_source_dups": q_cross_source_dups,
         "dup_rate_by_source": q_dup_rate_by_source,
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -6101,6 +6136,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "cross_source_dups": f"""
+            WITH toks AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ),
+            shing AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+                FROM toks, UNNEST(generate_series(1,
+                     greatest(len(w) - 2, 0))) AS t(i)
+            ),
+            h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv
+                FROM shing
+            ),
+            perms(i, a, b) AS (VALUES {coeff_rows}),
+            slots AS (
+                SELECT d.doc_id, p.i,
+                       COALESCE(MIN((p.a * h.hv + p.b) % {mersenne}),
+                                {mersenne}) AS slot
+                FROM (SELECT DISTINCT doc_id FROM documents) d
+                CROSS JOIN perms p
+                LEFT JOIN h ON h.doc_id = d.doc_id
+                GROUP BY d.doc_id, p.i
+            ),
+            sigs AS (
+                SELECT doc_id, list(slot ORDER BY i) AS sig
+                FROM slots GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, sig, unnest(range(0, 16)) AS band,
+                       unnest([{mh_band_slices}]) AS key
+                FROM sigs
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sig AS sa, b.sig AS sb
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+            ),
+            close_pairs AS (
+                SELECT id_a, id_b FROM (
+                    SELECT id_a, id_b,
+                           CAST(len(list_filter(range(0, 64),
+                                    j -> sa[j+1] = sb[j+1]))
+                                AS DOUBLE) / 64 AS est
+                    FROM cands
+                ) WHERE est >= 0.5
+            ),
+            tagged AS (
+                SELECT least(da.source, db.source) AS src_lo,
+                       greatest(da.source, db.source) AS src_hi
+                FROM close_pairs
+                JOIN documents da ON da.doc_id = close_pairs.id_a
+                JOIN documents db ON db.doc_id = close_pairs.id_b
+                WHERE da.source <> db.source
+            )
+            SELECT src_lo, src_hi, COUNT(*) AS n_pairs
+            FROM tagged GROUP BY src_lo, src_hi
         """,
         "dup_rate_by_source": f"""
             WITH d AS (

@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "dup_rate_by_source",
     "lang_mix",
     "churn_flags",
+    "cross_source_dups",
 ]
 
 
