@@ -5144,6 +5144,67 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length bands per language (the corpus length-distribution
+    report): whitespace token counts bucketed into 8-token bands,
+    counts per (lang, band) cell — pure integer column math, one cell
+    aggregate."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(
+            "size(split(trim(text), '\\\\s+')) div 8"
+        ).alias("band"),
+    )
+    return docs.groupBy("lang", "band").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity screen: per source, the average fraction
+    (integer ppm) of each document's distinct 3-gram shingles that
+    appear in NO other document — low novelty = templated/boilerplate
+    slice. One shingle-df table (shuffle carries shingles, documents
+    never move), per-doc integer ppm via broadcast-joined df counts,
+    then a source-cell average with integer division."""
+    _tune(spark)
+    from drune_spark.functions.hashes import word_shingles
+    from drune_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sh = docs.select(
+        "doc_id", "source",
+        F.explode(
+            F.array_distinct(
+                word_shingles(tokens(F.lower(F.col("text"))), 3)
+            )
+        ).alias("shingle"),
+    )
+    df_tbl = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    per_doc = (
+        sh.join(df_tbl, "shingle")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count_if(F.col("df") == 1).alias("n_unique"),
+        )
+        .withColumn(
+            "novelty_ppm", F.expr("n_unique * 1000000 div n_sh")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "CAST(SUM(novelty_ppm) div COUNT(1) AS BIGINT)"
+        ).alias("avg_novelty_ppm"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5225,6 +5286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination": q_pagination,
         "intraday_profile": q_intraday_profile,
         "cross_source_dups": q_cross_source_dups,
+        "length_bands": q_length_bands,
+        "novelty_score": q_novelty_score,
         "dup_rate_by_source": q_dup_rate_by_source,
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -6136,6 +6199,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "length_bands": f"""
+            SELECT lang,
+                   CAST(len({toks}) // 8 AS BIGINT) AS band,
+                   COUNT(*) AS n_docs
+            FROM documents
+            GROUP BY lang, len({toks}) // 8
+        """,
+        "novelty_score": f"""
+            WITH toksd AS (
+                SELECT doc_id, source, {toks_lower} AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, source,
+                       concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+                FROM toksd, UNNEST(generate_series(1,
+                     greatest(len(w) - 2, 0))) AS t(i)
+            ),
+            dft AS (
+                SELECT shingle, COUNT(DISTINCT doc_id) AS df
+                FROM sh GROUP BY shingle
+            ),
+            per_doc AS (
+                SELECT sh.doc_id, sh.source,
+                       COUNT(*) AS n_sh,
+                       COUNT(*) FILTER (WHERE dft.df = 1) AS n_unique
+                FROM sh JOIN dft ON sh.shingle = dft.shingle
+                GROUP BY sh.doc_id, sh.source
+            ),
+            scored AS (
+                SELECT source,
+                       n_unique * 1000000 // n_sh AS novelty_ppm
+                FROM per_doc
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(novelty_ppm) // COUNT(*) AS BIGINT)
+                       AS avg_novelty_ppm
+            FROM scored GROUP BY source
         """,
         "cross_source_dups": f"""
             WITH toks AS (

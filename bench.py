@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "lang_mix",
     "churn_flags",
     "cross_source_dups",
+    "length_bands",
+    "novelty_score",
 ]
 
 
