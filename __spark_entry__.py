@@ -5205,6 +5205,36 @@ def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_sum_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between F and O linestatus quantities
+    (operators/stats.py rank_sum_u): exact 2x-scaled rank sums with
+    full tie handling, computed on value-domain cells — rows never
+    sort. The nonparametric shift test beside source_divergence's
+    chi-square."""
+    _tune(spark)
+    from drune_spark.operators.stats import rank_sum_u
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    return rank_sum_u(li, "qty", "l_linestatus", "F", "O")
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between F and O linestatus
+    quantity distributions (operators/stats.py ks_statistic): integer
+    cross-product max — no per-row division, cells only."""
+    _tune(spark)
+    from drune_spark.operators.stats import ks_statistic
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    return ks_statistic(li, "qty", "l_linestatus", "F", "O")
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5288,6 +5318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": q_cross_source_dups,
         "length_bands": q_length_bands,
         "novelty_score": q_novelty_score,
+        "rank_sum_u": q_rank_sum_u,
+        "ks_test": q_ks_test,
         "dup_rate_by_source": q_dup_rate_by_source,
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -6199,6 +6231,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "rank_sum_u": """
+            WITH cells AS (
+                SELECT CAST(l_quantity AS BIGINT) AS qty,
+                       COUNT(*) FILTER (WHERE l_linestatus = 'F')
+                           AS ca,
+                       COUNT(*) FILTER (WHERE l_linestatus = 'O')
+                           AS cb
+                FROM lineitem
+                WHERE l_linestatus IN ('F', 'O')
+                GROUP BY qty
+            ),
+            r AS (
+                SELECT ca, cb,
+                       COALESCE(SUM(ca + cb) OVER (
+                           ORDER BY qty
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING
+                       ), 0) AS cum_before,
+                       ca + cb AS cnt
+                FROM cells
+            ),
+            a AS (
+                SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                       CAST(SUM(cb) AS BIGINT) AS n_b,
+                       CAST(SUM(ca * (2 * cum_before + cnt + 1))
+                            AS BIGINT) AS r2_a
+                FROM r
+            )
+            SELECT n_a, n_b, r2_a,
+                   CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+                   CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1))
+                        AS BIGINT) AS u2_b
+            FROM a
+        """,
+        "ks_test": """
+            WITH cells AS (
+                SELECT CAST(l_quantity AS BIGINT) AS qty,
+                       COUNT(*) FILTER (WHERE l_linestatus = 'F')
+                           AS ca,
+                       COUNT(*) FILTER (WHERE l_linestatus = 'O')
+                           AS cb
+                FROM lineitem
+                WHERE l_linestatus IN ('F', 'O')
+                GROUP BY qty
+            ),
+            cum AS (
+                SELECT SUM(ca) OVER w AS cum_a,
+                       SUM(cb) OVER w AS cum_b
+                FROM cells
+                WINDOW w AS (ORDER BY qty
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+            ),
+            tot AS (
+                SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                       CAST(SUM(cb) AS BIGINT) AS n_b
+                FROM cells
+            )
+            SELECT n_a, n_b,
+                   CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+                       AS d_num,
+                   CAST(MAX(abs(cum_a * n_b - cum_b * n_a))
+                        * 1000000 // (n_a * n_b) AS BIGINT) AS d_ppm
+            FROM cum CROSS JOIN tot
+            GROUP BY n_a, n_b
         """,
         "length_bands": f"""
             SELECT lang,

@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "cross_source_dups",
     "length_bands",
     "novelty_score",
+    "rank_sum_u",
+    "ks_test",
 ]
 
 

@@ -444,3 +444,109 @@ def grouped_mode(
          - F.col("__code") % F.lit(int(value_bound))).alias("mode_value"),
         F.expr(f"__code div {int(value_bound)}L").alias("mode_count"),
     )
+
+
+def rank_sum_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two groups, exact on
+    integer values: the nonparametric "did the distribution shift"
+    test, computed entirely on VALUE CELLS — per distinct value the two
+    group counts, midrank from the running total, rank sums by
+    cell-weighted midranks. Ranks are kept at 2x scale so tie midranks
+    ((2·cum_before + cnt + 1)/2) stay integer: u2 = 2·U exactly, at
+    any parallelism, with full tie handling.
+
+    Cost: one cell aggregate (map-side partial) + a window over the
+    value-domain cells — rows never sort. Returns one row:
+    (n_a, n_b, r2_a [2x rank-sum], u2_a [2x U], u2_b).
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(value_col)
+        .agg(
+            F.count_if(F.col(group_col) == group_a).alias("ca"),
+            F.count_if(F.col(group_col) == group_b).alias("cb"),
+        )
+        .withColumn("cnt", F.col("ca") + F.col("cb"))
+    )
+    w = (
+        Window.orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cells.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).withColumn(
+        "midrank2", 2 * F.col("cum_before") + F.col("cnt") + 1
+    )
+    return ranked.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(F.col("ca") * F.col("midrank2")).alias("r2_a"),
+    ).select(
+        "n_a", "n_b", "r2_a",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .alias("u2_a"),
+        (
+            2 * F.col("n_a") * F.col("n_b")
+            - (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        ).alias("u2_b"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic on integer values,
+    exact: D = max |F_a(v) − F_b(v)| computed as the integer
+    cross-product max |cum_a·n_b − cum_b·n_a| (no per-row division) —
+    same cells-only economics as rank_sum_u. Returns one row
+    (n_a, n_b, d_num [max |cum_a·n_b − cum_b·n_a|], d_ppm
+    [d_num·1e6 div (n_a·n_b)])."""
+    from pyspark.sql import Window
+
+    cells = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(value_col)
+        .agg(
+            F.count_if(F.col(group_col) == group_a).alias("ca"),
+            F.count_if(F.col(group_col) == group_b).alias("cb"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = cells.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a", "n_b",
+            F.abs(
+                F.col("cum_a") * F.col("n_b")
+                - F.col("cum_b") * F.col("n_a")
+            ).alias("diff"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("diff").alias("d_num"))
+        .select(
+            "n_a", "n_b", "d_num",
+            F.expr("d_num * 1000000 div (n_a * n_b)").alias("d_ppm"),
+        )
+    )

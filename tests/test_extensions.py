@@ -2241,3 +2241,26 @@ class TestGroupedMode:
         got = {r.grp: (r.mode_value, r.mode_count)
                for r in grouped_mode(df, ["grp"], "v").collect()}
         assert got == {"a": (2, 2), "b": (7, 1)}
+
+
+class TestRankSumAndKs:
+    def test_u_matches_scipy_style_hand_calc(self, spark):
+        from drune_spark.operators.stats import rank_sum_u
+        # A = [1, 2, 2], B = [2, 3]: ranks (2x): 1→2, 2→(2·1+3+1)=8/…
+        # midrank2 of value 2 is 2*1+3+1 = 8 (midrank 4? no: ranks of
+        # the three 2s are 2,3,4 → midrank 3 → 2x = 6). cum_before=1.
+        # 2*1+3+1 = 6. R2_A = 2(for 1) + 2*6 = 14 → R_A = 7.
+        # U_A = 7 - 3*4/2 = 1 → u2_a = 2.
+        rows = [("A", 1), ("A", 2), ("A", 2), ("B", 2), ("B", 3)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        r = rank_sum_u(df, "v", "g", "A", "B").collect()[0]
+        assert (r.n_a, r.n_b, r.r2_a, r.u2_a, r.u2_b) == (3, 2, 14, 2, 10)
+
+    def test_ks_on_disjoint_supports_is_one(self, spark):
+        from drune_spark.operators.stats import ks_statistic
+        rows = [("A", 1), ("A", 2), ("B", 5), ("B", 6), ("B", 7)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        r = ks_statistic(df, "v", "g", "A", "B").collect()[0]
+        assert (r.n_a, r.n_b) == (2, 3)
+        assert r.d_num == 2 * 3       # full separation
+        assert r.d_ppm == 1000000
