@@ -5235,6 +5235,46 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_statistic(li, "qty", "l_linestatus", "F", "O")
 
 
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-inequality metrics over customers: exact integer Gini
+    coefficient (G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), ranks from a
+    total order over CUSTOMER CELLS — dimension-sized, rows never
+    sort) plus top-decile revenue concentration, both in ppm with
+    non-negative integer division only."""
+    _tune(spark)
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    spend = o.groupBy("o_custkey").agg(F.sum("cents").alias("x"))
+    w = Window.orderBy(F.col("x").asc(), F.col("o_custkey").asc())
+    ranked = spend.withColumn("r", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("r") * F.col("x")).alias("s2"),
+    )
+    top = ranked.crossJoin(
+        F.broadcast(ranked.agg(F.count(F.lit(1)).alias("nn")))
+    ).filter(
+        F.col("r") > F.col("nn") - F.expr("nn div 10")
+    ).agg(F.sum("x").alias("top_x"))
+    return agg.crossJoin(F.broadcast(top)).select(
+        "n", "s1", "s2",
+        # numerator x 1e6 would overflow int64 at sf>=0.01; dividing
+        # by (n*s1 div 1e6) keeps every intermediate in range and both
+        # engines evaluate the identical integer expression
+        F.expr(
+            "(2 * s2 - (n + 1) * s1) div (n * s1 div 1000000)"
+        ).alias("gini_ppm"),
+        F.expr("top_x * 1000000 div s1").alias("top_decile_ppm"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5320,6 +5360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_score": q_novelty_score,
         "rank_sum_u": q_rank_sum_u,
         "ks_test": q_ks_test,
+        "gini_spend": q_gini_spend,
         "dup_rate_by_source": q_dup_rate_by_source,
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -6231,6 +6272,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "gini_spend": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS x
+                FROM orders GROUP BY o_custkey
+            ),
+            ranked AS (
+                SELECT x,
+                       row_number() OVER (
+                           ORDER BY x, o_custkey
+                       ) AS r
+                FROM spend
+            ),
+            a AS (
+                SELECT COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS s1,
+                       CAST(SUM(r * x) AS BIGINT) AS s2
+                FROM ranked
+            ),
+            top AS (
+                SELECT CAST(SUM(x) AS BIGINT) AS top_x
+                FROM ranked CROSS JOIN a
+                WHERE r > n - n // 10
+            )
+            SELECT n, s1, s2,
+                   CAST((2 * s2 - (n + 1) * s1)
+                        // (n * s1 // 1000000) AS BIGINT) AS gini_ppm,
+                   CAST(top_x * 1000000 // s1 AS BIGINT)
+                       AS top_decile_ppm
+            FROM a CROSS JOIN top
         """,
         "rank_sum_u": """
             WITH cells AS (

@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "novelty_score",
     "rank_sum_u",
     "ks_test",
+    "gini_spend",
 ]
 
 
