@@ -5282,6 +5282,72 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate per brand (the retail quality KPI): share of line
+    items flagged R, integer ppm, broadcast part dimension join."""
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+        )
+        .withColumn(
+            "return_ppm",
+            F.expr("n_returned * 1000000 div n_lines"),
+        )
+    )
+
+
+def q_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band revenue analysis: line revenue grouped by integer
+    discount percentage band — DECIMAL-exact gross and discounted
+    sums per band (the pricing-lever report)."""
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.expr(
+            "CAST(floor(l_discount * 100 + 0.5) AS INT)"
+        ).alias("disc_pct")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))"
+            " AS DOUBLE)"
+        ).alias("gross"),
+        F.expr(
+            f"CAST({REVENUE_DEC} AS DOUBLE)"
+        ).alias("net"),
+    )
+
+
+def q_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap cells (the calendar-heatmap
+    feed): both axes from pure µs math — engine-numbering-proof and
+    timezone-free; one cell aggregate."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(
+            "(unix_micros(ts) div 86400000000 + 3) % 7 + 1"
+        ).alias("dow_iso"),
+        F.expr(
+            "(unix_micros(ts) % 86400000000) div 3600000000"
+        ).alias("hour_utc"),
+    )
+    return ev.groupBy("dow_iso", "hour_utc").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.col("dow_iso").cast("int").alias("dow_iso"),
+        F.col("hour_utc").cast("int").alias("hour_utc"),
+        "n",
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5368,6 +5434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum_u": q_rank_sum_u,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
+        "return_rates": q_return_rates,
+        "discount_bands": q_discount_bands,
+        "weekday_hour_heatmap": q_weekday_hour_heatmap,
         "dup_rate_by_source": q_dup_rate_by_source,
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -6279,6 +6348,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "return_rates": """
+            SELECT p_brand, COUNT(*) AS n_lines,
+                   COUNT(*) FILTER (WHERE l_returnflag = 'R')
+                       AS n_returned,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R')
+                        * 1000000 // COUNT(*) AS BIGINT)
+                       AS return_ppm
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "discount_bands": """
+            SELECT CAST(floor(l_discount * 100 + 0.5) AS INTEGER)
+                       AS disc_pct,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS gross,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(18,2)))
+                        AS DOUBLE) AS net
+            FROM lineitem
+            GROUP BY disc_pct
+        """,
+        "weekday_hour_heatmap": """
+            SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 + 1
+                        AS INTEGER) AS dow_iso,
+                   CAST((epoch_us(ts) % 86400000000) // 3600000000
+                        AS INTEGER) AS hour_utc,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY 1, 2
         """,
         "gini_spend": """
             WITH spend AS (

@@ -194,6 +194,9 @@ BENCH_QUERIES = [
     "rank_sum_u",
     "ks_test",
     "gini_spend",
+    "return_rates",
+    "discount_bands",
+    "weekday_hour_heatmap",
 ]
 
 
