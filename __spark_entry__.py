@@ -5348,6 +5348,45 @@ def q_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size (lines per order) distribution — the basket-size
+    histogram: per-order line counts re-aggregated to (size, count)
+    cells. Two cell aggregates, both map-side-partial."""
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    return per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_brand_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand price-positioning index: each brand's average retail
+    price vs the overall average, as the exact integer cross-product
+    ratio (brand_sum·global_n·1e6 div (brand_n·global_sum)) — no
+    division-before-comparison FP."""
+    _tune(spark)
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.expr(
+            "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    cells = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+    )
+    tot = cells.agg(
+        F.sum("n").alias("gn"), F.sum("s").alias("gs")
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "p_brand", "n",
+        F.expr("s * gn * 1000000 div (n * gs)").alias("index_ppm"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5434,6 +5473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum_u": q_rank_sum_u,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
+        "order_size_dist": q_order_size_dist,
+        "brand_price_index": q_brand_price_index,
         "return_rates": q_return_rates,
         "discount_bands": q_discount_bands,
         "weekday_hour_heatmap": q_weekday_hour_heatmap,
@@ -6348,6 +6389,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "order_size_dist": """
+            WITH per_order AS (
+                SELECT l_orderkey, COUNT(*) AS n_lines
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT CAST(n_lines AS BIGINT) AS n_lines,
+                   COUNT(*) AS n_orders
+            FROM per_order GROUP BY n_lines
+        """,
+        "brand_price_index": """
+            WITH cells AS (
+                SELECT p_brand, COUNT(*) AS n,
+                       CAST(SUM(CAST(floor(p_retailprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS s
+                FROM part GROUP BY p_brand
+            ),
+            tot AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS gn,
+                       CAST(SUM(s) AS BIGINT) AS gs
+                FROM cells
+            )
+            SELECT p_brand, n,
+                   CAST(s * gn * 1000000 // (n * gs) AS BIGINT)
+                       AS index_ppm
+            FROM cells CROSS JOIN tot
         """,
         "return_rates": """
             SELECT p_brand, COUNT(*) AS n_lines,

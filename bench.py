@@ -197,6 +197,8 @@ BENCH_QUERIES = [
     "return_rates",
     "discount_bands",
     "weekday_hour_heatmap",
+    "order_size_dist",
+    "brand_price_index",
 ]
 
 
