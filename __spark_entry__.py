@@ -5387,6 +5387,65 @@ def q_brand_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate per market segment: share of customers
+    with 2+ orders, integer ppm — per-customer order counts joined to
+    the broadcast customer dim, segment cells."""
+    _tune(spark)
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        per_cust.join(F.broadcast(c),
+                      per_cust.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_buyers"),
+            F.count_if(F.col("n_orders") >= 2).alias("n_repeat"),
+        )
+        .withColumn(
+            "repeat_ppm", F.expr("n_repeat * 1000000 div n_buyers")
+        )
+    )
+
+
+def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval bands per segment (the repurchase-cycle
+    metric): integer day gaps between a customer's consecutive orders
+    (one window per customer over ORDER CELLS), exact percentiles per
+    segment."""
+    _tune(spark)
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("day"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("day").asc(), F.col("o_orderkey").asc()
+    )
+    gaps = (
+        o.withColumn("gap", F.col("day") - F.lag("day").over(w))
+        .filter(F.col("gap").isNotNull())
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return gaps.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("CAST(percentile(gap, 0.5) AS DOUBLE)").alias("p50_days"),
+        F.expr("CAST(percentile(gap, 0.9) AS DOUBLE)").alias("p90_days"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5473,6 +5532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum_u": q_rank_sum_u,
         "ks_test": q_ks_test,
         "gini_spend": q_gini_spend,
+        "repeat_rate": q_repeat_rate,
+        "purchase_intervals": q_purchase_intervals,
         "order_size_dist": q_order_size_dist,
         "brand_price_index": q_brand_price_index,
         "return_rates": q_return_rates,
@@ -6389,6 +6450,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
                    CAST(MAX(load) AS BIGINT) AS peak
             FROM load GROUP BY dim
+        """,
+        "repeat_rate": """
+            WITH per_cust AS (
+                SELECT o_custkey, COUNT(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT c_mktsegment, COUNT(*) AS n_buyers,
+                   COUNT(*) FILTER (WHERE n_orders >= 2) AS n_repeat,
+                   CAST(COUNT(*) FILTER (WHERE n_orders >= 2)
+                        * 1000000 // COUNT(*) AS BIGINT) AS repeat_ppm
+            FROM per_cust JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "purchase_intervals": """
+            WITH o AS (
+                SELECT o_custkey, o_orderkey,
+                       CAST(epoch_us(o_orderdate) // 86400000000
+                            AS BIGINT) AS day
+                FROM orders
+            ),
+            g AS (
+                SELECT o_custkey,
+                       day - lag(day) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY day, o_orderkey
+                       ) AS gap
+                FROM o
+            )
+            SELECT c_mktsegment, COUNT(*) AS n_gaps,
+                   CAST(quantile_cont(gap, 0.5) AS DOUBLE) AS p50_days,
+                   CAST(quantile_cont(gap, 0.9) AS DOUBLE) AS p90_days
+            FROM g JOIN customer ON o_custkey = c_custkey
+            WHERE gap IS NOT NULL
+            GROUP BY c_mktsegment
         """,
         "order_size_dist": """
             WITH per_order AS (

@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "weekday_hour_heatmap",
     "order_size_dist",
     "brand_price_index",
+    "repeat_rate",
+    "purchase_intervals",
 ]
 
 
