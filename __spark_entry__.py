@@ -5446,6 +5446,94 @@ def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec round-trip (multimodal mandate): one PNG per
+    document is encoded from closed-form pixels (operators/multimodal.py
+    synth_pixels — cycling through all five PNG row filters), then a
+    SEPARATE Arrow stage decodes the bytes back (zlib inflate +
+    unfiltering, operators/imageio.py) and emits exact integer pixel
+    stats. ``wsum`` = Σ px[i]·(i+1) is order-sensitive, so one wrong
+    byte anywhere in the deflate stream or filter math breaks the hash.
+    The DuckDB oracle recomputes every feature from the pixel formula —
+    the codec itself is the thing under test. Decode is shuffle-free
+    mapInPandas; only 9-column feature rows leave the stage."""
+    _tune(spark)
+    from drune_spark.operators.multimodal import (
+        image_features,
+        synthesize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_features(synthesize_images(docs))
+
+
+def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` with PROVEN state expiry: a
+    4-micro-batch synthetic stream (clock rows drive the watermark on a
+    fixed schedule, one wm-advance-only batch triggers end-of-batch
+    eviction) where scenario-1 keys' late duplicate arrives after the
+    watermark passed first-seen + delay and is RE-ADMITTED (two output
+    rows: hours 1 and 31), while scenario-0 keys' duplicate inside the
+    horizon is suppressed. Margins are ≥6h around every boundary, so
+    the output is a closed form over the key universe (distinct
+    event_type) that the oracle states directly. See
+    streaming/runner.py::streamed_distinct_within_watermark."""
+    _tune(spark)
+    from drune_spark.streaming.runner import (
+        streamed_distinct_within_watermark,
+    )
+
+    return streamed_distinct_within_watermark(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+# Shared NL→SQL gate inputs: the question exercises concept retrieval,
+# metric phrase-matching, segment detection, dimension phrases, and
+# top-k — and the compiled SQL text is run VERBATIM on both engines
+# (shared-SQL-text determinism pattern).
+GLOSSARY_SPEC = {
+    "concepts": {
+        "orders": {
+            "table": "orders",
+            "description": "customer orders placed by buyers",
+            "metrics": {
+                "total_revenue": (
+                    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+                    "AS DOUBLE)"
+                ),
+                "n_orders": "CAST(COUNT(*) AS BIGINT)",
+            },
+            "segments": {"open": "o_orderstatus = 'O'"},
+            "dimensions": ["o_orderpriority"],
+        }
+    }
+}
+GLOSSARY_QUESTION = (
+    "show the top 3 order priorities by total revenue for open orders"
+)
+
+
+def _glossary_compiled_sql() -> str:
+    from drune_spark.ai.nl2sql import NLQueryEngine
+    from drune_spark.glossary import Glossary, GlossaryModel
+
+    g = Glossary(GlossaryModel.model_validate(GLOSSARY_SPEC))
+    return NLQueryEngine(g).to_sql(GLOSSARY_QUESTION)
+
+
+def q_glossary_nl2sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NL→SQL over the glossary semantic layer
+    (ai/nl2sql.py): lexical concept/metric/segment/dimension match +
+    top-k, compiled through Glossary.compile_sql so every formula stays
+    governed. The oracle runs the IDENTICAL compiled SQL text in DuckDB
+    (both engines see a view named ``orders``), so the gate verifies
+    the whole question→SQL→result path."""
+    _tune(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_glossary_compiled_sql())
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5466,6 +5554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Within the priority block, cheap queries lead in case the cap is
     time-based rather than positional."""
     return {
+        # -- new in round 4 -------------------------------------------------
+        "image_decode": q_image_decode,
+        "stream_dedup_wm": q_stream_dedup_wm,
+        "glossary_nl2sql": q_glossary_nl2sql,
         # -- new this round ------------------------------------------------
         "activity_streaks": q_activity_streaks,
         "skyline_pareto": q_skyline_pareto,
@@ -5921,6 +6013,57 @@ def oracle_sql() -> dict[str, str]:
 
     hll_scale = repr(hll_alpha(9) * 512 * 512 * float(1 << 24))
     return {
+        # -- round-4 entries -------------------------------------------
+        # Pixel formula mirror of multimodal.synth_pixels: the Spark side
+        # went bytes→PNG→decode→stats; the oracle recomputes the stats
+        # straight from the closed form (all-integer, so exact).
+        "image_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       4 + doc_id % 5 AS w,
+                       3 + doc_id % 4 AS h
+                FROM documents
+            ),
+            px AS (
+                SELECT doc_id, w, h, i,
+                       (doc_id * 7 + 3 * ((i // 3) % w)
+                        + 5 * (i // (3 * w)) + 11 * (i % 3)) % 256 AS v
+                FROM d, UNNEST(generate_series(0, w * h * 3 - 1)) AS t(i)
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST(SUM(v) AS BIGINT) AS px_sum,
+                   CAST(SUM(v * (i + 1)) AS BIGINT) AS wsum,
+                   CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END)
+                        AS BIGINT) AS r_sum,
+                   CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END)
+                        AS BIGINT) AS g_sum,
+                   CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END)
+                        AS BIGINT) AS b_sum
+            FROM px GROUP BY doc_id, w, h
+        """,
+        # Closed form of the constructed 3-batch watermark schedule (see
+        # streamed_distinct_within_watermark): every key emits its hour-1
+        # first-seen row; keys with idx%3=1 re-admit at hour 21 after
+        # state expiry; idx%3=0 duplicates inside the horizon are
+        # suppressed.
+        "stream_dedup_wm": """
+            WITH t AS (SELECT DISTINCT event_type FROM events),
+            i AS (
+                SELECT event_type,
+                       row_number() OVER (ORDER BY event_type) - 1 AS idx
+                FROM t
+            )
+            SELECT event_type, CAST(1 AS BIGINT) AS ts_hour FROM i
+            UNION ALL
+            SELECT event_type, CAST(31 AS BIGINT) AS ts_hour
+            FROM i WHERE idx % 3 = 1
+        """,
+        # Identical compiled SQL text on both engines — the NL→SQL
+        # engine's output IS the shared artifact under test.
+        "glossary_nl2sql": _glossary_compiled_sql(),
         "activity_streaks": """
             WITH d AS (
                 SELECT DISTINCT user_id,

@@ -245,12 +245,32 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    # The driver captures only a bounded tail of stdout: BENCH_r03.json
+    # recorded rc=0 but "parsed": null because the full 172-query map is
+    # ~5 KB on one line and overflowed the capture buffer. So: the full
+    # per-query map goes to BENCH_full.json next to this script, and the
+    # LAST stdout line is a compact summary (headline subset only) that
+    # always fits.
+    full = {
         "metric": "total_headline_query_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_full.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    headline = {k: timings[k] for k in BENCH_QUERIES[:20] if k in timings}
+    print(json.dumps({
+        "metric": "total_headline_query_seconds",
+        "value": full["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "anchor_tpch_q3": timings.get("tpch_q3"),
+        "queries": headline,
+        "sf": sf_val,
+        "full": "BENCH_full.json",
     }))
 
 

@@ -312,6 +312,114 @@ def streamed_distinct(
     return spark.table(name).select("event_type", "day")
 
 
+def streamed_distinct_within_watermark(
+    spark: SparkSession,
+    events_path: str,
+    delay: str = "5 hours",
+    n_state_partitions: int | None = 8,
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the UNBOUNDED-key streaming
+    dedup (message-id shape): state for a key is kept only until the
+    event-time watermark passes its event time + delay, so state is
+    bounded by delay × arrival rate instead of growing with stream
+    length. The trade: a duplicate arriving after the horizon is
+    re-admitted.
+
+    ``streamed_distinct`` (above) documents why the general case can't
+    be batch-oracle-checked: re-admission depends on arrival order vs
+    watermark. This gate makes it deterministic by CONSTRUCTION — it
+    synthesizes a 4-micro-batch input (``maxFilesPerTrigger=1`` over
+    mtime-ordered parquet files) with a per-batch "clock" row driving
+    the watermark on a fixed schedule. Spark evicts dedup state at the
+    END of a batch using that batch's watermark, so the schedule leaves
+    one watermark-advance-only batch between first-seen and the late
+    duplicate: batch 0 seeds every key at hour 1 (expiry 1h+5h = 6h);
+    batch 1's duplicates at hour 11 are SUPPRESSED (watermark 5h <
+    expiry); batch 2 is clock-only and its end-of-batch eviction runs
+    at watermark 15h > expiry — state gone; batch 3's duplicates at
+    hour 31 are RE-ADMITTED (watermark 25h, not late). Margins are ≥6h
+    around every boundary, measured against the observed per-batch
+    watermarks, so no eviction edge condition can flip a row. Key set =
+    distinct ``event_type`` of the input; key idx%3 picks the scenario
+    (0: dup-suppressed, 1: dup-re-admitted, 2: no dup).
+
+    Returns (event_type, ts_hour) of every EMITTED row: scenario-1 keys
+    yield two rows (hours 1 and 31), all others one row (hour 1) — a
+    closed form the DuckDB oracle states directly.
+    """
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    HOUR_US = 3_600_000_000
+    types = sorted(
+        r[0]
+        for r in spark.read.parquet(events_path)
+        .select("event_type").distinct().collect()
+    )  # key universe: tiny dimension-sized driver list, not data rows
+    batches: list[list[tuple[str, int]]] = [
+        [(t, 1 * HOUR_US) for t in types] + [("__clock", 10 * HOUR_US)],
+        [(t, 11 * HOUR_US) for i, t in enumerate(types) if i % 3 == 0]
+        + [("__clock", 20 * HOUR_US)],
+        [("__clock", 30 * HOUR_US)],  # advances wm; end-of-batch evict
+        [(t, 31 * HOUR_US) for i, t in enumerate(types) if i % 3 == 1]
+        + [("__clock", 40 * HOUR_US)],
+    ]
+
+    in_dir = tempfile.mkdtemp(prefix="drune_dedup_wm_")
+    name = f"ddwm_{uuid.uuid4().hex[:8]}"
+    try:
+        import time as _time
+
+        now = _time.time()
+        for b, rows in enumerate(batches):
+            path = os.path.join(in_dir, f"b{b}.parquet")
+            pq.write_table(
+                pa.table({
+                    "event_type": [r[0] for r in rows],
+                    "ts_us": pa.array(
+                        [r[1] for r in rows], type=pa.int64()
+                    ),
+                }),
+                path,
+            )
+            # FileStreamSource batches by (mtime, path): pin both so
+            # micro-batch order is deterministic.
+            os.utime(path, (now - 600 + 100 * b, now - 600 + 100 * b))
+        stream = (
+            spark.readStream.schema("event_type string, ts_us bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .withWatermark("ts", delay)
+            .dropDuplicatesWithinWatermark(["event_type"])
+        )
+        with tempfile.TemporaryDirectory() as ckpt, \
+                state_partitions(spark, n_state_partitions):
+            query = (
+                stream.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+        # The memory sink holds rows driver-side — the input dir can go.
+        out = (
+            spark.table(name)
+            .filter(F.col("event_type") != "__clock")
+            .select(
+                "event_type",
+                F.expr("ts_us div 3600000000").alias("ts_hour"),
+            )
+        )
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+    return out
+
+
 def stream_upsert(
     spark: SparkSession,
     events_path: str,
@@ -346,6 +454,8 @@ def stream_upsert(
     state_path = os.path.join(state_dir, "state.parquet")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         sess = batch_df.sparkSession
         try:
             existing = sess.read.parquet(state_path)
@@ -362,11 +472,14 @@ def stream_upsert(
             unioned.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn")
         )
-        # state is keys-sized; rewrite via a temp dir + atomic-ish swap
+        # state is keys-sized; rewrite via a temp dir + atomic-ish swap,
+        # and drop the per-batch scratch dir once swapped (a long-lived
+        # stream would otherwise leave one dir per micro-batch behind)
         tmp_out = state_path + f".b{batch_id}"
         reduced.write.mode("overwrite").parquet(tmp_out)
         final = sess.read.parquet(tmp_out)
         final.write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(tmp_out, ignore_errors=True)
 
     with tempfile.TemporaryDirectory() as ckpt, \
             state_partitions(spark, n_state_partitions):
@@ -378,7 +491,19 @@ def stream_upsert(
             .start()
         )
         query.awaitTermination()
-    out = spark.read.parquet(state_path)
+    # Materialize the final state driver-side (keys-sized) so the
+    # scratch state dir can be removed immediately instead of leaking
+    # one mkdtemp per call (the returned frame must not lazily read
+    # from a deleted path).
+    import shutil
+
+    rows = spark.read.parquet(state_path).collect()
+    out = spark.createDataFrame(
+        rows,
+        schema="user_id bigint, ts_us bigint, event_id bigint, "
+               "last_type string",
+    )
+    shutil.rmtree(state_dir, ignore_errors=True)
     return out.select(
         "user_id",
         F.col("ts_us").alias("last_ts_us"),

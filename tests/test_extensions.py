@@ -483,6 +483,138 @@ class TestMultimodal:
             stream.collect()
 
 
+class TestImageCodec:
+    """Real PNG/BMP codecs (operators/imageio.py). The encoder
+    (vectorized numpy) and decoder (scalar loops) are independently
+    structured implementations of the spec, so a round-trip match plus
+    the hand-computed filter vectors below give genuine conformance
+    coverage without a third-party decoder in the container."""
+
+    def test_png_roundtrip_all_shapes(self):
+        import numpy as np
+        from drune_spark.operators.imageio import decode_png, encode_png
+
+        rng = np.random.RandomState(7)
+        for shape in [(6, 8, 3), (5, 4, 1), (7, 3, 4), (1, 1, 3), (11, 2, 3)]:
+            a = rng.randint(0, 256, size=shape, dtype=np.uint8)
+            for mode in ("cycle", "none"):
+                assert np.array_equal(decode_png(encode_png(a, mode)), a)
+
+    def test_png_filters_hand_computed(self):
+        """Decode a stream whose Sub/Up rows were filtered by hand with
+        plain-integer spec arithmetic — independent of the encoder."""
+        import struct
+        import zlib
+
+        import numpy as np
+        from drune_spark.operators.imageio import _chunk, _PNG_SIG, decode_png
+
+        # 2x2 grayscale, pixels [[10, 30], [25, 65]]
+        # row 0 with filter 1 (Sub):  10, 30-10=20
+        # row 1 with filter 2 (Up):   25-10=15, 65-30=35
+        raw = bytes([1, 10, 20, 2, 15, 35])
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        png = (
+            _PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        out = decode_png(png)
+        assert np.array_equal(out[:, :, 0], np.array([[10, 30], [25, 65]]))
+
+    def test_png_paeth_hand_computed(self):
+        """Paeth row decoded against by-hand predictor arithmetic:
+        2x2 gray, row0=[100,200] (filter 0); row1 filter 4:
+        px(0): a=0,b=100,c=0 → p=100, pa=100,pb=0 → pred=b=100
+        px(1): a=row1[0], b=200, c=100."""
+        import struct
+        import zlib
+
+        import numpy as np
+        from drune_spark.operators.imageio import _chunk, _PNG_SIG, decode_png
+
+        # want row1 = [130, 190]: enc(0) = 130-100 = 30
+        # px(1): a=130, b=200, c=100 → p=230, pa=100, pb=30, pc=130 → pred=b=200
+        # enc(1) = 190-200 mod 256 = 246
+        raw = bytes([0, 100, 200, 4, 30, 246])
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        png = (
+            _PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        out = decode_png(png)
+        assert np.array_equal(
+            out[:, :, 0], np.array([[100, 200], [130, 190]])
+        )
+
+    def test_png_rejects_corruption(self):
+        import numpy as np
+        from drune_spark.operators.imageio import decode_png, encode_png
+
+        png = bytearray(encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"GIF89a" + bytes(png))
+        png[30] ^= 0xFF  # flip a byte inside IHDR payload → CRC mismatch
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(png))
+
+    def test_bmp_roundtrip_and_padding(self):
+        import numpy as np
+        from drune_spark.operators.imageio import decode_bmp, encode_bmp
+
+        rng = np.random.RandomState(3)
+        for w in (1, 2, 3, 4, 5):  # every row-padding residue
+            a = rng.randint(0, 256, size=(3, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_bmp(encode_bmp(a)), a)
+
+    def test_bmp_top_down(self):
+        import struct
+
+        import numpy as np
+        from drune_spark.operators.imageio import decode_bmp, encode_bmp
+
+        a = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+        bottom_up = bytearray(encode_bmp(a))
+        # rewrite height to -2 (top-down) and flip the row order in place
+        struct.pack_into("<i", bottom_up, 14 + 8, -2)
+        off = struct.unpack_from("<I", bottom_up, 10)[0]
+        stride = 8  # 2 px * 3 B, padded to 4
+        r0 = bytes(bottom_up[off:off + stride])
+        r1 = bytes(bottom_up[off + stride:off + 2 * stride])
+        bottom_up[off:off + stride] = r1
+        bottom_up[off + stride:off + 2 * stride] = r0
+        assert np.array_equal(decode_bmp(bytes(bottom_up)), a)
+
+    def test_spark_image_roundtrip_matches_closed_form(self, spark):
+        import numpy as np
+        from drune_spark.operators.multimodal import (
+            image_features, synth_pixels, synthesize_images,
+        )
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(25)], ["doc_id"]
+        )
+        rows = {
+            r.media_id: r
+            for r in image_features(synthesize_images(docs)).collect()
+        }
+        assert len(rows) == 25
+        for i in range(25):
+            px = synth_pixels(i).astype(np.int64)
+            flat = px.ravel()
+            r = rows[i]
+            assert (r.height, r.width, r.channels) == px.shape
+            assert r.px_sum == int(flat.sum())
+            assert r.wsum == int(
+                (flat * np.arange(1, flat.size + 1)).sum()
+            )
+            assert r.r_sum == int(px[:, :, 0].sum())
+            assert r.b_sum == int(px[:, :, 2].sum())
+
+
 class TestStreaming:
     def test_windowed_counts_equal_batch(self, spark, tmp_path):
         from drune_spark.streaming.runner import windowed_event_counts

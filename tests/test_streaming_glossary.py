@@ -524,6 +524,38 @@ class TestStreamedDistinct:
         )
         assert got == want and len(got) == 6
 
+    def test_within_watermark_expiry_readmits(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark semantics under the constructed
+        4-batch schedule: in-horizon duplicate suppressed (key idx 0),
+        post-expiry duplicate re-admitted (idx 1), singleton unchanged
+        (idx 2)."""
+        from drune_spark.streaming.runner import (
+            streamed_distinct_within_watermark,
+        )
+        import datetime as dt
+
+        rows = [
+            (i, dt.datetime(2024, 1, 1), 1, t, 1.0, "{}")
+            for i, t in enumerate(["apple", "berry", "cherry"] * 2)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        path = str(tmp_path / "ev")
+        df.write.parquet(path)
+        got = sorted(
+            (r.event_type, r.ts_hour)
+            for r in streamed_distinct_within_watermark(spark, path).collect()
+        )
+        assert got == [
+            ("apple", 1),   # dup at hour 11 suppressed (inside horizon)
+            ("berry", 1),
+            ("berry", 31),  # dup after state expiry re-admitted
+            ("cherry", 1),
+        ]
+
 
 class TestStreamUpsert:
     def test_multi_batch_equals_single_batch(self, spark, tmp_path):
