@@ -21,6 +21,20 @@ from typing import Any
 
 def _literal(value: str) -> Any:
     value = value.strip()
+    # Simple quoted strings are unquoted RAW: rule values are usually
+    # regexes ("pattern:'...\\.[a-z]'"), where Python escape handling is
+    # both wrong (\n would become a newline) and noisy (literal_eval
+    # emits "invalid escape sequence" DeprecationWarnings from
+    # <unknown>:1). Only strings with no interior quote qualify — the
+    # rest (including anything needing real escapes) still goes through
+    # literal_eval.
+    if (
+        len(value) >= 2
+        and value[0] == value[-1]
+        and value[0] in "'\""
+        and value[0] not in value[1:-1]
+    ):
+        return value[1:-1]
     try:
         return ast.literal_eval(value)
     except (ValueError, SyntaxError):

@@ -40,7 +40,10 @@ def basket_rules(
     # The distinct item set feeds FOUR consumers (totals, frequencies,
     # both sides of the pair self-join); without persist each branch
     # re-runs the scan+distinct (measured: 10 exchanges). One
-    # materialization, four InMemoryTableScans.
+    # materialization, four InMemoryTableScans. The cache outlives the
+    # caller's action by design (unpersisting first would re-trigger
+    # the self-referencing-DAG recompute); MEMORY_AND_DISK blocks are
+    # LRU-evicted, the intended backstop for long-lived sessions.
     items = baskets.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
     ).distinct().persist()

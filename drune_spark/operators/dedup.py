@@ -298,6 +298,8 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     # Persist: banding and the two signature joins below all read this;
     # without it the whole shingle+hash lineage recomputes each time.
+    # Left cached after return on purpose (the result is lazy and still
+    # reads it); LRU eviction is the long-lived-session backstop.
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, k, seed, portable
     ).persist()

@@ -159,11 +159,16 @@ def bfs_khop(
     of the current frontier against the edge list, a distinct, and an
     anti-join against the visited set, all hash-partitioned on node id.
     The driver holds nothing but the loop counter (k rounds, k small
-    and fixed); frontiers/visited stay distributed and are persisted
-    per round because round N+1 reads round N twice (expand + anti).
-    At 100 TB the cost per round is degree(frontier) shuffle rows —
-    the optimal label-free BFS; skewed hub nodes are AQE-split like
-    any hot join key.
+    and fixed); frontiers/visited stay distributed. Rounds are EAGER
+    (one count() per hop — the level-synchronous barrier every
+    distributed BFS needs anyway): the count materializes the round's
+    cache, enables early exit once the frontier drains, and lets every
+    superseded cache be unpersisted immediately, so a long-lived
+    driver session retains exactly ONE cached frame — the returned,
+    fully-materialized visited set (callers may unpersist it when
+    done). At 100 TB the cost per round is degree(frontier) shuffle
+    rows — the optimal label-free BFS; skewed hub nodes are AQE-split
+    like any hot join key.
 
     Reference analog: none (drune has no iterative operators); the
     unrolled-CTE oracle pattern follows pagerank_int above.
@@ -171,8 +176,9 @@ def bfs_khop(
     visited = seeds.select(F.col(node)).distinct().withColumn(
         "dist", F.lit(0)
     ).persist()
+    visited.count()
     frontier = visited.select(node)
-    out = [visited]
+    prev_nxt: DataFrame | None = None  # stays cached: it IS the frontier
     for hop in range(1, k + 1):
         nxt = (
             edges.join(frontier, edges[src] == frontier[node])
@@ -182,10 +188,19 @@ def bfs_khop(
             .withColumn("dist", F.lit(hop))
             .persist()
         )
-        out.append(nxt)
-        visited = visited.unionByName(nxt).persist()
+        n_new = nxt.count()  # materialize BEFORE retiring its parents
+        if prev_nxt is not None:
+            prev_nxt.unpersist()
+        if n_new == 0:
+            nxt.unpersist()
+            prev_nxt = None
+            break
+        new_visited = visited.unionByName(nxt).persist()
+        new_visited.count()
+        visited.unpersist()
+        visited = new_visited
         frontier = nxt.select(node)
-    result = out[0]
-    for nxt in out[1:]:
-        result = result.unionByName(nxt)
-    return result
+        prev_nxt = nxt
+    if prev_nxt is not None:
+        prev_nxt.unpersist()
+    return visited

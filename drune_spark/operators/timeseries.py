@@ -450,7 +450,11 @@ def date_dimension(df: DataFrame, date_col: str) -> DataFrame:
         F.year("day").cast("int").alias("y"),
         F.month("day").cast("int").alias("m"),
         F.dayofmonth("day").cast("int").alias("d"),
-        ((epoch_day + 3) % 7 + 1).cast("int").alias("dow_iso"),
+        # pmod, not %: 1970-01-01 was a Thursday, so (epoch_day+3) mod 7
+        # maps Monday→0 … Sunday→6; plain % goes negative for pre-1970
+        # days and would break the documented 1=Monday contract there
+        # (the oracle mirrors the same pmod form).
+        (F.pmod(epoch_day + 3, F.lit(7)) + 1).cast("int").alias("dow_iso"),
         (F.col("day") == F.last_day("day")).alias("is_month_end"),
     )
 

@@ -1,0 +1,104 @@
+"""Registry hygiene (VERDICT r3 #7): with 227 hand-registered entries,
+the queries()/oracle_sql()/COVERAGE.md triangle must not silently drift.
+
+These tests are pure-Python (no SparkSession) so they run in <1s and
+fail loudly on: a duplicate dict key silently shadowing an entry, an
+entry without its oracle twin (or a twin for a ghost entry), a bench
+query that fell out of the registry, or a stale committed ledger."""
+
+from __future__ import annotations
+
+import ast
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+# Ops whose results genuinely can't be stated in ANSI SQL would be
+# listed here and get a rows-only driver check. Kept EMPTY on purpose:
+# every current entry has a DuckDB oracle, and adding a name here must
+# be a reviewed decision, not a convenience.
+ROWS_ONLY_ALLOWLIST: frozenset[str] = frozenset()
+
+
+class TestRegistryHygiene:
+    def test_every_entry_has_oracle_twin(self):
+        qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+        missing = [n for n in qs if n not in os_ and n not in ROWS_ONLY_ALLOWLIST]
+        assert missing == [], f"entries without oracle twin: {missing}"
+
+    def test_no_orphan_oracles(self):
+        qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+        orphans = [n for n in os_ if n not in qs]
+        assert orphans == [], f"oracles for nonexistent entries: {orphans}"
+
+    def test_no_duplicate_literal_keys(self):
+        """dict literals swallow duplicate keys silently — parse the
+        source and check the literal itself."""
+        src = open(os.path.join(REPO, "__spark_entry__.py")).read()
+        tree = ast.parse(src)
+        for fn in ast.walk(tree):
+            if isinstance(fn, ast.FunctionDef) and fn.name == "queries":
+                dicts = [
+                    n for n in ast.walk(fn) if isinstance(n, ast.Dict)
+                ]
+                assert dicts, "queries() no longer returns a dict literal"
+                keys = [
+                    k.value
+                    for d in dicts
+                    for k in d.keys
+                    if isinstance(k, ast.Constant)
+                ]
+                dupes = sorted({k for k in keys if keys.count(k) > 1})
+                assert dupes == [], f"duplicate registry keys: {dupes}"
+                assert len(keys) == len(entrymod.queries())
+                return
+        raise AssertionError("queries() not found")
+
+    def test_entry_values_are_callables_with_standard_signature(self):
+        import inspect
+
+        for name, fn in entrymod.queries().items():
+            assert callable(fn), name
+            params = list(inspect.signature(fn).parameters)
+            assert len(params) == 2, (name, params)
+
+    def test_bench_queries_subset_of_registry(self):
+        import bench
+
+        qs = entrymod.queries()
+        missing = [n for n in bench.BENCH_QUERIES if n not in qs]
+        assert missing == [], f"bench names not in registry: {missing}"
+        assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+    def test_coverage_ledger_is_current(self):
+        """COVERAGE.md's generated ledger must match the live registry —
+        regenerate with `python3 tools/registry_sync.py` after any
+        registry change."""
+        import registry_sync
+
+        committed = open(os.path.join(REPO, "COVERAGE.md")).read()
+        expected = registry_sync.generate()
+        assert registry_sync.BEGIN in committed, "ledger section missing"
+        live = committed.split(registry_sync.BEGIN, 1)[1].split(
+            registry_sync.END, 1
+        )[0]
+        assert (
+            registry_sync.BEGIN + live + registry_sync.END == expected
+        ), "COVERAGE.md ledger is stale — run python3 tools/registry_sync.py"
+
+    def test_seeded_mismatch_is_detected(self):
+        """The ledger comparison actually bites: a perturbed registry
+        must NOT equal the committed section."""
+        import registry_sync
+
+        committed = open(os.path.join(REPO, "COVERAGE.md")).read()
+        live = committed.split(registry_sync.BEGIN, 1)[1].split(
+            registry_sync.END, 1
+        )[0]
+        perturbed = live.replace("`image_decode`", "`image_dec0de`", 1)
+        assert perturbed != live

@@ -149,6 +149,80 @@ class TestWriters:
         rollback(tgt.path)
         assert spark.read.parquet(tgt.path).count() == 3
 
+    def test_safe_overwrite_crash_consistency(self, spark, tmp_path,
+                                              monkeypatch):
+        """W9 fault injection (VERDICT r3 #4 — Delta-less container):
+        kill _safe_overwrite at EVERY internal filesystem mutation and
+        prove the target is always recoverable to a complete version —
+        either the old data still reads, or rollback() restores it.
+        Never a partial/missing state."""
+        from drune_spark.sinks import writers as W
+
+        tgt = _file_target(tmp_path, name="cc")
+        old = {0, 1, 2}
+        real_rename, real_delete = W._fs_rename, W._fs_delete
+
+        def run_with_crash_at(nth):
+            """Re-seed v1, then crash the v2 overwrite at mutation #nth."""
+            import shutil
+            for suffix in ("", ".__prev__", ".__new__", ".__undone__"):
+                shutil.rmtree(tgt.path + suffix, ignore_errors=True)
+            write_target(spark, spark.range(3), tgt)
+            calls = {"n": 0}
+
+            def bomb(fn):
+                def wrapped(*a, **kw):
+                    calls["n"] += 1
+                    if calls["n"] == nth:
+                        raise W.WriteError("injected crash")
+                    return fn(*a, **kw)
+                return wrapped
+
+            monkeypatch.setattr(W, "_fs_rename", bomb(real_rename))
+            monkeypatch.setattr(W, "_fs_delete", bomb(real_delete))
+            try:
+                write_target(spark, spark.range(5), tgt)
+                crashed = False
+            except W.WriteError:
+                crashed = True
+            finally:
+                monkeypatch.setattr(W, "_fs_rename", real_rename)
+                monkeypatch.setattr(W, "_fs_delete", real_delete)
+            return crashed
+
+        # v2 overwrite of an existing target performs 3 mutations:
+        # delete(.__prev__ if any) is skipped on first overwrite, then
+        # rename(path->prev), rename(tmp->path). Crash at each, plus
+        # one run past the end (no crash) as the control.
+        for nth in (1, 2, 3):
+            crashed = run_with_crash_at(nth)
+            if not crashed:  # fewer mutations than nth -> clean run
+                assert {r.id for r in spark.read.parquet(tgt.path).collect()} \
+                    == set(range(5))
+                continue
+            if W._fs_exists(spark, tgt.path):
+                got = {r.id for r in spark.read.parquet(tgt.path).collect()}
+                assert got in (old, set(range(5))), got
+            else:
+                # mid-swap crash: old version parked at .__prev__
+                rollback(tgt.path)
+                got = {r.id for r in spark.read.parquet(tgt.path).collect()}
+                assert got == old, got
+
+    def test_safe_overwrite_ignores_stale_scratch(self, spark, tmp_path):
+        """A leftover .__new__ dir from a previous crash must not
+        poison the next overwrite."""
+        import os as _os
+
+        tgt = _file_target(tmp_path, name="st")
+        write_target(spark, spark.range(3), tgt)
+        stale = tgt.path + ".__new__"
+        _os.makedirs(stale, exist_ok=True)
+        with open(_os.path.join(stale, "garbage"), "w") as fh:
+            fh.write("not parquet")
+        write_target(spark, spark.range(5), tgt)
+        assert spark.read.parquet(tgt.path).count() == 5
+
     def test_append(self, spark, tmp_path):
         tgt = _file_target(tmp_path, mode="append")
         write_target(spark, spark.range(3), tgt)

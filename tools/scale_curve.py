@@ -1,0 +1,126 @@
+"""Scaling-curve evidence for the heaviest operators (VERDICT r3 #6).
+
+PERF.md argues the dedup/ANN/join paths scale ≲linearly; this measures
+it. Builds a 3× dataset from sf0.1 (two deterministically TRANSFORMED
+extra copies — letter-rotated text so copies are not near-duplicates of
+each other, rotated embeddings, key-offset lineitem/orders so per-key
+multiplicities are preserved) and times the five heaviest registry
+queries at 1× and 3×, min-of-2 each, noop sink.
+
+Run EXCLUSIVELY (same rule as bench.py — no concurrent Spark):
+
+    python3 tools/scale_curve.py            # writes scale data to /tmp
+
+A healthy result is ratio ≲ 3.3 for 3× data. Superlinear ratios mean a
+candidate-generation or shuffle stage grows with corpus size rather
+than ingest size — fix the operator, don't bury the number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import string
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/drune_scale_sf03")
+ID_STRIDE = 10_000_000
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_recent",
+    "salted_join_agg",
+    "decontaminate",
+    "ann_ivf_topk",
+]
+TABLES = ["documents", "embeddings", "lineitem", "orders"]
+
+
+def _rot(s: str, c: int) -> str:
+    return s[c:] + s[:c]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(OUT, exist_ok=True)
+    for name in TABLES:
+        dst = os.path.join(OUT, f"{name}.parquet")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        base = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        copies = [base]
+        for c in (1, 2):
+            cp = base
+            if name == "documents":
+                # rotate letters: every shingle changes, so copies are
+                # NOT near-duplicates of each other (a real 3x corpus
+                # isn't three clones) while length/token distributions
+                # are preserved exactly.
+                lower, upper = string.ascii_lowercase, string.ascii_uppercase
+                cp = cp.withColumn(
+                    "text",
+                    F.translate(
+                        "text", lower + upper,
+                        _rot(lower, c) + _rot(upper, c)),
+                ).withColumn("doc_id", F.col("doc_id") + c * ID_STRIDE)
+            elif name == "embeddings":
+                dim = 64
+                cp = cp.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {c + 1}, {dim - c}), "
+                        f"slice(embedding, 1, {c}))"
+                    ),
+                ).withColumn("vec_id", F.col("vec_id") + c * ID_STRIDE)
+            elif name == "lineitem":
+                cp = cp.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + c * ID_STRIDE
+                )
+            elif name == "orders":
+                cp = cp.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + c * ID_STRIDE
+                )
+            copies.append(cp)
+        unioned = copies[0]
+        for cp in copies[1:]:
+            unioned = unioned.unionByName(cp)
+        unioned.write.mode("overwrite").parquet(dst)
+        print(f"built {dst}", flush=True)
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from drune_spark.session import get_spark
+
+    spark = get_spark("drune_scale_curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+    qs = entrymod.queries()
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+        return time.time() - t0
+
+    run("salted_join_agg", SRC)  # warmup
+    report = {}
+    for name in QUERIES:
+        t1 = min(run(name, SRC), run(name, SRC))
+        t3 = min(run(name, OUT), run(name, OUT))
+        report[name] = {
+            "sf0.1_s": round(t1, 2),
+            "sf0.3_s": round(t3, 2),
+            "ratio": round(t3 / t1, 2),
+        }
+        print(json.dumps({name: report[name]}), flush=True)
+    print(json.dumps({"scale_curve": report}))
+
+
+if __name__ == "__main__":
+    main()
