@@ -5467,6 +5467,25 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthesize_images(docs))
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round-trip (multimodal mandate, audio half):
+    one PCM-16 WAV per document encoded from closed-form samples
+    (multimodal.synth_samples — mixed mono/stereo, three sample rates),
+    then a SEPARATE Arrow stage walks the RIFF chunks, decodes the
+    int16 stream (operators/audioio.py) and emits exact integer sample
+    stats; ``wsum`` is order-sensitive over the interleaved stream, so
+    any mis-decoded byte breaks the hash. Oracle recomputes everything
+    from the sample formula. Shuffle-free mapInPandas both stages."""
+    _tune(spark)
+    from drune_spark.operators.multimodal import (
+        audio_features,
+        synthesize_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_features(synthesize_audio(docs))
+
+
 def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dropDuplicatesWithinWatermark`` with PROVEN state expiry: a
     4-micro-batch synthetic stream (clock rows drive the watermark on a
@@ -5559,6 +5578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 4 (never driver-verified) ------------------------
         "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
         "stream_dedup_wm": q_stream_dedup_wm,
         "glossary_nl2sql": q_glossary_nl2sql,
         # -- never driver-verified: highest-value block (r4 window target)
@@ -6046,6 +6066,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END)
                         AS BIGINT) AS b_sum
             FROM px GROUP BY doc_id, w, h
+        """,
+        # Sample-formula mirror of multimodal.synth_samples; flattened
+        # index j = frame·ch + channel matches the interleaved PCM
+        # stream (and numpy ravel order) on the Spark side.
+        "audio_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       64 + doc_id % 37 AS n,
+                       1 + doc_id % 2 AS ch,
+                       8000 + (doc_id % 3) * 4000 AS rate
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, n, ch, rate, j,
+                       (doc_id * 13 + 7 * (j // ch) + 5 * (j % ch))
+                           % 4096 - 2048 AS v
+                FROM d, UNNEST(generate_series(0, n * ch - 1)) AS t(j)
+            )
+            SELECT doc_id AS media_id,
+                   CAST(rate AS INTEGER) AS sample_rate,
+                   CAST(n AS INTEGER) AS n_samples,
+                   CAST(ch AS INTEGER) AS n_channels,
+                   CAST(n * 1000000 // rate AS BIGINT) AS duration_us,
+                   CAST(SUM(v) AS BIGINT) AS amp_sum,
+                   CAST(SUM(abs(v)) AS BIGINT) AS abs_sum,
+                   CAST(SUM(v * (j + 1)) AS BIGINT) AS wsum
+            FROM s GROUP BY doc_id, n, ch, rate
         """,
         # Closed form of the constructed 3-batch watermark schedule (see
         # streamed_distinct_within_watermark): every key emits its hour-1

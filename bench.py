@@ -201,6 +201,11 @@ BENCH_QUERIES = [
     "brand_price_index",
     "repeat_rate",
     "purchase_intervals",
+    # round-4 additions
+    "image_decode",
+    "audio_decode",
+    "stream_dedup_wm",
+    "glossary_nl2sql",
 ]
 
 

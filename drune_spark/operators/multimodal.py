@@ -147,6 +147,78 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_samples(doc_id: int) -> tuple[int, np.ndarray]:
+    """Deterministic PCM test clip for a document id, closed-form so a
+    DuckDB oracle recomputes every decoded feature exactly:
+    n = 64 + id%37 frames, ch = 1 + id%2, rate = 8000 + (id%3)*4000,
+    s[i,c] = ((13·id + 7i + 5c) mod 4096) − 2048."""
+    n = 64 + doc_id % 37
+    ch = 1 + doc_id % 2
+    rate = 8000 + (doc_id % 3) * 4000
+    i = np.arange(n, dtype=np.int64)[:, None]
+    c = np.arange(ch, dtype=np.int64)[None, :]
+    s = ((doc_id * 13 + 7 * i + 5 * c) % 4096) - 2048
+    return rate, s.astype(np.int16)
+
+
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode one real PCM-16 WAV per row (media_id, content binary)."""
+    from drune_spark.operators.audioio import encode_wav
+
+    def one(doc_id: int) -> bytes:
+        rate, samples = synth_samples(doc_id)
+        return encode_wav(samples, rate)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "content": [one(int(i)) for i in ids],
+            })
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="media_id bigint, content binary"
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id bigint, sample_rate int, n_samples int, n_channels int, "
+    "duration_us bigint, amp_sum bigint, abs_sum bigint, wsum bigint"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL WAV decode (operators/audioio.py RIFF chunk walk) + exact
+    integer sample statistics; ``wsum`` = Σ s[i]·(i+1) over the
+    interleaved frame-major stream is order-sensitive, proving full
+    sample fidelity. Shuffle-free mapInPandas."""
+    from drune_spark.operators.audioio import decode_wav
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, arr = decode_wav(bytes(content))
+                n, ch = arr.shape
+                flat = arr.astype(np.int64).ravel()
+                rows.append({
+                    "media_id": int(mid),
+                    "sample_rate": rate,
+                    "n_samples": n,
+                    "n_channels": ch,
+                    "duration_us": n * 1_000_000 // rate,
+                    "amp_sum": int(flat.sum()),
+                    "abs_sum": int(np.abs(flat).sum()),
+                    "wsum": int(
+                        (flat * np.arange(1, flat.size + 1)).sum()
+                    ),
+                })
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(proc, schema=AUDIO_FEATURE_SCHEMA)
+
+
 IMAGE_FEATURE_SCHEMA = (
     "media_id bigint, width int, height int, channels int, "
     "px_sum bigint, wsum bigint, r_sum bigint, g_sum bigint, b_sum bigint"

@@ -588,6 +588,69 @@ class TestImageCodec:
         bottom_up[off + stride:off + 2 * stride] = r0
         assert np.array_equal(decode_bmp(bytes(bottom_up)), a)
 
+    def test_wav_roundtrip_mono_stereo(self):
+        import numpy as np
+        from drune_spark.operators.audioio import decode_wav, encode_wav
+
+        rng = np.random.RandomState(11)
+        for shape, rate in [((64,), 8000), ((100, 2), 16000), ((1, 1), 44100)]:
+            a = rng.randint(-32768, 32768, size=shape).astype(np.int16)
+            r, dec = decode_wav(encode_wav(a, rate))
+            exp = a[:, None] if a.ndim == 1 else a
+            assert r == rate and np.array_equal(dec, exp)
+
+    def test_wav_chunk_walk_skips_extras(self):
+        """RIFF chunks may appear in any order with odd-length padding
+        (LIST/INFO etc.) — the decoder must walk, not assume offsets."""
+        import struct
+
+        import numpy as np
+        from drune_spark.operators.audioio import decode_wav, encode_wav
+
+        wav = encode_wav(np.arange(10, dtype=np.int16), 8000)
+        extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        patched = wav[:12] + extra + wav[12:]
+        patched = (
+            patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+        )
+        r, dec = decode_wav(patched)
+        assert r == 8000 and np.array_equal(dec[:, 0], np.arange(10))
+
+    def test_wav_rejects_bad_container(self):
+        import numpy as np
+        from drune_spark.operators.audioio import decode_wav, encode_wav
+
+        wav = encode_wav(np.arange(4, dtype=np.int16), 8000)
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_wav(b"RIFX" + wav[4:])
+        with pytest.raises(ValueError, match="truncated"):
+            decode_wav(wav[:20])
+
+    def test_spark_audio_roundtrip_matches_closed_form(self, spark):
+        import numpy as np
+        from drune_spark.operators.multimodal import (
+            audio_features, synth_samples, synthesize_audio,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(20)], ["doc_id"])
+        rows = {
+            r.media_id: r
+            for r in audio_features(synthesize_audio(docs)).collect()
+        }
+        for i in range(20):
+            rate, s = synth_samples(i)
+            flat = s.astype(np.int64).ravel()
+            r = rows[i]
+            assert (r.sample_rate, r.n_samples, r.n_channels) == (
+                rate, s.shape[0], s.shape[1]
+            )
+            assert r.duration_us == s.shape[0] * 1_000_000 // rate
+            assert r.amp_sum == int(flat.sum())
+            assert r.abs_sum == int(np.abs(flat).sum())
+            assert r.wsum == int(
+                (flat * np.arange(1, flat.size + 1)).sum()
+            )
+
     def test_spark_image_roundtrip_matches_closed_form(self, spark):
         import numpy as np
         from drune_spark.operators.multimodal import (
