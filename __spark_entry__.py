@@ -5507,6 +5507,76 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-integer TF-IDF keyword extraction (text_analysis.py
+    keyword_extract): per-doc top-3 terms by (tf DESC, df ASC, term) —
+    the exact argmax of any monotone tf·idf scoring with zero float
+    math, so both engines agree bit-for-bit. Shuffles carry term
+    cells, never documents; top-k is a WindowGroupLimit."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import keyword_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    return keyword_extract(docs, "text", "doc_id", top_k=3, min_tf=2)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection after near-dup clustering (dedup.py
+    select_survivors): one survivor per connected component — max
+    n_chars, ties to lowest id — via the integer-encoded argmax (no
+    join-back re-executing the iterative labeling). The 'which copy do
+    we train on' step; oracle replays clustering as a recursive CTE
+    and the same encode arithmetic."""
+    _tune(spark)
+    from drune_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        select_survivors,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5)
+    return select_survivors(docs, pairs, "doc_id", "n_chars")
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination screen (dedup.py split_leakage_audit):
+    near-dup clusters straddling a deterministic 80/20 doc-level split
+    (sampling.py split_by_hash) — the train/test leak every eval
+    pipeline must audit. Emits per-cluster split composition for leaky
+    clusters; oracle = recursive-CTE clustering + the identical
+    md5-threshold split."""
+    _tune(spark)
+    from drune_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        split_leakage_audit,
+    )
+    from drune_spark.operators.sampling import split_by_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    splits = split_by_hash(docs, "doc_id", {"train": 0.8, "test": 0.2},
+                           salt="sl1")
+    tagged = None
+    for name, part in splits.items():
+        part = part.withColumn("split", F.lit(name))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5)
+    return split_leakage_audit(tagged, pairs, "doc_id", "split")
+
+
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive-negative mining (sampling.py
+    negative_pairs): per-anchor pseudo-random negatives from md5
+    bucket representatives — no RNG, no cartesian, corpus never
+    shuffles (representatives broadcast). Pure integer md5 math,
+    mirrored verbatim in the oracle."""
+    _tune(spark)
+    from drune_spark.operators.sampling import negative_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return negative_pairs(docs, "doc_id", n_neg=3, n_buckets=1024,
+                          salt="np1")
+
+
 # Shared NL→SQL gate inputs: the question exercises concept retrieval,
 # metric phrase-matching, segment detection, dimension phrases, and
 # top-k — and the compiled SQL text is run VERBATIM on both engines
@@ -5581,6 +5651,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode": q_audio_decode,
         "stream_dedup_wm": q_stream_dedup_wm,
         "glossary_nl2sql": q_glossary_nl2sql,
+        "keyword_extract": q_keyword_extract,
+        "dedup_survivors": q_dedup_survivors,
+        "split_leakage": q_split_leakage,
+        "negative_pairs": q_negative_pairs,
         # -- never driver-verified: highest-value block (r4 window target)
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -6035,6 +6109,43 @@ def oracle_sql() -> dict[str, str]:
     from drune_spark.operators.sketches import hll_alpha
 
     hll_scale = repr(hll_alpha(9) * 512 * 512 * float(1 << 24))
+    # Shared near-dup clustering replay (mirrors ngram_jaccard_pairs
+    # k=3/threshold=0.5 + connected_components): one text, consumed by
+    # dedup_clusters / dedup_survivors / split_leakage.
+    cluster_ctes = f"""toks AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ),
+            shing AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+                FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS ns FROM shing GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+                FROM shing a JOIN shing b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS m FROM documents
+                UNION
+                SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            labels AS (
+                SELECT node AS doc_id, MIN(m) AS cluster_id
+                FROM reach GROUP BY node
+            )"""
     return {
         # -- round-4 entries -------------------------------------------
         # Pixel formula mirror of multimodal.synth_pixels: the Spark side
@@ -9745,38 +9856,106 @@ def oracle_sql() -> dict[str, str]:
             JOIN stats sb ON sb.l = a.label_b
         """,
         "dedup_clusters": f"""
-            WITH RECURSIVE toks AS (
+            WITH RECURSIVE {cluster_ctes}
+            SELECT doc_id, cluster_id FROM labels
+        """,
+        # The clustering replay is SHARED TEXT with dedup_clusters (one
+        # recursive CTE, three consumers) — the determinism guarantee
+        # that all three gates see the identical component labeling.
+        "dedup_survivors": f"""
+            WITH RECURSIVE {cluster_ctes},
+            q AS (
+                SELECT l.cluster_id, d.doc_id,
+                       CAST(d.n_chars AS BIGINT) AS q
+                FROM labels l JOIN documents d USING (doc_id)
+            ),
+            agg AS (
+                SELECT cluster_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_members,
+                       MAX((q + 1) * {{K}} - doc_id) AS best
+                FROM q GROUP BY cluster_id
+            )
+            SELECT cluster_id, n_members,
+                   CAST(((best + {{K}} - 1) // {{K}}) * {{K}} - best
+                        AS BIGINT) AS survivor_id,
+                   CAST((best + {{K}} - 1) // {{K}} - 1
+                        AS BIGINT) AS survivor_quality
+            FROM agg
+        """.replace("{K}", str(1 << 33)),
+        "split_leakage": f"""
+            WITH RECURSIVE {cluster_ctes},
+            splits AS (
+                SELECT doc_id,
+                       CASE WHEN substr(md5('sl1' ||
+                                CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                            THEN 'train' ELSE 'test' END AS split
+                FROM documents
+            ),
+            cells AS (
+                SELECT l.cluster_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_members,
+                       CAST(COUNT(DISTINCT s.split) AS BIGINT)
+                           AS n_splits,
+                       CAST(SUM(CASE WHEN s.split = 'train'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                       CAST(SUM(CASE WHEN s.split = 'test'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+                FROM labels l JOIN splits s USING (doc_id)
+                GROUP BY l.cluster_id
+            )
+            SELECT * FROM cells WHERE n_splits > 1
+        """,
+        "keyword_extract": f"""
+            WITH toks AS (
                 SELECT doc_id, {toks_lower} AS w FROM documents
             ),
-            shing AS (
-                SELECT DISTINCT doc_id,
-                       concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
-                FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+            tf AS (
+                SELECT doc_id, tok AS term,
+                       CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks, UNNEST(w) AS t(tok)
+                GROUP BY doc_id, tok
             ),
-            sizes AS (SELECT doc_id, COUNT(*) AS ns FROM shing GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
-                FROM shing a JOIN shing b
-                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id
+            docfreq AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
             ),
-            pairs AS (
-                SELECT id_a, id_b FROM inter
-                JOIN sizes sa ON sa.doc_id = id_a
-                JOIN sizes sb ON sb.doc_id = id_b
-                WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
-            ),
-            edges AS (
-                SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION ALL SELECT id_b, id_a FROM pairs
-            ),
-            reach AS (
-                SELECT doc_id AS node, doc_id AS m FROM documents
-                UNION
-                SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node
+            r AS (
+                SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, docfreq.df ASC,
+                                    tf.term ASC
+                       ) AS rank
+                FROM tf JOIN docfreq USING (term)
+                WHERE tf.tf >= 2
             )
-            SELECT node AS doc_id, MIN(m) AS cluster_id
-            FROM reach GROUP BY node
+            SELECT doc_id, term, tf, df, CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 3
+        """,
+        "negative_pairs": """
+            WITH ids AS (SELECT doc_id AS did FROM documents),
+            reps AS (
+                SELECT row_number() OVER (ORDER BY bucket) - 1 AS idx,
+                       neg_id
+                FROM (
+                    SELECT ('0x' || substr(md5('np1:b:' ||
+                                CAST(did AS VARCHAR)), 1, 8))::BIGINT
+                               % 1024 AS bucket,
+                           MIN(did) AS neg_id
+                    FROM ids GROUP BY 1
+                )
+            ),
+            probes AS (
+                SELECT did AS anchor_id, CAST(j AS INTEGER) AS j,
+                       ('0x' || substr(md5('np1:n:' ||
+                            CAST(did AS VARCHAR) || ':' ||
+                            CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                           % (SELECT COUNT(*) FROM reps) AS idx
+                FROM ids, UNNEST(generate_series(1, 3)) AS t(j)
+            )
+            SELECT anchor_id, j, neg_id
+            FROM probes JOIN reps USING (idx)
+            WHERE neg_id != anchor_id
         """,
         "f_json_extract": """
             SELECT event_type,

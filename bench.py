@@ -206,6 +206,10 @@ BENCH_QUERIES = [
     "audio_decode",
     "stream_dedup_wm",
     "glossary_nl2sql",
+    "keyword_extract",
+    "dedup_survivors",
+    "split_leakage",
+    "negative_pairs",
 ]
 
 

@@ -771,3 +771,90 @@ def minhash_lsh_pairs_recent(
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("id_a", "id_b", "day_a", "day_b", "est_jaccard")
     )
+
+
+def select_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Canonical-document selection: after near-dup clustering, keep ONE
+    survivor per connected component — highest ``quality_col``, ties to
+    the LOWEST doc id — and report the cluster's size. This is the
+    "which copy do we train on" step every dedup pipeline ends with.
+
+    The survivor is picked with the integer-encoded argmax (the
+    activity_streaks/grouped_mode pattern): enc = (q+1)·K − id with
+    id < K = 2³³ and q < 2²⁹ (ids and quality scores both well inside
+    their bounds here; (q+1)·K stays under 2⁶³ so ANSI mode can't
+    overflow), so max(enc) simultaneously maximizes quality and
+    minimizes id, and both survivor fields decode from ONE aggregate —
+    no window, no join-back onto the cluster frame (which would
+    re-execute the iterative labeling per branch: the
+    self-referencing-DAG trap).
+
+    Returns (cluster_id, n_members, survivor_id, survivor_quality).
+    """
+    K = 1 << 33
+    labels = connected_components(pairs, docs.select(id_col),
+                                  max_iterations)
+    member_q = labels.join(
+        docs.select(
+            F.col(id_col),
+            F.col(quality_col).cast("long").alias("q"),
+        ),
+        id_col,
+    )
+    enc = (F.col("q") + F.lit(1)) * F.lit(K) - F.col(id_col)
+    agg = member_q.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(enc).alias("best"),
+    )
+    # id = ceil(best / K)·K − best; quality = ceil(best / K) − 1.
+    best_q = F.expr(f"(best + {K - 1}) div {K}")
+    return agg.select(
+        "cluster_id",
+        "n_members",
+        (best_q * F.lit(K) - F.col("best")).alias("survivor_id"),
+        (best_q - F.lit(1)).alias("survivor_quality"),
+    )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Train/test contamination screen: near-dup CLUSTERS that straddle
+    split boundaries. Doc-level splits are leakage-safe only if every
+    near-dup cluster lands wholly in one split — a test doc whose
+    near-duplicate sits in train is memorization, not generalization
+    (the cross-split analog of the decontaminate gate).
+
+    Emits one row per LEAKY cluster (distinct splits > 1) with per-split
+    member counts; an empty result is the pass condition. Cost = the
+    clustering plus one cells-sized aggregate; documents shuffle only
+    by cluster label.
+
+    Returns (cluster_id, n_members, n_splits, n_train, n_test).
+    """
+    labels = connected_components(pairs, docs.select(id_col),
+                                  max_iterations)
+    tagged = labels.join(
+        docs.select(F.col(id_col), F.col(split_col)),
+        id_col,
+    )
+    return (
+        tagged.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct(split_col).alias("n_splits"),
+            F.count_if(F.col(split_col) == "train").alias("n_train"),
+            F.count_if(F.col(split_col) == "test").alias("n_test"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

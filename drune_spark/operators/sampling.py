@@ -242,3 +242,71 @@ def stratified_quota_sample(
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    n_neg: int = 3,
+    n_buckets: int = 1024,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic contrastive-negative mining: for each anchor row,
+    ``n_neg`` pseudo-random negative partners — without RNG, a
+    cartesian, or a global index.
+
+    Scheme: every doc hashes into one of ``n_buckets`` buckets whose
+    REPRESENTATIVE is its minimum doc id (one cells-sized aggregate);
+    occupied buckets are then densely ranked 0..R−1, and draw j for an
+    anchor takes representative md5_u32(salt:n:anchor:j) mod R — the
+    dense rank guarantees every draw lands on an occupied slot, so each
+    anchor gets exactly ``n_neg`` negatives minus rare self-matches.
+    Membership is pure md5 integer math — reproducible at any
+    parallelism and re-derivable by an auditing engine.
+
+    Plan at 100 TB: the representative table is ≤B rows (dense-ranked
+    with one bounded single-partition window, then broadcast — B is a
+    constant, not data-sized) and a broadcast 1-row count; the anchor
+    side is a narrow explode(sequence) — the corpus never shuffles.
+    Raise ``n_buckets`` for diversity; it only grows the broadcast.
+
+    Returns (anchor_id, j, neg_id).
+    """
+    from pyspark.sql import Window
+
+    from drune_spark.functions.hashes import md5_u32
+
+    ids = df.select(F.col(id_col).alias("did"))
+    reps = (
+        ids.withColumn(
+            "bucket",
+            md5_u32(F.concat(F.lit(f"{salt}:b:"), F.col("did").cast("string")))
+            % n_buckets,
+        )
+        .groupBy("bucket")
+        .agg(F.min("did").alias("neg_id"))
+        .select(
+            (F.row_number().over(Window.orderBy("bucket")) - 1).alias("idx"),
+            "neg_id",
+        )
+    )
+    n_reps = reps.agg(F.count(F.lit(1)).alias("n_reps"))
+    probes = (
+        ids.select(F.col("did").alias("anchor_id"))
+        .withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(n_neg))))
+        .crossJoin(F.broadcast(n_reps))
+        .withColumn(
+            "idx",
+            md5_u32(F.concat(
+                F.lit(f"{salt}:n:"),
+                F.col("anchor_id").cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+            )) % F.col("n_reps"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(reps), "idx")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "j", "neg_id")
+    )

@@ -427,3 +427,48 @@ def vocab_coverage(
             F.expr("(n_oov * 1000000L) div n_tokens").alias("oov_ppm"),
         )
     )
+
+
+def keyword_extract(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int = 3,
+    min_tf: int = 2,
+) -> DataFrame:
+    """Distinctive-keyword extraction per document — the all-integer
+    TF-IDF rank: terms ordered by (tf DESC, df ASC, term ASC) per doc,
+    top ``top_k`` kept. The (tf, df) lexicographic order is the exact
+    argmax of tf/df monotone scorings without ever computing a float
+    (idf's log is monotone-decreasing in df), so the result is
+    bit-reproducible on any engine — no libm, no ties left to chance.
+
+    Plan at 100 TB: one explode to (doc, term, tf) cells (shuffle
+    carries terms, never documents), a doc-count-sized df aggregate
+    joined back on term, then a per-doc WindowGroupLimit for the top-k
+    (rank ≤ k prunes below the Exchange — map tasks ship ≤ k rows per
+    doc per partition).
+
+    Returns (doc_id, term, tf, df, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.filter(F.col("tf") >= min_tf).join(docfreq, "term")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )

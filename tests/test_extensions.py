@@ -678,6 +678,107 @@ class TestImageCodec:
             assert r.b_sum == int(px[:, :, 2].sum())
 
 
+class TestKeywordExtract:
+    def test_tf_then_df_ordering(self, spark):
+        from drune_spark.operators.text_analysis import keyword_extract
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple apple apple common common zebra"),
+                (2, "common common banana banana banana zebra"),
+                (3, "common common zebra zebra"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            (r.doc_id, r.rank): (r.term, r.tf, r.df)
+            for r in keyword_extract(docs, "text", "doc_id",
+                                     top_k=2, min_tf=2).collect()
+        }
+        # doc 1: apple tf=3 (df=1) beats common tf=2 (df=3)
+        assert out[(1, 1)] == ("apple", 3, 1)
+        assert out[(1, 2)] == ("common", 2, 3)
+        # doc 3: zebra tf=2 df=3 vs common tf=2 df=3 — lexicographic tie
+        assert out[(3, 1)][0] == "common"
+
+    def test_min_tf_filters_singletons(self, spark):
+        from drune_spark.operators.text_analysis import keyword_extract
+
+        docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+        assert keyword_extract(docs, "text", "doc_id").count() == 0
+
+
+class TestSurvivorsAndLeakage:
+    def _docs_pairs(self, spark):
+        # clusters: {1,2,3} (chain), {4,5}, {6} singleton
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (4, 7), (5, 7), (6, 99)],
+            ["doc_id", "n_chars"],
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+        )
+        return docs, pairs
+
+    def test_survivor_max_quality_then_min_id(self, spark):
+        from drune_spark.operators.dedup import select_survivors
+
+        docs, pairs = self._docs_pairs(spark)
+        rows = {
+            r.cluster_id: r
+            for r in select_survivors(docs, pairs).collect()
+        }
+        assert rows[1].survivor_id == 2          # q=30 tie -> lowest id
+        assert rows[1].survivor_quality == 30
+        assert rows[1].n_members == 3
+        assert rows[4].survivor_id == 4          # q tie at 7 -> id 4
+        assert rows[6].survivor_id == 6          # singleton survives
+        assert rows[6].n_members == 1
+
+    def test_leakage_flags_straddling_clusters_only(self, spark):
+        from drune_spark.operators.dedup import split_leakage_audit
+
+        docs, pairs = self._docs_pairs(spark)
+        tagged = docs.withColumn(
+            "split",
+            F.when(F.col("doc_id") <= 2, "train").otherwise("test"),
+        )
+        rows = {
+            r.cluster_id: r
+            for r in split_leakage_audit(tagged, pairs).collect()
+        }
+        # cluster {1,2,3}: 1,2 train / 3 test -> leaky; {4,5} all test;
+        # {6} singleton -> clean
+        assert set(rows) == {1}
+        assert (rows[1].n_train, rows[1].n_test, rows[1].n_splits) == (2, 1, 2)
+
+
+class TestNegativePairs:
+    def test_shape_and_determinism(self, spark):
+        from drune_spark.operators.sampling import negative_pairs
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(50)], ["doc_id"]
+        )
+        a = sorted(map(tuple, negative_pairs(
+            docs, "doc_id", n_neg=3, n_buckets=64, salt="t").collect()))
+        b = sorted(map(tuple, negative_pairs(
+            docs, "doc_id", n_neg=3, n_buckets=64, salt="t").collect()))
+        assert a == b                        # reproducible
+        assert all(an != neg for an, _, neg in a)  # never self
+        per_anchor = {}
+        for an, j, _ in a:
+            per_anchor.setdefault(an, set()).add(j)
+        # every anchor draws from {1,2,3} (some drop to self-filter)
+        assert all(js <= {1, 2, 3} for js in per_anchor.values())
+        # dense-ranked representatives: every draw lands on an
+        # occupied slot, so only self-matches drop
+        assert len(a) >= 50 * 3 - 15
+        salted = sorted(map(tuple, negative_pairs(
+            docs, "doc_id", n_neg=3, n_buckets=64, salt="u").collect()))
+        assert salted != a                   # independent draw per salt
+
+
 class TestStreaming:
     def test_windowed_counts_equal_batch(self, spark, tmp_path):
         from drune_spark.streaming.runner import windowed_event_counts
