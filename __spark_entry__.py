@@ -5507,6 +5507,21 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` streaming sessionization
+    (streaming/runner.py session_window_counts): merging event-time
+    windows, watermark-finalized in append mode; the zero-delay drain
+    emits every session except the still-open tail, and the oracle
+    states that cutoff in closed form (islands where gap > 30 min,
+    end = last event + gap, boundary-inclusive merge)."""
+    _tune(spark)
+    from drune_spark.streaming.runner import session_window_counts
+
+    return session_window_counts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-integer TF-IDF keyword extraction (text_analysis.py
     keyword_extract): per-doc top-3 terms by (tf DESC, df ASC, term) —
@@ -5651,6 +5666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode": q_audio_decode,
         "stream_dedup_wm": q_stream_dedup_wm,
         "glossary_nl2sql": q_glossary_nl2sql,
+        "stream_session_native": q_stream_session_native,
         "keyword_extract": q_keyword_extract,
         "dedup_survivors": q_dedup_survivors,
         "split_leakage": q_split_leakage,
@@ -9904,6 +9920,41 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l.cluster_id
             )
             SELECT * FROM cells WHERE n_splits > 1
+        """,
+        "stream_session_native": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, value FROM events
+            ),
+            d AS (
+                SELECT user_id, us, value,
+                       CASE WHEN us - lag(us) OVER (
+                                PARTITION BY user_id ORDER BY us
+                            ) > 1800000000 THEN 1 ELSE 0 END AS brk
+                FROM e
+            ),
+            i AS (
+                SELECT user_id, us, value,
+                       SUM(brk) OVER (
+                           PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM d
+            ),
+            s AS (
+                SELECT user_id, sid,
+                       MIN(us) AS s_us, MAX(us) AS e_us,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       SUM(CAST(value AS DECIMAL(18,3))) AS total_dec
+                FROM i GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   CAST(s_us // 1000 AS BIGINT) AS session_start_ms,
+                   CAST((e_us + 1800000000) // 1000 AS BIGINT)
+                       AS session_end_ms,
+                   n_events,
+                   CAST(total_dec AS DOUBLE) AS total_value
+            FROM s
+            WHERE e_us + 1800000000 <= (SELECT MAX(us) FROM e)
         """,
         "keyword_extract": f"""
             WITH toks AS (

@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "dedup_survivors",
     "split_leakage",
     "negative_pairs",
+    "stream_session_native",
 ]
 
 

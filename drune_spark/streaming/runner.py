@@ -312,6 +312,63 @@ def streamed_distinct(
     return spark.table(name).select("event_type", "day")
 
 
+def session_window_counts(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    n_state_partitions: int | None = 8,
+) -> DataFrame:
+    """NATIVE ``session_window`` streaming aggregation — Spark's
+    built-in merging-window sessionizer (vs. the custom
+    applyInPandasWithState sessionizer in streaming/stateful.py, which
+    exists for by-event session closes the built-in can't express).
+    Semantics (probed, pinned by the oracle): an event MERGES into the
+    session when its gap from the previous event is ≤ the gap duration
+    (boundary-inclusive); session end = last event + gap.
+
+    Append mode emits a session once the event-time watermark passes
+    its end; with a zero watermark delay the drain finalizes every
+    session except those ending within ``gap`` of the global max event
+    time — exactly the still-open sessions a live stream would also
+    hold in state. The oracle states the same cutoff in closed form,
+    so the gate checks the streaming-visible result exactly.
+
+    At 100 TB sessions shuffle by user once; state per key = open
+    sessions only, watermark-evicted as they finalize.
+
+    Returns (user_id, session_start_ms, session_end_ms, n_events,
+    total_value).
+    """
+    stream = _raw_stream(spark, events_path).withWatermark("ts", "0 seconds")
+    agg = (
+        stream.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)")).alias("total_dec"),
+        )
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt, \
+            state_partitions(spark, n_state_partitions):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_millis(F.col("session_window.start")).alias(
+            "session_start_ms"),
+        F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+        "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+    )
+
+
 def streamed_distinct_within_watermark(
     spark: SparkSession,
     events_path: str,
