@@ -336,3 +336,30 @@ class TestSecondWavePlans:
         # (partial agg before its exchange), not above raw events
         assert "Window" in plan
         assert "partial_count" in plan or "partial" in plan.lower()
+
+
+class TestRound4Plans:
+    def test_image_decode_shuffle_free(self, spark, entry):
+        plan = executed_plan(entry.q_image_decode(spark, SF))
+        assert "Exchange" not in plan  # encode->decode is one narrow chain
+
+    def test_audio_decode_shuffle_free(self, spark, entry):
+        plan = executed_plan(entry.q_audio_decode(spark, SF))
+        assert "Exchange" not in plan
+
+    def test_keyword_extract_topk_prunes_below_exchange(self, spark, entry):
+        plan = executed_plan(entry.q_keyword_extract(spark, SF))
+        # df table broadcast back onto tf cells — never a sort-merge
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+        # rank<=k must prune map-side: Partial WindowGroupLimit BELOW
+        # the doc_id exchange ships <=k rows per doc per task
+        assert "WindowGroupLimit" in plan
+        partial_idx = plan.find("WindowGroupLimit [doc_id")
+        assert partial_idx != -1
+
+    def test_negative_pairs_corpus_never_shuffles(self, spark, entry):
+        plan = executed_plan(entry.q_negative_pairs(spark, SF))
+        # representatives + count broadcast; anchor side stays narrow —
+        # the only exchanges build the <=B-row rep table
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
