@@ -5522,6 +5522,68 @@ def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality eval (similarity.py recall_at_k): per-query
+    recall@5 of SRP-LSH against brute-force exact — the shippability
+    metric for any ANN configuration. Both rankings are themselves
+    oracle-verified queries (ann_topk / ann_lsh); the recall math is
+    all-integer. Evaluation joins two 25-row frames — never rescans
+    the corpus."""
+    _tune(spark)
+    from drune_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        recall_at_k,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, k=5, dim=64, bands=4,
+                      planes_per_band=8)
+    return recall_at_k(exact, approx, queries, k=5)
+
+
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval (search.py first_relevant_rank): rank of the
+    first boolean-AND-matching doc in each BM25 top-10 + integer
+    reciprocal rank — does ranked retrieval surface a fully-matching
+    document early? Relevance = docs containing ALL query terms,
+    computed in ONE corpus pass via the struct fan-out (no per-query
+    rescans); queries with no ranked match still emit rank 0."""
+    _tune(spark)
+    from drune_spark.functions.text import tokens
+    from drune_spark.operators.search import bm25_topk, first_relevant_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    topk = bm25_topk(docs, BM25_QUERIES, k=10)
+    toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("w")
+    )
+    relevant = toks.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.expr(
+                    " AND ".join(
+                        f"array_contains(w, '{t}')" for t in terms
+                    )
+                ).alias("is_match"),
+            )
+            for qid, terms in BM25_QUERIES
+        ])).alias("__m"),
+    ).select("doc_id", "__m.*").filter("is_match")
+    queries = spark.sql(
+        "SELECT explode(array({})) AS query_id".format(
+            ", ".join(f"'{qid}'" for qid, _ in BM25_QUERIES)
+        )
+    )
+    return first_relevant_rank(topk, relevant, queries)
+
+
 def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-integer TF-IDF keyword extraction (text_analysis.py
     keyword_extract): per-doc top-3 terms by (tf DESC, df ASC, term) —
@@ -5667,6 +5729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_wm": q_stream_dedup_wm,
         "glossary_nl2sql": q_glossary_nl2sql,
         "stream_session_native": q_stream_session_native,
+        "ann_recall": q_ann_recall,
+        "retrieval_mrr": q_retrieval_mrr,
         "keyword_extract": q_keyword_extract,
         "dedup_survivors": q_dedup_survivors,
         "split_leakage": q_split_leakage,
@@ -6125,6 +6189,49 @@ def oracle_sql() -> dict[str, str]:
     from drune_spark.operators.sketches import hll_alpha
 
     hll_scale = repr(hll_alpha(9) * 512 * 512 * float(1 << 24))
+    # SRP-LSH oracle body, shared by ann_lsh and the ann_recall eval
+    # (identical hyperplane constants and ranking text).
+    ann_lsh_sql = f"""
+            WITH planes(pid, pl) AS (VALUES {plane_rows}),
+            vecs AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            bits AS (
+                SELECT vec_id, pid // 8 AS band, pid,
+                       CASE WHEN list_dot_product(v, pl) >= 0
+                            THEN 1 ELSE 0 END AS bit
+                FROM vecs, planes
+            ),
+            sigs AS (
+                SELECT vec_id, band, list(bit ORDER BY pid) AS bsig
+                FROM bits GROUP BY vec_id, band
+            ),
+            cands AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM sigs c JOIN sigs q
+                  ON c.band = q.band AND c.bsig = q.bsig
+                WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       list_cosine_similarity(cv.v, qv.v) AS cs
+                FROM cands
+                JOIN vecs cv ON cv.vec_id = neighbor_id
+                JOIN vecs qv ON qv.vec_id = query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cs DESC, neighbor_id ASC) AS rank,
+                       cs
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   round(cs, 6) AS cosine
+            FROM ranked WHERE rank <= 5
+        """
     # Shared near-dup clustering replay (mirrors ngram_jaccard_pairs
     # k=3/threshold=0.5 + connected_components): one text, consumed by
     # dedup_clusters / dedup_survivors / split_leakage.
@@ -9074,47 +9181,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM cands
             ) WHERE hamming <= 3
         """,
-        "ann_lsh": f"""
-            WITH planes(pid, pl) AS (VALUES {plane_rows}),
-            vecs AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                FROM embeddings
-            ),
-            bits AS (
-                SELECT vec_id, pid // 8 AS band, pid,
-                       CASE WHEN list_dot_product(v, pl) >= 0
-                            THEN 1 ELSE 0 END AS bit
-                FROM vecs, planes
-            ),
-            sigs AS (
-                SELECT vec_id, band, list(bit ORDER BY pid) AS bsig
-                FROM bits GROUP BY vec_id, band
-            ),
-            cands AS (
-                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-                FROM sigs c JOIN sigs q
-                  ON c.band = q.band AND c.bsig = q.bsig
-                WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
-            ),
-            scored AS (
-                SELECT query_id, neighbor_id,
-                       list_cosine_similarity(cv.v, qv.v) AS cs
-                FROM cands
-                JOIN vecs cv ON cv.vec_id = neighbor_id
-                JOIN vecs qv ON qv.vec_id = query_id
-            ),
-            ranked AS (
-                SELECT query_id, neighbor_id,
-                       row_number() OVER (
-                           PARTITION BY query_id
-                           ORDER BY cs DESC, neighbor_id ASC) AS rank,
-                       cs
-                FROM scored
-            )
-            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
-                   round(cs, 6) AS cosine
-            FROM ranked WHERE rank <= 5
-        """,
+        "ann_lsh": ann_lsh_sql,
         "ann_ivf_topk": """
             WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -9920,6 +9987,56 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l.cluster_id
             )
             SELECT * FROM cells WHERE n_splits > 1
+        """,
+        "ann_recall": f"""
+            WITH exact AS ({_ann_topk_oracle(n_queries=5, k=5)}),
+            approx AS ({ann_lsh_sql}),
+            hits AS (
+                SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+                FROM exact e JOIN approx a
+                  ON a.query_id = e.query_id
+                 AND a.neighbor_id = e.neighbor_id
+                GROUP BY e.query_id
+            )
+            SELECT q.query_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(h.n_hits, 0) * 1000000 // 5 AS BIGINT)
+                       AS recall_ppm
+            FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+                  WHERE vec_id < 5) q
+            LEFT JOIN hits h USING (query_id)
+        """,
+        "retrieval_mrr": f"""
+            WITH bm AS ({bm25_oracle_sql(BM25_QUERIES, k=10)}),
+            toks2 AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ),
+            matches AS (
+                SELECT doc_id, 'q_hash_join' AS query_id
+                FROM toks2
+                WHERE list_contains(w, 'hash') AND list_contains(w, 'join')
+                UNION ALL
+                SELECT doc_id, 'q_stream_window' AS query_id
+                FROM toks2
+                WHERE list_contains(w, 'stream') AND list_contains(w, 'window')
+                UNION ALL
+                SELECT doc_id, 'q_sort_merge_scan' AS query_id
+                FROM toks2
+                WHERE list_contains(w, 'sort') AND list_contains(w, 'merge') AND list_contains(w, 'scan')
+            ),
+            first_hit AS (
+                SELECT bm.query_id, MIN(bm.rank) AS r
+                FROM bm JOIN matches
+                  ON matches.query_id = bm.query_id
+                 AND matches.doc_id = bm.doc_id
+                GROUP BY bm.query_id
+            )
+            SELECT q.query_id,
+                   CAST(COALESCE(f.r, 0) AS INTEGER) AS first_hit_rank,
+                   CAST(CASE WHEN f.r IS NULL THEN 0
+                        ELSE 1000000 // f.r END AS BIGINT) AS mrr_ppm
+            FROM (VALUES ('q_hash_join'), ('q_stream_window'), ('q_sort_merge_scan')) q(query_id)
+            LEFT JOIN first_hit f USING (query_id)
         """,
         "stream_session_native": """
             WITH e AS (

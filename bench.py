@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "split_leakage",
     "negative_pairs",
     "stream_session_native",
+    "ann_recall",
+    "retrieval_mrr",
 ]
 
 

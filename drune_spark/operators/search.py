@@ -312,3 +312,41 @@ def inverted_index(
         .orderBy(F.col("df_docs").desc(), F.col("term").asc())
         .limit(max_terms)
     )
+
+
+def first_relevant_rank(
+    topk: DataFrame,
+    relevant: DataFrame,
+    queries: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Retrieval evaluation: per-query rank of the first RELEVANT doc
+    in a (query_id, doc_id, rank) ranking, plus integer reciprocal
+    rank (10⁶ div rank; 0 when nothing relevant ranked) — the MRR
+    building block. Queries with no ranked relevant doc still emit a
+    row (rank 0), so regressions can't hide by dropping queries.
+
+    Cost: one equi-join between the k·|Q|-row ranking and the
+    relevance table + a |Q|-cell MIN — evaluation never rescans the
+    corpus.
+
+    Returns (query_id, first_hit_rank, mrr_ppm).
+    """
+    first = (
+        topk.join(relevant.select(query_col, doc_col),
+                  [query_col, doc_col])
+        .groupBy(query_col)
+        .agg(F.min("rank").alias("r"))
+    )
+    return (
+        queries.select(query_col).distinct()
+        .join(first, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce(F.col("r"), F.lit(0)).cast("int")
+            .alias("first_hit_rank"),
+            F.expr("CASE WHEN r IS NULL THEN CAST(0 AS BIGINT) "
+                   "ELSE 1000000 div r END").alias("mrr_ppm"),
+        )
+    )

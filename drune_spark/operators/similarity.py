@@ -299,3 +299,42 @@ def ivf_assign(
         )
         .select(id_col, F.col("best.centroid_id").alias("centroid_id"))
     )
+
+
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    queries: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Index-quality evaluation: per-query recall@k of an approximate
+    ANN result against the exact ranking — the metric that decides
+    whether an LSH/IVF configuration is shippable. All-integer
+    (hits · 10⁶ div k), so the evaluation itself is engine-exact even
+    though the underlying scores are floats.
+
+    Cost: one equi-join on (query, neighbor) between two k·|Q|-row
+    frames + a |Q|-cell aggregate — evaluation never touches the
+    corpus.
+
+    Returns (query_id, n_hits, recall_ppm).
+    """
+    hits = (
+        exact.select(query_col, neighbor_col)
+        .join(approx.select(query_col, neighbor_col),
+              [query_col, neighbor_col])
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        queries.select(query_col).distinct()
+        .join(hits, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(f"coalesce(n_hits, 0) * 1000000 div {int(k)}")
+            .alias("recall_ppm"),
+        )
+    )

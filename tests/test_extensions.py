@@ -753,6 +753,48 @@ class TestSurvivorsAndLeakage:
         assert (rows[1].n_train, rows[1].n_test, rows[1].n_splits) == (2, 1, 2)
 
 
+class TestRetrievalEval:
+    def test_recall_at_k_counts_hits_and_missing_queries(self, spark):
+        from drune_spark.operators.similarity import recall_at_k
+
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20), (2, 21)],
+            ["query_id", "neighbor_id"],
+        )
+        approx = spark.createDataFrame(
+            [(1, 10), (1, 99), (2, 20), (2, 21)],
+            ["query_id", "neighbor_id"],
+        )
+        queries = spark.createDataFrame(
+            [(1,), (2,), (3,)], ["query_id"]
+        )
+        rows = {r.query_id: r for r in
+                recall_at_k(exact, approx, queries, k=2).collect()}
+        assert rows[1].n_hits == 1 and rows[1].recall_ppm == 500000
+        assert rows[2].n_hits == 2 and rows[2].recall_ppm == 1000000
+        assert rows[3].n_hits == 0 and rows[3].recall_ppm == 0
+
+    def test_first_relevant_rank_and_mrr(self, spark):
+        from drune_spark.operators.search import first_relevant_rank
+
+        topk = spark.createDataFrame(
+            [("a", 10, 1), ("a", 11, 2), ("b", 20, 1), ("b", 21, 2)],
+            ["query_id", "doc_id", "rank"],
+        )
+        relevant = spark.createDataFrame(
+            [("a", 11), ("b", 99)], ["query_id", "doc_id"]
+        )
+        queries = spark.createDataFrame(
+            [("a",), ("b",), ("c",)], ["query_id"]
+        )
+        rows = {r.query_id: r for r in
+                first_relevant_rank(topk, relevant, queries).collect()}
+        assert rows["a"].first_hit_rank == 2
+        assert rows["a"].mrr_ppm == 500000
+        assert rows["b"].first_hit_rank == 0 and rows["b"].mrr_ppm == 0
+        assert rows["c"].first_hit_rank == 0 and rows["c"].mrr_ppm == 0
+
+
 class TestNegativePairs:
     def test_shape_and_determinism(self, spark):
         from drune_spark.operators.sampling import negative_pairs
