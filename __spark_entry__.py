@@ -5700,6 +5700,126 @@ def q_glossary_nl2sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_glossary_compiled_sql())
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup.py semdedup, arXiv:2303.09540): cluster
+    embeddings to 16 coarse cells (the ann_ivf_assign layout), prune
+    within-cluster cosine near-dups (>= 0.4, min-id survivor). Pair
+    count bounded by Σ|cluster|² — the 100 TB semantic-dedup shape;
+    oracle replays assignment + within-cluster pairs with
+    list_cosine_similarity (the proven-identical cosine)."""
+    _tune(spark)
+    from drune_spark.operators.dedup import semdedup
+
+    return semdedup(
+        _t(spark, sf_dir, "embeddings"), n_clusters=16, threshold=0.4
+    )
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup (dedup.py segment_dedup,
+    arXiv:1911.00359): fixed 20-word segments fingerprinted corpus-wide,
+    first occurrence (integer-encoded argmin) survives, documents
+    reassembled from surviving segments. Shuffles carry (fp, code)
+    cells; fully-duplicated docs surface with n_kept = 0."""
+    _tune(spark)
+    from drune_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", seg_words=20
+    )
+
+
+BPE_MERGES = 3
+
+
+def _bpe_oracle_ctes(n_merges: int = BPE_MERGES) -> str:
+    """Unrolled-CTE mirror of operators/bpe.py bpe_train (the pagerank
+    pattern: both engines' texts generated from the same constants).
+    Ends with CTEs b1..bN (the per-round argmax merges) and r1..rN (the
+    rewritten word table after each merge)."""
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    parts = [
+        f"""wf AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS freq
+                FROM (SELECT UNNEST({toks}) AS word FROM documents)
+                GROUP BY word
+            ),
+            r0 AS (
+                SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g'))
+                       || ' ' AS repr, freq
+                FROM wf
+            )"""
+    ]
+    for s in range(1, n_merges + 1):
+        parts.append(
+            f"""s{s} AS (
+                SELECT string_split(trim(repr), ' ') AS sym, freq FROM r{s - 1}
+            ),
+            e{s} AS (
+                SELECT sym, freq, UNNEST(range(1, len(sym))) AS i FROM s{s}
+            ),
+            b{s} AS (
+                SELECT sym[i] || ' ' || sym[i + 1] AS pair,
+                       CAST(SUM(freq) AS BIGINT) AS pair_count
+                FROM e{s}
+                GROUP BY pair
+                ORDER BY pair_count DESC, pair ASC
+                LIMIT 1
+            ),
+            r{s} AS (
+                SELECT replace(repr,
+                           ' ' || (SELECT pair FROM b{s}) || ' ',
+                           ' ' || (SELECT replace(pair, ' ', '') FROM b{s})
+                           || ' ') AS repr,
+                       freq
+                FROM r{s - 1}
+            )"""
+        )
+    return "WITH " + ",\n            ".join(parts)
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge induction (operators/bpe.py bpe_train,
+    arXiv:1508.07909): 3 rounds of frequency-weighted adjacent-pair
+    argmax over the word-frequency table + one non-overlapping replace
+    pass per round. All-integer counts, total tie-break, identical
+    replace semantics both engines → the unrolled-CTE oracle is exact."""
+    _tune(spark)
+    from drune_spark.operators.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=BPE_MERGES)
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus (operators/bpe.py
+    bpe_apply): narrow replace chain per word, then the corpus token
+    histogram (token, n_occurrences, n_docs). Train + apply end-to-end:
+    the oracle recomputes the same merges in CTEs and applies them as a
+    nested replace chain in the same order."""
+    _tune(spark)
+    from drune_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["pair"], r["merged"])
+        for r in bpe_train(docs, n_merges=BPE_MERGES).collect()
+    ]
+    return bpe_apply(docs, merges)
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores (text_analysis.py dsir_scores,
+    arXiv:2302.03169): hashed-unigram features (md5_u32 mod 64), integer-
+    rational target/raw weights, per-doc weighted sums. Feature table is
+    broadcast; the corpus shuffles only the per-doc partial sums."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import dsir_scores
+
+    return dsir_scores(
+        _t(spark, sf_dir, "documents"), target_source="src0", buckets=64
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5724,6 +5844,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks move to the tail, the next never-verified block moves up."""
     return {
         # -- new in round 4 (never driver-verified) ------------------------
+        "semdedup": q_semdedup,
+        "segment_dedup": q_segment_dedup,
+        "bpe_train": q_bpe_train,
+        "bpe_tokenize": q_bpe_tokenize,
+        "dsir_scores": q_dsir_scores,
         "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
         "stream_dedup_wm": q_stream_dedup_wm,
@@ -6269,8 +6394,147 @@ def oracle_sql() -> dict[str, str]:
                 SELECT node AS doc_id, MIN(m) AS cluster_id
                 FROM reach GROUP BY node
             )"""
+    bpe_ctes = _bpe_oracle_ctes()
+    bpe_merge_rows = "\n            UNION ALL ".join(
+        f"SELECT {s} AS step, pair, replace(pair, ' ', '') AS merged,"
+        f" pair_count FROM b{s}"
+        for s in range(1, BPE_MERGES + 1)
+    )
+    bpe_applied = "repr"
+    for s in range(1, BPE_MERGES + 1):
+        bpe_applied = (
+            f"replace({bpe_applied},"
+            f" ' ' || (SELECT pair FROM b{s}) || ' ',"
+            f" ' ' || (SELECT replace(pair, ' ', '') FROM b{s}) || ' ')"
+        )
     return {
         # -- round-4 entries -------------------------------------------
+        "semdedup": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            c AS (
+                SELECT vec_id AS centroid_id, v AS cv FROM e
+                ORDER BY vec_id LIMIT 16
+            ),
+            scored AS (
+                SELECT e.vec_id, c.centroid_id,
+                       list_cosine_similarity(e.v, c.cv) AS sim
+                FROM e, c
+            ),
+            assign AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY sim DESC, centroid_id ASC) AS rn
+                    FROM scored) WHERE rn = 1
+            ),
+            cl AS (
+                SELECT a.vec_id, a.centroid_id, e.v
+                FROM assign a JOIN e ON a.vec_id = e.vec_id
+            ),
+            pruned AS (
+                SELECT DISTINCT b.vec_id
+                FROM cl a JOIN cl b
+                  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+            )
+            SELECT cl.vec_id, cl.centroid_id,
+                   CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END
+                        AS INTEGER) AS kept
+            FROM cl LEFT JOIN pruned p ON cl.vec_id = p.vec_id
+        """,
+        "segment_dedup": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w,
+                       CAST((len(regexp_split_to_array(trim(text), '\\s+'))
+                             + 19) // 20 AS BIGINT) AS n_segments
+                FROM documents
+            ),
+            segs0 AS (
+                SELECT doc_id, n_segments, w,
+                       UNNEST(range(n_segments)) AS pos
+                FROM base
+            ),
+            fps AS (
+                SELECT doc_id, pos,
+                       array_to_string(w[(pos * 20 + 1):(pos * 20 + 20)],
+                                       ' ') AS seg
+                FROM segs0
+            ),
+            hashed AS (SELECT doc_id, pos, seg, md5(seg) AS fp FROM fps),
+            surv AS (
+                SELECT fp, min(doc_id * 1024 + pos) AS code
+                FROM hashed GROUP BY fp
+            ),
+            kept AS (
+                SELECT h.doc_id, h.pos, h.seg
+                FROM hashed h JOIN surv s
+                  ON h.fp = s.fp AND h.doc_id * 1024 + h.pos = s.code
+            ),
+            agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(seg, ' ' ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_segments,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+        """,
+        "bpe_train": f"""
+            {bpe_ctes}
+            {bpe_merge_rows}
+        """,
+        "bpe_tokenize": f"""
+            {bpe_ctes},
+            toksrc AS (
+                SELECT doc_id,
+                       ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g'))
+                       || ' ' AS repr
+                FROM (SELECT doc_id,
+                             UNNEST(regexp_split_to_array(trim(text),
+                                                          '\\s+')) AS word
+                      FROM documents)
+            ),
+            applied AS (
+                SELECT doc_id, {bpe_applied} AS repr FROM toksrc
+            ),
+            tok AS (
+                SELECT doc_id,
+                       UNNEST(string_split(trim(repr), ' ')) AS token
+                FROM applied
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM tok GROUP BY token
+        """,
+        "dsir_scores": """
+            WITH occ AS (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5(word), 1, 8))::BIGINT % 64 AS f
+                FROM (SELECT doc_id, source,
+                             UNNEST(regexp_split_to_array(trim(text),
+                                                          '\\s+')) AS word
+                      FROM documents)
+            ),
+            feat AS (
+                SELECT f, CAST(count(*) AS BIGINT) AS raw_cnt,
+                       CAST(count(*) FILTER (WHERE source = 'src0')
+                            AS BIGINT) AS target_cnt
+                FROM occ GROUP BY f
+            ),
+            w AS (
+                SELECT f, target_cnt * 1000000 // raw_cnt AS w FROM feat
+            )
+            SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(w.w) AS BIGINT) AS dsir_score
+            FROM occ o JOIN w ON o.f = w.f
+            GROUP BY o.doc_id
+        """,
         # Pixel formula mirror of multimodal.synth_pixels: the Spark side
         # went bytes→PNG→decode→stats; the oracle recomputes the stats
         # straight from the closed form (all-integer, so exact).

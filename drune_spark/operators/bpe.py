@@ -1,0 +1,147 @@
+"""Distributed BPE tokenizer induction (driver extension).
+
+The LLM-data mandate's "token counting (whitespace + a BPE-ish regex)"
+counts tokens with a *given* vocabulary (functions/text.py); this module
+does the other half — *learning* merges from the corpus, the way a
+Sennrich et al. 2016 (arXiv:1508.07909) BPE trainer does, re-expressed
+as Spark aggregations:
+
+1. Collapse the corpus to its word-frequency table (the classic BPE
+   trick: all pair statistics are reachable from (distinct word, count),
+   so the corpus is scanned exactly once no matter how many merge
+   rounds run).
+2. Represent each word as space-joined symbols (``'key'`` → ``'k e y'``,
+   padded with one boundary space each side).
+3. Per round: explode adjacent symbol pairs weighted by word frequency,
+   pick the global argmax pair (count desc, pair asc tie-break), apply
+   the merge with one non-overlapping left-to-right ``replace`` pass,
+   repeat on the rewritten table.
+
+Determinism: pair counts are integer; the argmax tie-break is total; and
+``replace`` is the same non-overlapping left-scan algorithm in Spark and
+DuckDB, so the oracle's unrolled-CTE mirror is bit-exact. (A single
+replace pass can under-merge self-overlapping runs like ``a a a a`` —
+both engines under-merge identically; canonical BPE re-scans, which only
+changes *later* rounds' inputs, not determinism.)
+
+Scale notes:
+- The per-round shuffle carries (pair, count) cells — vocabulary-sized,
+  never corpus-sized. The word-frequency base table is persisted; each
+  round adds one narrow ``replace`` projection + one partial-aggregated
+  pair count + a TakeOrdered(1) argmax.
+- The only driver round-trips are the 1-row argmax per round (the same
+  control-loop shape as operators/kmeans.py's centroid fetch — k tiny
+  rows, never data rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over whitespace tokens — the BPE trainer's input."""
+    return (
+        df.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _spaced(col):
+    """'key' -> ' k e y ' (boundary-padded space-joined symbols)."""
+    return F.concat(
+        F.lit(" "), F.trim(F.regexp_replace(col, "(.)", "$1 ")), F.lit(" ")
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
+    table (step, pair, merged, pair_count) — ``pair`` is the space-
+    separated symbol pair, ``merged`` its concatenation, ``pair_count``
+    the frequency-weighted corpus count that made it the argmax.
+    """
+    spark = df.sparkSession
+    words = word_freq_table(df, text_col).select(
+        _spaced(F.col("word")).alias("repr"), "freq"
+    )
+    words = words.persist()
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("repr")), " ")
+        # guard: single-symbol words must yield NO pairs — an unguarded
+        # sequence(1, 0) counts DOWN (the word_shingles trap) and
+        # element_at(_, 0) is an error under ANSI.
+        n = F.size(syms) - 1
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.expr("cast(array() as array<int>)")
+        )
+        pairs = words.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat(
+                        F.element_at(syms, i),
+                        F.lit(" "),
+                        F.element_at(syms, i + 1),
+                    ),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()[0]  # 1-row control fetch (kmeans.py shape)
+        )
+        merged = best["pair"].replace(" ", "")
+        merges.append((step, best["pair"], merged, best["pair_count"]))
+        words = words.withColumn(
+            "repr",
+            F.expr(
+                "replace(repr, ' {0} ', ' {1} ')".format(
+                    best["pair"].replace("'", "\\'"),
+                    merged.replace("'", "\\'"),
+                )
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, pair_count bigint"
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list: per doc, the token
+    multiset after applying each merge in order (one narrow ``replace``
+    chain — whole-stage-codegen'd, zero shuffles until the final
+    histogram aggregation). Returns (token, n_occurrences, n_docs)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).select(F.col(id_col), _spaced(F.col("word")).alias("repr"))
+    col = F.col("repr")
+    for pair, merged in merges:
+        col = F.replace(
+            col, F.lit(f" {pair} "), F.lit(f" {merged} ")
+        )
+    exploded = toks.select(
+        id_col, F.explode(F.split(F.trim(col), " ")).alias("token")
+    )
+    return exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )

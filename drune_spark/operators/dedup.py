@@ -858,3 +858,144 @@ def split_leakage_audit(
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning within-cluster
+    cosine near-duplicates. The reference engine has no embedding ops;
+    this is part of the LLM-data mandate (embedding-cosine near-dup,
+    scale path).
+
+    Shape: (1) coarse k-means assignment (``ivf_assign`` — deterministic
+    seed centroids standing in for trained centroids; ``kmeans.py``
+    supplies the trained variant), (2) a *within-cluster* self-join
+    scores candidate pairs, (3) a vector is pruned when a same-cluster
+    neighbor with a smaller id is ``>= threshold`` similar (SemDeDup's
+    keep-one-per-duplicate-set rule with the deterministic min-id
+    survivor).
+
+    Scale notes:
+    - Clustering bounds the pair count to Σ|cluster|² instead of n² —
+      the entire point of SemDeDup at 100 TB: with k clusters of
+      balanced size the scored fraction is 1/k of brute force, and the
+      self-join is an equi-join on ``centroid_id`` (hash/SMJ, never a
+      cartesian — screened by tools/plan_audit.py).
+    - Only (id, vector, centroid_id) rows move; at scale the corpus
+      would be written partitioned by ``centroid_id`` (the ivf_topk
+      layout), making the self-join co-located / shuffle-free.
+    - ``clustered`` feeds both sides of the self-join and the final
+      keep-join: persisted to keep Spark from re-running the assignment
+      per branch (the self-referencing-DAG re-execution trap; same
+      rationale as the LSH signature persist above). Left persisted for
+      the caller's action; LRU eviction is the backstop.
+
+    Returns (id_col, centroid_id, kept ∈ {0,1}).
+    """
+    from drune_spark.functions.vectors import cosine_similarity, to_double_array
+    from drune_spark.operators.similarity import ivf_assign
+
+    assign = ivf_assign(corpus, n_clusters, id_col=id_col, vec_col=vec_col)
+    vecs = corpus.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
+    )
+    clustered = vecs.join(assign, id_col).persist()
+    a, b = clustered.alias("a"), clustered.alias("b")
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cosine_similarity(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("pruned", F.lit(1))
+    )
+    return clustered.join(pruned, id_col, "left").select(
+        id_col,
+        "centroid_id",
+        F.when(F.col("pruned").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("kept"),
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 20,
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup (Wenzek et al. 2020,
+    arXiv:1911.00359): drop duplicated paragraphs corpus-wide (keeping
+    the first occurrence) and reassemble each document from its
+    surviving segments. The testdata corpus has no paragraph breaks, so
+    segmentation here is deterministic fixed-width word windows
+    (``seg_words``); the dedup/reassembly machinery is delimiter-
+    agnostic.
+
+    Scale notes:
+    - The groupBy shuffles (md5 fp, encoded position) cells — 48 bytes
+      per segment — never segment text; survivors join back on fp.
+    - First-occurrence survivor uses the integer-encoded argmin
+      ``min(doc_id * 1024 + pos)`` (single partial-aggregated min, no
+      window sort; pos < 1024 holds for any doc under ~20k words — the
+      chunker upstream enforces far smaller docs).
+    - Reassembly is one groupBy over kept segments with an in-memory
+      ``array_sort`` per doc (bounded by doc length), then a left join
+      back to the full doc list so fully-duplicated docs surface with
+      ``n_kept = 0`` and an empty string (not a dropped row).
+
+    Returns (id_col, n_segments, n_kept, clean_text).
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("w")
+    )
+    toks = toks.withColumn(
+        "n_segments", F.expr(f"(size(w) + {seg_words - 1}) div {seg_words}")
+    )
+    segs = toks.select(
+        id_col,
+        "n_segments",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_segments") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice("w", i * seg_words + 1, seg_words)
+                ),
+            )
+        ).alias("pos", "seg"),
+    ).withColumn("fp", F.md5("seg"))
+    surv = segs.groupBy("fp").agg(
+        F.min(F.col(id_col) * 1024 + F.col("pos")).alias("code")
+    )
+    kept = segs.join(surv, "fp").filter(
+        F.col(id_col) * 1024 + F.col("pos") == F.col("code")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        toks.select(id_col, "n_segments")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_segments").cast("long").alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -472,3 +472,59 @@ def keyword_extract(
         .filter(F.col("rank") <= top_k)
         .select("doc_id", "term", "tf", "df", "rank")
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_source: str = "src0",
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, arXiv:2302.03169):
+    score each document by how much its hashed n-gram feature profile
+    looks like a target domain, for importance-resampled data selection.
+    DSIR's weight is log p_target(f) − log p_raw(f) summed over doc
+    features; this variant keeps the same structure with integer-rational
+    weights — ``w(f) = target_count(f) · 10⁶ div raw_count(f)`` — so the
+    score is engine-exact (no libm log in the hash-checked path; the
+    monotone ranking DSIR needs is preserved within each feature).
+
+    Shape: one explode pass builds (doc, feature) occurrences with
+    ``feature = md5_u32(word) mod buckets`` (the paper's hashed feature
+    space); the per-feature raw/target counts aggregate to a
+    ``buckets``-row table that is broadcast back onto the occurrence
+    stream; per-doc scores are one more partial-aggregated sum.
+
+    Scale notes: the feature table is O(buckets) — broadcast, never a
+    shuffle of the corpus side; the two corpus passes (feature counts,
+    doc scores) are independent scans so nothing corpus-sized is
+    persisted or re-shuffled. Raw counts dominate target counts by
+    construction (target ⊆ corpus), so weights fit comfortably in longs.
+
+    Returns (id_col, n_tokens, dsir_score).
+    """
+    from drune_spark.functions.hashes import md5_u32
+
+    occ = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).withColumn("f", F.pmod(md5_u32(F.col("word")), F.lit(buckets)))
+    feat = occ.groupBy("f").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.count_if(F.col(source_col) == target_source).alias("target_cnt"),
+    )
+    weights = feat.select(
+        "f",
+        F.expr("target_cnt * 1000000 div raw_cnt").alias("w"),
+    )
+    return (
+        occ.join(F.broadcast(weights), "f")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("dsir_score"),
+        )
+    )

@@ -2602,3 +2602,149 @@ class TestRankSumAndKs:
         assert (r.n_a, r.n_b) == (2, 3)
         assert r.d_num == 2 * 3       # full separation
         assert r.d_ppm == 1000000
+
+
+class TestSemDedup:
+    def test_within_cluster_dups_pruned_min_id_survives(self, spark):
+        from drune_spark.operators.dedup import semdedup
+
+        rows = [
+            (1, [1.0, 0.0]),   # centroid seed A
+            (2, [0.0, 1.0]),   # centroid seed B
+            (3, [1.0, 0.0]),   # exact dup of 1 → pruned
+            (4, [0.0, 1.0]),   # exact dup of 2 → pruned
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {
+            r.vec_id: (r.centroid_id, r.kept)
+            for r in semdedup(emb, n_clusters=2, threshold=0.9).collect()
+        }
+        assert out[1] == (1, 1) and out[3] == (1, 0)
+        assert out[2] == (2, 1) and out[4] == (2, 0)
+
+    def test_cross_cluster_dups_not_compared(self, spark):
+        """SemDeDup only prunes within a cluster — a near-dup that lands
+        in a different cell survives (the recall/cost trade the paper
+        makes explicit)."""
+        from drune_spark.operators.dedup import semdedup
+
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [-1.0, 0.05]),           # seed B, far from A
+            (3, [-1.0, 0.051]),          # assigned B; near-dup of 2
+            (4, [1.0, 0.001]),           # assigned A; near-dup of 1
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {r.vec_id: r.kept for r in
+               semdedup(emb, n_clusters=2, threshold=0.99).collect()}
+        assert out == {1: 1, 2: 1, 3: 0, 4: 0}
+
+
+class TestSegmentDedup:
+    def test_duplicate_segment_dropped_doc_rebuilt(self, spark):
+        from drune_spark.operators.dedup import segment_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),    # segs [a b c] [d e f]
+                (2, "a b c x y z"),    # first seg duplicates doc1 pos0
+                (3, "a b c d e f"),    # fully duplicated doc
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in
+               segment_dedup(df, "text", "doc_id", seg_words=3).collect()}
+        assert (out[1].n_segments, out[1].n_kept) == (2, 2)
+        assert out[1].clean_text == "a b c d e f"
+        assert (out[2].n_segments, out[2].n_kept) == (2, 1)
+        assert out[2].clean_text == "x y z"
+        assert (out[3].n_segments, out[3].n_kept) == (2, 0)
+        assert out[3].clean_text == ""
+
+    def test_partial_tail_segment(self, spark):
+        from drune_spark.operators.dedup import segment_dedup
+
+        df = spark.createDataFrame([(7, "p q r s")], ["doc_id", "text"])
+        row = segment_dedup(df, "text", "doc_id", seg_words=3).collect()[0]
+        assert row.n_segments == 2 and row.n_kept == 2
+        assert row.clean_text == "p q r s"
+
+
+class TestBpe:
+    def test_merge_table_hand_computed(self, spark):
+        from drune_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "low low lower")], ["doc_id", "text"]
+        )
+        got = [
+            (r.step, r.pair, r.merged, r.pair_count)
+            for r in bpe_train(df, n_merges=3).orderBy("step").collect()
+        ]
+        # r1: 'l o' and 'o w' both weigh 3 → lexicographic tie-break;
+        # r2: 'lo w' weighs 3; r3: 'e r' vs 'low e' tie at 1 → 'e r'.
+        assert got == [
+            (1, "l o", "lo", 3),
+            (2, "lo w", "low", 3),
+            (3, "e r", "er", 1),
+        ]
+
+    def test_apply_tokenizes_with_learned_merges(self, spark):
+        from drune_spark.operators.bpe import bpe_apply, bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "low low lower")], ["doc_id", "text"]
+        )
+        merges = [
+            (r.pair, r.merged)
+            for r in bpe_train(df, n_merges=3).orderBy("step").collect()
+        ]
+        hist = {
+            r.token: (r.n_occurrences, r.n_docs)
+            for r in bpe_apply(df, merges).collect()
+        }
+        assert hist == {"low": (3, 1), "er": (1, 1)}
+
+    def test_single_char_words_yield_no_pairs(self, spark):
+        from drune_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame([(1, "a a a ab")], ["doc_id", "text"])
+        rows = bpe_train(df, n_merges=1).collect()
+        assert [(rows[0].pair, rows[0].pair_count)] == [("a b", 1)]
+
+
+class TestDsir:
+    def test_scores_match_pure_python(self, spark):
+        import hashlib
+
+        from drune_spark.operators.text_analysis import dsir_scores
+
+        corpus = [
+            (1, "spark shuffle join", "tgt"),
+            (2, "spark scan filter", "web"),
+            (3, "join join shuffle", "web"),
+        ]
+        df = spark.createDataFrame(corpus, ["doc_id", "text", "source"])
+
+        def feat(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 64
+
+        raw, tgt = {}, {}
+        for _, text, src in corpus:
+            for w in text.split():
+                f = feat(w)
+                raw[f] = raw.get(f, 0) + 1
+                if src == "tgt":
+                    tgt[f] = tgt.get(f, 0) + 1
+        w_of = {f: tgt.get(f, 0) * 1_000_000 // raw[f] for f in raw}
+        expected = {
+            doc_id: sum(w_of[feat(w)] for w in text.split())
+            for doc_id, text, _ in corpus
+        }
+        got = {
+            r.doc_id: r.dsir_score
+            for r in dsir_scores(
+                df, target_source="tgt", buckets=64
+            ).collect()
+        }
+        assert got == expected
