@@ -5820,6 +5820,35 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax corpus mixing (sampling.py unimax_alloc, arXiv:2304.09151):
+    waterfill half the corpus token budget across (source, lang) domains
+    with a 1-epoch cap — exact integer waterfilling (cap-below-water-
+    level test + deterministic remainder), one corpus pass, everything
+    else on the s-row domain table."""
+    _tune(spark)
+    from drune_spark.operators.sampling import unimax_alloc
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_toks", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return unimax_alloc(
+        docs, ["source", "lang"], "n_toks",
+        budget_num=1, budget_den=2, epoch_cap=1,
+    )
+
+
+def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency spectrum (text_analysis.py freq_spectrum):
+    N_r frequency-of-frequencies bands with integer-rational adjusted
+    counts — the Zipf-tail / duplication health check. Corpus shuffles
+    (word, count) cells once; the spectrum math runs on the histogram."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import freq_spectrum
+
+    return freq_spectrum(_t(spark, sf_dir, "documents"), "text", max_r=10)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5845,6 +5874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 4 (never driver-verified) ------------------------
         "semdedup": q_semdedup,
+        "unimax_mix": q_unimax_mix,
+        "freq_spectrum": q_freq_spectrum,
         "segment_dedup": q_segment_dedup,
         "bpe_train": q_bpe_train,
         "bpe_tokenize": q_bpe_tokenize,
@@ -6445,6 +6476,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END
                         AS INTEGER) AS kept
             FROM cl LEFT JOIN pruned p ON cl.vec_id = p.vec_id
+        """,
+        "unimax_mix": """
+            WITH counts AS (
+                SELECT source, lang,
+                       CAST(SUM(len(regexp_split_to_array(trim(text),
+                                                          '\\s+')))
+                            AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source, lang
+            ),
+            caps AS (
+                SELECT source, lang, n_tokens, n_tokens * 1 AS cap
+                FROM counts
+            ),
+            ranked AS (
+                SELECT source, lang, n_tokens, cap,
+                       CAST(row_number() OVER
+                            (ORDER BY cap, source, lang) AS BIGINT) AS rn,
+                       SUM(cap) OVER (ORDER BY cap, source, lang
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - cap AS pre
+                FROM caps
+            ),
+            t AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(n_tokens) AS BIGINT) * 1 // 2 AS budget
+                FROM ranked
+            ),
+            flagged AS (
+                SELECT r.*, t.n, t.budget,
+                       CASE WHEN r.cap * (t.n - r.rn + 1) + r.pre
+                                 <= t.budget
+                            THEN 1 ELSE 0 END AS capped
+                FROM ranked r CROSS JOIN t
+            ),
+            kf AS (
+                SELECT CAST(MAX(CASE WHEN capped = 1 THEN rn
+                                     ELSE 0 END) AS BIGINT) AS k,
+                       CAST(COALESCE(SUM(CASE WHEN capped = 1
+                                              THEN cap END), 0)
+                            AS BIGINT) AS capped_sum
+                FROM flagged
+            ),
+            alloc AS (
+                SELECT f.source, f.lang, f.n_tokens, f.cap,
+                       CAST(CASE WHEN f.rn <= kf.k THEN f.cap
+                            ELSE (f.budget - kf.capped_sum)
+                                 // GREATEST(f.n - kf.k, 1)
+                                 + CASE WHEN f.rn - kf.k <=
+                                        (f.budget - kf.capped_sum)
+                                        % GREATEST(f.n - kf.k, 1)
+                                        THEN 1 ELSE 0 END
+                            END AS BIGINT) AS allocation
+                FROM flagged f CROSS JOIN kf
+            )
+            SELECT source, lang, n_tokens, cap, allocation,
+                   allocation * 1000000 // n_tokens AS epochs_ppm
+            FROM alloc
+        """,
+        "freq_spectrum": """
+            WITH toks AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT w, UNNEST(range(1, len(w) - 1)) AS i FROM toks
+            ),
+            wc AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS r
+                FROM (SELECT array_to_string(w[i:(i + 2)], ' ') AS word
+                      FROM pos)
+                GROUP BY word
+            ),
+            spec AS (
+                SELECT r, CAST(count(*) AS BIGINT) AS n_types
+                FROM wc GROUP BY r
+            )
+            SELECT s.r, s.n_types, s.r * s.n_types AS n_tokens,
+                   (s.r + 1) * COALESCE(nx.n_types, 0) * 1000000
+                       // s.n_types AS r_star_ppm
+            FROM spec s LEFT JOIN spec nx ON nx.r = s.r + 1
+            WHERE s.r <= 10
         """,
         "segment_dedup": """
             WITH base AS (

@@ -19,7 +19,7 @@ Also: salt the key to draw independent samples from the same data
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -309,4 +309,99 @@ def negative_pairs(
         probes.join(F.broadcast(reps), "idx")
         .filter(F.col("neg_id") != F.col("anchor_id"))
         .select("anchor_id", "j", "neg_id")
+    )
+
+
+def unimax_alloc(
+    df: DataFrame,
+    group_cols: list[str],
+    token_count_col,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    epoch_cap: int = 1,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    waterfill a token budget across corpus domains so every domain gets
+    an equal share of the budget, except that no domain repeats more
+    than ``epoch_cap`` epochs — the mixing rule that beats temperature
+    sampling for multi-domain corpora. ``corpus_mix`` above *applies* a
+    chosen epoch allocation; this computes the allocation itself.
+
+    Exact integer waterfilling: domains sorted by cap ascending; domain
+    r is capped iff ``cap_r · (n − r + 1) + prefix_caps_before_r ≤ B``
+    (the "is this cap below the water level" test, evaluated in exact
+    int64 — no FP). Uncapped domains split the remaining budget evenly;
+    the integer remainder goes to the first ``R mod m`` uncapped domains
+    in the same total order, so the allocation sums exactly to the
+    budget and both engines agree bit-for-bit. The budget itself is
+    ``total_tokens · budget_num div budget_den`` (derived from the
+    corpus, so the gate needs no external constant).
+
+    Scale notes: the corpus is touched once (the per-domain token-count
+    aggregate); everything after runs on the s-row domain table — the
+    unpartitioned waterfilling window sorts s rows, not the corpus, and
+    the two 1-row scalar frames (totals, threshold index) are broadcast
+    crossJoins (the percent_of_total totals pattern).
+
+    Returns group_cols + (n_tokens, cap, allocation, epochs_ppm).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    counts = df.groupBy(*gcols).agg(
+        F.sum(token_count_col).cast("long").alias("n_tokens")
+    )
+    caps = counts.withColumn(
+        "cap", F.col("n_tokens") * F.lit(int(epoch_cap))
+    )
+    order = [F.col("cap").asc()] + [F.col(c).asc() for c in group_cols]
+    w = Window.orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = caps.select(
+        *group_cols,
+        "n_tokens",
+        "cap",
+        F.row_number().over(w).alias("rn"),
+        (F.sum("cap").over(wsum) - F.col("cap")).alias("pre"),
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"sum(n_tokens) * {int(budget_num)} div {int(budget_den)}"
+        ).alias("budget"),
+    )
+    flagged = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "capped",
+        (
+            F.col("cap") * (F.col("n") - F.col("rn") + 1) + F.col("pre")
+            <= F.col("budget")
+        ).cast("int"),
+    )
+    kframe = flagged.agg(
+        F.max(
+            F.when(F.col("capped") == 1, F.col("rn")).otherwise(F.lit(0))
+        ).alias("k"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.col("cap"))), F.lit(0)
+        ).alias("capped_sum"),
+    )
+    alloc = (
+        flagged.crossJoin(F.broadcast(kframe))
+        .withColumn("rest", F.col("budget") - F.col("capped_sum"))
+        .withColumn("m", F.greatest(F.col("n") - F.col("k"), F.lit(1)))
+        .withColumn(
+            "allocation",
+            F.when(F.col("rn") <= F.col("k"), F.col("cap")).otherwise(
+                F.expr("rest div m")
+                + F.when(
+                    F.col("rn") - F.col("k") <= F.expr("rest % m"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ),
+        )
+    )
+    return alloc.select(
+        *group_cols,
+        "n_tokens",
+        "cap",
+        F.col("allocation").cast("long").alias("allocation"),
+        F.expr("allocation * 1000000 div n_tokens").alias("epochs_ppm"),
     )

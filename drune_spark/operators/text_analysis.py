@@ -528,3 +528,62 @@ def dsir_scores(
             F.sum("w").alias("dsir_score"),
         )
     )
+
+
+def freq_spectrum(
+    df: DataFrame,
+    text_col: str = "text",
+    max_r: int = 10,
+    ngram: int = 3,
+) -> DataFrame:
+    """N-gram frequency-of-frequencies spectrum with simple Good-Turing
+    adjusted counts (Gale & Sampson 1995): N_r = number of word
+    ``ngram``-gram types occurring exactly r times; the GT adjusted
+    count r* = (r+1)·N_{r+1}/N_r estimates how much probability mass
+    the r-count types actually deserve — the classic smoothing
+    diagnostic for corpus frequency estimates (and the Zipf-tail health
+    check for a training corpus: a depleted N_1 band signals heavy
+    duplication). N-gram types rather than unigrams because the
+    singleton/doubleton bands — where GT matters — live in the n-gram
+    tail for any corpus whose unigram vocabulary saturates.
+
+    Integer-rational output (``r_star_ppm = (r+1)·N_{r+1}·10⁶ div N_r``,
+    0 where N_{r+1} is empty) so both engines agree exactly.
+
+    Scale notes: one corpus pass builds (ngram, count) cells — the only
+    corpus-sized shuffle; the spectrum aggregate and the N_{r+1}
+    self-join run on the count-histogram table, whose size is bounded by
+    the distinct count values (≪ type count). ``max_r`` bounds the
+    reported band.
+
+    Returns (r, n_types, n_tokens, r_star_ppm).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks) - F.lit(ngram - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.expr("cast(array() as array<int>)")
+    )
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, ngram))
+    )
+    wc = (
+        df.select(F.explode(grams).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    spec = wc.groupBy("r").agg(F.count(F.lit(1)).alias("n_types"))
+    nxt = spec.select(
+        (F.col("r") - 1).alias("r"), F.col("n_types").alias("n_types_next")
+    )
+    return (
+        spec.join(nxt, "r", "left")
+        .filter(F.col("r") <= max_r)
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_types").cast("long").alias("n_types"),
+            (F.col("r") * F.col("n_types")).cast("long").alias("n_tokens"),
+            F.expr(
+                "(r + 1) * coalesce(n_types_next, 0) * 1000000 div n_types"
+            ).alias("r_star_ppm"),
+        )
+    )

@@ -2748,3 +2748,25 @@ class TestDsir:
             ).collect()
         }
         assert got == expected
+
+
+class TestFreqSpectrum:
+    def test_good_turing_bands_hand_computed(self, spark):
+        from drune_spark.operators.text_analysis import freq_spectrum
+
+        df = spark.createDataFrame(
+            [(1, "a b c a b c a b x")], ["doc_id", "text"]
+        )
+        out = {r.r: (r.n_types, r.n_tokens, r.r_star_ppm)
+               for r in freq_spectrum(df, "text", max_r=10).collect()}
+        # trigrams: 'a b c'×2, 'b c a'×2, 'c a b'×2, 'a b x'×1
+        assert out == {
+            1: (1, 1, 6_000_000),  # r*=2·N2/N1 = 6
+            2: (3, 6, 0),          # N3 empty
+        }
+
+    def test_short_docs_yield_no_grams(self, spark):
+        from drune_spark.operators.text_analysis import freq_spectrum
+
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        assert freq_spectrum(df, "text").count() == 0

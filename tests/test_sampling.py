@@ -213,3 +213,36 @@ class TestPacking:
         b = sorted((r.doc_id, r.pack_group, r.seq_id)
                    for r in pack_sequences(df, "n_toks", "doc_id").collect())
         assert a == b
+
+
+class TestUnimaxAlloc:
+    def _run(self, spark, num, den):
+        from drune_spark.operators.sampling import unimax_alloc
+
+        rows = [("a", 10), ("b", 100), ("c", 100)]
+        df = spark.createDataFrame(rows, ["source", "n_toks"])
+        out = unimax_alloc(df, ["source"], "n_toks",
+                           budget_num=num, budget_den=den, epoch_cap=1)
+        return {r.source: (r.allocation, r.epochs_ppm)
+                for r in out.collect()}
+
+    def test_waterfill_caps_small_domain(self, spark):
+        # total=210, budget=110: 'a' capped at 10, b/c split 100 evenly
+        got = self._run(spark, 11, 21)
+        assert got == {"a": (10, 1_000_000),
+                       "b": (50, 500_000), "c": (50, 500_000)}
+
+    def test_integer_remainder_goes_to_first_uncapped(self, spark):
+        # budget=111: R=101 over 2 uncapped → 51 to 'b' (first in order)
+        got = self._run(spark, 37, 70)
+        assert got == {"a": (10, 1_000_000),
+                       "b": (51, 510_000), "c": (50, 500_000)}
+
+    def test_all_capped_when_budget_exceeds_caps(self, spark):
+        got = self._run(spark, 2, 1)  # budget 420 > caps sum 210
+        assert got == {"a": (10, 1_000_000),
+                       "b": (100, 1_000_000), "c": (100, 1_000_000)}
+
+    def test_allocation_sums_to_budget_when_unconstrained(self, spark):
+        got = self._run(spark, 11, 21)
+        assert sum(a for a, _ in got.values()) == 110
