@@ -5820,6 +5820,30 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API (sources/pysource.py): a custom
+    pure-Python connector — options, schema, partition planning, strided
+    per-partition generation — aggregated so any duplicated/dropped/
+    mis-partitioned row breaks the hash. Oracle regenerates the same
+    closed-form dataset from generate_series."""
+    _tune(spark)
+    from drune_spark.sources.pysource import register
+
+    register(spark)
+    df = (
+        spark.read.format("drune_synth_events")
+        .option("n", "50000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value_milli").alias("sum_value_milli"),
+        F.sum("event_id").alias("sum_ids"),
+    )
+
+
 def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax corpus mixing (sampling.py unimax_alloc, arXiv:2304.09151):
     waterfill half the corpus token budget across (source, lang) domains
@@ -5874,6 +5898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 4 (never driver-verified) ------------------------
         "semdedup": q_semdedup,
+        "python_datasource": q_python_datasource,
         "unimax_mix": q_unimax_mix,
         "freq_spectrum": q_freq_spectrum,
         "segment_dedup": q_segment_dedup,
@@ -6476,6 +6501,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END
                         AS INTEGER) AS kept
             FROM cl LEFT JOIN pruned p ON cl.vec_id = p.vec_id
+        """,
+        "python_datasource": """
+            WITH g AS (
+                SELECT i FROM generate_series(0, 49999) AS t(i)
+            ),
+            e AS (
+                SELECT i AS event_id, i % 97 AS user_id,
+                       (['view', 'click', 'cart', 'purchase'])[
+                           CAST(('0x' || substr(md5(CAST(i AS VARCHAR)),
+                                                1, 8))::BIGINT % 4
+                                AS INTEGER) + 1] AS event_type,
+                       ('0x' || substr(md5(CAST(i AS VARCHAR)),
+                                       1, 8))::BIGINT % 100000
+                           AS value_milli
+                FROM g
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(SUM(value_milli) AS BIGINT) AS sum_value_milli,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_ids
+            FROM e GROUP BY event_type
         """,
         "unimax_mix": """
             WITH counts AS (

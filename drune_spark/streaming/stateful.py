@@ -23,6 +23,7 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, total_value double, max_gap_us bigint"
@@ -234,6 +235,141 @@ def user_monitor_stream(
     # Keep the final (highest n_events) update per user.
     from pyspark.sql import Window
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 state API v2: transformWithStateInPandas
+# ---------------------------------------------------------------------------
+
+TYPE_COUNT_OUTPUT_SCHEMA = (
+    "user_id bigint, event_type string, n_events bigint, value_milli bigint"
+)
+
+
+class _TypeCountProcessor(StatefulProcessor):
+    """Per-(user, event_type) running counters on Spark 4's arbitrary-
+    state API v2 (``transformWithStateInPandas``): typed MapState keyed
+    by event_type inside each user's state partition — the composite-key
+    state layout the v1 ``applyInPandasWithState`` API (above) can only
+    fake by packing dicts into a single state tuple.
+
+    Determinism rule: values are summed as integer millis
+    (``floor(v·1000 + 0.5)``) so the running total is order-free and
+    engine-exact (the repo-wide money/metric aggregation rule).
+    """
+
+    def init(self, handle) -> None:
+        self._counts = handle.getMapState(
+            "counts", "event_type string", "n bigint, milli bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        (user_id,) = key
+        agg: dict[str, tuple[int, int]] = {}
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            milli = np.floor(
+                pdf["value"].to_numpy(dtype="float64") * 1000.0 + 0.5
+            ).astype("int64")
+            for et, m in zip(pdf["event_type"], milli):
+                c, s = agg.get(et, (0, 0))
+                agg[et] = (c + 1, s + int(m))
+        out = []
+        for et, (c, s) in sorted(agg.items()):
+            prev = (
+                self._counts.getValue((et,))
+                if self._counts.containsKey((et,))
+                else (0, 0)
+            )
+            n, total = int(prev[0]) + c, int(prev[1]) + s
+            self._counts.updateValue((et,), (n, total))
+            out.append((user_id, et, n, total))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "event_type", "n_events", "value_milli"],
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def type_count_stream(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+    n_state_partitions: int | None = 8,
+) -> DataFrame:
+    """Run the v2-state per-(user, event_type) counter over a bounded
+    file stream (availableNow) and return the final counters.
+
+    transformWithStateInPandas requires the RocksDB state store; the
+    provider conf is scoped to the query and restored afterwards (local
+    HDFS-backed stores don't support the v2 API's column families).
+
+    Update-mode memory sink: counters are monotone, so the final state
+    per (user_id, event_type) is the max-n_events emission.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from drune_spark.streaming.runner import _raw_stream, state_partitions
+
+    proc = _TypeCountProcessor()
+    stream = _raw_stream(
+        spark, events_path,
+        options={"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger else None,
+    )
+    counted = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=TYPE_COUNT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    name = f"twsc_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        with tempfile.TemporaryDirectory() as ckpt, \
+                state_partitions(spark, n_state_partitions):
+            query = (
+                counted.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+    finally:
+        if prev_provider is not None:
+            spark.conf.set(provider_key, prev_provider)
+        else:
+            spark.conf.unset(provider_key)
+    updates = spark.table(name)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("n_events").desc()
+    )
     return (
         updates.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -132,3 +132,41 @@ class TestTryCastDates:
         ]))
         with pytest.raises(Exception):
             out.collect()
+
+
+class TestPythonDataSource:
+    """Spark 4 Python Data Source API (sources/pysource.py)."""
+
+    def _load(self, spark, n, parts):
+        from drune_spark.sources.pysource import register
+
+        register(spark)
+        return (
+            spark.read.format("drune_synth_events")
+            .option("n", str(n))
+            .option("partitions", str(parts))
+            .load()
+        )
+
+    def test_every_row_generated_exactly_once(self, spark):
+        df = self._load(spark, 1000, 7)
+        assert df.count() == 1000
+        ids = df.agg({"event_id": "sum"}).collect()[0][0]
+        assert ids == 1000 * 999 // 2
+
+    def test_partition_planning_honors_option(self, spark):
+        df = self._load(spark, 100, 5)
+        assert df.rdd.getNumPartitions() == 5
+
+    def test_rows_match_pure_python_formula(self, spark):
+        import hashlib
+
+        from drune_spark.sources.pysource import EVENT_TYPES
+
+        rows = {r.event_id: r for r in self._load(spark, 50, 3).collect()}
+        for i in range(50):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            r = rows[i]
+            assert (r.user_id, r.event_type, r.value_milli) == (
+                i % 97, EVENT_TYPES[h % 4], h % 100_000
+            )
