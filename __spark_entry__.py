@@ -5820,6 +5820,53 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (privacy.py k_anonymity_audit):
+    customer equivalence classes over (nation, account-balance band)
+    smaller than k=5 or with < 2 distinct market segments — the
+    re-identification screen before data release. One cell-sized
+    groupBy; violating classes only."""
+    _tune(spark)
+    from drune_spark.operators.privacy import k_anonymity_audit
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        # +1000 shift keeps the band operand nonnegative: Spark div
+        # truncates toward zero, DuckDB // floors — they only agree >= 0
+        F.expr("(cast(floor(c_acctbal) as bigint) + 1000) div 1000").alias(
+            "bal_band"
+        ),
+        "c_mktsegment",
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment",
+        k=5, l_diversity=2,
+    )
+
+
+def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT MaxSim late-interaction retrieval (similarity.py
+    maxsim_topk, arXiv:2004.12832): embeddings grouped 8-per-doc as
+    token vectors, first 2 docs as queries; per-query-token max over
+    doc tokens, integer-scaled sums, top-5 docs. Query tokens
+    broadcast; the corpus never shuffles."""
+    _tune(spark)
+    from drune_spark.operators.similarity import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.expr("vec_id div 8").alias("doc_id"),
+    )
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("vec_id").alias("q_tok"),
+        "v",
+    )
+    return maxsim_topk(emb, queries, k=5)
+
+
 def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python Data Source API (sources/pysource.py): a custom
     pure-Python connector — options, schema, partition planning, strided
@@ -5898,6 +5945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 4 (never driver-verified) ------------------------
         "semdedup": q_semdedup,
+        "k_anonymity": q_k_anonymity,
+        "maxsim_retrieval": q_maxsim_retrieval,
         "python_datasource": q_python_datasource,
         "unimax_mix": q_unimax_mix,
         "freq_spectrum": q_freq_spectrum,
@@ -6501,6 +6550,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END
                         AS INTEGER) AS kept
             FROM cl LEFT JOIN pruned p ON cl.vec_id = p.vec_id
+        """,
+        "k_anonymity": """
+            WITH cells AS (
+                SELECT c_nationkey,
+                       (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 1000
+                           AS bal_band,
+                       CAST(count(*) AS BIGINT) AS class_size,
+                       CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+                           AS n_sensitive
+                FROM customer
+                GROUP BY c_nationkey, bal_band
+            )
+            SELECT c_nationkey, bal_band, class_size, n_sensitive,
+                   CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END
+                        AS INTEGER) AS k_violation,
+                   CAST(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END
+                        AS INTEGER) AS l_violation
+            FROM cells
+            WHERE class_size < 5 OR n_sensitive < 2
+        """,
+        "maxsim_retrieval": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       vec_id // 8 AS doc_id
+                FROM embeddings
+            ),
+            q AS (
+                SELECT doc_id AS query_id, vec_id AS q_tok, v AS qv
+                FROM e WHERE vec_id < 16
+            ),
+            pairs AS (
+                SELECT q.query_id, q.q_tok, e.doc_id,
+                       CAST(floor(list_cosine_similarity(q.qv, e.v)
+                                  * 1000000000.0 + 0.5) AS BIGINT)
+                           AS cos_e9
+                FROM e, q
+            ),
+            tokmax AS (
+                SELECT query_id, q_tok, doc_id, MAX(cos_e9) AS m
+                FROM pairs GROUP BY query_id, q_tok, doc_id
+            ),
+            score AS (
+                SELECT query_id, doc_id, CAST(SUM(m) AS BIGINT)
+                           AS score_e9
+                FROM tokmax GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank,
+                   score_e9
+            FROM (
+                SELECT query_id, doc_id, score_e9,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score_e9 DESC, doc_id ASC) AS rank
+                FROM score)
+            WHERE rank <= 5
         """,
         "python_datasource": """
             WITH g AS (

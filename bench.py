@@ -213,6 +213,17 @@ BENCH_QUERIES = [
     "stream_session_native",
     "ann_recall",
     "retrieval_mrr",
+    # round-4 second wave
+    "semdedup",
+    "segment_dedup",
+    "bpe_train",
+    "bpe_tokenize",
+    "dsir_scores",
+    "unimax_mix",
+    "freq_spectrum",
+    "python_datasource",
+    "k_anonymity",
+    "maxsim_retrieval",
 ]
 
 

@@ -338,3 +338,70 @@ def recall_at_k(
             .alias("recall_ppm"),
         )
     )
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 5,
+    doc_col: str = "doc_id",
+    query_col: str = "query_id",
+    qtok_col: str = "q_tok",
+    vec_col: str = "v",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020,
+    arXiv:2004.12832): ``score(q, d) = Σ_{t∈q} max_{u∈d} cos(t, u)`` —
+    every query token finds its best-matching document token, and the
+    per-token maxima sum to the document score. The multi-vector
+    retrieval model single-vector cosine (``brute_force_topk``) can't
+    express.
+
+    Determinism: cosines are integer-scaled (``floor(cos·10⁹ + 0.5)``)
+    before aggregation, so the per-token MAX and per-document SUM are
+    order-free and engine-exact end-to-end.
+
+    Scale notes: query tokens are broadcast (queries ≪ corpus) — the
+    corpus token table is scanned once and never shuffles; the first
+    groupBy's map-side partial MAX collapses each document's tokens
+    before the exchange, so shuffles carry (query, q_tok, doc, max)
+    cells, then (query, doc, score) cells; top-k is the pinned
+    WindowGroupLimit shape. At 100 TB this is the PLAID-style candidate
+    scoring pass over an IVF-pruned candidate set (compose with
+    ``ivf_topk`` for the pruning stage).
+
+    Returns (query_col, doc_col, rank, score_e9).
+    """
+    q = query_tokens.select(
+        F.col(query_col),
+        F.col(qtok_col),
+        to_double_array(F.col(vec_col)).alias("qv"),
+    )
+    d = doc_tokens.select(
+        F.col(doc_col), to_double_array(F.col(vec_col)).alias("dv")
+    )
+    pairs = d.join(F.broadcast(q)).select(
+        query_col,
+        qtok_col,
+        doc_col,
+        F.floor(
+            cosine_similarity(F.col("qv"), F.col("dv"))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cos_e9"),
+    )
+    tokmax = pairs.groupBy(query_col, qtok_col, doc_col).agg(
+        F.max("cos_e9").alias("m")
+    )
+    score = tokmax.groupBy(query_col, doc_col).agg(
+        F.sum("m").alias("score_e9")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("score_e9").desc(), F.col(doc_col).asc()
+    )
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_col, doc_col, "rank", "score_e9")
+    )

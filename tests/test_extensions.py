@@ -2770,3 +2770,57 @@ class TestFreqSpectrum:
 
         df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
         assert freq_spectrum(df, "text").count() == 0
+
+
+class TestKAnonymity:
+    def test_flags_small_and_homogeneous_classes(self, spark):
+        from drune_spark.operators.privacy import k_anonymity_audit
+
+        rows = (
+            [(i, "A", 1, "seg1") for i in range(5)]        # ok (k=5, 2 segs)
+            + [(10 + i, "A", 1, "seg2") for i in range(3)]
+            + [(20 + i, "B", 1, "seg1") for i in range(2)]  # small + homog
+            + [(30 + i, "C", 1, "seg%d" % i) for i in range(6)]  # diverse ok
+        )
+        df = spark.createDataFrame(rows, ["id", "qa", "qb", "seg"])
+        out = {(r.qa, r.qb): (r.class_size, r.n_sensitive,
+                              r.k_violation, r.l_violation)
+               for r in k_anonymity_audit(
+                   df, ["qa", "qb"], "seg", k=5, l_diversity=2).collect()}
+        assert ("A", 1) not in out          # size 8, 2 segments → passes
+        assert out[("B", 1)] == (2, 1, 1, 1)
+        assert ("C", 1) not in out
+
+    def test_l_violation_alone(self, spark):
+        from drune_spark.operators.privacy import k_anonymity_audit
+
+        rows = [(i, "D", "s") for i in range(7)]  # big but homogeneous
+        df = spark.createDataFrame(rows, ["id", "qa", "seg"])
+        out = k_anonymity_audit(df, ["qa"], "seg", k=5).collect()
+        assert len(out) == 1
+        assert (out[0].k_violation, out[0].l_violation) == (0, 1)
+
+
+class TestMaxSim:
+    def test_self_retrieval_and_hand_score(self, spark):
+        from drune_spark.operators.similarity import maxsim_topk
+
+        # doc 0 tokens: e1, e2; doc 1 tokens: e1, -e2; doc 2: e3, e4
+        docs = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0, 0.0]), (0, [0.0, 1.0, 0.0, 0.0]),
+                (1, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, -1.0, 0.0, 0.0]),
+                (2, [0.0, 0.0, 1.0, 0.0]), (2, [0.0, 0.0, 0.0, 1.0]),
+            ],
+            ["doc_id", "v"],
+        )
+        queries = spark.createDataFrame(
+            [(0, 100, [1.0, 0.0, 0.0, 0.0]), (0, 101, [0.0, 1.0, 0.0, 0.0])],
+            ["query_id", "q_tok", "v"],
+        )
+        out = [(r.doc_id, r.rank, r.score_e9)
+               for r in maxsim_topk(docs, queries, k=3)
+               .orderBy("rank").collect()]
+        # doc0: 1+1 = 2e9; doc1: 1+0 = 1e9; doc2: 0+0 = 0
+        assert out == [(0, 1, 2_000_000_000), (1, 2, 1_000_000_000),
+                       (2, 3, 0)]
