@@ -364,9 +364,16 @@ def connected_components(
     Deterministic: the fixpoint (min reachable id) is order-independent.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # Persisted: every propagation round AND its convergence-check action
+    # read the edge list, and `pairs` is typically an expensive near-dup
+    # join (the exact-Jaccard path cost 12s/query at sf0.1 before this —
+    # each round re-ran the shingle self-join). Edges are pair-sized, far
+    # smaller than the job that produced them; left cached for the
+    # caller's actions (LRU eviction is the backstop, as with the LSH
+    # signature persists above).
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).persist()
     labels = all_nodes.select(
         F.col(all_nodes.columns[0]).alias("node")
     ).distinct().withColumn("label", F.col("node")).persist()
