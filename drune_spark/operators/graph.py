@@ -173,6 +173,14 @@ def bfs_khop(
     Reference analog: none (drune has no iterative operators); the
     unrolled-CTE oracle pattern follows pagerank_int above.
     """
+    # The edge list is read by EVERY round's frontier join; gates pass
+    # derived edge frames (e.g. the co-purchase self-join), which would
+    # otherwise re-execute per hop (8.7s -> 2s at sf0.1). Cached for the
+    # loop and released before returning: `visited` is fully
+    # materialized by the per-round counts, so dropping the edge cache
+    # cannot trigger a recompute of the returned frame. GraphX caches
+    # the graph for iteration for exactly this reason.
+    edge_list = edges.select(F.col(src), F.col(dst)).persist()
     visited = seeds.select(F.col(node)).distinct().withColumn(
         "dist", F.lit(0)
     ).persist()
@@ -181,7 +189,7 @@ def bfs_khop(
     prev_nxt: DataFrame | None = None  # stays cached: it IS the frontier
     for hop in range(1, k + 1):
         nxt = (
-            edges.join(frontier, edges[src] == frontier[node])
+            edge_list.join(frontier, edge_list[src] == frontier[node])
             .select(F.col(dst).alias(node))
             .distinct()
             .join(visited.select(node), node, "left_anti")
@@ -203,4 +211,5 @@ def bfs_khop(
         prev_nxt = nxt
     if prev_nxt is not None:
         prev_nxt.unpersist()
+    edge_list.unpersist()
     return visited
