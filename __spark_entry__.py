@@ -6694,7 +6694,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             wc AS (
                 SELECT word, CAST(count(*) AS BIGINT) AS r
-                FROM (SELECT array_to_string(w[i:(i + 2)], ' ') AS word
+                FROM (SELECT ('0x' || substr(md5(
+                          array_to_string(w[i:(i + 2)], ' ')), 1, 8)
+                          )::BIGINT AS word
                       FROM pos)
                 GROUP BY word
             ),

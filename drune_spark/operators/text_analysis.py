@@ -550,21 +550,27 @@ def freq_spectrum(
     Integer-rational output (``r_star_ppm = (r+1)·N_{r+1}·10⁶ div N_r``,
     0 where N_{r+1} is empty) so both engines agree exactly.
 
-    Scale notes: one corpus pass builds (ngram, count) cells — the only
-    corpus-sized shuffle; the spectrum aggregate and the N_{r+1}
-    self-join run on the count-histogram table, whose size is bounded by
-    the distinct count values (≪ type count). ``max_r`` bounds the
-    reported band.
+    Scale notes: one corpus pass builds (ngram-key, count) cells — the
+    only corpus-sized shuffle, and it carries 32-bit md5 keys instead of
+    n-gram strings (the novelty_score trick: same counts, ~5× less
+    shuffle volume; the oracle hashes identically so any collision
+    merges the same types on both engines). The spectrum aggregate and
+    the N_{r+1} self-join run on the count-histogram table, whose size
+    is bounded by the distinct count values (≪ type count). ``max_r``
+    bounds the reported band.
 
     Returns (r, n_types, n_tokens, r_star_ppm).
     """
+    from drune_spark.functions.hashes import md5_u32
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks) - F.lit(ngram - 1)
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.expr("cast(array() as array<int>)")
     )
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, ngram))
+        idx,
+        lambda i: md5_u32(F.concat_ws(" ", F.slice(toks, i, ngram))),
     )
     wc = (
         df.select(F.explode(grams).alias("word"))
