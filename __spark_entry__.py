@@ -5820,6 +5820,23 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-size profile before the join (partitioning.py
+    join_cardinality_profile): top-10 contributing keys of the
+    clickstream-enrichment join (events by user ⋈ orders by customer)
+    with per-key n_left·n_right and integer-ppm share — the
+    broadcast/salt/AQE-skew decision input, computed from two key-cell
+    aggregates, never the join itself."""
+    _tune(spark)
+    from drune_spark.functions.partitioning import join_cardinality_profile
+
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    return join_cardinality_profile(
+        ev, orders, "user_id", "o_custkey", k=10
+    )
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity audit (privacy.py k_anonymity_audit):
     customer equivalence classes over (nation, account-balance band)
@@ -5945,6 +5962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 4 (never driver-verified) ------------------------
         "semdedup": q_semdedup,
+        "join_cardinality": q_join_cardinality,
         "k_anonymity": q_k_anonymity,
         "maxsim_retrieval": q_maxsim_retrieval,
         "python_datasource": q_python_datasource,
@@ -6550,6 +6568,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END
                         AS INTEGER) AS kept
             FROM cl LEFT JOIN pruned p ON cl.vec_id = p.vec_id
+        """,
+        "join_cardinality": """
+            WITH ca AS (
+                SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_left
+                FROM events GROUP BY user_id
+            ),
+            cb AS (
+                SELECT o_custkey AS key,
+                       CAST(count(*) AS BIGINT) AS n_right
+                FROM orders GROUP BY o_custkey
+            ),
+            cells AS (
+                SELECT ca.key, n_left, n_right,
+                       n_left * n_right AS out_rows
+                FROM ca JOIN cb ON ca.key = cb.key
+            ),
+            t AS (SELECT CAST(SUM(out_rows) AS BIGINT) AS total_rows
+                  FROM cells)
+            SELECT key, n_left, n_right, out_rows,
+                   out_rows * 1000000 // total_rows AS share_ppm
+            FROM cells CROSS JOIN t
+            ORDER BY out_rows DESC, key ASC
+            LIMIT 10
         """,
         "k_anonymity": """
             WITH cells AS (

@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "python_datasource",
     "k_anonymity",
     "maxsim_retrieval",
+    "join_cardinality",
 ]
 
 

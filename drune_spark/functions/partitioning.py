@@ -94,3 +94,49 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if current >= target:
         return df
     return df.repartition(target)
+
+
+def join_cardinality_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact join-size profile BEFORE running the join: per matching key
+    ``out_rows = n_left · n_right``, ranked by contribution — the
+    measurement behind every join-strategy decision (broadcast vs SMJ,
+    salting factor, AQE skew-split thresholds). A join whose top key
+    contributes 30% of the output needs a skew plan no matter what the
+    average says; this quantifies it for the cost of two key-cell
+    aggregates instead of the join itself.
+
+    Scale notes: both inputs collapse to (key, count) cells map-side
+    before any shuffle; the cell join is key-cardinality-sized; the
+    total is a broadcast 1-row aggregate (totals pattern) and the top-k
+    a TakeOrderedAndProject. Neither payload ever moves.
+
+    Returns (key, n_left, n_right, out_rows, share_ppm) for the top-k
+    contributing keys.
+    """
+    from pyspark.sql import functions as F
+
+    ca = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    cb = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    cells = ca.join(cb, "key").withColumn(
+        "out_rows", F.col("n_left") * F.col("n_right")
+    )
+    total = cells.agg(F.sum("out_rows").alias("total_rows"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share_ppm", F.expr("out_rows * 1000000 div total_rows")
+        )
+        .orderBy(F.col("out_rows").desc(), F.col("key").asc())
+        .limit(k)
+        .select("key", "n_left", "n_right", "out_rows", "share_ppm")
+    )

@@ -398,3 +398,34 @@ class TestCompaction:
         spans = file_spans(spark, dst, ["k"]).collect()
         avg = sum(r.max_k - r.min_k for r in spans) / len(spans)
         assert avg < 400  # clustered: ~250-wide windows, not ~1000
+
+
+class TestJoinCardinalityProfile:
+    def test_hand_computed_profile(self, spark):
+        from drune_spark.functions.partitioning import (
+            join_cardinality_profile,
+        )
+
+        left = spark.createDataFrame(
+            [(1,)] * 4 + [(2,)] * 2 + [(3,)] * 1, ["k"]
+        )
+        right = spark.createDataFrame(
+            [(1,)] * 3 + [(2,)] * 5 + [(9,)] * 7, ["k"]
+        )
+        out = [(r.key, r.n_left, r.n_right, r.out_rows, r.share_ppm)
+               for r in join_cardinality_profile(
+                   left, right, "k", "k", k=5).collect()]
+        # key 1: 4*3=12; key 2: 2*5=10; key 9 unmatched; total 22
+        assert out == [
+            (1, 4, 3, 12, 12 * 1_000_000 // 22),
+            (2, 2, 5, 10, 10 * 1_000_000 // 22),
+        ]
+
+    def test_top_k_bound(self, spark):
+        from drune_spark.functions.partitioning import (
+            join_cardinality_profile,
+        )
+
+        rows = [(i,) for i in range(20) for _ in range(i + 1)]
+        df = spark.createDataFrame(rows, ["k"])
+        assert join_cardinality_profile(df, df, "k", "k", k=3).count() == 3
