@@ -36,6 +36,12 @@ QUERIES = [
     "salted_join_agg",
     "decontaminate",
     "ann_ivf_topk",
+    # round-4 second wave: cluster-blocked semantic dedup (pair count is
+    # the scaling risk), segment dedup (explode + fp shuffle), BPE
+    # (iterative pair counting)
+    "semdedup",
+    "segment_dedup",
+    "bpe_train",
 ]
 TABLES = ["documents", "embeddings", "lineitem", "orders"]
 
