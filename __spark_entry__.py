@@ -5820,6 +5820,58 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared verbatim across engines (the shared-SQL-text determinism
+# pattern): Spark 4.0 added WITH RECURSIVE (SPARK-24497), so the
+# unrolled-CTE idiom the iterative operators' oracles use (pagerank,
+# bfs_khop) now has a native declarative counterpart that BOTH engines
+# run from one text. Cycle-safe: recursion is depth-bounded (dist < 4)
+# and the outer MIN collapses the path multiset deterministically.
+RECURSIVE_REACH_BODY = """
+    WITH RECURSIVE pairs AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+               ) AS next_type
+        FROM rc_base
+    ),
+    edges AS (
+        SELECT event_type AS src, next_type AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM pairs
+        WHERE next_type IS NOT NULL AND event_type <> next_type
+        GROUP BY event_type, next_type
+        HAVING count(*) >= 5
+    ),
+    hops(node, dist) AS (
+        SELECT 'view' AS node, 0 AS dist
+        UNION ALL
+        SELECT e.dst, h.dist + 1
+        FROM hops h JOIN edges e ON e.src = h.node
+        WHERE h.dist < 4
+    )
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+    FROM hops GROUP BY node
+"""
+
+
+def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive CTE (Spark 4 WITH RECURSIVE): min-hop reachability
+    from 'view' over the weighted event-type transition graph — the
+    declarative twin of the driver-looped bfs_khop, from ONE SQL text
+    run verbatim on both engines. Depth-bounded recursion (cycle-safe)
+    + outer MIN; the transition-graph derivation (window lead + cell
+    aggregate) sits in the same shared text."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    ev.createOrReplaceTempView("rc_base")
+    return spark.sql(RECURSIVE_REACH_BODY)
+
+
 def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact join-size profile before the join (partitioning.py
     join_cardinality_profile): top-10 contributing keys of the
@@ -5962,6 +6014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 4 (never driver-verified) ------------------------
         "semdedup": q_semdedup,
+        "recursive_reachability": q_recursive_reachability,
         "join_cardinality": q_join_cardinality,
         "k_anonymity": q_k_anonymity,
         "maxsim_retrieval": q_maxsim_retrieval,
@@ -6569,6 +6622,11 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS kept
             FROM cl LEFT JOIN pruned p ON cl.vec_id = p.vec_id
         """,
+        "recursive_reachability": (
+            "WITH RECURSIVE rc_base AS (SELECT user_id, event_id, "
+            "event_type, epoch_us(ts) AS ts_us FROM events), "
+            + RECURSIVE_REACH_BODY.strip().removeprefix("WITH RECURSIVE")
+        ),
         "join_cardinality": """
             WITH ca AS (
                 SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_left

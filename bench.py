@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "k_anonymity",
     "maxsim_retrieval",
     "join_cardinality",
+    "recursive_reachability",
 ]
 
 
