@@ -5872,6 +5872,20 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_REACH_BODY)
 
 
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-vector cosine pairs (search.py sparse_cosine_pairs):
+    bag-of-words similarity with exact integer cos²·10⁶ — the
+    term-distribution complement of shingle Jaccard and dense-embedding
+    cosine. Inverted-index candidate join; integer threshold."""
+    _tune(spark)
+    from drune_spark.operators.search import sparse_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(
+        docs, "text", "doc_id", min_cos2_ppm=960_000
+    )
+
+
 def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact join-size profile before the join (partitioning.py
     join_cardinality_profile): top-10 contributing keys of the
@@ -6015,6 +6029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 (never driver-verified) ------------------------
         "semdedup": q_semdedup,
         "recursive_reachability": q_recursive_reachability,
+        "sparse_cosine": q_sparse_cosine,
         "join_cardinality": q_join_cardinality,
         "k_anonymity": q_k_anonymity,
         "maxsim_retrieval": q_maxsim_retrieval,
@@ -6627,6 +6642,37 @@ def oracle_sql() -> dict[str, str]:
             "event_type, epoch_us(ts) AS ts_us FROM events), "
             + RECURSIVE_REACH_BODY.strip().removeprefix("WITH RECURSIVE")
         ),
+        "sparse_cosine": """
+            WITH tf AS (
+                SELECT doc_id AS doc, word AS term,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id,
+                             UNNEST(regexp_split_to_array(trim(text),
+                                                          '\s+')) AS word
+                      FROM documents)
+                GROUP BY doc, term
+            ),
+            norms AS (
+                SELECT doc, CAST(SUM(tf * tf) AS BIGINT) AS norm2
+                FROM tf GROUP BY doc
+            ),
+            dots AS (
+                SELECT a.doc AS id_a, b.doc AS id_b,
+                       CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+                FROM tf a JOIN tf b
+                  ON a.term = b.term AND a.doc < b.doc
+                GROUP BY a.doc, b.doc
+            )
+            SELECT d.id_a, d.id_b, d.dot,
+                   na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+                   d.dot * d.dot * 1000000 // (na.norm2 * nb.norm2)
+                       AS cos2_ppm
+            FROM dots d
+            JOIN norms na ON d.id_a = na.doc
+            JOIN norms nb ON d.id_b = nb.doc
+            WHERE d.dot * d.dot * 1000000 // (na.norm2 * nb.norm2)
+                  >= 960000
+        """,
         "join_cardinality": """
             WITH ca AS (
                 SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_left

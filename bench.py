@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "maxsim_retrieval",
     "join_cardinality",
     "recursive_reachability",
+    "sparse_cosine",
 ]
 
 

@@ -350,3 +350,85 @@ def first_relevant_rank(
                    "ELSE 1000000 div r END").alias("mrr_ppm"),
         )
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_cos2_ppm: int = 250_000,
+    max_term_df: int | None = None,
+) -> DataFrame:
+    """Sparse TF-vector cosine similarity between documents — the
+    bag-of-words near-dup/topic-similarity measure that complements the
+    dense-embedding paths (similarity.py) and set-based Jaccard
+    (dedup.py): term frequencies weigh repeated vocabulary, so two docs
+    drawing on the same word distribution score high even when their
+    shingle sets differ.
+
+    Exact integer math end-to-end: for docs A, B with tf vectors a, b,
+
+        cos²(A, B) · 10⁶ = (a·b)² · 10⁶ div (|a|²·|b|²)
+
+    — monotone in cosine (tf ≥ 0), so thresholding/ranking on
+    ``cos2_ppm`` ≡ thresholding on cosine with zero FP anywhere.
+
+    Scale notes: the term-cell self-join is the inverted-index candidate
+    pattern (pairs share ≥ 1 term; shuffles carry (term, doc, tf) cells,
+    never text); ``max_term_df`` caps hot terms exactly like
+    ngram_jaccard_pairs' shingle cap — dropped terms leave BOTH the dot
+    product and the norms, keeping the value a true cosine over the
+    capped vocabulary. The dot-product aggregate is map-side partial on
+    (id_a, id_b) cells.
+
+    int64 headroom: ``dot²·10⁶`` stays in range for dot < 3·10⁶ —
+    comfortably beyond any tokenized document; switch the ppm expression
+    to DECIMAL(38) arithmetic if tf mass per pair ever approaches that.
+
+    Returns (id_a, id_b, dot, norm2_a, norm2_b, cos2_ppm), id_a < id_b.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+                "term"
+            ),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if max_term_df is not None:
+        hot = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_term_df)
+            .select("term")
+        )
+        tf = tf.join(F.broadcast(hot), "term", "left_anti")
+    norms = tf.groupBy("doc").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("norm2")
+    )
+    dots = (
+        tf.alias("a")
+        .join(
+            tf.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    return (
+        dots.join(norms.withColumnRenamed("doc", "id_a")
+                       .withColumnRenamed("norm2", "norm2_a"), "id_a")
+        .join(norms.withColumnRenamed("doc", "id_b")
+                   .withColumnRenamed("norm2", "norm2_b"), "id_b")
+        .withColumn(
+            "cos2_ppm",
+            F.expr("dot * dot * 1000000 div (norm2_a * norm2_b)"),
+        )
+        .filter(F.col("cos2_ppm") >= min_cos2_ppm)
+        .select("id_a", "id_b", "dot", "norm2_a", "norm2_b", "cos2_ppm")
+    )

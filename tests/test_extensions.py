@@ -2824,3 +2824,37 @@ class TestMaxSim:
         # doc0: 1+1 = 2e9; doc1: 1+0 = 1e9; doc2: 0+0 = 0
         assert out == [(0, 1, 2_000_000_000), (1, 2, 1_000_000_000),
                        (2, 3, 0)]
+
+
+class TestSparseCosine:
+    def test_hand_computed_cosine(self, spark):
+        from drune_spark.operators.search import sparse_cosine_pairs
+
+        df = spark.createDataFrame(
+            [
+                (1, "a a b"),      # tf {a:2, b:1}, norm2 5
+                (2, "a b b"),      # tf {a:1, b:2}, norm2 5
+                (3, "c c c"),      # disjoint
+            ],
+            ["doc_id", "text"],
+        )
+        out = {(r.id_a, r.id_b): (r.dot, r.cos2_ppm)
+               for r in sparse_cosine_pairs(
+                   df, "text", "doc_id", min_cos2_ppm=0).collect()}
+        # dot(1,2) = 2*1 + 1*2 = 4; cos² = 16/25 = 640000 ppm
+        assert out == {(1, 2): (4, 640_000)}
+
+    def test_hot_term_cap_drops_from_both_sides(self, spark):
+        from drune_spark.operators.search import sparse_cosine_pairs
+
+        df = spark.createDataFrame(
+            [(1, "x a a"), (2, "x b b"), (3, "x a b")],
+            ["doc_id", "text"],
+        )
+        # 'x' appears in all 3 docs; cap df at 2 → x leaves vectors
+        out = {(r.id_a, r.id_b): r.dot
+               for r in sparse_cosine_pairs(
+                   df, "text", "doc_id", min_cos2_ppm=0,
+                   max_term_df=2).collect()}
+        # without x: d1={a:2}, d2={b:2}, d3={a:1,b:1}
+        assert out == {(1, 3): 2, (2, 3): 2}
