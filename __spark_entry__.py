@@ -6648,7 +6648,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(count(*) AS BIGINT) AS tf
                 FROM (SELECT doc_id,
                              UNNEST(regexp_split_to_array(trim(text),
-                                                          '\s+')) AS word
+                                                          '\\s+')) AS word
                       FROM documents)
                 GROUP BY doc, term
             ),
