@@ -5872,6 +5872,27 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_REACH_BODY)
 
 
+def q_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control-chart anomaly monitor (timeseries.py ewma_monitor):
+    per-event-type daily series through the exact integer α=1/4
+    level/deviation recurrence with 3σ-style breach flags — a
+    sequential recurrence no window aggregate expresses, run as one
+    Arrow batch per series (applyInPandas); the oracle replays the
+    identical recurrence as a recursive CTE over the day index."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import ewma_monitor
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return ewma_monitor(daily)
+
+
 def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-vector cosine pairs (search.py sparse_cosine_pairs):
     bag-of-words similarity with exact integer cos²·10⁶ — the
@@ -6029,6 +6050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 (never driver-verified) ------------------------
         "semdedup": q_semdedup,
         "recursive_reachability": q_recursive_reachability,
+        "ewma_monitor": q_ewma_monitor,
         "sparse_cosine": q_sparse_cosine,
         "join_cardinality": q_join_cardinality,
         "k_anonymity": q_k_anonymity,
@@ -6642,6 +6664,40 @@ def oracle_sql() -> dict[str, str]:
             "event_type, epoch_us(ts) AS ts_us FROM events), "
             + RECURSIVE_REACH_BODY.strip().removeprefix("WITH RECURSIVE")
         ),
+        "ewma_monitor": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY event_type, day
+            ),
+            idx AS (
+                SELECT event_type, day, n,
+                       CAST(row_number() OVER (
+                           PARTITION BY event_type ORDER BY day)
+                           AS BIGINT) AS rn
+                FROM daily
+            ),
+            rec(event_type, rn, day, n, level_milli, dev_milli,
+                breach) AS (
+                SELECT event_type, rn, day, n, n * 1000,
+                       CAST(0 AS BIGINT), 0
+                FROM idx WHERE rn = 1
+                UNION ALL
+                SELECT i.event_type, i.rn, i.day, i.n,
+                       (i.n * 1000 + 3 * r.level_milli) // 4,
+                       (abs(i.n * 1000 - r.level_milli)
+                        + 3 * r.dev_milli) // 4,
+                       CASE WHEN r.dev_milli > 0
+                             AND abs(i.n * 1000 - r.level_milli)
+                                 > 3 * r.dev_milli
+                            THEN 1 ELSE 0 END
+                FROM idx i JOIN rec r
+                  ON i.event_type = r.event_type AND i.rn = r.rn + 1
+            )
+            SELECT event_type, day, n, level_milli, dev_milli, breach
+            FROM rec
+        """,
         "sparse_cosine": """
             WITH tf AS (
                 SELECT doc_id AS doc, word AS term,

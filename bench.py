@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "join_cardinality",
     "recursive_reachability",
     "sparse_cosine",
+    "ewma_monitor",
 ]
 
 

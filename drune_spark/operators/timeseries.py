@@ -650,3 +650,76 @@ def concurrency_peak(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
         F.max("load").alias("peak"),
     )
+
+
+def ewma_monitor(
+    df: DataFrame,
+    group_col: str = "event_type",
+    day_col: str = "day",
+    value_col: str = "n",
+) -> DataFrame:
+    """EWMA anomaly monitor over per-group daily series — the classic
+    exponentially-weighted control chart (level + mean-absolute-
+    deviation band, breach = |x − level| > 3·dev), run as an exact
+    integer recurrence (α = 1/4 via shift-free ``(x·1000 + 3·prev) div
+    4`` milli-units, all operands nonnegative so engine division rules
+    can't diverge):
+
+        level_t = (x_t·1000 + 3·level_{t-1}) div 4
+        dev_t   = (|x_t·1000 − level_{t-1}| + 3·dev_{t-1}) div 4
+        breach  = [dev_{t-1} > 0 and |x_t·1000 − level_{t-1}| > 3·dev_{t-1}]
+
+    An EWMA is a sequential recurrence — not associative, so no window
+    aggregate expresses it. This is the mandate's "custom operator via
+    applyInPandas" tier used where it genuinely belongs: one Arrow batch
+    per group, a bounded python-int loop over that group's days (series
+    length = calendar days, not corpus size), state never leaves the
+    executor. The DuckDB oracle replays the identical recurrence as a
+    recursive CTE over the day index. Gaps in the calendar advance the
+    recurrence by observation (compose with gap_fill upstream for
+    strict-calendar semantics).
+
+    Scale notes: input is the (group, day) count-cell table — one
+    corpus-sized aggregate upstream; the recurrence runs over cells
+    only, partitioned by group (thousands of independent series
+    parallelize across executors; a single series is one task, which is
+    the problem's inherent critical path).
+
+    Returns (group_col, day_col, value_col, level_milli, dev_milli,
+    breach).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} string, {day_col} bigint, {value_col} bigint, "
+        "level_milli bigint, dev_milli bigint, breach int"
+    )
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(day_col)
+        xs = [int(v) * 1000 for v in pdf[value_col]]
+        levels, devs, breaches = [], [], []
+        level = dev = 0
+        for t, x in enumerate(xs):
+            if t == 0:
+                level, dev, breach = x, 0, 0
+            else:
+                delta = abs(x - level)
+                breach = 1 if dev > 0 and delta > 3 * dev else 0
+                level = (x + 3 * level) // 4
+                dev = (delta + 3 * dev) // 4
+            levels.append(level)
+            devs.append(dev)
+            breaches.append(breach)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].to_numpy(),
+                day_col: pdf[day_col].to_numpy(),
+                value_col: pdf[value_col].to_numpy(),
+                "level_milli": levels,
+                "dev_milli": devs,
+                "breach": breaches,
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(_run, schema=out_schema)

@@ -2858,3 +2858,39 @@ class TestSparseCosine:
                    max_term_df=2).collect()}
         # without x: d1={a:2}, d2={b:2}, d3={a:1,b:1}
         assert out == {(1, 3): 2, (2, 3): 2}
+
+
+class TestEwmaMonitor:
+    def test_hand_computed_recurrence_and_breach(self, spark):
+        from drune_spark.operators.timeseries import ewma_monitor
+
+        rows = [("a", d, n) for d, n in
+                [(0, 4), (1, 4), (2, 4), (3, 40)]]
+        df = spark.createDataFrame(rows, ["event_type", "day", "n"])
+        out = {r.day: (r.level_milli, r.dev_milli, r.breach)
+               for r in ewma_monitor(df).collect()}
+        # day0: level 4000 dev 0; day1: delta 0 -> level 4000 dev 0;
+        # day2: same; day3: delta |40000-4000|=36000, dev_{t-1}=0 ->
+        # no breach flag (band not yet formed), level (40000+12000)//4
+        assert out[0] == (4000, 0, 0)
+        assert out[2] == (4000, 0, 0)
+        assert out[3] == ((40000 + 3 * 4000) // 4, 36000 // 4, 0)
+
+    def test_breach_fires_after_band_forms(self, spark):
+        from drune_spark.operators.timeseries import ewma_monitor
+
+        # noisy start forms a small dev band, then a big spike
+        rows = [("a", d, n) for d, n in
+                [(0, 10), (1, 12), (2, 11), (3, 10), (4, 100)]]
+        df = spark.createDataFrame(rows, ["event_type", "day", "n"])
+        out = {r.day: r.breach for r in ewma_monitor(df).collect()}
+        assert out[4] == 1 and out[1] == 0
+
+    def test_groups_independent(self, spark):
+        from drune_spark.operators.timeseries import ewma_monitor
+
+        rows = [("a", 0, 5), ("b", 0, 50), ("a", 1, 5), ("b", 1, 50)]
+        df = spark.createDataFrame(rows, ["event_type", "day", "n"])
+        out = {(r.event_type, r.day): r.level_milli
+               for r in ewma_monitor(df).collect()}
+        assert out[("a", 1)] == 5000 and out[("b", 1)] == 50000
