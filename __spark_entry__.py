@@ -5872,6 +5872,21 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_REACH_BODY)
 
 
+def q_model_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch input prep (packing.py model_inputs): corpus-rank
+    vocabulary (PAD=0/UNK=1/ids from 2), truncate-to-32 + right-pad id
+    sequences with attention counts — vocabulary broadcast, (doc, pos,
+    id) cells shuffle once; ids serialized as the portable comma string
+    (collect_set precedent)."""
+    _tune(spark)
+    from drune_spark.operators.packing import model_inputs
+
+    return model_inputs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        vocab_size=40, seq_len=32,
+    )
+
+
 def q_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA control-chart anomaly monitor (timeseries.py ewma_monitor):
     per-event-type daily series through the exact integer α=1/4
@@ -6050,6 +6065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 (never driver-verified) ------------------------
         "semdedup": q_semdedup,
         "recursive_reachability": q_recursive_reachability,
+        "model_inputs": q_model_inputs,
         "ewma_monitor": q_ewma_monitor,
         "sparse_cosine": q_sparse_cosine,
         "join_cardinality": q_join_cardinality,
@@ -6664,6 +6680,49 @@ def oracle_sql() -> dict[str, str]:
             "event_type, epoch_us(ts) AS ts_us FROM events), "
             + RECURSIVE_REACH_BODY.strip().removeprefix("WITH RECURSIVE")
         ),
+        "model_inputs": """
+            WITH toks AS (
+                SELECT doc_id, i - 1 AS pos, w[i] AS word
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text),
+                                                   '\\s+') AS w,
+                             UNNEST(range(1, len(
+                                 regexp_split_to_array(trim(text),
+                                                       '\\s+')) + 1))
+                                 AS i
+                      FROM documents)
+            ),
+            wc AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS cnt
+                FROM toks GROUP BY word
+            ),
+            vocab AS (
+                SELECT word, rk + 1 AS tok_id FROM (
+                    SELECT word, row_number() OVER (
+                        ORDER BY cnt DESC, word ASC) AS rk
+                    FROM wc) WHERE rk <= 40
+            ),
+            ids AS (
+                SELECT t.doc_id, t.pos,
+                       CAST(coalesce(v.tok_id, 1) AS BIGINT) AS tok_id
+                FROM toks t LEFT JOIN vocab v ON t.word = v.word
+            ),
+            seq AS (
+                SELECT doc_id,
+                       string_agg(CAST(tok_id AS VARCHAR), ','
+                                  ORDER BY pos)
+                           FILTER (WHERE pos < 32) AS head_str,
+                       CAST(count(*) AS BIGINT) AS n_tokens
+                FROM ids GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   head_str || repeat(',0',
+                       CAST(32 - least(n_tokens, 32) AS INTEGER))
+                       AS ids_str,
+                   CAST(least(n_tokens, 32) AS INTEGER) AS n_real,
+                   CAST(32 - least(n_tokens, 32) AS INTEGER) AS n_pad
+            FROM seq
+        """,
         "ewma_monitor": """
             WITH RECURSIVE daily AS (
                 SELECT event_type,

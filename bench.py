@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "recursive_reachability",
     "sparse_cosine",
     "ewma_monitor",
+    "model_inputs",
 ]
 
 

@@ -100,3 +100,71 @@ def pack_sequences(
     return out.withColumn(
         "seq_id", F.floor(running / F.lit(budget)).cast("int")
     )
+
+
+def model_inputs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 40,
+    seq_len: int = 32,
+) -> DataFrame:
+    """Model-input preparation — the last mile between a curated corpus
+    and a training batch: map tokens to integer ids with a corpus-derived
+    vocabulary (rank by frequency; 0 = PAD, 1 = UNK, real ids from 2),
+    truncate to ``seq_len``, right-pad with PAD, and emit the attention
+    counts. The id sequence is serialized as a comma string (the
+    collect_set precedent: engine-portable value hashing for arrays).
+
+    Determinism: vocabulary rank is (count desc, word asc) — a total
+    order; sequence order is the document's token positions.
+
+    Scale notes: the vocabulary is a top-V TakeOrdered over the
+    token-count cells and is broadcast; documents explode to (doc, pos,
+    token), map-side join to ids, and reassemble with one groupBy —
+    shuffles carry (doc, pos, id) cells. Truncation happens at
+    reassembly, so at most ``seq_len`` ids per doc reach the output.
+
+    Returns (id_col, ids_str, n_real, n_pad).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "word"
+        ),
+    )
+    wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    vocab = (
+        wc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= vocab_size)
+        .select("word", (F.col("rk") + 1).alias("tok_id"))
+    )
+    ids = toks.join(F.broadcast(vocab), "word", "left").select(
+        id_col, "pos", F.coalesce("tok_id", F.lit(1)).alias("tok_id")
+    )
+    seq = ids.groupBy(id_col).agg(
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                lambda s: s["tok_id"],
+            ),
+            1,
+            seq_len,
+        ).alias("ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    n_real = F.least(F.col("n_tokens"), F.lit(seq_len)).cast("int")
+    n_pad = (F.lit(seq_len) - n_real).cast("int")
+    pad_expr = F.expr(
+        f"repeat(',0', {int(seq_len)} - least(n_tokens, {int(seq_len)}))"
+    )
+    return seq.select(
+        id_col,
+        F.concat(
+            F.concat_ws(",", F.transform("ids", lambda x: x.cast("string"))),
+            pad_expr,
+        ).alias("ids_str"),
+        n_real.alias("n_real"),
+        n_pad.alias("n_pad"),
+    )

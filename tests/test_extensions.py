@@ -2894,3 +2894,28 @@ class TestEwmaMonitor:
         out = {(r.event_type, r.day): r.level_milli
                for r in ewma_monitor(df).collect()}
         assert out[("a", 1)] == 5000 and out[("b", 1)] == 50000
+
+
+class TestModelInputs:
+    def test_truncate_pad_and_vocab_ranks(self, spark):
+        from drune_spark.operators.packing import model_inputs
+
+        df = spark.createDataFrame(
+            [(1, "b b b a a z"), (2, "a b")], ["doc_id", "text"]
+        )
+        out = {r.doc_id: r for r in model_inputs(
+            df, "text", "doc_id", vocab_size=2, seq_len=4).collect()}
+        # vocab: b(×4)→2, a(×3)→3; z OOV→1
+        assert out[1].ids_str == "2,2,2,3"          # truncated at 4
+        assert (out[1].n_real, out[1].n_pad) == (4, 0)
+        assert out[2].ids_str == "3,2,0,0"          # padded
+        assert (out[2].n_real, out[2].n_pad) == (2, 2)
+
+    def test_tie_break_on_word(self, spark):
+        from drune_spark.operators.packing import model_inputs
+
+        df = spark.createDataFrame([(1, "y x")], ["doc_id", "text"])
+        out = model_inputs(df, "text", "doc_id",
+                           vocab_size=2, seq_len=2).collect()[0]
+        # equal counts -> lexicographic: x→2, y→3; doc order is y,x
+        assert out.ids_str == "3,2"
