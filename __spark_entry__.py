@@ -5872,6 +5872,29 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_REACH_BODY)
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation (functions/text.py lang_id vs the labeled
+    lang column): the confusion matrix every classifier-backed corpus
+    screen needs before its output is trusted — cells of (true,
+    predicted, n, is_correct). One scan + one cell aggregate."""
+    _tune(spark)
+    from drune_spark.functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            lang_id(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "is_correct",
+            (F.col("true_lang") == F.col("predicted_lang")).cast("int"),
+        )
+    )
+
+
 def q_model_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-batch input prep (packing.py model_inputs): corpus-rank
     vocabulary (PAD=0/UNK=1/ids from 2), truncate-to-32 + right-pad id
@@ -6065,6 +6088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 (never driver-verified) ------------------------
         "semdedup": q_semdedup,
         "recursive_reachability": q_recursive_reachability,
+        "langid_confusion": q_langid_confusion,
         "model_inputs": q_model_inputs,
         "ewma_monitor": q_ewma_monitor,
         "sparse_cosine": q_sparse_cosine,
@@ -6680,6 +6704,34 @@ def oracle_sql() -> dict[str, str]:
             "event_type, epoch_us(ts) AS ts_us FROM events), "
             + RECURSIVE_REACH_BODY.strip().removeprefix("WITH RECURSIVE")
         ),
+        "langid_confusion": f"""
+            WITH s AS (
+                SELECT lang AS true_lang,
+                       {lang_score['de']} AS s_de,
+                       {lang_score['en']} AS s_en,
+                       {lang_score['es']} AS s_es,
+                       {lang_score['fr']} AS s_fr,
+                       {lang_score['zh']} AS s_zh
+                FROM documents
+            ),
+            p AS (
+                SELECT true_lang,
+                       CASE
+                         WHEN s_zh > greatest(s_de, s_en, s_es, s_fr)
+                             THEN 'zh'
+                         WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+                         WHEN s_es > greatest(s_de, s_en) THEN 'es'
+                         WHEN s_en > s_de THEN 'en'
+                         ELSE 'de'
+                       END AS predicted_lang
+                FROM s
+            )
+            SELECT true_lang, predicted_lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(CASE WHEN true_lang = predicted_lang
+                             THEN 1 ELSE 0 END AS INTEGER) AS is_correct
+            FROM p GROUP BY true_lang, predicted_lang
+        """,
         "model_inputs": """
             WITH toks AS (
                 SELECT doc_id, i - 1 AS pos, w[i] AS word

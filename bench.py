@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "sparse_cosine",
     "ewma_monitor",
     "model_inputs",
+    "langid_confusion",
 ]
 
 

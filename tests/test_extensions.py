@@ -2919,3 +2919,14 @@ class TestModelInputs:
                            vocab_size=2, seq_len=2).collect()[0]
         # equal counts -> lexicographic: x→2, y→3; doc order is y,x
         assert out.ids_str == "3,2"
+
+
+class TestLangidConfusion:
+    def test_cells_partition_corpus(self, spark):
+        import __spark_entry__ as em
+
+        out = em.q_langid_confusion(spark, "/root/testdata/sf0.001")
+        rows = out.collect()
+        assert sum(r.n for r in rows) == 500  # sf0.001 doc count
+        for r in rows:
+            assert r.is_correct == int(r.true_lang == r.predicted_lang)
