@@ -5872,6 +5872,20 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_REACH_BODY)
 
 
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW sharding report (partitioning.py
+    rendezvous_shards): coordination-free highest-random-weight
+    placement over 8 shards with balance ppm — minimal-remap property
+    pinned in pytest (dropping a shard moves only its own keys). Pure
+    portable-md5 integer argmax; report is n_shards rows."""
+    _tune(spark)
+    from drune_spark.functions.partitioning import rendezvous_shards
+
+    return rendezvous_shards(
+        _t(spark, sf_dir, "documents"), "doc_id", n_shards=8
+    )
+
+
 def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID evaluation (functions/text.py lang_id vs the labeled
     lang column): the confusion matrix every classifier-backed corpus
@@ -6089,6 +6103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "recursive_reachability": q_recursive_reachability,
         "langid_confusion": q_langid_confusion,
+        "rendezvous_shards": q_rendezvous_shards,
         "model_inputs": q_model_inputs,
         "ewma_monitor": q_ewma_monitor,
         "sparse_cosine": q_sparse_cosine,
@@ -6704,6 +6719,30 @@ def oracle_sql() -> dict[str, str]:
             "event_type, epoch_us(ts) AS ts_us FROM events), "
             + RECURSIVE_REACH_BODY.strip().removeprefix("WITH RECURSIVE")
         ),
+        "rendezvous_shards": """
+            WITH cand AS (
+                SELECT doc_id AS key, s,
+                       ('0x' || substr(md5('hrw:'
+                            || CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(s AS VARCHAR)), 1, 8))::BIGINT AS h
+                FROM (SELECT doc_id, UNNEST(range(8)) AS s
+                      FROM documents)
+            ),
+            assigned AS (
+                SELECT key,
+                       7 - (MAX(h * 8 + (7 - s)) % 8) AS shard
+                FROM cand GROUP BY key
+            ),
+            counts AS (
+                SELECT shard, CAST(count(*) AS BIGINT) AS n_keys
+                FROM assigned GROUP BY shard
+            ),
+            t AS (SELECT CAST(SUM(n_keys) AS BIGINT) AS total
+                  FROM counts)
+            SELECT CAST(shard AS INTEGER) AS shard, n_keys,
+                   n_keys * 1000000 // total AS share_ppm
+            FROM counts CROSS JOIN t
+        """,
         "langid_confusion": f"""
             WITH s AS (
                 SELECT lang AS true_lang,

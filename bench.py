@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "ewma_monitor",
     "model_inputs",
     "langid_confusion",
+    "rendezvous_shards",
 ]
 
 

@@ -140,3 +140,105 @@ def join_cardinality_profile(
         .limit(k)
         .select("key", "n_left", "n_right", "out_rows", "share_ppm")
     )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    salt: str = "hrw",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — the
+    coordination-free placement rule (Thaler & Ravishankar 1998) whose
+    defining property is minimal remapping: removing one shard moves
+    ONLY that shard's keys (1/n of data), where mod-hashing reshuffles
+    almost everything. The right layout op for corpus shards / cache
+    placement that must survive membership churn.
+
+    shard(key) = argmax_s md5_u32(salt:key:s), ties to the smallest s —
+    the argmax is integer-encoded (``max(h·n + (n−1−s))``, one map-side
+    partial max per key, no window) and every hash is the portable md5
+    form the oracle mirrors verbatim.
+
+    One narrow explode (n_shards per row) + per-key partial-agg argmax +
+    a shard-cell aggregate; rows never shuffle (the per-key argmax
+    collapses candidates before the exchange, and the final report is
+    n_shards rows).
+
+    Returns (shard, n_keys, share_ppm).
+    """
+    from pyspark.sql import functions as F
+
+    from drune_spark.functions.hashes import md5_u32
+
+    n = int(n_shards)
+    cand = df.select(
+        F.col(id_col).alias("key"),
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("s"),
+    ).withColumn(
+        "h",
+        md5_u32(
+            F.concat_ws(
+                ":", F.lit(salt), F.col("key").cast("string"),
+                F.col("s").cast("string"),
+            )
+        ),
+    )
+    assigned = (
+        cand.groupBy("key")
+        .agg(F.max(F.col("h") * n + (F.lit(n - 1) - F.col("s"))).alias("code"))
+        .select(
+            "key",
+            (F.lit(n - 1) - F.pmod(F.col("code"), F.lit(n))).alias("shard"),
+        )
+    )
+    counts = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+    total = counts.agg(F.sum("n_keys").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_keys",
+            F.expr("n_keys * 1000000 div total").alias("share_ppm"),
+        )
+    )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    salt: str = "hrw",
+) -> DataFrame:
+    """Per-key HRW assignment (key, shard) — the row-level companion of
+    ``rendezvous_shards`` (same argmax), exposed for the minimal-remap
+    pytest and for callers that partition by the result."""
+    from pyspark.sql import functions as F
+
+    from drune_spark.functions.hashes import md5_u32
+
+    n = int(n_shards)
+    cand = df.select(
+        F.col(id_col).alias("key"),
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("s"),
+    ).withColumn(
+        "h",
+        md5_u32(
+            F.concat_ws(
+                ":", F.lit(salt), F.col("key").cast("string"),
+                F.col("s").cast("string"),
+            )
+        ),
+    )
+    return (
+        cand.groupBy("key")
+        .agg(F.max(F.col("h") * n + (F.lit(n - 1) - F.col("s"))).alias("code"))
+        .select(
+            "key",
+            (F.lit(n - 1) - F.pmod(F.col("code"), F.lit(n)))
+            .cast("int")
+            .alias("shard"),
+        )
+    )

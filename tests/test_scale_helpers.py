@@ -429,3 +429,29 @@ class TestJoinCardinalityProfile:
         rows = [(i,) for i in range(20) for _ in range(i + 1)]
         df = spark.createDataFrame(rows, ["k"])
         assert join_cardinality_profile(df, df, "k", "k", k=3).count() == 3
+
+
+class TestRendezvous:
+    def test_minimal_remap_on_shard_removal(self, spark):
+        """THE rendezvous property: going 8 → 7 shards moves exactly the
+        keys whose argmax was the removed shard (s=7); every other key
+        keeps its assignment. Mod-hashing would remap ~7/8 of keys."""
+        from drune_spark.functions.partitioning import rendezvous_assign
+
+        df = spark.range(0, 500).withColumnRenamed("id", "k")
+        a8 = {r.key: r.shard
+              for r in rendezvous_assign(df, "k", n_shards=8).collect()}
+        a7 = {r.key: r.shard
+              for r in rendezvous_assign(df, "k", n_shards=7).collect()}
+        moved = {k for k in a8 if a7[k] != a8[k]}
+        was_on_7 = {k for k, s in a8.items() if s == 7}
+        assert moved == was_on_7
+        assert 0 < len(was_on_7) < 150  # ~1/8 of 500
+
+    def test_report_covers_all_keys(self, spark):
+        from drune_spark.functions.partitioning import rendezvous_shards
+
+        df = spark.range(0, 400).withColumnRenamed("id", "k")
+        rows = rendezvous_shards(df, "k", n_shards=8).collect()
+        assert sum(r.n_keys for r in rows) == 400
+        assert len(rows) == 8
