@@ -5872,6 +5872,45 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_REACH_BODY)
 
 
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH index-quality evaluation: the candidate set (64
+    perms, 16 bands, est >= 0.5, portable md5) scored against
+    exact-Jaccard ground truth (k=3, t=0.5) — pair-level recall and
+    precision in exact ppm, the measurement that decides whether a band
+    configuration ships (the set-similarity sibling of ann_recall).
+    One full-outer join of two pair tables; both sides' pipelines are
+    the independently-oracled dedup_jaccard/dedup_minhash_lsh."""
+    _tune(spark)
+    from drune_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.5
+    ).select("id_a", "id_b").withColumn("e", F.lit(1))
+    lsh = minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        num_perm=64, bands=16, min_est_jaccard=0.5, portable=True,
+    ).select("id_a", "id_b").withColumn("l", F.lit(1))
+    joined = exact.join(lsh, ["id_a", "id_b"], "full")
+    return joined.agg(
+        F.count_if(F.col("e").isNotNull() & F.col("l").isNotNull())
+        .alias("n_both"),
+        F.count_if(F.col("l").isNull()).alias("n_only_exact"),
+        F.count_if(F.col("e").isNull()).alias("n_only_lsh"),
+        F.expr(
+            "count_if(e IS NOT NULL AND l IS NOT NULL) * 1000000 "
+            "div greatest(count_if(e IS NOT NULL), 1)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "count_if(e IS NOT NULL AND l IS NOT NULL) * 1000000 "
+            "div greatest(count_if(l IS NOT NULL), 1)"
+        ).alias("precision_ppm"),
+    )
+
+
 def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous/HRW sharding report (partitioning.py
     rendezvous_shards): coordination-free highest-random-weight
@@ -6103,6 +6142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "recursive_reachability": q_recursive_reachability,
         "langid_confusion": q_langid_confusion,
+        "lsh_eval": q_lsh_eval,
         "rendezvous_shards": q_rendezvous_shards,
         "model_inputs": q_model_inputs,
         "ewma_monitor": q_ewma_monitor,
@@ -6675,7 +6715,7 @@ def oracle_sql() -> dict[str, str]:
             f" ' ' || (SELECT pair FROM b{s}) || ' ',"
             f" ' ' || (SELECT replace(pair, ' ', '') FROM b{s}) || ' ')"
         )
-    return {
+    d = {
         # -- round-4 entries -------------------------------------------
         "semdedup": """
             WITH e AS (
@@ -11088,3 +11128,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
     }
+    # Composed post-hoc from the two texts above (index-quality eval:
+    # the LSH candidate set scored against exact-Jaccard ground truth).
+    d["lsh_eval"] = f"""
+        SELECT CAST(count(*) FILTER (WHERE e.id_a IS NOT NULL
+                                       AND l.id_a IS NOT NULL)
+                    AS BIGINT) AS n_both,
+               CAST(count(*) FILTER (WHERE l.id_a IS NULL)
+                    AS BIGINT) AS n_only_exact,
+               CAST(count(*) FILTER (WHERE e.id_a IS NULL)
+                    AS BIGINT) AS n_only_lsh,
+               CAST(count(*) FILTER (WHERE e.id_a IS NOT NULL
+                                       AND l.id_a IS NOT NULL)
+                    * 1000000
+                    // GREATEST(count(*) FILTER (WHERE e.id_a IS NOT
+                                                 NULL), 1)
+                    AS BIGINT) AS recall_ppm,
+               CAST(count(*) FILTER (WHERE e.id_a IS NOT NULL
+                                       AND l.id_a IS NOT NULL)
+                    * 1000000
+                    // GREATEST(count(*) FILTER (WHERE l.id_a IS NOT
+                                                 NULL), 1)
+                    AS BIGINT) AS precision_ppm
+        FROM (SELECT id_a, id_b FROM ({d["dedup_jaccard"]})) e
+        FULL JOIN (SELECT id_a, id_b FROM ({d["dedup_minhash_lsh"]})) l
+          ON e.id_a = l.id_a AND e.id_b = l.id_b
+    """
+    return d

@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "model_inputs",
     "langid_confusion",
     "rendezvous_shards",
+    "lsh_eval",
 ]
 
 
