@@ -5872,6 +5872,23 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_REACH_BODY)
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event series
+    (timeseries.py seasonal_decompose): centered 7-day MA trend,
+    weekday-slot seasonal means, residual — exact integer milli with
+    the shifted floor-division identity so negative detrended means
+    agree across engines; NULL (not half-window) trend at endpoints."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import seasonal_decompose
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return seasonal_decompose(daily, "day", "n", period=7)
+
+
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH index-quality evaluation: the candidate set (64
     perms, 16 bands, est >= 0.5, portable md5) scored against
@@ -6142,6 +6159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "recursive_reachability": q_recursive_reachability,
         "langid_confusion": q_langid_confusion,
+        "seasonal_decompose": q_seasonal_decompose,
         "lsh_eval": q_lsh_eval,
         "rendezvous_shards": q_rendezvous_shards,
         "model_inputs": q_model_inputs,
@@ -6759,6 +6777,42 @@ def oracle_sql() -> dict[str, str]:
             "event_type, epoch_us(ts) AS ts_us FROM events), "
             + RECURSIVE_REACH_BODY.strip().removeprefix("WITH RECURSIVE")
         ),
+        "seasonal_decompose": """
+            WITH daily AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY day
+            ),
+            win AS (
+                SELECT day, n,
+                       CAST(count(*) OVER w AS BIGINT) AS n_win,
+                       CAST(SUM(n * 1000) OVER w AS BIGINT) AS s_win
+                FROM daily
+                WINDOW w AS (ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ),
+            det AS (
+                SELECT day, n, day % 7 AS slot,
+                       CASE WHEN n_win = 7 THEN s_win // 7 END
+                           AS trend_milli,
+                       n * 1000 - (CASE WHEN n_win = 7 THEN s_win // 7
+                                   END) AS detr
+                FROM win
+            ),
+            seas AS (
+                SELECT slot,
+                       CAST((SUM(detr) + 1099511627776 * count(*))
+                            // count(*) - 1099511627776 AS BIGINT)
+                           AS seasonal_milli
+                FROM det WHERE detr IS NOT NULL GROUP BY slot
+            )
+            SELECT d.day, d.n, d.trend_milli,
+                   CASE WHEN d.trend_milli IS NOT NULL
+                        THEN s.seasonal_milli END AS seasonal_milli,
+                   d.n * 1000 - d.trend_milli - s.seasonal_milli
+                       AS resid_milli
+            FROM det d LEFT JOIN seas s ON d.slot = s.slot
+        """,
         "rendezvous_shards": """
             WITH cand AS (
                 SELECT doc_id AS key, s,

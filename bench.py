@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "langid_confusion",
     "rendezvous_shards",
     "lsh_eval",
+    "seasonal_decompose",
 ]
 
 

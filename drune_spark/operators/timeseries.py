@@ -17,7 +17,7 @@ No counterpart in /root/reference; driver-mandated extension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -723,3 +723,80 @@ def ewma_monitor(
         )
 
     return df.groupBy(group_col).applyInPandas(_run, schema=out_schema)
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    day_col: str = "day",
+    value_col: str = "n",
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a daily series —
+    trend (centered ``period``-day moving average), seasonal (per
+    weekday-slot mean of the detrended values), residual — the
+    moving-average core of STL without its loess refinements, in exact
+    integer milli-units (one ``div`` per component; summation is
+    integer so parallelism can't reorder anything).
+
+    Endpoint rule: days without a full centered window carry NULL trend
+    (and NULL seasonal/residual) rather than a half-window estimate —
+    the honest classical convention, and exactly mirrorable in SQL
+    (AVG-over-frame would silently shrink the window at the ends).
+
+    Scale notes: the series is a day-cell table (one upstream corpus
+    aggregate); the centered MA is ONE unpartitioned window over those
+    cells — fine for a single series of calendar length, and the
+    per-entity variant partitions the same window by entity. The
+    seasonal means are a ``period``-row aggregate broadcast back.
+
+    Returns (day_col, value_col, trend_milli, seasonal_milli,
+    resid_milli).
+    """
+    half = period // 2
+    w = Window.orderBy(day_col).rowsBetween(-half, half)
+    cells = df.select(
+        F.col(day_col), F.col(value_col).cast("long").alias("v")
+    )
+    with_trend = cells.withColumn(
+        "n_win", F.count(F.lit(1)).over(w)
+    ).withColumn(
+        "trend_milli",
+        F.when(
+            F.col("n_win") == period,
+            F.expr(f"sum(v * 1000) OVER (ORDER BY {day_col} "
+                   f"ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)"
+                   f" div {period}"),
+        ),
+    ).withColumn("slot", F.pmod(F.col(day_col), F.lit(period)))
+    detr = with_trend.withColumn(
+        "detr", F.col("v") * 1000 - F.col("trend_milli")
+    )
+    # Floor-division of a possibly NEGATIVE sum: Spark `div` truncates
+    # toward zero while DuckDB `//` floors, so they disagree on negative
+    # non-exact quotients. (sum + C·n) div n − C with C large enough to
+    # make the numerator nonnegative computes floor(sum/n) exactly in
+    # BOTH conventions (truncation == floor once nonnegative).
+    C = 1 << 40
+    seasonal = detr.filter(F.col("detr").isNotNull()).groupBy(
+        "slot"
+    ).agg(
+        F.expr(
+            f"(sum(detr) + {C} * count(1)) div count(1) - {C}"
+        ).alias("seasonal_milli")
+    )
+    return (
+        detr.join(F.broadcast(seasonal), "slot", "left")
+        .select(
+            day_col,
+            F.col("v").alias(value_col),
+            "trend_milli",
+            F.when(
+                F.col("trend_milli").isNotNull(), F.col("seasonal_milli")
+            ).alias("seasonal_milli"),
+            (
+                F.col("v") * 1000
+                - F.col("trend_milli")
+                - F.col("seasonal_milli")
+            ).alias("resid_milli"),
+        )
+    )

@@ -2930,3 +2930,51 @@ class TestLangidConfusion:
         assert sum(r.n for r in rows) == 500  # sf0.001 doc count
         for r in rows:
             assert r.is_correct == int(r.true_lang == r.predicted_lang)
+
+
+class TestSeasonalDecompose:
+    def test_flat_series_zero_seasonal(self, spark):
+        from drune_spark.operators.timeseries import seasonal_decompose
+
+        df = spark.createDataFrame(
+            [(d, 10) for d in range(14)], ["day", "n"]
+        )
+        out = {r.day: r for r in
+               seasonal_decompose(df, "day", "n", period=7).collect()}
+        assert out[0].trend_milli is None          # no full window
+        assert out[7].trend_milli == 10_000
+        assert out[7].seasonal_milli == 0
+        assert out[7].resid_milli == 0
+
+    def test_weekly_pattern_recovered(self, spark):
+        from drune_spark.operators.timeseries import seasonal_decompose
+
+        # constant 100 + bump of 7 on slot 0 days
+        rows = [(d, 100 + (7 if d % 7 == 0 else 0)) for d in range(21)]
+        df = spark.createDataFrame(rows, ["day", "n"])
+        out = {r.day: r for r in
+               seasonal_decompose(df, "day", "n", period=7).collect()}
+        # trend = 101 everywhere a full window exists (sum 707/7)
+        assert out[10].trend_milli == 101_000
+        # slot-0 seasonal = +6000 milli, others -1000
+        assert out[7].seasonal_milli == 6_000
+        assert out[10].seasonal_milli == -1_000
+        assert out[10].resid_milli == 0
+
+    def test_negative_seasonal_floor_division(self, spark):
+        from drune_spark.operators.timeseries import seasonal_decompose
+
+        # engineered so a slot's detrended sum is negative and not a
+        # multiple of its count -> floor, not truncate
+        rows = [(d, 10 + (d % 7)) for d in range(15)]
+        df = spark.createDataFrame(rows, ["day", "n"])
+        out = seasonal_decompose(df, "day", "n", period=7).collect()
+        seas = {r.day % 7: r.seasonal_milli
+                for r in out if r.seasonal_milli is not None}
+        # detrended means for low slots are negative; just pin that the
+        # decomposition reconstructs: v*1000 == trend+seasonal+resid
+        for r in out:
+            if r.trend_milli is not None:
+                assert (r.n * 1000 ==
+                        r.trend_milli + r.seasonal_milli + r.resid_milli)
+        assert min(seas.values()) < 0
