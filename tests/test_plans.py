@@ -363,3 +363,55 @@ class TestRound4Plans:
         # the only exchanges build the <=B-row rep table
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestRound4ThirdWavePlans:
+    def test_semdedup_self_join_is_equi_not_nested_loop(self, spark, entry):
+        """The within-cluster self-join must extract centroid_id as a
+        hash/SMJ key; only the bounded 16-row centroid assignment cross
+        may appear as BNL."""
+        plan = executed_plan(entry.q_semdedup(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert plan.count("SortMergeJoin") + plan.count(
+            "BroadcastHashJoin") >= 1
+
+    def test_maxsim_query_tokens_broadcast_corpus_stays(self, spark, entry):
+        """Query tokens ride a broadcast; the corpus token scan feeds
+        the partial MAX without a prior Exchange of raw pairs."""
+        plan = executed_plan(entry.q_maxsim_retrieval(spark, SF))
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_model_inputs_vocab_broadcast(self, spark, entry):
+        plan = executed_plan(entry.q_model_inputs(spark, SF))
+        assert "BroadcastHashJoin" in plan          # token→id mapping
+        assert "CartesianProduct" not in plan
+
+    def test_sparse_cosine_no_cartesian(self, spark, entry):
+        """Candidate pairs come from the term-key equi-join (inverted
+        index), never an all-pairs cartesian."""
+        plan = executed_plan(entry.q_sparse_cosine(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_join_cardinality_aggregates_before_join(self, spark, entry):
+        """Both inputs must collapse to key cells (partial HashAggregate
+        below the Exchange) before the cell join — the whole point of
+        profiling instead of running the join."""
+        plan = executed_plan(entry.q_join_cardinality(spark, SF))
+        assert plan.count("HashAggregate") >= 4     # partial+final ×2
+        assert "TakeOrderedAndProject" in plan
+
+    def test_unimax_window_runs_on_domain_cells(self, spark, entry):
+        """The waterfilling window sorts the s-row domain table, not the
+        corpus: the corpus-sized aggregate happens BELOW the window."""
+        plan = executed_plan(entry.q_unimax_mix(spark, SF))
+        assert "Window" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_rendezvous_argmax_is_partial_agg_no_window(self, spark, entry):
+        """The per-key HRW argmax is a map-side-combinable max — no
+        window sort of the exploded candidates."""
+        plan = executed_plan(entry.q_rendezvous_shards(spark, SF))
+        assert "Window" not in plan
+        assert "HashAggregate" in plan
