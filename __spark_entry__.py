@@ -5872,6 +5872,27 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_REACH_BODY)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time incremental dedup (dedup.py incremental_minhash_dedup):
+    a deterministic 20% "arriving batch" probed against the 80%
+    "existing corpus" LSH band index — batch bands BROADCAST, corpus
+    rows never shuffle; per-new-doc verdict (matches, best estimate,
+    is_dup). The oracle derives the same verdicts by membership-
+    filtering the symmetric pair mirror."""
+    _tune(spark)
+    from drune_spark.operators.dedup import incremental_minhash_dedup
+    from drune_spark.operators.sampling import split_by_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    splits = split_by_hash(
+        docs, "doc_id", {"corpus": 0.8, "batch": 0.2}, salt="inc1"
+    )
+    return incremental_minhash_dedup(
+        splits["batch"], splits["corpus"], "text", "doc_id",
+        num_perm=64, bands=16, min_est_jaccard=0.5, portable=True,
+    )
+
+
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition of the daily event series
     (timeseries.py seasonal_decompose): centered 7-day MA trend,
@@ -6160,6 +6181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_reachability": q_recursive_reachability,
         "langid_confusion": q_langid_confusion,
         "seasonal_decompose": q_seasonal_decompose,
+        "incremental_dedup": q_incremental_dedup,
         "lsh_eval": q_lsh_eval,
         "rendezvous_shards": q_rendezvous_shards,
         "model_inputs": q_model_inputs,
@@ -11207,5 +11229,34 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT id_a, id_b FROM ({d["dedup_jaccard"]})) e
         FULL JOIN (SELECT id_a, id_b FROM ({d["dedup_minhash_lsh"]})) l
           ON e.id_a = l.id_a AND e.id_b = l.id_b
+    """
+    d["incremental_dedup"] = f"""
+        WITH p AS ({d["dedup_minhash_lsh"]}),
+        m AS (
+            SELECT doc_id,
+                   substr(md5('inc1' || CAST(doc_id AS VARCHAR)), 1, 4)
+                       >= 'cccd' AS in_batch
+            FROM documents
+        ),
+        x AS (
+            SELECT CASE WHEN ma.in_batch THEN p.id_a ELSE p.id_b END
+                       AS new_doc,
+                   p.est_jaccard
+            FROM p JOIN m ma ON p.id_a = ma.doc_id
+                   JOIN m mb ON p.id_b = mb.doc_id
+            WHERE ma.in_batch <> mb.in_batch
+        ),
+        agg AS (
+            SELECT new_doc, CAST(count(*) AS BIGINT) AS n_matches,
+                   MAX(est_jaccard) AS best_est
+            FROM x GROUP BY new_doc
+        )
+        SELECT m.doc_id,
+               CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+               coalesce(a.best_est, 0.0) AS best_est,
+               CAST(CASE WHEN a.new_doc IS NULL THEN 0 ELSE 1 END
+                    AS INTEGER) AS is_dup
+        FROM m LEFT JOIN agg a ON m.doc_id = a.new_doc
+        WHERE m.in_batch
     """
     return d

@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "rendezvous_shards",
     "lsh_eval",
     "seasonal_decompose",
+    "incremental_dedup",
 ]
 
 

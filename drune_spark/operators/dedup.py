@@ -1006,3 +1006,102 @@ def segment_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+    min_est_jaccard: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Ingest-time dedup: probe a NEW batch against the EXISTING corpus
+    index instead of self-joining the whole corpus — the steady-state
+    production shape (the corpus is indexed once; each arriving batch
+    pays cost ∝ batch size, the same contract dedup_recent's temporal
+    blocking gives the time dimension).
+
+    Asymmetric plan: the batch's banded signature table is tiny next to
+    the corpus index, so it BROADCASTS — the corpus-side band table is
+    probed map-side with no shuffle of corpus rows at all (at 100 TB
+    the band index is a bucketed table and this probe is a broadcast
+    hash join against it). Candidates then pull both signatures for the
+    exact-agreement estimate as in ``minhash_lsh_pairs``.
+
+    Returns one verdict row per NEW doc: (id_col, n_matches, best_est,
+    is_dup) — ``is_dup = 0`` rows are the novel documents that enter
+    the corpus.
+    """
+    rows_per_band = num_perm // bands
+
+    def _banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1,
+                                    rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bb"),
+        ).select("doc", "bb.band", "bb.bucket")
+
+    sigs_new = minhash_signatures(
+        new_df, text_col, id_col, num_perm, k, seed, portable
+    ).persist()
+    sigs_old = minhash_signatures(
+        existing_df, text_col, id_col, num_perm, k, seed, portable
+    )
+    cands = (
+        _banded(sigs_old)
+        .join(
+            F.broadcast(_banded(sigs_new).withColumnRenamed("doc", "new_doc")),
+            ["band", "bucket"],
+        )
+        .select(F.col("new_doc"), F.col("doc").alias("old_doc"))
+        .dropDuplicates(["new_doc", "old_doc"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_new", "sig_old", lambda x, y: x == y),
+            lambda v: v,
+        )
+    ).cast("double") / F.lit(num_perm)
+    matches = (
+        cands.join(
+            sigs_old.select(F.col("doc").alias("old_doc"),
+                            F.col("sig").alias("sig_old")), "old_doc")
+        .join(
+            F.broadcast(sigs_new.select(F.col("doc").alias("new_doc"),
+                                        F.col("sig").alias("sig_new"))),
+            "new_doc")
+        .withColumn("est", est)
+        .filter(F.col("est") >= min_est_jaccard)
+        .groupBy("new_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("est").alias("best_est"),
+        )
+    )
+    return (
+        sigs_new.select(F.col("doc").alias(id_col))
+        .join(matches.withColumnRenamed("new_doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.coalesce("best_est", F.lit(0.0)).alias("best_est"),
+            F.when(F.col("n_matches").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_dup"),
+        )
+    )

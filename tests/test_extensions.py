@@ -2978,3 +2978,49 @@ class TestSeasonalDecompose:
                 assert (r.n * 1000 ==
                         r.trend_milli + r.seasonal_milli + r.resid_milli)
         assert min(seas.values()) < 0
+
+
+class TestIncrementalDedup:
+    def test_probe_matches_symmetric_pairs(self, spark):
+        """The asymmetric batch-vs-corpus probe must produce exactly the
+        cross-membership subset of the symmetric self-join's verdicts."""
+        from drune_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            minhash_lsh_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog and runs home"
+        rows = [(i, base.replace("dog", w))
+                for i, w in enumerate(["dog", "dog", "cat", "wolf"])]
+        rows += [(9, "completely different text about spark shuffles here")]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        new = docs.filter("doc_id >= 2")
+        old = docs.filter("doc_id < 2")
+        out = {r.doc_id: (r.n_matches, r.is_dup)
+               for r in incremental_minhash_dedup(
+                   new, old, "text", "doc_id",
+                   min_est_jaccard=0.5).collect()}
+        sym = minhash_lsh_pairs(
+            docs, "text", "doc_id", min_est_jaccard=0.5
+        ).collect()
+        cross = {}
+        for r in sym:
+            lo, hi = min(r.id_a, r.id_b), max(r.id_a, r.id_b)
+            if lo < 2 <= hi:
+                cross[hi] = cross.get(hi, 0) + 1
+        for d in [2, 3, 9]:
+            assert out[d][0] == cross.get(d, 0)
+            assert out[d][1] == (1 if cross.get(d, 0) else 0)
+
+    def test_novel_docs_flagged_zero(self, spark):
+        from drune_spark.operators.dedup import incremental_minhash_dedup
+
+        new = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            ["doc_id", "text"])
+        old = spark.createDataFrame(
+            [(2, "totally unrelated corpus content about query engines")],
+            ["doc_id", "text"])
+        row = incremental_minhash_dedup(
+            new, old, "text", "doc_id").collect()[0]
+        assert (row.n_matches, row.is_dup) == (0, 0)
