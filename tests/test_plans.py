@@ -415,3 +415,18 @@ class TestRound4ThirdWavePlans:
         plan = executed_plan(entry.q_rendezvous_shards(spark, SF))
         assert "Window" not in plan
         assert "HashAggregate" in plan
+
+    def test_incremental_dedup_batch_side_broadcasts(self, spark, entry):
+        """The arriving batch's band table must ride a broadcast: the
+        corpus band index is probed map-side (no corpus shuffle into
+        the candidate join)."""
+        plan = executed_plan(entry.q_incremental_dedup(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_ewma_is_arrow_grouped_map(self, spark, entry):
+        """The recurrence runs as the Arrow grouped-map operator (one
+        batch per series), not a row-at-a-time Python UDF."""
+        plan = executed_plan(entry.q_ewma_monitor(spark, SF))
+        assert "FlatMapGroupsInPandas" in plan
+        assert "BatchEvalPython" not in plan
