@@ -6026,13 +6026,21 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-vector cosine pairs (search.py sparse_cosine_pairs):
     bag-of-words similarity with exact integer cos²·10⁶ — the
     term-distribution complement of shingle Jaccard and dense-embedding
-    cosine. Inverted-index candidate join; integer threshold."""
+    cosine. The exact path is quadratic in docs-per-shared-term and this
+    corpus's ~40-word vocabulary makes EVERY term hot (the hot-term cap
+    would empty the vectors), so the gate runs the exact path on a
+    deterministic 20% hash-sample of docs — the audit-scale contract
+    (dedup_embedding precedent); the production path for tiny-vocab
+    corpora is dense-embedding ANN, not sparse cosine."""
     _tune(spark)
+    from drune_spark.operators.sampling import sample_by_hash
     from drune_spark.operators.search import sparse_cosine_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = sample_by_hash(
+        _t(spark, sf_dir, "documents"), "doc_id", 0.2, salt="sc1"
+    )
     return sparse_cosine_pairs(
-        docs, "text", "doc_id", min_cos2_ppm=960_000
+        docs, "text", "doc_id", min_cos2_ppm=650_000
     )
 
 
@@ -6965,13 +6973,18 @@ def oracle_sql() -> dict[str, str]:
             FROM rec
         """,
         "sparse_cosine": """
-            WITH tf AS (
+            WITH sampled AS (
+                SELECT doc_id, text FROM documents
+                WHERE substr(md5('sc1' || CAST(doc_id AS VARCHAR)),
+                             1, 4) < '3333'
+            ),
+            tf AS (
                 SELECT doc_id AS doc, word AS term,
                        CAST(count(*) AS BIGINT) AS tf
                 FROM (SELECT doc_id,
                              UNNEST(regexp_split_to_array(trim(text),
                                                           '\\s+')) AS word
-                      FROM documents)
+                      FROM sampled)
                 GROUP BY doc, term
             ),
             norms AS (
@@ -6993,7 +7006,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON d.id_a = na.doc
             JOIN norms nb ON d.id_b = nb.doc
             WHERE d.dot * d.dot * 1000000 // (na.norm2 * nb.norm2)
-                  >= 960000
+                  >= 650000
         """,
         "join_cardinality": """
             WITH ca AS (
