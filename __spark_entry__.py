@@ -5872,6 +5872,38 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_REACH_BODY)
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the one-row-per-source release summary
+    combining the corpus screens: doc/token volume, exact-dup rate,
+    lang-label vs lang_id mismatch rate, and short-doc rate, all in
+    exact integer ppm. One scan + one source-cell aggregate; every
+    ingredient is an independently-oracled screen."""
+    _tune(spark)
+    from drune_spark.functions.hashes import fingerprint_md5
+    from drune_spark.functions.text import lang_id, token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        token_count(F.col("text")).alias("n_toks"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+        lang_id(F.col("text")).alias("pred"),
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.expr(
+            "(count(1) - count(distinct fp)) * 1000000 div count(1)"
+        ).alias("dup_ppm"),
+        F.expr(
+            "count_if(pred <> lang) * 1000000 div count(1)"
+        ).alias("lang_mismatch_ppm"),
+        F.expr(
+            "count_if(n_toks < 60) * 1000000 div count(1)"
+        ).alias("short_ppm"),
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time incremental dedup (dedup.py incremental_minhash_dedup):
     a deterministic 20% "arriving batch" probed against the 80%
@@ -6189,6 +6221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_reachability": q_recursive_reachability,
         "langid_confusion": q_langid_confusion,
         "seasonal_decompose": q_seasonal_decompose,
+        "dataset_card": q_dataset_card,
         "incremental_dedup": q_incremental_dedup,
         "lsh_eval": q_lsh_eval,
         "rendezvous_shards": q_rendezvous_shards,
@@ -6807,6 +6840,42 @@ def oracle_sql() -> dict[str, str]:
             "event_type, epoch_us(ts) AS ts_us FROM events), "
             + RECURSIVE_REACH_BODY.strip().removeprefix("WITH RECURSIVE")
         ),
+        "dataset_card": f"""
+            WITH s AS (
+                SELECT source, lang,
+                       CAST(len(regexp_split_to_array(trim(text),
+                                                      '\\s+'))
+                            AS BIGINT) AS n_toks,
+                       md5({norm}) AS fp,
+                       {lang_score['de']} AS s_de,
+                       {lang_score['en']} AS s_en,
+                       {lang_score['es']} AS s_es,
+                       {lang_score['fr']} AS s_fr,
+                       {lang_score['zh']} AS s_zh
+                FROM documents
+            ),
+            p AS (
+                SELECT source, lang, n_toks, fp,
+                       CASE
+                         WHEN s_zh > greatest(s_de, s_en, s_es, s_fr)
+                             THEN 'zh'
+                         WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+                         WHEN s_es > greatest(s_de, s_en) THEN 'es'
+                         WHEN s_en > s_de THEN 'en'
+                         ELSE 'de'
+                       END AS pred
+                FROM s
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                   (count(*) - count(DISTINCT fp)) * 1000000
+                       // count(*) AS dup_ppm,
+                   count(*) FILTER (WHERE pred <> lang) * 1000000
+                       // count(*) AS lang_mismatch_ppm,
+                   count(*) FILTER (WHERE n_toks < 60) * 1000000
+                       // count(*) AS short_ppm
+            FROM p GROUP BY source
+        """,
         "seasonal_decompose": """
             WITH daily AS (
                 SELECT epoch_us(ts) // 86400000000 AS day,

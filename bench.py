@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "lsh_eval",
     "seasonal_decompose",
     "incremental_dedup",
+    "dataset_card",
 ]
 
 
