@@ -42,6 +42,12 @@ QUERIES = [
     "semdedup",
     "segment_dedup",
     "bpe_train",
+    # round-4 third wave: the two-pipeline eval join, the asymmetric
+    # index probe (cost should track the BATCH side), and the broadcast
+    # multi-vector scorer
+    "lsh_eval",
+    "incremental_dedup",
+    "maxsim_retrieval",
 ]
 TABLES = ["documents", "embeddings", "lineitem", "orders"]
 
