@@ -5872,6 +5872,33 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_REACH_BODY)
 
 
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size histogram — the standard dedup report
+    (how much of the corpus sits in singletons vs 2-clusters vs larger
+    families, and the doc mass each band holds). Composes the verified
+    clustering (connected components over Jaccard pairs) with one
+    size-cell double aggregate; everything after the pairs is
+    cluster-cell-sized."""
+    _tune(spark)
+    from drune_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3,
+                                threshold=0.5)
+    labels = connected_components(pairs, docs.select("doc_id"))
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("sz")).cast("long").alias("n_docs"),
+    ).select(F.col("sz").cast("long").alias("cluster_size"),
+             "n_clusters", "n_docs")
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dataset card — the one-row-per-source release summary
     combining the corpus screens: doc/token volume, exact-dup rate,
@@ -6222,6 +6249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "seasonal_decompose": q_seasonal_decompose,
         "dataset_card": q_dataset_card,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
         "incremental_dedup": q_incremental_dedup,
         "lsh_eval": q_lsh_eval,
         "rendezvous_shards": q_rendezvous_shards,
@@ -11311,6 +11339,17 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT id_a, id_b FROM ({d["dedup_jaccard"]})) e
         FULL JOIN (SELECT id_a, id_b FROM ({d["dedup_minhash_lsh"]})) l
           ON e.id_a = l.id_a AND e.id_b = l.id_b
+    """
+    d["dup_cluster_sizes"] = f"""
+        WITH lab AS ({d["dedup_clusters"]}),
+        sizes AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+            FROM lab GROUP BY cluster_id
+        )
+        SELECT sz AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(count(*) * sz AS BIGINT) AS n_docs
+        FROM sizes GROUP BY sz
     """
     d["incremental_dedup"] = f"""
         WITH p AS ({d["dedup_minhash_lsh"]}),

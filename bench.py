@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "seasonal_decompose",
     "incremental_dedup",
     "dataset_card",
+    "dup_cluster_sizes",
 ]
 
 
