@@ -5872,6 +5872,52 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_REACH_BODY)
 
 
+def q_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup coverage evaluation: of the ground-truth near-dup pairs
+    (brute-force cosine >= 0.4, the dedup_embedding oracle), how many
+    land WITHIN one coarse cluster — i.e. are visible to the
+    cluster-blocked pruning — vs across clusters (the recall the paper
+    trades for the n²→Σ|cluster|² cost cut)? Single integer-ppm row;
+    the measurement that sizes n_clusters."""
+    _tune(spark)
+    from drune_spark.functions.partitioning import fan_out
+    from drune_spark.functions.vectors import cosine_similarity, to_double_array
+    from drune_spark.operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = ivf_assign(emb, n_centroids=16)
+    vecs = emb.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    a, b = fan_out(vecs).alias("a"), vecs.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(
+            cosine_similarity(F.col("a.v"), F.col("b.v")) >= 0.4
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+        )
+    )
+    tagged = (
+        pairs.join(
+            assign.select(F.col("vec_id").alias("id_a"),
+                          F.col("centroid_id").alias("c_a")), "id_a")
+        .join(
+            assign.select(F.col("vec_id").alias("id_b"),
+                          F.col("centroid_id").alias("c_b")), "id_b")
+    )
+    return tagged.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_if(F.col("c_a") == F.col("c_b")).alias("n_within"),
+        F.count_if(F.col("c_a") != F.col("c_b")).alias("n_cross"),
+        F.expr(
+            "count_if(c_a = c_b) * 1000000 div greatest(count(1), 1)"
+        ).alias("within_ppm"),
+    )
+
+
 def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster size histogram — the standard dedup report
     (how much of the corpus sits in singletons vs 2-clusters vs larger
@@ -6250,6 +6296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "dataset_card": q_dataset_card,
         "dup_cluster_sizes": q_dup_cluster_sizes,
+        "semdedup_eval": q_semdedup_eval,
         "incremental_dedup": q_incremental_dedup,
         "lsh_eval": q_lsh_eval,
         "rendezvous_shards": q_rendezvous_shards,
@@ -11339,6 +11386,42 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT id_a, id_b FROM ({d["dedup_jaccard"]})) e
         FULL JOIN (SELECT id_a, id_b FROM ({d["dedup_minhash_lsh"]})) l
           ON e.id_a = l.id_a AND e.id_b = l.id_b
+    """
+    d["semdedup_eval"] = f"""
+        WITH pr AS (SELECT id_a, id_b FROM ({d["dedup_embedding"]})),
+        e2 AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        c2 AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM e2
+            ORDER BY vec_id LIMIT 16
+        ),
+        sc2 AS (
+            SELECT e2.vec_id, c2.centroid_id,
+                   list_cosine_similarity(e2.v, c2.cv) AS sim
+            FROM e2, c2
+        ),
+        asg AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY sim DESC, centroid_id ASC) AS rn
+                FROM sc2) WHERE rn = 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(*) FILTER (WHERE aa.centroid_id =
+                                           ab.centroid_id)
+                    AS BIGINT) AS n_within,
+               CAST(count(*) FILTER (WHERE aa.centroid_id <>
+                                           ab.centroid_id)
+                    AS BIGINT) AS n_cross,
+               CAST(count(*) FILTER (WHERE aa.centroid_id =
+                                           ab.centroid_id) * 1000000
+                    // GREATEST(count(*), 1) AS BIGINT) AS within_ppm
+        FROM pr JOIN asg aa ON pr.id_a = aa.vec_id
+                JOIN asg ab ON pr.id_b = ab.vec_id
     """
     d["dup_cluster_sizes"] = f"""
         WITH lab AS ({d["dedup_clusters"]}),

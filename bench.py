@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "dataset_card",
     "dup_cluster_sizes",
+    "semdedup_eval",
 ]
 
 
