@@ -5878,15 +5878,25 @@ def q_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     land WITHIN one coarse cluster — i.e. are visible to the
     cluster-blocked pruning — vs across clusters (the recall the paper
     trades for the n²→Σ|cluster|² cost cut)? Single integer-ppm row;
-    the measurement that sizes n_clusters."""
+    the measurement that sizes n_clusters.
+
+    The exact ground truth is the one genuinely O(n²) stage (a
+    pure-inequality BroadcastNestedLoop over vectors), so it runs on a
+    deterministic 40% hash sample — within_ppm is a ratio estimate and
+    does not need the census (the sparse_cosine audit-scale contract).
+    Pairwise predicates mean pairs(sample) == pairs(full) restricted to
+    sampled endpoints, which is exactly how the oracle derives the same
+    set. Centroid assignment stays full-corpus (O(n·16), linear) so the
+    clustering itself is unchanged by the sample."""
     _tune(spark)
     from drune_spark.functions.partitioning import fan_out
     from drune_spark.functions.vectors import cosine_similarity, to_double_array
+    from drune_spark.operators.sampling import sample_by_hash
     from drune_spark.operators.similarity import ivf_assign
 
     emb = _t(spark, sf_dir, "embeddings")
     assign = ivf_assign(emb, n_centroids=16)
-    vecs = emb.select(
+    vecs = sample_by_hash(emb, "vec_id", 0.4, salt="se1").select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     a, b = fan_out(vecs).alias("a"), vecs.alias("b")
@@ -6022,14 +6032,26 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision in exact ppm, the measurement that decides whether a band
     configuration ships (the set-similarity sibling of ann_recall).
     One full-outer join of two pair tables; both sides' pipelines are
-    the independently-oracled dedup_jaccard/dedup_minhash_lsh."""
+    the independently-oracled dedup_jaccard/dedup_minhash_lsh.
+
+    Runs on a deterministic 30% hash sample of the corpus: the exact
+    ground-truth side's pair volume is quadratic-prone on
+    duplicate-heavy corpora, and recall/precision are ratio estimates
+    that do not need the census (the sparse_cosine audit-scale
+    contract). Both pair predicates are pairwise, so pairs(sample) ==
+    pairs(full) restricted to sampled endpoints — the oracle derives
+    the identical set by endpoint-filtering the full-corpus pair
+    subqueries."""
     _tune(spark)
     from drune_spark.operators.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
     )
+    from drune_spark.operators.sampling import sample_by_hash
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = sample_by_hash(
+        _t(spark, sf_dir, "documents"), "doc_id", 0.3, salt="le1"
+    )
     exact = ngram_jaccard_pairs(
         docs, "text", "doc_id", k=3, threshold=0.5
     ).select("id_a", "id_b").withColumn("e", F.lit(1))
@@ -11363,6 +11385,14 @@ def oracle_sql() -> dict[str, str]:
     }
     # Composed post-hoc from the two texts above (index-quality eval:
     # the LSH candidate set scored against exact-Jaccard ground truth).
+    # Both gates run on deterministic hash samples (pairwise predicates
+    # => pairs(sample) == pairs(full) with both endpoints sampled), so
+    # the oracle endpoint-filters the full-corpus pair subqueries with
+    # the same md5 membership test the Spark side applies up front.
+    # Thresholds are fraction_to_hex_threshold(0.3)='4ccd' (salt le1)
+    # and fraction_to_hex_threshold(0.4)='6666' (salt se1).
+    _le = ("substr(md5('le1' || CAST({c} AS VARCHAR)), 1, 4) < '4ccd'")
+    _se = ("substr(md5('se1' || CAST({c} AS VARCHAR)), 1, 4) < '6666'")
     d["lsh_eval"] = f"""
         SELECT CAST(count(*) FILTER (WHERE e.id_a IS NOT NULL
                                        AND l.id_a IS NOT NULL)
@@ -11383,12 +11413,18 @@ def oracle_sql() -> dict[str, str]:
                     // GREATEST(count(*) FILTER (WHERE l.id_a IS NOT
                                                  NULL), 1)
                     AS BIGINT) AS precision_ppm
-        FROM (SELECT id_a, id_b FROM ({d["dedup_jaccard"]})) e
-        FULL JOIN (SELECT id_a, id_b FROM ({d["dedup_minhash_lsh"]})) l
+        FROM (SELECT id_a, id_b FROM ({d["dedup_jaccard"]})
+              WHERE {_le.format(c="id_a")}
+                AND {_le.format(c="id_b")}) e
+        FULL JOIN (SELECT id_a, id_b FROM ({d["dedup_minhash_lsh"]})
+                   WHERE {_le.format(c="id_a")}
+                     AND {_le.format(c="id_b")}) l
           ON e.id_a = l.id_a AND e.id_b = l.id_b
     """
     d["semdedup_eval"] = f"""
-        WITH pr AS (SELECT id_a, id_b FROM ({d["dedup_embedding"]})),
+        WITH pr AS (SELECT id_a, id_b FROM ({d["dedup_embedding"]})
+                    WHERE {_se.format(c="id_a")}
+                      AND {_se.format(c="id_b")}),
         e2 AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings

@@ -103,11 +103,20 @@ def ngram_jaccard_pairs(
         exploded = exploded.join(
             F.broadcast(hot), on="shingle", how="left_anti"
         )
-        sizes = exploded.groupBy("doc").agg(
-            F.count(F.lit(1)).alias("n_shingles")
-        )
-    else:
-        sizes = sh.select("doc", F.size("shingles").alias("n_shingles"))
+    # The (doc, shingle) cell frame is read THREE times (both sides of
+    # the intersection self-join + the per-doc sizes) — the
+    # self-referencing-DAG trap: unpersisted, the interpreted-HOF
+    # shingle expression re-executes per branch (measured 3-4.7s vs
+    # ~1s at sf0.1). Persisted once, like the LSH signature frame;
+    # residency is one invocation's cell set, bounded by the caller's
+    # clearCache between queries.
+    exploded = exploded.persist()
+    # Sizes from the cells (shingles are array_distinct'd per doc).
+    # Docs with zero shingles (< k tokens) drop out, but they cannot
+    # share a shingle with anything, so no pair loses its size row.
+    sizes = exploded.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
     inter = (
         exploded.alias("a")
         .join(exploded.alias("b"),

@@ -36,6 +36,19 @@ DEFAULT_CONF = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # InferFiltersFromGenerate clones the generator's child expression
+    # into an inferred `size(child) > 0 AND isnotnull(child)` filter
+    # that predicate-pushdown then rewrites through every projection
+    # down to the scan. When the child is an expensive higher-order
+    # expression (word/char shingles: transform+element_at over a
+    # split() that HOF evaluation re-runs per element, outside codegen
+    # CSE), the whole expression executes 3x per row — measured 8.4s vs
+    # 0.4s steady-state on the sf0.1 shingle explode. Every explode in
+    # this engine sits above a projection (never directly on a scan
+    # where the inferred filter could actually skip IO), so the rule is
+    # pure loss here.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 
@@ -75,6 +88,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.parquet.inferTimestampNTZ.enabled",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.shuffle.partitions",
+        "spark.sql.optimizer.excludedRules",
     ):
         try:
             spark.conf.set(key, DEFAULT_CONF[key])
