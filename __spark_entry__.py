@@ -6302,67 +6302,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
     (proven in r02 and r03), so ordering = how soon an entry gets a
-    driver CORRECTNESS row: new round-4 entries first, then the
-    never-driver-verified backlog (highest-value block sized to the
-    window; the remainder queues for r5/r6), then previously verified
-    entries in last-verified-round order (r01 stalest ... r03 freshest
-    at the very tail). tools/registry_sync.py writes the per-entry
-    ledger into COVERAGE.md; tests/test_registry.py pins registry <->
-    oracle <-> ledger consistency. Rotate per round: newly verified
-    blocks move to the tail, the next never-verified block moves up."""
+    driver CORRECTNESS row: any new-this-round entries first, then the
+    never-driver-verified backlog (the r5 window is the next 50 of it;
+    the remaining ~48 queue for r6), then previously verified entries
+    stalest-first (the just-verified r4 window at the very tail).
+    tools/registry_sync.py writes the per-entry ledger into COVERAGE.md
+    and fails if any never-driver-verified entry sits BELOW a verified
+    one (a mis-rotation would silently waste a window);
+    tests/test_registry.py pins registry <-> oracle <-> ledger
+    consistency. Rotate per round: newly verified blocks move to the
+    tail, the next never-verified block moves up."""
     return {
-        # -- new in round 4 (never driver-verified) ------------------------
-        "semdedup": q_semdedup,
-        "recursive_reachability": q_recursive_reachability,
-        "langid_confusion": q_langid_confusion,
-        "seasonal_decompose": q_seasonal_decompose,
-        "dataset_card": q_dataset_card,
-        "dup_cluster_sizes": q_dup_cluster_sizes,
-        "semdedup_eval": q_semdedup_eval,
-        "incremental_dedup": q_incremental_dedup,
-        "lsh_eval": q_lsh_eval,
-        "rendezvous_shards": q_rendezvous_shards,
-        "model_inputs": q_model_inputs,
-        "ewma_monitor": q_ewma_monitor,
-        "sparse_cosine": q_sparse_cosine,
-        "join_cardinality": q_join_cardinality,
-        "k_anonymity": q_k_anonymity,
-        "maxsim_retrieval": q_maxsim_retrieval,
-        "python_datasource": q_python_datasource,
-        "unimax_mix": q_unimax_mix,
-        "freq_spectrum": q_freq_spectrum,
-        "segment_dedup": q_segment_dedup,
-        "bpe_train": q_bpe_train,
-        "bpe_tokenize": q_bpe_tokenize,
-        "dsir_scores": q_dsir_scores,
-        "image_decode": q_image_decode,
-        "audio_decode": q_audio_decode,
-        "stream_dedup_wm": q_stream_dedup_wm,
-        "glossary_nl2sql": q_glossary_nl2sql,
-        "stream_session_native": q_stream_session_native,
-        "ann_recall": q_ann_recall,
-        "retrieval_mrr": q_retrieval_mrr,
-        "keyword_extract": q_keyword_extract,
-        "dedup_survivors": q_dedup_survivors,
-        "split_leakage": q_split_leakage,
-        "negative_pairs": q_negative_pairs,
-        # -- never driver-verified: highest-value block (r4 window target)
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "token_freq_score": q_token_freq_score,
-        "quantize_embeddings": q_quantize_embeddings,
+        # -- r5 window: never-driver-verified (next 50) ------------------------
         "redact_pii": q_redact_pii,
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
@@ -6394,7 +6345,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "table_profile": q_table_profile,
         "incremental_mv": q_incremental_mv,
-        # -- never driver-verified: remaining (r5/r6 window candidates)
         "new_vs_returning": q_new_vs_returning,
         "first_last_touch": q_first_last_touch,
         "fulfillment_lag": q_fulfillment_lag,
@@ -6414,6 +6364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_intervals": q_purchase_intervals,
         "order_size_dist": q_order_size_dist,
         "brand_price_index": q_brand_price_index,
+        # -- never-driver-verified backlog (queues for r6) ------------------------
         "return_rates": q_return_rates,
         "discount_bands": q_discount_bands,
         "weekday_hour_heatmap": q_weekday_hour_heatmap,
@@ -6462,7 +6413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_percentiles": q_grouped_percentiles,
         "window_analytics": q_window_analytics,
         "kafka_roundtrip": q_kafka_roundtrip,
-        # -- last driver-verified r01
+        # -- driver-verified r1-r3, stalest-first ------------------------
         "f_json_extract": q_f_json_extract,
         "corpus_stats": q_corpus_stats,
         "hash_sample": q_hash_sample,
@@ -6473,7 +6424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "stream_window": q_stream_window,
         "stream_stateful": q_stream_stateful,
-        # -- last driver-verified r02
         "hll_distinct": q_hll_distinct,
         "kmv_set_ops": q_kmv_set_ops,
         "dedup_exact": q_dedup_exact,
@@ -6524,7 +6474,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "setops_except": q_setops_except,
-        # -- last driver-verified r03 (freshest -> very tail)
         "activity_streaks": q_activity_streaks,
         "skyline_pareto": q_skyline_pareto,
         "unpivot_melt": q_unpivot_melt,
@@ -6575,6 +6524,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct_exact": q_sliding_distinct_exact,
         "percentile_trend": q_percentile_trend,
         "dow_seasonality": q_dow_seasonality,
+        # -- driver-verified in r4 (freshest) ------------------------
+        "semdedup": q_semdedup,
+        "recursive_reachability": q_recursive_reachability,
+        "langid_confusion": q_langid_confusion,
+        "seasonal_decompose": q_seasonal_decompose,
+        "dataset_card": q_dataset_card,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
+        "semdedup_eval": q_semdedup_eval,
+        "incremental_dedup": q_incremental_dedup,
+        "lsh_eval": q_lsh_eval,
+        "rendezvous_shards": q_rendezvous_shards,
+        "model_inputs": q_model_inputs,
+        "ewma_monitor": q_ewma_monitor,
+        "sparse_cosine": q_sparse_cosine,
+        "join_cardinality": q_join_cardinality,
+        "k_anonymity": q_k_anonymity,
+        "maxsim_retrieval": q_maxsim_retrieval,
+        "python_datasource": q_python_datasource,
+        "unimax_mix": q_unimax_mix,
+        "freq_spectrum": q_freq_spectrum,
+        "segment_dedup": q_segment_dedup,
+        "bpe_train": q_bpe_train,
+        "bpe_tokenize": q_bpe_tokenize,
+        "dsir_scores": q_dsir_scores,
+        "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
+        "stream_dedup_wm": q_stream_dedup_wm,
+        "glossary_nl2sql": q_glossary_nl2sql,
+        "stream_session_native": q_stream_session_native,
+        "ann_recall": q_ann_recall,
+        "retrieval_mrr": q_retrieval_mrr,
+        "keyword_extract": q_keyword_extract,
+        "dedup_survivors": q_dedup_survivors,
+        "split_leakage": q_split_leakage,
+        "negative_pairs": q_negative_pairs,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "token_freq_score": q_token_freq_score,
+        "quantize_embeddings": q_quantize_embeddings,
     }
 
 

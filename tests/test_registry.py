@@ -91,6 +91,32 @@ class TestRegistryHygiene:
             registry_sync.BEGIN + live + registry_sync.END == expected
         ), "COVERAGE.md ledger is stale — run python3 tools/registry_sync.py"
 
+    def test_rotation_never_verified_first(self):
+        """Never-driver-verified entries must all sit above verified
+        ones — a mis-rotation silently wastes the driver's ~50-entry
+        correctness window (VERDICT r4 #7)."""
+        import registry_sync
+
+        names = list(entrymod.queries())
+        seen = registry_sync.driver_rows()
+        registry_sync.check_rotation(names, seen)  # must not raise
+
+    def test_rotation_checker_bites(self):
+        """A seeded mis-rotation (verified entry ahead of a
+        never-verified one) must be rejected."""
+        import pytest
+        import registry_sync
+
+        names = list(entrymod.queries())
+        seen = registry_sync.driver_rows()
+        never = [n for n in names if n not in seen]
+        verified = [n for n in names if n in seen]
+        if not never or not verified:
+            pytest.skip("needs both verified and never-verified entries")
+        bad = [verified[0]] + never + verified[1:]
+        with pytest.raises(SystemExit, match="rotation violation"):
+            registry_sync.check_rotation(bad, seen)
+
     def test_seeded_mismatch_is_detected(self):
         """The ledger comparison actually bites: a perturbed registry
         must NOT equal the committed section."""
