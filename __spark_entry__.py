@@ -5486,6 +5486,29 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synthesize_audio(docs))
 
 
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec round-trip (multimodal mandate, final third):
+    one uncompressed AVI per document encoded from closed-form frames
+    (multimodal.synth_frames — RIFF 'AVI ' container, DIB BI_RGB
+    bottom-up frames, operators/videoio.py), then a SEPARATE Arrow
+    stage demuxes the chunk tree, decodes every frame, STRIDE-SAMPLES
+    at one frame per 400 ms (the frame-sampling operator the
+    training-data mandate names) and emits exact integer per-frame
+    stats; ``wsum`` = Σ px[i]·(i+1) is order-sensitive, so one wrong
+    byte in the chunk walk, header arithmetic, or row padding breaks
+    the hash. The oracle recomputes every sampled frame from the pixel
+    formula, including the fps-dependent stride. Shuffle-free
+    mapInPandas both stages."""
+    _tune(spark)
+    from drune_spark.operators.multimodal import (
+        synthesize_videos,
+        video_frame_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return video_frame_features(synthesize_videos(docs), every_ms=400)
+
+
 def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dropDuplicatesWithinWatermark`` with PROVEN state expiry: a
     4-micro-batch synthetic stream (clock rows drive the watermark on a
@@ -6313,6 +6336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     consistency. Rotate per round: newly verified blocks move to the
     tail, the next never-verified block moves up."""
     return {
+        # -- new in round 5 (never driver-verified) ------------------------
+        "video_decode": q_video_decode,
         # -- r5 window: never-driver-verified (next 50) ------------------------
         "redact_pii": q_redact_pii,
         "doc_chunks": q_doc_chunks,
@@ -7474,6 +7499,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END)
                         AS BIGINT) AS b_sum
             FROM px GROUP BY doc_id, w, h
+        """,
+        # Pixel-formula mirror of multimodal.synth_frames; the sampled
+        # frame set replays the Spark-side stride rule
+        # stride = greatest(1, fps*400//1000) (nonnegative operands,
+        # so DuckDB // == Spark div). In-frame index i decomposes as
+        # c = i%3, x = (i//3)%w, y = i//(3w), matching numpy ravel.
+        "video_decode": """
+            WITH v AS (
+                SELECT doc_id,
+                       4 + doc_id % 3 AS fps,
+                       6 + doc_id % 5 AS n,
+                       4 + doc_id % 3 AS w,
+                       3 + doc_id % 3 AS h
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, fps, w, h,
+                       UNNEST(range(0, n,
+                                    greatest(1, (fps * 400) // 1000)))
+                           AS t
+                FROM v
+            ),
+            px AS (
+                SELECT doc_id, fps, w, h, t, i,
+                       (11 * doc_id + 17 * t + 3 * ((i // 3) % w)
+                        + 5 * (i // (3 * w)) + 7 * (i % 3)) % 256 AS v
+                FROM (SELECT *, UNNEST(range(0, h * w * 3)) AS i
+                      FROM f)
+            )
+            SELECT doc_id AS media_id,
+                   CAST(t AS INTEGER) AS frame_no,
+                   CAST(t * 1000 // fps AS INTEGER) AS t_ms,
+                   CAST(fps AS INTEGER) AS fps,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(SUM(v) AS BIGINT) AS px_sum,
+                   CAST(SUM(v * (i + 1)) AS BIGINT) AS wsum
+            FROM px
+            GROUP BY doc_id, t, fps, w, h
         """,
         # Sample-formula mirror of multimodal.synth_samples; flattened
         # index j = frame·ch + channel matches the interleaved PCM

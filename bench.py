@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "dataset_card",
     "dup_cluster_sizes",
     "semdedup_eval",
+    # round-5 additions
+    "video_decode",
 ]
 
 

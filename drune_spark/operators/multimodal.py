@@ -259,12 +259,114 @@ def image_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(proc, schema=IMAGE_FEATURE_SCHEMA)
 
 
+def synth_frames(doc_id: int) -> tuple[int, np.ndarray]:
+    """Deterministic RGB clip for a document id, closed-form so a
+    DuckDB oracle recomputes every decoded frame feature exactly:
+    fps = 4 + id%3, n = 6 + id%5 frames, w = 4 + id%3, h = 3 + id%3,
+    px[t,y,x,c] = (11·id + 17t + 3x + 5y + 7c) mod 256."""
+    fps = 4 + doc_id % 3
+    n = 6 + doc_id % 5
+    w = 4 + doc_id % 3
+    h = 3 + doc_id % 3
+    idx = np.arange(n * h * w * 3, dtype=np.int64)
+    c = idx % 3
+    x = (idx // 3) % w
+    y = (idx // (3 * w)) % h
+    t = idx // (3 * w * h)
+    px = (doc_id * 11 + 17 * t + 3 * x + 5 * y + 7 * c) % 256
+    return fps, px.reshape(n, h, w, 3).astype(np.uint8)
+
+
+def synthesize_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode one real uncompressed AVI per row (media_id, content
+    binary) — the ingestion half of the video round-trip gate."""
+    from drune_spark.operators.videoio import encode_avi
+
+    def one(doc_id: int) -> bytes:
+        fps, frames = synth_frames(doc_id)
+        return encode_avi(frames, fps)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "content": [one(int(i)) for i in ids],
+            })
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="media_id bigint, content binary"
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling — schema/plumbing only; codec stubbed."""
+    """Video frame sampling over opaque AVI binary columns — REAL codec
+    (operators/videoio.py RIFF/DIB demux): decode, keep every
+    ``stride = max(1, fps·every_ms/1000)``-th frame, and re-emit each
+    kept frame as a standalone PNG so the output composes directly with
+    ``image_features``/``extract_features``. Shuffle-free mapInPandas;
+    binary in, binary out, frame rows fan wider than media rows (one
+    row per sampled frame)."""
+    from drune_spark.operators.imageio import encode_png
+    from drune_spark.operators.videoio import decode_avi
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError("video codec not available in this environment")
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                fps, frames = decode_avi(bytes(content))
+                stride = max(1, fps * every_ms // 1000)
+                for t in range(0, frames.shape[0], stride):
+                    rows.append({
+                        "media_id": int(mid),
+                        "frame_no": t,
+                        "t_ms": t * 1000 // fps,
+                        "frame": encode_png(frames[t]),
+                    })
+            yield pd.DataFrame(rows)
 
     return media.mapInPandas(
-        process, schema="media_id bigint, frame_no int, frame binary"
+        process,
+        schema="media_id bigint, frame_no int, t_ms int, frame binary",
     )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id bigint, frame_no int, t_ms int, fps int, "
+    "width int, height int, px_sum bigint, wsum bigint"
+)
+
+
+def video_frame_features(media: DataFrame, every_ms: int = 400) -> DataFrame:
+    """REAL AVI decode (operators/videoio.py) + stride frame sampling +
+    exact integer per-frame statistics; ``wsum`` = Σ px[i]·(i+1) over
+    the frame's row-major pixels is order-sensitive, so one wrong byte
+    anywhere in the chunk walk or DIB row math breaks the oracle hash.
+    Shuffle-free mapInPandas; only 8-column frame rows leave the
+    stage."""
+    from drune_spark.operators.videoio import decode_avi
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                fps, frames = decode_avi(bytes(content))
+                stride = max(1, fps * every_ms // 1000)
+                n, h, w, _ = frames.shape
+                for t in range(0, n, stride):
+                    flat = frames[t].astype(np.int64).ravel()
+                    rows.append({
+                        "media_id": int(mid),
+                        "frame_no": t,
+                        "t_ms": t * 1000 // fps,
+                        "fps": fps,
+                        "width": w,
+                        "height": h,
+                        "px_sum": int(flat.sum()),
+                        "wsum": int(
+                            (flat * np.arange(1, flat.size + 1)).sum()
+                        ),
+                    })
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(proc, schema=VIDEO_FRAME_SCHEMA)

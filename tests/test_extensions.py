@@ -677,6 +677,92 @@ class TestImageCodec:
             assert r.r_sum == int(px[:, :, 0].sum())
             assert r.b_sum == int(px[:, :, 2].sum())
 
+    def test_avi_roundtrip_shapes_and_rates(self):
+        import numpy as np
+        from drune_spark.operators.videoio import decode_avi, encode_avi
+
+        rng = np.random.RandomState(7)
+        for n, h, w, fps in [(1, 1, 1, 1), (3, 2, 5, 4), (7, 4, 3, 30)]:
+            a = rng.randint(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+            f, dec = decode_avi(encode_avi(a, fps))
+            assert f == fps and np.array_equal(dec, a)
+
+    def test_avi_chunk_walk_skips_extras(self):
+        """A real demuxer walks the RIFF tree — JUNK chunks between
+        hdrl and movi (standard in real AVI files) must be skipped."""
+        import struct
+
+        import numpy as np
+        from drune_spark.operators.videoio import decode_avi, encode_avi
+
+        a = np.arange(2 * 2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 2, 3)
+        avi = encode_avi(a, 5)
+        movi_list = avi.index(b"movi") - 8  # LIST header precedes fourcc
+        junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+        patched = avi[:movi_list] + junk + avi[movi_list:]
+        patched = (
+            patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+        )
+        fps, dec = decode_avi(patched)
+        assert fps == 5 and np.array_equal(dec, a)
+
+    def test_avi_rejects_bad_container(self):
+        import numpy as np
+        import pytest as _pytest
+        from drune_spark.operators.videoio import decode_avi, encode_avi
+
+        avi = encode_avi(np.zeros((1, 2, 2, 3), dtype=np.uint8), 5)
+        with _pytest.raises(ValueError, match="AVI"):
+            decode_avi(b"RIFX" + avi[4:])
+
+    def test_spark_video_roundtrip_matches_closed_form(self, spark):
+        import numpy as np
+        from drune_spark.operators.multimodal import (
+            synth_frames, synthesize_videos, video_frame_features,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(17)], ["doc_id"])
+        rows = video_frame_features(
+            synthesize_videos(docs), every_ms=400
+        ).collect()
+        by_key = {(r.media_id, r.frame_no): r for r in rows}
+        n_expected = 0
+        for i in range(17):
+            fps, frames = synth_frames(i)
+            stride = max(1, fps * 400 // 1000)
+            for t in range(0, frames.shape[0], stride):
+                n_expected += 1
+                r = by_key[(i, t)]
+                flat = frames[t].astype(np.int64).ravel()
+                assert (r.fps, r.height, r.width) == (
+                    fps, frames.shape[1], frames.shape[2]
+                )
+                assert r.t_ms == t * 1000 // fps
+                assert r.px_sum == int(flat.sum())
+                assert r.wsum == int(
+                    (flat * np.arange(1, flat.size + 1)).sum()
+                )
+        assert len(rows) == n_expected
+
+    def test_sample_frames_emits_decodable_pngs(self, spark):
+        import numpy as np
+        from drune_spark.operators.imageio import decode_png
+        from drune_spark.operators.multimodal import (
+            sample_frames, synth_frames, synthesize_videos,
+        )
+
+        docs = spark.createDataFrame([(3,), (4,)], ["doc_id"])
+        rows = sample_frames(
+            synthesize_videos(docs), every_ms=1000
+        ).collect()
+        assert rows, "no frames sampled"
+        for r in rows:
+            fps, frames = synth_frames(r.media_id)
+            assert r.frame_no % max(1, fps * 1000 // 1000) == 0
+            assert np.array_equal(
+                decode_png(bytes(r.frame)), frames[r.frame_no]
+            )
+
 
 class TestKeywordExtract:
     def test_tf_then_df_ordering(self, spark):
