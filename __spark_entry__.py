@@ -6965,9 +6965,13 @@ def oracle_sql() -> dict[str, str]:
         "dataset_card": f"""
             WITH s AS (
                 SELECT source, lang,
-                       CAST(len(regexp_split_to_array(trim(text),
-                                                      '\\s+'))
-                            AS BIGINT) AS n_toks,
+                       -- empty/whitespace-only docs count 0 tokens,
+                       -- mirroring Spark-side token_count (a bare
+                       -- regexp_split_to_array yields [''] = 1)
+                       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                                 ELSE len(regexp_split_to_array(
+                                          trim(text), '\\s+'))
+                            END AS BIGINT) AS n_toks,
                        md5({norm}) AS fp,
                        {lang_score['de']} AS s_de,
                        {lang_score['en']} AS s_en,

@@ -105,13 +105,17 @@ def bpe_train(
         )
         merged = best["pair"].replace(" ", "")
         merges.append((step, best["pair"], merged, best["pair_count"]))
+        # Column-form replace (not a formatted SQL literal): corpus
+        # tokens may contain escape-significant characters (backslash,
+        # quote) that would corrupt an F.expr text and diverge from the
+        # oracle, which derives the pair from a subquery — same
+        # injection-safe shape bpe_apply already uses.
         words = words.withColumn(
             "repr",
-            F.expr(
-                "replace(repr, ' {0} ', ' {1} ')".format(
-                    best["pair"].replace("'", "\\'"),
-                    merged.replace("'", "\\'"),
-                )
+            F.replace(
+                F.col("repr"),
+                F.lit(f" {best['pair']} "),
+                F.lit(f" {merged} "),
             ),
         )
     return spark.createDataFrame(

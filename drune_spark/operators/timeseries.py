@@ -752,6 +752,15 @@ def seasonal_decompose(
     Returns (day_col, value_col, trend_milli, seasonal_milli,
     resid_milli).
     """
+    if period % 2 == 0:
+        # An even period would make the centered window span
+        # 2*(period//2)+1 rows, so n_win == period never holds and
+        # every trend silently comes out NULL; classical decomposition
+        # uses a 2xMA there, which this implementation doesn't provide.
+        raise ValueError(
+            f"period must be odd (got {period}); even periods need the "
+            "2xMA variant"
+        )
     half = period // 2
     w = Window.orderBy(day_col).rowsBetween(-half, half)
     cells = df.select(
