@@ -5905,8 +5905,14 @@ def q_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The exact ground truth is the one genuinely O(n²) stage (a
     pure-inequality BroadcastNestedLoop over vectors), so it runs on a
-    deterministic 40% hash sample — within_ppm is a ratio estimate and
-    does not need the census (the sparse_cosine audit-scale contract).
+    deterministic FIXED-BUDGET hash sample of ~800 vectors: the
+    threshold is derived from the corpus count with pure integer math
+    (65536·800 div n, hex-formatted) that the oracle recomputes
+    verbatim from its own COUNT(*), so membership is identical on both
+    engines at ANY corpus size. Below 800 vectors the census runs in
+    full ('g' admits everything); above, the BNL pair volume is capped
+    at ~800²/2 regardless of scale (measured flat on the 1x→3x curve).
+    within_ppm is a ratio estimate and does not need the census.
     Pairwise predicates mean pairs(sample) == pairs(full) restricted to
     sampled endpoints, which is exactly how the oracle derives the same
     set. Centroid assignment stays full-corpus (O(n·16), linear) so the
@@ -5914,12 +5920,17 @@ def q_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     from drune_spark.functions.partitioning import fan_out
     from drune_spark.functions.vectors import cosine_similarity, to_double_array
-    from drune_spark.operators.sampling import sample_by_hash
+    from drune_spark.operators.sampling import hash_bucket
     from drune_spark.operators.similarity import ivf_assign
 
     emb = _t(spark, sf_dir, "embeddings")
     assign = ivf_assign(emb, n_centroids=16)
-    vecs = sample_by_hash(emb, "vec_id", 0.4, salt="se1").select(
+    n = emb.count()  # 1-row control fetch (kmeans shape)
+    v = 65536 * 800 // n
+    threshold = "g" if v >= 65536 else format(v, "04x")
+    vecs = emb.filter(
+        hash_bucket(F.col("vec_id"), "se1") < F.lit(threshold)
+    ).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     a, b = fan_out(vecs).alias("a"), vecs.alias("b")
@@ -11457,10 +11468,17 @@ def oracle_sql() -> dict[str, str]:
     # => pairs(sample) == pairs(full) with both endpoints sampled), so
     # the oracle endpoint-filters the full-corpus pair subqueries with
     # the same md5 membership test the Spark side applies up front.
-    # Thresholds are fraction_to_hex_threshold(0.3)='4ccd' (salt le1)
-    # and fraction_to_hex_threshold(0.4)='6666' (salt se1).
+    # lsh_eval: fraction_to_hex_threshold(0.3)='4ccd' (salt le1).
+    # semdedup_eval: FIXED-BUDGET threshold derived from COUNT(*) with
+    # integer math both engines replicate exactly (salt se1; 'g' admits
+    # all when the corpus is under the 800-vector budget).
     _le = ("substr(md5('le1' || CAST({c} AS VARCHAR)), 1, 4) < '4ccd'")
-    _se = ("substr(md5('se1' || CAST({c} AS VARCHAR)), 1, 4) < '6666'")
+    _se = (
+        "substr(md5('se1' || CAST({c} AS VARCHAR)), 1, 4) < "
+        "(SELECT CASE WHEN 65536 * 800 // count(*) >= 65536 THEN 'g' "
+        "ELSE printf('%04x', 65536 * 800 // count(*)) END "
+        "FROM embeddings)"
+    )
     d["lsh_eval"] = f"""
         SELECT CAST(count(*) FILTER (WHERE e.id_a IS NOT NULL
                                        AND l.id_a IS NOT NULL)

@@ -48,6 +48,9 @@ QUERIES = [
     "lsh_eval",
     "incremental_dedup",
     "maxsim_retrieval",
+    # round-5: the second sampled census eval (BNL ground truth now on
+    # a 40% hash sample — the curve proves the sample bounds it)
+    "semdedup_eval",
 ]
 TABLES = ["documents", "embeddings", "lineitem", "orders"]
 
