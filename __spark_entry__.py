@@ -6183,6 +6183,28 @@ def q_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_monitor(daily)
 
 
+def q_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM change-point monitor (timeseries.py
+    cusum_monitor, Page 1954): per-event-type daily series through the
+    exact integer milli recurrence (series-mean target, μ/8 allowance,
+    2μ decision interval, alarm-reset) — accumulates small persistent
+    shifts the EWMA's spike detector misses. Sequential recurrence →
+    applyInPandas over calendar cells; the oracle replays it as a
+    recursive CTE with the same reset rule."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import cusum_monitor
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cusum_monitor(daily)
+
+
 def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-vector cosine pairs (search.py sparse_cosine_pairs):
     bag-of-words similarity with exact integer cos²·10⁶ — the
@@ -6244,6 +6266,42 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(
         cust, ["c_nationkey", "bal_band"], "c_mktsegment",
         k=5, l_diversity=2,
+    )
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity / type-token ratio for n=1..3
+    (text_analysis.py ngram_diversity) — the distinct-n screen for
+    templated or generated text. One scan (all sizes tagged into one
+    explode), grams shuffle as 32-bit md5 keys."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import ngram_diversity
+
+    return ngram_diversity(
+        _t(spark, sf_dir, "documents"), "text", "source", max_n=3
+    )
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (privacy.py t_closeness_audit, Li et al. ICDE
+    2007): per-nation customer classes scored by the exact
+    cross-multiplied integer EMD between their account-balance-band
+    distribution and the global one — the skew screen k-anonymity and
+    l-diversity both miss. Cell-sized after the first groupBy; the
+    band cross is a bounded broadcast."""
+    _tune(spark)
+    from drune_spark.operators.privacy import t_closeness_audit
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        # +1000 shift keeps the band operand nonnegative: Spark div
+        # truncates toward zero, DuckDB // floors — they only agree >= 0
+        F.expr("(cast(floor(c_acctbal) as bigint) + 1000) div 1000").alias(
+            "bal_band"
+        ),
+    )
+    return t_closeness_audit(
+        cust, ["c_nationkey"], "bal_band", t_ppm=200_000
     )
 
 
@@ -6349,6 +6407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 5 (never driver-verified) ------------------------
         "video_decode": q_video_decode,
+        "cusum_monitor": q_cusum_monitor,
+        "t_closeness": q_t_closeness,
+        "ngram_diversity": q_ngram_diversity,
         # -- r5 window: never-driver-verified (next 50) ------------------------
         "redact_pii": q_redact_pii,
         "doc_chunks": q_doc_chunks,
@@ -7143,6 +7204,147 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(n_tokens, 32) AS INTEGER) AS n_real,
                    CAST(32 - least(n_tokens, 32) AS INTEGER) AS n_pad
             FROM seq
+        """,
+        "ngram_diversity": f"""
+            WITH toksd AS (
+                SELECT source, {toks_lower} AS w FROM documents
+            ),
+            g AS (
+                SELECT source, n,
+                       ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h
+                FROM (
+                    SELECT source, 1 AS n, w[i] AS gram
+                    FROM toksd, UNNEST(generate_series(1, len(w)))
+                         AS t(i)
+                    UNION ALL
+                    SELECT source, 2, concat_ws(' ', w[i], w[i+1])
+                    FROM toksd, UNNEST(generate_series(1,
+                         greatest(len(w) - 1, 0))) AS t(i)
+                    UNION ALL
+                    SELECT source, 3,
+                           concat_ws(' ', w[i], w[i+1], w[i+2])
+                    FROM toksd, UNNEST(generate_series(1,
+                         greatest(len(w) - 2, 0))) AS t(i)
+                )
+            )
+            SELECT source, CAST(n AS INTEGER) AS n,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+                   CAST(count(DISTINCT h) * 1000000 // count(*)
+                        AS BIGINT) AS ttr_ppm
+            FROM g GROUP BY source, n
+        """,
+        # Exact cross-multiplied integer EMD (no probability rounding):
+        # cumdiff over the full band domain, missing class-bands
+        # contribute c=0 via the left join.
+        "t_closeness": """
+            WITH base AS (
+                SELECT c_nationkey,
+                       (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 1000
+                           AS band
+                FROM customer
+            ),
+            bands AS (SELECT DISTINCT band FROM base),
+            classes AS (
+                SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_c
+                FROM base GROUP BY c_nationkey
+            ),
+            cells AS (
+                SELECT c_nationkey, band, CAST(count(*) AS BIGINT) AS c
+                FROM base GROUP BY c_nationkey, band
+            ),
+            gdist AS (
+                SELECT band, CAST(count(*) AS BIGINT) AS g
+                FROM base GROUP BY band
+            ),
+            tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_g,
+                       CAST(count(DISTINCT band) AS BIGINT) AS m
+                FROM base
+            ),
+            cum AS (
+                SELECT cl.c_nationkey, cl.n_c, t.n_g, t.m,
+                       SUM(coalesce(ce.c, 0) * t.n_g - gl.g * cl.n_c)
+                           OVER (PARTITION BY cl.c_nationkey
+                                 ORDER BY b.band
+                                 ROWS UNBOUNDED PRECEDING) AS cumdiff
+                FROM classes cl
+                CROSS JOIN bands b
+                LEFT JOIN cells ce
+                  ON cl.c_nationkey = ce.c_nationkey AND b.band = ce.band
+                JOIN gdist gl ON b.band = gl.band
+                CROSS JOIN tot t
+            )
+            SELECT c_nationkey,
+                   CAST(MIN(n_c) AS BIGINT) AS class_size,
+                   CAST(SUM(abs(cumdiff)) * 1000000
+                        // (greatest(MIN(m) - 1, 1) * MIN(n_c)
+                            * MIN(n_g)) AS BIGINT) AS emd_ppm,
+                   CAST(CASE WHEN SUM(abs(cumdiff)) * 1000000
+                             // (greatest(MIN(m) - 1, 1) * MIN(n_c)
+                                 * MIN(n_g)) > 200000
+                        THEN 1 ELSE 0 END AS INTEGER) AS t_violation
+            FROM cum GROUP BY c_nationkey
+        """,
+        # Integer-milli CUSUM replay: the recursion carries the
+        # POST-reset state (alarm rows zero both sums for the next
+        # step), exactly mirroring the python loop's reset-after-flag.
+        "cusum_monitor": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY event_type, day
+            ),
+            params AS (
+                SELECT event_type,
+                       CAST(SUM(n) * 1000 // count(*) AS BIGINT) AS mu
+                FROM daily GROUP BY event_type
+            ),
+            idx AS (
+                SELECT d.event_type, d.day, d.n, p.mu,
+                       p.mu // 8 AS k, 2 * p.mu AS h,
+                       CAST(row_number() OVER (
+                           PARTITION BY d.event_type ORDER BY d.day)
+                           AS BIGINT) AS rn
+                FROM daily d JOIN params p
+                  ON d.event_type = p.event_type
+            ),
+            rec(event_type, rn, day, n, mu, k, h, s_hi, s_lo,
+                alarm) AS (
+                SELECT event_type, rn, day, n, mu, k, h,
+                       greatest(0, n * 1000 - mu - k),
+                       greatest(0, mu - k - n * 1000),
+                       CASE WHEN greatest(0, n * 1000 - mu - k) > h
+                              OR greatest(0, mu - k - n * 1000) > h
+                            THEN 1 ELSE 0 END
+                FROM idx WHERE rn = 1
+                UNION ALL
+                SELECT i.event_type, i.rn, i.day, i.n, i.mu, i.k, i.h,
+                       greatest(0, CASE WHEN r.alarm = 1 THEN 0
+                                        ELSE r.s_hi END
+                                   + i.n * 1000 - i.mu - i.k),
+                       greatest(0, CASE WHEN r.alarm = 1 THEN 0
+                                        ELSE r.s_lo END
+                                   + i.mu - i.k - i.n * 1000),
+                       CASE WHEN greatest(0,
+                                 CASE WHEN r.alarm = 1 THEN 0
+                                      ELSE r.s_hi END
+                                 + i.n * 1000 - i.mu - i.k) > i.h
+                              OR greatest(0,
+                                 CASE WHEN r.alarm = 1 THEN 0
+                                      ELSE r.s_lo END
+                                 + i.mu - i.k - i.n * 1000) > i.h
+                            THEN 1 ELSE 0 END
+                FROM idx i JOIN rec r
+                  ON i.event_type = r.event_type AND i.rn = r.rn + 1
+            )
+            SELECT event_type, day, n,
+                   CAST(mu AS BIGINT) AS mu_milli,
+                   CAST(s_hi AS BIGINT) AS s_hi_milli,
+                   CAST(s_lo AS BIGINT) AS s_lo_milli,
+                   CAST(alarm AS INTEGER) AS alarm
+            FROM rec
         """,
         "ewma_monitor": """
             WITH RECURSIVE daily AS (

@@ -14,7 +14,7 @@ report is at most |QID-combination| rows, typically tiny).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -47,4 +47,87 @@ def k_anonymity_audit(
             "l_violation", (F.col("n_sensitive") < l_diversity).cast("int")
         )
         .filter((F.col("k_violation") == 1) | (F.col("l_violation") == 1))
+    )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_band_col: str,
+    t_ppm: int = 200_000,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) over
+    an ORDERED sensitive attribute: per equivalence class, the Earth
+    Mover's Distance between the class's sensitive-value distribution
+    and the global one, with the ordered-attribute ground distance
+    (EMD = Σ|cumulative difference| / (m−1)). k-anonymity bounds class
+    size and l-diversity bounds variety; t-closeness is the screen
+    that catches a class whose values are varied but all *skewed* the
+    same way.
+
+    EXACT integer arithmetic by cross-multiplication — no per-class
+    probability rounding: with class counts c_j (size N_c) and global
+    counts g_j (size N_g),
+
+        cumdiff_i = Σ_{j≤i} (c_j·N_g − g_j·N_c)          (integer)
+        emd_ppm   = 10⁶ · Σ_i |cumdiff_i| div ((m−1)·N_c·N_g)
+
+    Every class is scored over the FULL band domain (a class missing a
+    band still accumulates the global mass it lacks), via a broadcast
+    cross of class cells × the m-row band table. Shuffle carries
+    (class, band) cells only; the per-class cumulative is a window
+    over m rows.
+
+    Scale notes: all frames after the first groupBy are cell-sized.
+    The cross-multiplied integers need N_c·N_g·10⁶ < 2⁶³ — fine up to
+    ~10⁸ rows per side; beyond that, switch the two distributions to
+    ppm-rounded form first (loses exactness, keeps the audit).
+
+    Returns quasi_cols + (class_size, emd_ppm, t_violation) for ALL
+    classes (the release report), t_violation = [emd_ppm > t_ppm].
+    """
+    qid = [F.col(c) for c in quasi_cols]
+    bands = df.select(F.col(sensitive_band_col).alias("band")).distinct()
+    classes = df.groupBy(*qid).agg(F.count(F.lit(1)).alias("n_c"))
+    cells = df.groupBy(
+        *qid, F.col(sensitive_band_col).alias("band")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    global_ = df.groupBy(
+        F.col(sensitive_band_col).alias("band")
+    ).agg(F.count(F.lit(1)).alias("g"))
+    totals = df.agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.count_distinct(F.col(sensitive_band_col)).alias("m"),
+    )
+
+    full = (
+        classes.join(F.broadcast(bands))  # bounded cross: m band rows
+        .join(cells, [*quasi_cols, "band"], "left")
+        .fillna(0, subset=["c"])
+        .join(F.broadcast(global_), "band")
+        .join(F.broadcast(totals))
+    )
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = full.withColumn(
+        "cumdiff",
+        F.sum(
+            F.col("c") * F.col("n_g") - F.col("g") * F.col("n_c")
+        ).over(w),
+    )
+    return (
+        cum.groupBy(*quasi_cols)
+        .agg(
+            F.first("n_c").alias("class_size"),
+            F.expr(
+                "sum(abs(cumdiff)) * 1000000 "
+                "div (greatest(first(m) - 1, 1) * first(n_c) * first(n_g))"
+            ).alias("emd_ppm"),
+        )
+        .withColumn(
+            "t_violation", (F.col("emd_ppm") > t_ppm).cast("int")
+        )
     )

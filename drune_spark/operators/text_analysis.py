@@ -593,3 +593,70 @@ def freq_spectrum(
             ).alias("r_star_ppm"),
         )
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    max_n: int = 3,
+) -> DataFrame:
+    """Per-group n-gram diversity (type/token ratio for n = 1..max_n)
+    — the distinct-n metric used to screen generated/templated corpora
+    (low distinct-2/3 = repetitive text): n_total token n-grams,
+    n_distinct types, and their ratio in exact integer ppm.
+
+    ONE corpus scan: each document emits all n-gram sizes as a single
+    concatenated array of (n, gram) structs (tagged per size), so the
+    explode + the (group, n, hash) shuffle happen once, not per n.
+    Grams shuffle as 32-bit md5 keys, never strings (the
+    novelty_score volume trick; the oracle hashes identically so any
+    collision merges the same way on both engines).
+
+    This is WITHIN-corpus repetition — the complement of
+    novelty_score's cross-document shingle uniqueness screen.
+    """
+    from drune_spark.functions.hashes import md5_u32
+
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _tag(n: int):
+        # NOTE: a `lambda i, n=n:` default would make the lambda
+        # 2-ary and Spark's HOF bridge would bind BOTH as lambda
+        # variables — close over n with a factory instead.
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(
+                " ",
+                *[F.element_at(toks, i + j + 1) for j in range(n)],
+            ).alias("gram"),
+        )
+
+    tagged = []
+    for n in range(1, max_n + 1):
+        cnt = F.size(toks) - (n - 1)
+        idx = F.when(cnt >= 1, F.sequence(F.lit(0), cnt - 1)).otherwise(
+            F.expr("cast(array() as array<int>)")
+        )
+        tagged.append(
+            # a struct member built inside a lambda drops field names —
+            # cast restores them (kmeans.py trap)
+            F.transform(idx, _tag(n)).cast(
+                "array<struct<n:int,gram:string>>"
+            )
+        )
+    grams = df.select(
+        F.col(group_col),
+        F.explode(F.concat(*tagged)).alias("g"),
+    ).select(
+        group_col,
+        F.col("g.n").alias("n"),
+        md5_u32(F.col("g.gram")).alias("h"),
+    )
+    return grams.groupBy(group_col, "n").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct(F.col("h")).alias("n_distinct"),
+        F.expr("count(distinct h) * 1000000 div count(1)").alias(
+            "ttr_ppm"
+        ),
+    )

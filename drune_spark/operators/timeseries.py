@@ -725,6 +725,80 @@ def ewma_monitor(
     return df.groupBy(group_col).applyInPandas(_run, schema=out_schema)
 
 
+def cusum_monitor(
+    df: DataFrame,
+    group_col: str = "event_type",
+    day_col: str = "day",
+    value_col: str = "n",
+    k_div: int = 8,
+    h_mul: int = 2,
+) -> DataFrame:
+    """Two-sided tabular CUSUM change-point monitor over per-group
+    daily series (Page 1954) — the drift-detection complement to the
+    EWMA control chart above: EWMA flags spikes, CUSUM accumulates
+    small persistent shifts until they cross a decision interval.
+
+    Exact integer milli recurrence (nonnegative state; only +, −, max
+    and comparisons — no division inside the loop, so engine rounding
+    can't diverge). Per group: target μ = the series mean
+    (sum·1000 div count), allowance k = μ div ``k_div``, decision
+    h = ``h_mul``·μ:
+
+        s_hi_t = max(0, s_hi_{t-1} + x_t·1000 − μ − k)
+        s_lo_t = max(0, s_lo_{t-1} + μ − k − x_t·1000)
+        alarm  = [s_hi_t > h or s_lo_t > h]   (then both sums reset)
+
+    Like the EWMA, a CUSUM is a sequential recurrence no window
+    aggregate expresses — applyInPandas over (group, day) CELLS, one
+    bounded python-int loop per series, state never leaves the
+    executor; the DuckDB oracle replays the identical recurrence as a
+    recursive CTE. Scale notes as ewma_monitor: input is a calendar-
+    sized cell table, groups parallelize, one series = one task (the
+    problem's inherent critical path).
+
+    Returns (group_col, day_col, value_col, mu_milli, s_hi_milli,
+    s_lo_milli, alarm).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} string, {day_col} bigint, {value_col} bigint, "
+        "mu_milli bigint, s_hi_milli bigint, s_lo_milli bigint, "
+        "alarm int"
+    )
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(day_col)
+        xs = [int(v) * 1000 for v in pdf[value_col]]
+        mu = sum(xs) // len(xs)
+        k = mu // k_div
+        h = h_mul * mu
+        s_hi = s_lo = 0
+        his, los, alarms = [], [], []
+        for x in xs:
+            s_hi = max(0, s_hi + x - mu - k)
+            s_lo = max(0, s_lo + mu - k - x)
+            alarm = 1 if (s_hi > h or s_lo > h) else 0
+            his.append(s_hi)
+            los.append(s_lo)
+            alarms.append(alarm)
+            if alarm:
+                s_hi = s_lo = 0
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].to_numpy(),
+                day_col: pdf[day_col].to_numpy(),
+                value_col: pdf[value_col].to_numpy(),
+                "mu_milli": [mu] * len(xs),
+                "s_hi_milli": his,
+                "s_lo_milli": los,
+                "alarm": alarms,
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(_run, schema=out_schema)
+
+
 def seasonal_decompose(
     df: DataFrame,
     day_col: str = "day",
