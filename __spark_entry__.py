@@ -6269,6 +6269,97 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility audit (bpe.py
+    tokenizer_fertility): subword tokens per word and chars per token
+    under the corpus-learned BPE merges — the measurement behind
+    vocabulary-rebalancing decisions (a language with high fertility
+    is underserved by the vocab). Train + apply end-to-end, all-integer
+    ppm; the oracle recomputes the merges in CTEs and replays the same
+    replace chain."""
+    _tune(spark)
+    from drune_spark.operators.bpe import bpe_train, tokenizer_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["pair"], r["merged"])
+        for r in bpe_train(docs, n_merges=BPE_MERGES).collect()
+    ]
+    return tokenizer_fertility(docs, merges, group_col="lang")
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per source (text_analysis.py zipf_fit):
+    OLS slope of ln(freq) on ln(rank) over the top-64 word counts —
+    natural text sits near slope ≈ −1; drift flags templated slices.
+    ln values are floored to integer 1e-4 units (single bit-identical
+    libm op each), sufficient statistics are order-free integer sums,
+    slope/r² one shared-op-order double chain (grouped_ols
+    precedent)."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import zipf_fit
+
+    return zipf_fit(
+        _t(spark, sf_dir, "documents"), "text", "source", top_ranks=64
+    )
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 retrieval evaluation (search.py ndcg_at_k): the BM25
+    top-10 scored against GRADED relevance (grade = number of query
+    terms the doc contains, 0-3) — the non-binary companion to
+    retrieval_mrr. Integer-micro gains (floor(g·10⁶/log2(rank+1)),
+    log2 libm-bit-identical across engines) make both DCG sums
+    order-free integer aggregates. Grades come from ONE corpus pass
+    (struct fan-out); evaluation never rescans the corpus."""
+    _tune(spark)
+    from drune_spark.functions.text import tokens
+    from drune_spark.operators.search import bm25_topk, ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents")
+    topk = bm25_topk(docs, BM25_QUERIES, k=10)
+    toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("w")
+    )
+    grades = toks.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.expr(
+                    " + ".join(
+                        f"cast(array_contains(w, '{t}') as int)"
+                        for t in terms
+                    )
+                ).alias("grade"),
+            )
+            for qid, terms in BM25_QUERIES
+        ])).alias("__m"),
+    ).select("doc_id", "__m.*").filter(F.col("grade") > 0)
+    queries = spark.sql(
+        "SELECT explode(array({})) AS query_id".format(
+            ", ".join(f"'{qid}'" for qid, _ in BM25_QUERIES)
+        )
+    )
+    return ndcg_at_k(topk, grades, queries, k=10)
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (packing.py cdc_chunks, the
+    rsync/LBFS storage-dedup primitive): boundaries where the md5 of a
+    16-char rolling window starts with hex '0', spans derived from the
+    per-doc sorted boundary array, per-chunk md5 identity. Boundary
+    decisions are position-independent → fully declarative; text never
+    shuffles (boundary explode scan-fused, chunks re-derived by
+    position). Shift-stability pinned in pytest."""
+    _tune(spark)
+    from drune_spark.operators.packing import cdc_chunks
+
+    return cdc_chunks(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", window=16
+    )
+
+
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source n-gram diversity / type-token ratio for n=1..3
     (text_analysis.py ngram_diversity) — the distinct-n screen for
@@ -6410,6 +6501,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_monitor": q_cusum_monitor,
         "t_closeness": q_t_closeness,
         "ngram_diversity": q_ngram_diversity,
+        "cdc_chunks": q_cdc_chunks,
+        "ndcg_eval": q_ndcg_eval,
+        "zipf_fit": q_zipf_fit,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # -- r5 window: never-driver-verified (next 50) ------------------------
         "redact_pii": q_redact_pii,
         "doc_chunks": q_doc_chunks,
@@ -7205,6 +7300,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(32 - least(n_tokens, 32) AS INTEGER) AS n_pad
             FROM seq
         """,
+        # Chunk ordinals count every span INCLUDING the filtered empty
+        # tail (a boundary at the last char), so ordinals match the
+        # Spark side's pre-filter posexplode numbering.
+        "cdc_chunks": """
+            WITH d AS (
+                SELECT doc_id, text, len(text) AS L FROM documents
+            ),
+            b AS (
+                SELECT doc_id, i AS p
+                FROM d, UNNEST(generate_series(16, L)) AS t(i)
+                WHERE substr(md5(substr(text, i - 15, 16)), 1, 1) = '0'
+            ),
+            bl AS (
+                SELECT doc_id, list_sort(list(p)) AS bs
+                FROM b GROUP BY doc_id
+            ),
+            j AS (
+                SELECT d.doc_id, d.text, d.L,
+                       coalesce(bl.bs, CAST([] AS BIGINT[])) AS bs
+                FROM d LEFT JOIN bl USING (doc_id)
+            ),
+            spans AS (
+                SELECT doc_id, text,
+                       CAST(k - 1 AS INTEGER) AS chunk_no,
+                       CASE WHEN k = 1 THEN 1 ELSE bs[k - 1] + 1 END
+                           AS s,
+                       CASE WHEN k = len(bs) + 1 THEN L ELSE bs[k] END
+                           AS e
+                FROM j, UNNEST(generate_series(1, len(bs) + 1)) AS t(k)
+            )
+            SELECT doc_id, chunk_no,
+                   CAST(s AS INTEGER) AS start_pos,
+                   CAST(e - s + 1 AS INTEGER) AS chunk_len,
+                   md5(substr(text, CAST(s AS INTEGER),
+                              CAST(e - s + 1 AS INTEGER))) AS chunk_md5
+            FROM spans WHERE s <= e
+        """,
         "ngram_diversity": f"""
             WITH toksd AS (
                 SELECT source, {toks_lower} AS w FROM documents
@@ -7664,6 +7796,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM tok GROUP BY token
         """,
+        "tokenizer_fertility": f"""
+            {{bpe_ctes}},
+            tfsrc AS (
+                SELECT lang, word,
+                       ' ' || trim(regexp_replace(word, '(.)', '\\1 ',
+                                                  'g'))
+                       || ' ' AS repr
+                FROM (SELECT lang,
+                             UNNEST(regexp_split_to_array(trim(text),
+                                                          '\\s+')) AS word
+                      FROM documents)
+            ),
+            tfapplied AS (
+                SELECT lang, word, {{bpe_applied}} AS repr FROM tfsrc
+            ),
+            tfper_word AS (
+                SELECT lang,
+                       CAST(len(word) AS BIGINT) AS n_chars,
+                       CAST(len(string_split(trim(repr), ' '))
+                            AS BIGINT) AS n_toks
+                FROM tfapplied
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_toks) * 1000000 // count(*) AS BIGINT)
+                       AS fertility_ppm,
+                   CAST(SUM(n_chars) * 1000000
+                        // greatest(SUM(n_toks), 1) AS BIGINT)
+                       AS chars_per_token_ppm
+            FROM tfper_word GROUP BY lang
+        """.format(bpe_ctes=bpe_ctes, bpe_applied=bpe_applied),
         "dsir_scores": """
             WITH occ AS (
                 SELECT doc_id, source,
@@ -11460,6 +11625,113 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
                   WHERE vec_id < 5) q
             LEFT JOIN hits h USING (query_id)
+        """,
+        "zipf_fit": f"""
+            WITH words AS (
+                SELECT source, word AS w,
+                       CAST(count(*) AS BIGINT) AS freq
+                FROM (SELECT source, UNNEST({toks_lower}) AS word
+                      FROM documents)
+                WHERE word <> ''
+                GROUP BY source, w
+            ),
+            ranked AS (
+                SELECT source,
+                       CAST(floor(ln(CAST(rank AS DOUBLE)) * 10000.0)
+                            AS BIGINT) AS x,
+                       CAST(floor(ln(CAST(freq AS DOUBLE)) * 10000.0)
+                            AS BIGINT) AS y
+                FROM (
+                    SELECT source, freq,
+                           row_number() OVER (
+                               PARTITION BY source
+                               ORDER BY freq DESC, w ASC) AS rank
+                    FROM words
+                ) WHERE rank <= 64
+            ),
+            sums AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM ranked GROUP BY source
+            )
+            SELECT source, CAST(n AS INTEGER) AS n_ranks,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE) END
+                       AS slope,
+                   CASE WHEN n * sxx - sx * sx = 0
+                          OR n * syy - sy * sy = 0 THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             * CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE))
+                        END AS r2
+            FROM sums
+        """,
+        "ndcg_eval": f"""
+            WITH bm AS ({bm25_oracle_sql(BM25_QUERIES, k=10)}),
+            toks2 AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ),
+            grades AS (
+                SELECT doc_id, query_id, grade FROM (
+                    SELECT doc_id, 'q_hash_join' AS query_id,
+                           CAST(list_contains(w, 'hash') AS INTEGER)
+                           + CAST(list_contains(w, 'join') AS INTEGER)
+                               AS grade
+                    FROM toks2
+                    UNION ALL
+                    SELECT doc_id, 'q_stream_window',
+                           CAST(list_contains(w, 'stream') AS INTEGER)
+                           + CAST(list_contains(w, 'window') AS INTEGER)
+                    FROM toks2
+                    UNION ALL
+                    SELECT doc_id, 'q_sort_merge_scan',
+                           CAST(list_contains(w, 'sort') AS INTEGER)
+                           + CAST(list_contains(w, 'merge') AS INTEGER)
+                           + CAST(list_contains(w, 'scan') AS INTEGER)
+                    FROM toks2
+                ) WHERE grade > 0
+            ),
+            dcg AS (
+                SELECT bm.query_id,
+                       CAST(SUM(floor(coalesce(g.grade, 0) * 1000000.0
+                                      / log2(bm.rank + 1.0)))
+                            AS BIGINT) AS dcg_micro
+                FROM bm LEFT JOIN grades g
+                  ON bm.query_id = g.query_id AND bm.doc_id = g.doc_id
+                GROUP BY bm.query_id
+            ),
+            ideal AS (
+                SELECT query_id,
+                       CAST(SUM(floor(grade * 1000000.0
+                                      / log2(rnk + 1.0)))
+                            AS BIGINT) AS idcg_micro
+                FROM (
+                    SELECT query_id, grade, doc_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY grade DESC, doc_id ASC) AS rnk
+                    FROM grades
+                ) WHERE rnk <= 10 GROUP BY query_id
+            )
+            SELECT q.query_id,
+                   CAST(coalesce(d.dcg_micro, 0) AS BIGINT)
+                       AS dcg_micro,
+                   CAST(coalesce(i.idcg_micro, 0) AS BIGINT)
+                       AS idcg_micro,
+                   CAST(coalesce(d.dcg_micro, 0) * 1000000
+                        // greatest(coalesce(i.idcg_micro, 0), 1)
+                        AS BIGINT) AS ndcg_ppm
+            FROM (VALUES ('q_hash_join'), ('q_stream_window'),
+                         ('q_sort_merge_scan')) q(query_id)
+            LEFT JOIN dcg d USING (query_id)
+            LEFT JOIN ideal i USING (query_id)
         """,
         "retrieval_mrr": f"""
             WITH bm AS ({bm25_oracle_sql(BM25_QUERIES, k=10)}),

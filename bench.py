@@ -239,6 +239,13 @@ BENCH_QUERIES = [
     "semdedup_eval",
     # round-5 additions
     "video_decode",
+    "cusum_monitor",
+    "t_closeness",
+    "ngram_diversity",
+    "cdc_chunks",
+    "ndcg_eval",
+    "zipf_fit",
+    "tokenizer_fertility",
 ]
 
 

@@ -149,3 +149,47 @@ def bpe_apply(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct(id_col).alias("n_docs"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility report per group (the multilingual-tokenizer
+    audit: how many subword tokens a word costs, and how many chars a
+    token carries, per language/source). High fertility on a language
+    means the vocabulary underserves it — the standard argument for
+    UniMax-style vocab rebalancing. Uses the same learned-merge replace
+    chain as ``bpe_apply`` (narrow, codegen'd, zero shuffles before the
+    group-cell aggregate).
+
+    All-integer: n_words, n_chars (pre-tokenization word chars),
+    n_tokens (post-merge subwords), fertility_ppm = tokens·10⁶ div
+    words, chars_per_token_ppm = chars·10⁶ div tokens.
+    """
+    toks = df.select(
+        F.col(group_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).select(group_col, "word", _spaced(F.col("word")).alias("repr"))
+    col = F.col("repr")
+    for pair, merged in merges:
+        col = F.replace(col, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    per_word = toks.select(
+        group_col,
+        F.length("word").alias("n_chars"),
+        F.size(F.split(F.trim(col), " ")).alias("n_toks"),
+    )
+    return per_word.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.expr(
+            "cast(sum(n_toks) as bigint) * 1000000 div count(1)"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "cast(sum(n_chars) as bigint) * 1000000 "
+            "div greatest(cast(sum(n_toks) as bigint), 1)"
+        ).alias("chars_per_token_ppm"),
+    )

@@ -168,3 +168,101 @@ def model_inputs(
         n_real.alias("n_real"),
         n_pad.alias("n_pad"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the storage-dedup primitive behind
+    rsync/LBFS/restic): a chunk boundary falls after position p
+    whenever the hash of the ``window``-char text window ending at p
+    starts with hex '0' (P = 1/16 → expected chunk ≈ window + 16
+    chars). Because boundaries depend on CONTENT, not offsets,
+    inserting a prefix shifts positions but re-synchronizes at the
+    first unchanged window — downstream chunks keep their identity
+    (md5), which is the whole point: chunk-level dedup survives edits
+    that would break fixed-size blocking. Boundary decisions are
+    per-position INDEPENDENT (no min/max-size clamp), which is what
+    makes the operator fully declarative — no sequential scan state.
+
+    Pipeline: one explode over positions (boundary test inlined, JVM
+    md5), boundary positions collect to a per-doc sorted int array
+    (shuffle carries (doc, pos) ints, never text), then spans derive
+    from the array and each chunk row carries its md5. Chunk ordinals
+    count every span including a filtered empty tail, so ordinals are
+    engine-independent.
+
+    Scale notes: cost is one md5 per character — the honest CDC price
+    (a production gear-hash would run incrementally per byte inside
+    mapInPandas; same asymptotics, smaller constant). Text never
+    shuffles: the boundary explode is scan-fused, chunks re-derive
+    from the original row by position.
+
+    Returns (id_col, chunk_no, start_pos, chunk_len, chunk_md5).
+    """
+    L = F.length(F.col(text_col))
+    idx = F.when(
+        L >= window, F.sequence(F.lit(window), L)
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    bounds = (
+        df.select(F.col(id_col), F.col(text_col))
+        .select(
+            id_col,
+            F.explode(idx).alias("p"),
+            F.col(text_col),
+        )
+        .filter(
+            F.substring(
+                F.md5(
+                    F.substring(
+                        F.col(text_col), F.col("p") - (window - 1),
+                        F.lit(window),
+                    )
+                ),
+                1, 1,
+            ) == "0"
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("p")).alias("bs"))
+    )
+    j = df.select(F.col(id_col), F.col(text_col)).join(
+        bounds, id_col, "left"
+    ).select(
+        id_col,
+        F.col(text_col),
+        F.coalesce(F.col("bs"), F.expr("cast(array() as array<int>)"))
+        .alias("bs"),
+    )
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(F.col("bs"), lambda b: b + 1),
+    )
+    ends = F.concat(F.col("bs"), F.array(L.cast("int")))
+    spans = j.select(
+        id_col,
+        F.col(text_col),
+        F.posexplode(
+            F.zip_with(
+                starts, ends,
+                lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+            # lambda-built struct drops field names — cast restores
+            ).cast("array<struct<s:int,e:int>>")
+        ).alias("chunk_no", "span"),
+    )
+    return spans.filter(
+        F.col("span.s") <= F.col("span.e")
+    ).select(
+        id_col,
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.col("span.s").alias("start_pos"),
+        (F.col("span.e") - F.col("span.s") + 1).alias("chunk_len"),
+        F.md5(
+            F.substring(
+                F.col(text_col), F.col("span.s"),
+                F.col("span.e") - F.col("span.s") + 1,
+            )
+        ).alias("chunk_md5"),
+    )

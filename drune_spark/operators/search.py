@@ -352,6 +352,71 @@ def first_relevant_rank(
     )
 
 
+def ndcg_at_k(
+    topk: DataFrame,
+    grades: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """NDCG@k over a (query_id, doc_id, rank) ranking with GRADED
+    relevance — the standard ranked-retrieval quality metric (the MRR
+    sibling for non-binary relevance). Exact cross-engine arithmetic
+    via integer-micro gains: each position contributes
+
+        gain_micro = floor(grade · 10⁶ / log2(rank + 1))
+
+    — ONE double op chain per row (log2 is bit-identical across
+    engines; verified libm parity), floored to an integer so the
+    aggregate is an ORDER-FREE integer SUM — no float-summation-order
+    divergence (the maxsim integer-scaled-cosine trick). IDCG replays
+    the same gain at the ideal rank (grade DESC, doc id ASC, top k);
+    ndcg_ppm = dcg_micro · 10⁶ div idcg_micro.
+
+    Cost: one equi-join between the k·|Q|-row ranking and the grade
+    table, one |Q|·top-k window on the grade table — evaluation never
+    rescans the corpus. Queries with nothing ranked still emit a row.
+
+    Returns (query_id, dcg_micro, idcg_micro, ndcg_ppm).
+    """
+    gain = F.floor(
+        F.col("grade") * 1000000.0 / F.log2(F.col("rank") + 1.0)
+    ).cast("long")
+    dcg = (
+        topk.join(grades, [query_col, doc_col], "left")
+        .withColumn("grade", F.coalesce(F.col("grade"), F.lit(0)))
+        .withColumn("gain_micro", gain)
+        .groupBy(query_col)
+        .agg(F.sum("gain_micro").alias("dcg_micro"))
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("grade").desc(), F.col(doc_col).asc()
+    )
+    ideal = (
+        grades.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("gain_micro", gain)
+        .groupBy(query_col)
+        .agg(F.sum("gain_micro").alias("idcg_micro"))
+    )
+    return (
+        queries.select(query_col).distinct()
+        .join(dcg, query_col, "left")
+        .join(ideal, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce(F.col("dcg_micro"), F.lit(0)).alias("dcg_micro"),
+            F.coalesce(F.col("idcg_micro"), F.lit(0))
+            .alias("idcg_micro"),
+            F.expr(
+                "coalesce(dcg_micro, 0) * 1000000 "
+                "div greatest(coalesce(idcg_micro, 0), 1)"
+            ).alias("ndcg_ppm"),
+        )
+    )
+
+
 def sparse_cosine_pairs(
     df: DataFrame,
     text_col: str = "text",

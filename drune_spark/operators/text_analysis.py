@@ -660,3 +660,83 @@ def ngram_diversity(
             "ttr_ppm"
         ),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_ranks: int = 64,
+) -> DataFrame:
+    """Zipf rank-frequency fit per group: OLS slope of ln(freq) on
+    ln(rank) over the top ``top_ranks`` word frequencies — natural
+    corpora sit near slope ≈ −1 (Zipf 1949); templated or generated
+    slices drift off it, making the slope a cheap distribution-level
+    screen to pair with the per-doc quality filters.
+
+    Exact cross-engine arithmetic: ln(rank)/ln(freq) are floored to
+    integer 1e-4 units (ONE libm op per value — ln is bit-identical
+    across engines — then an exact floor), so the OLS sufficient
+    statistics are ORDER-FREE integer sums; slope and r² are single
+    shared-op-order double expressions over those exact integers
+    (the grouped_ols precedent, with the log transform integerized).
+
+    Cost: one corpus scan → (group, word) cells; ranking is a
+    per-group window over word cells; the fit is a ``top_ranks``-cell
+    aggregate.
+
+    Returns (group_col, n_ranks, slope, r2); groups with fewer than 2
+    ranked words emit NULL slope/r².
+    """
+    from pyspark.sql import Window
+
+    words = (
+        df.select(
+            F.col(group_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("freq").desc(), F.col("w").asc()
+    )
+    ranked = (
+        words.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= top_ranks)
+        .select(
+            group_col,
+            F.floor(F.log(F.col("rank").cast("double")) * 10000.0)
+            .alias("x"),
+            F.floor(F.log(F.col("freq").cast("double")) * 10000.0)
+            .alias("y"),
+        )
+    )
+    sums = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # Shared written op order with the oracle — exact ints in, one
+    # double chain out.
+    return sums.select(
+        group_col,
+        F.col("n").cast("int").alias("n_ranks"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 THEN NULL "
+            "ELSE CAST(n * sxy - sx * sy AS DOUBLE) "
+            "     / CAST(n * sxx - sx * sx AS DOUBLE) END"
+        ).alias("slope"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 "
+            "THEN NULL "
+            "ELSE CAST(n * sxy - sx * sy AS DOUBLE) "
+            "     * CAST(n * sxy - sx * sy AS DOUBLE) "
+            "     / (CAST(n * sxx - sx * sx AS DOUBLE) "
+            "        * CAST(n * syy - sy * sy AS DOUBLE)) END"
+        ).alias("r2"),
+    )

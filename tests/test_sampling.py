@@ -246,3 +246,47 @@ class TestUnimaxAlloc:
     def test_allocation_sums_to_budget_when_unconstrained(self, spark):
         got = self._run(spark, 11, 21)
         assert sum(a for a, _ in got.values()) == 110
+
+
+class TestCdcChunks:
+    def test_chunks_tile_the_document(self, spark):
+        from drune_spark.operators.packing import cdc_chunks
+
+        text = "the quick brown fox jumps over the lazy dog " * 20
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        rows = sorted(
+            cdc_chunks(df).collect(), key=lambda r: r.start_pos
+        )
+        assert rows[0].start_pos == 1
+        for a, b in zip(rows, rows[1:]):
+            assert b.start_pos == a.start_pos + a.chunk_len
+        assert rows[-1].start_pos + rows[-1].chunk_len - 1 == len(text)
+
+    def test_short_doc_single_chunk(self, spark):
+        from drune_spark.operators.packing import cdc_chunks
+
+        df = spark.createDataFrame([(1, "tiny")], ["doc_id", "text"])
+        rows = cdc_chunks(df).collect()
+        assert len(rows) == 1
+        assert (rows[0].start_pos, rows[0].chunk_len) == (1, 4)
+
+    def test_shift_stability_under_prefix_insertion(self, spark):
+        """The CDC property: prepending text re-synchronizes at the
+        first unchanged window, so the tail chunks keep their md5
+        identity — what fixed-size blocking cannot do."""
+        from drune_spark.operators.packing import cdc_chunks
+
+        base = "alpha bravo charlie delta echo foxtrot golf hotel " * 30
+        edited = "INSERTED PREFIX >>> " + base
+        df = spark.createDataFrame(
+            [(1, base), (2, edited)], ["doc_id", "text"]
+        )
+        rows = cdc_chunks(df).collect()
+        md5s = {1: set(), 2: set()}
+        for r in rows:
+            md5s[r.doc_id].add(r.chunk_md5)
+        shared = md5s[1] & md5s[2]
+        # all but the first chunk (and possibly the boundary-spanning
+        # one) re-synchronize
+        assert len(shared) >= len(md5s[1]) - 2
+        assert len(shared) > 0
