@@ -3110,3 +3110,117 @@ class TestIncrementalDedup:
         row = incremental_minhash_dedup(
             new, old, "text", "doc_id").collect()[0]
         assert (row.n_matches, row.is_dup) == (0, 0)
+
+
+class TestRound5Ops:
+    def test_cusum_flags_persistent_shift(self, spark):
+        from drune_spark.operators.timeseries import cusum_monitor
+
+        # flat at 10 for 6 days, then a persistent shift to 14
+        rows = [("a", d, 10) for d in range(6)] + [
+            ("a", d, 14) for d in range(6, 12)
+        ]
+        df = spark.createDataFrame(rows, ["event_type", "day", "n"])
+        out = {r.day: r for r in cusum_monitor(df).collect()}
+        # mu = (60+84)*1000/12 = 12000; k = 1500; h = 24000
+        assert out[0].mu_milli == 12000
+        # pre-shift days accumulate the low-side sum
+        assert out[5].s_lo_milli > 0 and out[5].s_hi_milli == 0
+        # exact recurrence replay
+        s_hi = s_lo = 0
+        for d in range(12):
+            x = (10 if d < 6 else 14) * 1000
+            s_hi = max(0, s_hi + x - 12000 - 1500)
+            s_lo = max(0, s_lo + 12000 - 1500 - x)
+            alarm = 1 if (s_hi > 24000 or s_lo > 24000) else 0
+            assert (out[d].s_hi_milli, out[d].s_lo_milli,
+                    out[d].alarm) == (s_hi, s_lo, alarm)
+            if alarm:
+                s_hi = s_lo = 0
+
+    def test_t_closeness_uniform_class_is_close(self, spark):
+        from drune_spark.operators.privacy import t_closeness_audit
+
+        # class "u" mirrors the global distribution; class "s" is
+        # fully skewed into band 0
+        rows = (
+            [("u", 0)] * 2 + [("u", 1)] * 2
+            + [("s", 0)] * 4
+        )
+        df = spark.createDataFrame(rows, ["qid", "band"])
+        out = {r.qid: r for r in
+               t_closeness_audit(df, ["qid"], "band").collect()}
+        # global: band0=6, band1=2, N=8. class u: (2,2), Nc=4.
+        # cumdiff band0 = 2*8-6*4 = -8; band1 = 0 → EMD = 8e6/(1*4*8)
+        assert out["u"].emd_ppm == 250000
+        # class s: cumdiff band0 = 4*8-6*4 = 8 → same magnitude
+        assert out["s"].emd_ppm == 250000
+        assert out["s"].t_violation == out["u"].t_violation == 1
+
+    def test_ngram_diversity_counts(self, spark):
+        from drune_spark.operators.text_analysis import ngram_diversity
+
+        df = spark.createDataFrame(
+            [("a", "x y x y"), ("a", "x x")], ["source", "text"]
+        )
+        out = {r.n: r for r in ngram_diversity(df).collect()}
+        # unigrams: x y x y x x → 6 total, 2 distinct
+        assert (out[1].n_total, out[1].n_distinct) == (6, 2)
+        # bigrams: "x y","y x","x y" + "x x" → 4 total, 3 distinct
+        assert (out[2].n_total, out[2].n_distinct) == (4, 3)
+        # trigrams: "x y x","y x y" → 2 total, 2 distinct
+        assert (out[3].n_total, out[3].n_distinct) == (2, 2)
+        assert out[1].ttr_ppm == 2 * 1000000 // 6
+
+    def test_ndcg_perfect_ranking_is_million(self, spark):
+        from drune_spark.operators.search import ndcg_at_k
+
+        topk = spark.createDataFrame(
+            [("q", 1, 1), ("q", 2, 2)], ["query_id", "doc_id", "rank"]
+        )
+        grades = spark.createDataFrame(
+            [("q", 1, 3), ("q", 2, 1)], ["query_id", "doc_id", "grade"]
+        )
+        queries = spark.createDataFrame([("q",)], ["query_id"])
+        r = ndcg_at_k(topk, grades, queries, k=10).collect()[0]
+        assert r.ndcg_ppm == 1000000  # ranking == ideal ordering
+        # swapped ranking scores strictly below ideal
+        topk2 = spark.createDataFrame(
+            [("q", 1, 2), ("q", 2, 1)], ["query_id", "doc_id", "rank"]
+        )
+        r2 = ndcg_at_k(topk2, grades, queries, k=10).collect()[0]
+        assert 0 < r2.ndcg_ppm < 1000000
+        assert r2.idcg_micro == r.idcg_micro
+
+    def test_zipf_fit_exact_power_law(self, spark):
+        import math
+        from drune_spark.operators.text_analysis import zipf_fit
+
+        # freq(rank) = 48 / rank for ranks 1..4 → ln-ln slope = -1
+        words = []
+        for w, f in [("a", 48), ("b", 24), ("c", 16), ("d", 12)]:
+            words += [w] * f
+        df = spark.createDataFrame(
+            [("s", " ".join(words))], ["source", "text"]
+        )
+        r = zipf_fit(df, "text", "source").collect()[0]
+        assert r.n_ranks == 4
+        assert abs(r.slope + 1.0) < 0.01  # integerized lns, tiny bias
+        assert r.r2 > 0.999
+
+    def test_tokenizer_fertility_counts(self, spark):
+        from drune_spark.operators.bpe import tokenizer_fertility
+
+        df = spark.createDataFrame(
+            [("en", "abab ab"), ("de", "cd")], ["lang", "text"]
+        )
+        # merge 'a b' -> 'ab': "abab" = ' a b a b ' merges only the
+        # FIRST pair (non-overlapping left scan consumes the shared
+        # space) → [ab, a, b]; "ab" → [ab]; "cd" stays [c, d]
+        out = {r.lang: r for r in tokenizer_fertility(
+            df, [("a b", "ab")], group_col="lang"
+        ).collect()}
+        assert (out["en"].n_words, out["en"].n_tokens) == (2, 4)
+        assert out["en"].n_chars == 6
+        assert out["de"].n_tokens == 2
+        assert out["en"].fertility_ppm == 4 * 1000000 // 2
