@@ -88,8 +88,34 @@ def ngram_jaccard_pairs(
     a true Jaccard over the capped shingle universe — and the join cost
     is bounded by cap × |distinct shingles|. None = exact (audit scale
     only)."""
-    sh = _doc_shingles(df, text_col, id_col, k)
-    exploded = sh.select("doc", F.explode("shingles").alias("shingle"))
+    # Codegen shingle build (no higher-order functions): HOF lambdas
+    # evaluate INTERPRETED — word_shingles' transform costs ~1.4s/pass
+    # at sf0.1 where the position-explode + per-row element_at form is
+    # fully whole-stage-codegen'd. The per-doc array_distinct becomes a
+    # (doc, shingle) DISTINCT — one extra exchange the self-join's
+    # shingle shuffle amortizes. Minhash keeps the array/fold form (it
+    # needs per-doc arrays and is shuffle-free by design).
+    from drune_spark.functions.partitioning import fan_out
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = fan_out(df).select(F.col(id_col).alias("doc"), toks.alias("__t"))
+    nsh = F.size(F.col("__t")) - (k - 1)
+    pos = base.select(
+        "doc",
+        "__t",
+        F.explode(
+            F.when(nsh >= 1, F.sequence(F.lit(1), nsh)).otherwise(
+                F.expr("cast(array() as array<int>)")
+            )
+        ).alias("i"),
+    )
+    exploded = pos.select(
+        "doc",
+        F.concat_ws(
+            " ",
+            *[F.element_at(F.col("__t"), F.col("i") + j) for j in range(k)],
+        ).alias("shingle"),
+    ).distinct()
     if max_shingle_df is not None:
         # The hot set is tiny (only shingles above the cap) → broadcast
         # anti-join; the df count itself is one partial-aggregated

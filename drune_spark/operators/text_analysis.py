@@ -618,40 +618,44 @@ def ngram_diversity(
     """
     from drune_spark.functions.hashes import md5_u32
 
-    toks = tokens(F.lower(F.col(text_col)))
-
-    def _tag(n: int):
-        # NOTE: a `lambda i, n=n:` default would make the lambda
-        # 2-ary and Spark's HOF bridge would bind BOTH as lambda
-        # variables — close over n with a factory instead.
-        return lambda i: F.struct(
+    # Two plain explodes, zero higher-order functions: HOF lambdas run
+    # INTERPRETED (outside whole-stage codegen) and measured 18.9s for
+    # this op at sf0.1; the position-explode + per-row element_at form
+    # stays fully codegen'd (~1s). Row 1: every token position; row 2:
+    # one (n, gram) struct per size, NULL gram where the window runs
+    # off the end (filtered — counts match the windowed form exactly).
+    t = F.col("__t")
+    i = F.col("i")
+    base = df.select(
+        F.col(group_col), tokens(F.lower(F.col(text_col))).alias("__t")
+    )
+    pos = base.select(
+        group_col, "__t",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1))))
+        .alias("i"),
+    )
+    gram_structs = [
+        F.struct(
             F.lit(n).alias("n"),
-            F.concat_ws(
-                " ",
-                *[F.element_at(toks, i + j + 1) for j in range(n)],
+            F.when(
+                i + (n - 1) <= F.size(t),
+                F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
             ).alias("gram"),
         )
-
-    tagged = []
-    for n in range(1, max_n + 1):
-        cnt = F.size(toks) - (n - 1)
-        idx = F.when(cnt >= 1, F.sequence(F.lit(0), cnt - 1)).otherwise(
-            F.expr("cast(array() as array<int>)")
+        for n in range(1, max_n + 1)
+    ]
+    grams = (
+        pos.select(
+            group_col, F.explode(F.array(*gram_structs)).alias("g")
         )
-        tagged.append(
-            # a struct member built inside a lambda drops field names —
-            # cast restores them (kmeans.py trap)
-            F.transform(idx, _tag(n)).cast(
-                "array<struct<n:int,gram:string>>"
-            )
+        .filter(F.col("g.gram").isNotNull())
+        .select(
+            group_col,
+            F.col("g.n").alias("n"),
+            md5_u32(F.col("g.gram")).alias("h"),
         )
-    grams = df.select(
-        F.col(group_col),
-        F.explode(F.concat(*tagged)).alias("g"),
-    ).select(
-        group_col,
-        F.col("g.n").alias("n"),
-        md5_u32(F.col("g.gram")).alias("h"),
     )
     return grams.groupBy(group_col, "n").agg(
         F.count(F.lit(1)).alias("n_total"),
