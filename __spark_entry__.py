@@ -6269,6 +6269,100 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding (features.py woe_encode): per
+    customer nation, the smoothed log-odds of an URGENT order — the
+    credit-scoring categorical encoder, companion to the LOO target
+    encoder. Integer-count odds ratio; one shared ln(num/den) chain
+    floored to micro units."""
+    _tune(spark)
+    from drune_spark.operators.features import woe_encode
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    joined = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_nationkey",
+        F.col("o_orderpriority").startswith("1-").alias("is_urgent"),
+    )
+    return woe_encode(joined, "c_nationkey", "is_urgent")
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core decomposition (graph.py kcore, Seidman
+    1983): 3 level-synchronous peels of the co-purchase part graph
+    (the bfs_khop edge derivation), keeping parts whose within-core
+    degree stays >= 4 — the density screen that distinguishes hub
+    products from chains. All-integer; the oracle replays every peel
+    in unrolled CTEs (pagerank pattern)."""
+    _tune(spark)
+    from drune_spark.operators.graph import kcore
+
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    out = kcore(edges, k=4, rounds=3)
+    return out.select(F.col("node").alias("p_partkey"), "degree")
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 3) -> str:
+    """SQL replay of operators/graph.py kcore over the co-purchase
+    graph — one (degree, survivors) CTE pair per peel round, generated
+    from the same constants as the Spark loop (pagerank_int oracle
+    pattern)."""
+    parts = [
+        """
+        WITH lp AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        d1 AS (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM e GROUP BY src
+        ),
+        s1 AS (SELECT node, degree FROM d1 WHERE degree >= {k})
+        """.format(k=k)
+    ]
+    for r in range(2, rounds + 1):
+        parts.append(
+            """,
+        d{r} AS (
+            SELECT e.src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM e JOIN s{p} x ON e.src = x.node
+                   JOIN s{p} y ON e.dst = y.node
+            GROUP BY e.src
+        ),
+        s{r} AS (SELECT node, degree FROM d{r} WHERE degree >= {k})
+            """.format(r=r, p=r - 1, k=k)
+        )
+    parts.append(
+        "SELECT node AS p_partkey, degree FROM s{r}".format(r=rounds)
+    )
+    return "".join(parts)
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility audit (bpe.py
     tokenizer_fertility): subword tokens per word and chars per token
@@ -6505,6 +6599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "zipf_fit": q_zipf_fit,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "kcore": q_kcore,
+        "woe_encode": q_woe_encode,
         # -- r5 window: never-driver-verified (next 50) ------------------------
         "redact_pii": q_redact_pii,
         "doc_chunks": q_doc_chunks,
@@ -7795,6 +7891,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM tok GROUP BY token
+        """,
+        "kcore": _kcore_oracle(),
+        "woe_encode": """
+            WITH j AS (
+                SELECT c.c_nationkey,
+                       CASE WHEN o.o_orderpriority LIKE '1-%'
+                            THEN 1 ELSE 0 END AS y
+                FROM orders o JOIN customer c
+                  ON o.o_custkey = c.c_custkey
+            ),
+            cells AS (
+                SELECT c_nationkey,
+                       CAST(SUM(y) AS BIGINT) AS n_pos,
+                       CAST(SUM(1 - y) AS BIGINT) AS n_neg
+                FROM j GROUP BY c_nationkey
+            ),
+            tot AS (
+                SELECT CAST(SUM(y) AS BIGINT) AS t_pos,
+                       CAST(SUM(1 - y) AS BIGINT) AS t_neg
+                FROM j
+            )
+            SELECT c_nationkey, n_pos, n_neg,
+                   CAST(floor(ln(
+                        CAST((2 * n_pos + 1) * (2 * t_neg + 1)
+                             AS DOUBLE)
+                        / CAST((2 * n_neg + 1) * (2 * t_pos + 1)
+                               AS DOUBLE)
+                   ) * 1000000.0) AS BIGINT) AS woe_micro
+            FROM cells CROSS JOIN tot
         """,
         "tokenizer_fertility": f"""
             {{bpe_ctes}},

@@ -246,6 +246,8 @@ BENCH_QUERIES = [
     "ndcg_eval",
     "zipf_fit",
     "tokenizer_fertility",
+    "kcore",
+    "woe_encode",
 ]
 
 

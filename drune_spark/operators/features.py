@@ -160,3 +160,50 @@ def target_encode_loo(
             F.expr(f"(__sum_g - {target_int_col}) div (n_cat - 1)"),
         ).alias("loo_enc"),
     )
+
+
+def woe_encode(
+    df: DataFrame,
+    category_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Weight-of-evidence encoding of a categorical feature against a
+    binary label (the credit-scoring / feature-engineering standard):
+
+        woe_c = ln( P(c | pos) / P(c | neg) )
+
+    with half-count Laplace smoothing so empty cells stay finite.
+    Exact cross-engine arithmetic: the smoothed odds ratio is formed
+    from INTEGER counts doubled to absorb the +0.5 smoothing —
+    num = (2·pos_c+1)·(2·NEG+1), den = (2·neg_c+1)·(2·POS+1) — and the
+    only float work is ONE shared-op-order chain ln(num/den) floored
+    to integer micro units (ln is libm-bit-identical across engines;
+    the zipf_fit precedent).
+
+    One category-cell aggregate + a broadcast 1-row totals frame; rows
+    never shuffle twice. Returns (category_col, n_pos, n_neg,
+    woe_micro).
+    """
+    y = F.col(label_col).cast("int")
+    cells = df.groupBy(category_col).agg(
+        F.sum(y).cast("long").alias("n_pos"),
+        F.sum(1 - y).cast("long").alias("n_neg"),
+    )
+    totals = df.agg(
+        F.sum(y).cast("long").alias("t_pos"),
+        F.sum(1 - y).cast("long").alias("t_neg"),
+    )
+    return cells.join(F.broadcast(totals)).select(
+        category_col,
+        "n_pos",
+        "n_neg",
+        F.floor(
+            F.log(
+                ((2 * F.col("n_pos") + 1) * (2 * F.col("t_neg") + 1))
+                .cast("double")
+                / ((2 * F.col("n_neg") + 1) * (2 * F.col("t_pos") + 1))
+                .cast("double")
+            )
+            * 1000000.0
+        ).cast("long").alias("woe_micro"),
+    )

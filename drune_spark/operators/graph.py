@@ -242,3 +242,42 @@ def bfs_khop(
         prev_nxt.unpersist()
     edge_list.unpersist()
     return visited
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peeling over a SYMMETRIC edge list (both
+    directions present): each round drops nodes whose degree within
+    the surviving subgraph is < k, the level-synchronous form of the
+    classic k-core decomposition (Seidman 1983). ``rounds`` bounds the
+    peel (real cores converge in a few rounds on power-law graphs; a
+    fixed bound keeps the unrolled plan — and the oracle's unrolled
+    CTEs — finite and engine-identical even when unconverged).
+
+    Lazy unrolled rounds with persist marks (the bfs_khop shape): each
+    round is edges ⋈ survivors (both endpoints) + a node-cell degree
+    count — shuffle carries (node, count) cells. Returns (node,
+    degree) for nodes alive after the last round, with their
+    within-subgraph degree from that round.
+    """
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    deg = e0.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    survivors = deg.filter(F.col("degree") >= k).persist()
+    for _ in range(1, rounds):
+        alive = survivors.select("node")
+        e = (
+            e0.join(alive.withColumnRenamed("node", "a"), "a")
+            .join(alive.withColumnRenamed("node", "b"), "b")
+        )
+        deg = e.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        survivors = deg.filter(F.col("degree") >= k).persist()
+    return survivors

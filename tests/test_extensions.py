@@ -3224,3 +3224,41 @@ class TestRound5Ops:
         assert out["en"].n_chars == 6
         assert out["de"].n_tokens == 2
         assert out["en"].fertility_ppm == 4 * 1000000 // 2
+
+    def test_kcore_peels_chain_keeps_clique(self, spark):
+        from drune_spark.operators.graph import kcore
+
+        # 4-clique (every node degree 3) + a pendant chain 4-5-6
+        clique = [(a, b) for a in range(4) for b in range(4) if a != b]
+        chain = [(0, 4), (4, 0), (4, 5), (5, 4), (5, 6), (6, 5)]
+        df = spark.createDataFrame(clique + chain, ["src", "dst"])
+        out = {r.node: r.degree for r in kcore(df, k=3, rounds=3).collect()}
+        # chain nodes peel away (degree < 3), clique survives at deg 3
+        assert set(out) == {0, 1, 2, 3}
+        assert all(d == 3 for d in out.values())
+
+    def test_kcore_everything_below_k_empties(self, spark):
+        from drune_spark.operators.graph import kcore
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2)], ["src", "dst"]
+        )
+        assert kcore(df, k=2, rounds=3).count() == 0
+
+    def test_woe_encode_hand_computed(self, spark):
+        import math
+        from drune_spark.operators.features import woe_encode
+
+        rows = [("a", 1)] * 3 + [("a", 0)] * 1 + [("b", 1)] * 1 + [
+            ("b", 0)
+        ] * 3
+        df = spark.createDataFrame(rows, ["cat", "y"])
+        out = {r.cat: r for r in woe_encode(df, "cat", "y").collect()}
+        assert (out["a"].n_pos, out["a"].n_neg) == (3, 1)
+        # woe_a = ln((2*3+1)*(2*4+1) / ((2*1+1)*(2*4+1))) = ln(7/3)
+        assert out["a"].woe_micro == math.floor(
+            math.log((7 * 9) / (3 * 9)) * 1e6
+        )
+        assert out["b"].woe_micro == math.floor(
+            math.log((3 * 9) / (7 * 9)) * 1e6
+        )
