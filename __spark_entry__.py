@@ -6269,6 +6269,60 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment near-dup pairs (dedup.py containment_pairs):
+    |A∩B|/|A| ≥ 0.8 over word-3-gram shingles — the ASYMMETRIC screen
+    that catches a small document wholly embedded in a larger one,
+    which symmetric Jaccard's union term drowns. Both directions
+    emitted; all-integer ppm; same cell-sized shuffle economics as the
+    Jaccard path."""
+    _tune(spark)
+    from drune_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, min_containment_ppm=800_000,
+    )
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors whose cosine
+    against ANY held-out eval vector (vec_id < 20, broadcast) clears
+    0.4 — the semantic complement of the n-gram `decontaminate`
+    screen (paraphrased eval leakage that shares no 8-gram). Per
+    contaminated vector: the best-matching eval id + cosine
+    (deterministic argmax: cosine desc, eval id asc). Corpus scans
+    once against the broadcast eval set; never pairs corpus×corpus."""
+    _tune(spark)
+    from drune_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    evalset = emb.filter("vec_id < 20").select(
+        F.col("vec_id").alias("eval_id"),
+        to_double_array(F.col("embedding")).alias("ev"),
+    )
+    corpus = emb.filter("vec_id >= 20").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    scored = corpus.join(F.broadcast(evalset)).select(
+        "vec_id", "eval_id",
+        cosine_similarity(F.col("v"), F.col("ev")).alias("cosine"),
+    ).filter(F.col("cosine") >= 0.4)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("eval_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "eval_id", "cosine")
+    )
+
+
 def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence encoding (features.py woe_encode): per
     customer nation, the smoothed log-odds of an URGENT order — the
@@ -6601,6 +6655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "kcore": q_kcore,
         "woe_encode": q_woe_encode,
+        "containment": q_containment,
+        "decontaminate_semantic": q_decontaminate_semantic,
         # -- r5 window: never-driver-verified (next 50) ------------------------
         "redact_pii": q_redact_pii,
         "doc_chunks": q_doc_chunks,
@@ -7893,6 +7949,57 @@ def oracle_sql() -> dict[str, str]:
             FROM tok GROUP BY token
         """,
         "kcore": _kcore_oracle(),
+        "containment": f"""
+            WITH toksd AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id AS doc,
+                       concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+                FROM toksd, UNNEST(generate_series(1,
+                     greatest(len(w) - 2, 0))) AS t(i)
+            ),
+            sizes AS (
+                SELECT doc, CAST(count(*) AS BIGINT) AS n
+                FROM sh GROUP BY doc
+            ),
+            inter AS (
+                SELECT a.doc AS id_a, b.doc AS id_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc <> b.doc
+                GROUP BY a.doc, b.doc
+            )
+            SELECT id_a, id_b, n_common, s.n AS size_a,
+                   CAST(n_common * 1000000 // s.n AS BIGINT)
+                       AS containment_ppm
+            FROM inter JOIN sizes s ON inter.id_a = s.doc
+            WHERE n_common * 1000000 // s.n >= 800000
+        """,
+        "decontaminate_semantic": """
+            WITH ev AS (
+                SELECT vec_id AS eval_id,
+                       CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id < 20
+            ),
+            c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id >= 20
+            ),
+            scored AS (
+                SELECT c.vec_id, ev.eval_id,
+                       list_cosine_similarity(c.v, ev.e) AS cosine
+                FROM c, ev
+            ),
+            hits AS (
+                SELECT vec_id, eval_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY cosine DESC, eval_id ASC) AS rn
+                FROM scored WHERE cosine >= 0.4
+            )
+            SELECT vec_id, eval_id, cosine FROM hits WHERE rn = 1
+        """,
         "woe_encode": """
             WITH j AS (
                 SELECT c.c_nationkey,

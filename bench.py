@@ -248,6 +248,8 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "kcore",
     "woe_encode",
+    "containment",
+    "decontaminate_semantic",
 ]
 
 

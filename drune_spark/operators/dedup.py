@@ -1140,3 +1140,86 @@ def incremental_minhash_dedup(
             .alias("is_dup"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_containment_ppm: int = 800_000,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Broder CONTAINMENT near-dup pairs — the asymmetric companion to
+    ``ngram_jaccard_pairs``: containment(A→B) = |A∩B| / |A|. Symmetric
+    Jaccard misses a small document wholly embedded in a much larger
+    one (the union term drowns the overlap); containment is exactly
+    the sub-document-duplication screen (quote farms, boilerplate
+    wrappers, doc-in-doc scrapes). Emits BOTH directions of every
+    qualifying ordered pair, all-integer ppm.
+
+    Same machinery as the Jaccard path (codegen shingle cells,
+    persisted, hot-shingle cap available) — only the final normalizer
+    changes, so the shuffle economics are identical: shingle-keyed
+    self-join, cell-sized everything.
+
+    Returns (id_a, id_b, n_common, size_a, containment_ppm) with
+    containment measured A→B (id_a's shingles found in id_b);
+    id_a != id_b, both directions emitted independently.
+    """
+    from drune_spark.functions.partitioning import fan_out
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = fan_out(df).select(F.col(id_col).alias("doc"), toks.alias("__t"))
+    nsh = F.size(F.col("__t")) - (k - 1)
+    pos = base.select(
+        "doc",
+        "__t",
+        F.explode(
+            F.when(nsh >= 1, F.sequence(F.lit(1), nsh)).otherwise(
+                F.expr("cast(array() as array<int>)")
+            )
+        ).alias("i"),
+    )
+    exploded = pos.select(
+        "doc",
+        F.concat_ws(
+            " ",
+            *[F.element_at(F.col("__t"), F.col("i") + j) for j in range(k)],
+        ).alias("shingle"),
+    ).distinct()
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(
+            F.broadcast(hot), on="shingle", how="left_anti"
+        )
+    exploded = exploded.persist()
+    sizes = exploded.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    inter = (
+        exploded.alias("a")
+        .join(exploded.alias("b"),
+              (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.doc") != F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc", "id_a")
+                 .withColumnRenamed("n_shingles", "size_a"),
+            "id_a",
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("n_common * 1000000 div size_a"),
+        )
+        .filter(F.col("containment_ppm") >= min_containment_ppm)
+        .select("id_a", "id_b", "n_common", "size_a", "containment_ppm")
+    )

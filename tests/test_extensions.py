@@ -3262,3 +3262,19 @@ class TestRound5Ops:
         assert out["b"].woe_micro == math.floor(
             math.log((3 * 9) / (7 * 9)) * 1e6
         )
+
+    def test_containment_is_asymmetric(self, spark):
+        from drune_spark.operators.dedup import containment_pairs
+
+        small = "alpha beta gamma delta epsilon"          # 3 shingles
+        big = small + " zeta eta theta iota kappa " + \
+            "lam mu nu xi omicron pi rho sigma tau"
+        df = spark.createDataFrame(
+            [(1, small), (2, big)], ["doc_id", "text"]
+        )
+        rows = {(r.id_a, r.id_b): r for r in containment_pairs(
+            df, "text", "doc_id", k=3, min_containment_ppm=500_000
+        ).collect()}
+        # small ⊂ big: containment(1→2) = 1.0; big→small far below
+        assert rows[(1, 2)].containment_ppm == 1_000_000
+        assert (2, 1) not in rows
