@@ -85,26 +85,48 @@ def quality_score(col: Column) -> Column:
 
 
 def lang_scores(col: Column) -> dict[str, Column]:
-    """Marker-word hit count per language over lowercased tokens."""
+    """Marker-word hit count per language over lowercased tokens.
+
+    Occurrences of marker m = size(toks) − size(array_remove(toks, m)),
+    summed per language — pure non-lambda array expressions, so the
+    whole thing stays inside whole-stage codegen AND codegen CSE
+    evaluates the split() once per row. (The previous
+    size(filter(toks, isin)) form ran INTERPRETED — HOF lambdas sit
+    outside codegen and CSE — re-splitting the text per language;
+    measured 2.5s → ~1s on the sf0.1 confusion gate.) Values are
+    identical: both count total occurrences, not distinct markers."""
     toks = tokens(F.lower(col))
-    return {
-        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
-        for lang, markers in LANG_MARKERS.items()
-    }
+    n = F.size(toks)
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = F.lit(0)
+        for m in markers:
+            score = score + (n - F.size(F.array_remove(toks, m)))
+        out[lang] = score
+    return out
 
 
 def lang_id(col: Column) -> Column:
     """argmax over language marker scores; ties break by language code
-    order (deterministic)."""
+    order (deterministic).
+
+    ONE lexicographic ``greatest`` over (score, -code_index) structs —
+    each score referenced exactly once. (The previous when-chain
+    referenced the running best TWICE per step, doubling the
+    expression tree per language: 2⁵ copies of the early scores,
+    measured 3.8s vs 1.5s at sf0.1 for the identical result. Max on
+    (score, -i) == strict-> chain keeping the earliest code on ties.)"""
     scores = lang_scores(col)
-    best_lang = F.lit("und")
-    best_score = F.lit(-1)
-    for lang in sorted(scores):  # ascending; strict > keeps earliest on ties
-        score = scores[lang]
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    langs = sorted(scores)
+    entries = [
+        F.struct(
+            scores[lang].alias("s"),
+            F.lit(-i).alias("ni"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    return F.greatest(*entries)["lang"]
 
 
 # --------------------------------------------------------------------------
