@@ -563,17 +563,26 @@ def freq_spectrum(
     """
     from drune_spark.functions.hashes import md5_u32
 
+    # Position explode + per-row element_at, no HOF lambdas: the
+    # transform form ran interpreted (md5 + slice re-splitting the
+    # text per element — the ngram_diversity lesson).
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks) - F.lit(ngram - 1)
+    t, i = F.col("__t"), F.col("i")
+    n = F.size(t) - F.lit(ngram - 1)
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.expr("cast(array() as array<int>)")
     )
-    grams = F.transform(
-        idx,
-        lambda i: md5_u32(F.concat_ws(" ", F.slice(toks, i, ngram))),
-    )
     wc = (
-        df.select(F.explode(grams).alias("word"))
+        df.select(toks.alias("__t"))
+        .select("__t", F.explode(idx).alias("i"))
+        .select(
+            md5_u32(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(t, i + j) for j in range(ngram)],
+                )
+            ).alias("word")
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("r"))
     )
