@@ -6629,6 +6629,217 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_j1_join_agg(spark, SF001)
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (similarity.py mmr_rerank,
+    Carbonell & Goldstein 1998): 3 queries retrieve brute-force top-20,
+    then a λ=0.7 greedy diversification picks 8 — relevance and
+    pairwise sims are the proven bit-deterministic cosine folds floored
+    to integer ppm, the greedy argmax chain runs in python ints inside
+    one cogrouped applyInPandas cell per query, and the oracle replays
+    the selection as an 8-stage unrolled argmax CTE over the same
+    integer tables."""
+    _tune(spark)
+    from drune_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id < 3").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return mmr_rerank(emb, queries_df, k=8, n_candidates=20)
+
+
+def _mmr_oracle(n_queries: int = 3, top: int = 20, k: int = 8,
+                lam: int = 700_000) -> str:
+    """Unrolled k-stage greedy argmax CTE replaying mmr_rerank: stage m
+    scores every unselected candidate as λ·rel − (1−λ)·max sim to the
+    m−1 already-selected, then takes the (objective desc, cand asc)
+    argmax — the ivf_train/pagerank pattern (iterative operator, both
+    sides generated from the same constants)."""
+    mu = 1_000_000 - lam
+    parts = [f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < {n_queries}
+            ),
+            c AS (
+                SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings
+            ),
+            scored AS MATERIALIZED (
+                SELECT query_id, neighbor_id,
+                       list_cosine_similarity(cv, qv) AS cosine
+                FROM c, q WHERE neighbor_id <> query_id
+            ),
+            cand AS MATERIALIZED (
+                SELECT query_id, neighbor_id AS cand,
+                       CAST(floor(cosine * 1000000) AS BIGINT) AS rel_ppm
+                FROM (SELECT query_id, neighbor_id, cosine,
+                             row_number() OVER (
+                                 PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+                      FROM scored)
+                WHERE rn <= {top}
+            ),
+            vx AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+            sims AS MATERIALIZED (
+                SELECT a.query_id, a.cand AS ca, b.cand AS cb,
+                       CAST(floor(list_cosine_similarity(va.v, vb.v)
+                                  * 1000000) AS BIGINT) AS sim_ppm
+                FROM cand a
+                JOIN cand b ON a.query_id = b.query_id AND a.cand <> b.cand
+                JOIN vx va ON va.vec_id = a.cand
+                JOIN vx vb ON vb.vec_id = b.cand
+            ),
+            sel1 AS MATERIALIZED (
+                SELECT query_id, cand,
+                       CAST({lam} AS BIGINT) * rel_ppm AS objective
+                FROM (SELECT query_id, cand, rel_ppm,
+                             row_number() OVER (
+                                 PARTITION BY query_id
+                                 ORDER BY rel_ppm DESC, cand) AS rn
+                      FROM cand)
+                WHERE rn = 1
+            ),
+            prev1 AS MATERIALIZED (SELECT query_id, cand FROM sel1)"""]
+    for m in range(2, k + 1):
+        parts.append(f""",
+            stage{m} AS MATERIALIZED (
+                SELECT r.query_id, r.cand,
+                       CAST({lam} AS BIGINT) * r.rel_ppm
+                           - CAST({mu} AS BIGINT) * MAX(s.sim_ppm)
+                           AS objective
+                FROM cand r
+                JOIN sims s
+                  ON s.query_id = r.query_id AND s.ca = r.cand
+                JOIN prev{m - 1} p
+                  ON p.query_id = s.query_id AND p.cand = s.cb
+                LEFT JOIN prev{m - 1} x
+                  ON x.query_id = r.query_id AND x.cand = r.cand
+                WHERE x.cand IS NULL
+                GROUP BY r.query_id, r.cand, r.rel_ppm
+            ),
+            sel{m} AS MATERIALIZED (
+                SELECT query_id, cand, objective
+                FROM (SELECT query_id, cand, objective,
+                             row_number() OVER (
+                                 PARTITION BY query_id
+                                 ORDER BY objective DESC, cand) AS rn
+                      FROM stage{m})
+                WHERE rn = 1
+            ),
+            prev{m} AS MATERIALIZED (SELECT query_id, cand FROM prev{m - 1}
+                        UNION ALL SELECT query_id, cand FROM sel{m})""")
+    finals = "\n                UNION ALL ".join(
+        f"SELECT query_id, {m} AS rank, cand AS neighbor_id, objective "
+        f"FROM sel{m}" for m in range(1, k + 1)
+    )
+    parts.append(f"""
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(rank AS INTEGER) AS rank,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   objective
+            FROM ({finals})""")
+    return "".join(parts)
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality bucketing (text_analysis.py
+    unigram_surprisal, Wenzek et al. 2020 §4.4): corpus-trained
+    integer floor-log2 token surprisal, doc mean in milli-bits,
+    head/middle/tail tercile split via exact percentile cutoffs
+    (== DuckDB quantile_cont bit-for-bit) — no ln/libm anywhere, so
+    both engines agree digit-exactly."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+def q_lexicon_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-list content screen (text_analysis.py lexicon_screen, the
+    C4 badwords-filter shape): per-doc lexicon hit rate in integer
+    ppm, doc flags at 6% density, per-source rollup — counting via
+    the codegen size/array_remove identity, one corpus pass."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import lexicon_screen
+
+    return lexicon_screen(_t(spark, sf_dir, "documents"))
+
+
+def q_boilerplate_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency boilerplate removal (text_analysis.py
+    boilerplate_df_filter, RefinedWeb §3.2): 20-word segments occurring
+    in ≥2 distinct docs drop from EVERY doc (segment_dedup's
+    keep-one complement); per-doc segment/kept stats."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import boilerplate_df_filter
+
+    return boilerplate_df_filter(_t(spark, sf_dir, "documents"))
+
+
+def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-filter attrition report (text_analysis.py
+    filter_cascade — the RefinedWeb/Gopher pipeline-design artifact):
+    docs charged to the FIRST failing stage of min-tokens → mean word
+    length → function-word presence → exact-dup; per-stage
+    in/dropped/out counts, integer-exact."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import filter_cascade
+
+    return filter_cascade(_t(spark, sf_dir, "documents"))
+
+
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private counts via the geometric mechanism
+    (privacy.py dp_noisy_counts, Ghosh et al. 2009): per-nation
+    customer counts + discrete-Laplace noise (ε = ln 2) drawn as the
+    difference of two leading-ones Geometric(1/2) draws from seeded
+    md5 words — integer-only, reproducible, engine-exact."""
+    _tune(spark)
+    from drune_spark.operators.privacy import dp_noisy_counts
+
+    return dp_noisy_counts(
+        _t(spark, sf_dir, "customer"), ["c_nationkey"], salt="dp1"
+    )
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering with round-robin source
+    interleave (sampling.py curriculum_order, Bengio et al. 2009):
+    short→long length bands, per-(band, source) round-robin index,
+    total order (band, rr, source, id) — first 100 rows via
+    TakeOrdered (no global sort/window)."""
+    _tune(spark)
+    from drune_spark.operators.sampling import curriculum_order
+
+    out = curriculum_order(_t(spark, sf_dir, "documents"))
+    return out.orderBy("band", "rr", "source", "doc_id").limit(100)
+
+
+LATERAL_TOPK_SQL = """
+    SELECT n_name, c_name, c_acctbal
+    FROM nation, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 3
+    ) top3
+"""
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — ONE shared
+    ANSI text on both engines (the recursive_reachability pattern):
+    per-nation top-3 customers by account balance, decorrelated by
+    Spark into the usual ranked-window plan. Shared text IS the
+    determinism guarantee; raw double comparisons only, no
+    arithmetic."""
+    _tune(spark)
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(LATERAL_TOPK_SQL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -6645,6 +6856,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail, the next never-verified block moves up."""
     return {
         # -- new in round 5 (never driver-verified) ------------------------
+        "mmr_rerank": q_mmr_rerank,
+        "unigram_surprisal": q_unigram_surprisal,
+        "lexicon_screen": q_lexicon_screen,
+        "boilerplate_df": q_boilerplate_df,
+        "filter_cascade": q_filter_cascade,
+        "dp_counts": q_dp_counts,
+        "curriculum_order": q_curriculum_order,
+        "lateral_topk": q_lateral_topk,
         "video_decode": q_video_decode,
         "cusum_monitor": q_cusum_monitor,
         "t_closeness": q_t_closeness,
@@ -7238,6 +7457,237 @@ def oracle_sql() -> dict[str, str]:
             f" ' ' || (SELECT replace(pair, ' ', '') FROM b{s}) || ' ')"
         )
     d = {
+        # -- round-5 third-session entries -----------------------------
+        "mmr_rerank": _mmr_oracle(n_queries=3, top=20, k=8, lam=700_000),
+        "unigram_surprisal": """
+            WITH tok AS (
+                SELECT doc_id,
+                       UNNEST(regexp_split_to_array(trim(text), '\\s+'))
+                           AS token
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+            vocab AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS n_t
+                FROM tok2 GROUP BY token
+            ),
+            total AS (
+                SELECT CAST(SUM(n_t) AS BIGINT) AS n_corpus FROM vocab
+            ),
+            bits AS (
+                SELECT token,
+                       CAST(length(printf('%b', n_corpus // n_t))
+                            AS BIGINT) AS surprisal_bits
+                FROM vocab, total
+            ),
+            doc AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(SUM(surprisal_bits) AS BIGINT) AS sum_bits
+                FROM tok2 JOIN bits USING (token)
+                GROUP BY doc_id
+            ),
+            doc2 AS (
+                SELECT doc_id, n_tokens, sum_bits,
+                       sum_bits * 1000 // n_tokens AS mean_millibits
+                FROM doc
+            ),
+            cuts AS (
+                SELECT quantile_cont(mean_millibits, CAST(1.0/3 AS DOUBLE))
+                           AS c1,
+                       quantile_cont(mean_millibits, CAST(2.0/3 AS DOUBLE))
+                           AS c2
+                FROM doc2
+            )
+            SELECT doc_id, n_tokens, sum_bits, mean_millibits,
+                   CASE WHEN mean_millibits <= c1 THEN 'head'
+                        WHEN mean_millibits <= c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM doc2, cuts
+        """,
+        "lexicon_screen": """
+            WITH base AS (
+                SELECT source,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS w,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                       END AS n_tok
+                FROM documents
+            ),
+            scored AS (
+                SELECT source,
+                       CAST(len(w) - len(list_filter(w, x -> x <> 'slow'))
+                          + len(w) - len(list_filter(w, x -> x <> 'dup'))
+                            AS BIGINT) AS n_hits,
+                       n_tok
+                FROM base
+            ),
+            s2 AS (
+                SELECT source, n_hits,
+                       CASE WHEN n_tok > 0
+                            THEN n_hits * 1000000 // n_tok
+                            ELSE 0 END AS hit_ppm
+                FROM scored
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN hit_ppm >= 60000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_flagged,
+                   CAST(SUM(CASE WHEN hit_ppm >= 60000 THEN 1 ELSE 0 END)
+                        AS BIGINT) * 1000000
+                       // CAST(count(*) AS BIGINT) AS flag_count_ppm,
+                   CAST(SUM(n_hits) AS BIGINT) AS tot_hits,
+                   MAX(hit_ppm) AS max_hit_ppm
+            FROM s2 GROUP BY source
+        """,
+        "boilerplate_df": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            t2 AS (
+                SELECT doc_id, w,
+                       (len(w) + 19) // 20 AS n_segments
+                FROM toks
+            ),
+            segs AS (
+                SELECT doc_id, n_segments, i AS pos,
+                       array_to_string(w[(i*20+1):(i*20+20)], ' ') AS seg
+                FROM t2, LATERAL (SELECT UNNEST(range(n_segments)) AS i)
+            ),
+            dfreq AS (
+                SELECT seg, count(DISTINCT doc_id) AS df_docs
+                FROM segs GROUP BY seg
+            ),
+            tagged AS (
+                SELECT s.doc_id, s.n_segments,
+                       CASE WHEN d.df_docs >= 2 THEN 1 ELSE 0 END
+                           AS is_boiler,
+                       length(s.seg) AS seg_chars
+                FROM segs s JOIN dfreq d ON s.seg = d.seg
+            )
+            SELECT doc_id,
+                   CAST(MIN(n_segments) AS INTEGER) AS n_segments,
+                   CAST(SUM(is_boiler) AS BIGINT) AS n_boiler,
+                   CAST(MIN(n_segments) AS BIGINT)
+                       - CAST(SUM(is_boiler) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN is_boiler = 0 THEN seg_chars
+                                 ELSE 0 END) AS BIGINT) AS kept_chars
+            FROM tagged GROUP BY doc_id
+        """,
+        "filter_cascade": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                       END AS n_tok,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                               'g'))) AS fp
+                FROM documents
+            ),
+            keepf AS (
+                SELECT fp, MIN(doc_id) AS keep_id FROM base GROUP BY fp
+            ),
+            staged AS (
+                SELECT b.doc_id,
+                       (b.n_tok >= 10) AS c1,
+                       (list_sum(list_transform(b.w, x -> length(x)))
+                            <= b.n_tok * 8) AS c2,
+                       (len(b.w) - len(list_filter(b.w, x -> x <> 'the'))
+                            >= 1) AS c3,
+                       (b.doc_id = k.keep_id) AS c4
+                FROM base b JOIN keepf k USING (fp)
+            ),
+            fail AS (
+                SELECT CASE WHEN NOT c1 THEN 1 WHEN NOT c2 THEN 2
+                            WHEN NOT c3 THEN 3 WHEN NOT c4 THEN 4
+                            ELSE 0 END AS fail_stage
+                FROM staged
+            ),
+            counts AS (
+                SELECT fail_stage, CAST(count(*) AS BIGINT) AS n
+                FROM fail GROUP BY fail_stage
+            ),
+            skel AS (SELECT UNNEST(range(5)) AS stage),
+            joined AS (
+                SELECT skel.stage,
+                       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_dropped
+                FROM skel LEFT JOIN counts c ON c.fail_stage = skel.stage
+            ),
+            j2 AS (
+                SELECT stage, n_dropped,
+                       CAST(SUM(n_dropped) OVER () AS BIGINT) AS n_total
+                FROM joined
+            ),
+            j3 AS (SELECT * FROM j2 WHERE stage >= 1),
+            rep AS (
+                SELECT stage, n_dropped, n_total,
+                       CAST(COALESCE(SUM(n_dropped) OVER (
+                           ORDER BY stage
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                           AS dropped_before
+                FROM j3
+            )
+            SELECT CAST(stage AS INTEGER) AS stage,
+                   CASE stage WHEN 1 THEN 'min_tokens'
+                              WHEN 2 THEN 'mean_word_len'
+                              WHEN 3 THEN 'has_function_word'
+                              WHEN 4 THEN 'exact_dup' END AS stage_name,
+                   n_total - dropped_before AS n_in,
+                   n_dropped,
+                   n_total - dropped_before - n_dropped AS n_out
+            FROM rep
+        """,
+        "dp_counts": """
+            WITH cells AS (
+                SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n
+                FROM customer GROUP BY c_nationkey
+            ),
+            u AS (
+                SELECT c_nationkey, n,
+                       ('0x' || substr(md5('dp1a' ||
+                            CAST(c_nationkey AS VARCHAR)), 1, 8))::BIGINT
+                           AS u1,
+                       ('0x' || substr(md5('dp1b' ||
+                            CAST(c_nationkey AS VARCHAR)), 1, 8))::BIGINT
+                           AS u2
+                FROM cells
+            ),
+            g AS (
+                SELECT c_nationkey, n,
+                       32 - length(printf('%b', 4294967295 - u1)) AS g1,
+                       32 - length(printf('%b', 4294967295 - u2)) AS g2
+                FROM u
+            )
+            SELECT c_nationkey, n,
+                   CAST(g1 - g2 AS BIGINT) AS noise,
+                   GREATEST(CAST(0 AS BIGINT), n + g1 - g2) AS noisy_n
+            FROM g
+        """,
+        "curriculum_order": """
+            WITH banded AS (
+                SELECT CASE WHEN n_chars < 150 THEN 0
+                            WHEN n_chars < 300 THEN 1
+                            ELSE 2 END AS band,
+                       source, doc_id, n_chars AS length
+                FROM documents
+            ),
+            rr AS (
+                SELECT band, source, doc_id, length,
+                       CAST(row_number() OVER (
+                           PARTITION BY band, source
+                           ORDER BY doc_id) AS INTEGER) AS rr
+                FROM banded
+            )
+            SELECT band, rr, source, doc_id, length
+            FROM rr ORDER BY band, rr, source, doc_id LIMIT 100
+        """,
+        "lateral_topk": LATERAL_TOPK_SQL,
         # -- round-4 entries -------------------------------------------
         "semdedup": """
             WITH e AS (

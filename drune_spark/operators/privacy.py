@@ -131,3 +131,52 @@ def t_closeness_audit(
             "t_violation", (F.col("emd_ppm") > t_ppm).cast("int")
         )
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    salt: str = "dp1",
+) -> DataFrame:
+    """Differentially-private release counts via the geometric
+    mechanism (Ghosh, Roughgarden & Sundararajan 2009 — the discrete
+    Laplace): each group count is perturbed by ``noise = G₁ − G₂``
+    where G₁, G₂ are iid Geometric(1/2) draws, giving the two-sided
+    geometric distribution with α = 1/2, i.e. ε = ln 2 per unit
+    sensitivity (count queries have sensitivity 1). Released counts
+    clamp at 0 (post-processing preserves DP).
+
+    Exactness contract: a Geometric(1/2) draw is the LEADING-ONES
+    count of a uniform 32-bit word — each further leading 1 halves the
+    probability — and the uniform words come from the portable md5_u32
+    hash of (salt || key), so the whole mechanism is integer-only and
+    engine-exact: no exp/ln, no float inverse-CDF. Leading-ones is
+    computed as ``32 − bitlength(2³²−1 − u)`` with bitlength as the
+    base-2 digit count (conv/printf parity, verified digit-exact).
+    Seeded-hash noise makes the release REPRODUCIBLE (same salt → same
+    noise), which real pipelines want for idempotent re-runs; rotate
+    the salt per release epoch for fresh draws.
+
+    Plan shape: one cell-sized groupBy; noise is row-local column
+    arithmetic on the cells. Returns (group_cols..., n, noise,
+    noisy_n) with noisy_n = max(0, n + noise).
+    """
+    from drune_spark.functions.hashes import md5_u32
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+
+    def _lead_ones(u: F.Column) -> F.Column:
+        comp = (F.lit(4294967295).cast("long") - u).cast("string")
+        return F.lit(32) - F.length(F.conv(comp, 10, 2))
+
+    g1 = _lead_ones(md5_u32(F.concat(F.lit(salt + "a"), key)))
+    g2 = _lead_ones(md5_u32(F.concat(F.lit(salt + "b"), key)))
+    cells = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    return cells.select(
+        *group_cols,
+        "n",
+        (g1 - g2).cast("long").alias("noise"),
+        F.greatest(F.lit(0).cast("long"), F.col("n") + (g1 - g2)).alias(
+            "noisy_n"
+        ),
+    )

@@ -405,3 +405,46 @@ def unimax_alloc(
         F.col("allocation").cast("long").alias("allocation"),
         F.expr("allocation * 1000000 div n_tokens").alias("epochs_ppm"),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    length_col: str = "n_chars",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    band_edges: tuple[int, int] = (150, 300),
+) -> DataFrame:
+    """Deterministic curriculum ordering with source interleave — the
+    data-ordering step of curriculum learning (Bengio et al. 2009)
+    applied the way large pretraining runs schedule corpora: documents
+    are banded easy→hard (here short→long via fixed length thresholds,
+    the classic length curriculum), and WITHIN each band sources are
+    interleaved round-robin so no contiguous run of training batches
+    comes from a single source (the shuffling guarantee data loaders
+    need without a global random shuffle).
+
+    The total order is (band, rr, source, id): rr is the per-
+    (band, source) round-robin index — a window partitioned by
+    band × source, never global, so the heaviest shuffle key is a
+    band-source cell and the op scales with partition count. A
+    consumer streams the order via ORDER BY on those columns (top-k
+    reads are TakeOrdered — no global sort materializes at any scale);
+    fixed band edges (not quantiles) keep the banding one scan.
+
+    Returns (band, rr, source, id_col, length) — the sort-key columns
+    plus identity, one row per document.
+    """
+    lo, hi = band_edges
+    banded = df.select(
+        F.when(F.col(length_col) < lo, 0)
+        .when(F.col(length_col) < hi, 1)
+        .otherwise(2)
+        .alias("band"),
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.col(length_col).alias("length"),
+    )
+    w = Window.partitionBy("band", "source").orderBy(F.col(id_col).asc())
+    return banded.withColumn("rr", F.row_number().over(w)).select(
+        "band", "rr", "source", id_col, "length"
+    )

@@ -405,3 +405,133 @@ def maxsim_topk(
         .filter(F.col("rank") <= k)
         .select(query_col, doc_col, "rank", "score_e9")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    n_candidates: int = 20,
+    lambda_ppm: int = 700_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` of the top-``n_candidates`` retrieval
+    hits per query, each round taking the candidate maximizing
+
+        λ·rel(q, c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+
+    — the diversification pass between retrieval and a RAG prompt (or
+    between ANN and a training-pair miner) that stops near-duplicate
+    hits from crowding the slate.
+
+    Exactness contract: relevance and pairwise similarities are the
+    proven bit-deterministic zip_with/aggregate cosine folds, floored
+    to integer ppm; the greedy loop then runs in pure python ints
+    (λ as ppm → objective = λ_ppm·rel_ppm − (1−λ_ppm)·sim_ppm, well
+    under 2^63), so selection order is engine-exact and the DuckDB
+    oracle replays it as a k-stage unrolled argmax CTE over the same
+    integer tables. Ties break (objective desc, candidate id asc).
+
+    Plan shape at 100 TB: candidate generation is the pinned
+    brute-force/ANN top-k path (WindowGroupLimit partials — the corpus
+    is scanned once, never shuffled whole); the pairwise-sim self-join
+    and the greedy loop touch only Q·n_candidates rows. The greedy
+    recurrence is applyInPandas over COGROUPED (rel, sim) cells per
+    query — tiny sequential state that never leaves one executor task,
+    the same tier as ewma_monitor (a greedy argmax chain is inherently
+    sequential; each pick conditions the next).
+
+    Returns (query_id, rank, neighbor_id, objective) with rank 1..k.
+    """
+    import pandas as pd
+
+    rel = brute_force_topk(
+        corpus, queries, k=n_candidates,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand"),
+        F.floor(F.col("cosine") * F.lit(1000000.0))
+        .cast("long")
+        .alias("rel_ppm"),
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("cand"),
+        to_double_array(F.col(vec_col)).alias("cv"),
+    )
+    cand_vecs = rel.select("query_id", "cand").join(vecs, "cand")
+    a = cand_vecs.alias("A")
+    b = cand_vecs.alias("B")
+    sims = (
+        a.join(
+            b,
+            (F.col("A.query_id") == F.col("B.query_id"))
+            & (F.col("A.cand") != F.col("B.cand")),
+        )
+        .select(
+            F.col("A.query_id").alias("query_id"),
+            F.col("A.cand").alias("ca"),
+            F.col("B.cand").alias("cb"),
+            F.floor(
+                cosine_similarity(F.col("A.cv"), F.col("B.cv"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("sim_ppm"),
+        )
+    )
+
+    mu_ppm = 1_000_000 - lambda_ppm
+    out_schema = "query_id long, rank int, neighbor_id long, objective long"
+
+    def _greedy(rels: pd.DataFrame, pairs: pd.DataFrame) -> pd.DataFrame:
+        if rels.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int32"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "objective": pd.Series([], dtype="int64"),
+                }
+            )
+        qid = int(rels["query_id"].iloc[0])
+        rel_of = {
+            int(c): int(r) for c, r in zip(rels["cand"], rels["rel_ppm"])
+        }
+        sim_of: dict[tuple[int, int], int] = {
+            (int(x), int(y)): int(s)
+            for x, y, s in zip(pairs["ca"], pairs["cb"], pairs["sim_ppm"])
+        }
+        selected: list[tuple[int, int]] = []
+        remaining = set(rel_of)
+        while remaining and len(selected) < k:
+            best = None
+            for c in remaining:
+                if selected:
+                    msim = max(sim_of[(c, s)] for s, _ in selected)
+                    obj = lambda_ppm * rel_of[c] - mu_ppm * msim
+                else:
+                    obj = lambda_ppm * rel_of[c]
+                key = (obj, -c)
+                if best is None or key > best[0]:
+                    best = (key, c, obj)
+            _, c, obj = best
+            selected.append((c, obj))
+            remaining.discard(c)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(selected),
+                "rank": list(range(1, len(selected) + 1)),
+                "neighbor_id": [c for c, _ in selected],
+                "objective": [o for _, o in selected],
+            }
+        )
+
+    return (
+        rel.groupby("query_id")
+        .cogroup(sims.groupby("query_id"))
+        .applyInPandas(_greedy, schema=out_schema)
+    )

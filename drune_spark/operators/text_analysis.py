@@ -753,3 +753,318 @@ def zipf_fit(
             "        * CAST(n * syy - sy * sy AS DOUBLE)) END"
         ).alias("r2"),
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM-quality bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.4): train a unigram model on the corpus itself,
+    score every document by mean per-token surprisal, and split the
+    corpus into head/middle/tail terciles — the classic
+    perplexity-partition step before sampling cleaner training data.
+
+    Exactness contract: per-token surprisal is the FLOOR-log2 bit cost
+    ``bits(N div n_t) = length(base2(N div n_t))`` — pure integer
+    division plus a base-2 digit count, so no engine's ``ln``/libm can
+    diverge (DuckDB mirrors with ``length(printf('%b', x))``; verified
+    digit-exact against Spark's ``conv(x, 10, 2)``). Doc score =
+    Σ bits · 1000 div n_tokens (integer milli-bits/token). Tercile
+    cutoffs use exact ``percentile`` (== DuckDB ``quantile_cont``
+    bit-for-bit, proven in round 3), broadcast as a single row — no
+    global row sort, no ntile single-partition window.
+
+    Plan shape at 100 TB: one corpus explode feeding a vocabulary-sized
+    aggregate (map-side partial), the (token → bits) table re-joined to
+    the token stream (AQE broadcasts it — vocabularies are small), one
+    doc-sized aggregate, and a 1-row cutoff broadcast. The exact
+    percentile over doc means is the gate's audit-scale choice; the
+    production swap is ``approx_percentile`` with the same CASE banding.
+
+    Returns (id_col, n_tokens, sum_bits, mean_millibits, bucket).
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    total = vocab.agg(F.sum("n_t").cast("long").alias("n_corpus"))
+    bits = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.length(
+                F.conv(F.expr("CAST(n_corpus div n_t AS STRING)"), 10, 2)
+            )
+            .cast("long")
+            .alias("surprisal_bits"),
+        )
+    )
+    doc = (
+        tok.join(bits, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("surprisal_bits").alias("sum_bits"),
+        )
+        .withColumn(
+            "mean_millibits",
+            F.expr("sum_bits * 1000 div n_tokens"),
+        )
+    )
+    cuts = doc.agg(
+        F.expr(
+            "percentile(mean_millibits, array(1D/3, 2D/3))"
+        ).alias("cut")
+    ).select(
+        F.col("cut")[0].alias("c1"), F.col("cut")[1].alias("c2")
+    )
+    return (
+        doc.crossJoin(F.broadcast(cuts))
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_bits",
+            "mean_millibits",
+            F.when(F.col("mean_millibits") <= F.col("c1"), F.lit("head"))
+            .when(F.col("mean_millibits") <= F.col("c2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+def lexicon_screen(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lexicon: list[str] | None = None,
+    flag_ppm: int = 60_000,
+) -> DataFrame:
+    """Word-list content screen (the C4 "bad words" filter shape,
+    Raffel et al. 2020 §2.2): per-document lexicon hit rate in integer
+    ppm of tokens, a document flag when the rate crosses ``flag_ppm``,
+    rolled up per source — the release-gate view (which slices of the
+    corpus carry flaggable density). The lexicon here is a
+    deterministic placeholder over the synthetic vocabulary; swap in a
+    real blocklist unchanged.
+
+    Per-word counting is the codegen array identity
+    ``size(toks) − size(array_remove(toks, w))`` (the langid_confusion
+    trick — no interpreted HOF lambda, no explode), so the whole
+    screen fuses into the scan: one pass, one source-sized aggregate.
+
+    Returns (source, n_docs, n_flagged, flag_count_ppm, tot_hits,
+    max_hit_ppm) per source.
+    """
+    lex = lexicon if lexicon is not None else ["slow", "dup"]
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(source_col).alias("source"),
+        toks.alias("w"),
+        token_count(F.col(text_col)).alias("n_tok"),
+    )
+    hits = None
+    for wd in lex:
+        h = F.size(F.col("w")) - F.size(F.array_remove(F.col("w"), wd))
+        hits = h if hits is None else hits + h
+    scored = base.select(
+        "source",
+        hits.cast("long").alias("n_hits"),
+        "n_tok",
+    ).withColumn(
+        "hit_ppm",
+        F.expr("CASE WHEN n_tok > 0 THEN n_hits * 1000000 div n_tok ELSE 0 END"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("hit_ppm") >= flag_ppm).cast("long")).alias("n_flagged"),
+            F.sum("n_hits").alias("tot_hits"),
+            F.max("hit_ppm").alias("max_hit_ppm"),
+        )
+        .withColumn(
+            "flag_count_ppm", F.expr("n_flagged * 1000000 div n_docs")
+        )
+        .select(
+            "source", "n_docs", "n_flagged", "flag_count_ppm",
+            "tot_hits", "max_hit_ppm",
+        )
+    )
+
+
+def boilerplate_df_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 20,
+    min_df: int = 2,
+) -> DataFrame:
+    """Document-frequency boilerplate removal (RefinedWeb, Penedo et
+    al. 2023 §3.2 / CCNet line filtering): segments whose normalized
+    text occurs in ≥ ``min_df`` DISTINCT documents are boilerplate
+    (headers, nav bars, license blocks) and are dropped from EVERY
+    document — the complement of segment_dedup (dedup.py:972), which
+    keeps a single survivor per duplicated paragraph. The corpus has no
+    paragraph breaks, so segmentation is the same deterministic
+    ``seg_words`` word windows segment_dedup uses.
+
+    Plan shape at 100 TB: the segment build is the de-HOF'd
+    position-explode (posexplode over a sequence + slice — fully
+    codegen, round-5 rule); the DF aggregate shuffles (md5 fp → 16
+    bytes + doc id) cells, never segment text; the boiler set is
+    df-capped and joined back fp-to-fp; per-doc stats are one
+    doc-sized aggregate plus a left join so fully-boilerplate docs
+    surface with n_kept = 0, not as dropped rows.
+
+    Returns (id_col, n_segments, n_boiler, n_kept, kept_chars).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),
+    ).withColumn(
+        "n_segments", F.expr(f"(size(w) + {seg_words - 1}) div {seg_words}")
+    )
+    segs = toks.select(
+        id_col,
+        "n_segments",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_segments") - 1)).alias(
+            "pos", "i"
+        ),
+        F.col("w"),
+    ).select(
+        id_col,
+        "n_segments",
+        "pos",
+        F.concat_ws(
+            " ", F.slice(F.col("w"), F.col("pos") * seg_words + 1, seg_words)
+        ).alias("seg"),
+    )
+    segs = segs.select(
+        id_col, "n_segments", "pos",
+        F.md5(F.col("seg")).alias("fp"),
+        F.length(F.col("seg")).alias("seg_chars"),
+    )
+    boiler = (
+        segs.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("df_docs"))
+        .filter(F.col("df_docs") >= min_df)
+        .select("fp", F.lit(1).alias("is_boiler"))
+    )
+    tagged = segs.join(boiler, "fp", "left")
+    per_doc = tagged.groupBy(id_col).agg(
+        F.first("n_segments").alias("n_segments"),
+        F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler"),
+        F.sum(
+            F.when(F.col("is_boiler").isNull(), F.col("seg_chars")).otherwise(0)
+        ).alias("kept_chars"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_segments",
+        "n_boiler",
+        (F.col("n_segments") - F.col("n_boiler")).alias("n_kept"),
+        "kept_chars",
+    )
+
+
+def filter_cascade(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequential quality-filter attrition report — the pipeline-design
+    artifact every corpus paper publishes (e.g. RefinedWeb Fig. 2,
+    Gopher Table A1): documents flow through an ORDERED rule cascade
+    and each is charged to the FIRST stage that rejects it, yielding
+    per-stage in/dropped/out counts. The stages here are integer-exact
+    versions of the standard screens: minimum token count, mean word
+    length (as the cross-multiplied ``Σ len ≤ 8·n``), an English
+    function-word presence check, and exact-hash dedup (keep-first by
+    min doc id).
+
+    One corpus scan computes the three row-local predicates; the dedup
+    stage adds one fp-cell aggregate + a broadcast-able join; the
+    4-row cascade table then aggregates by first-failing stage. No
+    per-doc output — the report is stage-sized at any corpus scale.
+
+    Returns (stage, stage_name, n_in, n_dropped, n_out) ordered by stage.
+    """
+    toks = tokens(F.col(text_col))
+    norm = F.lower(F.trim(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("w"),
+        token_count(F.col(text_col)).alias("n_tok"),
+        F.md5(norm).alias("fp"),
+    )
+    keep_first = base.groupBy("fp").agg(F.min(id_col).alias("keep_id"))
+    staged = base.join(keep_first, "fp").select(
+        F.col(id_col),
+        (F.col("n_tok") >= 10).alias("c1"),
+        (
+            F.aggregate(
+                F.col("w"), F.lit(0), lambda acc, x: acc + F.length(x)
+            )
+            <= F.col("n_tok") * 8
+        ).alias("c2"),
+        ((F.size(F.col("w")) - F.size(F.array_remove(F.col("w"), "the"))) >= 1).alias("c3"),
+        (F.col(id_col) == F.col("keep_id")).alias("c4"),
+    )
+    fail = staged.select(
+        F.when(~F.col("c1"), 1)
+        .when(~F.col("c2"), 2)
+        .when(~F.col("c3"), 3)
+        .when(~F.col("c4"), 4)
+        .otherwise(0)
+        .alias("fail_stage")
+    )
+    counts = fail.groupBy("fail_stage").agg(F.count(F.lit(1)).alias("n"))
+    names = F.create_map(
+        F.lit(1), F.lit("min_tokens"),
+        F.lit(2), F.lit("mean_word_len"),
+        F.lit(3), F.lit("has_function_word"),
+        F.lit(4), F.lit("exact_dup"),
+    )
+    # A fixed 0..4 skeleton (0 = passed all) left-joined to the drop
+    # counts keeps zero-drop stages in the report WITHOUT referencing
+    # the counts aggregate twice (a total-row branch would re-plan the
+    # whole corpus subtree per branch — the self-referencing-DAG trap);
+    # totals and cumulative drops are two windows over the same 5-row
+    # frame, one pass over counts.
+    from pyspark.sql import Window
+
+    skeleton = df.sparkSession.range(0, 5).select(
+        F.col("id").cast("int").alias("stage")
+    )
+    joined = skeleton.join(
+        counts.withColumnRenamed("fail_stage", "stage"), "stage", "left"
+    ).withColumn("n_dropped", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, -1)
+    report = (
+        joined.withColumn("n_total", F.sum("n_dropped").over(w_all))
+        .filter(F.col("stage") >= 1)
+        .withColumn(
+            "dropped_before",
+            F.coalesce(
+                F.sum(F.when(F.col("stage") >= 1, F.col("n_dropped"))).over(
+                    w_cum
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "stage",
+            names[F.col("stage")].alias("stage_name"),
+            (F.col("n_total") - F.col("dropped_before")).alias("n_in"),
+            "n_dropped",
+            (F.col("n_total") - F.col("dropped_before") - F.col("n_dropped")).alias("n_out"),
+        )
+    )
+    return report

@@ -3278,3 +3278,162 @@ class TestRound5Ops:
         # small ⊂ big: containment(1→2) = 1.0; big→small far below
         assert rows[(1, 2)].containment_ppm == 1_000_000
         assert (2, 1) not in rows
+
+
+class TestWave5cOps:
+    def test_mmr_diversifies_past_duplicate(self, spark):
+        from drune_spark.operators.similarity import mmr_rerank
+
+        # q=(1,0); a=(2,0) cos 1; b=(4,0) cos 1 (duplicate direction);
+        # c=(1,1) cos √2/2 = 0.707106… At λ=0.4 the redundancy
+        # penalty dominates: after a, b scores 0.4·1e6 − 0.6·1e6 =
+        # −2e11 while c scores (0.4−0.6)·707106e… = −1.41e11 → c
+        # leapfrogs the duplicate; b lands last with the −2e11
+        # objective. (At λ=0.7 relevance wins and order is 1,2,3.)
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [2.0, 0.0]),
+            (2, [4.0, 0.0]),
+            (3, [1.0, 1.0]),
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = emb.filter("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+        out = mmr_rerank(
+            emb, q, k=3, n_candidates=3, lambda_ppm=400_000
+        ).orderBy("rank").collect()
+        assert [r.neighbor_id for r in out] == [1, 3, 2]
+        assert out[0].objective == 400_000 * 1_000_000
+        assert out[2].objective == 400_000 * 1_000_000 - 600_000 * 1_000_000
+
+    def test_unigram_surprisal_hand_computed(self, spark):
+        from drune_spark.operators.text_analysis import unigram_surprisal
+
+        # counts: x=5 y=2 z=1, N=8 → bits(8 div 5)=1, bits(4)=3, bits(8)=4
+        docs = spark.createDataFrame(
+            [(0, "x x x x"), (1, "x y"), (2, "y z")], ["doc_id", "text"]
+        )
+        out = {r.doc_id: r for r in unigram_surprisal(docs).collect()}
+        assert (out[0].sum_bits, out[0].mean_millibits) == (4, 1000)
+        assert (out[1].sum_bits, out[1].mean_millibits) == (4, 2000)
+        assert (out[2].sum_bits, out[2].mean_millibits) == (7, 3500)
+        assert [out[i].bucket for i in range(3)] == ["head", "middle", "tail"]
+
+    def test_lexicon_screen_hits_and_flags(self, spark):
+        from drune_spark.operators.text_analysis import lexicon_screen
+
+        docs = spark.createDataFrame(
+            [
+                (0, "slow slow dup", "s1"),
+                (1, "fast join scan", "s1"),
+                (2, "dup table", "s2"),
+            ],
+            ["doc_id", "text", "source"],
+        )
+        out = {r.source: r for r in lexicon_screen(docs).collect()}
+        # s1: doc0 3/3 hits (flagged), doc1 0/3
+        assert (out["s1"].n_docs, out["s1"].n_flagged, out["s1"].tot_hits) == (
+            2, 1, 3,
+        )
+        assert out["s1"].max_hit_ppm == 1_000_000
+        # s2: 1/2 tokens → 500000 ppm, flagged
+        assert (out["s2"].n_flagged, out["s2"].max_hit_ppm) == (1, 500_000)
+
+    def test_boilerplate_df_drops_all_occurrences(self, spark):
+        from drune_spark.operators.text_analysis import boilerplate_df_filter
+
+        docs = spark.createDataFrame(
+            [(0, "a b c d"), (1, "a b x y")], ["doc_id", "text"]
+        )
+        out = {
+            r.doc_id: r
+            for r in boilerplate_df_filter(
+                docs, seg_words=2, min_df=2
+            ).collect()
+        }
+        # "a b" occurs in both docs → boilerplate, dropped from BOTH
+        for i, kept_seg_chars in [(0, 3), (1, 3)]:
+            assert (out[i].n_segments, out[i].n_boiler, out[i].n_kept) == (
+                2, 1, 1,
+            )
+            assert out[i].kept_chars == kept_seg_chars
+
+    def test_filter_cascade_first_fail_attribution(self, spark):
+        from drune_spark.operators.text_analysis import filter_cascade
+
+        the12 = " ".join(["the"] * 12)
+        long12 = " ".join(["verylongtoken"] * 12)       # Σlen 156 > 96
+        nothe12 = " ".join(["word"] * 12)
+        dup = "the cat sat on the mat the cat sat on the mat"
+        docs = spark.createDataFrame(
+            [
+                (0, the12),       # passes all
+                (1, "word"),      # stage 1: < 10 tokens
+                (2, long12),      # stage 2: mean word length
+                (3, nothe12),     # stage 3: no function word
+                (4, dup),         # survivor of the dup pair
+                (5, dup),         # stage 4: exact dup
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.stage: r for r in filter_cascade(docs).collect()}
+        assert [
+            (out[s].n_in, out[s].n_dropped, out[s].n_out)
+            for s in (1, 2, 3, 4)
+        ] == [(6, 1, 5), (5, 1, 4), (4, 1, 3), (3, 1, 2)]
+        assert out[2].stage_name == "mean_word_len"
+
+    def test_dp_counts_pure_python_replay(self, spark):
+        import hashlib
+
+        from drune_spark.operators.privacy import dp_noisy_counts
+
+        df = spark.createDataFrame(
+            [(k, i) for k in ("a", "b", "c") for i in range(5)],
+            ["grp", "x"],
+        )
+        out = {r.grp: r for r in dp_noisy_counts(df, ["grp"], salt="t1").collect()}
+
+        def lead_ones(u):
+            return 32 - ((0xFFFFFFFF - u).bit_length() or 1)
+
+        for k in ("a", "b", "c"):
+            g = []
+            for suffix in ("a", "b"):
+                u = int(
+                    hashlib.md5(f"t1{suffix}{k}".encode()).hexdigest()[:8], 16
+                )
+                g.append(lead_ones(u))
+            noise = g[0] - g[1]
+            assert out[k].noise == noise
+            assert out[k].noisy_n == max(0, 5 + noise)
+
+    def test_dp_counts_reproducible_and_salt_sensitive(self, spark):
+        from drune_spark.operators.privacy import dp_noisy_counts
+
+        df = spark.createDataFrame(
+            [(k % 7, k) for k in range(70)], ["grp", "x"]
+        )
+        a1 = {r.grp: r.noise for r in dp_noisy_counts(df, ["grp"], "s1").collect()}
+        a2 = {r.grp: r.noise for r in dp_noisy_counts(df, ["grp"], "s1").collect()}
+        b = {r.grp: r.noise for r in dp_noisy_counts(df, ["grp"], "s2").collect()}
+        assert a1 == a2
+        assert any(a1[k] != b[k] for k in a1)
+
+    def test_curriculum_order_bands_and_round_robin(self, spark):
+        from drune_spark.operators.sampling import curriculum_order
+
+        docs = spark.createDataFrame(
+            [
+                (0, "s1", 100),
+                (1, "s1", 120),
+                (2, "s2", 140),
+                (3, "s1", 200),
+                (4, "s2", 400),
+            ],
+            ["doc_id", "source", "n_chars"],
+        )
+        out = {r.doc_id: r for r in curriculum_order(docs).collect()}
+        assert [out[i].band for i in range(5)] == [0, 0, 0, 1, 2]
+        # round-robin index restarts per (band, source)
+        assert (out[0].rr, out[1].rr, out[2].rr) == (1, 2, 1)
+        assert out[3].rr == 1 and out[4].rr == 1
