@@ -448,21 +448,33 @@ def mmr_rerank(
     """
     import pandas as pd
 
-    rel = brute_force_topk(
-        corpus, queries, k=n_candidates,
-        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
-    ).select(
-        "query_id",
-        F.col("neighbor_id").alias("cand"),
-        F.floor(F.col("cosine") * F.lit(1000000.0))
-        .cast("long")
-        .alias("rel_ppm"),
+    # Both tiny frames feed multiple plan branches (rel → cogroup side
+    # + candidate-vector join; cand_vecs → both sides of the pairwise
+    # self-join). Without persist marks each branch re-executes the
+    # corpus-sized brute-force subtree (the self-referencing-DAG trap) —
+    # with them the corpus is scanned once for retrieval and once for
+    # the Q·n_candidates vector lookup. Lazy marks only (bfs_khop
+    # pattern): repeat executions cache-hit, the bench's between-query
+    # clearCache bounds residency.
+    rel = (
+        brute_force_topk(
+            corpus, queries, k=n_candidates,
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("cand"),
+            F.floor(F.col("cosine") * F.lit(1000000.0))
+            .cast("long")
+            .alias("rel_ppm"),
+        )
+        .persist()
     )
     vecs = corpus.select(
         F.col(id_col).alias("cand"),
         to_double_array(F.col(vec_col)).alias("cv"),
     )
-    cand_vecs = rel.select("query_id", "cand").join(vecs, "cand")
+    cand_vecs = rel.select("query_id", "cand").join(vecs, "cand").persist()
     a = cand_vecs.alias("A")
     b = cand_vecs.alias("B")
     sims = (
