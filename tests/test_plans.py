@@ -430,3 +430,42 @@ class TestRound4ThirdWavePlans:
         plan = executed_plan(entry.q_ewma_monitor(spark, SF))
         assert "FlatMapGroupsInPandas" in plan
         assert "BatchEvalPython" not in plan
+
+    def test_curriculum_topk_is_take_ordered(self, spark, entry):
+        """The curriculum head read must plan TakeOrderedAndProject —
+        no global sort or single-partition window materializes the
+        order at any scale."""
+        plan = executed_plan(entry.q_curriculum_order(spark, SF))
+        assert "TakeOrderedAndProject" in plan
+        assert "rownum" not in plan.lower().replace("row_number", "")
+
+    def test_mmr_candidate_gen_keeps_partial_window_limit(self, spark, entry):
+        """MMR's retrieval stage inherits the pinned ann_topk shape:
+        rank-limit partials below the exchange, queries broadcast, and
+        the greedy recurrence as a cogrouped Arrow map — never a
+        cartesian or a row-at-a-time Python UDF."""
+        plan = executed_plan(entry.q_mmr_rerank(spark, SF))
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+        assert "FlatMapCoGroupsInPandas" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_boilerplate_df_shuffles_fingerprints_not_text(self, spark, entry):
+        """The DF aggregate must group on the md5 fingerprint column
+        (segment text never shuffles) and plan a partial aggregate."""
+        plan = executed_plan(entry.q_boilerplate_df(spark, SF))
+        assert "md5" in plan
+        assert "HashAggregate" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_unigram_surprisal_no_global_row_window(self, spark, entry):
+        """Tercile cutoffs come from the percentile aggregate broadcast
+        as one row — NOT an ntile window over all docs (which would
+        funnel the corpus through one partition)."""
+        import re
+
+        plan = executed_plan(entry.q_unigram_surprisal(spark, SF))
+        # \bntile( — not the ...ntile( tail of "percentile("
+        assert not re.search(r"(?<![a-z_])ntile\(", plan.lower())
+        assert "percentile" in plan.lower()
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row cutoff cross
