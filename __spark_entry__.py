@@ -6840,6 +6840,233 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(LATERAL_TOPK_SQL)
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (graph.py
+    label_propagation, Raghavan et al. 2007) over the kcore gate's
+    co-purchase part graph (w ≥ 2 edges): 4 deterministic rounds with
+    the integer-encoded (count desc, label asc) argmax; the oracle
+    replays every round in unrolled materialized CTEs."""
+    _tune(spark)
+    from drune_spark.operators.graph import label_propagation
+
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return label_propagation(edges, rounds=4)
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous LPA rounds (materialized CTEs — the MMR
+    lesson: chained CTE references re-expand without MATERIALIZED)."""
+    K = 1 << 33
+    parts = [f"""
+        WITH lp AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS MATERIALIZED (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        lab0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, src AS label FROM e
+        )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        lab{r} AS MATERIALIZED (
+            SELECT node,
+                   {K - 1} - (MAX(cnt * {K} + ({K - 1} - label)) % {K})
+                       AS label
+            FROM (SELECT e.src AS node, l.label,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM e JOIN lab{r - 1} l ON e.dst = l.node
+                  GROUP BY e.src, l.label) t
+            GROUP BY node
+        )""")
+    parts.append(f"""
+        SELECT node, label FROM lab{rounds}""")
+    return "".join(parts)
+
+
+def q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge induction (bpe.py wordpiece_train, Schuster &
+    Nakajima 2012): 3 likelihood-ratio merges — pair_count·2^40 div
+    (cnt_a·cnt_b), exact integers — over the corpus word-frequency
+    table; the oracle replays each round (pair + symbol-count
+    aggregates, argmax, rewrite) in unrolled materialized CTEs."""
+    _tune(spark)
+    from drune_spark.operators.bpe import wordpiece_train
+
+    return wordpiece_train(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
+def _wordpiece_oracle(n_merges: int = 3) -> str:
+    scale = 1 << 40
+    parts = ["""
+        WITH wf AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT UNNEST(regexp_split_to_array(trim(text),
+                                                      '\\s+')) AS word
+                  FROM documents)
+            GROUP BY word
+        ),
+        r0 AS MATERIALIZED (
+            SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g'))
+                   || ' ' AS repr, freq
+            FROM wf
+        )"""]
+    for m in range(1, n_merges + 1):
+        parts.append(f""",
+        s{m} AS MATERIALIZED (
+            SELECT string_split(trim(repr), ' ') AS sym, freq FROM r{m - 1}
+        ),
+        sc{m} AS MATERIALIZED (
+            SELECT s AS sym1, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (SELECT UNNEST(sym) AS s, freq FROM s{m}) t
+            GROUP BY s
+        ),
+        p{m} AS MATERIALIZED (
+            SELECT sym[i] AS sa, sym[i + 1] AS sb,
+                   CAST(SUM(freq) AS BIGINT) AS pair_count
+            FROM (SELECT sym, freq, UNNEST(range(1, len(sym))) AS i
+                  FROM s{m}) t
+            GROUP BY sa, sb
+        ),
+        b{m} AS MATERIALIZED (
+            SELECT pp.sa || ' ' || pp.sb AS pair, pp.pair_count,
+                   pp.pair_count * CAST({scale} AS BIGINT)
+                       // (ca.cnt * cb.cnt) AS score
+            FROM p{m} pp
+            JOIN sc{m} ca ON ca.sym1 = pp.sa
+            JOIN sc{m} cb ON cb.sym1 = pp.sb
+            ORDER BY score DESC, pair ASC LIMIT 1
+        ),
+        r{m} AS MATERIALIZED (
+            SELECT replace(repr,
+                       ' ' || (SELECT pair FROM b{m}) || ' ',
+                       ' ' || (SELECT replace(pair, ' ', '') FROM b{m})
+                       || ' ') AS repr,
+                   freq
+            FROM r{m - 1}
+        )""")
+    finals = "\n            UNION ALL ".join(
+        f"SELECT {m} AS step, pair, replace(pair, ' ', '') AS merged,"
+        f" pair_count, score FROM b{m}"
+        for m in range(1, n_merges + 1)
+    )
+    parts.append(f"""
+        SELECT CAST(step AS INTEGER) AS step, pair, merged, pair_count,
+               score
+        FROM ({finals})""")
+    return "".join(parts)
+
+
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout profile (layout.py hilbert_column — the
+    liquid-clustering upgrade to zorder_layout): order-8 curve over
+    (p_size, floor(p_retailprice)), 16 curve-contiguous buckets, per-
+    bucket min/max spans in BOTH dimensions — the pruning-selectivity
+    report. The curve recurrence runs as an Arrow-batched pandas_udf;
+    the oracle unrolls the identical 8 quadrant/rotate stages."""
+    _tune(spark)
+    from drune_spark.operators.layout import hilbert_column
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice")).cast("long").alias("price_i"),
+    )
+    h = hilbert_column(part, ["p_size", "price_i"], bits=8)
+    return h.groupBy(F.expr("hval div 4096").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+        F.min("price_i").alias("min_price"),
+        F.max("price_i").alias("max_price"),
+    )
+
+
+def _hilbert_oracle(bits: int = 8) -> str:
+    scale = (1 << bits) - 1
+    parts = [f"""
+        WITH base AS MATERIALIZED (
+            SELECT p_partkey, p_size,
+                   CAST(floor(p_retailprice) AS BIGINT) AS price_i
+            FROM part
+        ),
+        rng AS (
+            SELECT CAST(MIN(p_size) AS BIGINT) AS mn0,
+                   CAST(MAX(p_size) AS BIGINT) AS mx0,
+                   MIN(price_i) AS mn1, MAX(price_i) AS mx1
+            FROM base
+        ),
+        h{bits} AS MATERIALIZED (
+            SELECT p_size, price_i,
+                   CASE WHEN mx0 - mn0 <= 0 THEN 0
+                        ELSE ((p_size - mn0) * {scale}) // (mx0 - mn0)
+                   END AS x,
+                   CASE WHEN mx1 - mn1 <= 0 THEN 0
+                        ELSE ((price_i - mn1) * {scale}) // (mx1 - mn1)
+                   END AS y,
+                   CAST(0 AS BIGINT) AS d
+            FROM base, rng
+        )"""]
+    k = bits
+    s = 1 << (bits - 1)
+    while s > 0:
+        parts.append(f""",
+        h{k - 1} AS MATERIALIZED (
+            SELECT p_size, price_i,
+                   CASE WHEN (y & {s}) = 0
+                        THEN (CASE WHEN (x & {s}) > 0
+                                   THEN {s - 1} - y ELSE y END)
+                        ELSE x END AS x,
+                   CASE WHEN (y & {s}) = 0
+                        THEN (CASE WHEN (x & {s}) > 0
+                                   THEN {s - 1} - x ELSE x END)
+                        ELSE y END AS y,
+                   d + {s * s} * xor(
+                       3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                       CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)
+                       AS d
+            FROM h{k}
+        )""")
+        k -= 1
+        s >>= 1
+    parts.append(f"""
+        SELECT d // 4096 AS bucket, CAST(count(*) AS BIGINT) AS n,
+               MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+               MIN(price_i) AS min_price, MAX(price_i) AS max_price
+        FROM h0 GROUP BY bucket""")
+    return "".join(parts)
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit (stats.py benford_audit) over
+    l_extendedprice: observed vs log10(1+1/d) expected leading-digit
+    frequencies in integer ppm — the fabricated-data screen. Shared
+    BENFORD_PPM constants on both engines."""
+    _tune(spark)
+    from drune_spark.operators.stats import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -6856,6 +7083,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail, the next never-verified block moves up."""
     return {
         # -- new in round 5 (never driver-verified) ------------------------
+        "label_propagation": q_label_propagation,
+        "wordpiece_train": q_wordpiece_train,
+        "hilbert_layout": q_hilbert_layout,
+        "benford_audit": q_benford_audit,
         "mmr_rerank": q_mmr_rerank,
         "unigram_surprisal": q_unigram_surprisal,
         "lexicon_screen": q_lexicon_screen,
@@ -7456,8 +7687,42 @@ def oracle_sql() -> dict[str, str]:
             f" ' ' || (SELECT pair FROM b{s}) || ' ',"
             f" ' ' || (SELECT replace(pair, ' ', '') FROM b{s}) || ' ')"
         )
+    from drune_spark.operators.stats import BENFORD_PPM
+
+    benford_case = " ".join(
+        f"WHEN {d_} THEN {ppm}"
+        for d_, ppm in enumerate(BENFORD_PPM, start=1)
+    )
     d = {
         # -- round-5 third-session entries -----------------------------
+        "label_propagation": _lpa_oracle(rounds=4),
+        "wordpiece_train": _wordpiece_oracle(n_merges=3),
+        "hilbert_layout": _hilbert_oracle(bits=8),
+        "benford_audit": f"""
+            WITH digits AS (
+                SELECT CAST(substr(CAST(CAST(floor(l_extendedprice)
+                            AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+                           AS digit
+                FROM lineitem WHERE l_extendedprice >= 1
+            ),
+            counts AS (
+                SELECT digit, CAST(count(*) AS BIGINT) AS n
+                FROM digits GROUP BY digit
+            ),
+            t AS (
+                SELECT digit, n,
+                       CAST(SUM(n) OVER () AS BIGINT) AS n_total
+                FROM counts
+            )
+            SELECT digit, n,
+                   n * 1000000 // n_total AS observed_ppm,
+                   CAST(CASE digit {benford_case} END AS BIGINT)
+                       AS expected_ppm,
+                   abs(n * 1000000 // n_total
+                       - CAST(CASE digit {benford_case} END AS BIGINT))
+                       AS dev_ppm
+            FROM t
+        """,
         "mmr_rerank": _mmr_oracle(n_queries=3, top=20, k=8, lam=700_000),
         "unigram_surprisal": """
             WITH tok AS (

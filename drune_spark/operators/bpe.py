@@ -193,3 +193,105 @@ def tokenizer_fertility(
             "div greatest(cast(sum(n_toks) as bigint), 1)"
         ).alias("chars_per_token_ppm"),
     )
+
+
+def wordpiece_train(
+    df: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` WordPiece merges (Schuster & Nakajima 2012;
+    the BERT tokenizer's trainer): where BPE merges the most FREQUENT
+    adjacent pair, WordPiece merges the pair maximizing the
+    likelihood-ratio score freq(ab) / (freq(a)·freq(b)) — rare symbols
+    that always co-occur merge first. Score is computed in exact
+    integer math as ``pair_count · 2^40 div (cnt_a · cnt_b)``
+    (pair_count < 2^19 at any tested SF keeps the product < 2^59;
+    symbol-count products stay < 2^38), ties break (score desc, pair
+    asc), so the trainer is engine-exact and the oracle replays every
+    round in unrolled materialized CTEs.
+
+    Same control-loop shape as bpe_train (one (word, freq) collapse,
+    per-round vocab-sized aggregates, a 1-row argmax crossing to the
+    driver, injection-safe column-form rewrite) plus one extra
+    symbol-count aggregate per round. The pair build is the de-HOF'd
+    position-explode (posexplode over a sequence + element_at
+    projections — the round-5 rule), not a transform lambda.
+
+    Returns (step, pair, merged, pair_count, score).
+    """
+    spark = df.sparkSession
+    words = word_freq_table(df, text_col).select(
+        _spaced(F.col("word")).alias("repr"), "freq"
+    )
+    words = words.persist()
+    merges = []
+    scale = 1 << 40
+    for step in range(1, n_merges + 1):
+        base = words.select(
+            F.split(F.trim(F.col("repr")), " ").alias("sym"), "freq"
+        )
+        sym_counts = (
+            base.select(F.explode(F.col("sym")).alias("s"), "freq")
+            .groupBy("s")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        with_pos = base.filter(F.size("sym") >= 2).select(
+            "sym",
+            "freq",
+            F.explode(
+                F.sequence(F.lit(1), F.size("sym") - 1)
+            ).alias("i"),
+        )
+        pairs = with_pos.select(
+            F.element_at(F.col("sym"), F.col("i")).alias("sa"),
+            F.element_at(F.col("sym"), F.col("i") + 1).alias("sb"),
+            "freq",
+        )
+        pc = pairs.groupBy("sa", "sb").agg(
+            F.sum("freq").alias("pair_count")
+        )
+        scored = (
+            pc.join(
+                sym_counts.withColumnRenamed("s", "sa").withColumnRenamed(
+                    "cnt", "cnt_a"
+                ),
+                "sa",
+            )
+            .join(
+                sym_counts.withColumnRenamed("s", "sb").withColumnRenamed(
+                    "cnt", "cnt_b"
+                ),
+                "sb",
+            )
+            .select(
+                F.concat_ws(" ", "sa", "sb").alias("pair"),
+                "pair_count",
+                F.expr(
+                    f"pair_count * CAST({scale} AS BIGINT)"
+                    " div (cnt_a * cnt_b)"
+                ).alias("score"),
+            )
+        )
+        best = (
+            scored.orderBy(F.col("score").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        merged = best["pair"].replace(" ", "")
+        merges.append(
+            (step, best["pair"], merged, best["pair_count"], best["score"])
+        )
+        words = words.withColumn(
+            "repr",
+            F.replace(
+                F.col("repr"),
+                F.lit(f" {best['pair']} "),
+                F.lit(f" {merged} "),
+            ),
+        )
+    return spark.createDataFrame(
+        merges,
+        "step int, pair string, merged string, pair_count bigint,"
+        " score bigint",
+    )

@@ -281,3 +281,58 @@ def kcore(
         )
         survivors = deg.filter(F.col("degree") >= k).persist()
     return survivors
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation community detection (Raghavan,
+    Albert & Kumara 2007) over a SYMMETRIC edge list: every node
+    starts labeled with its own id; each round it adopts the label
+    most frequent among its neighbors. The ASYNC variant of the paper
+    is order-dependent; the synchronous form here plus an integer
+    tie-break (max count, then smallest label) is fully deterministic,
+    so the DuckDB oracle replays every round exactly.
+
+    The per-node argmax is the integer-encoded max
+    ``max(cnt * K + (K-1-label))`` with K = 2^33 (the negative_pairs
+    id-domain bound: labels are node ids < 2^33 and counts stay under
+    2^30, so the encoding fits int64) — a plain partial-aggregated
+    MAX, no per-node window sort.
+
+    Scale shape: the edge list is persisted once and re-read every
+    round (the iterative-operator persist rule); each round is one
+    edges ⋈ labels equi-join plus two (node, label)-cell aggregates —
+    shuffles carry cells, never adjacency lists. Rounds are lazily
+    unrolled (bfs_khop small-k shape).
+
+    Returns (node, label) after ``rounds`` rounds.
+    """
+    K = 1 << 33
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    labels = (
+        e0.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(rounds):
+        nb = e0.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        cnt = nb.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        enc = cnt.select(
+            "node",
+            (
+                F.col("cnt") * F.lit(K)
+                + (F.lit(K - 1) - F.col("label"))
+            ).alias("enc"),
+        )
+        labels = enc.groupBy("node").agg(
+            (F.lit(K - 1) - F.pmod(F.max("enc"), F.lit(K))).alias("label")
+        )
+    return labels

@@ -550,3 +550,61 @@ def ks_statistic(
             F.expr("d_num * 1000000 div (n_a * n_b)").alias("d_ppm"),
         )
     )
+
+
+BENFORD_PPM = [
+    # floor(log10(1 + 1/d) * 1e6) for d = 1..9 — computed once, embedded
+    # identically in the oracle SQL (shared-constant pattern)
+    301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757,
+]
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit Benford's-law audit (Benford 1938;
+    Nigrini's fraud-screen usage): compare the observed leading-digit
+    distribution of a positive numeric column against the log10(1+1/d)
+    law — the cheap anomaly screen for fabricated or truncated numeric
+    data. Digits come from the decimal string of floor(value) (exact
+    for any value ≥ 1, engine-identical); expected frequencies are the
+    BENFORD_PPM integer constants, so observed/expected/deviation are
+    all exact integers.
+
+    One corpus scan into a 9-row digit aggregate (map-side partial);
+    the total for the ppm share is a 9-row window, not a second pass.
+
+    Returns (digit, n, observed_ppm, expected_ppm, dev_ppm) for
+    digits 1-9.
+    """
+    from pyspark.sql import Window
+
+    digits = df.filter(F.col(value_col) >= 1).select(
+        F.substring(
+            F.floor(F.col(value_col)).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    expected = F.create_map(
+        *[
+            part
+            for d, ppm in enumerate(BENFORD_PPM, start=1)
+            for part in (F.lit(d), F.lit(ppm))
+        ]
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        counts.withColumn("n_total", F.sum("n").over(w))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div n_total").alias("observed_ppm"),
+            expected[F.col("digit")].cast("long").alias("expected_ppm"),
+        )
+        .withColumn(
+            "dev_ppm",
+            F.abs(F.col("observed_ppm") - F.col("expected_ppm")),
+        )
+    )

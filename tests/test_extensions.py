@@ -3437,3 +3437,76 @@ class TestWave5cOps:
         # round-robin index restarts per (band, source)
         assert (out[0].rr, out[1].rr, out[2].rr) == (1, 2, 1)
         assert out[3].rr == 1 and out[4].rr == 1
+
+    def test_label_propagation_two_triangles(self, spark):
+        from drune_spark.operators.graph import label_propagation
+
+        # two triangles bridged by 3-10: each converges to its own
+        # min-id community despite the bridge (hand-traced 4 rounds)
+        und = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12),
+               (3, 10)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], ["src", "dst"]
+        )
+        out = {r.node: r.label for r in label_propagation(edges, rounds=4).collect()}
+        assert {out[1], out[2], out[3]} == {1}
+        assert {out[10], out[11], out[12]} == {3}
+
+    def test_wordpiece_prefers_likelihood_over_frequency(self, spark):
+        from drune_spark.operators.bpe import wordpiece_train
+
+        # pairs 'a b','a x','b y' all have count 3 but their symbols
+        # are common (cnt 6 or 3); 'c d' occurs once with cnt_a=cnt_b=1
+        # → likelihood ratio 2^40 wins (BPE frequency would pick 'a b')
+        text = " ".join(["ab"] * 3 + ["ax"] * 3 + ["by"] * 3 + ["cd"])
+        docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+        rows = wordpiece_train(docs, n_merges=1).collect()
+        assert (rows[0].pair, rows[0].merged) == ("c d", "cd")
+        assert rows[0].score == 1 << 40
+        assert rows[0].pair_count == 1
+
+    def test_hilbert_curve_adjacency_permutation(self, spark):
+        import numpy as np
+
+        from drune_spark.operators.layout import hilbert_xy2d
+
+        # order-3 curve over the full 8×8 grid: d must be a permutation
+        # of 0..63 and consecutive curve positions grid-adjacent — the
+        # defining locality property Z-order lacks
+        xs, ys = np.meshgrid(np.arange(8), np.arange(8))
+        d = hilbert_xy2d(xs.ravel(), ys.ravel(), bits=3)
+        assert sorted(d.tolist()) == list(range(64))
+        order = np.argsort(d)
+        px, py = xs.ravel()[order], ys.ravel()[order]
+        steps = np.abs(np.diff(px)) + np.abs(np.diff(py))
+        assert (steps == 1).all()
+
+    def test_hilbert_column_matches_numpy(self, spark):
+        import numpy as np
+
+        from drune_spark.operators.layout import hilbert_column, hilbert_xy2d
+
+        df = spark.createDataFrame(
+            [(i, i % 7, (i * 3) % 11) for i in range(40)],
+            ["id", "a", "b"],
+        )
+        out = {r.id: r.hval for r in hilbert_column(df, ["a", "b"], bits=4).collect()}
+        a = np.array([i % 7 for i in range(40)])
+        b = np.array([(i * 3) % 11 for i in range(40)])
+        nx = (a - a.min()) * 15 // (a.max() - a.min())
+        ny = (b - b.min()) * 15 // (b.max() - b.min())
+        exp = hilbert_xy2d(nx, ny, bits=4)
+        assert [out[i] for i in range(40)] == exp.tolist()
+
+    def test_benford_audit_hand_computed(self, spark):
+        from drune_spark.operators.stats import BENFORD_PPM, benford_audit
+
+        df = spark.createDataFrame(
+            [(1.5,), (19.0,), (2.25,), (0.5,)], ["v"]
+        )
+        out = {r.digit: r for r in benford_audit(df, "v").collect()}
+        # 0.5 filtered; digits 1,1,2
+        assert (out[1].n, out[2].n) == (2, 1)
+        assert out[1].observed_ppm == 666666
+        assert out[1].expected_ppm == BENFORD_PPM[0]
+        assert out[2].dev_ppm == abs(333333 - BENFORD_PPM[1])
