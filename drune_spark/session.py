@@ -62,6 +62,20 @@ def get_spark(
         master or f"local[{cpus}]"
     )
     conf = {**DEFAULT_CONF, **(options or {})}
+    # Driver heap: with no spark-defaults.conf the local-mode JVM runs
+    # the 1 GiB -Xmx DEFAULT on this 128 GiB box — the root cause of
+    # the whole marathon-cache OOM family (BENCH_r04 rc=1, the
+    # scale_curve heap crashes): 32 executor threads + accumulated
+    # persist marks simply don't fit in 1 GiB. Builder-time only —
+    # spark.driver.memory is immutable on a live session, so it must
+    # NOT be in DEFAULT_CONF (tune_session would try to set it and
+    # throw CANNOT_MODIFY). No effect when a session already exists
+    # (getOrCreate reuses it), e.g. under the external driver's own
+    # harness.
+    conf.setdefault(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    )
     if HAS_DELTA:
         # Auto-enable Delta when delta-spark is installed: the writers'
         # merge/replaceWhere/RESTORE fast paths (sinks/writers.py

@@ -51,6 +51,12 @@ QUERIES = [
     # round-5: the second sampled census eval (BNL ground truth now on
     # a 40% hash sample — the curve proves the sample bounds it)
     "semdedup_eval",
+    # round-5 third session: the segment-DF filter (fp-cell shuffles),
+    # synchronous LPA over the co-purchase graph (edge count is the
+    # scaling risk), and the two-corpus-scan surprisal bucketing
+    "boilerplate_df",
+    "label_propagation",
+    "unigram_surprisal",
 ]
 TABLES = ["documents", "embeddings", "lineitem", "orders"]
 
@@ -128,6 +134,13 @@ def main() -> None:
     for name in QUERIES:
         t1 = min(run(name, SRC), run(name, SRC))
         t3 = min(run(name, OUT), run(name, OUT))
+        # Marathon-cache rule (bench.py precedent): operators leave
+        # persist marks; 15+ queries × 2 scales of accumulated cached
+        # frames OOM the single JVM (reproduced here at 3× LPA —
+        # the same recacheByPlan/heap-OOM family as the driver's r4
+        # bench crash). Clear AFTER both scales so min-of-2 reuse
+        # within a query is untouched.
+        spark.catalog.clearCache()
         report[name] = {
             "sf0.1_s": round(t1, 2),
             "sf0.3_s": round(t3, 2),
