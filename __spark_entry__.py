@@ -7067,6 +7067,95 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (dedup.py winnow_fingerprints —
+    Schleimer/Wilkerson/Aiken SIGMOD 2003, the MOSS algorithm): word
+    3-gram md5_u32 hashes, window w=4 rolling minimum with the paper's
+    rightmost tie-break via the integer-encoded argmin, short docs
+    covered by the final partial window. Per-doc summary: gram count,
+    selected-fingerprint count, the order-sensitive Σ fp·(pos+1)
+    checksum (any selection or position error breaks it), and the
+    selection density in ppm (expected ≈ 2/(w+1))."""
+    _tune(spark)
+    from drune_spark.operators.dedup import winnow_fingerprints
+
+    wf = winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, w=4
+    )
+    return wf.groupBy("doc_id").agg(
+        F.min("n_grams").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.sum(F.expr("fp * (fp_pos + 1)")).cast("long").alias("fp_checksum"),
+        F.expr("count(1) * 1000000 div min(n_grams)").alias("density_ppm"),
+    )
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend (timeseries.py theil_sen_trend) over the
+    per-event-type daily count series: median pairwise slope + median
+    intercept, floored to integer milli AFTER the median. Exercises the
+    verified percentile == quantile_cont double-median parity on a
+    derived (not raw) measure."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import theil_sen_trend
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("etype"),
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return theil_sen_trend(daily, "day", "n", ["etype"])
+
+
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (streaming/runner.py
+    stream_stream_join, how='left_outer'): click→purchase attribution
+    plus the abandoned clicks null-padded at watermark expiry. Closed
+    form under availableNow + zero-delay watermark: the trailing
+    no-data batch emits exactly the unmatched clicks with
+    l_ts + horizon < min(max click ts, max purchase ts); later clicks
+    stay in state (the session_window open-tail cutoff, applied to
+    joins)."""
+    _tune(spark)
+    from drune_spark.streaming.runner import stream_stream_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    return stream_stream_join(
+        spark, path, watermark="0 seconds", how="left_outer"
+    )
+
+
+def q_stream_dedup_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streamed_distinct on the RocksDB state-store provider — the
+    production state backend for large key spaces (state spills to
+    local SST files instead of living on the JVM heap; at 100 TB the
+    dedup key set outgrows executor memory and RocksDB is the standard
+    answer). Same exact result as the default HDFS-backed provider —
+    one oracle text covers both (provider changes WHERE state lives,
+    never WHAT is emitted); provider restored after the drain."""
+    _tune(spark)
+    from drune_spark.streaming.runner import streamed_distinct
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        path = os.path.join(sf_dir, "events.parquet")
+        return streamed_distinct(spark, path)
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -7083,6 +7172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail, the next never-verified block moves up."""
     return {
         # -- new in round 5 (never driver-verified) ------------------------
+        "winnowing": q_winnowing,
+        "theil_sen": q_theil_sen,
+        "stream_outer_join": q_stream_outer_join,
+        "stream_dedup_rocksdb": q_stream_dedup_rocksdb,
         "label_propagation": q_label_propagation,
         "wordpiece_train": q_wordpiece_train,
         "hilbert_layout": q_hilbert_layout,
@@ -10867,6 +10960,122 @@ def oracle_sql() -> dict[str, str]:
               ON r.user_id = l.user_id
              AND l.event_type = 'click' AND r.event_type = 'purchase'
              AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+        """,
+        "stream_outer_join": """
+            WITH l AS (
+                SELECT user_id, ts AS l_ts, event_id AS l_id
+                FROM events WHERE event_type = 'click'
+            ),
+            r AS (
+                SELECT user_id AS r_user, ts AS r_ts, event_id AS r_id
+                FROM events WHERE event_type = 'purchase'
+            ),
+            wm AS (
+                -- final watermark after the availableNow drain with
+                -- zero delay: min over both sides' max event time
+                SELECT least((SELECT max(l_ts) FROM l),
+                             (SELECT max(r_ts) FROM r)) AS w
+            ),
+            m AS (
+                SELECT l.user_id, l.l_id, r.r_id,
+                       epoch_us(r.r_ts) - epoch_us(l.l_ts) AS gap_us
+                FROM l JOIN r ON l.user_id = r.r_user
+                 AND r.r_ts >= l.l_ts
+                 AND r.r_ts <= l.l_ts + INTERVAL 2 HOUR
+            ),
+            u AS (
+                -- null-padded emission: unmatched clicks whose whole
+                -- match horizon the watermark has passed; clicks
+                -- within the horizon of stream end stay in state
+                SELECT l.user_id, l.l_id, CAST(NULL AS BIGINT) AS r_id,
+                       CAST(NULL AS BIGINT) AS gap_us
+                FROM l, wm
+                WHERE l.l_ts + INTERVAL 2 HOUR < wm.w
+                  AND NOT EXISTS (
+                    SELECT 1 FROM r WHERE r.r_user = l.user_id
+                      AND r.r_ts >= l.l_ts
+                      AND r.r_ts <= l.l_ts + INTERVAL 2 HOUR)
+            )
+            SELECT * FROM m UNION ALL SELECT * FROM u
+        """,
+        "stream_dedup_rocksdb": """
+            SELECT DISTINCT event_type,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+            FROM events
+        """,
+        "winnowing": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            t2 AS (
+                SELECT doc_id, w, len(w) - 2 AS n_grams
+                FROM toks WHERE len(w) - 2 >= 1
+            ),
+            grams AS (
+                SELECT doc_id, n_grams, i - 1 AS pos,
+                       ('0x' || substr(md5(concat_ws(' ',
+                            w[i], w[i+1], w[i+2])), 1, 8))::BIGINT AS h
+                FROM t2,
+                     UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            ),
+            -- integer-encoded rightmost argmin: min(h*2^20 +
+            -- (2^20-1-pos)) over the 4-gram window = smallest hash,
+            -- largest position on ties (the paper's tie-break)
+            sel AS (
+                SELECT DISTINCT doc_id, n_grams,
+                       1048575 - (me % 1048576) AS fp_pos,
+                       me // 1048576 AS fp
+                FROM (
+                    SELECT doc_id, n_grams, pos,
+                           min(h * 1048576 + (1048575 - pos)) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                           ) AS me
+                    FROM grams
+                ) WHERE pos >= 3 OR pos = n_grams - 1
+            )
+            SELECT doc_id, CAST(MIN(n_grams) AS INTEGER) AS n_grams,
+                   CAST(count(*) AS BIGINT) AS n_fp,
+                   CAST(SUM(fp * (fp_pos + 1)) AS BIGINT) AS fp_checksum,
+                   count(*) * 1000000 // MIN(n_grams) AS density_ppm
+            FROM sel GROUP BY doc_id
+        """,
+        "theil_sen": """
+            WITH daily AS (
+                SELECT event_type AS etype,
+                       epoch_us(ts) // 86400000000 AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT a.etype,
+                       (CAST(b.n AS DOUBLE) - CAST(a.n AS DOUBLE))
+                         / (CAST(b.day AS DOUBLE) - CAST(a.day AS DOUBLE))
+                           AS slope
+                FROM daily a JOIN daily b
+                  ON a.etype = b.etype AND a.day < b.day
+            ),
+            sl AS (
+                SELECT etype, quantile_cont(slope, 0.5) AS s,
+                       count(*) AS n_pairs
+                FROM pairs GROUP BY etype
+            ),
+            ic AS (
+                SELECT d.etype,
+                       quantile_cont(CAST(d.n AS DOUBLE)
+                           - sl.s * CAST(d.day AS DOUBLE), 0.5) AS ic,
+                       count(*) AS n_points,
+                       MIN(sl.s) AS s, MIN(sl.n_pairs) AS n_pairs
+                FROM daily d JOIN sl ON d.etype = sl.etype
+                GROUP BY d.etype
+            )
+            SELECT etype, CAST(n_points AS BIGINT) AS n_points,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(floor(s * 1000) AS BIGINT) AS slope_milli,
+                   CAST(floor(ic * 1000) AS BIGINT) AS icept_milli
+            FROM ic
         """,
         "stream_dedup": """
             SELECT DISTINCT event_type,

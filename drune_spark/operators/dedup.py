@@ -1223,3 +1223,105 @@ def containment_pairs(
         .filter(F.col("containment_ppm") >= min_containment_ppm)
         .select("id_a", "id_b", "n_common", "size_a", "containment_ppm")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local document-fingerprinting algorithm).
+    Word ``k``-gram hashes per document; every window of ``w``
+    consecutive hashes selects its MINIMUM hash (rightmost position on
+    ties, per the paper), and the distinct selections are the
+    fingerprint set. The winnowing guarantee: any match of at least
+    ``w + k - 1`` consecutive words between two documents shares at
+    least one fingerprint; expected density is 2/(w+1). Unlike MinHash
+    (whole-document similarity) winnowing fingerprints are POSITIONAL —
+    the primitive behind plagiarism/overlap detection at passage
+    granularity.
+
+    Documents with fewer than ``w`` grams (but >= k words) contribute
+    their single rightmost-tie-broken global minimum (the final partial
+    window), so every tokenizable doc gets >= 1 fingerprint.
+
+    Plan shape at 100 TB: the gram build is the de-HOF position-explode
+    (posexplode over a sequence + element_at — fully codegen, no
+    interpreted lambdas); the rolling minimum is ONE window (shuffle
+    keyed on doc id, w-row frame); tie-breaks use the integer-encoded
+    argmin ``h * 2^20 + (2^20-1-pos)`` (h < 2^32, pos < 2^20 keeps the
+    encoding < 2^52 — no per-window sort, no second pass). The only
+    corpus-sized shuffle carries (id, pos, h) cells, never text.
+    Portable md5-based gram hashes make the whole selection
+    oracle-checkable hash-for-hash.
+
+    Returns one row per selected fingerprint:
+    (id_col, fp_pos INT, fp BIGINT, n_grams INT).
+    """
+    from drune_spark.functions.hashes import md5_u32
+
+    if w < 2 or k < 1:
+        raise ValueError(f"need w >= 2 and k >= 1 (got w={w}, k={k})")
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+    ).select(
+        id_col,
+        "__t",
+        (F.size("__t") - F.lit(k - 1)).alias("n_grams"),
+    ).filter(F.col("n_grams") >= 1)
+    grams = toks.select(
+        id_col,
+        "n_grams",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n_grams") - 1)
+        ).alias("pos", "__i"),
+        F.col("__t"),
+    ).select(
+        id_col,
+        "n_grams",
+        "pos",
+        md5_u32(
+            F.concat_ws(
+                " ",
+                *[F.element_at(F.col("__t"), F.col("pos") + j + 1)
+                  for j in range(k)],
+            )
+        ).alias("h"),
+    )
+    # Integer-encoded rightmost argmin: min over the window of
+    # h*2^20 + (2^20-1-pos) picks the smallest hash and, on hash ties,
+    # the LARGEST position — the paper's tie-break — in one window min.
+    enc = grams.select(
+        id_col,
+        "n_grams",
+        "pos",
+        F.expr(f"h * {1 << 20} + ({(1 << 20) - 1} - pos)").alias("e"),
+    )
+    win = (
+        f"min(e) OVER (PARTITION BY {id_col} ORDER BY pos "
+        f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)"
+    )
+    sel = (
+        enc.select(
+            id_col,
+            "n_grams",
+            "pos",
+            F.expr(win).alias("me"),
+        )
+        .filter(
+            (F.col("pos") >= w - 1) | (F.col("pos") == F.col("n_grams") - 1)
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.expr(f"cast({(1 << 20) - 1} - (me % {1 << 20}) as int)")
+            .alias("fp_pos"),
+            F.expr(f"me div {1 << 20}").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel.select(id_col, "fp_pos", "fp", "n_grams")

@@ -883,3 +883,73 @@ def seasonal_decompose(
             ).alias("resid_milli"),
         )
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Theil–Sen robust trend estimator (Theil 1950 / Sen 1968): the
+    per-group MEDIAN of all pairwise slopes (y_j - y_i)/(x_j - x_i)
+    over x_i < x_j, plus the Siegel-style intercept = median of
+    (y_i - slope * x_i). Breakdown point ~29% — the standard robust
+    alternative to OLS when a daily series carries outlier days
+    (traffic spikes, backfills) that would drag a least-squares fit.
+
+    Determinism: slopes are exact IEEE double quotients of integer
+    deltas — identical in any engine; the median is Spark
+    ``percentile`` == DuckDB ``quantile_cont`` (verified bit-for-bit
+    across rounds, including the even-count interpolation); outputs
+    floor to integer milli AFTER the median so nothing order-dependent
+    survives.
+
+    Plan shape at 100 TB: the input must already be CELL-sized (e.g. a
+    per-(dim, day) rollup — days² pairs per group, not rows²); the
+    pairwise build is a within-group self-join on the group key (one
+    shuffle, AQE-broadcast when the cell table is small) and the two
+    medians are cell-count aggregates. Never call this on raw events.
+
+    Returns (group_cols…, n_points, n_pairs, slope_milli, icept_milli).
+    """
+    gcols = list(group_cols or [])
+    cells = df.select(
+        *gcols,
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cond = F.col("a.__x") < F.col("b.__x")
+    for g in gcols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{g}").alias(g) for g in gcols],
+        (
+            (F.col("b.__y") - F.col("a.__y")).cast("double")
+            / (F.col("b.__x") - F.col("a.__x")).cast("double")
+        ).alias("slope"),
+    )
+    slope = pairs.groupBy(*gcols).agg(
+        F.expr("percentile(slope, 0.5)").alias("__slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    with_slope = cells.join(
+        F.broadcast(slope) if not gcols else slope, on=gcols or None, how="inner"
+    ) if gcols else cells.crossJoin(F.broadcast(slope))
+    icept = with_slope.groupBy(*gcols).agg(
+        F.expr(
+            "percentile(cast(__y as double) - __slope * cast(__x as double),"
+            " 0.5)"
+        ).alias("__icept"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.first("__slope").alias("__s"),
+        F.first("n_pairs").alias("n_pairs"),
+    )
+    return icept.select(
+        *gcols,
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.expr("cast(floor(__s * 1000) as bigint)").alias("slope_milli"),
+        F.expr("cast(floor(__icept * 1000) as bigint)").alias("icept_milli"),
+    )

@@ -205,9 +205,10 @@ def stream_stream_join(
     horizon: str = "2 hours",
     watermark: str = "1 day",
     n_state_partitions: int | None = 8,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-STREAM inner join with an event-time range condition —
-    the attribution join (click → purchase within the horizon), Spark's
+    """Stream-STREAM join with an event-time range condition — the
+    attribution join (click → purchase within the horizon), Spark's
     flagship stateful operator: both sides buffer rows in the state
     store, and the watermark + time-bound condition let Spark evict a
     buffered row once no future match can arrive (state is bounded by
@@ -215,14 +216,26 @@ def stream_stream_join(
 
     Inner joins emit exactly the matched pairs, so draining with
     ``availableNow`` is batch-equivalent and the DuckDB oracle checks
-    it row-for-row (outer stream-stream joins emit null-padded rows on
-    watermark expiry — arrival-order-dependent, deliberately not the
-    gate shape). At 100 TB the join shuffles both streams by user_id
-    once; per-key state is (clicks + purchases within horizon), which
-    the time condition keeps small.
+    it row-for-row. ``how="left_outer"`` adds the abandoned-funnel
+    rows (clicks that never converted) null-padded — emitted only when
+    the watermark proves no match can still arrive, which makes the
+    result CLOSED-FORM under an availableNow drain: all data lands in
+    one batch (watermark still 0), the trailing no-data batch then
+    holds wm = min(max left ts, max right ts) − delay, so the emitted
+    null rows are exactly the unmatched left rows with
+    ``l_ts + horizon < wm``; unmatched left rows inside the horizon of
+    stream end stay in state, unemitted (the session_window open-tail
+    argument, applied to joins). Pass ``watermark="0 seconds"`` for the
+    oracle gate so the cutoff needs no delay arithmetic.
+
+    At 100 TB the join shuffles both streams by user_id once; per-key
+    state is (clicks + purchases within horizon), which the time
+    condition keeps small; outer emission adds no state — eviction and
+    null-emission are the same scan.
 
     Returns (user_id, l_id, r_id, gap_us) as a static frame; gap_us is
-    the integer µs from left event to right event (0 ≤ gap ≤ horizon).
+    the integer µs from left event to right event (0 ≤ gap ≤ horizon;
+    NULL on outer null-padded rows).
     """
     base = _raw_stream(spark, events_path)
     left = (
@@ -249,7 +262,7 @@ def stream_stream_join(
         (F.col("user_id") == F.col("r_user"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.expr(f"l_ts + INTERVAL {horizon}")),
-        "inner",
+        how,
     )
     out = joined.select(
         "user_id",

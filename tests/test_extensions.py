@@ -3510,3 +3510,99 @@ class TestWave5cOps:
         assert out[1].observed_ppm == 666666
         assert out[1].expected_ppm == BENFORD_PPM[0]
         assert out[2].dev_ppm == abs(333333 - BENFORD_PPM[1])
+
+
+class TestWinnowing:
+    def test_matches_python_replay(self, spark):
+        """Full selection replay: window minima with rightmost
+        tie-break over md5_u32 word 3-grams, w=4."""
+        import hashlib
+
+        from drune_spark.operators.dedup import winnow_fingerprints
+
+        words = ("the quick brown fox jumps over the lazy dog "
+                 "the quick brown fox runs").split()
+        k, w = 3, 4
+        grams = [" ".join(words[i:i + k])
+                 for i in range(len(words) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+              for g in grams]
+        n = len(hs)
+        sel = set()
+        for end in range(n):
+            if end >= w - 1 or end == n - 1:
+                lo = max(0, end - w + 1)
+                best = min(range(lo, end + 1), key=lambda i: (hs[i], -i))
+                sel.add((best, hs[best]))
+        docs = spark.createDataFrame(
+            [(0, " ".join(words))], ["doc_id", "text"]
+        )
+        out = {(r.fp_pos, r.fp)
+               for r in winnow_fingerprints(docs).collect()}
+        assert out == sel
+
+    def test_shared_run_guarantee(self, spark):
+        """Winnowing theorem: docs sharing >= w+k-1 = 6 consecutive
+        words share at least one fingerprint hash."""
+        from drune_spark.operators.dedup import winnow_fingerprints
+
+        shared = "alpha beta gamma delta epsilon zeta"
+        docs = spark.createDataFrame(
+            [
+                (0, f"one two three {shared} four five six"),
+                (1, f"seven eight {shared} nine ten eleven twelve"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = winnow_fingerprints(docs).collect()
+        fps = {0: set(), 1: set()}
+        for r in rows:
+            fps[r.doc_id].add(r.fp)
+        assert fps[0] & fps[1]
+
+    def test_short_doc_single_global_min(self, spark):
+        """< w grams: exactly one fingerprint — the global rightmost
+        minimum (final partial window)."""
+        import hashlib
+
+        from drune_spark.operators.dedup import winnow_fingerprints
+
+        words = ["a", "b", "c", "d"]          # 2 grams < w=4
+        grams = [" ".join(words[i:i + 3]) for i in range(2)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+              for g in grams]
+        best = min(range(2), key=lambda i: (hs[i], -i))
+        docs = spark.createDataFrame(
+            [(7, " ".join(words))], ["doc_id", "text"]
+        )
+        rows = winnow_fingerprints(docs).collect()
+        assert len(rows) == 1
+        assert (rows[0].fp_pos, rows[0].fp) == (best, hs[best])
+        assert rows[0].n_grams == 2
+
+
+class TestTheilSen:
+    def test_outlier_robust_slope(self, spark):
+        """y = 2x with one wild outlier: the median pairwise slope
+        stays exactly 2.0 (36 of 45 pairs untouched) and the median
+        intercept stays 0 — where OLS would be dragged."""
+        from drune_spark.operators.timeseries import theil_sen_trend
+
+        rows = [("g", x, 1000 if x == 5 else 2 * x) for x in range(10)]
+        df = spark.createDataFrame(rows, ["grp", "x", "y"])
+        out = theil_sen_trend(df, "x", "y", ["grp"]).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.n_points, r.n_pairs) == (10, 45)
+        assert r.slope_milli == 2000
+        assert r.icept_milli == 0
+
+    def test_ungrouped_exact_line(self, spark):
+        from drune_spark.operators.timeseries import theil_sen_trend
+
+        df = spark.createDataFrame(
+            [(x, 3 * x + 7) for x in range(6)], ["x", "y"]
+        )
+        r = theil_sen_trend(df, "x", "y").collect()[0]
+        assert (r.slope_milli, r.icept_milli) == (3000, 7000)
+        assert (r.n_points, r.n_pairs) == (6, 15)

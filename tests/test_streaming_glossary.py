@@ -671,3 +671,97 @@ class TestTransformWithState:
             ).collect()
         }
         assert out == exp
+
+
+class TestStreamOuterJoin:
+    def test_null_emission_cutoff(self, spark, tmp_path):
+        """Left-outer null rows are emitted exactly for unmatched
+        clicks whose whole horizon the final watermark passed; a
+        later unmatched click stays in state, unemitted."""
+        from drune_spark.streaming.runner import stream_stream_join
+
+        rows = [
+            (1, 1, "click", dt.datetime(2024, 1, 1, 0, 0)),
+            (2, 1, "purchase", dt.datetime(2024, 1, 1, 1, 0)),   # match
+            (3, 2, "click", dt.datetime(2024, 1, 1, 0, 0)),      # expired
+            (4, 3, "click", dt.datetime(2024, 1, 1, 10, 0)),     # open tail
+            (5, 4, "purchase", dt.datetime(2024, 1, 1, 12, 30)),
+        ]
+        # wm = min(max click 10:00, max purchase 12:30) = 10:00;
+        # u2's click horizon ends 02:00 < wm -> null row;
+        # u3's ends 12:00 >= wm -> still in state.
+        df = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+        path = str(tmp_path / "oj.parquet")
+        df.write.parquet(path)
+        out = stream_stream_join(
+            spark, path, watermark="0 seconds", how="left_outer"
+        ).collect()
+        got = {(r.user_id, r.l_id): (r.r_id, r.gap_us) for r in out}
+        assert got == {
+            (1, 1): (2, 3600 * 1_000_000),
+            (2, 3): (None, None),
+        }
+
+    def test_inner_subset_of_outer(self, spark, tmp_path):
+        from drune_spark.streaming.runner import stream_stream_join
+
+        rows = [
+            (i, i % 3, "click" if i % 2 == 0 else "purchase",
+             dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=13 * i))
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+        path = str(tmp_path / "sub.parquet")
+        df.write.parquet(path)
+        inner = {(r.user_id, r.l_id, r.r_id)
+                 for r in stream_stream_join(spark, path).collect()}
+        outer_rows = stream_stream_join(
+            spark, path, watermark="0 seconds", how="left_outer"
+        ).collect()
+        outer_matched = {(r.user_id, r.l_id, r.r_id)
+                         for r in outer_rows if r.r_id is not None}
+        assert outer_matched == inner
+        assert all(r.gap_us is None
+                   for r in outer_rows if r.r_id is None)
+
+
+class TestRocksDbProvider:
+    def test_streamed_distinct_matches_default_provider(
+        self, spark, tmp_path
+    ):
+        """RocksDB state store changes WHERE state lives, never WHAT
+        is emitted — byte-identical distinct set vs the HDFS-backed
+        default."""
+        from drune_spark.streaming.runner import streamed_distinct
+
+        rows = [
+            (i, i % 4, "click" if i % 3 else "view",
+             dt.datetime(2024, 1, 1 + i % 5, 0, 0))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+        path = str(tmp_path / "rd.parquet")
+        df.write.parquet(path)
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        default = sorted(
+            tuple(r) for r in streamed_distinct(spark, path).collect()
+        )
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            rocks = sorted(
+                tuple(r) for r in streamed_distinct(spark, path).collect()
+            )
+        finally:
+            spark.conf.unset(key)
+        assert rocks == default and len(rocks) > 0
