@@ -7067,6 +7067,143 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
+def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source round-trip (the multimodal LAKE layout —
+    one object per asset): PNGs for doc_id < 64 are exported as
+    individual files into fanout subdirectories
+    (multimodal.export_media_files, foreachPartition — no driver
+    collect), read back with
+    spark.read.format('binaryFile') + pathGlobFilter +
+    recursiveFileLookup, ids parsed from the path column, then the
+    REAL codec decodes the bytes (imageio.decode_png). Same
+    closed-form pixel oracle as image_decode, restricted to the
+    exported ids — a byte lost anywhere in write → list → read →
+    inflate breaks the hash."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.operators.multimodal import (
+        export_media_files,
+        image_features,
+        synthesize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 64")
+    out_dir = tempfile.mkdtemp(prefix="drune_binsrc_")
+    export_media_files(synthesize_images(docs), out_dir, ext="png")
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .option("recursiveFileLookup", "true")
+        .load(out_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1)
+            .cast("bigint")
+            .alias("media_id"),
+            "content",
+        )
+    )
+    return image_features(bf)
+
+
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass observability (quality/observe.py observed_pass —
+    Dataset.observe / CollectMetricsExec): audit totals ride the SAME
+    scan that computes the per-returnflag rollup as accumulator-backed
+    partial aggregates (zero extra jobs — the Spark-first upgrade of
+    the reference's re-scanning validator). Output: the per-flag
+    pipeline result joined with the observed totals + exact ppm
+    share; the oracle recomputes both from the table."""
+    _tune(spark)
+    from drune_spark.quality.observe import observed_pass
+
+    li = _t(spark, sf_dir, "lineitem")
+    observed, obs = observed_pass(
+        li,
+        "lineitem_screen",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("sum(cast(l_quantity as bigint))").alias("sum_qty"),
+        F.expr("count_if(l_discount > 0.05)").alias("n_disc"),
+    )
+    per_flag = observed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_flag_rows"),
+        F.expr("sum(cast(l_quantity as bigint))").alias("flag_qty"),
+    ).collect()                      # the action resolves the metrics
+    got = obs.get
+    rows = [
+        (
+            r["l_returnflag"],
+            int(r["n_flag_rows"]),
+            int(r["flag_qty"]),
+            int(got["n_rows"]),
+            int(got["sum_qty"]),
+            int(got["n_disc"]),
+            int(r["n_flag_rows"]) * 1_000_000 // int(got["n_rows"]),
+        )
+        for r in per_flag
+    ]
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, n_flag_rows long, flag_qty long, "
+        "n_rows long, sum_qty long, n_disc long, flag_rows_ppm long",
+    )
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (sampling.py kcenter_coreset, Sener &
+    Savarese 2018): seed at min vec_id + 8 farthest-first rounds over
+    the embeddings table; per-pair cosines are the proven
+    zip_with/aggregate == list_cosine_similarity fold, floored to
+    integer micro before the coverage greatest, selection by
+    (cov asc, id asc). The oracle replays all 8 rounds in unrolled
+    MATERIALIZED CTEs."""
+    _tune(spark)
+    from drune_spark.operators.sampling import kcenter_coreset
+
+    return kcenter_coreset(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    parts = ["""
+        WITH emb AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+            FROM embeddings
+        ),
+        c0 AS MATERIALIZED (
+            SELECT vec_id, embedding FROM emb
+            WHERE vec_id = (SELECT min(vec_id) FROM emb)
+        ),
+        cov0 AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding,
+                   CAST(floor(1000000 * list_cosine_similarity(
+                        e.embedding, c.embedding)) AS BIGINT) AS cov
+            FROM emb e, c0 c WHERE e.vec_id <> c.vec_id
+        )"""]
+    for r in range(1, k + 1):
+        parts.append(f""",
+        p{r} AS MATERIALIZED (
+            SELECT vec_id, embedding, cov FROM cov{r - 1}
+            ORDER BY cov ASC, vec_id ASC LIMIT 1
+        )""")
+        if r < k:
+            parts.append(f""",
+        cov{r} AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding,
+                   greatest(e.cov,
+                            CAST(floor(1000000 * list_cosine_similarity(
+                                 e.embedding, p.embedding)) AS BIGINT))
+                       AS cov
+            FROM cov{r - 1} e, p{r} p WHERE e.vec_id <> p.vec_id
+        )""")
+    sel = ["""
+        SELECT 0 AS sel_no, vec_id, CAST(NULL AS BIGINT) AS cov_micro
+        FROM c0"""]
+    for r in range(1, k + 1):
+        sel.append(f"""
+        UNION ALL SELECT {r}, vec_id, cov FROM p{r}""")
+    return "".join(parts) + "".join(sel)
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (dedup.py winnow_fingerprints —
     Schleimer/Wilkerson/Aiken SIGMOD 2003, the MOSS algorithm): word
@@ -7172,6 +7309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail, the next never-verified block moves up."""
     return {
         # -- new in round 5 (never driver-verified) ------------------------
+        "binaryfile_source": q_binaryfile_source,
+        "observe_metrics": q_observe_metrics,
+        "kcenter_coreset": q_kcenter_coreset,
         "winnowing": q_winnowing,
         "theil_sen": q_theil_sen,
         "stream_outer_join": q_stream_outer_join,
@@ -11003,6 +11143,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
             FROM events
         """,
+        "binaryfile_source": """
+            WITH d AS (
+                SELECT doc_id,
+                       4 + doc_id % 5 AS w,
+                       3 + doc_id % 4 AS h
+                FROM documents WHERE doc_id < 64
+            ),
+            px AS (
+                SELECT doc_id, w, h, i,
+                       (doc_id * 7 + 3 * ((i // 3) % w)
+                        + 5 * (i // (3 * w)) + 11 * (i % 3)) % 256 AS v
+                FROM d, UNNEST(generate_series(0, w * h * 3 - 1)) AS t(i)
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST(SUM(v) AS BIGINT) AS px_sum,
+                   CAST(SUM(v * (i + 1)) AS BIGINT) AS wsum,
+                   CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END)
+                        AS BIGINT) AS r_sum,
+                   CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END)
+                        AS BIGINT) AS g_sum,
+                   CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END)
+                        AS BIGINT) AS b_sum
+            FROM px GROUP BY doc_id, w, h
+        """,
+        "observe_metrics": """
+            WITH tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS sum_qty,
+                       CAST(count(*) FILTER (WHERE l_discount > 0.05)
+                            AS BIGINT) AS n_disc
+                FROM lineitem
+            ),
+            f AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS BIGINT) AS n_flag_rows,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS flag_qty
+                FROM lineitem GROUP BY 1
+            )
+            SELECT f.l_returnflag, f.n_flag_rows, f.flag_qty,
+                   t.n_rows, t.sum_qty, t.n_disc,
+                   f.n_flag_rows * 1000000 // t.n_rows AS flag_rows_ppm
+            FROM f, tot t
+        """,
+        "kcenter_coreset": _kcenter_oracle(k=8),
         "winnowing": """
             WITH toks AS (
                 SELECT doc_id,

@@ -250,6 +250,24 @@ BENCH_QUERIES = [
     "woe_encode",
     "containment",
     "decontaminate_semantic",
+    # round-5 second half (streaming gates stay excluded by precedent)
+    "label_propagation",
+    "wordpiece_train",
+    "hilbert_layout",
+    "benford_audit",
+    "mmr_rerank",
+    "unigram_surprisal",
+    "lexicon_screen",
+    "boilerplate_df",
+    "filter_cascade",
+    "dp_counts",
+    "curriculum_order",
+    "lateral_topk",
+    "winnowing",
+    "theil_sen",
+    "kcenter_coreset",
+    "observe_metrics",
+    "binaryfile_source",
 ]
 
 

@@ -370,3 +370,31 @@ def video_frame_features(media: DataFrame, every_ms: int = 400) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(proc, schema=VIDEO_FRAME_SCHEMA)
+
+
+def export_media_files(
+    media: DataFrame,
+    out_dir: str,
+    ext: str = "png",
+    fanout: int = 4,
+) -> None:
+    """Write each (media_id, content) row as an individual binary file
+    ``out_dir/sub{media_id % fanout}/{media_id}.{ext}`` — the lake
+    layout the ``binaryFile`` source reads back. Distributed via
+    foreachPartition (each task writes only its rows; no driver
+    collect, no shuffle); local-mode tasks share the filesystem, a
+    cluster points ``out_dir`` at the object store. Fanout
+    subdirectories exercise recursiveFileLookup and keep any one
+    directory's listing bounded at scale."""
+    import os as _os
+
+    def _write(rows) -> None:
+        for r in rows:
+            sub = _os.path.join(out_dir, f"sub{int(r['media_id']) % fanout}")
+            _os.makedirs(sub, exist_ok=True)
+            with open(
+                _os.path.join(sub, f"{int(r['media_id'])}.{ext}"), "wb"
+            ) as fh:
+                fh.write(bytes(r["content"]))
+
+    media.foreachPartition(_write)

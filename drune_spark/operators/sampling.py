@@ -448,3 +448,93 @@ def curriculum_order(
     return banded.withColumn("rr", F.row_number().over(w)).select(
         "band", "rr", "source", id_col, "length"
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Sener & Savarese, ICLR 2018 —
+    the active-learning/data-selection coreset): seed with the smallest
+    id, then ``k`` farthest-first rounds — each picks the candidate
+    whose MAXIMUM cosine to the already-chosen set is SMALLEST (the
+    least-covered point), ties to the smallest id. The greedy is a
+    2-approximation of the k-center cover, and the selected set is the
+    classic diversity-maximizing subsample for labeling budgets /
+    eval-set construction over an embedded corpus.
+
+    Determinism: every per-pair cosine is the bit-deterministic
+    zip_with/aggregate double fold, floored to integer micro BEFORE the
+    coverage ``greatest`` (floor is monotone, so integer coverage ==
+    floored double coverage); selection is a (cov_micro asc, id asc)
+    TakeOrdered — no doubles survive a comparison.
+
+    Plan shape at 100 TB (kmeans control-loop contract): each round is
+    ONE corpus scan against the newest center as a broadcast 1-row
+    literal (no join, no shuffle — the coverage update is a narrow
+    projection); only the 1-row argmin crosses to the driver per
+    round. Coverage lineage is re-folded from the persisted base per
+    round (k small); a production k in the thousands would checkpoint
+    coverage every few hundred rounds instead.
+
+    Returns (sel_no INT, id, cov_micro BIGINT — NULL for the seed).
+    """
+    from drune_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    base = df.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+    ).persist()
+    try:
+        seed = base.orderBy(id_col).limit(1).collect()[0]
+        chosen = [(0, seed[id_col], None)]
+        center = seed["__v"]
+        cands = base.filter(F.col(id_col) != seed[id_col]).withColumn(
+            "__cov", F.lit(-(10 ** 6) - 1).cast("bigint")
+        )
+        prev = None
+        for rnd in range(1, k + 1):
+            lit_center = F.array(*[F.lit(float(x)) for x in center])
+            # Persist each round's coverage: the per-round collect is
+            # already an action, so the persist costs no extra barrier
+            # and stops round j from re-folding rounds 1..j-1's
+            # cosines through the lineage (O(k) scans total, not
+            # O(k²)); the previous round's frame is evicted eagerly.
+            cands = cands.withColumn(
+                "__cov",
+                F.greatest(
+                    F.col("__cov"),
+                    F.floor(
+                        F.lit(1000000.0)
+                        * cosine_similarity(F.col("__v"), lit_center)
+                    ).cast("bigint"),
+                ),
+            ).persist()
+            pick = (
+                cands.orderBy(F.col("__cov").asc(), F.col(id_col).asc())
+                .limit(1)
+                .collect()[0]
+            )
+            if prev is not None:
+                prev.unpersist()
+            prev = cands
+            chosen.append((rnd, pick[id_col], pick["__cov"]))
+            center = pick["__v"]
+            cands = cands.filter(F.col(id_col) != pick[id_col])
+        if prev is not None:
+            prev.unpersist()
+        spark = df.sparkSession
+        out = spark.createDataFrame(
+            [(int(s), int(v), c if c is None else int(c))
+             for s, v, c in chosen],
+            schema="sel_no int, vec_id long, cov_micro long",
+        )
+        if id_col != "vec_id":
+            out = out.withColumnRenamed("vec_id", id_col)
+        return out
+    finally:
+        base.unpersist()

@@ -3606,3 +3606,88 @@ class TestTheilSen:
         r = theil_sen_trend(df, "x", "y").collect()[0]
         assert (r.slope_milli, r.icept_milli) == (3000, 7000)
         assert (r.n_points, r.n_pairs) == (6, 15)
+
+
+class TestKCenterCoreset:
+    def test_farthest_first_hand_trace(self, spark):
+        """Seed at min id; then opposite vector, then orthogonal, then
+        the near-duplicate last — with the coverage at pick time."""
+        from drune_spark.operators.sampling import kcenter_coreset
+
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.001]),     # near-dup of the seed
+            (2, [0.0, 1.0]),       # orthogonal
+            (3, [-1.0, 0.0]),      # opposite
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {r.sel_no: r for r in kcenter_coreset(emb, k=3).collect()}
+        assert (out[0].vec_id, out[0].cov_micro) == (0, None)
+        assert (out[1].vec_id, out[1].cov_micro) == (3, -1_000_000)
+        assert (out[2].vec_id, out[2].cov_micro) == (2, 0)
+        assert out[3].vec_id == 1
+        assert 999_000 <= out[3].cov_micro <= 1_000_000
+
+    def test_tie_breaks_to_smallest_id(self, spark):
+        from drune_spark.operators.sampling import kcenter_coreset
+
+        rows = [(i, [1.0, 0.0]) for i in range(4)]   # all identical
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = [r.vec_id for r in
+               kcenter_coreset(emb, k=2).orderBy("sel_no").collect()]
+        assert out == [0, 1, 2]
+
+
+class TestObservedPass:
+    def test_metrics_match_direct_aggregates(self, spark):
+        from drune_spark.quality.observe import (
+            metrics_frame,
+            observed_pass,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i) / 10) for i in range(20)], ["k", "v"]
+        )
+        observed, obs = observed_pass(
+            df,
+            "t",
+            F.count(F.lit(1)).alias("n"),
+            F.expr("count_if(v > 0.5)").alias("n_big"),
+            F.sum("k").alias("sum_k"),
+        )
+        # one action resolves the metrics alongside the real result
+        assert observed.filter("k % 2 = 0").count() == 10
+        m = metrics_frame(spark, obs).collect()[0]
+        assert (m.n, m.n_big, m.sum_k) == (20, 14, 190)
+
+
+class TestBinaryFileExport:
+    def test_roundtrip_bytes_identical(self, spark, tmp_path):
+        from drune_spark.operators.multimodal import (
+            export_media_files,
+            synthesize_images,
+        )
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(10)], ["doc_id"]
+        )
+        media = synthesize_images(docs)
+        want = {r.media_id: bytes(r.content) for r in media.collect()}
+        out = str(tmp_path / "lake")
+        export_media_files(media, out, ext="png", fanout=3)
+        got_rows = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.png")
+            .option("recursiveFileLookup", "true")
+            .load(out)
+            .select("path", "content")
+            .collect()
+        )
+        got = {
+            int(r.path.rsplit("/", 1)[1][:-4]): bytes(r.content)
+            for r in got_rows
+        }
+        assert got == want
+        # fanout layout actually used
+        import os
+        assert sorted(os.listdir(out)) == ["sub0", "sub1", "sub2"]
