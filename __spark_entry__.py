@@ -7067,6 +7067,94 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peel (graph.py k_truss, Cohen 2008) over the canonical
+    co-purchase part graph (w ≥ 2): 2 synchronous peel rounds at k=3
+    (every surviving edge closes ≥ 1 triangle — the smallest
+    nontrivial truss; k=4 empties this graph at sf0.01, a worthless
+    gate), support recomputed on
+    the final edge set. The oracle replays every round — triangle
+    enumeration in canonical orientation, 3-role support union, peel
+    filter — in unrolled MATERIALIZED CTEs."""
+    _tune(spark)
+    from drune_spark.operators.graph import k_truss
+
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return k_truss(edges, k=3, rounds=2)
+
+
+def _ktruss_oracle(k: int = 4, rounds: int = 2) -> str:
+    parts = ["""
+        WITH lp AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )"""]
+    for r in range(rounds + 1):
+        parts.append(f""",
+        t{r} AS MATERIALIZED (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e{r} e1
+            JOIN e{r} e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e{r} e3 ON e3.u = e1.v AND e3.v = e2.v
+        ),
+        s{r} AS MATERIALIZED (
+            SELECT u, v, CAST(count(*) AS BIGINT) AS sup
+            FROM (SELECT a AS u, b AS v FROM t{r}
+                  UNION ALL SELECT a, c FROM t{r}
+                  UNION ALL SELECT b, c FROM t{r})
+            GROUP BY u, v
+        )""")
+        if r < rounds:
+            parts.append(f""",
+        e{r + 1} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{r} e
+            LEFT JOIN s{r} s ON s.u = e.u AND s.v = e.v
+            WHERE COALESCE(s.sup, 0) >= {k - 2}
+        )""")
+    parts.append(f"""
+        SELECT e.u AS src, e.v AS dst,
+               COALESCE(s.sup, CAST(0 AS BIGINT)) AS support
+        FROM e{rounds} e
+        LEFT JOIN s{rounds} s ON s.u = e.u AND s.v = e.v""")
+    return "".join(parts)
+
+
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chi-squared drift contributions over the
+    (source, lang) contingency table (stats.py CHI2_DRIFT_SQL — ONE
+    shared ANSI text on both engines): exact-integer cross-multiplied
+    numerators, one double division per cell floored to milli, integer
+    sums. The which-snapshot-moved screen for multi-crawl corpora."""
+    _tune(spark)
+    from drune_spark.operators.stats import CHI2_DRIFT_SQL
+
+    _t(spark, sf_dir, "documents").select(
+        "source", "lang"
+    ).createOrReplaceTempView("documents")
+    return spark.sql(CHI2_DRIFT_SQL)
+
+
 def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile source round-trip (the multimodal LAKE layout —
     one object per asset): PNGs for doc_id < 64 are exported as
@@ -7309,6 +7397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail, the next never-verified block moves up."""
     return {
         # -- new in round 5 (never driver-verified) ------------------------
+        "k_truss": q_k_truss,
+        "chi2_drift": q_chi2_drift,
         "binaryfile_source": q_binaryfile_source,
         "observe_metrics": q_observe_metrics,
         "kcenter_coreset": q_kcenter_coreset,
@@ -7776,6 +7866,7 @@ def _profile_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from drune_spark.operators.search import bm25_oracle_sql
+    from drune_spark.operators.stats import CHI2_DRIFT_SQL as CHI2_SHARED
     from drune_spark.operators.stats import ols_sql_exprs
 
     _OLS_SLOPE, _OLS_INTERCEPT, _OLS_R2 = ols_sql_exprs()
@@ -11143,6 +11234,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
             FROM events
         """,
+        "k_truss": _ktruss_oracle(k=3, rounds=2),
+        "chi2_drift": CHI2_SHARED,
         "binaryfile_source": """
             WITH d AS (
                 SELECT doc_id,

@@ -268,6 +268,9 @@ BENCH_QUERIES = [
     "kcenter_coreset",
     "observe_metrics",
     "binaryfile_source",
+    "chi2_drift",
+    # k_truss stays out: audit-tier (14s for a 3-row 0.1-truss at
+    # sf0.1 — the w>=2 co-purchase graph is triangle-sparse there)
 ]
 
 

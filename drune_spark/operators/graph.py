@@ -336,3 +336,108 @@ def label_propagation(
             (F.lit(K - 1) - F.pmod(F.max("enc"), F.lit(K))).alias("label")
         )
     return labels
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-truss peel (Cohen 2008, 'Trusses: cohesive subgraphs for
+    social network analysis'): the subgraph in which every edge closes
+    at least k−2 triangles — the edge-cohesion sibling of the kcore
+    gate's node degeneracy peel. ``rounds`` SYNCHRONOUS peel
+    iterations: each recomputes every edge's support (triangle count)
+    on the current edge set and drops edges below k−2. The fixed-round
+    unrolled form of the peel-to-fixpoint is deterministic and
+    oracle-replayable (the label_propagation contract); the returned
+    support is measured on the FINAL surviving edge set.
+
+    Triangles are enumerated once per round in canonical orientation
+    (u < v < w): wedge join on the smallest endpoint + one closing
+    equi-join — every triangle counted exactly once, each contributing
+    to its three edges via a 3-way unionAll of edge roles. Shuffles
+    carry (u, v) id cells only.
+
+    Self-referencing-DAG rule (CLAUDE.md round-3): each round's edge
+    set is read by FOUR branches of the next round's plan (three
+    triangle roles + the join-back). Lazy persist marks are NOT enough
+    here — within one job the four branches race the cache and each
+    recomputes the subtree (measured 15.4s vs 2s at sf0.001) — so each
+    round materializes eagerly (persist + count, the kmeans
+    control-loop trade: rounds × small barrier beats 4^rounds
+    recomputation). Marks stay in place for repeat executions; callers
+    bound residency with clearCache.
+
+    Returns canonical (src, dst, support).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter("u < v")
+        .distinct()
+        .persist()
+    )
+    e.count()
+
+    def support(edf: DataFrame) -> DataFrame:
+        e1, e2, e3 = edf.alias("e1"), edf.alias("e2"), edf.alias("e3")
+        tri = (
+            e1.join(
+                e2,
+                (F.col("e2.u") == F.col("e1.u"))
+                & (F.col("e2.v") > F.col("e1.v")),
+            )
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.v"))
+                & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .select(
+                F.col("e1.u").alias("a"),
+                F.col("e1.v").alias("b"),
+                F.col("e2.v").alias("c"),
+            )
+        )
+        # explode(array(struct...)) fan-out, NOT a 3-way union: union
+        # branches re-plan the triangle join per branch (no cross-
+        # branch CSE — the profile.py lesson), tripling the round cost
+        # (measured 3.2s -> 1.2s per support pass at sf0.001).
+        sides = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                )
+            ).alias("s")
+        ).select("s.u", "s.v")
+        return sides.groupBy("u", "v").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+
+    cur = e
+    for _ in range(rounds):
+        sup = support(cur)
+        cur = (
+            cur.join(sup, ["u", "v"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("u", "v")
+            .persist()
+        )
+        cur.count()
+    final_sup = support(cur)
+    return (
+        cur.join(final_sup, ["u", "v"], "left")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.coalesce(F.col("support"), F.lit(0))
+            .cast("long")
+            .alias("support"),
+        )
+    )

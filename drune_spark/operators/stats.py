@@ -608,3 +608,50 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
             F.abs(F.col("observed_ppm") - F.col("expected_ppm")),
         )
     )
+
+
+# Per-source contribution to the corpus-wide chi-squared independence
+# statistic over the (source, lang) contingency table — the categorical
+# drift screen for multi-crawl corpora (WHICH snapshot's language mix
+# moved). ONE ANSI text runs verbatim on Spark and DuckDB (shared-text
+# determinism): every term is the exact-integer cross-multiplied
+# numerator (O·N − n_s·C_l, a BIGINT) squared in DOUBLE, divided once,
+# floored to integer milli — integer sums after the floor, so no
+# FP-order dependence survives. Zero-count cells enter via the
+# sources × langs grid (chi² needs them). Scale: everything after the
+# first GROUP BY is cell-sized (sources × langs); the two CROSS JOINs
+# are bounded broadcast sides (grand total is 1 row).
+CHI2_DRIFT_SQL = """
+    WITH cl AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        FROM documents GROUP BY source, lang
+    ),
+    s AS (
+        SELECT source, CAST(SUM(o) AS BIGINT) AS ns FROM cl GROUP BY source
+    ),
+    l AS (
+        SELECT lang, CAST(SUM(o) AS BIGINT) AS cnt_l FROM cl GROUP BY lang
+    ),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cl),
+    grid AS (
+        SELECT s.source, l.lang, s.ns, l.cnt_l, t.n,
+               COALESCE(c.o, CAST(0 AS BIGINT)) AS o
+        FROM s CROSS JOIN l CROSS JOIN t
+        LEFT JOIN cl c ON c.source = s.source AND c.lang = l.lang
+    ),
+    terms AS (
+        SELECT source, ns,
+               CAST(floor(
+                   1000.0
+                   * CAST(o * n - ns * cnt_l AS DOUBLE)
+                   * CAST(o * n - ns * cnt_l AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(ns AS DOUBLE)
+                      * CAST(cnt_l AS DOUBLE))
+               ) AS BIGINT) AS term_milli
+        FROM grid
+    )
+    SELECT source, CAST(MIN(ns) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(SUM(term_milli) AS BIGINT) AS chi2_contrib_milli
+    FROM terms GROUP BY source
+"""

@@ -57,6 +57,8 @@ QUERIES = [
     "boilerplate_df",
     "label_propagation",
     "unigram_surprisal",
+    # round-5 wave C: the corpus-sized rolling-min window op
+    "winnowing",
 ]
 TABLES = ["documents", "embeddings", "lineitem", "orders"]
 
