@@ -7067,6 +7067,30 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
+def q_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-token Viterbi segmentation over the distinct-word table
+    (bpe.py VITERBI_SEGMENT_BODY — ONE shared WITH RECURSIVE text on
+    both engines): chars + top-4 corpus bigrams as the vocab, the DP as
+    recursive (pos, cost) expansion with strictly-increasing pos. The
+    unigram-LM decoding shape that completes the
+    bpe_train/wordpiece_train tokenizer family."""
+    _tune(spark)
+    from drune_spark.operators.bpe import VITERBI_SEGMENT_BODY
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("word")
+        )
+        .filter("length(word) > 0")
+        .distinct()
+    )
+    words.createOrReplaceTempView("vwords")
+    return spark.sql(VITERBI_SEGMENT_BODY)
+
+
 def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-truss peel (graph.py k_truss, Cohen 2008) over the canonical
     co-purchase part graph (w ≥ 2): 2 synchronous peel rounds at k=3
@@ -7397,6 +7421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail, the next never-verified block moves up."""
     return {
         # -- new in round 5 (never driver-verified) ------------------------
+        "viterbi_segment": q_viterbi_segment,
         "k_truss": q_k_truss,
         "chi2_drift": q_chi2_drift,
         "binaryfile_source": q_binaryfile_source,
@@ -7867,6 +7892,9 @@ def _profile_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from drune_spark.operators.search import bm25_oracle_sql
     from drune_spark.operators.stats import CHI2_DRIFT_SQL as CHI2_SHARED
+    from drune_spark.operators.bpe import (
+        VITERBI_SEGMENT_BODY as VITERBI_SHARED,
+    )
     from drune_spark.operators.stats import ols_sql_exprs
 
     _OLS_SLOPE, _OLS_INTERCEPT, _OLS_R2 = ols_sql_exprs()
@@ -11234,6 +11262,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
             FROM events
         """,
+        "viterbi_segment": (
+            """WITH RECURSIVE vwords AS (
+                SELECT DISTINCT word FROM (
+                    SELECT unnest(regexp_split_to_array(
+                        trim(lower(text)), '\\s+')) AS word
+                    FROM documents) WHERE length(word) > 0
+            ), """
+            + VITERBI_SHARED.strip().removeprefix("WITH RECURSIVE")
+        ),
         "k_truss": _ktruss_oracle(k=3, rounds=2),
         "chi2_drift": CHI2_SHARED,
         "binaryfile_source": """

@@ -270,7 +270,9 @@ BENCH_QUERIES = [
     "binaryfile_source",
     "chi2_drift",
     # k_truss stays out: audit-tier (14s for a 3-row 0.1-truss at
-    # sf0.1 — the w>=2 co-purchase graph is triangle-sparse there)
+    # sf0.1 — the w>=2 co-purchase graph is triangle-sparse there);
+    # viterbi_segment stays out: 8s of pure recursion-step overhead on
+    # 31 rows (recursive_reachability already times Spark recursion)
 ]
 
 

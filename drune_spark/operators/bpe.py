@@ -295,3 +295,56 @@ def wordpiece_train(
         "step int, pair string, merged string, pair_count bigint,"
         " score bigint",
     )
+
+
+# Minimum-token Viterbi segmentation (the SentencePiece/unigram-LM
+# decoding shape with uniform token cost — completes the tokenizer
+# family next to bpe_train/bpe_apply and wordpiece_train): per distinct
+# word, the FEWEST vocab tokens that exactly cover it, where the vocab
+# is the word's own characters (guaranteed cover) plus the top-4 corpus
+# character bigrams (count DESC, gram ASC tie-break). ONE shared ANSI
+# text runs verbatim on Spark 4.1 and DuckDB (WITH RECURSIVE): the
+# char-position domain is a shared VALUES table (both engines lack a
+# shared explode idiom; a recursive p() worked too but each Spark
+# recursion step is a whole job — VALUES halves the gate), and the DP is the recursive state
+# expansion (word, pos, cost) -> (pos + len(tok), cost + 1) — UNION ALL
+# with a strictly-increasing pos, so it terminates without UNION
+# distinct (which Spark's recursion does not support). Path count is
+# bounded by the segmentation count (Fibonacci-ish in word length;
+# corpus words are <= 8 chars). All-integer output; the final ppm is
+# floor over exact small integers.
+#
+# Scale: the DP runs over DISTINCT WORDS (vocabulary-sized, the
+# bpe_train collapse), never the corpus; at 100 TB the corpus touch is
+# the one word-extraction scan that feeds the vwords view.
+VITERBI_SEGMENT_BODY = """
+    WITH RECURSIVE p AS (
+        SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8)) AS t(i)
+    ),
+    chars AS (
+        SELECT DISTINCT substr(word, i, 1) AS g
+        FROM vwords, p WHERE i <= length(word)
+    ),
+    bigrams AS (
+        SELECT g FROM (
+            SELECT substr(word, i, 2) AS g, CAST(count(*) AS BIGINT) AS n
+            FROM vwords, p WHERE i + 1 <= length(word)
+            GROUP BY substr(word, i, 2)
+        ) b
+        ORDER BY n DESC, g ASC LIMIT 4
+    ),
+    vocab AS (SELECT g FROM chars UNION SELECT g FROM bigrams),
+    dp(word, pos, cost) AS (
+        SELECT word, 0, 0 FROM vwords
+        UNION ALL
+        SELECT d.word, d.pos + length(v.g), d.cost + 1
+        FROM dp d JOIN vocab v
+          ON substr(d.word, d.pos + 1, length(v.g)) = v.g
+        WHERE d.pos < length(d.word)
+    )
+    SELECT word, CAST(length(word) AS INT) AS n_chars,
+           CAST(MIN(cost) AS INT) AS min_tokens,
+           CAST(floor((length(word) - MIN(cost)) * 1000000.0
+                      / length(word)) AS BIGINT) AS saved_ppm
+    FROM dp WHERE pos = length(word) GROUP BY word
+"""

@@ -3753,3 +3753,31 @@ class TestKTruss:
         # final set, or empty.
         for s in out.values():
             assert s >= 3 or len(out) == 0
+
+
+class TestViterbiSegment:
+    def test_min_tokens_uses_bigrams(self, spark):
+        """Corpus where 'ab' dominates: 'abab' = 2 tokens, 'aba' = 2
+        (ab+a), single chars fall back to length."""
+        from drune_spark.operators.bpe import VITERBI_SEGMENT_BODY
+
+        # bigram counts over distinct words {abab, aba, cd, ef, gh,
+        # xyz}: ab:3, ba:2, cd:1... top-4 = (3,ab),(2,ba),(1,cd),(1,ef)
+        # — xy/yz crowded OUT of the vocab, so xyz segments per-char.
+        docs = spark.createDataFrame(
+            [(0, "abab abab aba cd ef gh xyz")], ["doc_id", "text"]
+        )
+        words = (
+            docs.selectExpr(
+                "explode(split(trim(lower(text)), '\\\\s+')) AS word"
+            )
+            .filter("length(word) > 0")
+            .distinct()
+        )
+        words.createOrReplaceTempView("vwords")
+        out = {r.word: r for r in spark.sql(VITERBI_SEGMENT_BODY).collect()}
+        assert out["abab"].min_tokens == 2
+        assert out["aba"].min_tokens == 2
+        assert out["xyz"].min_tokens == 3            # no bigram help
+        assert out["abab"].saved_ppm == 500000
+        assert out["xyz"].saved_ppm == 0
