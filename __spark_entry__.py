@@ -7067,6 +7067,25 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
+def q_stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT ANTI join (streaming/runner.py
+    stream_anti_filter): the ingest-time skip-list — events whose id
+    is already in a static processed-manifest (id % 3 == 0 here) drop
+    inside the stream, stateless (the manifest, not the state store,
+    carries the memory). Broadcast anti-join per micro-batch; the
+    batch oracle checks the availableNow drain row-for-row."""
+    _tune(spark)
+    from drune_spark.streaming.runner import stream_anti_filter
+
+    path = os.path.join(sf_dir, "events.parquet")
+    seen = (
+        _t(spark, sf_dir, "events")
+        .filter("event_id % 3 = 0")
+        .select(F.col("event_id").alias("seen_id"))
+    )
+    return stream_anti_filter(spark, path, seen)
+
+
 def q_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-token Viterbi segmentation over the distinct-word table
     (bpe.py VITERBI_SEGMENT_BODY — ONE shared WITH RECURSIVE text on
@@ -7421,6 +7440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail, the next never-verified block moves up."""
     return {
         # -- new in round 5 (never driver-verified) ------------------------
+        "stream_anti_join": q_stream_anti_join,
         "viterbi_segment": q_viterbi_segment,
         "k_truss": q_k_truss,
         "chi2_drift": q_chi2_drift,
@@ -11261,6 +11281,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT event_type,
                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
             FROM events
+        """,
+        "stream_anti_join": """
+            SELECT event_id, user_id, event_type,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+            FROM events WHERE event_id % 3 <> 0
         """,
         "viterbi_segment": (
             """WITH RECURSIVE vwords AS (

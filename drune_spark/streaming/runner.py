@@ -580,3 +580,54 @@ def stream_upsert(
         F.col("event_id").alias("last_event_id"),
         "last_type",
     )
+
+
+def stream_anti_filter(
+    spark: SparkSession,
+    events_path: str,
+    seen: DataFrame,
+    on: tuple[str, str] = ("event_id", "seen_id"),
+    n_state_partitions: int | None = 8,
+) -> DataFrame:
+    """Stream-static LEFT ANTI join — the ingest-time skip-list: rows
+    whose key already exists in a STATIC reference (yesterday's
+    processed-id manifest, a blocklist, an already-crawled URL set)
+    are dropped inside the stream, stateless. The anti-join complement
+    of ``stream_static_enrich``: Spark re-plans the static side per
+    micro-batch and broadcasts it when small, so the stream side never
+    shuffles and no state accumulates (unlike dropDuplicates, which
+    must REMEMBER keys — the anti join delegates memory to the static
+    manifest). availableNow drains the identical plan a live stream
+    runs, so the batch oracle checks it row-for-row.
+
+    At 100 TB the manifest outgrows broadcast: same plan degrades to a
+    per-batch shuffled hash anti-join, or the manifest becomes a bloom
+    filter (bloom_prune_join) with an exact residual check downstream.
+
+    Returns the surviving rows' (event_id, user_id, event_type, day).
+    """
+    stream_col, seen_col = on
+    stream = _raw_stream(spark, events_path)
+    kept = stream.join(
+        F.broadcast(seen),
+        stream[stream_col] == seen[seen_col],
+        "left_anti",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    name = f"anti_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt, \
+            state_partitions(spark, n_state_partitions):
+        query = (
+            kept.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name)

@@ -765,3 +765,26 @@ class TestRocksDbProvider:
         finally:
             spark.conf.unset(key)
         assert rocks == default and len(rocks) > 0
+
+
+class TestStreamAntiFilter:
+    def test_manifest_rows_dropped_stateless(self, spark, tmp_path):
+        from drune_spark.streaming.runner import stream_anti_filter
+
+        rows = [
+            (i, i % 3, "click", dt.datetime(2024, 1, 1 + i % 4, 0, 0))
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts"]
+        )
+        path = str(tmp_path / "af.parquet")
+        df.write.parquet(path)
+        seen = spark.createDataFrame(
+            [(i,) for i in (0, 2, 4, 6, 8, 10)], ["seen_id"]
+        )
+        out = sorted(
+            r.event_id
+            for r in stream_anti_filter(spark, path, seen).collect()
+        )
+        assert out == [1, 3, 5, 7, 9, 11]
