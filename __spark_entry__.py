@@ -7067,6 +7067,21 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling quotas (sampling.py
+    TEMPERATURE_MIX_SQL — mT5 alpha = 1/2, ONE shared ANSI text):
+    IEEE-exact sqrt floored to milli before any sum, exact-integer
+    largest-remainder rounding so quotas sum to the 1000 budget
+    precisely. The fixed-exponent sibling of unimax_mix."""
+    _tune(spark)
+    from drune_spark.operators.sampling import TEMPERATURE_MIX_SQL
+
+    _t(spark, sf_dir, "documents").select(
+        "source"
+    ).createOrReplaceTempView("documents")
+    return spark.sql(TEMPERATURE_MIX_SQL)
+
+
 def q_stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static LEFT ANTI join (streaming/runner.py
     stream_anti_filter): the ingest-time skip-list — events whose id
@@ -7440,6 +7455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail, the next never-verified block moves up."""
     return {
         # -- new in round 5 (never driver-verified) ------------------------
+        "temperature_mix": q_temperature_mix,
         "stream_anti_join": q_stream_anti_join,
         "viterbi_segment": q_viterbi_segment,
         "k_truss": q_k_truss,
@@ -7912,6 +7928,9 @@ def _profile_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from drune_spark.operators.search import bm25_oracle_sql
     from drune_spark.operators.stats import CHI2_DRIFT_SQL as CHI2_SHARED
+    from drune_spark.operators.sampling import (
+        TEMPERATURE_MIX_SQL as TEMP_MIX_SHARED,
+    )
     from drune_spark.operators.bpe import (
         VITERBI_SEGMENT_BODY as VITERBI_SHARED,
     )
@@ -11282,6 +11301,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
             FROM events
         """,
+        "temperature_mix": TEMP_MIX_SHARED,
         "stream_anti_join": """
             SELECT event_id, user_id, event_type,
                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day

@@ -538,3 +538,46 @@ def kcenter_coreset(
         return out
     finally:
         base.unpersist()
+
+
+# Temperature-based source sampling quotas (the mT5/multilingual
+# recipe, Xue et al. 2021: p_i ∝ n_i^α with α = 1/2) with EXACT
+# largest-remainder rounding so the quotas sum to the budget precisely.
+# ONE ANSI text runs verbatim on Spark and DuckDB: sqrt is IEEE
+# correctly-rounded (bit-identical across engines), floored to integer
+# milli BEFORE the order-sensitive sum, shares are exact-integer
+# products with one double division per source (inputs < 2^53, so the
+# quotient is the same IEEE double everywhere), and the leftover goes
+# to the largest remainders (rem DESC, source ASC — deterministic).
+# UniMax (unimax_alloc) is the waterfilling alternative; temperature
+# sampling is the fixed-exponent one. Everything after the first
+# GROUP BY is source-cell-sized; the totals rows are bounded broadcast
+# crosses (the chi2_drift margins pattern).
+TEMPERATURE_MIX_SQL = """
+    WITH s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000)
+                    AS BIGINT) AS s_milli
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(s_milli) AS BIGINT) AS s_tot FROM s),
+    q AS (
+        SELECT source, n_docs, s_milli,
+               CAST(floor((1000.0 * s_milli) / s_tot) AS BIGINT)
+                   AS q_base,
+               1000 * s_milli
+                   - CAST(floor((1000.0 * s_milli) / s_tot) AS BIGINT)
+                     * s_tot AS rem
+        FROM s CROSS JOIN t
+    ),
+    l AS (SELECT CAST(1000 - SUM(q_base) AS BIGINT) AS leftover FROM q),
+    r AS (
+        SELECT source, n_docs, s_milli, q_base, rem,
+               row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+        FROM q
+    )
+    SELECT source, n_docs, s_milli,
+           CAST(q_base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM r CROSS JOIN l
+"""

@@ -3781,3 +3781,31 @@ class TestViterbiSegment:
         assert out["xyz"].min_tokens == 3            # no bigram help
         assert out["abab"].saved_ppm == 500000
         assert out["xyz"].saved_ppm == 0
+
+
+class TestTemperatureMix:
+    def test_quotas_sum_to_budget_largest_remainder(self, spark):
+        """A: 1 doc (s=1000), B: 4 docs (s=2000): bases 333/666,
+        leftover 1 goes to B (larger remainder 2000 vs 1000)."""
+        from drune_spark.operators.sampling import TEMPERATURE_MIX_SQL
+
+        rows = [("A",)] + [("B",)] * 4
+        spark.createDataFrame(rows, ["source"]) \
+            .createOrReplaceTempView("documents")
+        out = {r.source: r for r in
+               spark.sql(TEMPERATURE_MIX_SQL).collect()}
+        assert (out["A"].s_milli, out["B"].s_milli) == (1000, 2000)
+        assert (out["A"].quota, out["B"].quota) == (333, 667)
+        assert sum(r.quota for r in out.values()) == 1000
+
+    def test_equal_sources_tie_break_by_name(self, spark):
+        from drune_spark.operators.sampling import TEMPERATURE_MIX_SQL
+
+        rows = [("a",)] * 3 + [("b",)] * 3 + [("c",)] * 3
+        spark.createDataFrame(rows, ["source"]) \
+            .createOrReplaceTempView("documents")
+        out = {r.source: r.quota for r in
+               spark.sql(TEMPERATURE_MIX_SQL).collect()}
+        # 1000/3 = 333 each, leftover 1 -> smallest name on rem tie
+        assert out == {"a": 334, "b": 333, "c": 333}
+        assert sum(out.values()) == 1000
