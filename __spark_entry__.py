@@ -7067,6 +7067,25 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test (timeseries.py mann_kendall)
+    over the per-event-type daily series — Theil-Sen's standard
+    companion: all-integer S and tie-corrected 18*Var, one IEEE sqrt,
+    z floored to milli after the division."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import mann_kendall
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("etype"),
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return mann_kendall(daily, "day", "n", ["etype"])
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source sampling quotas (sampling.py
     TEMPERATURE_MIX_SQL — mT5 alpha = 1/2, ONE shared ANSI text):
@@ -7455,6 +7474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail, the next never-verified block moves up."""
     return {
         # -- new in round 5 (never driver-verified) ------------------------
+        "mann_kendall": q_mann_kendall,
         "temperature_mix": q_temperature_mix,
         "stream_anti_join": q_stream_anti_join,
         "viterbi_segment": q_viterbi_segment,
@@ -11300,6 +11320,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT event_type,
                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
             FROM events
+        """,
+        "mann_kendall": """
+            WITH daily AS (
+                SELECT event_type AS etype,
+                       epoch_us(ts) // 86400000000 AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT a.etype,
+                       CAST(SUM(sign(b.n - a.n)) AS BIGINT) AS s_stat
+                FROM daily a JOIN daily b
+                  ON a.etype = b.etype AND a.day < b.day
+                GROUP BY a.etype
+            ),
+            np AS (
+                SELECT etype, CAST(count(*) AS BIGINT) AS n
+                FROM daily GROUP BY etype
+            ),
+            ties AS (
+                SELECT etype,
+                       CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                           AS tie_term
+                FROM (SELECT etype, n AS y, count(*) AS t
+                      FROM daily GROUP BY etype, n)
+                WHERE t > 1 GROUP BY etype
+            )
+            SELECT np.etype, np.n AS n_points, s.s_stat,
+                   CAST(np.n * (np.n - 1) * (2 * np.n + 5)
+                        - COALESCE(tie_term, 0) AS BIGINT) AS var18,
+                   CASE WHEN s.s_stat = 0 OR np.n < 2 THEN 0 ELSE
+                     CAST(floor(1000.0 * (s.s_stat
+                          - CASE WHEN s.s_stat > 0 THEN 1 ELSE -1 END)
+                          / sqrt((np.n * (np.n - 1) * (2 * np.n + 5)
+                                  - COALESCE(tie_term, 0)) / 18.0))
+                          AS BIGINT)
+                   END AS z_milli
+            FROM np JOIN s ON np.etype = s.etype
+            LEFT JOIN ties ON ties.etype = np.etype
         """,
         "temperature_mix": TEMP_MIX_SHARED,
         "stream_anti_join": """

@@ -953,3 +953,79 @@ def theil_sen_trend(
         F.expr("cast(floor(__s * 1000) as bigint)").alias("slope_milli"),
         F.expr("cast(floor(__icept * 1000) as bigint)").alias("icept_milli"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test (Mann 1945 / Kendall 1975) —
+    Theil–Sen's standard companion: S = Σ_{i<j} sign(y_j − y_i) over
+    the x-ordered series, with the tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 and the
+    continuity-corrected z = (S ∓ 1)/sqrt(Var). All-integer S and
+    18·Var; the single sqrt is IEEE-exact, and z is floored to milli
+    AFTER the division, so nothing order-dependent survives. The
+    distribution-free "is this series trending at all" screen that
+    gates whether the Theil–Sen slope is worth reading.
+
+    Plan shape at 100 TB: same contract as theil_sen_trend — input
+    must be CELL-sized (per-group daily rollups); the pair stage is a
+    within-group self-join over day cells (O(d²·groups), calendar-
+    bounded) plus one tie histogram per group.
+
+    Returns (group_cols…, n_points, s_stat, var18, z_milli).
+    """
+    gcols = list(group_cols or [])
+    cells = df.select(
+        *gcols,
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cond = F.col("a.__x") < F.col("b.__x")
+    for g in gcols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    s = a.join(b, cond).groupBy(
+        *[F.col(f"a.{g}").alias(g) for g in gcols]
+    ).agg(
+        F.sum(F.signum(F.col("b.__y") - F.col("a.__y")))
+        .cast("long")
+        .alias("s_stat"),
+    )
+    n = cells.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        cells.groupBy(*gcols, "__y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy(*gcols)
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+            .cast("long")
+            .alias("tie_term"),
+        )
+    )
+    out = n.join(s, gcols) if gcols else n.crossJoin(s)
+    # ties can be EMPTY (no duplicated y) — left join, not cross
+    out = (
+        out.join(ties, gcols, "left")
+        if gcols
+        else out.join(ties, F.lit(True), "left")
+    )
+    return out.select(
+        *gcols,
+        F.col("n").cast("long").alias("n_points"),
+        "s_stat",
+        (
+            F.expr("n * (n - 1) * (2 * n + 5)")
+            - F.coalesce(F.col("tie_term"), F.lit(0))
+        ).cast("long").alias("var18"),
+        F.expr(
+            "CASE WHEN s_stat = 0 OR n < 2 THEN 0 ELSE "
+            "CAST(floor(1000.0 * (s_stat - CASE WHEN s_stat > 0 THEN 1 "
+            "ELSE -1 END) / sqrt((n * (n - 1) * (2 * n + 5) "
+            "- coalesce(tie_term, 0)) / 18.0)) AS BIGINT) END"
+        ).alias("z_milli"),
+    )

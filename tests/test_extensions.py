@@ -3809,3 +3809,31 @@ class TestTemperatureMix:
         # 1000/3 = 333 each, leftover 1 -> smallest name on rem tie
         assert out == {"a": 334, "b": 333, "c": 333}
         assert sum(out.values()) == 1000
+
+
+class TestMannKendall:
+    def test_monotone_series_hand_values(self, spark):
+        """Strictly increasing n=10: S = 45, no ties, var18 = 10*9*25,
+        z = 44/sqrt(125)."""
+        import math
+
+        from drune_spark.operators.timeseries import mann_kendall
+
+        df = spark.createDataFrame(
+            [("g", x, x * 2) for x in range(10)], ["grp", "x", "y"]
+        )
+        r = mann_kendall(df, "x", "y", ["grp"]).collect()[0]
+        assert (r.n_points, r.s_stat) == (10, 45)
+        assert r.var18 == 10 * 9 * 25
+        assert r.z_milli == math.floor(1000.0 * 44 / math.sqrt(125.0))
+
+    def test_tie_correction_and_flat_series(self, spark):
+        from drune_spark.operators.timeseries import mann_kendall
+
+        # all-equal y: S = 0, tie term = n(n-1)(2n+5) -> var18 = 0,
+        # z defined 0 by the S=0 branch
+        df = spark.createDataFrame(
+            [("f", x, 7) for x in range(6)], ["grp", "x", "y"]
+        )
+        r = mann_kendall(df, "x", "y", ["grp"]).collect()[0]
+        assert (r.s_stat, r.var18, r.z_milli) == (0, 0, 0)
