@@ -7067,6 +7067,25 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked DBSCAN (similarity.py dbscan_blocked, Ester et al.
+    1996): density clustering over embeddings with the epsilon-ball as
+    cosine >= 0.35 (0.4 leaves 1 core point at sf0.01 — degenerate;
+    0.3 builds diameter-15 chains whose min-label fixpoint costs ~12
+    driver rounds — 0.35 keeps real density structure at gate-lean
+    round counts),
+    neighbors enumerated within IVF coarse cells (the
+    SemDeDup pair bound), core/border/noise roles and min-label
+    components — arbitrary-shape clusters + explicit noise, completing
+    the centroidal/dedup/graph clustering family."""
+    _tune(spark)
+    from drune_spark.operators.similarity import dbscan_blocked
+
+    return dbscan_blocked(
+        _t(spark, sf_dir, "embeddings"), sim_t_micro=350_000
+    )
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall monotone-trend test (timeseries.py mann_kendall)
     over the per-event-type daily series — Theil-Sen's standard
@@ -7474,6 +7493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail, the next never-verified block moves up."""
     return {
         # -- new in round 5 (never driver-verified) ------------------------
+        "dbscan": q_dbscan,
         "mann_kendall": q_mann_kendall,
         "temperature_mix": q_temperature_mix,
         "stream_anti_join": q_stream_anti_join,
@@ -11320,6 +11340,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT event_type,
                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
             FROM events
+        """,
+        "dbscan": """
+            WITH RECURSIVE e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            c AS (
+                SELECT vec_id AS centroid_id, v AS cv FROM e
+                ORDER BY vec_id LIMIT 16
+            ),
+            assign AS MATERIALIZED (
+                SELECT vec_id, centroid_id AS block_id FROM (
+                    SELECT e.vec_id, c.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.v, c.cv)
+                                        DESC, c.centroid_id ASC) AS rn
+                    FROM e, c) WHERE rn = 1
+            ),
+            pts AS MATERIALIZED (
+                SELECT a.vec_id, a.block_id, e.v
+                FROM assign a JOIN e USING (vec_id)
+            ),
+            pairs AS MATERIALIZED (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM pts a JOIN pts b
+                  ON a.block_id = b.block_id AND a.vec_id < b.vec_id
+                WHERE CAST(floor(1000000 * list_cosine_similarity(
+                          a.v, b.v)) AS BIGINT) >= 350000
+            ),
+            sym AS MATERIALIZED (
+                SELECT id_a, id_b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            core AS MATERIALIZED (
+                SELECT id_a AS cid FROM (
+                    SELECT id_a, count(*) AS deg FROM sym GROUP BY id_a
+                ) WHERE deg >= 2
+            ),
+            ce AS MATERIALIZED (
+                SELECT s.id_a, s.id_b FROM sym s
+                JOIN core c1 ON c1.cid = s.id_a
+                JOIN core c2 ON c2.cid = s.id_b
+            ),
+            reach AS (
+                SELECT cid AS node, cid AS m FROM core
+                UNION
+                SELECT e2.id_b, r.m FROM reach r
+                JOIN ce e2 ON e2.id_a = r.node
+            ),
+            labels AS MATERIALIZED (
+                SELECT node AS cid, MIN(m) AS cluster_id
+                FROM reach GROUP BY node
+            ),
+            border AS MATERIALIZED (
+                SELECT s.id_a, MIN(l.cluster_id) AS cluster_id
+                FROM sym s
+                JOIN core cb ON cb.cid = s.id_b
+                LEFT JOIN core ca ON ca.cid = s.id_a
+                JOIN labels l ON l.cid = s.id_b
+                WHERE ca.cid IS NULL
+                GROUP BY s.id_a
+            )
+            SELECT a.vec_id, a.block_id,
+                   CASE WHEN l.cluster_id IS NOT NULL THEN 'core'
+                        WHEN b.cluster_id IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   COALESCE(l.cluster_id, b.cluster_id) AS cluster_id
+            FROM assign a
+            LEFT JOIN labels l ON l.cid = a.vec_id
+            LEFT JOIN border b ON b.id_a = a.vec_id
         """,
         "mann_kendall": """
             WITH daily AS (

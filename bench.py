@@ -275,7 +275,8 @@ BENCH_QUERIES = [
     # k_truss stays out: audit-tier (14s for a 3-row 0.1-truss at
     # sf0.1 — the w>=2 co-purchase graph is triangle-sparse there);
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
-    # 31 rows (recursive_reachability already times Spark recursion)
+    # 31 rows (recursive_reachability already times Spark recursion);
+    # dbscan stays out: audit-tier, CC driver rounds ∝ component diameter
 ]
 
 

@@ -419,13 +419,20 @@ def connected_components(
             both.join(labels, both.src == labels.node)
             .groupBy("dst").agg(F.min("label").alias("nl"))
         )
+        # localCheckpoint, not persist: persist caches DATA but the
+        # logical plan still nests every prior round, so Catalyst
+        # planning time grows superlinearly with rounds — on a long-
+        # chain graph (dbscan's cosine components, diameter ~15+) the
+        # 20-round loop spent MINUTES in the optimizer (784s gate).
+        # localCheckpoint truncates lineage each round (eager — the
+        # loop pays an action per round anyway); planning stays O(1).
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
             .select(
                 labels.node,
                 F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -547,3 +547,110 @@ def mmr_rerank(
         .cogroup(sims.groupby("query_id"))
         .applyInPandas(_greedy, schema=out_schema)
     )
+
+
+def dbscan_blocked(
+    corpus: DataFrame,
+    sim_t_micro: int = 400_000,
+    min_pts: int = 2,
+    n_blocks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over an
+    embedded corpus, SHARDED by the IVF coarse quantizer — the
+    SemDeDup blocking contract: the ε-ball is "cosine ≥ t" and
+    neighbor pairs are enumerated within a coarse cell only, so pair
+    volume is bounded by Σ|cell|² instead of n² (cross-cell neighbors
+    are forgone — the documented recall trade every blocked pipeline
+    makes). Completes the clustering family: ivf/kmeans (centroidal),
+    semdedup (dedup pruning), label_propagation (graphs) — DBSCAN
+    finds arbitrary-shape dense regions and explicitly labels noise.
+
+    Roles: core = ≥ ``min_pts`` in-block neighbors at the threshold;
+    border = non-core with ≥ 1 core neighbor (joins its MINIMUM core
+    neighbor's component — deterministic, where classic DBSCAN is
+    arrival-order-dependent for shared borders); noise = the rest.
+    Clusters = connected components over CORE-CORE edges
+    (dedup.py connected_components, min-label fixpoint), so the
+    result is parallelism-invariant.
+
+    Determinism: cosines are the proven double fold, floored to
+    integer micro BEFORE the threshold compare; every label is an
+    integer min. Returns (id_col, block_id, role, cluster_id —
+    NULL for noise).
+    """
+    from drune_spark.operators.dedup import connected_components
+
+    assign = ivf_assign(corpus, n_blocks, id_col, vec_col).select(
+        F.col(id_col), F.col("centroid_id").alias("block_id")
+    )
+    pts = (
+        corpus.select(
+            F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
+        )
+        .join(assign, id_col)
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.floor(
+                F.lit(1000000.0)
+                * cosine_similarity(F.col("a.v"), F.col("b.v"))
+            ).cast("bigint").alias("sim_micro"),
+        )
+        .filter(F.col("sim_micro") >= sim_t_micro)
+        .select("id_a", "id_b")
+        .persist()            # read by degree, core-edge, border stages
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("deg"))
+    core = deg.filter(F.col("deg") >= min_pts).select(
+        F.col("id_a").alias("cid")
+    ).persist()
+    core_edges = (
+        sym.join(core.withColumnRenamed("cid", "id_a"), "id_a")
+        .join(core.withColumnRenamed("cid", "id_b"), "id_b")
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(core_edges, core).select(
+        F.col("doc_id").alias("cid"), "cluster_id"
+    )
+    border = (
+        sym.join(core.withColumnRenamed("cid", "id_b"), "id_b")
+        .join(core.withColumnRenamed("cid", "id_a"), "id_a", "left_anti")
+        .join(labels, sym.id_b == labels.cid)
+        .groupBy(F.col("id_a"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    out = (
+        assign.join(
+            labels.select(F.col("cid").alias(id_col),
+                          F.col("cluster_id").alias("core_cl")),
+            id_col, "left",
+        )
+        .join(
+            border.select(F.col("id_a").alias(id_col),
+                          F.col("cluster_id").alias("border_cl")),
+            id_col, "left",
+        )
+    )
+    return out.select(
+        id_col,
+        "block_id",
+        F.when(F.col("core_cl").isNotNull(), F.lit("core"))
+        .when(F.col("border_cl").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise")).alias("role"),
+        F.coalesce("core_cl", "border_cl").alias("cluster_id"),
+    )

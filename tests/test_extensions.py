@@ -3837,3 +3837,49 @@ class TestMannKendall:
         )
         r = mann_kendall(df, "x", "y", ["grp"]).collect()[0]
         assert (r.s_stat, r.var18, r.z_milli) == (0, 0, 0)
+
+
+class TestDbscanBlocked:
+    def test_roles_and_components_hand_graph(self, spark):
+        """Chain a-b-c (all mutually close) + pair d-e + singleton f:
+        with min_pts=2, {a,b,c} are core one cluster; d,e have 1
+        neighbor each -> border requires a core neighbor, so they're
+        noise; f is noise."""
+        from drune_spark.operators.similarity import dbscan_blocked
+
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.1, 0.0]),
+            (2, [0.98, 0.15, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.1, 0.99, 0.0]),
+            (5, [0.0, 0.0, 1.0]),
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {r.vec_id: r for r in dbscan_blocked(
+            emb, sim_t_micro=900_000, min_pts=2, n_blocks=1
+        ).collect()}
+        assert {out[i].role for i in (0, 1, 2)} == {"core"}
+        assert {out[i].cluster_id for i in (0, 1, 2)} == {0}
+        # d,e: one neighbor each (not core), neighbor isn't core ->
+        # noise under the core-reachability definition
+        assert out[3].role == "noise" and out[4].role == "noise"
+        assert out[5].role == "noise" and out[5].cluster_id is None
+
+    def test_border_attaches_to_min_core_cluster(self, spark):
+        from drune_spark.operators.similarity import dbscan_blocked
+
+        # cosines: 0-1 .9992, 0-2 .9982, 1-2 .9998, 2-3 .9526,
+        # 1-3 .9463, 0-3 .9326 -> at t=.95 the triangle is dense and
+        # 3 touches ONLY core 2 -> border of cluster 0
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.999, 0.04]),
+            (2, [0.998, 0.06]),
+            (3, [0.93, 0.36]),
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {r.vec_id: r for r in dbscan_blocked(
+            emb, sim_t_micro=950_000, min_pts=2, n_blocks=1
+        ).collect()}
+        assert out[3].role == "border" and out[3].cluster_id == 0
