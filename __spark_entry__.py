@@ -7272,7 +7272,13 @@ def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_images,
     )
 
-    docs = _t(spark, sf_dir, "documents").filter("doc_id < 64")
+    # 64 tiny rows: coalesce both Arrow stages so the gate pays 2-4
+    # python workers, not ~32 synth + 64 per-file decode tasks (5.2s
+    # -> ~2s; at real scale the fan-out IS the point and coalesce
+    # would be wrong — this is the small-batch ingest shape).
+    docs = (
+        _t(spark, sf_dir, "documents").filter("doc_id < 64").coalesce(2)
+    )
     out_dir = tempfile.mkdtemp(prefix="drune_binsrc_")
     export_media_files(synthesize_images(docs), out_dir, ext="png")
     bf = (
@@ -7280,6 +7286,7 @@ def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.png")
         .option("recursiveFileLookup", "true")
         .load(out_dir)
+        .coalesce(4)
         .select(
             F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1)
             .cast("bigint")
