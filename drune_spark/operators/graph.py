@@ -362,14 +362,16 @@ def k_truss(
     carry (u, v) id cells only.
 
     Self-referencing-DAG rule (CLAUDE.md round-3): each round's edge
-    set is read by FOUR branches of the next round's plan (three
-    triangle roles + the join-back). Lazy persist marks are NOT enough
-    here — within one job the four branches race the cache and each
-    recomputes the subtree (measured 15.4s vs 2s at sf0.001) — so each
-    round materializes eagerly (persist + count, the kmeans
-    control-loop trade: rounds × small barrier beats 4^rounds
-    recomputation). Marks stay in place for repeat executions; callers
-    bound residency with clearCache.
+    set is read by MANY branches of the next round's plan (degree
+    build, two orientation joins, three wedge roles, the join-back).
+    Lazy persist marks are not enough (branches race the cache and
+    recompute the subtree), and persist+count is not either: the
+    LOGICAL plan still nests every prior round, and Catalyst analysis
+    of the ~6-consumer tree grows combinatorially (the final support
+    pass measured 197s ON 181 CACHED ROWS). Each round therefore
+    localCheckpoints — eager, lineage-truncating, the
+    connected_components fix — so both execution and planning stay
+    O(1) per round; callers bound storage with clearCache.
 
     Returns canonical (src, dst, support).
     """
@@ -380,27 +382,66 @@ def k_truss(
         )
         .filter("u < v")
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    e.count()
 
     def support(edf: DataFrame) -> DataFrame:
-        e1, e2, e3 = edf.alias("e1"), edf.alias("e2"), edf.alias("e3")
+        # Degree-ordered orientation (the standard triangle-counting
+        # bound): orient every edge from its lower-(degree, id)
+        # endpoint, enumerate wedges at the common SOURCE, close with
+        # the oriented (y, z) edge. Wedge fan-out is then bounded by
+        # the max out-degree under degree order (~graph arboricity),
+        # not by raw hub degree — id-ordered wedges measured 5.6x on
+        # the 1x→3x curve (hub parts triple their wedge squares);
+        # degree-ordered is the scale-safe form. The TRIANGLE SET is
+        # identical, so support counts and the oracle are unchanged.
+        deg = (
+            edf.select(F.col("u").alias("n"))
+            .unionAll(edf.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .select(
+                "n", F.expr(f"d * {1 << 33} + n").alias("k")
+            )
+        )
+        o = (
+            edf.join(deg.withColumnRenamed("n", "u")
+                        .withColumnRenamed("k", "ku"), "u")
+            .join(deg.withColumnRenamed("n", "v")
+                     .withColumnRenamed("k", "kv"), "v")
+            .select(
+                F.when(F.col("ku") < F.col("kv"), F.col("u"))
+                .otherwise(F.col("v")).alias("s"),
+                F.when(F.col("ku") < F.col("kv"), F.col("v"))
+                .otherwise(F.col("u")).alias("t"),
+                F.greatest("ku", "kv").alias("kt"),
+            )
+        ).persist()
+        o.count()  # three wedge aliases would race a lazy cache
+        o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
         tri = (
-            e1.join(
-                e2,
-                (F.col("e2.u") == F.col("e1.u"))
-                & (F.col("e2.v") > F.col("e1.v")),
+            o1.join(
+                o2,
+                (F.col("o2.s") == F.col("o1.s"))
+                & (F.col("o2.kt") > F.col("o1.kt")),
             )
             .join(
-                e3,
-                (F.col("e3.u") == F.col("e1.v"))
-                & (F.col("e3.v") == F.col("e2.v")),
+                o3,
+                (F.col("o3.s") == F.col("o1.t"))
+                & (F.col("o3.t") == F.col("o2.t")),
             )
             .select(
-                F.col("e1.u").alias("a"),
-                F.col("e1.v").alias("b"),
-                F.col("e2.v").alias("c"),
+                F.col("o1.s").alias("x"),
+                F.col("o1.t").alias("y"),
+                F.col("o2.t").alias("z"),
+            )
+            .select(
+                F.least("x", "y").alias("ab_u"),
+                F.greatest("x", "y").alias("ab_v"),
+                F.least("x", "z").alias("ac_u"),
+                F.greatest("x", "z").alias("ac_v"),
+                F.least("y", "z").alias("bc_u"),
+                F.greatest("y", "z").alias("bc_v"),
             )
         )
         # explode(array(struct...)) fan-out, NOT a 3-way union: union
@@ -410,9 +451,15 @@ def k_truss(
         sides = tri.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-                    F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
-                    F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                    F.struct(
+                        F.col("ab_u").alias("u"), F.col("ab_v").alias("v")
+                    ),
+                    F.struct(
+                        F.col("ac_u").alias("u"), F.col("ac_v").alias("v")
+                    ),
+                    F.struct(
+                        F.col("bc_u").alias("u"), F.col("bc_v").alias("v")
+                    ),
                 )
             ).alias("s")
         ).select("s.u", "s.v")
@@ -427,9 +474,8 @@ def k_truss(
             cur.join(sup, ["u", "v"], "left")
             .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
             .select("u", "v")
-            .persist()
+            .localCheckpoint()
         )
-        cur.count()
     final_sup = support(cur)
     return (
         cur.join(final_sup, ["u", "v"], "left")

@@ -59,6 +59,12 @@ QUERIES = [
     "unigram_surprisal",
     # round-5 wave C: the corpus-sized rolling-min window op
     "winnowing",
+    # round-5 final wave: the three audit-tier iteratives — wedge
+    # fan-out (k_truss), blocked density + CC (dbscan), greedy rounds
+    # (kcenter) — the ops whose scaling is least obvious on paper
+    "k_truss",
+    "dbscan",
+    "kcenter_coreset",
 ]
 TABLES = ["documents", "embeddings", "lineitem", "orders"]
 
