@@ -7086,6 +7086,25 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt nonparametric changepoint test (timeseries.py
+    pettitt_test, Pettitt 1979) over the per-event-type daily series —
+    cusum_monitor's rank-based sibling: all-integer straddle sums
+    U_t, K = max |U_t|, earliest argmax day. Zero FP anywhere."""
+    _tune(spark)
+    from drune_spark.operators.timeseries import pettitt_test
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("etype"),
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pettitt_test(daily, "day", "n", ["etype"])
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall monotone-trend test (timeseries.py mann_kendall)
     over the per-event-type daily series — Theil-Sen's standard
@@ -7501,6 +7520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 5 (never driver-verified) ------------------------
         "dbscan": q_dbscan,
+        "pettitt": q_pettitt,
         "mann_kendall": q_mann_kendall,
         "temperature_mix": q_temperature_mix,
         "stream_anti_join": q_stream_anti_join,
@@ -11418,6 +11438,53 @@ def oracle_sql() -> dict[str, str]:
             FROM assign a
             LEFT JOIN labels l ON l.cid = a.vec_id
             LEFT JOIN border b ON b.id_a = a.vec_id
+        """,
+        "pettitt": """
+            WITH daily AS (
+                SELECT event_type AS etype,
+                       epoch_us(ts) // 86400000000 AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT etype, day, n,
+                       row_number() OVER (
+                           PARTITION BY etype ORDER BY day) AS r
+                FROM daily
+            ),
+            straddle AS (
+                SELECT a.etype, sign(b.n - a.n) AS s, g.t
+                FROM ranked a
+                JOIN ranked b ON a.etype = b.etype AND a.r < b.r,
+                LATERAL (SELECT UNNEST(generate_series(a.r, b.r - 1))
+                         AS t) AS g
+            ),
+            u AS (
+                SELECT etype, t, CAST(SUM(s) AS BIGINT) AS u_t
+                FROM straddle GROUP BY etype, t
+            ),
+            enc AS (
+                SELECT etype, u_t, t,
+                       (-abs(u_t)) * 1048576 + t AS e
+                FROM u
+            ),
+            best AS (SELECT etype, MIN(e) AS me FROM enc GROUP BY etype),
+            hit AS (
+                SELECT enc.etype, enc.u_t, enc.t
+                FROM enc JOIN best
+                  ON best.etype = enc.etype AND enc.e = best.me
+            ),
+            np AS (
+                SELECT etype, CAST(count(*) AS BIGINT) AS n
+                FROM daily GROUP BY etype
+            )
+            SELECT np.etype, np.n AS n_points,
+                   CAST(abs(h.u_t) AS BIGINT) AS k_stat,
+                   CAST(h.u_t AS BIGINT) AS u_at_k,
+                   CAST(r2.day AS BIGINT) AS t_star
+            FROM hit h
+            JOIN np ON np.etype = h.etype
+            JOIN ranked r2 ON r2.etype = h.etype AND r2.r = h.t
         """,
         "mann_kendall": """
             WITH daily AS (

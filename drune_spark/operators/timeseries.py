@@ -1029,3 +1029,81 @@ def mann_kendall(
             "- coalesce(tie_term, 0)) / 18.0)) AS BIGINT) END"
         ).alias("z_milli"),
     )
+
+
+def pettitt_test(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pettitt changepoint test (Pettitt 1979) — the nonparametric
+    sibling of cusum_monitor: U_t = Σ_{i ≤ t < j} sign(y_j − y_i) over
+    the x-ordered series, K = max_t |U_t|, changepoint t* = the
+    earliest t attaining K. Rank-based, so outlier days cannot fake or
+    hide a shift the way they bias a parametric CUSUM mean. ALL
+    integer: sign pairs, straddle sums, the max — parallelism- and
+    engine-invariant with no FP anywhere.
+
+    Each (i, j) pair contributes its sign to every split t in
+    [i, j): materialized as an explode over the straddle range —
+    O(d³) rows for d points, which is why the input must be CELL-sized
+    (daily rollups: 30 days → ≤ 9k cells/group; the theil_sen
+    contract). The argmax is the integer-encoded min over
+    (−|U|, t) so no per-group sort survives.
+
+    Returns (group_cols…, n_points, k_stat, u_at_k, t_star) where
+    t_star is the x value of the earliest maximizing split (the last
+    point of the pre-change segment).
+    """
+    gcols = list(group_cols or [])
+    cells = df.select(
+        *gcols,
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    w = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    ranked = cells.select(
+        *gcols,
+        F.row_number().over(w.orderBy("__x")).alias("__r"),
+        "__x",
+        "__y",
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cond = F.col("a.__r") < F.col("b.__r")
+    for g in gcols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    straddle = a.join(b, cond).select(
+        *[F.col(f"a.{g}").alias(g) for g in gcols],
+        F.signum(F.col("b.__y") - F.col("a.__y")).cast("long").alias("s"),
+        F.explode(
+            F.sequence(F.col("a.__r"), F.col("b.__r") - 1)
+        ).alias("t"),
+    )
+    u = straddle.groupBy(*gcols, "t").agg(
+        F.sum("s").cast("long").alias("u_t")
+    )
+    # integer-encoded argmax of |U| with earliest-t tie-break:
+    # min over (-|U| * 2^20 + t); t < 2^20 by the cell contract
+    enc = u.select(
+        *gcols,
+        F.expr(f"(-abs(u_t)) * {1 << 20} + t").alias("e"),
+        "u_t",
+        "t",
+    )
+    best = enc.groupBy(*gcols).agg(F.min("e").alias("me"))
+    n = cells.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n"))
+    hit = enc.join(best, gcols) if gcols else enc.crossJoin(best)
+    hit = hit.filter(F.col("e") == F.col("me")).select(
+        *gcols, "u_t", "t"
+    )
+    xs = ranked.select(*gcols, F.col("__r").alias("t"), F.col("__x"))
+    out = hit.join(xs, gcols + ["t"] if gcols else ["t"])
+    res = out.join(n, gcols) if gcols else out.crossJoin(n)
+    return res.select(
+        *gcols,
+        F.col("n").cast("long").alias("n_points"),
+        F.abs(F.col("u_t")).cast("long").alias("k_stat"),
+        F.col("u_t").cast("long").alias("u_at_k"),
+        F.col("__x").cast("long").alias("t_star"),
+    )

@@ -3883,3 +3883,25 @@ class TestDbscanBlocked:
             emb, sim_t_micro=950_000, min_pts=2, n_blocks=1
         ).collect()}
         assert out[3].role == "border" and out[3].cluster_id == 0
+
+
+class TestPettitt:
+    def test_step_change_found_exactly(self, spark):
+        """Level shift 10 -> 20 after x=4: U_t peaks at the boundary;
+        K = max_t |U_t| = 5*5 = 25 at t_star = 4."""
+        from drune_spark.operators.timeseries import pettitt_test
+
+        rows = [("g", x, 10 if x < 5 else 20) for x in range(10)]
+        df = spark.createDataFrame(rows, ["grp", "x", "y"])
+        r = pettitt_test(df, "x", "y", ["grp"]).collect()
+        assert len(r) == 1
+        assert (r[0].n_points, r[0].k_stat, r[0].u_at_k, r[0].t_star) \
+            == (10, 25, 25, 4)
+
+    def test_flat_series_zero_k_earliest_t(self, spark):
+        from drune_spark.operators.timeseries import pettitt_test
+
+        rows = [("f", x, 7) for x in range(6)]
+        df = spark.createDataFrame(rows, ["grp", "x", "y"])
+        r = pettitt_test(df, "x", "y", ["grp"]).collect()[0]
+        assert (r.k_stat, r.u_at_k, r.t_star) == (0, 0, 0)
