@@ -7086,6 +7086,57 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s8_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-row completion: the line-oriented text source (the raw-corpus
+    ingest format — one document line per row, the shape web-scale
+    text dumps arrive in before any schema exists) through the same
+    format-agnostic read_source path. Round-trips nation names;
+    completes the built-in matrix csv/json/parquet/orc/xml/text/
+    binaryFile/python-datasource."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.config.models import SourceSpec
+    from drune_spark.sources.readers import read_source
+
+    lines = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="drune_gate_s8_") + "/n.txt"
+    lines.write.mode("overwrite").text(path)
+    return read_source(spark, SourceSpec(
+        name="s8", type="file", format="text", path=path,
+        expected_columns=1,
+    ))
+
+
+def q_s7_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-row completion: the Spark-4 BUILT-IN XML source (spark-xml
+    merged upstream, SPARK-44265) through the same format-agnostic
+    read_source path as csv/json/orc — nation written with
+    rootTag/rowTag options and read back column-for-column. The
+    options dict pass-through is the thing under test."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.config.models import SourceSpec
+    from drune_spark.sources.readers import read_source
+
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = tempfile.mkdtemp(prefix="drune_gate_s7_") + "/n.xml"
+    (
+        nation.write.mode("overwrite").format("xml")
+        .option("rootTag", "nations").option("rowTag", "nation")
+        .save(path)
+    )
+    return read_source(spark, SourceSpec(
+        name="s7", type="file", format="xml", path=path,
+        options={"rowTag": "nation"}, expected_columns=3,
+    )).select("n_nationkey", "n_name", "n_regionkey")
+
+
 def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pettitt nonparametric changepoint test (timeseries.py
     pettitt_test, Pettitt 1979) over the per-event-type daily series —
@@ -7520,6 +7571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 5 (never driver-verified) ------------------------
         "dbscan": q_dbscan,
+        "s8_text_source": q_s8_text_source,
+        "s7_xml_roundtrip": q_s7_xml_roundtrip,
         "pettitt": q_pettitt,
         "mann_kendall": q_mann_kendall,
         "temperature_mix": q_temperature_mix,
@@ -11438,6 +11491,12 @@ def oracle_sql() -> dict[str, str]:
             FROM assign a
             LEFT JOIN labels l ON l.cid = a.vec_id
             LEFT JOIN border b ON b.id_a = a.vec_id
+        """,
+        "s8_text_source": """
+            SELECT n_name AS value FROM nation
+        """,
+        "s7_xml_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "pettitt": """
             WITH daily AS (
