@@ -7086,6 +7086,35 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 Arrow-optimized Python UDF (@udf(useArrow=True),
+    SPARK-40307) — the modern scalar-UDF serialization path beside the
+    pandas_udf one (q_pandas_udf_hash): per-row Python with Arrow
+    batch transfer instead of pickle. Same lossless-escape-hatch
+    proof: md5_u32 + utf-8 byte length computed in Python over nation
+    names, verified bit-for-bit by the SQL oracle. Deliberately a
+    25-row frame — row-at-a-time Python is the documented slow path;
+    this gate covers the API, not a hot path."""
+    _tune(spark)
+    import hashlib
+
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def py_u32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    @udf("int", useArrow=True)
+    def py_blen(s: str) -> int:
+        return len(s.encode("utf-8"))
+
+    return _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        py_u32(F.col("n_name")).alias("h_u32"),
+        py_blen(F.col("n_name")).alias("byte_len"),
+    )
+
+
 def q_s8_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-row completion: the line-oriented text source (the raw-corpus
     ingest format — one document line per row, the shape web-scale
@@ -7571,6 +7600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 5 (never driver-verified) ------------------------
         "dbscan": q_dbscan,
+        "arrow_udf": q_arrow_udf,
         "s8_text_source": q_s8_text_source,
         "s7_xml_roundtrip": q_s7_xml_roundtrip,
         "pettitt": q_pettitt,
@@ -11491,6 +11521,12 @@ def oracle_sql() -> dict[str, str]:
             FROM assign a
             LEFT JOIN labels l ON l.cid = a.vec_id
             LEFT JOIN border b ON b.id_a = a.vec_id
+        """,
+        "arrow_udf": """
+            SELECT n_nationkey,
+                   ('0x' || substr(md5(n_name), 1, 8))::BIGINT AS h_u32,
+                   CAST(strlen(n_name) AS INTEGER) AS byte_len
+            FROM nation
         """,
         "s8_text_source": """
             SELECT n_name AS value FROM nation

@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "pettitt",
     "s7_xml_roundtrip",
     "s8_text_source",
+    "arrow_udf",
     # k_truss stays out: audit-tier (14s for a 3-row 0.1-truss at
     # sf0.1 — the w>=2 co-purchase graph is triangle-sparse there);
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
