@@ -5725,17 +5725,18 @@ def q_glossary_nl2sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (dedup.py semdedup, arXiv:2303.09540): cluster
-    embeddings to 16 coarse cells (the ann_ivf_assign layout), prune
-    within-cluster cosine near-dups (>= 0.4, min-id survivor). Pair
-    count bounded by Σ|cluster|² — the 100 TB semantic-dedup shape;
-    oracle replays assignment + within-cluster pairs with
-    list_cosine_similarity (the proven-identical cosine)."""
+    embeddings to k = max(4, n // 64) coarse cells (k DERIVED from
+    COUNT(*) so mean cluster size — and thus pair count per row — is
+    scale-invariant; VERDICT r5 #4), prune within-cluster cosine
+    near-dups (>= 0.4, min-id survivor). Pair count bounded by
+    Σ|cluster|² and linear in n under the derived k; oracle computes
+    the same k as a scalar subquery and replays assignment +
+    within-cluster pairs with list_cosine_similarity (the
+    proven-identical cosine)."""
     _tune(spark)
     from drune_spark.operators.dedup import semdedup
 
-    return semdedup(
-        _t(spark, sf_dir, "embeddings"), n_clusters=16, threshold=0.4
-    )
+    return semdedup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7587,69 +7588,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
     (proven in r02 and r03), so ordering = how soon an entry gets a
-    driver CORRECTNESS row: any new-this-round entries first, then the
-    never-driver-verified backlog (the r5 window is the next 50 of it;
-    the remaining ~48 queue for r6), then previously verified entries
-    stalest-first (the just-verified r4 window at the very tail).
+    driver CORRECTNESS row: entries whose last driver row is FAIL first
+    (fixed locally but officially broken — VERDICT r5 #1), then any
+    new-this-round entries and the never-driver-verified backlog, then
+    verified-pass entries stalest-first. tools/rotate_registry.py
+    rewrites this dict into that order from CORRECTNESS_r*.json;
     tools/registry_sync.py writes the per-entry ledger into COVERAGE.md
-    and fails if any never-driver-verified entry sits BELOW a verified
-    one (a mis-rotation would silently waste a window);
-    tests/test_registry.py pins registry <-> oracle <-> ledger
-    consistency. Rotate per round: newly verified blocks move to the
-    tail, the next never-verified block moves up."""
+    and fails on any class inversion (a mis-rotation would silently
+    waste a window); tests/test_registry.py pins registry <-> oracle <->
+    ledger consistency. Run both tools after each round's CORRECTNESS
+    artifact lands and after any registry edit."""
     return {
-        # -- new in round 5 (never driver-verified) ------------------------
-        "dbscan": q_dbscan,
-        "arrow_udf": q_arrow_udf,
-        "s8_text_source": q_s8_text_source,
-        "s7_xml_roundtrip": q_s7_xml_roundtrip,
-        "pettitt": q_pettitt,
-        "mann_kendall": q_mann_kendall,
-        "temperature_mix": q_temperature_mix,
-        "stream_anti_join": q_stream_anti_join,
-        "viterbi_segment": q_viterbi_segment,
-        "k_truss": q_k_truss,
-        "chi2_drift": q_chi2_drift,
-        "binaryfile_source": q_binaryfile_source,
-        "observe_metrics": q_observe_metrics,
-        "kcenter_coreset": q_kcenter_coreset,
-        "winnowing": q_winnowing,
-        "theil_sen": q_theil_sen,
-        "stream_outer_join": q_stream_outer_join,
-        "stream_dedup_rocksdb": q_stream_dedup_rocksdb,
-        "label_propagation": q_label_propagation,
-        "wordpiece_train": q_wordpiece_train,
-        "hilbert_layout": q_hilbert_layout,
-        "benford_audit": q_benford_audit,
-        "mmr_rerank": q_mmr_rerank,
-        "unigram_surprisal": q_unigram_surprisal,
-        "lexicon_screen": q_lexicon_screen,
-        "boilerplate_df": q_boilerplate_df,
-        "filter_cascade": q_filter_cascade,
-        "dp_counts": q_dp_counts,
-        "curriculum_order": q_curriculum_order,
-        "lateral_topk": q_lateral_topk,
-        "video_decode": q_video_decode,
-        "cusum_monitor": q_cusum_monitor,
-        "t_closeness": q_t_closeness,
-        "ngram_diversity": q_ngram_diversity,
-        "cdc_chunks": q_cdc_chunks,
-        "ndcg_eval": q_ndcg_eval,
-        "zipf_fit": q_zipf_fit,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "kcore": q_kcore,
-        "woe_encode": q_woe_encode,
-        "containment": q_containment,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        # -- r5 window: never-driver-verified (next 50) ------------------------
-        "redact_pii": q_redact_pii,
-        "doc_chunks": q_doc_chunks,
-        "pack_sequences": q_pack_sequences,
-        "corpus_mix": q_corpus_mix,
-        "rep_quality_filter": q_rep_quality_filter,
-        "decontaminate": q_decontaminate,
-        "dup_spans": q_dup_spans,
-        "asof_join": q_asof_join,
+        # -- stale driver-FAILs — fixed locally, re-test first (4) -------
+        "f_json_extract": q_f_json_extract,
+        "corpus_stats": q_corpus_stats,
+        "hll_distinct": q_hll_distinct,
+        "kmv_set_ops": q_kmv_set_ops,
+        # -- never-driver-verified backlog, oldest first (90) ------------
         "range_join": q_range_join,
         "bm25_search": q_bm25_search,
         "vocab_coverage": q_vocab_coverage,
@@ -7692,7 +7647,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_intervals": q_purchase_intervals,
         "order_size_dist": q_order_size_dist,
         "brand_price_index": q_brand_price_index,
-        # -- never-driver-verified backlog (queues for r6) ------------------------
         "return_rates": q_return_rates,
         "discount_bands": q_discount_bands,
         "weekday_hour_heatmap": q_weekday_hour_heatmap,
@@ -7741,9 +7695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_percentiles": q_grouped_percentiles,
         "window_analytics": q_window_analytics,
         "kafka_roundtrip": q_kafka_roundtrip,
-        # -- driver-verified r1-r3, stalest-first ------------------------
-        "f_json_extract": q_f_json_extract,
-        "corpus_stats": q_corpus_stats,
+        # -- driver-verified pass, stalest round first (206) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
@@ -7752,8 +7704,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "stream_window": q_stream_window,
         "stream_stateful": q_stream_stateful,
-        "hll_distinct": q_hll_distinct,
-        "kmv_set_ops": q_kmv_set_ops,
         "dedup_exact": q_dedup_exact,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
@@ -7852,7 +7802,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct_exact": q_sliding_distinct_exact,
         "percentile_trend": q_percentile_trend,
         "dow_seasonality": q_dow_seasonality,
-        # -- driver-verified in r4 (freshest) ------------------------
         "semdedup": q_semdedup,
         "recursive_reachability": q_recursive_reachability,
         "langid_confusion": q_langid_confusion,
@@ -7903,6 +7852,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "token_freq_score": q_token_freq_score,
         "quantize_embeddings": q_quantize_embeddings,
+        "dbscan": q_dbscan,
+        "arrow_udf": q_arrow_udf,
+        "s8_text_source": q_s8_text_source,
+        "s7_xml_roundtrip": q_s7_xml_roundtrip,
+        "pettitt": q_pettitt,
+        "mann_kendall": q_mann_kendall,
+        "temperature_mix": q_temperature_mix,
+        "stream_anti_join": q_stream_anti_join,
+        "viterbi_segment": q_viterbi_segment,
+        "k_truss": q_k_truss,
+        "chi2_drift": q_chi2_drift,
+        "binaryfile_source": q_binaryfile_source,
+        "observe_metrics": q_observe_metrics,
+        "kcenter_coreset": q_kcenter_coreset,
+        "winnowing": q_winnowing,
+        "theil_sen": q_theil_sen,
+        "stream_outer_join": q_stream_outer_join,
+        "stream_dedup_rocksdb": q_stream_dedup_rocksdb,
+        "label_propagation": q_label_propagation,
+        "wordpiece_train": q_wordpiece_train,
+        "hilbert_layout": q_hilbert_layout,
+        "benford_audit": q_benford_audit,
+        "mmr_rerank": q_mmr_rerank,
+        "unigram_surprisal": q_unigram_surprisal,
+        "lexicon_screen": q_lexicon_screen,
+        "boilerplate_df": q_boilerplate_df,
+        "filter_cascade": q_filter_cascade,
+        "dp_counts": q_dp_counts,
+        "curriculum_order": q_curriculum_order,
+        "lateral_topk": q_lateral_topk,
+        "video_decode": q_video_decode,
+        "cusum_monitor": q_cusum_monitor,
+        "t_closeness": q_t_closeness,
+        "ngram_diversity": q_ngram_diversity,
+        "cdc_chunks": q_cdc_chunks,
+        "ndcg_eval": q_ndcg_eval,
+        "zipf_fit": q_zipf_fit,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "kcore": q_kcore,
+        "woe_encode": q_woe_encode,
+        "containment": q_containment,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "redact_pii": q_redact_pii,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "corpus_mix": q_corpus_mix,
+        "rep_quality_filter": q_rep_quality_filter,
+        "decontaminate": q_decontaminate,
+        "dup_spans": q_dup_spans,
+        "asof_join": q_asof_join,
     }
 
 
@@ -8500,9 +8499,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                 FROM embeddings
             ),
+            kk AS (
+                -- same k derivation as dedup.py semdedup: mean cluster
+                -- size pinned at 64 so pair count stays linear in n
+                SELECT GREATEST(4, COUNT(*) // 64) AS k FROM embeddings
+            ),
             c AS (
-                SELECT vec_id AS centroid_id, v AS cv FROM e
-                ORDER BY vec_id LIMIT 16
+                SELECT vec_id AS centroid_id, v AS cv FROM (
+                    SELECT vec_id, v,
+                           row_number() OVER (ORDER BY vec_id) AS rn
+                    FROM e)
+                WHERE rn <= (SELECT k FROM kk)
             ),
             scored AS (
                 SELECT e.vec_id, c.centroid_id,

@@ -909,9 +909,12 @@ def split_leakage_audit(
     )
 
 
+SEMDEDUP_TARGET_CLUSTER = 64
+
+
 def semdedup(
     corpus: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -936,6 +939,16 @@ def semdedup(
       balanced size the scored fraction is 1/k of brute force, and the
       self-join is an equi-join on ``centroid_id`` (hash/SMJ, never a
       cartesian — screened by tools/plan_audit.py).
+    - **k must grow with n** or the bound degrades back toward n²: at
+      fixed k the 1×→3× scale ratio measured 3.46 (super-linear) vs
+      1.36 with k ∝ n (tools/scale_curve.py, VERDICT r5 #4). The
+      default therefore DERIVES ``n_clusters`` from the corpus:
+      ``k = max(4, n // SEMDEDUP_TARGET_CLUSTER)``, pinning the mean
+      cluster size (64) and making expected pair count linear in n.
+      The derivation is one COUNT(*) control fetch (bounded, 1 row),
+      mirrored verbatim as a scalar subquery in the DuckDB oracle.
+      Callers with trained k-means centroids pass ``n_clusters``
+      explicitly and own the contract.
     - Only (id, vector, centroid_id) rows move; at scale the corpus
       would be written partitioned by ``centroid_id`` (the ivf_topk
       layout), making the self-join co-located / shuffle-free.
@@ -950,6 +963,8 @@ def semdedup(
     from drune_spark.functions.vectors import cosine_similarity, to_double_array
     from drune_spark.operators.similarity import ivf_assign
 
+    if n_clusters is None:
+        n_clusters = max(4, corpus.count() // SEMDEDUP_TARGET_CLUSTER)
     assign = ivf_assign(corpus, n_clusters, id_col=id_col, vec_col=vec_col)
     vecs = corpus.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("v")

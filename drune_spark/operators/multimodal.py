@@ -2,13 +2,14 @@
 
 Media are opaque ``binary`` columns with typed metadata alongside. The
 Spark-side machinery — schema, Arrow-batched ``mapInPandas`` transforms,
-partition sizing — is real and tested. Image decode is REAL (PNG via
-zlib + BMP via struct, operators/imageio.py — oracle-gated through
-``image_decode``); audio resample and video frame sampling remain
-stubbed behind ``NotImplementedError`` / deterministic fakes because
-ffmpeg/torchaudio are not in this container. Swapping a stub for a real
-codec changes only the inner function body: the Arrow batch flow, the
-output schema, and the partitioning strategy stay identical.
+partition sizing — is real and tested, and so are the codecs: PNG
+(all 5 filters) + BMP via zlib/struct (operators/imageio.py, gate
+``image_decode``), RIFF PCM-16 WAV (audioio.py, gate ``audio_decode``),
+and uncompressed 24-bit AVI (videoio.py, gate ``video_decode``). Only
+COMPRESSED video (H.264/VP9) is out of scope — it needs ffmpeg-class
+dependencies absent from this container; adding one would change only
+the inner decode function: the Arrow batch flow, the output schema, and
+the partitioning strategy stay identical.
 
 Scale notes: media rows are huge (MBs), so ``spark.sql.files.
 maxPartitionBytes`` should be raised and rows-per-batch bounded via

@@ -138,13 +138,18 @@ def dp_noisy_counts(
     group_cols: list[str],
     salt: str = "dp1",
 ) -> DataFrame:
-    """Differentially-private release counts via the geometric
-    mechanism (Ghosh, Roughgarden & Sundararajan 2009 — the discrete
+    """Release counts with reproducible geometric-mechanism-shaped
+    noise (Ghosh, Roughgarden & Sundararajan 2009 — the discrete
     Laplace): each group count is perturbed by ``noise = G₁ − G₂``
-    where G₁, G₂ are iid Geometric(1/2) draws, giving the two-sided
-    geometric distribution with α = 1/2, i.e. ε = ln 2 per unit
-    sensitivity (count queries have sensitivity 1). Released counts
-    clamp at 0 (post-processing preserves DP).
+    where G₁, G₂ are Geometric(1/2) draws, the two-sided geometric
+    distribution with α = 1/2. This matches the ε = ln 2 geometric
+    mechanism's distribution, but the draws are a DETERMINISTIC
+    function of (salt, group key) — the release is formally
+    differentially private only if the salt is secret and used for a
+    single release; with a known or reused salt there is no DP
+    guarantee (ADVICE r5). Each geometric draw also truncates at 31
+    (the u = 2³²−1 edge of the 32-bit word), mirrored exactly in the
+    oracle. Released counts clamp at 0 (post-processing).
 
     Exactness contract: a Geometric(1/2) draw is the LEADING-ONES
     count of a uniform 32-bit word — each further leading 1 halves the

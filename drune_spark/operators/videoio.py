@@ -37,12 +37,18 @@ def _dib_frame(frame: np.ndarray) -> bytes:
     return bytes(rows)
 
 
-def _undib_frame(data: bytes, w: int, h: int) -> np.ndarray:
+def _undib_frame(
+    data: bytes, w: int, h: int, top_down: bool = False
+) -> np.ndarray:
+    """Unpack one DIB frame. Bottom-up DIBs (biHeight > 0, the normal
+    case and what encode_avi writes) store rows last-to-first; top-down
+    DIBs (biHeight < 0) store rows in natural order and must NOT be
+    flipped (ADVICE r5)."""
     stride = (w * 3 + 3) & ~3
     out = np.zeros((h, w, 3), dtype=np.uint8)
     for i in range(h):
         row = np.frombuffer(data, np.uint8, w * 3, i * stride)
-        out[h - 1 - i] = row.reshape(w, 3)[:, ::-1]  # BGR → RGB
+        out[i if top_down else h - 1 - i] = row.reshape(w, 3)[:, ::-1]  # BGR → RGB
     return out
 
 
@@ -153,10 +159,11 @@ def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
     w = h = None
     scale = rate = None
     in_vids = False
+    top_down = False
     frames: list[bytes] = []
 
     def walk(start: int, stop: int) -> None:
-        nonlocal w, h, scale, rate, in_vids
+        nonlocal w, h, scale, rate, in_vids, top_down
         for ckid, p, size in _iter_chunks(data, start, stop):
             if ckid == b"LIST":
                 walk(p + 4, p + size)  # skip the list-type fourcc
@@ -173,7 +180,7 @@ def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
                     raise ValueError(
                         f"unsupported AVI (bpp={bpp}, compression={comp})"
                     )
-                w, h = bw, abs(bh)
+                w, h, top_down = bw, abs(bh), bh < 0
             elif ckid in (b"00db", b"00dc"):
                 frames.append(data[p:p + size])
 
@@ -181,6 +188,8 @@ def decode_avi(data: bytes) -> tuple[int, np.ndarray]:
     if w is None or not scale or not rate:
         raise ValueError("missing video stream headers")
     fps = rate // scale
-    stack = np.stack([_undib_frame(f, w, h) for f in frames]) if frames \
+    stack = np.stack(
+        [_undib_frame(f, w, h, top_down) for f in frames]
+    ) if frames \
         else np.zeros((0, h, w, 3), dtype=np.uint8)
     return fps, stack

@@ -706,6 +706,33 @@ class TestImageCodec:
         fps, dec = decode_avi(patched)
         assert fps == 5 and np.array_equal(dec, a)
 
+    def test_avi_top_down_dib_not_mirrored(self):
+        """biHeight < 0 marks a TOP-DOWN DIB (rows stored in natural
+        order) — decode must skip the bottom-up row flip or externally
+        produced top-down AVIs come back vertically mirrored (ADVICE
+        r5). Build one by negating biHeight and reversing each frame's
+        stored row order; the decoded pixels must equal the original."""
+        import struct
+
+        import numpy as np
+        from drune_spark.operators.videoio import decode_avi, encode_avi
+
+        rng = np.random.RandomState(11)
+        n, h, w = 2, 3, 5
+        a = rng.randint(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        avi = bytearray(encode_avi(a, 5))
+        strf = avi.index(b"strf")
+        struct.pack_into("<i", avi, strf + 8 + 8, -h)  # biHeight → -h
+        stride = (w * 3 + 3) & ~3
+        pos = 0
+        while (pos := avi.find(b"00db", pos)) != -1:
+            p = pos + 8
+            rows = [avi[p + i * stride:p + (i + 1) * stride] for i in range(h)]
+            avi[p:p + h * stride] = b"".join(reversed(rows))
+            pos = p
+        fps, dec = decode_avi(bytes(avi))
+        assert fps == 5 and np.array_equal(dec, a)
+
     def test_avi_rejects_bad_container(self):
         import numpy as np
         import pytest as _pytest

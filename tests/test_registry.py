@@ -92,9 +92,11 @@ class TestRegistryHygiene:
         ), "COVERAGE.md ledger is stale — run python3 tools/registry_sync.py"
 
     def test_rotation_never_verified_first(self):
-        """Never-driver-verified entries must all sit above verified
-        ones — a mis-rotation silently wastes the driver's ~50-entry
-        correctness window (VERDICT r4 #7)."""
+        """Driver-FAILED entries sit above never-driver-verified ones,
+        which sit above verified-pass ones — a mis-rotation silently
+        wastes the driver's ~50-entry correctness window or leaves a
+        fixed entry's official record saying FAIL (VERDICT r4 #7,
+        r5 #1)."""
         import registry_sync
 
         names = list(entrymod.queries())
@@ -102,7 +104,7 @@ class TestRegistryHygiene:
         registry_sync.check_rotation(names, seen)  # must not raise
 
     def test_rotation_checker_bites(self):
-        """A seeded mis-rotation (verified entry ahead of a
+        """A seeded mis-rotation (verified-pass entry ahead of a
         never-verified one) must be rejected."""
         import pytest
         import registry_sync
@@ -110,10 +112,28 @@ class TestRegistryHygiene:
         names = list(entrymod.queries())
         seen = registry_sync.driver_rows()
         never = [n for n in names if n not in seen]
-        verified = [n for n in names if n in seen]
-        if not never or not verified:
-            pytest.skip("needs both verified and never-verified entries")
-        bad = [verified[0]] + never + verified[1:]
+        passed = [n for n in names if n in seen and seen[n][1]]
+        if not never or not passed:
+            pytest.skip("needs both verified-pass and never-verified entries")
+        bad = [passed[0]] + [n for n in names if n != passed[0]]
+        with pytest.raises(SystemExit, match="rotation violation"):
+            registry_sync.check_rotation(bad, seen)
+
+    def test_rotation_checker_bites_on_stale_fail(self):
+        """A driver-FAILED entry parked below the never-verified block
+        must be rejected — that exact mis-rotation kept 4 fixed entries
+        officially FAILed for 3+ rounds (VERDICT r5 #1)."""
+        import pytest
+        import registry_sync
+
+        names = list(entrymod.queries())
+        seen = registry_sync.driver_rows()
+        never = [n for n in names if n not in seen]
+        failed = [n for n in names if n in seen and not seen[n][1]]
+        if not never or not failed:
+            pytest.skip("needs both driver-FAILED and never-verified entries")
+        bad = [n for n in names if n != failed[0]]
+        bad.insert(bad.index(never[-1]) + 1, failed[0])
         with pytest.raises(SystemExit, match="rotation violation"):
             registry_sync.check_rotation(bad, seen)
 
