@@ -276,11 +276,14 @@ BENCH_QUERIES = [
     "s7_xml_roundtrip",
     "s8_text_source",
     "arrow_udf",
-    # k_truss stays out: audit-tier (14s for a 3-row 0.1-truss at
-    # sf0.1 — the w>=2 co-purchase graph is triangle-sparse there);
+    # admitted r6 after degree-orientation took it 14s → 5.7s at sf0.1
+    # (VERDICT r5 #8):
+    "k_truss",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
-    # dbscan stays out: audit-tier, CC driver rounds ∝ component diameter
+    # dbscan stays out: audit-tier — 21s at sf0.1 even with CC
+    # pointer-jumping (r6); the cost is the blocked cosine pair scan,
+    # not the driver loop
 ]
 
 

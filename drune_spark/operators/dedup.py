@@ -393,10 +393,17 @@ def connected_components(
     cluster_id = the minimum doc id in the component; singletons map to
     themselves.
 
-    Iterative driver loop — each round is one join + one min-aggregate;
-    converges in O(component diameter) rounds (near-dup clusters are
-    shallow, typically <5). ``persist`` breaks lineage growth per round.
-    Deterministic: the fixpoint (min reachable id) is order-independent.
+    Iterative driver loop — each round is one neighbor-min join +
+    aggregate FOLLOWED BY a pointer-jump (``label ← label(label)``,
+    classic HashMin shortcutting): labels are node ids and reachability
+    is transitive, so jumping preserves the invariant while roughly
+    halving remaining distance-to-root each round. Convergence is
+    O(log diameter) rounds instead of O(diameter) — the difference
+    between 20 rounds covering diameter ~20 and diameter ~10⁶
+    (deep-chain density graphs like dbscan's cosine components are the
+    motivating case, VERDICT r5 weak #2). Deterministic: the fixpoint
+    (min reachable id) is order-independent, so the shortcut changes
+    round count, never the result — oracle hashes are untouched.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     # Persisted: every propagation round AND its convergence-check action
@@ -426,11 +433,30 @@ def connected_components(
         # 20-round loop spent MINUTES in the optimizer (784s gate).
         # localCheckpoint truncates lineage each round (eager — the
         # loop pays an action per round anyway); planning stays O(1).
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
             .select(
                 labels.node,
                 F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        # Pointer jump: label ← min(label, label(label)). Every label IS
+        # a node id (init label=node; mins over labels stay in the id
+        # domain), so the self-join on label==node resolves each node's
+        # current root one extra hop — O(diameter) → O(log diameter)
+        # rounds. The jump reads `stepped` twice; it was just
+        # localCheckpointed, so both branches scan materialized rows.
+        parent = stepped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            stepped.join(parent, stepped.label == parent.pnode, "left")
+            .select(
+                stepped.node,
+                F.least(
+                    stepped.label, F.coalesce("plabel", stepped.label)
+                ).alias("label"),
             )
             .localCheckpoint()
         )

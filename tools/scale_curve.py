@@ -65,8 +65,16 @@ QUERIES = [
     "k_truss",
     "dbscan",
     "kcenter_coreset",
+    # round-6 (VERDICT r5 #6): the new top-of-bench entrants — gear-ish
+    # content-defined chunking (position explode), Spark recursion
+    # fixed overhead, the two-source fingerprint join, and the
+    # pre-partitioned co-located join
+    "cdc_chunks",
+    "recursive_reachability",
+    "cross_source_dups",
+    "bucketed_join",
 ]
-TABLES = ["documents", "embeddings", "lineitem", "orders"]
+TABLES = ["documents", "embeddings", "lineitem", "orders", "events"]
 
 
 def _rot(s: str, c: int) -> str:
@@ -114,6 +122,13 @@ def build(spark) -> None:
                 cp = cp.withColumn(
                     "o_orderkey", F.col("o_orderkey") + c * ID_STRIDE
                 )
+            elif name == "events":
+                # offset ids AND users: per-user session structure (and
+                # so the transition graph / funnel shapes) is preserved
+                # while copies never merge into one user's stream.
+                cp = cp.withColumn(
+                    "event_id", F.col("event_id") + c * ID_STRIDE
+                ).withColumn("user_id", F.col("user_id") + c * ID_STRIDE)
             copies.append(cp)
         unioned = copies[0]
         for cp in copies[1:]:
@@ -139,7 +154,10 @@ def main() -> None:
 
     run("salted_join_agg", SRC)  # warmup
     report = {}
-    for name in QUERIES:
+    selected = sys.argv[1:] or QUERIES
+    unknown = [n for n in selected if n not in qs]
+    assert not unknown, f"not registry queries: {unknown}"
+    for name in selected:
         t1 = min(run(name, SRC), run(name, SRC))
         t3 = min(run(name, OUT), run(name, OUT))
         # Marathon-cache rule (bench.py precedent): operators leave
