@@ -7584,6 +7584,68 @@ def q_stream_dedup_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (dedup.py canonical_url_dedup): the
+    crawl-ingest pre-pass — scheme/host case, ``www.``, default ports,
+    trailing slashes and tracking params collapse to one canonical URL;
+    min-id keeper per group. URLs synthesized deterministically from
+    events with all five noise dimensions injected; groups with ≥ 2
+    members returned (2976 at sf0.01). Oracle mirrors each
+    canonicalization regex verbatim (the url_parse precedent)."""
+    _tune(spark)
+    from drune_spark.operators.dedup import canonical_url_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    urls = ev.select(
+        F.concat(
+            F.when(F.col("event_id") % 3 == 0, F.lit("HTTPS://WWW."))
+            .otherwise(F.lit("https://")),
+            F.lit("s"),
+            (F.col("user_id") % 5).cast("string"),
+            F.lit(".Example.com"),
+            F.when(F.col("event_id") % 2 == 0, F.lit(":443"))
+            .otherwise(F.lit("")),
+            F.lit("/"),
+            F.col("event_type"),
+            F.when(F.col("event_id") % 4 == 0, F.lit("/"))
+            .otherwise(F.lit("")),
+            F.lit("?id="),
+            (F.col("event_id") % 200).cast("string"),
+            F.when(F.col("event_id") % 5 == 0, F.lit("&utm_source=feed"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+        F.col("event_id"),
+    )
+    return canonical_url_dedup(urls, "url", "event_id").filter(
+        F.col("n_dups") >= 2
+    )
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid silhouette (similarity.py centroid_silhouette): per-
+    cluster mean of (b−a)/b over nearest/runner-up centroid cosine
+    distances — the O(n·k) layout-quality screen for the IVF/SemDeDup
+    blocking used throughout. Per-row floats (proven cosine identity),
+    integer micro-units before any aggregation so no float-sum order
+    can diverge."""
+    _tune(spark)
+    from drune_spark.operators.similarity import centroid_silhouette
+
+    return centroid_silhouette(_t(spark, sf_dir, "embeddings"), 16)
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (text_analysis.py bigram_surprisal,
+    the KenLM/CCNet conditional upgrade of unigram_surprisal):
+    integer floor-log2 bit cost of 1/P(w2|w1), doc mean in milli-bits.
+    Bigrams via explode(sequence)+element_at (codegen, no HOF lambda);
+    same conv/printf base-2 digit-count parity as unigram."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -7695,6 +7757,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_percentiles": q_grouped_percentiles,
         "window_analytics": q_window_analytics,
         "kafka_roundtrip": q_kafka_roundtrip,
+        # new in round 6 — behind the older backlog on purpose: the
+        # driver window burns oldest-first (VERDICT r5 #3)
+        "url_dedup": q_url_dedup,
+        "silhouette": q_silhouette,
+        "bigram_lm": q_bigram_lm,
         # -- driver-verified pass, stalest round first (206) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -8493,6 +8560,139 @@ def oracle_sql() -> dict[str, str]:
             FROM rr ORDER BY band, rr, source, doc_id LIMIT 100
         """,
         "lateral_topk": LATERAL_TOPK_SQL,
+        # -- round-6 entries -------------------------------------------
+        "url_dedup": """
+            WITH u AS (
+                SELECT (CASE WHEN event_id % 3 = 0 THEN 'HTTPS://WWW.'
+                             ELSE 'https://' END
+                        || 's' || CAST(user_id % 5 AS VARCHAR)
+                        || '.Example.com'
+                        || CASE WHEN event_id % 2 = 0 THEN ':443'
+                                ELSE '' END
+                        || '/' || event_type
+                        || CASE WHEN event_id % 4 = 0 THEN '/'
+                                ELSE '' END
+                        || '?id=' || CAST(event_id % 200 AS VARCHAR)
+                        || CASE WHEN event_id % 5 = 0
+                                THEN '&utm_source=feed' ELSE '' END
+                       ) AS url,
+                       event_id
+                FROM events
+            ),
+            canon AS (
+                SELECT event_id,
+                       regexp_replace(regexp_replace(lower(
+                           regexp_extract(url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                           '^www\\.', ''), ':(80|443)$', '')
+                       ||
+                       CASE WHEN regexp_replace(
+                                regexp_extract(url,
+                                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)',
+                                  1), '/+$', '') = ''
+                            THEN '/'
+                            ELSE regexp_replace(
+                                regexp_extract(url,
+                                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)',
+                                  1), '/+$', '') END
+                       ||
+                       CASE WHEN regexp_extract(url,
+                                '[?&]id=([^&#]*)', 1) <> ''
+                            THEN '?id=' || regexp_extract(url,
+                                '[?&]id=([^&#]*)', 1)
+                            ELSE '' END AS canonical_url
+                FROM u
+            )
+            SELECT canonical_url,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups,
+                   MIN(event_id) AS keeper_id
+            FROM canon GROUP BY canonical_url
+            HAVING COUNT(*) >= 2
+        """,
+        "silhouette": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            c AS (
+                SELECT vec_id AS centroid_id, v AS cv FROM e
+                ORDER BY vec_id LIMIT 16
+            ),
+            scored AS (
+                SELECT e.vec_id, c.centroid_id,
+                       list_cosine_similarity(e.v, c.cv) AS sim
+                FROM e, c
+            ),
+            top2 AS (
+                SELECT vec_id, centroid_id, sim,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY sim DESC, centroid_id ASC) AS rn
+                FROM scored
+            ),
+            pv AS (
+                SELECT vec_id,
+                       MAX(CASE WHEN rn = 1 THEN centroid_id END)
+                           AS centroid_id,
+                       MAX(CASE WHEN rn = 1 THEN 1 - sim END) AS a,
+                       MAX(CASE WHEN rn = 2 THEN 1 - sim END) AS b
+                FROM top2 WHERE rn <= 2 GROUP BY vec_id
+            ),
+            sil AS (
+                SELECT centroid_id,
+                       CASE WHEN b <= 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(FLOOR((b - a) / b * 1000000.0)
+                                      AS BIGINT) END AS s_micro
+                FROM pv
+            )
+            SELECT centroid_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(s_micro) AS BIGINT)
+                       // CAST(COUNT(*) AS BIGINT) AS mean_sil_micro
+            FROM sil GROUP BY centroid_id
+        """,
+        "bigram_lm": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS arr
+                FROM documents
+            ),
+            b2 AS (
+                SELECT doc_id, arr FROM base WHERE array_length(arr) >= 2
+            ),
+            idx AS (
+                SELECT doc_id, arr,
+                       UNNEST(range(1, array_length(arr))) AS i
+                FROM b2
+            ),
+            big AS (
+                SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2 FROM idx
+            ),
+            c12 AS (
+                SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+                FROM big GROUP BY w1, w2
+            ),
+            c1 AS (
+                SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
+                FROM big GROUP BY w1
+            ),
+            bits AS (
+                SELECT w1, w2,
+                       CAST(length(printf('%b', n1 // n12)) AS BIGINT)
+                           AS bigram_bits
+                FROM c12 JOIN c1 USING (w1)
+            ),
+            doc AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                       CAST(SUM(bigram_bits) AS BIGINT) AS sum_bits
+                FROM big JOIN bits USING (w1, w2)
+                GROUP BY doc_id
+            )
+            SELECT doc_id, n_bigrams, sum_bits,
+                   sum_bits * 1000 // n_bigrams AS mean_millibits
+            FROM doc
+        """,
         # -- round-4 entries -------------------------------------------
         "semdedup": """
             WITH e AS (

@@ -279,6 +279,10 @@ BENCH_QUERIES = [
     # admitted r6 after degree-orientation took it 14s → 5.7s at sf0.1
     # (VERDICT r5 #8):
     "k_truss",
+    # round-6 additions (same-commit with their gates — VERDICT r5 #10)
+    "url_dedup",
+    "silhouette",
+    "bigram_lm",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # dbscan stays out: audit-tier — 21s at sf0.1 even with CC

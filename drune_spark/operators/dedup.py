@@ -935,6 +935,70 @@ def split_leakage_audit(
     )
 
 
+def canonical_url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    keep_params: tuple[str, ...] = ("id",),
+) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-pipeline pre-pass that
+    runs BEFORE any content dedup (Common-Crawl/C4-style ingest: the
+    same page is fetched as http/https, with/without ``www.``, with
+    tracking params, default ports, trailing slashes). Canonical form:
+
+    - host lowercased, leading ``www.`` and default ports (``:80`` /
+      ``:443``) stripped;
+    - path with trailing slashes collapsed (empty path → ``/``);
+    - query reduced to an ALLOWLIST of significant params
+      (``keep_params``, in allowlist order) — the standard way to drop
+      ``utm_*``/``ref``/session junk without enumerating it.
+
+    Everything is anchored-regex component extraction (JVM
+    ``regexp_extract``/``regexp_replace``; the oracle mirrors each
+    regex verbatim in DuckDB — both engines' class/anchor/alternation
+    semantics coincide on these patterns, same approach as the
+    ``url_parse`` gate).
+
+    Plan shape at 100 TB: canonicalization is row-local (fused into
+    the scan); the dedup is one groupBy on the canonical string —
+    URLs are short, so the shuffle carries (canonical, id) pairs,
+    never page content. Returns (canonical_url, n_dups, keeper_id)
+    with keeper = min id per group (deterministic survivor).
+    """
+    scheme_host = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+    path_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(F.col(url_col), scheme_host, 1)),
+            r"^www\.",
+            "",
+        ),
+        r":(80|443)$",
+        "",
+    )
+    raw_path = F.regexp_extract(F.col(url_col), path_re, 1)
+    path = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    parts = []
+    for p in keep_params:
+        v = F.regexp_extract(F.col(url_col), r"[?&]" + p + r"=([^&#]*)", 1)
+        parts.append(F.when(v != "", F.concat(F.lit(p + "="), v)))
+    qs = F.concat_ws("&", *parts) if parts else F.lit("")
+    canonical = F.concat(
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return (
+        df.select(canonical.alias("canonical_url"), F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
 SEMDEDUP_TARGET_CLUSTER = 64
 
 

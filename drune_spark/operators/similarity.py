@@ -301,6 +301,90 @@ def ivf_assign(
     )
 
 
+def centroid_silhouette(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-quality evaluation: the simplified (centroid-based)
+    silhouette over the :func:`ivf_assign` layout — per vector,
+    ``a`` = cosine distance to its nearest centroid, ``b`` = distance
+    to the runner-up, ``s = (b − a) / b`` (b ≥ a ≥ 0, so s ∈ [0, 1];
+    s = 0 when b = 0). The medoid/all-pairs silhouette is O(Σ|c|²);
+    the centroid form is the O(n·k) screen that tells you whether a
+    coarse-quantizer layout (IVF partitioning, SemDeDup blocking) has
+    meaningful cells BEFORE paying for a within-cell pass.
+
+    Determinism contract: the per-row math is float (the zip_with/
+    aggregate cosine fold proven bit-identical to DuckDB
+    list_cosine_similarity), but every AGGREGATED value is integer —
+    s is floored to integer micro-units per row and summed as longs,
+    so no float-sum ordering can diverge between engines. Top-2
+    selection tie-breaks (sim DESC, centroid_id ASC), matching
+    ivf_assign's argmax.
+
+    Plan shape at 100 TB: one broadcast of k centroids against the
+    corpus (no shuffle of vectors), a per-vector top-2 (rank-limited
+    window — WindowGroupLimit pushes the k→2 cut below the exchange),
+    then a k-cell aggregate. Requires n_centroids ≥ 2.
+
+    Returns (centroid_id, n_members, mean_sil_micro) per cluster.
+    """
+    from pyspark.sql.window import Window
+
+    assert n_centroids >= 2, "silhouette needs at least 2 centroids"
+    centroids = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            to_double_array(F.col(vec_col)).alias("centroid"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
+    )
+    scored = c.join(F.broadcast(centroids)).select(
+        id_col,
+        "centroid_id",
+        cosine_similarity(F.col("v"), F.col("centroid")).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    top2 = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    per_vec = top2.groupBy(id_col).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("centroid_id"))).alias(
+            "centroid_id"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.lit(1) - F.col("sim"))).alias("a"),
+        F.max(F.when(F.col("rn") == 2, F.lit(1) - F.col("sim"))).alias("b"),
+    )
+    sil = per_vec.select(
+        "centroid_id",
+        F.when(F.col("b") <= 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor((F.col("b") - F.col("a")) / F.col("b") * F.lit(1000000.0))
+        )
+        .alias("s_micro"),
+    )
+    return (
+        sil.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("s_micro").alias("sum_micro"),
+        )
+        .select(
+            "centroid_id",
+            "n_members",
+            F.expr("sum_micro div n_members").alias("mean_sil_micro"),
+        )
+    )
+
+
 def recall_at_k(
     exact: DataFrame,
     approx: DataFrame,

@@ -836,6 +836,70 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM document scoring — the conditional-context upgrade of
+    :func:`unigram_surprisal` (KenLM-style corpus LM filtering, Heafield
+    2011, as used by CCNet/RefinedWeb; the reference engine has no text
+    ops — LLM-data mandate). Per-bigram cost is the FLOOR-log2 bit
+    count of the inverse conditional probability,
+    ``bits(w1 w2) = bitlen(c(w1 ·) div c(w1 w2))`` — pure integer
+    division + base-2 digit length, so no ``ln``/libm divergence
+    between engines (same exactness contract as unigram_surprisal;
+    DuckDB mirrors with ``length(printf('%b', x))``). ``c(w1 ·)`` is
+    the count of bigrams STARTING with w1 (the LM denominator), not the
+    raw unigram count. Doc score = Σ bits · 1000 div n_bigrams
+    (integer milli-bits per bigram).
+
+    Plan shape at 100 TB: the bigram stream is explode(sequence) +
+    element_at — whole-stage codegen, NOT a HOF lambda (the r5
+    interpreted-transform trap) — feeding two vocabulary-sized
+    aggregates (map-side partial) that re-join the stream (AQE
+    broadcasts bigram vocabularies; they are corpus-sublinear). Text
+    itself never shuffles — only (id, w1, w2) cells move. Docs with
+    fewer than two tokens carry no bigram and drop out (documented;
+    the caller unions them back with a sentinel if needed).
+
+    Returns (id_col, n_bigrams, sum_bits, mean_millibits).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("arr"),
+    ).filter(F.size("arr") >= 2)
+    big = base.select(
+        id_col,
+        F.explode(F.expr("sequence(1, size(arr) - 1)")).alias("i"),
+        "arr",
+    ).select(
+        id_col,
+        F.element_at("arr", F.col("i")).alias("w1"),
+        F.element_at("arr", F.col("i") + 1).alias("w2"),
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    bits = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.length(F.conv(F.expr("CAST(n1 div n12 AS STRING)"), 10, 2))
+        .cast("long")
+        .alias("bigram_bits"),
+    )
+    return (
+        big.join(bits, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bigram_bits").alias("sum_bits"),
+        )
+        .withColumn(
+            "mean_millibits", F.expr("sum_bits * 1000 div n_bigrams")
+        )
+    )
+
+
 def lexicon_screen(
     df: DataFrame,
     text_col: str = "text",

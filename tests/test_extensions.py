@@ -3954,3 +3954,80 @@ class TestPettitt:
         df = spark.createDataFrame(rows, ["grp", "x", "y"])
         r = pettitt_test(df, "x", "y", ["grp"]).collect()[0]
         assert (r.k_stat, r.u_at_k, r.t_star) == (0, 0, 0)
+
+
+class TestRound6Ops:
+    def test_canonical_url_dedup_collapses_noise_dimensions(self, spark):
+        """Scheme/host case, www., default port, trailing slash, and
+        tracking params all collapse; significant allowlisted params
+        survive; min-id keeper."""
+        from drune_spark.operators.dedup import canonical_url_dedup
+
+        rows = [
+            (1, "HTTPS://WWW.Ex.COM:443/a/?id=7&utm_source=x"),
+            (2, "https://ex.com/a?id=7"),
+            (3, "https://ex.com/a?id=8"),          # other id: own group
+            (4, "http://EX.com:80/"),              # root path, no param
+            (5, "http://ex.com"),                  # empty path -> '/'
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "url"])
+        out = {
+            r.canonical_url: (r.n_dups, r.keeper_id)
+            for r in canonical_url_dedup(df).collect()
+        }
+        assert out["ex.com/a?id=7"] == (2, 1)
+        assert out["ex.com/a?id=8"] == (1, 3)
+        assert out["ex.com/"] == (2, 4)
+        assert len(out) == 3
+
+    def test_centroid_silhouette_separates_tight_clusters(self, spark):
+        """Two orthogonal tight clusters: every vector's runner-up
+        distance dwarfs its own-centroid distance, so mean silhouette
+        approaches 1e6 micro; member counts split 3/3."""
+        from drune_spark.operators.similarity import centroid_silhouette
+
+        a, b = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]
+        rows = [
+            (0, a), (1, b),
+            (2, [0.99, 0.01, 0.0]), (3, [0.01, 0.99, 0.0]),
+            (4, [0.98, 0.0, 0.02]), (5, [0.0, 0.98, 0.02]),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {
+            r.centroid_id: (r.n_members, r.mean_sil_micro)
+            for r in centroid_silhouette(df, 2).collect()
+        }
+        assert set(out) == {0, 1}
+        assert out[0][0] == 3 and out[1][0] == 3
+        for _, sil in out.values():
+            assert 900_000 <= sil <= 1_000_000
+
+    def test_bigram_surprisal_hand_counts(self, spark):
+        """d1='x y x y', d2='x y': c(x,y)=3, c(y,x)=1, c(x·)=3, c(y·)=1
+        -> every bigram costs bitlen(1)=1 bit; single-token docs drop."""
+        from drune_spark.operators.text_analysis import bigram_surprisal
+
+        df = spark.createDataFrame(
+            [(1, "x y x y"), (2, "x y"), (3, "z")], ["doc_id", "text"]
+        )
+        out = {
+            r.doc_id: (r.n_bigrams, r.sum_bits, r.mean_millibits)
+            for r in bigram_surprisal(df).collect()
+        }
+        assert out == {1: (3, 3, 1000), 2: (1, 1, 1000)}
+
+    def test_bigram_surprisal_rare_continuation_costs_more(self, spark):
+        """With c(a·)=8 and c(a,b)=1, bits(a,b)=bitlen(8)=4 while the
+        dominant continuation bits(a,c)=bitlen(8//7)=1."""
+        from drune_spark.operators.text_analysis import bigram_surprisal
+
+        text = "a c a c a c a c a c a c a c a b"  # 8 a-starts: 7 (a,c), 1 (a,b)
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        r = bigram_surprisal(df).collect()[0]
+        # bigram stream: (a,c)x7? positions: a c a c ... a b
+        # w1=a bigrams: (a,c)x7, (a,b)x1 -> c(a.)=8
+        # w1=c bigrams: (c,a)x7 -> c(c.)=7
+        # bits: (a,c)=bitlen(8//7)=1, (a,b)=bitlen(8//1)=4, (c,a)=bitlen(7//7)=1
+        # sum = 7*1 + 4 + 7*1 = 18 over 15 bigrams
+        assert (r.n_bigrams, r.sum_bits) == (15, 18)
+        assert r.mean_millibits == 18 * 1000 // 15
