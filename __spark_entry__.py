@@ -7646,6 +7646,170 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+
+
+def q_anf_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood function (graph.py anf_reach, Palmer/
+    Gibbons/Faloutsos 2002): Flajolet-Martin reach-mass curve of the
+    canonical co-purchase part graph (w >= 2) at radii 0-3, 4 trials —
+    the graph-expansion / effective-diameter sketch whose bit-OR masks
+    merge across any partitioning (the property exact per-node BFS
+    sets lack). All-integer: seed bit = lowest set bit of
+    md5_u32(node:trial:anf) | 2^31, mass = lowest set bit of the mask
+    complement, bit_or aggregates per round. Oracle replays every
+    round in unrolled MATERIALIZED CTEs (pagerank pattern)."""
+    _tune(spark)
+    from drune_spark.operators.graph import anf_reach
+
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return anf_reach(edges, trials=4, rounds=3)
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the BRAND partition over the co-purchase
+    part graph (graph.py partition_modularity): per brand-community,
+    internal directed edges, degree mass and the exact integer
+    contribution q_num = L2_c*m2 - D_c^2 (Q = sum q_num / m2^2) — the
+    community-quality audit for any clustering this engine emits,
+    computed in ONE pass over the tagged edge list (no per-branch
+    re-plan of the assign join). ~25 one-row cells out."""
+    _tune(spark)
+    from drune_spark.operators.graph import partition_modularity
+
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    assign = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_brand").alias("community"),
+    )
+    return partition_modularity(edges, assign)
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation 10% symmetric trimmed mean of customer account
+    balance (stats.py trimmed_mean) — the robust location estimate
+    that DROPS tails where winsorize clamps them. Cent-integer values,
+    floor cut counts, row_number(value, custkey) membership, and the
+    nonnegative-shift integer mean division, so both engines agree
+    digit-for-digit including negative balances."""
+    _tune(spark)
+    from drune_spark.operators.stats import trimmed_mean
+
+    return trimmed_mean(
+        _t(spark, sf_dir, "customer"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_custkey",
+        trim_ppm=100_000,
+        scale=100,
+    )
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration audit (stats.py
+    reliability_bins): stopword-share ppm as the quality score,
+    lang = 'en' as the label, 10 equal-width bins — per bin, volume,
+    positives, observed positive rate and mean score (integer ppm).
+    The calibration check behind every heuristic quality gate: a flat
+    pos_rate row says the score carries no signal at that margin.
+    Stopword hits counted with the non-HOF size-minus-array_remove
+    idiom (codegen, split() evaluated once per row)."""
+    _tune(spark)
+    from drune_spark.functions.text import STOPWORDS
+    from drune_spark.operators.stats import reliability_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select(
+        F.col("lang"), toks.alias("__t")
+    ).withColumn(
+        "__hits",
+        sum(
+            F.size("__t") - F.size(F.array_remove("__t", w))
+            for w in STOPWORDS
+        ),
+    )
+    scored = base.select(
+        F.expr(
+            "(CAST(__hits AS BIGINT) * 1000000) div size(__t)"
+        ).alias("score_ppm"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return reliability_bins(scored, "score_ppm", "is_en", n_bins=10)
+
+
+def q_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-budget next-fit sequence packing (packing.py
+    bin_pack_next_fit): documents walk id-order within 8 hash shards,
+    a new 256-token bin opens whenever the next document would
+    overflow — the hard constraint real training-sequence packing has
+    (pack_sequences is the relaxed overflow-by-one variant). A
+    sequential recurrence, so it runs as one Arrow batch per shard
+    (applyInPandas, the ewma_monitor tier) and the oracle replays the
+    identical integer recurrence as a per-shard recursive CTE."""
+    _tune(spark)
+    from drune_spark.operators.packing import bin_pack_next_fit
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+    )
+    return bin_pack_next_fit(
+        docs, "n_toks", "doc_id", budget=256, n_groups=8, salt="bp"
+    )
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup detection (multimodal.py
+    image_dhash + dhash_dup_groups): one REAL PNG per document whose
+    pattern depends only on doc_id mod 6 while a per-doc brightness
+    offset changes every byte, decoded back (zlib inflate +
+    unfiltering), 2x2 block-meaned to a 9x8 grid and dHashed (64
+    horizontal gradient signs, brightness-invariant by construction of
+    the integer block mean) — byte-different images MUST collide into
+    exactly their pattern groups, which the oracle recomputes from the
+    closed-form pixel formula. Shuffle-free mapInPandas both stages;
+    only (id, hash_hi, hash_lo) leaves the decode."""
+    _tune(spark)
+    from drune_spark.operators.multimodal import (
+        dhash_dup_groups,
+        image_dhash,
+        synthesize_neardup_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dhash_dup_groups(image_dhash(synthesize_neardup_images(docs)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -7762,6 +7926,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "silhouette": q_silhouette,
         "bigram_lm": q_bigram_lm,
+        "anf_reach": q_anf_reach,
+        "modularity": q_modularity,
+        "trimmed_mean": q_trimmed_mean,
+        "calibration_bins": q_calibration_bins,
+        "bin_pack": q_bin_pack,
+        "image_neardup": q_image_neardup,
         # -- driver-verified pass, stalest round first (206) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -8561,6 +8731,246 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lateral_topk": LATERAL_TOPK_SQL,
         # -- round-6 entries -------------------------------------------
+        "anf_reach": """
+            WITH lp AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            e AS MATERIALIZED (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            m0 AS MATERIALIZED (
+                SELECT node, trial, (h & -h) AS mask
+                FROM (
+                    SELECT n.node, t.trial,
+                           (('0x' || substr(md5(
+                                CAST(n.node AS VARCHAR) || ':' ||
+                                CAST(t.trial AS VARCHAR) || ':anf'),
+                                1, 8))::BIGINT | 2147483648) AS h
+                    FROM (SELECT DISTINCT src AS node FROM e) n,
+                         (SELECT UNNEST(range(4)) AS trial) t
+                )
+            ),
+            m1 AS MATERIALIZED (
+                SELECT p.node, p.trial, (p.mask | nb.nbmask) AS mask
+                FROM m0 p JOIN (
+                    SELECT e.src AS node, m.trial,
+                           bit_or(m.mask) AS nbmask
+                    FROM e JOIN m0 m ON e.dst = m.node
+                    GROUP BY 1, 2
+                ) nb ON p.node = nb.node AND p.trial = nb.trial
+            ),
+            m2 AS MATERIALIZED (
+                SELECT p.node, p.trial, (p.mask | nb.nbmask) AS mask
+                FROM m1 p JOIN (
+                    SELECT e.src AS node, m.trial,
+                           bit_or(m.mask) AS nbmask
+                    FROM e JOIN m1 m ON e.dst = m.node
+                    GROUP BY 1, 2
+                ) nb ON p.node = nb.node AND p.trial = nb.trial
+            ),
+            m3 AS MATERIALIZED (
+                SELECT p.node, p.trial, (p.mask | nb.nbmask) AS mask
+                FROM m2 p JOIN (
+                    SELECT e.src AS node, m.trial,
+                           bit_or(m.mask) AS nbmask
+                    FROM e JOIN m2 m ON e.dst = m.node
+                    GROUP BY 1, 2
+                ) nb ON p.node = nb.node AND p.trial = nb.trial
+            )
+            SELECT 0 AS radius, CAST(count(*) AS BIGINT) AS cells,
+                   CAST(SUM((~mask) & (-(~mask))) AS BIGINT)
+                       AS reach_mass
+            FROM m0
+            UNION ALL
+            SELECT 1 AS radius, CAST(count(*) AS BIGINT) AS cells,
+                   CAST(SUM((~mask) & (-(~mask))) AS BIGINT)
+                       AS reach_mass
+            FROM m1
+            UNION ALL
+            SELECT 2 AS radius, CAST(count(*) AS BIGINT) AS cells,
+                   CAST(SUM((~mask) & (-(~mask))) AS BIGINT)
+                       AS reach_mass
+            FROM m2
+            UNION ALL
+            SELECT 3 AS radius, CAST(count(*) AS BIGINT) AS cells,
+                   CAST(SUM((~mask) & (-(~mask))) AS BIGINT)
+                       AS reach_mass
+            FROM m3
+        """,
+        "modularity": """
+            WITH lp AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            e AS MATERIALIZED (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            t AS (
+                SELECT pa.p_brand AS ca, pb.p_brand AS cb
+                FROM e JOIN part pa ON e.src = pa.p_partkey
+                       JOIN part pb ON e.dst = pb.p_partkey
+            ),
+            m2 AS (SELECT count(*) AS m2 FROM e),
+            cells AS (
+                SELECT ca AS community,
+                       CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END)
+                            AS BIGINT) AS l2_internal,
+                       CAST(count(*) AS BIGINT) AS degree_sum
+                FROM t GROUP BY ca
+            )
+            SELECT community, l2_internal, degree_sum,
+                   CAST(l2_internal * (SELECT m2 FROM m2)
+                        - degree_sum * degree_sum AS BIGINT) AS q_num
+            FROM cells ORDER BY community
+        """,
+        "trimmed_mean": """
+            WITH r AS (
+                SELECT c_nationkey,
+                       CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 100
+                            AS BIGINT) AS v,
+                       CAST(row_number() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY CAST(CAST(c_acctbal AS
+                                    DECIMAL(18,6)) * 100 AS BIGINT),
+                                    c_custkey) AS BIGINT) AS rn,
+                       CAST(count(*) OVER (
+                           PARTITION BY c_nationkey) AS BIGINT) AS n
+                FROM customer
+            ),
+            k AS (
+                SELECT c_nationkey, n, v FROM r
+                WHERE rn > (n * 100000) // 1000000
+                  AND rn <= n - (n * 100000) // 1000000
+            )
+            SELECT c_nationkey, MAX(n) AS n,
+                   CAST(count(*) AS BIGINT) AS kept,
+                   CAST((CAST(SUM(v) AS BIGINT)
+                         + 1000000000 * count(*)) // count(*)
+                        - 1000000000 AS BIGINT) AS trimmed_mean_scaled
+            FROM k GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "calibration_bins": """
+            WITH s AS (
+                SELECT regexp_split_to_array(trim(lower(text)),
+                                             '\\s+') AS t,
+                       lang FROM documents
+            ),
+            h AS (
+                SELECT
+                    (len(t) - len(list_filter(t, x -> x <> 'the')))
+                  + (len(t) - len(list_filter(t, x -> x <> 'a')))
+                  + (len(t) - len(list_filter(t, x -> x <> 'and')))
+                  + (len(t) - len(list_filter(t, x -> x <> 'of')))
+                  + (len(t) - len(list_filter(t, x -> x <> 'to')))
+                  + (len(t) - len(list_filter(t, x -> x <> 'in')))
+                  + (len(t) - len(list_filter(t, x -> x <> 'is')))
+                  + (len(t) - len(list_filter(t, x -> x <> 'it'))) AS hits,
+                    len(t) AS n_toks,
+                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM s
+            ),
+            sc AS (
+                SELECT (CAST(hits AS BIGINT) * 1000000) // n_toks
+                           AS score_ppm,
+                       y FROM h
+            ),
+            b AS (
+                SELECT LEAST(score_ppm // 100000, 9) AS bin,
+                       score_ppm, y
+                FROM sc
+            )
+            SELECT CAST(bin AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS positives,
+                   CAST((CAST(SUM(y) AS BIGINT) * 1000000) // count(*)
+                        AS BIGINT) AS pos_rate_ppm,
+                   CAST(CAST(SUM(score_ppm) AS BIGINT) // count(*)
+                        AS BIGINT) AS mean_score_ppm
+            FROM b GROUP BY bin ORDER BY bin
+        """,
+        "bin_pack": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(trim(text),
+                                '\\s+')) AS BIGINT) AS n_tokens,
+                       CAST(('0x' || substr(md5('bp' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 8 AS INT) AS pack_group
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, n_tokens, pack_group,
+                       CAST(row_number() OVER (
+                           PARTITION BY pack_group ORDER BY doc_id)
+                           AS BIGINT) AS rn
+                FROM d
+            ),
+            rec(pack_group, rn, doc_id, n_tokens, bin_id, fill) AS (
+                SELECT pack_group, rn, doc_id, n_tokens,
+                       CAST(0 AS BIGINT), n_tokens
+                FROM idx WHERE rn = 1
+                UNION ALL
+                SELECT i.pack_group, i.rn, i.doc_id, i.n_tokens,
+                       CASE WHEN r.fill > 0
+                                 AND r.fill + i.n_tokens > 256
+                            THEN r.bin_id + 1 ELSE r.bin_id END,
+                       CASE WHEN r.fill > 0
+                                 AND r.fill + i.n_tokens > 256
+                            THEN i.n_tokens
+                            ELSE r.fill + i.n_tokens END
+                FROM idx i JOIN rec r
+                  ON i.pack_group = r.pack_group AND i.rn = r.rn + 1
+            )
+            SELECT doc_id, pack_group, n_tokens, bin_id, fill FROM rec
+        """,
+        "image_neardup": """
+            WITH px AS MATERIALIZED (
+                SELECT d.doc_id, x.x, y.y,
+                       ((37 * (d.doc_id % 6) + 11 * x.x + 23 * y.y
+                         + 13 * ((x.x * y.y) % 7)) % 200
+                        + (13 * d.doc_id) % 40) AS v
+                FROM documents d,
+                     (SELECT UNNEST(range(18)) AS x) x,
+                     (SELECT UNNEST(range(16)) AS y) y
+            ),
+            g AS MATERIALIZED (
+                SELECT doc_id, (x // 2) AS gx, (y // 2) AS gy,
+                       (CAST(SUM(v) AS BIGINT) // 4) AS m
+                FROM px GROUP BY doc_id, (x // 2), (y // 2)
+            ),
+            bits AS (
+                SELECT a.doc_id, (a.gy * 8 + a.gx) AS j,
+                       CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+                FROM g a JOIN g b
+                  ON a.doc_id = b.doc_id AND a.gy = b.gy
+                 AND b.gx = a.gx + 1
+                WHERE a.gx < 8
+            ),
+            h AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN j < 32 THEN
+                            bit * (CAST(1 AS BIGINT) << j)
+                            ELSE 0 END) AS BIGINT) AS hash_lo,
+                       CAST(SUM(CASE WHEN j >= 32 THEN
+                            bit * (CAST(1 AS BIGINT) << (j - 32))
+                            ELSE 0 END) AS BIGINT) AS hash_hi
+                FROM bits GROUP BY doc_id
+            )
+            SELECT hash_hi, hash_lo,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   MIN(doc_id) AS min_id,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM h GROUP BY hash_hi, hash_lo
+            HAVING count(*) >= 2
+            ORDER BY hash_hi, hash_lo
+        """,
         "url_dedup": """
             WITH u AS (
                 SELECT (CASE WHEN event_id % 3 = 0 THEN 'HTTPS://WWW.'

@@ -283,6 +283,12 @@ BENCH_QUERIES = [
     "url_dedup",
     "silhouette",
     "bigram_lm",
+    "anf_reach",
+    "modularity",
+    "trimmed_mean",
+    "calibration_bins",
+    "bin_pack",
+    "image_neardup",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # dbscan stays out: audit-tier — 21s at sf0.1 even with CC
@@ -386,7 +392,16 @@ def main() -> None:
         for name in BENCH_QUERIES:
             try:
                 first = run(name)
-                if time.time() - t_start < budget_s:
+                # Past budget, a single first pass still pays cold
+                # codegen/JIT for that query's unique operators — the
+                # r6 mid-session run recorded 6.3s for a 0.7s
+                # steady-state query this way. Re-run anything whose
+                # first pass is over 1s (few queries, bounded extra
+                # wall); cheap queries absorb at most ~1s of error.
+                if (
+                    time.time() - t_start < budget_s
+                    or first > 1.0
+                ):
                     try:
                         second = run(name)
                     except Exception:  # noqa: BLE001 — keep first pass

@@ -487,3 +487,152 @@ def k_truss(
             .alias("support"),
         )
     )
+
+
+def anf_reach(
+    edges: DataFrame,
+    trials: int = 4,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Approximate neighborhood function (ANF, Palmer/Gibbons/Faloutsos
+    2002) over a SYMMETRIC edge list: per radius r, the total
+    Flajolet-Martin reach mass Σ_{v,t} 2^ρ(mask_r(v,t)) where
+    mask_r(v,t) is the bit-OR of trial-t seed bits over every node
+    within r hops of v and ρ is the lowest-ZERO-bit index — the
+    distance-distribution / effective-diameter sketch that answers
+    "how fast does the graph expand" without materializing BFS
+    frontiers per node.
+
+    All-integer and order-free end to end: seed bit index =
+    trailing-zeros of md5_u32(node:trial:anf) with bit 31 forced (caps
+    the index, kills the h=0 edge), masks merge with ``bit_or`` (an
+    idempotent, commutative aggregate — the property that makes ANF
+    mergeable across any partitioning, unlike exact per-node BFS
+    sets), and 2^ρ(mask) is extracted as ``(~mask) & -(~mask)`` — the
+    lowest set bit of the complement — so no float ever appears and a
+    DuckDB oracle replays every round bit-for-bit with unrolled CTEs.
+
+    Scale shape: each round is one edges ⋈ masks equi-join plus a
+    node-keyed bit_or — shuffles carry (node, trial, int64) cells,
+    never neighbor sets. The edge list is persisted once (iterative-
+    operator persist rule) and masks are eagerly persisted per round
+    (radius outputs consume every round's frame — the ≥4-branch lazy
+    cache race). Returns one row per radius 0..rounds:
+    (radius, nodes, reach_mass).
+    """
+    from drune_spark.functions.hashes import md5_u32
+
+    e0 = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).persist()
+    h = md5_u32(
+        F.concat_ws(
+            ":", F.col("node").cast("string"),
+            F.col("trial").cast("string"), F.lit("anf"),
+        )
+    ).bitwiseOR(F.lit(1 << 31))
+    lowbit = h.bitwiseAND(-h)
+    seeds = (
+        e0.select(F.col("a").alias("node")).distinct()
+        .select(
+            "node",
+            F.explode(F.sequence(F.lit(0), F.lit(trials - 1))).alias(
+                "trial"
+            ),
+        )
+        .select("node", "trial", lowbit.alias("mask"))
+    )
+    masks = [seeds.persist()]
+    for _ in range(rounds):
+        prev = masks[-1]
+        nb = (
+            e0.join(
+                prev.withColumnRenamed("node", "b"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "trial")
+            .agg(F.bit_or("mask").alias("nbmask"))
+        )
+        cur = (
+            prev.join(nb, ["node", "trial"])
+            .select(
+                "node",
+                "trial",
+                F.col("mask").bitwiseOR(F.col("nbmask")).alias("mask"),
+            )
+            .persist()
+        )
+        masks.append(cur)
+    notm = F.expr("~mask")
+    mass = notm.bitwiseAND(-notm)
+    outs = [
+        m.agg(
+            F.lit(r).cast("int").alias("radius"),
+            F.count(F.lit(1)).alias("cells"),
+            F.sum(mass).alias("reach_mass"),
+        )
+        for r, m in enumerate(masks)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def partition_modularity(
+    edges: DataFrame,
+    assign: DataFrame,
+    node_col: str = "node",
+    comm_col: str = "community",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity of a GIVEN node partition over a SYMMETRIC
+    edge list, in exact integer arithmetic: per community c, with m2 =
+    |directed edges|, L2_c = directed edges with BOTH endpoints in c
+    and D_c = Σ_{v∈c} deg(v), the contribution to Q·m2² is
+    ``q_num_c = L2_c·m2 − D_c²`` (Q = Σ_c q_num_c / m2²) — the
+    community-quality audit for any clustering this engine produces
+    (label propagation, connected components, LSH clusters) without
+    iterating anything.
+
+    Two node-cell aggregates plus one edges ⋈ assign join per
+    endpoint; the assignment frame broadcasts when small (a labels
+    table), and the global m2 scalar rides in as a broadcast 1-row
+    cross (the temperature_mix shape). Integer sums are order-free at
+    any parallelism. Returns (community, l2_internal, degree_sum,
+    q_num) ordered by community.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    amap = assign.select(
+        F.col(node_col).alias("__n"), F.col(comm_col).alias("__c")
+    )
+    tagged = (
+        e.join(amap.withColumnRenamed("__n", "a"), "a")
+        .withColumnRenamed("__c", "ca")
+        .join(amap.withColumnRenamed("__n", "b"), "b")
+        .withColumnRenamed("__c", "cb")
+    )
+    m2 = e.agg(F.count(F.lit(1)).alias("m2"))
+    cells = tagged.groupBy(F.col("ca").alias("community")).agg(
+        F.sum(
+            F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)
+        ).cast("long").alias("l2_internal"),
+        F.count(F.lit(1)).cast("long").alias("degree_sum"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(m2))
+        .select(
+            "community",
+            "l2_internal",
+            "degree_sum",
+            (
+                F.col("l2_internal") * F.col("m2")
+                - F.col("degree_sum") * F.col("degree_sum")
+            )
+            .cast("long")
+            .alias("q_num"),
+        )
+        .orderBy("community")
+    )

@@ -399,3 +399,106 @@ def export_media_files(
                 fh.write(bytes(r["content"]))
 
     media.foreachPartition(_write)
+
+
+def synth_neardup_pixels(doc_id: int) -> np.ndarray:
+    """Deterministic 18×16 grayscale-RGB test image whose CONTENT
+    pattern depends only on ``doc_id % 6`` while a per-doc brightness
+    offset ``(13·doc_id) % 40`` shifts every pixel equally — the
+    closed form that makes perceptual-hash near-dup detection
+    oracle-checkable: same-pattern images differ byte-wise (different
+    PNGs) but must collide under a brightness-invariant dHash.
+    v(g,x,y) = (37·g + 11·x + 23·y + 13·((x·y) mod 7)) mod 200 +
+    offset ≤ 239, all three channels equal."""
+    g = doc_id % 6
+    off = (13 * doc_id) % 40
+    w, h = 18, 16
+    idx = np.arange(h * w, dtype=np.int64)
+    x = idx % w
+    y = idx // w
+    v = (37 * g + 11 * x + 23 * y + 13 * ((x * y) % 7)) % 200 + off
+    return np.repeat(v, 3).reshape(h, w, 3).astype(np.uint8)
+
+
+def synthesize_neardup_images(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Encode one real PNG per row from synth_neardup_pixels — the
+    ingestion half of the perceptual-hash near-dup gate. Arrow-batched
+    mapInPandas, no shuffle."""
+    from drune_spark.operators.imageio import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "content": [
+                    encode_png(synth_neardup_pixels(int(i)))
+                    for i in ids
+                ],
+            })
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="media_id bigint, content binary"
+    )
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) after a REAL decode: inflate
+    the PNG (operators/imageio.py), take the gray channel, 2×2
+    block-mean down to a 9×8 grid (integer floor — a constant
+    brightness offset survives the mean exactly), then bit j
+    (j = 8·Y + X) = [grid[Y][X+1] > grid[Y][X]] — 64 horizontal
+    gradient signs, invariant to uniform brightness and to any
+    monotone per-image tone shift. Returned as two 32-bit halves
+    (hash_hi = bits 32-63, hash_lo = bits 0-31) so every intermediate
+    stays in signed-long range in both engines.
+
+    Shuffle-free mapInPandas; only (media_id, hash_hi, hash_lo) rows
+    leave the stage — at 100 TB the bytes never move again after this
+    projection, and near-dup grouping is a groupBy on two ints."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_image(bytes(content)).astype(np.int64)
+                gray = arr[:, :, 0]
+                h, w = gray.shape
+                grid = (
+                    gray.reshape(h // 2, 2, w // 2, 2)
+                    .sum(axis=(1, 3)) // 4
+                )
+                bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)
+                flat = bits.ravel()  # j = Y*8 + X
+                j = np.arange(flat.size, dtype=np.int64)
+                lo = int((flat[j < 32] << j[j < 32]).sum())
+                hi = int((flat[j >= 32] << (j[j >= 32] - 32)).sum())
+                rows.append({
+                    "media_id": int(mid),
+                    "hash_hi": hi,
+                    "hash_lo": lo,
+                })
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        proc, schema="media_id bigint, hash_hi bigint, hash_lo bigint"
+    )
+
+
+def dhash_dup_groups(hashes: DataFrame) -> DataFrame:
+    """Group perceptual hashes into near-dup clusters: one groupBy on
+    the two hash halves. Returns (hash_hi, hash_lo, n_dups, min_id,
+    id_sum) for groups of ≥ 2 — id_sum makes the membership itself
+    hash-checked, not just the group size."""
+    return (
+        hashes.groupBy("hash_hi", "hash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("media_id").alias("min_id"),
+            F.sum("media_id").alias("id_sum"),
+        )
+        .filter(F.col("n_dups") >= 2)
+        .orderBy("hash_hi", "hash_lo")
+    )

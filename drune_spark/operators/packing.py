@@ -266,3 +266,77 @@ def cdc_chunks(
             )
         ).alias("chunk_md5"),
     )
+
+
+def bin_pack_next_fit(
+    df: DataFrame,
+    token_count_col: str,
+    id_col: str,
+    budget: int = 512,
+    n_groups: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """STRICT-budget next-fit sequence packing: within each
+    deterministic hash shard, walk documents in id order and start a
+    new bin whenever adding the next document would exceed ``budget``
+    — bins never overflow (the hard constraint real training-sequence
+    packing has), unlike ``pack_sequences``' cumulative-floor variant
+    which admits one overflow document per sequence. A document larger
+    than the budget gets a bin of its own.
+
+    Next-fit is a sequential recurrence (bin boundary depends on every
+    prior placement — not associative, no window aggregate expresses
+    it), so it runs where that tier belongs: one Arrow batch per shard
+    via applyInPandas, a bounded python-int loop, state never leaves
+    the executor (the ewma_monitor discipline). All-integer, so the
+    DuckDB oracle replays the identical recurrence as a per-shard
+    recursive CTE.
+
+    Scale shape: shards parallelize across executors and bound both
+    the Arrow batch and the oracle's recursion depth; corpus text
+    never enters — only (id, n_tokens) cells shuffle once on the
+    shard key. Returns (id, pack_group, n_tokens, bin_id, fill) with
+    fill = bin occupancy after placing the document.
+    """
+    import pandas as pd
+
+    from drune_spark.functions.hashes import md5_u32
+
+    group = F.pmod(
+        md5_u32(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(n_groups),
+    ).cast("int")
+    cells = df.select(
+        F.col(id_col),
+        F.col(token_count_col).cast("long").alias("n_tokens"),
+        group.alias("pack_group"),
+    )
+    out_schema = (
+        f"{id_col} bigint, pack_group int, n_tokens bigint, "
+        "bin_id bigint, fill bigint"
+    )
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        bin_id, fill = 0, 0
+        bins, fills = [], []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > budget:
+                bin_id += 1
+                fill = t
+            else:
+                fill += t
+            bins.append(bin_id)
+            fills.append(fill)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                "pack_group": pdf["pack_group"].values,
+                "n_tokens": pdf["n_tokens"].values,
+                "bin_id": bins,
+                "fill": fills,
+            }
+        )
+
+    return cells.groupBy("pack_group").applyInPandas(_run, out_schema)

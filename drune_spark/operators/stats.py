@@ -655,3 +655,124 @@ CHI2_DRIFT_SQL = """
            CAST(SUM(term_milli) AS BIGINT) AS chi2_contrib_milli
     FROM terms GROUP BY source
 """
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    trim_ppm: int = 100_000,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group symmetric trimmed mean (drop the lowest and highest
+    ``trim_ppm``·n/10⁶ values, average the middle) — the robust
+    location estimate that DISCARDS tails where ``winsorize`` clamps
+    them; the standard aggregate for noisy per-group metrics (latency,
+    spend) whose outliers would drag a plain mean.
+
+    Exact integer discipline: values scale to integers by ``scale``
+    (e.g. 100 for 2-decimal money), the per-group cut count is
+    ``n·trim_ppm div 10⁶`` (floor), membership comes from a
+    row_number over (value, id) — the id tiebreak makes the kept SET
+    deterministic, and because any boundary tie shares one value the
+    kept MULTISET is order-invariant anyway — and the mean is an
+    integer floor division of nonnegative-shifted sums, so every
+    engine agrees digit-for-digit.
+
+    One shuffle (the per-group sort window); the aggregate itself is
+    map-side partial. Returns (group, n, kept, trimmed_mean_scaled).
+    """
+    from pyspark.sql import Window
+
+    # double money columns must round-trip through DECIMAL before
+    # scaling: (double*100)->long truncates 12344.999..., while DuckDB's
+    # double->BIGINT cast rounds — the 1-cent mismatch family. A
+    # DECIMAL(18,6) cast recovers the exact stored decimal in both
+    # engines (the CAST(... AS DECIMAL(18,2)) oracle idiom).
+    v = (
+        F.col(value_col).cast("decimal(18,6)") * F.lit(scale)
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__v"), F.col(id_col)
+    )
+    ranked = (
+        df.select(F.col(group_col), F.col(id_col), v.alias("__v"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+        )
+    )
+    cut = F.expr(f"(n * {trim_ppm}) div 1000000")
+    kept = ranked.filter(
+        (F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut)
+    )
+    return (
+        kept.groupBy(group_col)
+        .agg(
+            F.max("n").alias("n"),
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("__v").alias("__s"),
+        )
+        .select(
+            group_col,
+            "n",
+            "kept",
+            (
+                F.expr(
+                    "(__s + 1000000000 * kept) div kept"
+                )
+                - F.lit(1_000_000_000)
+            ).cast("long").alias("trimmed_mean_scaled"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def reliability_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    max_score: int = 1_000_000,
+) -> DataFrame:
+    """Reliability-diagram binning for a classifier/heuristic score
+    against a binary label — the calibration audit behind any
+    quality-score gate: bucket the integer score (0..``max_score``,
+    e.g. ppm) into ``n_bins`` equal-width bins and report, per bin,
+    volume, positives, the observed positive rate and the mean score
+    (both integer ppm) — a well-calibrated score has pos_rate ≈
+    mean_score per bin; a flat pos_rate says the score carries no
+    signal at that margin.
+
+    One cell aggregate (map-side partial) over (bin) — never a
+    per-row sort; all-integer floor divisions on nonnegative operands
+    so engines agree digit-for-digit. Returns (bin, n, positives,
+    pos_rate_ppm, mean_score_ppm) ordered by bin.
+    """
+    width = max_score // n_bins
+    b = F.least(
+        F.expr(f"CAST({score_col} AS BIGINT) div {width}"),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    cells = df.select(
+        b.alias("bin"),
+        F.col(score_col).cast("long").alias("__s"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    return (
+        cells.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("positives"),
+            F.sum("__s").alias("__ss"),
+        )
+        .select(
+            "bin",
+            "n",
+            "positives",
+            F.expr("(positives * 1000000) div n").alias("pos_rate_ppm"),
+            F.expr("__ss div n").alias("mean_score_ppm"),
+        )
+        .orderBy("bin")
+    )

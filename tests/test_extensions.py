@@ -4031,3 +4031,140 @@ class TestRound6Ops:
         # sum = 7*1 + 4 + 7*1 = 18 over 15 bigrams
         assert (r.n_bigrams, r.sum_bits) == (15, 18)
         assert r.mean_millibits == 18 * 1000 // 15
+
+
+class TestRound6bOps:
+    def test_anf_reach_masses_grow_and_saturate(self, spark):
+        """Path 1-2-3 (symmetric): reach_mass is nondecreasing in the
+        radius (masks only gain bits), and by radius 2 (the diameter)
+        every node's mask equals the global OR, so radius 2 == 3."""
+        from drune_spark.operators.graph import anf_reach
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2)], ["src", "dst"]
+        )
+        out = {
+            r.radius: (r.cells, r.reach_mass)
+            for r in anf_reach(edges, trials=4, rounds=3).collect()
+        }
+        assert set(out) == {0, 1, 2, 3}
+        assert all(c == 12 for c, _ in out.values())
+        masses = [out[r][1] for r in range(4)]
+        assert masses == sorted(masses)
+        assert masses[2] == masses[3]
+        assert masses[1] > masses[0] or masses[2] > masses[1]
+
+    def test_partition_modularity_hand_computed(self, spark):
+        """Triangle {1,2,3} + pair {4,5}, communities matching the
+        components: m2=8; A: l2=6, D=6, q=6*8-36=12; B: l2=2, D=2,
+        q=2*8-4=12."""
+        from drune_spark.operators.graph import partition_modularity
+
+        e = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2),
+             (4, 5), (5, 4)]
+        edges = spark.createDataFrame(e, ["src", "dst"])
+        assign = spark.createDataFrame(
+            [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B")],
+            ["node", "community"],
+        )
+        out = {
+            r.community: (r.l2_internal, r.degree_sum, r.q_num)
+            for r in partition_modularity(edges, assign).collect()
+        }
+        assert out == {"A": (6, 6, 12), "B": (2, 2, 12)}
+
+    def test_partition_modularity_cross_community_edges(self, spark):
+        """One cross edge: it counts toward degree_sum of both sides
+        but neither side's l2_internal."""
+        from drune_spark.operators.graph import partition_modularity
+
+        e = [(1, 2), (2, 1)]
+        edges = spark.createDataFrame(e, ["src", "dst"])
+        assign = spark.createDataFrame(
+            [(1, "A"), (2, "B")], ["node", "community"]
+        )
+        out = {
+            r.community: (r.l2_internal, r.degree_sum, r.q_num)
+            for r in partition_modularity(edges, assign).collect()
+        }
+        assert out == {"A": (0, 1, -1), "B": (0, 1, -1)}
+
+    def test_trimmed_mean_drops_tails(self, spark):
+        """Values 1..10, 10% trim -> cut 1 each side, mean(2..9)=5.5
+        -> floor 5 at scale=1; a negative outlier group floors
+        correctly through the nonnegative shift."""
+        from drune_spark.operators.stats import trimmed_mean
+
+        rows = [("g", i, float(i)) for i in range(1, 11)]
+        rows += [("h", 1, -7.0), ("h", 2, -7.0)]
+        df = spark.createDataFrame(rows, ["grp", "id", "v"])
+        out = {
+            r.grp: (r.n, r.kept, r.trimmed_mean_scaled)
+            for r in trimmed_mean(df, "grp", "v", "id", scale=1).collect()
+        }
+        assert out["g"] == (10, 8, 5)
+        assert out["h"] == (2, 2, -7)
+
+    def test_reliability_bins_hand_computed(self, spark):
+        """Scores 50k/150k/950k/999999 with labels 0/1/1/1: bins 0,1,9
+        (top bin clamps), rates exact-integer."""
+        from drune_spark.operators.stats import reliability_bins
+
+        df = spark.createDataFrame(
+            [(50_000, 0), (150_000, 1), (950_000, 1), (999_999, 1)],
+            ["score_ppm", "y"],
+        )
+        out = {
+            r.bin: (r.n, r.positives, r.pos_rate_ppm, r.mean_score_ppm)
+            for r in reliability_bins(df, "score_ppm", "y").collect()
+        }
+        assert out[0] == (1, 0, 0, 50_000)
+        assert out[1] == (1, 1, 1_000_000, 150_000)
+        assert out[9] == (2, 2, 1_000_000, 974_999)
+
+    def test_bin_pack_next_fit_strict_budget(self, spark):
+        """Single shard, sizes 100,100,100,50,300 at budget 256:
+        bins (0,0,1,1,2) — never overflows, oversized doc gets its
+        own bin."""
+        from drune_spark.operators.packing import bin_pack_next_fit
+
+        df = spark.createDataFrame(
+            [(1, 100), (2, 100), (3, 100), (4, 50), (5, 300)],
+            ["doc_id", "n"],
+        )
+        out = {
+            r.doc_id: (r.bin_id, r.fill)
+            for r in bin_pack_next_fit(
+                df, "n", "doc_id", budget=256, n_groups=1
+            ).collect()
+        }
+        assert out == {
+            1: (0, 100), 2: (0, 200), 3: (1, 100),
+            4: (1, 150), 5: (2, 300),
+        }
+        assert all(
+            f <= 256 or out[k][0] != out.get(k - 1, (None,))[0]
+            for k, (_, f) in out.items()
+        )
+
+    def test_image_dhash_brightness_invariant_groups(self, spark):
+        """doc_ids 1,7,13 share a pattern (mod 6) at three different
+        brightness offsets -> byte-different PNGs, one dHash group;
+        doc_id 2 is its own pattern and drops below the >=2 filter."""
+        from drune_spark.operators.multimodal import (
+            dhash_dup_groups,
+            image_dhash,
+            synthesize_neardup_images,
+        )
+
+        docs = spark.createDataFrame(
+            [(1,), (2,), (7,), (13,)], ["doc_id"]
+        )
+        media = synthesize_neardup_images(docs)
+        contents = {r.media_id: bytes(r.content)
+                    for r in media.collect()}
+        assert len({contents[1], contents[7], contents[13]}) == 3
+        groups = dhash_dup_groups(image_dhash(media)).collect()
+        assert len(groups) == 1
+        g = groups[0]
+        assert (g.n_dups, g.min_id, g.id_sum) == (3, 1, 21)
