@@ -7810,6 +7810,26 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_dup_groups(image_dhash(synthesize_neardup_images(docs)))
 
 
+
+
+def q_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch with cell-wise SUM merge across 4
+    forced micro-batches (streaming/runner.py stream_cms_sketch) —
+    the sketch-MERGEABILITY gate: per batch only the d×w integer cell
+    grid leaves the executors, grids fold associatively, and the final
+    estimate must hash-match the oracle's ONE-SHOT CMS over the whole
+    table bit-for-bit (batch-split invariance is the claim under
+    test). Top-10 true-heaviest users, width 128 so collisions
+    actually overestimate."""
+    _tune(spark)
+    from drune_spark.streaming.runner import stream_cms_sketch
+
+    return stream_cms_sketch(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        depth=4, width=128, top_k=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -7932,6 +7952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "bin_pack": q_bin_pack,
         "image_neardup": q_image_neardup,
+        "stream_cms_merge": q_stream_cms_merge,
         # -- driver-verified pass, stalest round first (206) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -8929,6 +8950,38 @@ def oracle_sql() -> dict[str, str]:
                   ON i.pack_group = r.pack_group AND i.rn = r.rn + 1
             )
             SELECT doc_id, pack_group, n_tokens, bin_id, fill FROM rec
+        """,
+        "stream_cms_merge": """
+            WITH cells AS (
+                SELECT j,
+                       ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                            CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 128 AS bucket,
+                       COUNT(*) AS n
+                FROM (SELECT user_id, unnest(range(0, 4)) AS j
+                      FROM events)
+                GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT user_id, COUNT(*) AS true_n
+                FROM events GROUP BY user_id
+                ORDER BY true_n DESC, user_id ASC
+                LIMIT 10
+            ),
+            probes AS (
+                SELECT user_id, true_n, j,
+                       ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                            CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 128 AS bucket
+                FROM (SELECT user_id, true_n, unnest(range(0, 4)) AS j
+                      FROM top)
+            )
+            SELECT p.user_id,
+                   CAST(MIN(p.true_n) AS BIGINT) AS true_n,
+                   CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS cms_count
+            FROM probes p
+            LEFT JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+            GROUP BY p.user_id
         """,
         "image_neardup": """
             WITH px AS MATERIALIZED (

@@ -4168,3 +4168,34 @@ class TestRound6bOps:
         assert len(groups) == 1
         g = groups[0]
         assert (g.n_dups, g.min_id, g.id_sum) == (3, 1, 21)
+
+    def test_stream_cms_sketch_matches_batch_cms(self, spark, tmp_path):
+        """The 4-batch streamed merge must equal a one-shot cms_build
+        over the same rows (cell-wise SUM associativity), and every
+        estimate upper-bounds the true count."""
+        from drune_spark.operators.sketches import cms_build, cms_estimate
+        from drune_spark.streaming.runner import stream_cms_sketch
+
+        rows = [(i % 7, i) for i in range(200)]
+        src = str(tmp_path / "ev.parquet")
+        spark.createDataFrame(
+            rows, ["user_id", "event_id"]
+        ).write.parquet(src)
+        out = {
+            r.user_id: (r.true_n, r.cms_count)
+            for r in stream_cms_sketch(
+                spark, src, depth=4, width=16, top_k=7
+            ).collect()
+        }
+        ev = spark.read.parquet(src)
+        one = cms_build(ev, "user_id", depth=4, width=16)
+        keys = ev.select("user_id").distinct()
+        ref = {
+            r.user_id: r.cms_count
+            for r in cms_estimate(one, keys, "user_id",
+                                  depth=4, width=16).collect()
+        }
+        assert set(out) == set(ref)
+        for u, (true_n, est) in out.items():
+            assert est == ref[u]
+            assert est >= true_n

@@ -73,8 +73,17 @@ QUERIES = [
     "recursive_reachability",
     "cross_source_dups",
     "bucketed_join",
+    # round-6 second wave: bit-OR neighborhood sketch rounds
+    # (edge-count scaling), the one-pass tagged-edge community audit,
+    # and the decode+hash multimodal stage (row-count scaling)
+    "anf_reach",
+    "modularity",
+    "image_neardup",
 ]
 TABLES = ["documents", "embeddings", "lineitem", "orders", "events"]
+# dimension tables ride along UNSCALED (a 3x fact load keeps its dims;
+# lineitem copies keep l_partkey, so the part dim stays valid)
+DIM_TABLES = ["part"]
 
 
 def _rot(s: str, c: int) -> str:
@@ -85,6 +94,14 @@ def build(spark) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(OUT, exist_ok=True)
+    for name in DIM_TABLES:
+        dst = os.path.join(OUT, f"{name}.parquet")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        spark.read.parquet(
+            os.path.join(SRC, f"{name}.parquet")
+        ).write.mode("overwrite").parquet(dst)
+        print(f"built {dst} (dim, 1x)", flush=True)
     for name in TABLES:
         dst = os.path.join(OUT, f"{name}.parquet")
         if os.path.exists(os.path.join(dst, "_SUCCESS")):
