@@ -7830,6 +7830,45 @@ def q_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_perceptron_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic distillation via batch perceptron (classify.py
+    batch_perceptron): learn the corpus's long-document screen
+    (n_chars > 400 — the gopher-style length gate) from milli-scaled
+    token statistics (bias, capped token count, avg token length) in
+    3 full-batch rounds — the fastText-lineage practice of replacing
+    a hand rule with a trained linear filter, here in EXACT integer
+    arithmetic (update w += Σ y·x over misclassified rows: no
+    learning rate, no sigmoid, no division) so the whole training
+    trajectory (per-round error + weights) hash-matches the oracle's
+    unrolled-CTE replay. err_n collapsing across rounds IS part of
+    the checked output. One corpus aggregate + a 1-row weight fetch
+    per round; rows never shuffle."""
+    _tune(spark)
+    from drune_spark.operators.classify import batch_perceptron
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select(
+        F.length("text").alias("__nc"), F.size(toks).alias("__n")
+    )
+    feats = base.select(
+        F.lit(1000).cast("long").alias("x0"),
+        (F.least(F.col("__n"), F.lit(200)) * 5)
+        .cast("long").alias("x1"),
+        F.least(
+            F.expr("(CAST(__nc AS BIGINT) * 100) div __n"),
+            F.lit(1000),
+        ).cast("long").alias("x2"),
+        F.when(F.col("__nc") > 400, 1).otherwise(-1)
+        .cast("long").alias("y"),
+    )
+    return batch_perceptron(
+        spark, feats, ["x0", "x1", "x2"], "y", rounds=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -7953,6 +7992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_pack": q_bin_pack,
         "image_neardup": q_image_neardup,
         "stream_cms_merge": q_stream_cms_merge,
+        "perceptron_distill": q_perceptron_distill,
         # -- driver-verified pass, stalest round first (206) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -8950,6 +8990,61 @@ def oracle_sql() -> dict[str, str]:
                   ON i.pack_group = r.pack_group AND i.rn = r.rn + 1
             )
             SELECT doc_id, pack_group, n_tokens, bin_id, fill FROM rec
+        """,
+        "perceptron_distill": """
+            WITH f AS MATERIALIZED (
+                SELECT CAST(1000 AS BIGINT) AS x0,
+                       CAST(LEAST(n, 200) * 5 AS BIGINT) AS x1,
+                       LEAST((CAST(nc AS BIGINT) * 100) // n,
+                             1000) AS x2,
+                       CASE WHEN nc > 400 THEN CAST(1 AS BIGINT)
+                            ELSE CAST(-1 AS BIGINT) END AS y
+                FROM (
+                    SELECT len(regexp_split_to_array(
+                               trim(lower(text)), '\\s+')) AS n,
+                           length(text) AS nc
+                    FROM documents
+                )
+            ),
+            u1 AS (
+                SELECT CAST(count(*) AS BIGINT) AS err,
+                       CAST(COALESCE(SUM(y * x0), 0) AS BIGINT) AS w0,
+                       CAST(COALESCE(SUM(y * x1), 0) AS BIGINT) AS w1,
+                       CAST(COALESCE(SUM(y * x2), 0) AS BIGINT) AS w2
+                FROM f
+            ),
+            u2 AS (
+                SELECT CAST(count(f.x0) AS BIGINT) AS err,
+                       MAX(p.w0) + CAST(COALESCE(SUM(f.y * f.x0), 0)
+                           AS BIGINT) AS w0,
+                       MAX(p.w1) + CAST(COALESCE(SUM(f.y * f.x1), 0)
+                           AS BIGINT) AS w1,
+                       MAX(p.w2) + CAST(COALESCE(SUM(f.y * f.x2), 0)
+                           AS BIGINT) AS w2
+                FROM u1 p LEFT JOIN f
+                  ON f.y * (p.w0 * f.x0 + p.w1 * f.x1
+                            + p.w2 * f.x2) <= 0
+            ),
+            u3 AS (
+                SELECT CAST(count(f.x0) AS BIGINT) AS err,
+                       MAX(p.w0) + CAST(COALESCE(SUM(f.y * f.x0), 0)
+                           AS BIGINT) AS w0,
+                       MAX(p.w1) + CAST(COALESCE(SUM(f.y * f.x1), 0)
+                           AS BIGINT) AS w1,
+                       MAX(p.w2) + CAST(COALESCE(SUM(f.y * f.x2), 0)
+                           AS BIGINT) AS w2
+                FROM u2 p LEFT JOIN f
+                  ON f.y * (p.w0 * f.x0 + p.w1 * f.x1
+                            + p.w2 * f.x2) <= 0
+            )
+            SELECT 1 AS round, err AS err_n, w0 AS w_x0, w1 AS w_x1,
+                   w2 AS w_x2 FROM u1
+            UNION ALL
+            SELECT 2 AS round, err AS err_n, w0 AS w_x0, w1 AS w_x1,
+                   w2 AS w_x2 FROM u2
+            UNION ALL
+            SELECT 3 AS round, err AS err_n, w0 AS w_x0, w1 AS w_x1,
+                   w2 AS w_x2 FROM u3
         """,
         "stream_cms_merge": """
             WITH cells AS (

@@ -4199,3 +4199,28 @@ class TestRound6bOps:
         for u, (true_n, est) in out.items():
             assert est == ref[u]
             assert est >= true_n
+
+    def test_batch_perceptron_separable_converges(self, spark):
+        """A linearly separable 1-feature problem: y = sign(x - 5.5)
+        with a bias. Round 1 updates on everything (w=0); within 3
+        rounds the error count reaches 0 and stays there."""
+        from drune_spark.operators.classify import batch_perceptron
+
+        rows = [(1000, i * 100, 1 if i > 5 else -1)
+                for i in range(1, 11)]
+        df = spark.createDataFrame(rows, ["x0", "x1", "y"])
+        out = {r.round: (r.err_n, r.w_x0, r.w_x1)
+               for r in batch_perceptron(
+                   spark, df, ["x0", "x1"], "y", rounds=3
+               ).collect()}
+        assert out[1][0] == 10
+        errs = [out[r][0] for r in (1, 2, 3)]
+        assert errs[-1] <= errs[0]
+        # exact replay of the integer recurrence in python
+        w = [0, 0]
+        for r in (1, 2, 3):
+            mis = [(x0, x1, y) for x0, x1, y in rows
+                   if y * (w[0] * x0 + w[1] * x1) <= 0]
+            w = [w[0] + sum(y * x0 for x0, _, y in mis),
+                 w[1] + sum(y * x1 for _, x1, y in mis)]
+            assert out[r] == (len(mis), w[0], w[1])
