@@ -7869,6 +7869,23 @@ def q_perceptron_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-noise screen (similarity.py knn_label_noise, the
+    confident-learning/cleanlab shape): per labeled embedding, the
+    5-NN same-IVF-cell cosine neighborhood votes a majority label;
+    the (label, majority) confusion grid's off-diagonal mass is the
+    suspected-mislabel inventory — the pre-finetune label audit.
+    SemDeDup blocking (k cells = n/64) keeps pairs ~64·n; majority is
+    the integer-encoded argmax; oracle replays assignment, ranking
+    and vote with the proven-identical cosine."""
+    _tune(spark)
+    from drune_spark.operators.similarity import knn_label_noise
+
+    return knn_label_noise(_t(spark, sf_dir, "embeddings"), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -7993,6 +8010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "stream_cms_merge": q_stream_cms_merge,
         "perceptron_distill": q_perceptron_distill,
+        "label_noise": q_label_noise,
         # -- driver-verified pass, stalest round first (206) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -8990,6 +9008,69 @@ def oracle_sql() -> dict[str, str]:
                   ON i.pack_group = r.pack_group AND i.rn = r.rn + 1
             )
             SELECT doc_id, pack_group, n_tokens, bin_id, fill FROM rec
+        """,
+        "label_noise": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                FROM embeddings
+            ),
+            kk AS (
+                SELECT GREATEST(4, COUNT(*) // 64) AS k FROM embeddings
+            ),
+            c AS (
+                SELECT vec_id AS centroid_id, v AS cv FROM (
+                    SELECT vec_id, v,
+                           row_number() OVER (ORDER BY vec_id) AS rn
+                    FROM e)
+                WHERE rn <= (SELECT k FROM kk)
+            ),
+            scored AS (
+                SELECT e.vec_id, c.centroid_id,
+                       list_cosine_similarity(e.v, c.cv) AS sim
+                FROM e, c
+            ),
+            assign AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY sim DESC, centroid_id ASC) AS rn
+                    FROM scored) WHERE rn = 1
+            ),
+            cl AS MATERIALIZED (
+                SELECT a.vec_id, a.centroid_id, e.v, e.label
+                FROM assign a JOIN e ON a.vec_id = e.vec_id
+            ),
+            pr AS (
+                SELECT a.vec_id AS pid, a.label AS own,
+                       b.vec_id AS nid, b.label AS nlabel,
+                       list_cosine_similarity(a.v, b.v) AS sim
+                FROM cl a JOIN cl b
+                  ON a.centroid_id = b.centroid_id
+                 AND a.vec_id <> b.vec_id
+            ),
+            topk AS (
+                SELECT pid, own, nlabel FROM (
+                    SELECT pid, own, nlabel,
+                           row_number() OVER (
+                               PARTITION BY pid
+                               ORDER BY sim DESC, nid ASC) AS rn
+                    FROM pr) WHERE rn <= 5
+            ),
+            votes AS (
+                SELECT pid, own, nlabel, COUNT(*) AS cnt
+                FROM topk GROUP BY 1, 2, 3
+            ),
+            maj AS (
+                SELECT pid, own,
+                       CAST(8589934591 - (MAX(cnt * 8589934592
+                            + (8589934591 - nlabel)) % 8589934592)
+                            AS BIGINT) AS maj_label
+                FROM votes GROUP BY 1, 2
+            )
+            SELECT own AS label, maj_label,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM maj GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "perceptron_distill": """
             WITH f AS MATERIALIZED (

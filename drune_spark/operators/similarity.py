@@ -738,3 +738,95 @@ def dbscan_blocked(
         .otherwise(F.lit("noise")).alias("role"),
         F.coalesce("core_cl", "border_cl").alias("cluster_id"),
     )
+
+
+def knn_label_noise(
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label-noise screen (the confident-learning / cleanlab
+    shape, Northcutt et al. 2021): for every labeled embedding, take
+    its k nearest same-cluster neighbors by cosine and compare the
+    neighborhood's majority label against the row's own label — the
+    standard audit for mislabeled training examples before a
+    fine-tune. Output is the (label, majority-label) confusion grid:
+    off-diagonal mass IS the suspected-noise inventory, bounded at
+    |labels|² rows no matter the corpus size.
+
+    Scale shape (the SemDeDup blocking): IVF-assign to
+    max(4, n // 64) coarse cells so candidate pairs stay ~64·n
+    instead of n²; neighbors rank inside an equi-join on centroid_id
+    (hash/SMJ, never cartesian). Majority is the integer-encoded
+    argmax ``max(cnt·K + (K−1−label))`` (the label_propagation
+    idiom, K = 2³³) — no per-node vote sort, ties break to the
+    smaller label deterministically; cosine ties break by neighbor
+    id. Cosine values are the proven cross-engine-identical fold, so
+    the DuckDB oracle replays assignment, ranking and vote exactly.
+
+    Rows with no same-cluster neighbor (singleton cells) have no vote
+    and drop out — at real scale they are the "too isolated to
+    audit" remainder a second pass with coarser k would sweep.
+
+    Returns (label, maj_label, n) ordered by both labels.
+    """
+    from drune_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    if n_clusters is None:
+        n_clusters = max(4, corpus.count() // 64)
+    assign = ivf_assign(
+        corpus, n_clusters, id_col=id_col, vec_col=vec_col
+    )
+    vecs = corpus.select(
+        F.col(id_col),
+        to_double_array(F.col(vec_col)).alias("v"),
+        F.col(label_col).alias("__lbl"),
+    )
+    cl = vecs.join(assign, id_col).persist()
+    a, b = cl.alias("a"), cl.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("pid"),
+        F.col("a.__lbl").alias("own"),
+        F.col(f"b.{id_col}").alias("nid"),
+        F.col("b.__lbl").alias("nlabel"),
+        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("sim"),
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("sim").desc(), F.col("nid").asc()
+    )
+    topk = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    votes = topk.groupBy("pid", "own", "nlabel").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    K = 1 << 33
+    maj = votes.groupBy("pid", "own").agg(
+        (
+            F.lit(K - 1)
+            - F.pmod(
+                F.max(
+                    F.col("cnt") * F.lit(K)
+                    + (F.lit(K - 1) - F.col("nlabel"))
+                ),
+                F.lit(K),
+            )
+        ).alias("maj_label")
+    )
+    return (
+        maj.groupBy(
+            F.col("own").alias("label"), F.col("maj_label")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "maj_label")
+    )

@@ -4224,3 +4224,33 @@ class TestRound6bOps:
             w = [w[0] + sum(y * x0 for x0, _, y in mis),
                  w[1] + sum(y * x1 for _, x1, y in mis)]
             assert out[r] == (len(mis), w[0], w[1])
+
+    def test_knn_label_noise_flags_planted_mislabels(self, spark):
+        """Two tight orthogonal clusters of 6, one planted wrong label
+        in each: every clean row's 5-NN majority agrees with it, and
+        each planted row's majority is the other label — exactly 2
+        off-diagonal confusion cells of n=1... plus the clean
+        diagonal."""
+        from drune_spark.operators.similarity import knn_label_noise
+
+        def v(axis, eps, i):
+            base = [0.0] * 4
+            base[axis] = 1.0
+            base[(axis + 2) % 4] = eps * (i + 1)
+            return base
+
+        # even ids = cluster A, odd ids = cluster B: the IVF seed
+        # centroids (lowest two vec_ids) then land one per cluster
+        rows = []
+        for i in range(6):
+            rows.append((2 * i, v(0, 0.01, i), 0 if i < 5 else 1))
+        for i in range(6):
+            rows.append((2 * i + 1, v(1, 0.01, i), 1 if i < 5 else 0))
+        df = spark.createDataFrame(
+            rows, ["vec_id", "embedding", "label"]
+        )
+        out = {(r.label, r.maj_label): r.n
+               for r in knn_label_noise(df, k=5, n_clusters=2).collect()}
+        assert out[(0, 0)] == 5 and out[(1, 1)] == 5
+        assert out[(1, 0)] == 1 and out[(0, 1)] == 1
+        assert sum(out.values()) == 12
