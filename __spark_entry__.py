@@ -7886,6 +7886,31 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_noise(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint near-dup detection (multimodal.py
+    audio_fingerprint + dhash_dup_groups): one REAL PCM-16 WAV per
+    document whose waveform depends only on doc_id mod 5 while a
+    per-doc DC offset changes every byte, decoded back (RIFF chunk
+    walk, operators/audioio.py), then fingerprinted by 64 delta signs
+    — byte-different clips MUST collide into exactly their waveform
+    groups, recomputed by the oracle from the closed-form sample
+    formula (the image_neardup pattern on the time axis). Shuffle-free
+    mapInPandas both stages; bytes never shuffle."""
+    _tune(spark)
+    from drune_spark.operators.multimodal import (
+        audio_fingerprint,
+        dhash_dup_groups,
+        synthesize_neardup_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dhash_dup_groups(
+        audio_fingerprint(synthesize_neardup_audio(docs))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8011,6 +8036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_merge": q_stream_cms_merge,
         "perceptron_distill": q_perceptron_distill,
         "label_noise": q_label_noise,
+        "audio_neardup": q_audio_neardup,
         # -- driver-verified pass, stalest round first (206) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -9008,6 +9034,43 @@ def oracle_sql() -> dict[str, str]:
                   ON i.pack_group = r.pack_group AND i.rn = r.rn + 1
             )
             SELECT doc_id, pack_group, n_tokens, bin_id, fill FROM rec
+        """,
+        "audio_neardup": """
+            WITH s AS (
+                SELECT d.doc_id, j.j,
+                       ((31 * (d.doc_id % 5)
+                         + (17 + 7 * (d.doc_id % 5)) * j.j
+                         + 23 * ((j.j * j.j) % 13)) % 1500) - 700
+                       + (11 * d.doc_id) % 300 AS v,
+                       ((31 * (d.doc_id % 5)
+                         + (17 + 7 * (d.doc_id % 5)) * (j.j + 1)
+                         + 23 * (((j.j + 1) * (j.j + 1)) % 13)) % 1500)
+                       - 700 + (11 * d.doc_id) % 300 AS vnext
+                FROM documents d,
+                     (SELECT UNNEST(range(64)) AS j) j
+            ),
+            bits AS (
+                SELECT doc_id, j,
+                       CASE WHEN vnext > v THEN 1 ELSE 0 END AS bit
+                FROM s
+            ),
+            h AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN j < 32 THEN
+                            bit * (CAST(1 AS BIGINT) << j)
+                            ELSE 0 END) AS BIGINT) AS hash_lo,
+                       CAST(SUM(CASE WHEN j >= 32 THEN
+                            bit * (CAST(1 AS BIGINT) << (j - 32))
+                            ELSE 0 END) AS BIGINT) AS hash_hi
+                FROM bits GROUP BY doc_id
+            )
+            SELECT hash_hi, hash_lo,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   MIN(doc_id) AS min_id,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM h GROUP BY hash_hi, hash_lo
+            HAVING count(*) >= 2
+            ORDER BY hash_hi, hash_lo
         """,
         "label_noise": """
             WITH e AS (

@@ -502,3 +502,81 @@ def dhash_dup_groups(hashes: DataFrame) -> DataFrame:
         .filter(F.col("n_dups") >= 2)
         .orderBy("hash_hi", "hash_lo")
     )
+
+
+def synth_neardup_samples(doc_id: int) -> np.ndarray:
+    """Deterministic 96-frame mono PCM clip whose WAVEFORM depends only
+    on ``doc_id % 5`` while a per-doc DC offset ``(11·doc_id) % 300``
+    shifts every sample equally — the audio analog of
+    synth_neardup_pixels: byte-different WAVs that must collide under
+    a DC-invariant delta-sign fingerprint.
+    s(g,i) = ((31·g + (17+7·g)·i + 23·((i·i) mod 13)) mod 1500) − 700
+    + off — the slope term (17+7g) makes the delta-sign pattern differ
+    per waveform (a purely additive g would cancel out of every
+    delta)."""
+    g = doc_id % 5
+    off = (11 * doc_id) % 300
+    i = np.arange(96, dtype=np.int64)
+    s = (
+        (31 * g + (17 + 7 * g) * i + 23 * ((i * i) % 13)) % 1500
+    ) - 700 + off
+    return s.reshape(96, 1).astype(np.int16)
+
+
+def synthesize_neardup_audio(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Encode one real PCM-16 WAV per row from synth_neardup_samples —
+    the ingestion half of the audio near-dup gate."""
+    from drune_spark.operators.audioio import encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "content": [
+                    encode_wav(synth_neardup_samples(int(i)), 8000)
+                    for i in ids
+                ],
+            })
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="media_id bigint, content binary"
+    )
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Delta-sign acoustic fingerprint after a REAL decode: walk the
+    RIFF chunks, decode the int16 stream (operators/audioio.py), then
+    bit j = [s[j+1] > s[j]] over the first 64 sample deltas — the
+    gradient-sign idea of image_dhash on the time axis, invariant to
+    any DC offset and to positive gain that preserves order. Two
+    32-bit halves (hash_hi = bits 32-63) keep every intermediate in
+    signed-long range in both engines.
+
+    Shuffle-free mapInPandas; only (media_id, hash_hi, hash_lo) rows
+    leave the stage — grouping near-dups downstream is a 2-int
+    groupBy (dhash_dup_groups), never a byte move."""
+    from drune_spark.operators.audioio import decode_wav
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, samples = decode_wav(bytes(content))
+                s = samples[:, 0].astype(np.int64)
+                bits = (s[1:65] > s[:64]).astype(np.int64)
+                j = np.arange(64, dtype=np.int64)
+                lo = int((bits[j < 32] << j[j < 32]).sum())
+                hi = int((bits[j >= 32] << (j[j >= 32] - 32)).sum())
+                rows.append({
+                    "media_id": int(mid),
+                    "hash_hi": hi,
+                    "hash_lo": lo,
+                })
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        proc, schema="media_id bigint, hash_hi bigint, hash_lo bigint"
+    )

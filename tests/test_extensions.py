@@ -4254,3 +4254,25 @@ class TestRound6bOps:
         assert out[(0, 0)] == 5 and out[(1, 1)] == 5
         assert out[(1, 0)] == 1 and out[(0, 1)] == 1
         assert sum(out.values()) == 12
+
+    def test_audio_fingerprint_dc_invariant_groups(self, spark):
+        """doc_ids 3,8,13 share a waveform (mod 5) at three DC
+        offsets -> byte-different WAVs, one fingerprint group; 4 is
+        its own waveform and drops below the >=2 filter."""
+        from drune_spark.operators.multimodal import (
+            audio_fingerprint,
+            dhash_dup_groups,
+            synthesize_neardup_audio,
+        )
+
+        docs = spark.createDataFrame(
+            [(3,), (4,), (8,), (13,)], ["doc_id"]
+        )
+        media = synthesize_neardup_audio(docs)
+        contents = {r.media_id: bytes(r.content)
+                    for r in media.collect()}
+        assert len({contents[3], contents[8], contents[13]}) == 3
+        groups = dhash_dup_groups(audio_fingerprint(media)).collect()
+        assert len(groups) == 1
+        g = groups[0]
+        assert (g.n_dups, g.min_id, g.id_sum) == (3, 3, 24)
