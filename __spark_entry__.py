@@ -7911,6 +7911,26 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal axis of the embedding corpus by EXACT
+    INTEGER power iteration (embeddings.py power_iteration_axis): the
+    anisotropy/drift audit — per-partition numpy Grams combine
+    map-side into one d² cell table (the dense-matrix tier where
+    built-ins stop being the right tool), then 3 all-integer
+    multiply-renormalize rounds with driver-fetched 64-row vectors.
+    No float enters the iteration, so the oracle replays every round
+    in unrolled CTEs; the full 3-round trajectory is the checked
+    output."""
+    _tune(spark)
+    from drune_spark.operators.embeddings import power_iteration_axis
+
+    return power_iteration_axis(
+        spark, _t(spark, sf_dir, "embeddings"), rounds=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8037,6 +8057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perceptron_distill": q_perceptron_distill,
         "label_noise": q_label_noise,
         "audio_neardup": q_audio_neardup,
+        "embedding_pca": q_embedding_pca,
         # -- driver-verified pass, stalest round first (206) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -9034,6 +9055,61 @@ def oracle_sql() -> dict[str, str]:
                   ON i.pack_group = r.pack_group AND i.rn = r.rn + 1
             )
             SELECT doc_id, pack_group, n_tokens, bin_id, fill FROM rec
+        """,
+        "embedding_pca": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            q AS (
+                SELECT e.vec_id, i.i,
+                       CAST(floor(e.v[i.i + 1] * 1000) AS BIGINT) AS qi
+                FROM e, (SELECT UNNEST(range(64)) AS i) i
+            ),
+            C AS MATERIALIZED (
+                SELECT qa.i AS a, qb.i AS b,
+                       CAST(SUM(qa.qi * qb.qi) AS BIGINT) AS c
+                FROM q qa JOIN q qb ON qa.vec_id = qb.vec_id
+                GROUP BY 1, 2
+            ),
+            w1 AS (
+                SELECT a, CAST(SUM(c * 1000) AS BIGINT) AS w
+                FROM C GROUP BY a
+            ),
+            m1 AS (SELECT GREATEST(MAX(abs(w)), 1) AS g FROM w1),
+            v1 AS MATERIALIZED (
+                SELECT a, (w * 1000 + 1000 * (SELECT g FROM m1))
+                          // (SELECT g FROM m1) - 1000 AS v
+                FROM w1
+            ),
+            w2 AS (
+                SELECT C.a, CAST(SUM(C.c * p.v) AS BIGINT) AS w
+                FROM C JOIN v1 p ON C.b = p.a GROUP BY C.a
+            ),
+            m2 AS (SELECT GREATEST(MAX(abs(w)), 1) AS g FROM w2),
+            v2 AS MATERIALIZED (
+                SELECT a, (w * 1000 + 1000 * (SELECT g FROM m2))
+                          // (SELECT g FROM m2) - 1000 AS v
+                FROM w2
+            ),
+            w3 AS (
+                SELECT C.a, CAST(SUM(C.c * p.v) AS BIGINT) AS w
+                FROM C JOIN v2 p ON C.b = p.a GROUP BY C.a
+            ),
+            m3 AS (SELECT GREATEST(MAX(abs(w)), 1) AS g FROM w3),
+            v3 AS MATERIALIZED (
+                SELECT a, (w * 1000 + 1000 * (SELECT g FROM m3))
+                          // (SELECT g FROM m3) - 1000 AS v
+                FROM w3
+            )
+            SELECT 1 AS round, a AS dim_i, CAST(v AS BIGINT) AS v
+            FROM v1
+            UNION ALL
+            SELECT 2 AS round, a AS dim_i, CAST(v AS BIGINT) AS v
+            FROM v2
+            UNION ALL
+            SELECT 3 AS round, a AS dim_i, CAST(v AS BIGINT) AS v
+            FROM v3
         """,
         "audio_neardup": """
             WITH s AS (

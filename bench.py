@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "perceptron_distill",
     "label_noise",
     "audio_neardup",
+    "embedding_pca",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # dbscan stays out: audit-tier — 21s at sf0.1 even with CC

@@ -4276,3 +4276,26 @@ class TestRound6bOps:
         assert len(groups) == 1
         g = groups[0]
         assert (g.n_dups, g.min_id, g.id_sum) == (3, 3, 24)
+
+    def test_power_iteration_finds_dominant_axis(self, spark):
+        """Vectors concentrated on axis 0 with small axis-1 noise: the
+        iterated vector's max-abs component is dim 0 at full scale and
+        every other component shrinks toward 0."""
+        from drune_spark.operators.embeddings import power_iteration_axis
+
+        rows = []
+        for i in range(12):
+            v = [0.0] * 4
+            v[0] = 1.0 if i % 2 == 0 else -1.0
+            v[1] = 0.05 * (i % 3)
+            rows.append((i, v))
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {(r.round, r.dim_i): r.v
+               for r in power_iteration_axis(
+                   spark, df, dim=4, rounds=3
+               ).collect()}
+        assert len(out) == 12
+        final = [out[(3, i)] for i in range(4)]
+        assert max(abs(x) for x in final) == 1000
+        assert abs(final[0]) == 1000
+        assert all(abs(x) < 200 for x in final[1:])
