@@ -7931,6 +7931,32 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal perceptual-hash video near-dup detection (multimodal.py
+    video_fingerprint + dhash_dup_groups): one REAL uncompressed AVI
+    per document whose 4-frame pattern depends only on doc_id mod 4
+    while a per-doc brightness offset changes every byte, demuxed and
+    decoded back (RIFF chunk walk, operators/videoio.py), each frame
+    dHashed and the halves XOR-folded across frames (order-insensitive
+    — frame shards fingerprint independently and merge). Completes the
+    near-dup matrix across modalities: exact/MinHash/SimHash text,
+    dHash images, delta-sign audio, temporal-dHash video. Oracle
+    recomputes everything from the closed-form pixel formula."""
+    _tune(spark)
+    from drune_spark.operators.multimodal import (
+        dhash_dup_groups,
+        synthesize_neardup_videos,
+        video_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dhash_dup_groups(
+        video_fingerprint(synthesize_neardup_videos(docs))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8058,6 +8084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise": q_label_noise,
         "audio_neardup": q_audio_neardup,
         "embedding_pca": q_embedding_pca,
+        "video_neardup": q_video_neardup,
         # -- driver-verified pass, stalest round first (206) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -9055,6 +9082,56 @@ def oracle_sql() -> dict[str, str]:
                   ON i.pack_group = r.pack_group AND i.rn = r.rn + 1
             )
             SELECT doc_id, pack_group, n_tokens, bin_id, fill FROM rec
+        """,
+        "video_neardup": """
+            WITH px AS MATERIALIZED (
+                SELECT d.doc_id, t.t, x.x, y.y,
+                       ((29 * (d.doc_id % 4)
+                         + (11 + 5 * (d.doc_id % 4)) * x.x
+                         + 23 * y.y + 19 * t.t
+                         + 13 * ((x.x * y.y + t.t) % 7)) % 200
+                        + (7 * d.doc_id) % 40) AS v
+                FROM documents d,
+                     (SELECT UNNEST(range(4)) AS t) t,
+                     (SELECT UNNEST(range(18)) AS x) x,
+                     (SELECT UNNEST(range(16)) AS y) y
+            ),
+            g AS MATERIALIZED (
+                SELECT doc_id, t, (x // 2) AS gx, (y // 2) AS gy,
+                       (CAST(SUM(v) AS BIGINT) // 4) AS m
+                FROM px GROUP BY doc_id, t, (x // 2), (y // 2)
+            ),
+            bits AS (
+                SELECT a.doc_id, a.t, (a.gy * 8 + a.gx) AS j,
+                       CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+                FROM g a JOIN g b
+                  ON a.doc_id = b.doc_id AND a.t = b.t
+                 AND a.gy = b.gy AND b.gx = a.gx + 1
+                WHERE a.gx < 8
+            ),
+            fh AS (
+                SELECT doc_id, t,
+                       CAST(SUM(CASE WHEN j < 32 THEN
+                            bit * (CAST(1 AS BIGINT) << j)
+                            ELSE 0 END) AS BIGINT) AS flo,
+                       CAST(SUM(CASE WHEN j >= 32 THEN
+                            bit * (CAST(1 AS BIGINT) << (j - 32))
+                            ELSE 0 END) AS BIGINT) AS fhi
+                FROM bits GROUP BY doc_id, t
+            ),
+            h AS (
+                SELECT doc_id,
+                       CAST(bit_xor(fhi) AS BIGINT) AS hash_hi,
+                       CAST(bit_xor(flo) AS BIGINT) AS hash_lo
+                FROM fh GROUP BY doc_id
+            )
+            SELECT hash_hi, hash_lo,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   MIN(doc_id) AS min_id,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM h GROUP BY hash_hi, hash_lo
+            HAVING count(*) >= 2
+            ORDER BY hash_hi, hash_lo
         """,
         "embedding_pca": """
             WITH e AS (

@@ -580,3 +580,92 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
     return media.mapInPandas(
         proc, schema="media_id bigint, hash_hi bigint, hash_lo bigint"
     )
+
+
+def synth_neardup_frames(doc_id: int) -> np.ndarray:
+    """Deterministic 4-frame 18×16 grayscale-RGB clip whose pattern
+    depends only on ``doc_id % 4`` while a per-doc brightness offset
+    ``(7·doc_id) % 40`` shifts every pixel equally — the video analog
+    of synth_neardup_pixels. The per-frame term 19·t rides inside the
+    mod so frames differ; the slope term keeps patterns separable
+    under gradient signs. v = (29·g + (11+5·g)·x + 23·y + 19·t +
+    13·((x·y + t) mod 7)) mod 200 + off."""
+    g = doc_id % 4
+    off = (7 * doc_id) % 40
+    n, w, h = 4, 18, 16
+    idx = np.arange(n * h * w, dtype=np.int64)
+    x = idx % w
+    y = (idx // w) % h
+    t = idx // (w * h)
+    v = (
+        (29 * g + (11 + 5 * g) * x + 23 * y + 19 * t
+         + 13 * ((x * y + t) % 7)) % 200
+    ) + off
+    return np.repeat(v, 3).reshape(n, h, w, 3).astype(np.uint8)
+
+
+def synthesize_neardup_videos(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Encode one real uncompressed AVI per row from
+    synth_neardup_frames — the ingestion half of the video near-dup
+    gate."""
+    from drune_spark.operators.videoio import encode_avi
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "content": [
+                    encode_avi(synth_neardup_frames(int(i)), 4)
+                    for i in ids
+                ],
+            })
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="media_id bigint, content binary"
+    )
+
+
+def video_fingerprint(media: DataFrame) -> DataFrame:
+    """Temporal perceptual hash after a REAL demux+decode: every frame
+    gets the image_dhash treatment (gray channel, 2×2 block mean to
+    9×8, 64 horizontal gradient signs — brightness-invariant), and the
+    per-frame 32-bit halves fold with XOR across frames — order-
+    insensitively mergeable, so a distributed decode can fingerprint
+    frame shards independently and combine. Shuffle-free mapInPandas;
+    only (media_id, hash_hi, hash_lo) leaves the stage."""
+    from drune_spark.operators.videoio import decode_avi
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, frames = decode_avi(bytes(content))
+                hi = lo = 0
+                for f in frames.astype(np.int64):
+                    gray = f[:, :, 0]
+                    h, w = gray.shape
+                    grid = (
+                        gray.reshape(h // 2, 2, w // 2, 2)
+                        .sum(axis=(1, 3)) // 4
+                    )
+                    bits = (grid[:, 1:] > grid[:, :-1]).astype(
+                        np.int64
+                    ).ravel()
+                    j = np.arange(bits.size, dtype=np.int64)
+                    lo ^= int((bits[j < 32] << j[j < 32]).sum())
+                    hi ^= int(
+                        (bits[j >= 32] << (j[j >= 32] - 32)).sum()
+                    )
+                rows.append({
+                    "media_id": int(mid),
+                    "hash_hi": hi,
+                    "hash_lo": lo,
+                })
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        proc, schema="media_id bigint, hash_hi bigint, hash_lo bigint"
+    )

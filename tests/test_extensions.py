@@ -4299,3 +4299,25 @@ class TestRound6bOps:
         assert max(abs(x) for x in final) == 1000
         assert abs(final[0]) == 1000
         assert all(abs(x) < 200 for x in final[1:])
+
+    def test_video_fingerprint_brightness_invariant_groups(self, spark):
+        """doc_ids 2,6,10 share a 4-frame pattern (mod 4) at three
+        brightness offsets -> byte-different AVIs, one fingerprint
+        group; doc_id 5 is its own pattern and drops below >=2."""
+        from drune_spark.operators.multimodal import (
+            dhash_dup_groups,
+            synthesize_neardup_videos,
+            video_fingerprint,
+        )
+
+        docs = spark.createDataFrame(
+            [(2,), (5,), (6,), (10,)], ["doc_id"]
+        )
+        media = synthesize_neardup_videos(docs)
+        contents = {r.media_id: bytes(r.content)
+                    for r in media.collect()}
+        assert len({contents[2], contents[6], contents[10]}) == 3
+        groups = dhash_dup_groups(video_fingerprint(media)).collect()
+        assert len(groups) == 1
+        g = groups[0]
+        assert (g.n_dups, g.min_id, g.id_sum) == (3, 2, 18)
