@@ -7957,6 +7957,28 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + integer box-filter 2× downsample (multimodal.py
+    image_resize_features — the mandate's named resize op): one PNG
+    per document (18×16 closed-form pixels), inflated back and
+    block-averaged to 9×8 with floor means; ``wsum`` over the resized
+    plane is order-sensitive, so any block-boundary or axis mistake
+    breaks the hash. Oracle recomputes every resized pixel from the
+    pixel formula. Shuffle-free mapInPandas both stages."""
+    _tune(spark)
+    from drune_spark.operators.multimodal import (
+        image_resize_features,
+        synthesize_neardup_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_resize_features(
+        synthesize_neardup_images(docs), factor=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8085,6 +8107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "embedding_pca": q_embedding_pca,
         "video_neardup": q_video_neardup,
+        "image_resize": q_image_resize,
         # -- driver-verified pass, stalest round first (206) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -9082,6 +9105,27 @@ def oracle_sql() -> dict[str, str]:
                   ON i.pack_group = r.pack_group AND i.rn = r.rn + 1
             )
             SELECT doc_id, pack_group, n_tokens, bin_id, fill FROM rec
+        """,
+        "image_resize": """
+            WITH px AS MATERIALIZED (
+                SELECT d.doc_id, x.x, y.y,
+                       ((37 * (d.doc_id % 6) + 11 * x.x + 23 * y.y
+                         + 13 * ((x.x * y.y) % 7)) % 200
+                        + (13 * d.doc_id) % 40) AS v
+                FROM documents d,
+                     (SELECT UNNEST(range(18)) AS x) x,
+                     (SELECT UNNEST(range(16)) AS y) y
+            ),
+            g AS (
+                SELECT doc_id, (x // 2) AS gx, (y // 2) AS gy,
+                       (CAST(SUM(v) AS BIGINT) // 4) AS m
+                FROM px GROUP BY doc_id, (x // 2), (y // 2)
+            )
+            SELECT doc_id AS media_id,
+                   CAST(9 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+                   CAST(SUM(m) AS BIGINT) AS px_sum,
+                   CAST(SUM(m * (gy * 9 + gx + 1)) AS BIGINT) AS wsum
+            FROM g GROUP BY doc_id
         """,
         "video_neardup": """
             WITH px AS MATERIALIZED (

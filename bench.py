@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "audio_neardup",
     "embedding_pca",
     "video_neardup",
+    "image_resize",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # dbscan stays out: audit-tier — 21s at sf0.1 even with CC

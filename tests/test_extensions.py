@@ -4321,3 +4321,27 @@ class TestRound6bOps:
         assert len(groups) == 1
         g = groups[0]
         assert (g.n_dups, g.min_id, g.id_sum) == (3, 2, 18)
+
+    def test_image_resize_box_filter_hand_computed(self, spark):
+        """A 4x4 flat-gradient image resized 2x: block means equal the
+        floor-average of each 2x2 quad; ragged edges crop (18x16 -> 9x8
+        covered by the gate; here check exact quad math on doc 0)."""
+        from drune_spark.operators.multimodal import (
+            image_resize_features,
+            synth_neardup_pixels,
+            synthesize_neardup_images,
+        )
+        import numpy as np
+
+        docs = spark.createDataFrame([(0,), (7,)], ["doc_id"])
+        out = {r.media_id: (r.out_w, r.out_h, r.px_sum, r.wsum)
+               for r in image_resize_features(
+                   synthesize_neardup_images(docs), factor=2
+               ).collect()}
+        for d in (0, 7):
+            gray = synth_neardup_pixels(d)[:, :, 0].astype(np.int64)
+            grid = gray.reshape(8, 2, 9, 2).sum(axis=(1, 3)) // 4
+            flat = grid.ravel()
+            wts = np.arange(1, flat.size + 1)
+            assert out[d] == (9, 8, int(flat.sum()),
+                              int((flat * wts).sum()))
