@@ -469,3 +469,45 @@ class TestRound4ThirdWavePlans:
         assert not re.search(r"(?<![a-z_])ntile\(", plan.lower())
         assert "percentile" in plan.lower()
         assert "BroadcastNestedLoopJoin" in plan  # the 1-row cutoff cross
+
+    def test_label_noise_topk_is_window_group_limit(self, spark, entry):
+        """The per-probe 5-NN rank must push a WindowGroupLimit below
+        the window sort (never a full per-probe sort materialization)
+        and the pair join must be a centroid_id equi-join, not a
+        cartesian."""
+        plan = executed_plan(entry.q_label_noise(spark, SF))
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bin_pack_is_arrow_grouped_map(self, spark, entry):
+        """The next-fit recurrence must run as ONE Arrow grouped-map
+        stage (FlatMapGroupsInPandas) over shard cells — text never
+        enters the plan."""
+        plan = executed_plan(entry.q_bin_pack(spark, SF))
+        assert "FlatMapGroupsInPandas" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_image_neardup_group_is_two_int_agg(self, spark, entry):
+        """Near-dup grouping happens on the two hash halves AFTER the
+        decode stage: a hash aggregate, no join anywhere, binary
+        content dropped before the shuffle."""
+        plan = executed_plan(entry.q_image_neardup(spark, SF))
+        assert "HashAggregate" in plan
+        assert "Join" not in plan
+        # the only hash shuffle keys on the two hash halves — binary
+        # content never reaches an Exchange
+        assert "hashpartitioning(hash_hi" in plan
+        assert "hashpartitioning(content" not in plan
+
+    def test_modularity_single_pass_no_branch_replan(self, spark, entry):
+        """l2_internal and degree_sum come from ONE aggregate over the
+        tagged edge list — exactly one aggregate pair over the join
+        (no per-branch re-execution), plus the 1-row m2 broadcast
+        cross."""
+        plan = executed_plan(entry.q_modularity(spark, SF))
+        assert "BroadcastNestedLoopJoin" in plan  # bounded 1-row cross
+        assert "CartesianProduct" not in plan
+        # the edge-building join of lineitem with itself must appear
+        # exactly once (a branch re-plan would duplicate it)
+        assert plan.count("SortMergeJoin") + plan.count(
+            "BroadcastHashJoin") <= 4

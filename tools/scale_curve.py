@@ -79,6 +79,12 @@ QUERIES = [
     "anf_reach",
     "modularity",
     "image_neardup",
+    # round-6 third wave: ivf-blocked kNN votes (pair-count scaling is
+    # the risk), the one-Gram-build iteration, and the per-batch
+    # sketch merge (state must stay grid-sized)
+    "label_noise",
+    "embedding_pca",
+    "stream_cms_merge",
 ]
 TABLES = ["documents", "embeddings", "lineitem", "orders", "events"]
 # dimension tables ride along UNSCALED (a 3x fact load keeps its dims;
