@@ -7979,6 +7979,24 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-middle training transform (packing.py fim_transform,
+    arXiv:2207.14255): a deterministic half of the corpus splits at
+    two md5-derived cut points and reorders to PSM
+    <PRE>prefix<SUF>suffix<MID>middle — the code-model pretraining
+    transform — while the rest pass through (the standard FIM rate).
+    Pure 1-based substring arithmetic, one codegen projection, no
+    shuffle; the oracle reproduces every transformed byte."""
+    _tune(spark)
+    from drune_spark.operators.packing import fim_transform
+
+    return fim_transform(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8108,6 +8126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "video_neardup": q_video_neardup,
         "image_resize": q_image_resize,
+        "fim_transform": q_fim_transform,
         # -- driver-verified pass, stalest round first (206) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -9105,6 +9124,41 @@ def oracle_sql() -> dict[str, str]:
                   ON i.pack_group = r.pack_group AND i.rn = r.rn + 1
             )
             SELECT doc_id, pack_group, n_tokens, bin_id, fill FROM rec
+        """,
+        "fim_transform": """
+            WITH base AS (
+                SELECT doc_id, text, length(text) AS n,
+                       ('0x' || substr(md5('fimr:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 2 AS r,
+                       1 + ('0x' || substr(md5('fim1:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % GREATEST(length(text) - 1, 1) AS c1,
+                       1 + ('0x' || substr(md5('fim2:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % GREATEST(length(text) - 1, 1) AS c2
+                FROM documents
+            ),
+            cut AS (
+                SELECT doc_id, text, n,
+                       (r = 0 AND n >= 2) AS app,
+                       LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi
+                FROM base
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN app THEN 1 ELSE 0 END AS INT)
+                       AS fim_applied,
+                   CAST(CASE WHEN app THEN lo ELSE 0 END AS BIGINT)
+                       AS cut_lo,
+                   CAST(CASE WHEN app THEN hi ELSE 0 END AS BIGINT)
+                       AS cut_hi,
+                   CASE WHEN app THEN
+                        '<PRE>' || substr(text, 1, CAST(lo AS INT))
+                        || '<SUF>' || substr(text, CAST(hi + 1 AS INT))
+                        || '<MID>' || substr(text, CAST(lo + 1 AS INT),
+                                             CAST(hi - lo AS INT))
+                   ELSE text END AS out_text
+            FROM cut
         """,
         "image_resize": """
             WITH px AS MATERIALIZED (

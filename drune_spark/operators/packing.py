@@ -340,3 +340,52 @@ def bin_pack_next_fit(
         )
 
     return cells.groupBy("pack_group").applyInPandas(_run, out_schema)
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    salt: str = "fim",
+) -> DataFrame:
+    """Fill-in-middle (FIM) training transform (Bavarian et al. 2022,
+    arXiv:2207.14255 — the code-model pretraining reorder): for a
+    deterministic half of the corpus, split the document at two
+    hash-derived cut points and emit PSM order
+    ``<PRE>prefix<SUF>suffix<MID>middle``; the rest pass through — the
+    standard ~50% FIM rate. Everything is 1-based substring
+    arithmetic on md5-derived cuts, so the DuckDB oracle reproduces
+    every transformed byte.
+
+    One narrow projection — no shuffle, no UDF, whole-stage codegen;
+    at 100 TB this fuses into whatever scan feeds sequence packing.
+    Returns (id, fim_applied, cut_lo, cut_hi, out_text).
+    """
+    n = F.length(F.col(text_col))
+    h = lambda tag: md5_u32(  # noqa: E731 — tiny local expr builder
+        F.concat(F.lit(f"{salt}{tag}:"), F.col(id_col).cast("string"))
+    )
+    applied = (
+        (F.pmod(h("r"), F.lit(2)) == 0) & (n >= 2)
+    ).cast("int")
+    den = F.greatest(n - 1, F.lit(1))
+    c1 = F.lit(1) + F.pmod(h("1"), den)
+    c2 = F.lit(1) + F.pmod(h("2"), den)
+    lo = F.least(c1, c2)
+    hi = F.greatest(c1, c2)
+    pre = F.substring(F.col(text_col), F.lit(1), lo)
+    suf = F.substring(F.col(text_col), hi + 1, n)
+    mid = F.substring(F.col(text_col), lo + 1, hi - lo)
+    fim = F.concat(
+        F.lit("<PRE>"), pre, F.lit("<SUF>"), suf, F.lit("<MID>"), mid
+    )
+    return df.select(
+        F.col(id_col),
+        applied.alias("fim_applied"),
+        F.when(applied == 1, lo).otherwise(F.lit(0))
+        .cast("long").alias("cut_lo"),
+        F.when(applied == 1, hi).otherwise(F.lit(0))
+        .cast("long").alias("cut_hi"),
+        F.when(applied == 1, fim)
+        .otherwise(F.col(text_col)).alias("out_text"),
+    )

@@ -4345,3 +4345,31 @@ class TestRound6bOps:
             wts = np.arange(1, flat.size + 1)
             assert out[d] == (9, 8, int(flat.sum()),
                               int((flat * wts).sum()))
+
+    def test_fim_transform_reassembles_exactly(self, spark):
+        """For every FIM'd doc, prefix+middle+suffix recovered from
+        the PSM output must equal the original text at the recorded
+        cut points; pass-through docs are byte-identical."""
+        from drune_spark.operators.packing import fim_transform
+
+        rows = [(i, f"doc{i:03d} " + "abcdefghij" * 4)
+                for i in range(20)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        orig = dict(rows)
+        out = fim_transform(df, "text", "doc_id").collect()
+        applied = 0
+        for r in out:
+            t = orig[r.doc_id]
+            if r.fim_applied == 0:
+                assert r.out_text == t
+                continue
+            applied += 1
+            assert r.out_text.startswith("<PRE>")
+            body = r.out_text[5:]
+            pre, rest = body.split("<SUF>", 1)
+            suf, mid = rest.split("<MID>", 1)
+            assert pre + mid + suf == t
+            assert pre == t[: r.cut_lo]
+            assert mid == t[r.cut_lo: r.cut_hi]
+            assert 1 <= r.cut_lo <= r.cut_hi <= len(t) - 1
+        assert 0 < applied < 20
