@@ -7997,6 +7997,23 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_source_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source marginal-content contribution (dedup.py
+    source_marginals): exclusive vs shared fingerprint mass per
+    source — the leave-one-out curation signal that ranks sources by
+    irreplaceability before mixing/pruning (the additive shortcut to
+    per-source Shapley for a unique-content metric). Two fp-cell
+    aggregates + one cell join; text reduces to md5 at the scan."""
+    _tune(spark)
+    from drune_spark.operators.dedup import source_marginals
+
+    return source_marginals(
+        _t(spark, sf_dir, "documents"), "text", "source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8127,6 +8144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup": q_video_neardup,
         "image_resize": q_image_resize,
         "fim_transform": q_fim_transform,
+        "source_marginals": q_source_marginals,
         # -- driver-verified pass, stalest round first (206) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -9124,6 +9142,36 @@ def oracle_sql() -> dict[str, str]:
                   ON i.pack_group = r.pack_group AND i.rn = r.rn + 1
             )
             SELECT doc_id, pack_group, n_tokens, bin_id, fill FROM rec
+        """,
+        "source_marginals": """
+            WITH cells AS (
+                SELECT source,
+                       md5(trim(regexp_replace(lower(text), '\\s+',
+                                               ' ', 'g'))) AS fp
+                FROM documents
+            ),
+            docs AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                FROM cells GROUP BY source
+            ),
+            sfp AS (SELECT DISTINCT source, fp FROM cells),
+            fpc AS (
+                SELECT fp, count(*) AS n_sources
+                FROM sfp GROUP BY fp
+            ),
+            per AS (
+                SELECT s.source,
+                       CAST(count(*) AS BIGINT) AS n_fps,
+                       CAST(SUM(CASE WHEN f.n_sources = 1 THEN 1
+                                ELSE 0 END) AS BIGINT) AS n_exclusive
+                FROM sfp s JOIN fpc f ON s.fp = f.fp
+                GROUP BY s.source
+            )
+            SELECT d.source, d.n_docs, p.n_fps, p.n_exclusive,
+                   CAST((p.n_exclusive * 1000000) // p.n_fps
+                        AS BIGINT) AS exclusive_ppm
+            FROM docs d JOIN per p ON d.source = p.source
+            ORDER BY d.source
         """,
         "fim_transform": """
             WITH base AS (

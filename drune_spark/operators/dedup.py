@@ -1437,3 +1437,62 @@ def winnow_fingerprints(
         .distinct()
     )
     return sel.select(id_col, "fp_pos", "fp", "n_grams")
+
+
+def source_marginals(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Per-source marginal-content contribution — the leave-one-out
+    curation signal: for each source, how much of its content is
+    EXCLUSIVE (fingerprints appearing in no other source) versus
+    shared. Dropping a source loses exactly its exclusive mass, so
+    ``exclusive_ppm`` ranks sources by irreplaceability before any
+    mixing/pruning decision (the additive shortcut to per-source
+    Shapley values for a unique-content metric).
+
+    Two fingerprint-cell aggregates and one cell join — text reduces
+    to md5 at the scan and never shuffles: (source, fp) distinct
+    cells, fp → distinct-source counts, then per-source rollup. All
+    integer, map-side partial throughout.
+
+    Returns (source, n_docs, n_fps, n_exclusive, exclusive_ppm)
+    ordered by source.
+    """
+    from drune_spark.functions.hashes import fingerprint_md5
+
+    cells = df.select(
+        F.col(source_col).alias("source"),
+        fingerprint_md5(F.col(text_col)).alias("fp"),
+    )
+    docs = cells.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    sfp = cells.distinct()
+    fpc = sfp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    per = (
+        sfp.join(fpc, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(
+                F.when(F.col("n_sources") == 1, 1).otherwise(0)
+            ).cast("long").alias("n_exclusive"),
+        )
+    )
+    return (
+        docs.join(per, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_fps",
+            "n_exclusive",
+            F.expr(
+                "(n_exclusive * 1000000) div n_fps"
+            ).alias("exclusive_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -4373,3 +4373,22 @@ class TestRound6bOps:
             assert mid == t[r.cut_lo: r.cut_hi]
             assert 1 <= r.cut_lo <= r.cut_hi <= len(t) - 1
         assert 0 < applied < 20
+
+    def test_source_marginals_exclusive_vs_shared(self, spark):
+        """Source A: 2 exclusive docs + 1 shared; source B: the shared
+        doc (duplicated twice — distinct per source) + 1 exclusive.
+        Exclusive counts and ppm are exact."""
+        from drune_spark.operators.dedup import source_marginals
+
+        rows = [
+            ("A", "alpha"), ("A", "beta"), ("A", "common text"),
+            ("B", "common  TEXT"),   # normalizes to the same fp
+            ("B", "common text"),    # same fp again: distinct per src
+            ("B", "gamma"),
+        ]
+        df = spark.createDataFrame(rows, ["source", "text"])
+        out = {r.source: (r.n_docs, r.n_fps, r.n_exclusive,
+                          r.exclusive_ppm)
+               for r in source_marginals(df, "text", "source").collect()}
+        assert out["A"] == (3, 3, 2, 666_666)
+        assert out["B"] == (3, 2, 1, 500_000)
