@@ -8014,6 +8014,40 @@ def q_source_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven LLM-data pipeline (operators/llm_steps.py): the
+    reference's declarative step chain (StepRunner, the q2_sql_chain
+    machinery) driving the training-data ops — token_screen
+    (token floor + stopword band, codegen) → dedup
+    (normalized-md5 min-id survivor) → fim (PSM reorder of the
+    deterministic half) → pack (hash-group sequence packing of the
+    TRANSFORMED text). A drune user writes these as YAML step types
+    exactly like `filter`/`sql`; the whole chain folds into one
+    Catalyst plan. Oracle replays every stage in one chained SQL."""
+    _tune(spark)
+    import drune_spark.operators.llm_steps  # noqa: F401
+    import drune_spark.operators.steps  # noqa: F401
+    from drune_spark.config.models import StepConfig
+    from drune_spark.operators.registry import StepRunner
+
+    docs = _t(spark, sf_dir, "documents")
+    steps = [
+        StepConfig(name="screen", type="token_screen", params={
+            "min_tokens": 50, "sw_lo_milli": 1, "sw_hi_milli": 700,
+        }),
+        StepConfig(name="dedup", type="dedup",
+                   params={"text_col": "text", "id_col": "doc_id"}),
+        StepConfig(name="fim", type="fim", params={"salt": "lp"}),
+        StepConfig(name="pack", type="pack", params={
+            "budget": 256, "n_groups": 8, "salt": "lp",
+        }),
+    ]
+    runner = StepRunner(spark)
+    return runner.run(steps, {"documents": docs}, docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8145,6 +8179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "fim_transform": q_fim_transform,
         "source_marginals": q_source_marginals,
+        "llm_pipeline": q_llm_pipeline,
         # -- driver-verified pass, stalest round first (206) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -9142,6 +9177,86 @@ def oracle_sql() -> dict[str, str]:
                   ON i.pack_group = r.pack_group AND i.rn = r.rn + 1
             )
             SELECT doc_id, pack_group, n_tokens, bin_id, fill FROM rec
+        """,
+        "llm_pipeline": """
+            WITH scr AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           len(regexp_split_to_array(
+                               trim(lower(text)), '\\s+')) AS n,
+                           (len(t) - len(list_filter(t, x -> x <> 'the')))
+                      + (len(t) - len(list_filter(t, x -> x <> 'a')))
+                      + (len(t) - len(list_filter(t, x -> x <> 'and')))
+                      + (len(t) - len(list_filter(t, x -> x <> 'of')))
+                      + (len(t) - len(list_filter(t, x -> x <> 'to')))
+                      + (len(t) - len(list_filter(t, x -> x <> 'in')))
+                      + (len(t) - len(list_filter(t, x -> x <> 'is')))
+                      + (len(t) - len(list_filter(t, x -> x <> 'it'))) AS hits
+                    FROM (SELECT doc_id, text,
+                                 regexp_split_to_array(
+                                     trim(lower(text)), '\\s+') AS t
+                          FROM documents)
+                )
+                WHERE n >= 50
+                  AND (CAST(hits AS BIGINT) * 1000) // n BETWEEN 1 AND 700
+            ),
+            ddp AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           row_number() OVER (
+                               PARTITION BY md5(trim(regexp_replace(
+                                   lower(text), '\\s+', ' ', 'g')))
+                               ORDER BY doc_id) AS rn
+                    FROM scr) WHERE rn = 1
+            ),
+            fimmed AS (
+                SELECT doc_id,
+                       CASE WHEN r = 0 AND n >= 2 THEN
+                            '<PRE>' || substr(text, 1, CAST(lo AS INT))
+                            || '<SUF>'
+                            || substr(text, CAST(hi + 1 AS INT))
+                            || '<MID>'
+                            || substr(text, CAST(lo + 1 AS INT),
+                                      CAST(hi - lo AS INT))
+                       ELSE text END AS text
+                FROM (
+                    SELECT doc_id, text, n,
+                           ('0x' || substr(md5('lpr:' ||
+                                CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                               % 2 AS r,
+                           LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi
+                    FROM (
+                        SELECT doc_id, text, length(text) AS n,
+                               1 + ('0x' || substr(md5('lp1:' ||
+                                    CAST(doc_id AS VARCHAR)), 1, 8))
+                                    ::BIGINT
+                                   % GREATEST(length(text) - 1, 1)
+                                   AS c1,
+                               1 + ('0x' || substr(md5('lp2:' ||
+                                    CAST(doc_id AS VARCHAR)), 1, 8))
+                                    ::BIGINT
+                                   % GREATEST(length(text) - 1, 1)
+                                   AS c2
+                        FROM ddp
+                    )
+                )
+            ),
+            sized AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(trim(text),
+                                '\\s+')) AS BIGINT) AS n_tokens,
+                       CAST(('0x' || substr(md5('lp' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 8 AS INTEGER) AS pack_group
+                FROM fimmed
+            )
+            SELECT doc_id, n_tokens, pack_group,
+                   CAST(floor((SUM(n_tokens) OVER (
+                            PARTITION BY pack_group ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+                        - n_tokens) / 256.0) AS INTEGER) AS seq_id
+            FROM sized
         """,
         "source_marginals": """
             WITH cells AS (

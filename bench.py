@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "image_resize",
     "fim_transform",
     "source_marginals",
+    "llm_pipeline",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # dbscan stays out: audit-tier — 21s at sf0.1 even with CC

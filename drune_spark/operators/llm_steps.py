@@ -192,3 +192,105 @@ class ZorderStep(Step):
 
         df = self.pick_input(inputs, current, source)
         return zorder_column(df, list(columns), bits=bits, out_col=out_col)
+
+
+@StepRegistry.register("token_screen")
+class TokenScreenStep(Step):
+    """Integer token-statistics screen (round 6): minimum whitespace-
+    token count plus a stopword-share band in milli — the cheap
+    length/stopword complement to the gopher ``quality_filter``
+    (repetition/shape) gate above. The predicate uses the non-HOF
+    size−array_remove idiom, so the whole screen stays in whole-stage
+    codegen and fuses into the scan."""
+
+    def execute(
+        self,
+        inputs,
+        current,
+        *,
+        text_col: str = "text",
+        min_tokens: int = 0,
+        sw_lo_milli: int = 0,
+        sw_hi_milli: int = 1000,
+        source: Optional[str] = None,
+        **_: Any,
+    ) -> DataFrame:
+        from drune_spark.functions.text import STOPWORDS
+
+        df = self.pick_input(inputs, current, source)
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        n = F.size(toks)
+        hits = None
+        for w in STOPWORDS:
+            term = n - F.size(F.array_remove(toks, w))
+            hits = term if hits is None else hits + term
+        df2 = df.withColumn("__hits", hits).withColumn("__n", n)
+        sw = F.expr("(CAST(__hits AS BIGINT) * 1000) div __n")
+        cond = (
+            (F.col("__n") >= int(min_tokens))
+            & (sw >= int(sw_lo_milli))
+            & (sw <= int(sw_hi_milli))
+        )
+        return df2.filter(cond).drop("__hits", "__n")
+
+
+@StepRegistry.register("fim")
+class FimStep(Step):
+    """Fill-in-middle transform as a pipeline stage: replaces
+    ``text_col`` with the PSM-reordered text for the deterministic
+    FIM half (packing.py fim_transform), passing other columns
+    through."""
+
+    def execute(
+        self,
+        inputs,
+        current,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        salt: str = "fim",
+        source: Optional[str] = None,
+        **_: Any,
+    ) -> DataFrame:
+        from drune_spark.operators.packing import fim_transform
+
+        df = self.pick_input(inputs, current, source)
+        out = fim_transform(df, text_col, id_col, salt=salt)
+        return df.drop(text_col).join(
+            out.select(id_col, F.col("out_text").alias(text_col)),
+            id_col,
+        )
+
+
+@StepRegistry.register("pack")
+class PackStep(Step):
+    """Sequence packing as a pipeline stage: whitespace token counts
+    from ``text_col``, then pack_sequences' hash-group cumulative
+    fill (budget, n_groups, salt pass through)."""
+
+    def execute(
+        self,
+        inputs,
+        current,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        budget: int = 512,
+        n_groups: int = 64,
+        salt: str = "",
+        source: Optional[str] = None,
+        **_: Any,
+    ) -> DataFrame:
+        from drune_spark.operators.packing import pack_sequences
+
+        df = self.pick_input(inputs, current, source)
+        sized = df.select(
+            F.col(id_col),
+            F.size(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("__n_toks"),
+        )
+        return pack_sequences(
+            sized, "__n_toks", id_col,
+            budget=budget, n_groups=n_groups, salt=salt,
+        )

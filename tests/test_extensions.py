@@ -4392,3 +4392,38 @@ class TestRound6bOps:
                for r in source_marginals(df, "text", "source").collect()}
         assert out["A"] == (3, 3, 2, 666_666)
         assert out["B"] == (3, 2, 1, 500_000)
+
+    def test_llm_pipeline_steps_compose(self, spark):
+        """token_screen drops short docs, dedup keeps the
+        min-id copy of normalized duplicates, fim+pack run on the
+        survivors — end to end through the declarative StepRunner."""
+        import drune_spark.operators.llm_steps  # noqa: F401
+        import drune_spark.operators.steps  # noqa: F401
+        from drune_spark.config.models import StepConfig
+        from drune_spark.operators.registry import StepRunner
+
+        long_text = ("the quick brown fox " * 15).strip()   # 60 tokens
+        rows = [
+            (1, long_text),
+            (2, long_text.upper()),      # normalized dup of 1 -> drops
+            (3, "too short"),            # fails min_tokens -> drops
+            (4, "a " * 55 + "tail"),     # 56 tokens, survives
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        steps = [
+            StepConfig(name="screen", type="token_screen", params={
+                "min_tokens": 50, "sw_lo_milli": 1,
+                "sw_hi_milli": 999,
+            }),
+            StepConfig(name="dedup", type="dedup",
+                       params={"text_col": "text",
+                               "id_col": "doc_id"}),
+            StepConfig(name="fim", type="fim", params={"salt": "t"}),
+            StepConfig(name="pack", type="pack", params={
+                "budget": 64, "n_groups": 1, "salt": "t",
+            }),
+        ]
+        out = {r.doc_id: (r.n_tokens, r.pack_group, r.seq_id)
+               for r in StepRunner(spark).run(steps, {}, df).collect()}
+        assert set(out) == {1, 4}
+        assert all(g == 0 for _, g, _ in out.values())
