@@ -8063,58 +8063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- stale driver-FAILs — fixed locally, re-test first (4) -------
-        "f_json_extract": q_f_json_extract,
-        "corpus_stats": q_corpus_stats,
-        "hll_distinct": q_hll_distinct,
-        "kmv_set_ops": q_kmv_set_ops,
-        # -- never-driver-verified backlog, oldest first (90) ------------
-        "range_join": q_range_join,
-        "bm25_search": q_bm25_search,
-        "vocab_coverage": q_vocab_coverage,
-        "inverted_index": q_inverted_index,
-        "fuzzy_link": q_fuzzy_link,
-        "hybrid_search": q_hybrid_search,
-        "pagerank": q_pagerank,
-        "funnel": q_funnel,
-        "salted_join_agg": q_salted_join_agg,
-        "bucketed_join": q_bucketed_join,
-        "compact_parquet": q_compact_parquet,
-        "bloom_prune_join": q_bloom_prune_join,
-        "stratified_sample": q_stratified_sample,
-        "skew_keys": q_skew_keys,
-        "dpp_join": q_dpp_join,
-        "cdc_apply": q_cdc_apply,
-        "stream_enrich": q_stream_enrich,
-        "stream_dedup": q_stream_dedup,
-        "stream_join": q_stream_join,
-        "stream_sliding": q_stream_sliding,
-        "table_diff": q_table_diff,
-        "table_profile": q_table_profile,
-        "incremental_mv": q_incremental_mv,
-        "new_vs_returning": q_new_vs_returning,
-        "first_last_touch": q_first_last_touch,
-        "fulfillment_lag": q_fulfillment_lag,
-        "daily_backlog": q_daily_backlog,
-        "concentration_hhi": q_concentration_hhi,
-        "char_terms": q_char_terms,
-        "spike_days": q_spike_days,
-        "pagination": q_pagination,
-        "intraday_profile": q_intraday_profile,
-        "cross_source_dups": q_cross_source_dups,
-        "length_bands": q_length_bands,
-        "novelty_score": q_novelty_score,
-        "rank_sum_u": q_rank_sum_u,
-        "ks_test": q_ks_test,
-        "gini_spend": q_gini_spend,
-        "repeat_rate": q_repeat_rate,
-        "purchase_intervals": q_purchase_intervals,
-        "order_size_dist": q_order_size_dist,
-        "brand_price_index": q_brand_price_index,
-        "return_rates": q_return_rates,
-        "discount_bands": q_discount_bands,
-        "weekday_hour_heatmap": q_weekday_hour_heatmap,
-        "dup_rate_by_source": q_dup_rate_by_source,
+        # -- never-driver-verified backlog, oldest first (63) ------------
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
         "weighted_percentile": q_weighted_percentile,
@@ -8159,8 +8108,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_percentiles": q_grouped_percentiles,
         "window_analytics": q_window_analytics,
         "kafka_roundtrip": q_kafka_roundtrip,
-        # new in round 6 — behind the older backlog on purpose: the
-        # driver window burns oldest-first (VERDICT r5 #3)
         "url_dedup": q_url_dedup,
         "silhouette": q_silhouette,
         "bigram_lm": q_bigram_lm,
@@ -8180,7 +8127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": q_fim_transform,
         "source_marginals": q_source_marginals,
         "llm_pipeline": q_llm_pipeline,
-        # -- driver-verified pass, stalest round first (206) -------------
+        # -- driver-verified pass, stalest round first (256) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
@@ -8387,6 +8334,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dup_spans": q_dup_spans,
         "asof_join": q_asof_join,
+        "f_json_extract": q_f_json_extract,
+        "corpus_stats": q_corpus_stats,
+        "hll_distinct": q_hll_distinct,
+        "kmv_set_ops": q_kmv_set_ops,
+        "range_join": q_range_join,
+        "bm25_search": q_bm25_search,
+        "vocab_coverage": q_vocab_coverage,
+        "inverted_index": q_inverted_index,
+        "fuzzy_link": q_fuzzy_link,
+        "hybrid_search": q_hybrid_search,
+        "pagerank": q_pagerank,
+        "funnel": q_funnel,
+        "salted_join_agg": q_salted_join_agg,
+        "bucketed_join": q_bucketed_join,
+        "compact_parquet": q_compact_parquet,
+        "bloom_prune_join": q_bloom_prune_join,
+        "stratified_sample": q_stratified_sample,
+        "skew_keys": q_skew_keys,
+        "dpp_join": q_dpp_join,
+        "cdc_apply": q_cdc_apply,
+        "stream_enrich": q_stream_enrich,
+        "stream_dedup": q_stream_dedup,
+        "stream_join": q_stream_join,
+        "stream_sliding": q_stream_sliding,
+        "table_diff": q_table_diff,
+        "table_profile": q_table_profile,
+        "incremental_mv": q_incremental_mv,
+        "new_vs_returning": q_new_vs_returning,
+        "first_last_touch": q_first_last_touch,
+        "fulfillment_lag": q_fulfillment_lag,
+        "daily_backlog": q_daily_backlog,
+        "concentration_hhi": q_concentration_hhi,
+        "char_terms": q_char_terms,
+        "spike_days": q_spike_days,
+        "pagination": q_pagination,
+        "intraday_profile": q_intraday_profile,
+        "cross_source_dups": q_cross_source_dups,
+        "length_bands": q_length_bands,
+        "novelty_score": q_novelty_score,
+        "rank_sum_u": q_rank_sum_u,
+        "ks_test": q_ks_test,
+        "gini_spend": q_gini_spend,
+        "repeat_rate": q_repeat_rate,
+        "purchase_intervals": q_purchase_intervals,
+        "order_size_dist": q_order_size_dist,
+        "brand_price_index": q_brand_price_index,
+        "return_rates": q_return_rates,
+        "discount_bands": q_discount_bands,
+        "weekday_hour_heatmap": q_weekday_hour_heatmap,
+        "dup_rate_by_source": q_dup_rate_by_source,
     }
 
 
