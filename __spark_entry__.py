@@ -7793,7 +7793,7 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     image_dhash + dhash_dup_groups): one REAL PNG per document whose
     pattern depends only on doc_id mod 6 while a per-doc brightness
     offset changes every byte, decoded back (zlib inflate +
-    unfiltering), 2x2 block-meaned to a 9x8 grid and dHashed (64
+    unfiltering), 2x2 block-meaned to an 8x9 rows-x-cols grid and dHashed (64
     horizontal gradient signs, brightness-invariant by construction of
     the integer block mean) — byte-different images MUST collide into
     exactly their pattern groups, which the oracle recomputes from the
@@ -7963,7 +7963,8 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode + integer box-filter 2× downsample (multimodal.py
     image_resize_features — the mandate's named resize op): one PNG
     per document (18×16 closed-form pixels), inflated back and
-    block-averaged to 9×8 with floor means; ``wsum`` over the resized
+    block-averaged to 8×9 (rows × cols) with floor means; ``wsum`` over
+    the resized
     plane is order-sensitive, so any block-boundary or axis mistake
     breaks the hash. Oracle recomputes every resized pixel from the
     pixel formula. Shuffle-free mapInPandas both stages."""

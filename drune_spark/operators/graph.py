@@ -517,10 +517,13 @@ def anf_reach(
     Scale shape: each round is one edges ⋈ masks equi-join plus a
     node-keyed bit_or — shuffles carry (node, trial, int64) cells,
     never neighbor sets. The edge list is persisted once (iterative-
-    operator persist rule) and masks are eagerly persisted per round
-    (radius outputs consume every round's frame — the ≥4-branch lazy
-    cache race). Returns one row per radius 0..rounds:
-    (radius, nodes, reach_mass).
+    operator persist rule); each round's mask frame is materialized by
+    its own 1-row radius aggregate (the classify.py control-fetch
+    shape) and the previous round is unpersisted immediately, so
+    cache residency is bounded at two mask frames during the call and
+    ZERO after return — nothing leaks into a marathon harness
+    (r6 ADVICE). Returns one row per radius 0..rounds:
+    (radius, cells, reach_mass).
     """
     from drune_spark.functions.hashes import md5_u32
 
@@ -544,18 +547,29 @@ def anf_reach(
         )
         .select("node", "trial", lowbit.alias("mask"))
     )
-    masks = [seeds.persist()]
-    for _ in range(rounds):
-        prev = masks[-1]
+    notm = F.expr("~mask")
+    mass = notm.bitwiseAND(-notm)
+
+    def radius_row(m: DataFrame, r: int):
+        # 1-row control fetch — materializes m's cache as a side effect.
+        return m.agg(
+            F.lit(r).cast("int").alias("radius"),
+            F.count(F.lit(1)).alias("cells"),
+            F.sum(mass).alias("reach_mass"),
+        ).collect()[0]
+
+    cur = seeds.persist()
+    rows = [radius_row(cur, 0)]
+    for r in range(1, rounds + 1):
         nb = (
             e0.join(
-                prev.withColumnRenamed("node", "b"), "b"
+                cur.withColumnRenamed("node", "b"), "b"
             )
             .groupBy(F.col("a").alias("node"), "trial")
             .agg(F.bit_or("mask").alias("nbmask"))
         )
-        cur = (
-            prev.join(nb, ["node", "trial"])
+        nxt = (
+            cur.join(nb, ["node", "trial"])
             .select(
                 "node",
                 "trial",
@@ -563,21 +577,25 @@ def anf_reach(
             )
             .persist()
         )
-        masks.append(cur)
-    notm = F.expr("~mask")
-    mass = notm.bitwiseAND(-notm)
-    outs = [
-        m.agg(
-            F.lit(r).cast("int").alias("radius"),
-            F.count(F.lit(1)).alias("cells"),
-            F.sum(mass).alias("reach_mass"),
-        )
-        for r, m in enumerate(masks)
-    ]
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        rows.append(radius_row(nxt, r))
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    e0.unpersist()
+    spark = edges.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("radius", T.IntegerType(), False),
+            T.StructField("cells", T.LongType(), False),
+            T.StructField("reach_mass", T.LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(x.radius), int(x.cells), int(x.reach_mass)) for x in rows],
+        schema=schema,
+    )
 
 
 def partition_modularity(

@@ -447,8 +447,9 @@ def synthesize_neardup_images(
 def image_dhash(media: DataFrame) -> DataFrame:
     """Perceptual difference-hash (dHash) after a REAL decode: inflate
     the PNG (operators/imageio.py), take the gray channel, 2×2
-    block-mean down to a 9×8 grid (integer floor — a constant
-    brightness offset survives the mean exactly), then bit j
+    block-mean down to an 8×9 grid (rows × cols — h//2 × w//2 for the
+    16×18 inputs; integer floor, so a constant brightness offset
+    survives the mean exactly), then bit j
     (j = 8·Y + X) = [grid[Y][X+1] > grid[Y][X]] — 64 horizontal
     gradient signs, invariant to uniform brightness and to any
     monotone per-image tone shift. Returned as two 32-bit halves
@@ -631,7 +632,8 @@ def synthesize_neardup_videos(
 def video_fingerprint(media: DataFrame) -> DataFrame:
     """Temporal perceptual hash after a REAL demux+decode: every frame
     gets the image_dhash treatment (gray channel, 2×2 block mean to
-    9×8, 64 horizontal gradient signs — brightness-invariant), and the
+    an 8×9 rows × cols grid, 64 horizontal gradient signs —
+    brightness-invariant), and the
     per-frame 32-bit halves fold with XOR across frames — order-
     insensitively mergeable, so a distributed decode can fingerprint
     frame shards independently and combine. Shuffle-free mapInPandas;

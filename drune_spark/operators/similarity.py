@@ -771,6 +771,14 @@ def knn_label_noise(
     and drop out — at real scale they are the "too isolated to
     audit" remainder a second pass with coarser k would sweep.
 
+    Cache residency note (r6 ADVICE): ``cl`` (id, vec, label,
+    centroid — cell-sized, no text) carries a lazy persist mark so
+    the self-join's two branches share one IVF assignment instead of
+    re-running it; the mark cannot be dropped before the caller
+    executes the returned plan, so like k_truss/bfs_khop the frame
+    stays resident until the harness's per-query clearCache (bench.py)
+    or session end. Bounded: ~n·(dim+3) doubles, never pairs.
+
     Returns (label, maj_label, n) ordered by both labels.
     """
     from drune_spark.functions.vectors import (

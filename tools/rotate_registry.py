@@ -56,6 +56,11 @@ def main() -> None:
     assert m, "queries() dict literal not found"
     old_entries = re.findall(r'"([a-zA-Z0-9_]+)": (q_\w+),', m.group(2))
     assert sorted(n for n, _ in old_entries) == sorted(names)
+    # The rewrite regenerates every value as q_<key>; refuse to run if any
+    # key is bound to a differently-named function (it would be silently
+    # rebound to a possibly-missing symbol).
+    nonconforming = [(k, fn) for k, fn in old_entries if fn != f"q_{k}"]
+    assert not nonconforming, f"non-q_<key> bindings would be lost: {nonconforming}"
     src = src[: m.start(2)] + new_body + src[m.end(2):]
     open(os.path.join(REPO, "__spark_entry__.py"), "w").write(src)
     print(
