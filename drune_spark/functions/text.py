@@ -57,16 +57,26 @@ def regex_token_count(col: Column) -> Column:
 
 
 def avg_token_length(col: Column) -> Column:
-    toks = tokens(col)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return total.cast("double") / F.size(toks)
+    # Σ token lengths == non-whitespace chars of the trimmed text —
+    # integer-identical to the old aggregate() fold but stays inside
+    # whole-stage codegen (HOF lambdas run interpreted, outside codegen
+    # CSE — the r5 lesson; lang_scores has the same rewrite).
+    total = F.length(F.regexp_replace(F.trim(col), r"\s+", ""))
+    return total.cast("double") / F.size(tokens(col))
 
 
 def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    # Occurrences of stopword m = size(toks) − size(array_remove(toks, m)),
+    # summed — the lang_scores non-lambda idiom. Identical to the old
+    # size(filter(toks, isin)): each token equals at most one stopword,
+    # so per-word occurrence counts sum to the filtered-token count.
     sw = stopwords or STOPWORDS
     toks = tokens(F.lower(col))
-    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
-    return hits.cast("double") / F.size(toks)
+    n = F.size(toks)
+    hits: Column = F.lit(0)
+    for m in sw:
+        hits = hits + (n - F.size(F.array_remove(toks, m)))
+    return hits.cast("double") / n
 
 
 def punct_ratio(col: Column) -> Column:
