@@ -48,14 +48,23 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def exact_dedup_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Full surviving rows after exact dedup. Only (id, fingerprint)
-    pairs shuffle through the dedup groupBy; the wide rows are recovered
-    with a semi-join keyed on id — the documents themselves shuffle at
-    most once (id join) instead of through the fingerprint groupBy.
-    Survivor cardinality ≈ input cardinality, so no broadcast: AQE picks
-    the join strategy."""
-    survivors = exact_dedup(df, text_col, id_col).select(id_col)
-    return df.join(survivors, on=id_col, how="left_semi")
+    """Full surviving rows after exact dedup: keep the min-id row per
+    normalized-text fingerprint via ONE window pass — the input is
+    consumed exactly once (the old groupBy + semi-join shape consumed
+    it twice, re-running everything upstream per branch: the
+    self-referencing-DAG trap, measured 2× the screen stage inside the
+    llm_pipeline chain). Rows shuffle once, keyed by fingerprint;
+    fingerprint groups are duplicate clusters (tiny), so window state
+    is bounded. Values identical to the join shape."""
+    from pyspark.sql import Window
+
+    fp = fingerprint_md5(F.col(text_col))
+    w = Window.partitionBy(fp)
+    return (
+        df.withColumn("__min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__min_id"))
+        .drop("__min_id")
+    )
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:

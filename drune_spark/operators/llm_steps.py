@@ -252,14 +252,15 @@ class FimStep(Step):
         source: Optional[str] = None,
         **_: Any,
     ) -> DataFrame:
-        from drune_spark.operators.packing import fim_transform
+        from drune_spark.operators.packing import fim_exprs
 
         df = self.pick_input(inputs, current, source)
-        out = fim_transform(df, text_col, id_col, salt=salt)
-        return df.drop(text_col).join(
-            out.select(id_col, F.col("out_text").alias(text_col)),
-            id_col,
-        )
+        # In-place column splice — the input is consumed ONCE. The old
+        # drop + join-back-on-id shape re-evaluated the entire upstream
+        # chain for the second join branch (self-referencing-DAG trap:
+        # measured one extra full screen+dedup pass inside llm_pipeline).
+        _applied, _lo, _hi, out_text = fim_exprs(text_col, id_col, salt)
+        return df.withColumn(text_col, out_text)
 
 
 @StepRegistry.register("pack")
@@ -276,7 +277,7 @@ class PackStep(Step):
         text_col: str = "text",
         id_col: str = "doc_id",
         budget: int = 512,
-        n_groups: int = 64,
+        n_groups: Optional[int] = None,
         salt: str = "",
         source: Optional[str] = None,
         **_: Any,

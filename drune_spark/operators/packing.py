@@ -73,7 +73,7 @@ def pack_sequences(
     token_count_col: str,
     id_col: str,
     budget: int = 512,
-    n_groups: int = 64,
+    n_groups: int | None = None,
     salt: str = "",
 ) -> DataFrame:
     """Assign each document to a training sequence of ~``budget`` tokens
@@ -81,7 +81,17 @@ def pack_sequences(
     (id, n_tokens, pack_group, seq_id) — all docs with the same
     (pack_group, seq_id) are concatenated downstream into one training
     sequence. seq_id = floor(tokens-before-this-doc / budget) within the
-    group, so a sequence overflows the budget by at most one document."""
+    group, so a sequence overflows the budget by at most one document.
+
+    ``n_groups`` is the fill's parallelism AND its per-task state bound
+    (each group is one window partition). Default derives from the data
+    like semdedup's k — ``max(64, n // 4096)``, ≈≤4096 docs per group —
+    so a fixed constant can't become the bottleneck at 100×; it is a
+    deterministic function of the corpus (count, not cluster width), so
+    defaulted output is reproducible across clusters. Callers pinning
+    oracle-mirrored constants (the gates) pass n_groups explicitly."""
+    if n_groups is None:
+        n_groups = max(64, df.count() // 4096)
     group = F.pmod(
         md5_u32(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
         F.lit(n_groups),
@@ -273,7 +283,7 @@ def bin_pack_next_fit(
     token_count_col: str,
     id_col: str,
     budget: int = 512,
-    n_groups: int = 8,
+    n_groups: int | None = None,
     salt: str = "",
 ) -> DataFrame:
     """STRICT-budget next-fit sequence packing: within each
@@ -295,12 +305,20 @@ def bin_pack_next_fit(
     Scale shape: shards parallelize across executors and bound both
     the Arrow batch and the oracle's recursion depth; corpus text
     never enters — only (id, n_tokens) cells shuffle once on the
-    shard key. Returns (id, pack_group, n_tokens, bin_id, fill) with
-    fill = bin occupancy after placing the document.
+    shard key. ``n_groups`` defaults to ``max(8, n // 4096)`` (the
+    pack_sequences derivation: ≈≤4096 docs per Arrow batch, shard
+    count ∝ corpus — a fixed constant would cap parallelism at 100×;
+    data-derived, so defaulted output is cluster-independent). Gates
+    pin it explicitly for their oracles. Returns
+    (id, pack_group, n_tokens, bin_id, fill) with fill = bin occupancy
+    after placing the document.
     """
     import pandas as pd
 
     from drune_spark.functions.hashes import md5_u32
+
+    if n_groups is None:
+        n_groups = max(8, df.count() // 4096)
 
     group = F.pmod(
         md5_u32(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
@@ -361,6 +379,25 @@ def fim_transform(
     at 100 TB this fuses into whatever scan feeds sequence packing.
     Returns (id, fim_applied, cut_lo, cut_hi, out_text).
     """
+    applied, lo, hi, out_text = fim_exprs(text_col, id_col, salt)
+    return df.select(
+        F.col(id_col),
+        applied.alias("fim_applied"),
+        F.when(applied == 1, lo).otherwise(F.lit(0))
+        .cast("long").alias("cut_lo"),
+        F.when(applied == 1, hi).otherwise(F.lit(0))
+        .cast("long").alias("cut_hi"),
+        out_text.alias("out_text"),
+    )
+
+
+def fim_exprs(text_col: str, id_col: str, salt: str = "fim"):
+    """The FIM column expressions (applied, cut_lo, cut_hi, out_text)
+    as pure Columns, so pipeline steps can splice the transformed text
+    in-place with withColumn — consuming their input ONCE — instead of
+    joining fim_transform's output back on id (which re-evaluates the
+    whole upstream chain per join branch: the self-referencing-DAG
+    trap)."""
     n = F.length(F.col(text_col))
     h = lambda tag: md5_u32(  # noqa: E731 — tiny local expr builder
         F.concat(F.lit(f"{salt}{tag}:"), F.col(id_col).cast("string"))
@@ -379,13 +416,5 @@ def fim_transform(
     fim = F.concat(
         F.lit("<PRE>"), pre, F.lit("<SUF>"), suf, F.lit("<MID>"), mid
     )
-    return df.select(
-        F.col(id_col),
-        applied.alias("fim_applied"),
-        F.when(applied == 1, lo).otherwise(F.lit(0))
-        .cast("long").alias("cut_lo"),
-        F.when(applied == 1, hi).otherwise(F.lit(0))
-        .cast("long").alias("cut_hi"),
-        F.when(applied == 1, fim)
-        .otherwise(F.col(text_col)).alias("out_text"),
-    )
+    out_text = F.when(applied == 1, fim).otherwise(F.col(text_col))
+    return applied, lo, hi, out_text
