@@ -2321,6 +2321,76 @@ def _ann_topk_oracle(n_queries: int, k: int) -> str:
         """
 
 
+def _label_noise_oracle(where: str = "TRUE") -> str:
+    """kNN label-noise confusion-grid oracle, parameterized by a
+    corpus predicate so the standalone gate (WHERE TRUE) and the
+    screen_pipeline chain (filtered corpus: k derivation, seeds and
+    votes all on survivors) replay the SAME expression sequence."""
+    return f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                FROM embeddings WHERE {where}
+            ),
+            kk AS (
+                SELECT GREATEST(4, COUNT(*) // 64) AS k FROM embeddings WHERE {where}
+            ),
+            c AS (
+                SELECT vec_id AS centroid_id, v AS cv FROM (
+                    SELECT vec_id, v,
+                           row_number() OVER (ORDER BY vec_id) AS rn
+                    FROM e)
+                WHERE rn <= (SELECT k FROM kk)
+            ),
+            scored AS (
+                SELECT e.vec_id, c.centroid_id,
+                       list_cosine_similarity(e.v, c.cv) AS sim
+                FROM e, c
+            ),
+            assign AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY sim DESC, centroid_id ASC) AS rn
+                    FROM scored) WHERE rn = 1
+            ),
+            cl AS MATERIALIZED (
+                SELECT a.vec_id, a.centroid_id, e.v, e.label
+                FROM assign a JOIN e ON a.vec_id = e.vec_id
+            ),
+            pr AS (
+                SELECT a.vec_id AS pid, a.label AS own,
+                       b.vec_id AS nid, b.label AS nlabel,
+                       list_cosine_similarity(a.v, b.v) AS sim
+                FROM cl a JOIN cl b
+                  ON a.centroid_id = b.centroid_id
+                 AND a.vec_id <> b.vec_id
+            ),
+            topk AS (
+                SELECT pid, own, nlabel FROM (
+                    SELECT pid, own, nlabel,
+                           row_number() OVER (
+                               PARTITION BY pid
+                               ORDER BY sim DESC, nid ASC) AS rn
+                    FROM pr) WHERE rn <= 5
+            ),
+            votes AS (
+                SELECT pid, own, nlabel, COUNT(*) AS cnt
+                FROM topk GROUP BY 1, 2, 3
+            ),
+            maj AS (
+                SELECT pid, own,
+                       CAST(8589934591 - (MAX(cnt * 8589934592
+                            + (8589934591 - nlabel)) % 8589934592)
+                            AS BIGINT) AS maj_label
+                FROM votes GROUP BY 1, 2
+            )
+            SELECT own AS label, maj_label,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM maj GROUP BY 1, 2 ORDER BY 1, 2
+        """
+
+
 def _hybrid_qid_case() -> str:
     """Shared text mapping BM25 query names to the paired vector query
     index (list order in BM25_QUERIES)."""
@@ -8049,6 +8119,58 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runner.run(steps, {"documents": docs}, docs)
 
 
+def q_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YAML-declarable ANN (VERDICT r6 #8): the StepRunner chain
+    filter → similarity_search (llm_steps.py SimilaritySearchStep) —
+    a quarter of the embedding corpus is screened out, then every
+    50th surviving id runs exact cosine top-5 against the SURVIVORS
+    (brute method: corpus scanned once, queries broadcast,
+    WindowGroupLimit partial top-k — the ann_topk plan). The chain
+    proof: neighbors that fail the screen never appear. Oracle
+    replays screen + search in one chained SQL."""
+    _tune(spark)
+    import drune_spark.operators.llm_steps  # noqa: F401
+    import drune_spark.operators.steps  # noqa: F401
+    from drune_spark.config.models import StepConfig
+    from drune_spark.operators.registry import StepRunner
+
+    emb = _t(spark, sf_dir, "embeddings")
+    steps = [
+        StepConfig(name="screen", type="filter",
+                   params={"where": "vec_id % 4 != 3"}),
+        StepConfig(name="search", type="similarity_search", params={
+            "id_col": "vec_id", "vec_col": "embedding",
+            "k": 5, "query_mod": 50, "method": "brute", "round_to": 6,
+        }),
+    ]
+    return StepRunner(spark).run(steps, {"embeddings": emb}, emb)
+
+
+def q_screen_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YAML-declarable label-noise audit (VERDICT r6 #8): the chain
+    filter → label_noise (llm_steps.py LabelNoiseStep) — the same
+    quarter-screen, then the confident-learning confusion grid over
+    survivors only: IVF k-derivation (max(4, n//64)), seed centroids
+    and votes all see the FILTERED corpus, which is exactly what the
+    parameterized oracle replays (_label_noise_oracle with the
+    predicate pushed into both corpus CTEs)."""
+    _tune(spark)
+    import drune_spark.operators.llm_steps  # noqa: F401
+    import drune_spark.operators.steps  # noqa: F401
+    from drune_spark.config.models import StepConfig
+    from drune_spark.operators.registry import StepRunner
+
+    emb = _t(spark, sf_dir, "embeddings")
+    steps = [
+        StepConfig(name="screen", type="filter",
+                   params={"where": "vec_id % 4 != 3"}),
+        StepConfig(name="audit", type="label_noise",
+                   params={"k": 5, "id_col": "vec_id",
+                           "vec_col": "embedding", "label_col": "label"}),
+    ]
+    return StepRunner(spark).run(steps, {"embeddings": emb}, emb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8064,6 +8186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
+        # -- new this round (r7): chained step-type gates -----------------
+        "ann_pipeline": q_ann_pipeline,
+        "screen_pipeline": q_screen_pipeline,
         # -- never-driver-verified backlog, oldest first (63) ------------
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -9484,69 +9609,37 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) >= 2
             ORDER BY hash_hi, hash_lo
         """,
-        "label_noise": """
-            WITH e AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
-                FROM embeddings
+        "label_noise": _label_noise_oracle(),
+        "ann_pipeline": """
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 4 <> 3
             ),
-            kk AS (
-                SELECT GREATEST(4, COUNT(*) // 64) AS k FROM embeddings
+            q AS (
+                SELECT vec_id AS query_id, v AS qv
+                FROM base WHERE vec_id % 50 = 0
             ),
             c AS (
-                SELECT vec_id AS centroid_id, v AS cv FROM (
-                    SELECT vec_id, v,
-                           row_number() OVER (ORDER BY vec_id) AS rn
-                    FROM e)
-                WHERE rn <= (SELECT k FROM kk)
+                SELECT vec_id AS neighbor_id, v AS cv FROM base
             ),
             scored AS (
-                SELECT e.vec_id, c.centroid_id,
-                       list_cosine_similarity(e.v, c.cv) AS sim
-                FROM e, c
+                SELECT query_id, neighbor_id,
+                       list_cosine_similarity(cv, qv) AS cosine
+                FROM c, q WHERE neighbor_id <> query_id
             ),
-            assign AS (
-                SELECT vec_id, centroid_id FROM (
-                    SELECT vec_id, centroid_id,
-                           row_number() OVER (
-                               PARTITION BY vec_id
-                               ORDER BY sim DESC, centroid_id ASC) AS rn
-                    FROM scored) WHERE rn = 1
-            ),
-            cl AS MATERIALIZED (
-                SELECT a.vec_id, a.centroid_id, e.v, e.label
-                FROM assign a JOIN e ON a.vec_id = e.vec_id
-            ),
-            pr AS (
-                SELECT a.vec_id AS pid, a.label AS own,
-                       b.vec_id AS nid, b.label AS nlabel,
-                       list_cosine_similarity(a.v, b.v) AS sim
-                FROM cl a JOIN cl b
-                  ON a.centroid_id = b.centroid_id
-                 AND a.vec_id <> b.vec_id
-            ),
-            topk AS (
-                SELECT pid, own, nlabel FROM (
-                    SELECT pid, own, nlabel,
-                           row_number() OVER (
-                               PARTITION BY pid
-                               ORDER BY sim DESC, nid ASC) AS rn
-                    FROM pr) WHERE rn <= 5
-            ),
-            votes AS (
-                SELECT pid, own, nlabel, COUNT(*) AS cnt
-                FROM topk GROUP BY 1, 2, 3
-            ),
-            maj AS (
-                SELECT pid, own,
-                       CAST(8589934591 - (MAX(cnt * 8589934592
-                            + (8589934591 - nlabel)) % 8589934592)
-                            AS BIGINT) AS maj_label
-                FROM votes GROUP BY 1, 2
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC
+                       ) AS INTEGER) AS rank
+                FROM scored
             )
-            SELECT own AS label, maj_label,
-                   CAST(COUNT(*) AS BIGINT) AS n
-            FROM maj GROUP BY 1, 2 ORDER BY 1, 2
+            SELECT query_id, neighbor_id, rank,
+                   round(cosine, 6) AS cosine
+            FROM ranked WHERE rank <= 5
         """,
+        "screen_pipeline": _label_noise_oracle("vec_id % 4 <> 3"),
         "perceptron_distill": """
             WITH f AS MATERIALIZED (
                 SELECT CAST(1000 AS BIGINT) AS x0,

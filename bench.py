@@ -299,6 +299,8 @@ BENCH_QUERIES = [
     "fim_transform",
     "source_marginals",
     "llm_pipeline",
+    "ann_pipeline",
+    "screen_pipeline",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # dbscan stays out: audit-tier — 21s at sf0.1 even with CC

@@ -295,3 +295,102 @@ class PackStep(Step):
             sized, "__n_toks", id_col,
             budget=budget, n_groups=n_groups, salt=salt,
         )
+
+
+@StepRegistry.register("similarity_search")
+class SimilaritySearchStep(Step):
+    """ANN top-k as a pipeline stage (round 7, VERDICT r6 #8): cosine
+    nearest neighbors over an embedding column, YAML-declarable like
+    dedup/fim/pack. Queries come from a named ``queries_source`` input
+    or — the self-search shape — every ``query_mod``-th id of the
+    (possibly screened) running frame, so the step composes after
+    filters: neighbors are searched among SURVIVORS only.
+
+    ``method='brute'`` is the exact baseline (corpus scanned once,
+    queries broadcast, WindowGroupLimit partial top-k — the ann_topk
+    plan); ``'ivf'`` probes nprobe coarse cells (the 100-TB path).
+    Returns (query_id, neighbor_id, rank, cosine), cosine rounded to
+    ``round_to`` decimals (None skips)."""
+
+    def execute(
+        self,
+        inputs,
+        current,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 5,
+        query_mod: Optional[int] = None,
+        queries_source: Optional[str] = None,
+        method: str = "brute",
+        n_centroids: int = 16,
+        nprobe: int = 4,
+        round_to: Optional[int] = 6,
+        source: Optional[str] = None,
+        **_: Any,
+    ) -> DataFrame:
+        from drune_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        df = self.pick_input(inputs, current, source)
+        if queries_source is not None:
+            q = inputs[queries_source]
+        elif query_mod:
+            q = df.filter(
+                F.pmod(F.col(id_col), F.lit(int(query_mod))) == 0
+            )
+        else:
+            raise ValueError(
+                "similarity_search needs 'query_mod' or 'queries_source'"
+            )
+        q = q.withColumnRenamed(id_col, "query_id")
+        if method == "brute":
+            out = brute_force_topk(
+                df, q, k=k, id_col=id_col, vec_col=vec_col
+            )
+        elif method == "ivf":
+            out = ivf_topk(
+                df, q, k=k, n_centroids=n_centroids, nprobe=nprobe,
+                id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            raise ValueError(f"unknown similarity_search method {method!r}")
+        if round_to is not None:
+            out = out.withColumn(
+                "cosine", F.round("cosine", int(round_to))
+            )
+        return out
+
+
+@StepRegistry.register("label_noise")
+class LabelNoiseStep(Step):
+    """kNN label-noise screen as a pipeline stage (round 7): the
+    confident-learning confusion grid (similarity.knn_label_noise —
+    IVF-blocked neighbors, integer-encoded majority vote) over the
+    running frame, so it composes after screens exactly like the
+    profile/histogram audit steps: assignment, k derivation and votes
+    all happen on SURVIVORS only. Terminal-audit stage: output is the
+    (label, maj_label, n) grid, bounded at |labels|² rows."""
+
+    def execute(
+        self,
+        inputs,
+        current,
+        *,
+        k: int = 5,
+        n_clusters: Optional[int] = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        label_col: str = "label",
+        source: Optional[str] = None,
+        **_: Any,
+    ) -> DataFrame:
+        from drune_spark.operators.similarity import knn_label_noise
+
+        df = self.pick_input(inputs, current, source)
+        return knn_label_noise(
+            df, k=k, n_clusters=n_clusters, id_col=id_col,
+            vec_col=vec_col, label_col=label_col,
+        )

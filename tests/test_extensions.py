@@ -4427,3 +4427,67 @@ class TestRound6bOps:
                for r in StepRunner(spark).run(steps, {}, df).collect()}
         assert set(out) == {1, 4}
         assert all(g == 0 for _, g, _ in out.values())
+
+
+class TestStepPipelineChaining:
+    """Round-7 step types (VERDICT r6 #8): similarity_search and
+    label_noise compose after screens — neighbors/votes see only
+    survivors of earlier steps."""
+
+    @pytest.fixture()
+    def emb(self, spark):
+        import math
+        rows = [
+            (i, [math.cos(0.37 * i + d) for d in range(4)], i % 3)
+            for i in range(24)
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    def _run(self, spark, emb, steps):
+        import drune_spark.operators.llm_steps  # noqa: F401
+        import drune_spark.operators.steps  # noqa: F401
+        from drune_spark.config.models import StepConfig
+        from drune_spark.operators.registry import StepRunner
+
+        cfgs = [StepConfig(name=f"s{i}", type=t, params=p)
+                for i, (t, p) in enumerate(steps)]
+        return StepRunner(spark).run(cfgs, {"embeddings": emb}, emb)
+
+    def test_similarity_search_sees_only_survivors(self, spark, emb):
+        out = self._run(spark, emb, [
+            ("filter", {"where": "vec_id % 4 != 3"}),
+            ("similarity_search", {"k": 3, "query_mod": 8}),
+        ]).collect()
+        assert out, "chain returned no rows"
+        for r in out:
+            assert r.query_id % 8 == 0
+            assert r.neighbor_id % 4 != 3, "screened id leaked into neighbors"
+            assert r.neighbor_id != r.query_id
+            assert 1 <= r.rank <= 3
+
+    def test_similarity_search_matches_direct_call(self, spark, emb):
+        from drune_spark.operators.similarity import brute_force_topk
+
+        chained = self._run(spark, emb, [
+            ("filter", {"where": "vec_id % 4 != 3"}),
+            ("similarity_search", {"k": 3, "query_mod": 8, "round_to": None}),
+        ])
+        surv = emb.filter("vec_id % 4 != 3")
+        q = surv.filter("vec_id % 8 = 0").withColumnRenamed("vec_id", "query_id")
+        direct = brute_force_topk(surv, q, k=3)
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        got = sorted(((r.query_id, r.rank, r.neighbor_id) for r in chained.collect()))
+        want = sorted(((r.query_id, r.rank, r.neighbor_id) for r in direct.collect()))
+        assert got == want
+
+    def test_label_noise_step_audits_survivors_only(self, spark, emb):
+        from drune_spark.operators.similarity import knn_label_noise
+
+        chained = self._run(spark, emb, [
+            ("filter", {"where": "vec_id % 4 != 3"}),
+            ("label_noise", {"k": 2}),
+        ])
+        direct = knn_label_noise(emb.filter("vec_id % 4 != 3"), k=2)
+        got = sorted(map(tuple, chained.collect()))
+        want = sorted(map(tuple, direct.collect()))
+        assert got == want and got
