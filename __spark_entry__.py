@@ -8171,6 +8171,116 @@ def q_screen_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return StepRunner(spark).run(steps, {"embeddings": emb}, emb)
 
 
+def q_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN view maintenance (operators/ivm.py — the
+    join-side companion of rollup_refresh's aggregate IVM): orders and
+    customer each split into a base and a disjoint 'late batch'
+    (o_orderkey % 37 = 0 / c_custkey % 41 = 0); the materialized base
+    view absorbs the batch via the three Δ-terms
+    ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR — each with one Δ-sized side, so refresh
+    shuffles O(|Δ|), never view size. The oracle is the FULL recompute
+    over the complete tables: base ∪ delta == recompute IS the IVM
+    correctness claim (exact bag partition, no dedup step). Money via
+    the DECIMAL(18,6) route (r6 double-cents rule)."""
+    _tune(spark)
+    from drune_spark.operators.ivm import incremental_join_refresh
+
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        cents.alias("total_cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return incremental_join_refresh(
+        orders.filter("o_orderkey % 37 != 0"),
+        cust.filter("custkey % 41 != 0"),
+        orders.filter("o_orderkey % 37 = 0"),
+        cust.filter("custkey % 41 = 0"),
+        on="custkey",
+    ).select("o_orderkey", "custkey", "total_cents", "c_mktsegment")
+
+
+def q_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation rank audit (similarity.py
+    truncation_rank_agreement): for 5 query vectors, the exact
+    full-dim cosine top-10 is re-ranked by the first 32 of 64
+    dimensions and every candidate pair is scored
+    concordant/discordant — the Kendall-τ numerator, exact integers
+    (both rankings are strict row_number permutations, no tie term).
+    Recall@k (ann_recall) asks "same set?"; this asks "same ORDER?" —
+    the metric that degrades first when an index ships truncated
+    vectors. Pair stage is k²-bounded per query; truncated cosines
+    reuse the proven cross-engine fold on identically-sliced
+    operands."""
+    _tune(spark)
+    from drune_spark.operators.similarity import truncation_rank_agreement
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id < 5").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return truncation_rank_agreement(
+        emb, queries_df, k=10, keep_dims=32
+    )
+
+
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scalar functions (CREATE TEMPORARY FUNCTION ...
+    RETURN expr, SPARK-46246 family) — the modern declarative UDF
+    tier beside arrow_udf/UDTF: catalog-registered, Catalyst inlines
+    the body, so the call costs NOTHING at run time (no Python, no
+    serialization — the plan is identical to writing the expression
+    inline, which is exactly what the DuckDB oracle does). Two
+    functions, one COMPOSED of the other (cents → band), prove
+    nested resolution. Money via the DECIMAL route; band division is
+    `div` on nonnegative cents (== DuckDB // on the same domain)."""
+    _tune(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION drune_cents(p DOUBLE) "
+        "RETURNS BIGINT RETURN "
+        "CAST(CAST(p AS DECIMAL(18,6)) * 100 AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION drune_band(p DOUBLE) "
+        "RETURNS BIGINT RETURN drune_cents(p) div 1000000"
+    )
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__sqludf_orders")
+    return spark.sql("""
+        SELECT drune_band(o_totalprice) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(drune_cents(o_totalprice)) AS BIGINT) AS cents
+        FROM __sqludf_orders
+        GROUP BY 1 ORDER BY 1
+    """)
+
+
+def q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman variance-optimal stratified-sample allocation
+    (sampling.py neyman_allocation): a 1000-draw budget split across
+    order priorities ∝ N_h·S_h = sqrt(N·Σx² − (Σx)²) — the
+    minimum-variance companion to the size-based temperature/UniMax
+    quotas. Moments are exact integers (Spark DECIMAL(38,0) / DuckDB
+    HUGEINT — Σcents² overflows int64 at scale), ONE IEEE sqrt per
+    stratum floored to unit, exact largest-remainder rounding (rem
+    DESC, stratum ASC) so allocations sum to the budget precisely.
+    Everything after the GROUP BY is |strata|-sized."""
+    _tune(spark)
+    from drune_spark.operators.sampling import neyman_allocation
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    return neyman_allocation(orders, "o_orderpriority", "cents", budget=1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8189,6 +8299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (r7): chained step-type gates -----------------
         "ann_pipeline": q_ann_pipeline,
         "screen_pipeline": q_screen_pipeline,
+        "join_refresh": q_join_refresh,
+        "rank_tau": q_rank_tau,
+        "sql_udf": q_sql_udf,
+        "neyman_alloc": q_neyman_alloc,
         # -- never-driver-verified backlog, oldest first (63) ------------
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -9640,6 +9754,119 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "screen_pipeline": _label_noise_oracle("vec_id % 4 <> 3"),
+        "join_refresh": """
+            SELECT o_orderkey,
+                   o_custkey AS custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                        AS BIGINT) AS total_cents,
+                   c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "rank_tau": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qv,
+                       CAST(embedding[1:32] AS DOUBLE[]) AS qh
+                FROM embeddings WHERE vec_id < 5
+            ),
+            c AS (
+                SELECT vec_id AS neighbor_id,
+                       CAST(embedding AS DOUBLE[]) AS cv,
+                       CAST(embedding[1:32] AS DOUBLE[]) AS ch
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       list_cosine_similarity(cv, qv) AS cosine,
+                       list_cosine_similarity(ch, qh) AS hsim
+                FROM c, q WHERE neighbor_id <> query_id
+            ),
+            cand AS (
+                SELECT query_id, neighbor_id, hsim, rank_full FROM (
+                    SELECT query_id, neighbor_id, hsim,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC
+                           ) AS rank_full
+                    FROM scored) WHERE rank_full <= 10
+            ),
+            ranked AS (
+                SELECT query_id, rank_full,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY hsim DESC, neighbor_id ASC
+                       ) AS rank_half
+                FROM cand
+            ),
+            pr AS (
+                SELECT a.query_id,
+                       CASE WHEN a.rank_half < b.rank_half
+                            THEN 1 ELSE 0 END AS conc
+                FROM ranked a JOIN ranked b
+                  ON a.query_id = b.query_id
+                 AND a.rank_full < b.rank_full
+            )
+            SELECT query_id,
+                   CAST(SUM(conc) AS BIGINT) AS concordant,
+                   CAST(SUM(1 - conc) AS BIGINT) AS discordant
+            FROM pr GROUP BY query_id ORDER BY query_id
+        """,
+        "sql_udf": """
+            -- Spark side calls drune_band/drune_cents SQL UDFs;
+            -- Catalyst inlines the bodies, so this inlined text is the
+            -- SAME computation (cents = DECIMAL-routed; // == div on
+            -- nonnegative cents)
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                        AS BIGINT) // 1000000 AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6))
+                                 * 100 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders
+            GROUP BY 1 ORDER BY 1
+        """,
+        "neyman_alloc": """
+            WITH base AS (
+                SELECT o_orderpriority AS stratum,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                            AS BIGINT) AS x
+                FROM orders
+            ),
+            s AS (
+                SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       SUM(CAST(x AS HUGEINT)) AS sm,
+                       SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sq
+                FROM base GROUP BY 1
+            ),
+            w AS (
+                SELECT stratum, n_rows,
+                       CAST(floor(sqrt(CAST(CAST(n_rows AS HUGEINT) * sq
+                                            - sm * sm AS DOUBLE))) * 1000
+                            AS BIGINT) AS w_milli
+                FROM s
+            ),
+            t AS (SELECT CAST(SUM(w_milli) AS BIGINT) AS w_tot FROM w),
+            q AS (
+                SELECT stratum, n_rows, w_milli,
+                       CAST(floor((1000.0 * w_milli) / w_tot) AS BIGINT)
+                           AS q_base,
+                       1000 * w_milli
+                       - CAST(floor((1000.0 * w_milli) / w_tot) AS BIGINT)
+                         * w_tot AS rem
+                FROM w CROSS JOIN t
+            ),
+            l AS (SELECT CAST(1000 - SUM(q_base) AS BIGINT) AS leftover
+                  FROM q),
+            r AS (
+                SELECT stratum, n_rows, w_milli, q_base, rem,
+                       row_number() OVER (ORDER BY rem DESC, stratum ASC)
+                           AS rk
+                FROM q
+            )
+            SELECT stratum, n_rows, w_milli,
+                   CAST(q_base + CASE WHEN rk <= l.leftover
+                                      THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM r CROSS JOIN l ORDER BY stratum
+        """,
         "perceptron_distill": """
             WITH f AS MATERIALIZED (
                 SELECT CAST(1000 AS BIGINT) AS x0,

@@ -301,6 +301,10 @@ BENCH_QUERIES = [
     "llm_pipeline",
     "ann_pipeline",
     "screen_pipeline",
+    "join_refresh",
+    "rank_tau",
+    "sql_udf",
+    "neyman_alloc",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # dbscan stays out: audit-tier — 21s at sf0.1 even with CC

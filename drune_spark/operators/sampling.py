@@ -581,3 +581,93 @@ TEMPERATURE_MIX_SQL = """
                 AS BIGINT) AS quota
     FROM r CROSS JOIN l
 """
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    cents_col: str,
+    budget: int = 1000,
+) -> DataFrame:
+    """Neyman (variance-optimal) stratified-sample allocation (Neyman
+    1934): split a sampling ``budget`` across strata ∝ N_h·S_h — the
+    minimum-variance design for a fixed budget, and the principled
+    upgrade over proportional quotas when strata differ in spread
+    (the temperature/UniMax family covers size-based quotas; this is
+    the variance-based one).
+
+    Exact-integer discipline: with population variance,
+    N_h·S_h = sqrt(N_h·Σx² − (Σx)²), so the weight is ONE IEEE sqrt
+    of an exactly-computed integer. The inner moment arithmetic runs
+    in DECIMAL(38,0) (Σx² at 100 TB overflows int64; the DuckDB twin
+    uses HUGEINT — both are exact integers, and the final
+    integer→double cast is correctly rounded in both engines, so the
+    sqrt inputs are bit-identical). The weight floors to milli before
+    any ratio (the mann_kendall/temperature discipline), and the
+    budget splits by exact largest-remainder rounding (rem DESC,
+    stratum ASC — quotas sum to ``budget`` precisely; the
+    TEMPERATURE_MIX_SQL machinery).
+
+    One stratum-cell aggregate + window math on a |strata|-row frame:
+    nothing after the GROUP BY scales with rows.
+
+    Returns (stratum, n_rows, w_milli, alloc) ordered by stratum.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(cents_col).cast("long")
+    s = (
+        df.select(
+            F.col(stratum_col).alias("stratum"),
+            x.alias("x"),
+            (x * x).alias("xx"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sm"),
+            F.sum(F.col("xx").cast("decimal(38,0)")).alias("sq"),
+        )
+        .select(
+            "stratum",
+            "n_rows",
+            F.expr(
+                "CAST(floor(sqrt(CAST(CAST(n_rows AS DECIMAL(38,0)) * sq"
+                " - sm * sm AS DOUBLE))) * 1000 AS BIGINT)"
+            ).alias("w_milli"),
+        )
+    )
+    # floor(sqrt(m2)) * 1000: the sqrt of an exact integer, floored to
+    # UNIT first (both engines agree bit-for-bit on integer floors of
+    # IEEE sqrt), then scaled — avoids milli-edge double products.
+    wall = Window.partitionBy()
+    tot = F.sum("w_milli").over(wall)
+    withq = s.select(
+        "stratum",
+        "n_rows",
+        "w_milli",
+        F.expr(
+            f"CAST(floor(({budget}.0 * w_milli) / "
+            f"(SUM(w_milli) OVER ())) AS BIGINT)"
+        ).alias("q_base"),
+        (F.lit(budget) * F.col("w_milli")).alias("bw"),
+        tot.alias("w_tot"),
+    ).withColumn("rem", F.col("bw") - F.col("q_base") * F.col("w_tot"))
+    leftover = F.lit(budget) - F.sum("q_base").over(wall)
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("stratum").asc())
+    )
+    return (
+        withq.withColumn("leftover", leftover)
+        .withColumn("rk", rk)
+        .select(
+            "stratum",
+            "n_rows",
+            "w_milli",
+            (
+                F.col("q_base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+        .orderBy("stratum")
+    )

@@ -841,3 +841,94 @@ def knn_label_noise(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "maj_label")
     )
+
+
+def truncation_rank_agreement(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    keep_dims: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Kendall-tau rank agreement between the FULL-dimension cosine
+    ranking and the ranking induced by the first ``keep_dims``
+    dimensions — the matryoshka/MRL truncation audit (Kusupati et al.
+    2022): before shipping truncated embeddings to cut index cost
+    2×, measure how much neighbor ORDER they preserve (recall@k says
+    whether the same set comes back; tau says whether it comes back
+    in the same order — the metric that degrades first).
+
+    Per query: the top-``k`` full-dim candidates (brute_force_topk —
+    exact, ties on neighbor id) are re-ranked by truncated cosine
+    (same tie rule); every one of the k·(k−1)/2 candidate pairs is
+    concordant or discordant (row_number makes both rankings strict
+    permutations, so no tie term). Concordant/discordant counts are
+    exact integers; τ = (C − D) / (C + D) is left to the reader so no
+    engine division enters the hash.
+
+    Scale shape: candidate sets are k rows per query — the pair stage
+    is a k²-bounded within-query self-join on broadcast-sized frames;
+    the only corpus-sized work is the exact top-k scan it audits.
+    Truncated cosines reuse the proven cross-engine fold on the SAME
+    sliced operand order, so the DuckDB oracle replays both rankings
+    bit-for-bit.
+
+    Returns (query_id, concordant, discordant) ordered by query.
+    """
+    from pyspark.sql import Window
+
+    from drune_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    full = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    ch = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(F.slice(F.col(vec_col), 1, keep_dims)).alias("hv"),
+    )
+    qh = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.slice(F.col(vec_col), 1, keep_dims)).alias("qh"),
+    )
+    cand = (
+        full.select(
+            "query_id", "neighbor_id", F.col("rank").alias("rank_full")
+        )
+        .join(ch, "neighbor_id")
+        .join(F.broadcast(qh), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank_full",
+            cosine_similarity(F.col("hv"), F.col("qh")).alias("hsim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hsim").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = cand.withColumn("rank_half", F.row_number().over(w))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.rank_full") < F.col("b.rank_full")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.when(
+            F.col("a.rank_half") < F.col("b.rank_half"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("conc"),
+    )
+    return (
+        pairs.groupBy("query_id")
+        .agg(
+            F.sum("conc").cast("long").alias("concordant"),
+            F.sum(F.lit(1) - F.col("conc")).cast("long").alias("discordant"),
+        )
+        .orderBy("query_id")
+    )

@@ -4491,3 +4491,76 @@ class TestStepPipelineChaining:
         got = sorted(map(tuple, chained.collect()))
         want = sorted(map(tuple, direct.collect()))
         assert got == want and got
+
+
+class TestRound7Operators:
+    def test_join_refresh_equals_full_recompute(self, spark):
+        from drune_spark.operators.ivm import (
+            incremental_join_refresh,
+            join_refresh_delta,
+        )
+        L = spark.createDataFrame(
+            [(i, i % 3, i * 10) for i in range(12)], ["lid", "k", "lv"]
+        )
+        R = spark.createDataFrame(
+            [(j, j % 3, j * 100) for j in range(6)], ["rid", "k", "rv"]
+        )
+        Lb, Ld = L.filter("lid % 4 != 0"), L.filter("lid % 4 = 0")
+        Rb, Rd = R.filter("rid % 5 != 0"), R.filter("rid % 5 = 0")
+        inc = incremental_join_refresh(Lb, Rb, Ld, Rd, on="k")
+        full = L.join(R, "k")
+        got = sorted(map(tuple, inc.select("k", "lid", "lv", "rid", "rv").collect()))
+        want = sorted(map(tuple, full.select("k", "lid", "lv", "rid", "rv").collect()))
+        assert got == want and got
+        # the delta alone must be exactly full minus base (bag difference)
+        delta = join_refresh_delta(Lb, Rb, Ld, Rd, on="k")
+        base = Lb.join(Rb, "k")
+        assert delta.count() == full.count() - base.count()
+
+    def test_truncation_rank_agreement_counts(self, spark):
+        import math
+        from drune_spark.operators.similarity import truncation_rank_agreement
+
+        # dims 0-1 and dims 2-3 deliberately disagree for some items
+        rows = [
+            (i, [math.cos(0.9 * i), math.sin(0.9 * i),
+                 math.cos(2.3 * i + 1), math.sin(2.3 * i + 1)])
+            for i in range(10)
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = emb.filter("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+        out = truncation_rank_agreement(emb, q, k=5, keep_dims=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.concordant + r.discordant == 5 * 4 // 2
+        # perfect agreement when truncation keeps every dimension
+        full = truncation_rank_agreement(emb, q, k=5, keep_dims=4).collect()[0]
+        assert full.discordant == 0 and full.concordant == 10
+
+    def test_neyman_allocation_hand_case(self, spark):
+        import math
+        from drune_spark.operators.sampling import neyman_allocation
+
+        # stratum a: constant (S=0); b: spread 2x of c at same size
+        rows = (
+            [("a", 100)] * 4
+            + [("b", v) for v in (0, 200, 0, 200)]
+            + [("c", v) for v in (0, 100, 0, 100)]
+        )
+        df = spark.createDataFrame(rows, ["s", "cents"])
+        out = {r.stratum: r
+               for r in neyman_allocation(df, "s", "cents", budget=90).collect()}
+        assert out["a"].alloc == 0 and out["a"].w_milli == 0
+        # N*S = sqrt(n*sumsq - sm^2): b = sqrt(4*80000-400^2)=400, c=200
+        assert out["b"].w_milli == 400_000 and out["c"].w_milli == 200_000
+        assert out["b"].alloc == 60 and out["c"].alloc == 30
+        assert sum(r.alloc for r in out.values()) == 90
+
+    def test_neyman_allocation_budget_exact(self, spark):
+        from drune_spark.operators.sampling import neyman_allocation
+
+        rows = [(f"s{i % 7}", (i * 37) % 500) for i in range(200)]
+        df = spark.createDataFrame(rows, ["s", "cents"])
+        out = neyman_allocation(df, "s", "cents", budget=997).collect()
+        assert sum(r.alloc for r in out) == 997
+        assert all(r.alloc >= 0 for r in out)
