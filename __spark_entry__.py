@@ -8281,6 +8281,24 @@ def q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_allocation(orders, "o_orderpriority", "cents", budget=1000)
 
 
+def q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key admission quota (streaming/runner.py
+    stream_admission): first 25 events per type admitted across a
+    4-micro-batch availableNow drain — cross-batch state is a
+    |keys|-row counter dict (the stream_cms_merge discipline; row
+    data never reaches the driver), batches are mtime-pinned single
+    files split by id % 4, rows rank by id within a batch, so the
+    whole run is closed-form: the oracle is
+    row_number() OVER (key ORDER BY id % 4, id) <= 25."""
+    _tune(spark)
+    from drune_spark.streaming.runner import stream_admission
+
+    return stream_admission(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        key_col="event_type", id_col="event_id", quota=25,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8303,6 +8321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_tau": q_rank_tau,
         "sql_udf": q_sql_udf,
         "neyman_alloc": q_neyman_alloc,
+        "stream_admission": q_stream_admission,
         # -- never-driver-verified backlog, oldest first (63) ------------
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -9866,6 +9885,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(q_base + CASE WHEN rk <= l.leftover
                                       THEN 1 ELSE 0 END AS BIGINT) AS alloc
             FROM r CROSS JOIN l ORDER BY stratum
+        """,
+        "stream_admission": """
+            SELECT event_type, event_id FROM (
+                SELECT event_type, event_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY event_id % 4, event_id
+                       ) AS rk
+                FROM events
+            ) WHERE rk <= 25
+            ORDER BY event_type, event_id
         """,
         "perceptron_distill": """
             WITH f AS MATERIALIZED (

@@ -723,3 +723,106 @@ def stream_cms_sketch(
     return top.join(est, "user_id").select(
         "user_id", "true_n", "cms_count"
     )
+
+
+def stream_admission(
+    spark: SparkSession,
+    events_path: str,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    quota: int = 25,
+    n_splits: int = 4,
+    n_state_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming per-key admission quota via foreachBatch — the ingest
+    budget enforcer ("first N documents per source, then stop paying
+    for that source"): a cross-batch counter admits each key's rows
+    until its quota is spent, across however many micro-batches the
+    drain produces. The cross-batch state is a |keys|-row dict of
+    admitted counts (the stream_cms_merge grid discipline) — row-level
+    data NEVER reaches the driver: each batch ranks its rows per key
+    executor-side (row_number), joins the broadcast counter map, and
+    appends only admitted (key, id) rows to the sink; the driver folds
+    per-key ADMITTED COUNTS only.
+
+    Determinism by construction (the r4 mtime pattern): the input is
+    split into ``n_splits`` single-file micro-batches by
+    ``id % n_splits`` with pinned mtimes, and within a batch rows rank
+    by id — so the admission order is globally (id % n_splits, id) and
+    the whole run is closed-form: admitted =
+    row_number() OVER (PARTITION BY key ORDER BY id % n_splits, id)
+    <= quota, which IS the oracle text. Batch-split invariance of the
+    quota (not of admission ORDER — quotas are order-sensitive by
+    definition) is the property under test.
+
+    Returns the admitted (key_col, id_col) rows — ≤ quota · |keys|.
+    """
+    import shutil
+
+    ev = spark.read.parquet(events_path).select(
+        F.col(key_col).alias("k"), F.col(id_col).alias("i")
+    )
+    split_dir = tempfile.mkdtemp(prefix="drune_admit_stream_")
+    out_dir = os.path.join(split_dir, "admitted")
+    seen: dict[str, int] = {}
+    try:
+        (
+            ev.withColumn("sp", F.pmod("i", F.lit(n_splits)))
+            .repartition(n_splits, "sp")
+            .select("k", "i", "sp")
+            .write.mode("overwrite")
+            .partitionBy("sp")
+            .parquet(os.path.join(split_dir, "in"))
+        )
+        # FileStreamSource orders batches by (mtime, path): pin mtimes
+        # so sp=0..n-1 drain in that exact order.
+        import time as _time
+
+        now = _time.time()
+        for b in range(n_splits):
+            d = os.path.join(split_dir, "in", f"sp={b}")
+            for fn in os.listdir(d):
+                p = os.path.join(d, fn)
+                os.utime(p, (now - 600 + 100 * b,) * 2)
+
+        from pyspark.sql import Window
+
+        def admit(batch_df: DataFrame, batch_id: int) -> None:
+            m = spark.createDataFrame(
+                list(seen.items()) or [("", 0)], "k string, prior long"
+            )
+            w = Window.partitionBy("k").orderBy("i")
+            adm = (
+                batch_df.withColumn("rk", F.row_number().over(w))
+                .join(F.broadcast(m), "k", "left")
+                .filter(
+                    F.col("rk") + F.coalesce("prior", F.lit(0)) <= quota
+                )
+                .select("k", "i")
+            )
+            adm.write.mode("append").parquet(out_dir)
+            for r in adm.groupBy("k").count().collect():
+                seen[r.k] = seen.get(r.k, 0) + r["count"]
+
+        with tempfile.TemporaryDirectory() as ckpt, \
+                state_partitions(spark, n_state_partitions):
+            query = (
+                spark.readStream.schema("k string, i bigint")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(os.path.join(split_dir, "in", "sp=*"))
+                .writeStream
+                .foreachBatch(admit)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+        rows = [
+            (r.k, r.i)
+            for r in spark.read.parquet(out_dir).collect()
+        ]  # ≤ quota·|keys| admitted cells — bounded driver fetch
+    finally:
+        shutil.rmtree(split_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), schema=f"{key_col} string, {id_col} bigint"
+    )

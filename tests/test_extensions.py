@@ -4564,3 +4564,34 @@ class TestRound7Operators:
         out = neyman_allocation(df, "s", "cents", budget=997).collect()
         assert sum(r.alloc for r in out) == 997
         assert all(r.alloc >= 0 for r in out)
+
+    def test_stream_admission_quota_split_invariant(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from drune_spark.streaming.runner import stream_admission
+
+        path = str(tmp_path / "ev.parquet")
+        n = 60
+        pq.write_table(
+            pa.table({
+                "event_type": [f"t{i % 2}" for i in range(n)],
+                "event_id": pa.array(list(range(n)), type=pa.int64()),
+            }),
+            path,
+        )
+        out4 = stream_admission(spark, path, quota=7, n_splits=4).collect()
+        out1 = stream_admission(spark, path, quota=7, n_splits=1).collect()
+        # per-key quota holds under any batching
+        from collections import Counter
+        for out in (out4, out1):
+            c = Counter(r.event_type for r in out)
+            assert all(v == 7 for v in c.values()), c
+        # 4-split admission order is (id % 4, id): the closed form
+        want = set()
+        for t in ("t0", "t1"):
+            ids = sorted(
+                (i for i in range(n) if f"t{i % 2}" == t),
+                key=lambda i: (i % 4, i),
+            )[:7]
+            want |= {(t, i) for i in ids}
+        assert {(r.event_type, r.event_id) for r in out4} == want
