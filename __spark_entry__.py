@@ -8299,6 +8299,62 @@ def q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-cutoff retention curve (text_analysis.py
+    threshold_sweep): docs and token mass surviving each candidate
+    min-token threshold — the artifact that PICKS the cutoff
+    filter_cascade then charges attrition to. One scan, (docs × |T|)
+    explode cells into one aggregate; integer-exact."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import threshold_sweep
+
+    return threshold_sweep(
+        _t(spark, sf_dir, "documents"), "text",
+        thresholds=[10, 25, 50, 100, 200],
+    )
+
+
+def q_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map skipping effectiveness audit (layout.py
+    zonemap_skip_audit): simulated 64-row row-groups under the natural
+    o_orderkey layout vs a price-clustered layout, pruned by the
+    parquet stats rule (group [min,max] misses the predicate band) —
+    the quantified before/after for a clustering rewrite that
+    zorder_layout's key construction feeds. Integer cents via the
+    DECIMAL route; both layouts are total orders (id tie-break), so
+    the oracle replays group assignment exactly."""
+    _tune(spark)
+    from drune_spark.operators.layout import zonemap_skip_audit
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    return zonemap_skip_audit(
+        orders, "cents", "o_orderkey",
+        group_rows=64, lo=10_000_000, hi=12_000_000,
+    )
+
+
+def q_dp_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report-noisy-max private median (privacy.py dp_median_band):
+    document token counts band into width-10 buckets; each band's
+    utility −|2·cum − total| plus seeded-geometric noise, noisy
+    argmax = released median band — the DP SELECTION primitive beside
+    dp_counts' value perturbation, all-integer (leading-ones draws,
+    conv/printf parity), every draw and the argmax replayed by the
+    oracle."""
+    _tune(spark)
+    from drune_spark.operators.privacy import dp_median_band
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks")
+    )
+    return dp_median_band(docs, "n_toks", band_width=10, salt="dpm1")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8322,6 +8378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_udf": q_sql_udf,
         "neyman_alloc": q_neyman_alloc,
         "stream_admission": q_stream_admission,
+        "threshold_sweep": q_threshold_sweep,
+        "zonemap_audit": q_zonemap_audit,
+        "dp_median": q_dp_median,
         # -- never-driver-verified backlog, oldest first (63) ------------
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -9896,6 +9955,107 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) WHERE rk <= 25
             ORDER BY event_type, event_id
+        """,
+        "threshold_sweep": """
+            WITH n AS (
+                SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n
+                FROM documents
+            ),
+            cells AS (
+                SELECT n.n, t.threshold
+                FROM n CROSS JOIN (
+                    SELECT UNNEST([10, 25, 50, 100, 200]) AS threshold
+                ) t
+            )
+            SELECT CAST(threshold AS INTEGER) AS threshold,
+                   CAST(SUM(CASE WHEN n >= threshold THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_kept,
+                   CAST(SUM(CASE WHEN n >= threshold THEN n ELSE 0 END)
+                        AS BIGINT) AS tokens_kept
+            FROM cells GROUP BY 1 ORDER BY 1
+        """,
+        "zonemap_audit": """
+            WITH base AS (
+                SELECT CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                            AS BIGINT) AS v,
+                       o_orderkey AS o
+                FROM orders
+            ),
+            nat AS (
+                SELECT v,
+                       (row_number() OVER (ORDER BY o) - 1) // 64 AS grp
+                FROM base
+            ),
+            clu AS (
+                SELECT v,
+                       (row_number() OVER (ORDER BY v, o) - 1) // 64 AS grp
+                FROM base
+            ),
+            natg AS (
+                SELECT grp, MIN(v) AS mn, MAX(v) AS mx,
+                       COUNT(*) AS n
+                FROM nat GROUP BY 1
+            ),
+            clug AS (
+                SELECT grp, MIN(v) AS mn, MAX(v) AS mx,
+                       COUNT(*) AS n
+                FROM clu GROUP BY 1
+            ),
+            ug AS (
+                SELECT 'natural' AS layout, mn, mx, n FROM natg
+                UNION ALL
+                SELECT 'clustered' AS layout, mn, mx, n FROM clug
+            )
+            SELECT layout,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN mx < 10000000 OR mn > 12000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS groups_skipped,
+                   CAST(SUM(CASE WHEN mx < 10000000 OR mn > 12000000
+                                 THEN 0 ELSE n END) AS BIGINT)
+                       AS rows_scanned
+            FROM ug GROUP BY 1 ORDER BY 1
+        """,
+        "dp_median": """
+            WITH cells AS (
+                SELECT len(regexp_split_to_array(trim(text), '\\s+'))
+                       // 10 AS band,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1
+            ),
+            g AS (
+                SELECT band, n,
+                       32 - length(printf('%b', 4294967295 -
+                           ('0x' || substr(md5('dpm1a' ||
+                                CAST(band AS VARCHAR)), 1, 8))::BIGINT))
+                           AS g1,
+                       32 - length(printf('%b', 4294967295 -
+                           ('0x' || substr(md5('dpm1b' ||
+                                CAST(band AS VARCHAR)), 1, 8))::BIGINT))
+                           AS g2
+                FROM cells
+            ),
+            sc AS (
+                SELECT band, n,
+                       SUM(n) OVER (ORDER BY band) AS cum_count,
+                       SUM(n) OVER () AS total,
+                       CAST(2 * (g1 - g2) AS BIGINT) AS noise
+                FROM g
+            ),
+            scored AS (
+                SELECT band, n, CAST(cum_count AS BIGINT) AS cum_count,
+                       CAST(-abs(2 * cum_count - total) AS BIGINT)
+                           AS utility,
+                       noise,
+                       CAST(-abs(2 * cum_count - total) + noise
+                            AS BIGINT) AS score
+                FROM sc
+            )
+            SELECT band, n, cum_count, utility, noise, score,
+                   CAST(CASE WHEN row_number() OVER (
+                            ORDER BY score DESC, band ASC) = 1
+                        THEN 1 ELSE 0 END AS INTEGER) AS chosen
+            FROM scored ORDER BY band
         """,
         "perceptron_distill": """
             WITH f AS MATERIALIZED (

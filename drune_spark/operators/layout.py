@@ -218,3 +218,65 @@ def hilbert_column(
     return joined.select(
         *df.columns, _h(norms[0], norms[1]).alias(out_col)
     )
+
+
+def zonemap_skip_audit(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_rows: int = 64,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> DataFrame:
+    """Zone-map (row-group min/max) skipping effectiveness audit: for
+    a range predicate ``value BETWEEN lo AND hi``, how many simulated
+    row-groups a reader could SKIP under (a) the natural ``order_col``
+    layout vs (b) a layout clustered on ``value_col`` — the
+    quantified before/after for a zorder_write/compact decision
+    (zorder_layout builds the clustering key; this measures what the
+    clustering buys on a given predicate). A group is skippable iff
+    its [min, max] misses [lo, hi] entirely — exactly the parquet
+    row-group-stats pruning rule.
+
+    Simulation note: groups are ``row_number() div group_rows`` under
+    each layout's total order (ties broken by ``order_col``), i.e. a
+    global-sort window — fine at audit scale, and at production scale
+    this operator is unnecessary: the real row-group stats come free
+    from the parquet footers (file_spans reads them); the audit's
+    value is choosing layouts BEFORE paying for the rewrite.
+
+    Returns one row per layout: (layout, n_groups, groups_skipped,
+    rows_scanned) — rows_scanned = rows inside non-skippable groups.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+
+    def audit(order_cols, name: str) -> DataFrame:
+        # order_cols refer to the projected names: "o" (natural) / "v"
+        w = Window.orderBy(*order_cols)
+        g = (
+            df.select(v.alias("v"), F.col(order_col).alias("o"))
+            .withColumn("__rn", F.row_number().over(w) - 1)
+            .withColumn(
+                "grp", F.expr(f"__rn div {int(group_rows)}")
+            )
+            .groupBy("grp")
+            .agg(
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        skip = (F.col("mx") < F.lit(lo)) | (F.col("mn") > F.lit(hi))
+        return g.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(skip.cast("long")).alias("groups_skipped"),
+            F.sum(F.when(skip, F.lit(0)).otherwise(F.col("n")))
+            .alias("rows_scanned"),
+        )
+
+    natural = audit([F.col("o")], "natural")
+    clustered = audit([F.col("v"), F.col("o")], "clustered")
+    return natural.unionAll(clustered).orderBy("layout")

@@ -185,3 +185,75 @@ def dp_noisy_counts(
             "noisy_n"
         ),
     )
+
+
+def dp_median_band(
+    df: DataFrame,
+    value_col: str,
+    band_width: int = 10,
+    salt: str = "dpm1",
+) -> DataFrame:
+    """Private median selection via report-noisy-max — the SELECTION
+    side of differential privacy (dp_noisy_counts perturbs released
+    VALUES; exponential-mechanism-style selection privately picks an
+    ELEMENT): values bucket into ``band_width``-wide bands, each band
+    scores utility u_b = −|2·cum_b − total| (maximal at the median
+    band, sensitivity ≤ 2 per added/removed row), gets
+    mechanism-shaped noise 2·(G₁ − G₂) from the seeded Geometric(1/2)
+    leading-ones draws (the dp_noisy_counts machinery — same honesty
+    caveat: formally DP only with a secret, single-use salt), and the
+    noisy argmax (score DESC, band ASC — the integer-encoded max
+    idiom) is the released median band.
+
+    All-integer end to end: cumulative counts are window sums over
+    the band cells, utilities and noise are int64 arithmetic, no
+    exp/ln sampling — the DuckDB oracle replays every draw and the
+    argmax exactly.
+
+    One groupBy to band cells; windows run on the |bands|-row frame.
+    Returns (band, n, cum_count, utility, noise, score, chosen)
+    ordered by band, with exactly one chosen = 1 row.
+    """
+    from pyspark.sql import Window
+
+    from drune_spark.functions.hashes import md5_u32
+
+    band = F.expr(f"CAST({value_col} AS BIGINT) div {int(band_width)}")
+    cells = (
+        df.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    def _lead_ones(u):
+        comp = (F.lit(4294967295).cast("long") - u).cast("string")
+        return F.lit(32) - F.length(F.conv(comp, 10, 2))
+
+    key = F.col("band").cast("string")
+    g1 = _lead_ones(md5_u32(F.concat(F.lit(salt + "a"), key)))
+    g2 = _lead_ones(md5_u32(F.concat(F.lit(salt + "b"), key)))
+    w_cum = Window.orderBy("band")
+    w_all = Window.partitionBy()
+    scored = cells.select(
+        "band",
+        "n",
+        F.sum("n").over(w_cum).alias("cum_count"),
+        F.sum("n").over(w_all).alias("total"),
+        (F.lit(2) * (g1 - g2)).cast("long").alias("noise"),
+    ).select(
+        "band",
+        "n",
+        "cum_count",
+        (-F.abs(F.lit(2) * F.col("cum_count") - F.col("total")))
+        .cast("long").alias("utility"),
+        "noise",
+    ).withColumn("score", F.col("utility") + F.col("noise"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("score").desc(), F.col("band").asc())
+    )
+    return (
+        scored.withColumn("chosen", (rk == 1).cast("int"))
+        .select("band", "n", "cum_count", "utility", "noise",
+                "score", "chosen")
+        .orderBy("band")
+    )

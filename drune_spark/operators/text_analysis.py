@@ -1132,3 +1132,41 @@ def filter_cascade(
         )
     )
     return report
+
+
+def threshold_sweep(
+    df: DataFrame,
+    text_col: str,
+    thresholds: list[int] | None = None,
+) -> DataFrame:
+    """Retention curve for a min-token quality cutoff — the
+    pick-the-threshold artifact that precedes every fixed filter
+    (filter_cascade reports attrition for a CHOSEN pipeline; this
+    reports what each CANDIDATE cutoff would cost): for each
+    threshold T, how many documents and how much token mass survive
+    ``n_tokens >= T``.
+
+    One corpus pass: per-doc token count (codegen split-size), then an
+    explode over the |T|-element threshold array — (docs × |T|) cells
+    into one aggregate, no per-threshold rescans, no totals join. At
+    100 TB the sweep costs the same scan the filter itself would.
+
+    Returns (threshold, docs_kept, tokens_kept) ordered by threshold.
+    """
+    thresholds = thresholds or [10, 25, 50, 100, 200]
+    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    cells = df.select(n.alias("n")).select(
+        "n",
+        F.explode(
+            F.array(*[F.lit(int(t)) for t in sorted(thresholds)])
+        ).alias("threshold"),
+    )
+    keep = (F.col("n") >= F.col("threshold")).cast("long")
+    return (
+        cells.groupBy("threshold")
+        .agg(
+            F.sum(keep).alias("docs_kept"),
+            F.sum(keep * F.col("n")).alias("tokens_kept"),
+        )
+        .orderBy("threshold")
+    )

@@ -4595,3 +4595,66 @@ class TestRound7Operators:
             )[:7]
             want |= {(t, i) for i in ids}
         assert {(r.event_type, r.event_id) for r in out4} == want
+
+    def test_threshold_sweep_monotone(self, spark):
+        from drune_spark.operators.text_analysis import threshold_sweep
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * (5 * i))) for i in range(1, 9)],
+            ["doc_id", "text"],
+        )
+        out = threshold_sweep(docs, "text", thresholds=[5, 20, 100]).collect()
+        by_t = {r.threshold: r for r in out}
+        assert by_t[5].docs_kept == 8 and by_t[5].tokens_kept == 5 * 36
+        assert by_t[20].docs_kept == 5          # 20,25,30,35,40 tokens
+        assert by_t[20].tokens_kept == 5 * (4 + 5 + 6 + 7 + 8)
+        assert by_t[100].docs_kept == 0 and by_t[100].tokens_kept == 0
+
+    def test_zonemap_audit_clustered_skips(self, spark):
+        from drune_spark.operators.layout import zonemap_skip_audit
+
+        rows = [(i, (i * 7919) % 1000) for i in range(400)]  # shuffled values
+        df = spark.createDataFrame(rows, ["rid", "val"])
+        out = {r.layout: r for r in zonemap_skip_audit(
+            df, "val", "rid", group_rows=50, lo=100, hi=150
+        ).collect()}
+        assert out["natural"].n_groups == 8
+        assert out["clustered"].n_groups == 8
+        # clustered layout confines the band to few groups; shuffled
+        # layout spreads it everywhere
+        assert out["clustered"].groups_skipped > out["natural"].groups_skipped
+        assert out["clustered"].rows_scanned < out["natural"].rows_scanned
+        # skipped groups can't contain matching rows: scanned rows must
+        # cover all matches
+        n_match = sum(1 for _, v in rows if 100 <= v <= 150)
+        assert out["clustered"].rows_scanned >= n_match
+
+    def test_dp_median_band_python_replay(self, spark):
+        import hashlib
+        from drune_spark.operators.privacy import dp_median_band
+
+        vals = [(v,) for v in [3, 7, 12, 12, 18, 25, 25, 25, 33, 41]]
+        df = spark.createDataFrame(vals, ["v"])
+        out = dp_median_band(df, "v", band_width=10, salt="t1").collect()
+
+        def lead_ones(u):
+            comp = 4294967295 - u
+            return 32 - len(format(comp, 'b'))
+
+        total = len(vals)
+        cum = 0
+        want = []
+        for band in sorted({v // 10 for (v,) in vals}):
+            n = sum(1 for (v,) in vals if v // 10 == band)
+            cum += n
+            u1 = int(hashlib.md5(f"t1a{band}".encode()).hexdigest()[:8], 16)
+            u2 = int(hashlib.md5(f"t1b{band}".encode()).hexdigest()[:8], 16)
+            noise = 2 * (lead_ones(u1) - lead_ones(u2))
+            util = -abs(2 * cum - total)
+            want.append((band, n, cum, util, noise, util + noise))
+        got = [(r.band, r.n, r.cum_count, r.utility, r.noise, r.score)
+               for r in out]
+        assert got == want
+        chosen = [r for r in out if r.chosen == 1]
+        best = max(want, key=lambda t: (t[5], -t[0]))
+        assert len(chosen) == 1 and chosen[0].band == best[0]
