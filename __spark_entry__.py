@@ -8355,6 +8355,49 @@ def q_dp_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_median_band(docs, "n_toks", band_width=10, salt="dpm1")
 
 
+def q_rollup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware aggregate IVM (ivm.py apply_agg_delta — the
+    CDC changelog absorber beside rollup_refresh's insert-only
+    partition rewrite): the per-priority (count, cents) view absorbs
+    a signed delta — every 223rd order DELETED (−1 old), every 211th
+    surviving order repriced +1 cent (−old, +new pair). Count/sum are
+    invertible (abelian) aggregates, so the merge is O(|Δ| + touched
+    groups); the oracle recomputes the view from the FINAL base state
+    with no knowledge of the changelog — equality IS the retraction
+    correctness claim."""
+    _tune(spark)
+    from drune_spark.operators.ivm import apply_agg_delta
+
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        "o_orderkey",
+        cents.alias("cents"),
+    )
+    view = orders.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+    )
+    deleted = orders.filter("o_orderkey % 223 = 0").select(
+        "prio", F.lit(-1).alias("sign"), F.col("cents").alias("val")
+    )
+    repriced = orders.filter(
+        "o_orderkey % 211 = 0 AND o_orderkey % 223 != 0"
+    )
+    delta = deleted.unionByName(
+        repriced.select("prio", F.lit(-1).alias("sign"),
+                        F.col("cents").alias("val"))
+    ).unionByName(
+        repriced.select("prio", F.lit(1).alias("sign"),
+                        (F.col("cents") + 1).alias("val"))
+    )
+    return apply_agg_delta(
+        view, delta, ["prio"], count_col="n", sum_col="total"
+    ).orderBy("prio")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8381,6 +8424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         "zonemap_audit": q_zonemap_audit,
         "dp_median": q_dp_median,
+        "rollup_retract": q_rollup_retract,
         # -- never-driver-verified backlog, oldest first (63) ------------
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -10056,6 +10100,24 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY score DESC, band ASC) = 1
                         THEN 1 ELSE 0 END AS INTEGER) AS chosen
             FROM scored ORDER BY band
+        """,
+        "rollup_retract": """
+            -- the FINAL base state: 223-multiples deleted, surviving
+            -- 211-multiples repriced +1 cent — recomputed with no
+            -- knowledge of the changelog the Spark side absorbed
+            WITH final_state AS (
+                SELECT o_orderpriority AS prio,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                            AS BIGINT)
+                       + CASE WHEN o_orderkey % 211 = 0
+                              THEN 1 ELSE 0 END AS cents
+                FROM orders
+                WHERE o_orderkey % 223 != 0
+            )
+            SELECT prio,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS total
+            FROM final_state GROUP BY 1 ORDER BY 1
         """,
         "perceptron_distill": """
             WITH f AS MATERIALIZED (

