@@ -85,11 +85,20 @@ QUERIES = [
     "label_noise",
     "embedding_pca",
     "stream_cms_merge",
+    # round-7: the single-pass step chain (screen cost × stages was the
+    # r7 fix), join IVM (delta terms must track Δ, not view size), the
+    # global-sort zone-map simulation (expected ~n log n — documented),
+    # and the re-shaped llm_pipeline
+    "ann_pipeline",
+    "screen_pipeline",
+    "join_refresh",
+    "zonemap_audit",
+    "llm_pipeline",
 ]
 TABLES = ["documents", "embeddings", "lineitem", "orders", "events"]
 # dimension tables ride along UNSCALED (a 3x fact load keeps its dims;
 # lineitem copies keep l_partkey, so the part dim stays valid)
-DIM_TABLES = ["part"]
+DIM_TABLES = ["part", "customer"]
 
 
 def _rot(s: str, c: int) -> str:
