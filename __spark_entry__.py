@@ -8398,6 +8398,23 @@ def q_rollup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("prio")
 
 
+def q_heldout_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM evaluation (text_analysis.py
+    heldout_bigram_bits): 70% hash-split trains the counts, the 30%
+    held-out docs score with add-one smoothing (OOV well-defined:
+    bitlen((c1+V) div (c12+1))), rolled up per source — the
+    generalization signal bigram_lm's training-fit score can't give,
+    and the data-mixing steer (worst sources need representation).
+    All-integer floor-log2 bits; oracle replays split, smoothing and
+    every backoff."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import heldout_bigram_bits
+
+    return heldout_bigram_bits(
+        _t(spark, sf_dir, "documents"), salt="ho1", train_pct=70
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8425,6 +8442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_audit": q_zonemap_audit,
         "dp_median": q_dp_median,
         "rollup_retract": q_rollup_retract,
+        "heldout_bits": q_heldout_bits,
         # -- never-driver-verified backlog, oldest first (63) ------------
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -10118,6 +10136,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(cents) AS BIGINT) AS total
             FROM final_state GROUP BY 1 ORDER BY 1
+        """,
+        "heldout_bits": """
+            WITH base AS (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5('ho1' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 100 < 70 AS tr,
+                       regexp_split_to_array(trim(text), '\\s+') AS arr
+                FROM documents
+            ),
+            b2 AS (
+                SELECT doc_id, source, tr, arr
+                FROM base WHERE array_length(arr) >= 2
+            ),
+            idx AS (
+                SELECT source, tr, arr,
+                       UNNEST(range(1, array_length(arr))) AS i
+                FROM b2
+            ),
+            big AS (
+                SELECT source, tr, arr[i] AS w1, arr[i + 1] AS w2
+                FROM idx
+            ),
+            c12 AS (
+                SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+                FROM big WHERE tr GROUP BY 1, 2
+            ),
+            c1 AS (
+                SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
+                FROM big WHERE tr GROUP BY 1
+            ),
+            vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+            test AS (
+                SELECT b.source,
+                       COALESCE(c12.n12, 0) AS n12,
+                       COALESCE(c1.n1, 0) AS n1,
+                       vv.v
+                FROM big b
+                LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+                LEFT JOIN c1 ON b.w1 = c1.w1
+                CROSS JOIN vv
+                WHERE NOT b.tr
+            ),
+            scored AS (
+                SELECT source,
+                       CASE WHEN n12 = 0 THEN 1 ELSE 0 END AS oov,
+                       CAST(length(printf('%b',
+                            (n1 + v) // (n12 + 1))) AS BIGINT) AS bits
+                FROM test
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(oov) AS BIGINT) AS oov_bigrams,
+                   CAST(SUM(bits) AS BIGINT) AS sum_bits,
+                   CAST(SUM(bits) AS BIGINT) * 1000 // COUNT(*)
+                       AS mean_millibits
+            FROM scored GROUP BY 1 ORDER BY 1
         """,
         "perceptron_distill": """
             WITH f AS MATERIALIZED (

@@ -309,6 +309,7 @@ BENCH_QUERIES = [
     "zonemap_audit",
     "dp_median",
     "rollup_retract",
+    "heldout_bits",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # dbscan stays out: audit-tier — 21s at sf0.1 even with CC

@@ -1170,3 +1170,100 @@ def threshold_sweep(
         )
         .orderBy("threshold")
     )
+
+
+def heldout_bigram_bits(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "ho1",
+    train_pct: int = 70,
+) -> DataFrame:
+    """Held-out bigram-LM evaluation — the GENERALIZATION complement
+    of :func:`bigram_surprisal` (which scores the corpus under a model
+    trained on the same corpus): a deterministic hash split
+    (md5 % 100 < train_pct — the hash_sample idiom) trains the counts,
+    and only the HELD-OUT docs are scored, with add-one smoothing so
+    out-of-vocabulary bigrams are well-defined:
+    ``bits = bitlen((c(w1·) + V) div (c(w1 w2) + 1))`` with V = train
+    w1 vocabulary. All integer (floor-log2 digit length, the
+    conv/printf parity) — no ln, no float smoothing — so the oracle
+    replays the split, the counts and every backoff exactly.
+
+    Rolled up per source: which corpus slices the model generalizes
+    worst to (high mean bits / high OOV share = the slice that needs
+    more training representation — the data-mixing steering signal).
+
+    Plan shape: two vocabulary-sized train aggregates re-join the
+    held-out cell stream (AQE broadcasts; corpus-sublinear); the V
+    scalar is a bounded 1-row cross (totals pattern). Text never
+    shuffles — only (source, w1, w2) cells.
+
+    Returns (source, n_bigrams, oov_bigrams, sum_bits, mean_millibits)
+    ordered by source.
+    """
+    from drune_spark.functions.hashes import md5_u32
+
+    is_train = (
+        F.pmod(
+            md5_u32(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            F.lit(100),
+        )
+        < train_pct
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        is_train.alias("tr"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("arr"),
+    ).filter(F.size("arr") >= 2)
+    big = base.select(
+        "source",
+        "tr",
+        F.explode(F.expr("sequence(1, size(arr) - 1)")).alias("i"),
+        "arr",
+    ).select(
+        "source",
+        "tr",
+        F.element_at("arr", F.col("i")).alias("w1"),
+        F.element_at("arr", F.col("i") + 1).alias("w2"),
+    )
+    train = big.filter("tr")
+    c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = c1.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    test = (
+        big.filter(~F.col("tr"))
+        .join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "source",
+            F.coalesce("n12", F.lit(0)).alias("n12"),
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            "v",
+        )
+        .select(
+            "source",
+            (F.col("n12") == 0).cast("long").alias("oov"),
+            F.length(
+                F.conv(
+                    F.expr("CAST((n1 + v) div (n12 + 1) AS STRING)"),
+                    10, 2,
+                )
+            ).cast("long").alias("bits"),
+        )
+    )
+    return (
+        test.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("oov").alias("oov_bigrams"),
+            F.sum("bits").alias("sum_bits"),
+        )
+        .withColumn(
+            "mean_millibits", F.expr("sum_bits * 1000 div n_bigrams")
+        )
+        .orderBy("source")
+    )
