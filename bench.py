@@ -310,6 +310,7 @@ BENCH_QUERIES = [
     "dp_median",
     "rollup_retract",
     "heldout_bits",
+    "pq_encode",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # dbscan stays out: audit-tier — 21s at sf0.1 even with CC

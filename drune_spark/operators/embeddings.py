@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from drune_spark.functions.vectors import to_double_array
+from drune_spark.functions.vectors import cosine_similarity, to_double_array
 
 
 def quantize_embeddings(
@@ -161,3 +161,108 @@ def power_iteration_axis(
     return spark.createDataFrame(
         out_rows, schema="round int, dim_i int, v long"
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    dim: int = 64,
+    n_subspaces: int = 4,
+    codebook_size: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, "Product quantization
+    for nearest neighbor search") — the vector-COMPRESSION tier this
+    engine's ANN family needs at 100 TB (int8 quantization shrinks 4×;
+    PQ shrinks dim·4 bytes → n_subspaces codes, here 256→4 bytes):
+    the vector splits into ``n_subspaces`` contiguous subvectors, each
+    assigned to its nearest codeword from a per-subspace codebook, and
+    the code tuple plus per-vector reconstruction error is emitted —
+    the layout an IVF-PQ index stores instead of raw floats.
+
+    Codebooks are the subvectors of the ``codebook_size`` lowest-id
+    vectors (the ivf_assign seed discipline — a k-means refinement
+    would iterate exactly this assignment); assignment is the proven
+    cosine fold on identically-sliced operands, argmax via
+    ``min(struct(-sim, code))`` (map-side partial, no window sort,
+    ties to the smaller code id); reconstruction error =
+    floor(1e6·(1 − cos(concat(codewords), v))) — exact-integer micro,
+    concatenation order is subspace order on both engines.
+
+    Plan shape: codebooks are n_subspaces·codebook_size broadcast
+    rows; the assignment stream carries (id, subspace, code) cells;
+    reconstruction is n_subspaces more broadcast joins. The corpus is
+    scanned once and never shuffles with its floats.
+
+    Returns (id_col, code_0..code_{m-1}, err_micro) — one row per
+    vector.
+    """
+    sub = dim // n_subspaces
+    v = corpus.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
+    )
+    seeds = (
+        v.orderBy(F.col(id_col))
+        .limit(codebook_size)
+        .select(F.col(id_col).alias("code"), F.col("v").alias("cw"))
+    )
+    spaces = F.explode(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1))
+    ).alias("s")
+    subs = v.select(id_col, spaces, "v").select(
+        id_col,
+        "s",
+        F.expr(f"slice(v, s * {sub} + 1, {sub})").alias("sv"),
+    )
+    book = seeds.select("code", spaces, "cw").select(
+        "code",
+        "s",
+        F.expr(f"slice(cw, s * {sub} + 1, {sub})").alias("cwv"),
+    )
+    assigned = (
+        subs.join(F.broadcast(book), "s")
+        .select(
+            id_col,
+            "s",
+            "code",
+            cosine_similarity(F.col("sv"), F.col("cwv")).alias("sim"),
+        )
+        .groupBy(id_col, "s")
+        .agg(
+            F.min(
+                F.struct((-F.col("sim")).alias("neg"), F.col("code"))
+            ).alias("best")
+        )
+        .select(id_col, "s", F.col("best.code").alias("code"))
+    )
+    codes = assigned.groupBy(id_col).agg(
+        *[
+            F.max(
+                F.when(F.col("s") == i, F.col("code"))
+            ).cast("long").alias(f"code_{i}")
+            for i in range(n_subspaces)
+        ]
+    )
+    rec = codes
+    for i in range(n_subspaces):
+        bi = book.filter(F.col("s") == i).select(
+            F.col("code").alias(f"code_{i}"), F.col("cwv").alias(f"p{i}")
+        )
+        rec = rec.join(F.broadcast(bi), f"code_{i}")
+    recon = F.concat(*[F.col(f"p{i}") for i in range(n_subspaces)])
+    out = (
+        rec.join(v, id_col)
+        .select(
+            id_col,
+            *[f"code_{i}" for i in range(n_subspaces)],
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor(
+                    (F.lit(1.0) - cosine_similarity(recon, F.col("v")))
+                    * F.lit(1000000.0)
+                ).cast("long"),
+            ).alias("err_micro"),
+        )
+        .orderBy(id_col)
+    )
+    return out

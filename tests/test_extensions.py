@@ -4680,3 +4680,25 @@ class TestRound7Operators:
         assert "a" not in out
         assert out["b"] == (1, 60)
         assert out["c"] == (1, 7)
+
+    def test_pq_encode_seeds_selfcode_and_reconstruction(self, spark):
+        import math
+        from drune_spark.operators.embeddings import pq_encode
+
+        # interleave seed patterns across ids (the r6 ivf-seed trap:
+        # lowest-k ids ARE the codebook, so patterns must cycle)
+        rows = [
+            (i, [math.cos(0.7 * (i % 8) + d * 0.3) for d in range(8)])
+            for i in range(32)
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {r.vec_id: r for r in pq_encode(
+            emb, dim=8, n_subspaces=2, codebook_size=8
+        ).collect()}
+        assert len(out) == 32
+        for i in range(32):
+            r = out[i]
+            # every vector equals seed (i % 8) exactly -> codes = i % 8,
+            # perfect reconstruction
+            assert (r.code_0, r.code_1) == (i % 8, i % 8), (i, r)
+            assert r.err_micro == 0
