@@ -8433,6 +8433,25 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes + recall@10 vs exact
+    (embeddings.py pq_adc_recall): per query a 32-entry subspace
+    lookup table scores every corpus vector as the SUM of its codes'
+    partials — floored to micro PER PARTIAL so the sum is order-free
+    integer — and the code-space top-10 is intersected with the
+    exact cosine top-10. Closes the pq_encode loop: compression is
+    only worth 64× if the code ranking still finds true neighbors.
+    After encoding, search touches only (id, s, code) cells."""
+    _tune(spark)
+    from drune_spark.operators.embeddings import pq_adc_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id < 5").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return pq_adc_recall(emb, queries_df, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8462,6 +8481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_retract": q_rollup_retract,
         "heldout_bits": q_heldout_bits,
         "pq_encode": q_pq_encode,
+        "pq_recall": q_pq_recall,
         # -- never-driver-verified backlog, oldest first (63) ------------
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -10270,6 +10290,88 @@ def oracle_sql() -> dict[str, str]:
                        AS err_micro
             FROM rec r JOIN v ON r.vec_id = v.vec_id
             ORDER BY r.vec_id
+        """,
+        "pq_recall": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            seeds AS (
+                SELECT vec_id AS code, v AS cw FROM (
+                    SELECT vec_id, v,
+                           row_number() OVER (ORDER BY vec_id) AS rn
+                    FROM v) WHERE rn <= 8
+            ),
+            sp AS (SELECT UNNEST(range(0, 4)) AS s),
+            subs AS (
+                SELECT vec_id, s,
+                       v[s * 16 + 1 : s * 16 + 16] AS sv
+                FROM v CROSS JOIN sp
+            ),
+            book AS (
+                SELECT code, s,
+                       cw[s * 16 + 1 : s * 16 + 16] AS cwv
+                FROM seeds CROSS JOIN sp
+            ),
+            assigned AS (
+                SELECT vec_id AS cand, s, code FROM (
+                    SELECT subs.vec_id, subs.s, book.code,
+                           row_number() OVER (
+                               PARTITION BY subs.vec_id, subs.s
+                               ORDER BY list_cosine_similarity(
+                                   subs.sv, book.cwv) DESC,
+                                   book.code ASC) AS rn
+                    FROM subs JOIN book ON subs.s = book.s
+                ) WHERE rn = 1
+            ),
+            q AS (
+                SELECT vec_id AS query_id, v AS qv
+                FROM v WHERE vec_id < 5
+            ),
+            parts AS (
+                SELECT query_id, s, code,
+                       CAST(floor(list_cosine_similarity(
+                           qv[s * 16 + 1 : s * 16 + 16], cwv)
+                           * 1000000) AS BIGINT) AS part_micro
+                FROM q CROSS JOIN book
+            ),
+            scored AS (
+                SELECT p.query_id, c.cand,
+                       CAST(SUM(part_micro) AS BIGINT) AS adc
+                FROM assigned c
+                JOIN parts p ON c.s = p.s AND c.code = p.code
+                WHERE c.cand <> p.query_id
+                GROUP BY 1, 2
+            ),
+            approx AS (
+                SELECT query_id, cand FROM (
+                    SELECT query_id, cand, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY adc DESC, cand ASC) AS rn
+                    FROM scored) WHERE rn <= 10
+            ),
+            ex_scored AS (
+                SELECT q.query_id, v.vec_id AS neighbor_id,
+                       list_cosine_similarity(v.v, q.qv) AS cosine
+                FROM v, q WHERE v.vec_id <> q.query_id
+            ),
+            exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                    FROM ex_scored) WHERE rn <= 10
+            ),
+            hits AS (
+                SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM approx a JOIN exact e
+                  ON a.query_id = e.query_id AND a.cand = e.neighbor_id
+                GROUP BY 1
+            )
+            SELECT q.query_id,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+            FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+            ORDER BY q.query_id
         """,
         "perceptron_distill": """
             WITH f AS MATERIALIZED (

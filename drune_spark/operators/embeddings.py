@@ -266,3 +266,117 @@ def pq_encode(
         .orderBy(id_col)
     )
     return out
+
+
+def pq_adc_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_subspaces: int = 4,
+    codebook_size: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) search over PQ codes + recall@k vs
+    the exact ranking — the eval that closes the pq_encode loop
+    (encode is only worth its 64× compression if the code-space
+    ranking still finds the true neighbors): per query, a lookup
+    table of subspace partial scores cos(q_s, codeword) is built
+    against the n_subspaces·codebook_size broadcast book, each
+    corpus vector scores as the SUM of its codes' partials — floored
+    to integer micro PER PARTIAL first, so the sum is order-free and
+    engine-exact (a raw double SUM over an aggregate would depend on
+    addition order) — and the ADC top-k is intersected with the exact
+    cosine top-k.
+
+    Scale shape: after encoding, search touches only (id, s, code)
+    cells and a |queries|·m·k' lookup table — the raw floats are read
+    once by the encode and never again; this is the IVF-PQ memory
+    contract. Exact side reuses brute_force_topk (the audited
+    baseline).
+
+    Returns (query_id, n_hits) — |ADC top-k ∩ exact top-k| per query,
+    ordered by query.
+    """
+    from pyspark.sql import Window
+
+    from drune_spark.operators.similarity import brute_force_topk
+
+    sub = dim // n_subspaces
+    codes_wide = pq_encode(
+        corpus, dim=dim, n_subspaces=n_subspaces,
+        codebook_size=codebook_size, id_col=id_col, vec_col=vec_col,
+    )
+    code_cells = codes_wide.select(
+        F.col(id_col).alias("cand"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("s"),
+                    F.col(f"code_{i}").alias("code"),
+                )
+                for i in range(n_subspaces)
+            ])
+        ).alias("sc"),
+    ).select("cand", F.col("sc.s").alias("s"), F.col("sc.code").alias("code"))
+    v = corpus.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
+    )
+    seeds = (
+        v.orderBy(F.col(id_col))
+        .limit(codebook_size)
+        .select(F.col(id_col).alias("code"), F.col("v").alias("cw"))
+    )
+    spaces = F.explode(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1))
+    ).alias("s")
+    book = seeds.select("code", spaces, "cw").select(
+        "code", "s",
+        F.expr(f"slice(cw, s * {sub} + 1, {sub})").alias("cwv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qv"),
+    )
+    parts = (
+        q.crossJoin(F.broadcast(book))
+        .select(
+            "query_id", "s", "code",
+            F.floor(
+                cosine_similarity(
+                    F.expr(f"slice(qv, s * {sub} + 1, {sub})"),
+                    F.col("cwv"),
+                ) * F.lit(1000000.0)
+            ).cast("long").alias("part_micro"),
+        )
+    )
+    scored = (
+        code_cells.join(F.broadcast(parts), ["s", "code"])
+        .filter(F.col("cand") != F.col("query_id"))
+        .groupBy("query_id", "cand")
+        .agg(F.sum("part_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").desc(), F.col("cand").asc()
+    )
+    approx = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    ).select("query_id", F.col("cand").alias("neighbor_id"))
+    exact = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .orderBy("query_id")
+    )
