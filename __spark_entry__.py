@@ -8452,6 +8452,95 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_recall(emb, queries_df, k=10)
 
 
+def q_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph.py personalized_pagerank_int):
+    restart mass teleports only to the 'signup' seed over the
+    event-transition graph — proximity-to-seed relevance (the
+    graph-based data-selection signal) where global pagerank measures
+    popularity. Same integer discipline: per-seed base
+    ((100−d)·scale·n_nodes) div (100·n_seeds), all rounds replayed
+    in unrolled CTEs with the node count as a scalar subquery."""
+    _tune(spark)
+    from drune_spark.operators.graph import (
+        personalized_pagerank_int,
+        transition_edges,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    edges = transition_edges(
+        ev, "user_id", ["ts_us", "event_id"], "event_type"
+    )
+    out = personalized_pagerank_int(edges, ["signup"], n_iters=3)
+    return out.select(F.col("node").alias("event_type"), "rank_int")
+
+
+def _ppr_oracle(n_iters: int = 3, damping_pct: int = 85,
+                scale: int = 1_000_000) -> str:
+    """SQL replay of personalized_pagerank_int over the event
+    transition graph (seed = 'signup'): per-seed teleport base from a
+    node-count scalar subquery, damped integer rounds unrolled."""
+    parts = [f"""
+            WITH seq AS (
+                SELECT user_id, event_type AS src,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                       ) AS dst
+                FROM events
+            ),
+            edges AS (
+                SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+                FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+            ),
+            nodes AS (
+                SELECT src AS node FROM edges
+                UNION
+                SELECT dst FROM edges
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+            outw AS (
+                SELECT src, CAST(SUM(w) AS BIGINT) AS w_out
+                FROM edges GROUP BY src
+            ),
+            r0 AS (
+                SELECT node, CAST({scale} AS BIGINT) AS rank_int
+                FROM nodes
+            )"""]
+    seed_base = (
+        f"(({100 - damping_pct} * {scale} * nn.n) // 100)"
+    )
+    for t in range(n_iters):
+        parts.append(f""",
+            c{t} AS (
+                SELECT e.dst AS node,
+                       CAST(SUM((r.rank_int * e.w) // o.w_out)
+                            AS BIGINT) AS c_sum
+                FROM edges e
+                JOIN outw o ON e.src = o.src
+                JOIN r{t} r ON r.node = e.src
+                GROUP BY e.dst
+            ),
+            r{t + 1} AS (
+                SELECT n.node,
+                       CAST(CASE WHEN n.node = 'signup'
+                                 THEN {seed_base} ELSE 0 END
+                            + ({damping_pct} * COALESCE(c.c_sum, 0))
+                              // 100 AS BIGINT) AS rank_int
+                FROM nodes n
+                CROSS JOIN nn
+                LEFT JOIN c{t} c USING (node)
+            )""")
+    parts.append(f"""
+            SELECT node AS event_type, rank_int FROM r{n_iters}
+        """)
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8482,6 +8571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heldout_bits": q_heldout_bits,
         "pq_encode": q_pq_encode,
         "pq_recall": q_pq_recall,
+        "ppr_seeded": q_ppr_seeded,
         # -- never-driver-verified backlog, oldest first (63) ------------
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -15152,6 +15242,7 @@ def oracle_sql() -> dict[str, str]:
             + FUNNEL_BODY.strip().removeprefix("WITH")
         ),
         "pagerank": _pagerank_oracle(n_iters=3),
+        "ppr_seeded": _ppr_oracle(n_iters=3),
         "grouped_percentiles": """
             WITH q AS (
                 SELECT event_type, COUNT(value) AS n,

@@ -4702,3 +4702,24 @@ class TestRound7Operators:
             # perfect reconstruction
             assert (r.code_0, r.code_1) == (i % 8, i % 8), (i, r)
             assert r.err_micro == 0
+
+    def test_personalized_pagerank_seed_proximity(self, spark):
+        from drune_spark.operators.graph import personalized_pagerank_int
+
+        # chain a -> b -> c plus isolated-ish d -> a; seed at 'a'
+        edges = spark.createDataFrame(
+            [("a", "b", 2), ("b", "c", 1), ("d", "a", 1), ("c", "a", 1)],
+            ["src", "dst", "w"],
+        )
+        out = {r.node: r.rank_int
+               for r in personalized_pagerank_int(edges, ["a"]).collect()}
+        # only the seed receives teleport mass; d has no in-edges and no
+        # seed mass -> rank 0 after the damped rounds (rank ordering
+        # among a/b/c depends on out-degree funneling, not distance —
+        # a passes ALL its mass to b here, so b > a is correct)
+        assert out["a"] > 0 and out["b"] > 0 and out["c"] > 0
+        assert out["d"] == 0
+        # global variant would give d the uniform base instead
+        from drune_spark.operators.graph import pagerank_int
+        g = {r.node: r.rank_int for r in pagerank_int(edges).collect()}
+        assert g["d"] > 0
