@@ -8541,6 +8541,30 @@ def _ppr_oracle(n_iters: int = 3, damping_pct: int = 85,
     return "".join(parts)
 
 
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage audit (stats.py conformal_coverage):
+    a fixed linear proxy model (n_chars ≈ 6·whitespace-tokens) over
+    documents, 50% hash-calibration split, conformal quantile = the
+    ceil((n+1)·0.9)-th smallest integer |error| via the
+    weighted_percentile cell idiom (no global sort), held-out
+    empirical coverage in milli — the distribution-free interval
+    audit beside calibration_bins' probability reliability. Oracle
+    replays split, rank and threshold exactly."""
+    _tune(spark)
+    from drune_spark.operators.stats import conformal_coverage
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("label"),
+        (
+            F.size(F.split(F.trim(F.col("text")), r"\s+")) * F.lit(6)
+        ).cast("long").alias("pred"),
+    )
+    return conformal_coverage(
+        docs, "pred", "label", "doc_id", alpha_pct=10, salt="cf1",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8572,6 +8596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_recall": q_pq_recall,
         "ppr_seeded": q_ppr_seeded,
+        "conformal": q_conformal,
         # -- never-driver-verified backlog, oldest first (63) ------------
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -15243,6 +15268,48 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": _pagerank_oracle(n_iters=3),
         "ppr_seeded": _ppr_oracle(n_iters=3),
+        "conformal": """
+            WITH base AS (
+                SELECT ('0x' || substr(md5('cf1' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 100 < 50 AS cal,
+                       abs(CAST(n_chars AS BIGINT)
+                           - 6 * len(regexp_split_to_array(
+                                 trim(text), '\\s+'))) AS nc
+                FROM documents
+            ),
+            cells AS (
+                SELECT nc, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM base WHERE cal GROUP BY 1
+            ),
+            ranked AS (
+                SELECT nc,
+                       CAST(SUM(cnt) OVER (ORDER BY nc) AS BIGINT)
+                           AS cum,
+                       CAST(SUM(cnt) OVER () AS BIGINT) AS n_cal
+                FROM cells
+            ),
+            thr AS (
+                SELECT MAX(n_cal) AS n_cal,
+                       MAX((90 * (n_cal + 1) + 99) // 100) AS k_rank,
+                       MIN(nc) AS threshold
+                FROM ranked
+                WHERE cum >= (90 * (n_cal + 1) + 99) // 100
+            )
+            SELECT CAST(t.n_cal AS BIGINT) AS n_cal,
+                   CAST(t.k_rank AS BIGINT) AS k_rank,
+                   CAST(t.threshold AS BIGINT) AS threshold,
+                   CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN b.nc <= t.threshold
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_covered,
+                   CAST(SUM(CASE WHEN b.nc <= t.threshold
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       * 1000 // COUNT(*) AS coverage_milli
+            FROM base b CROSS JOIN thr t
+            WHERE NOT b.cal
+            GROUP BY 1, 2, 3
+        """,
         "grouped_percentiles": """
             WITH q AS (
                 SELECT event_type, COUNT(value) AS n,

@@ -313,6 +313,7 @@ BENCH_QUERIES = [
     "pq_encode",
     "pq_recall",
     "ppr_seeded",
+    "conformal",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # dbscan stays out: audit-tier — 21s at sf0.1 even with CC

@@ -776,3 +776,86 @@ def reliability_bins(
         )
         .orderBy("bin")
     )
+
+
+def conformal_coverage(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    id_col: str,
+    alpha_pct: int = 10,
+    salt: str = "cf1",
+    cal_pct: int = 50,
+) -> DataFrame:
+    """Split-conformal prediction audit (Vovk et al. 2005; the
+    distribution-free coverage guarantee): a deterministic hash split
+    sends ``cal_pct``% of rows to calibration, the conformal quantile
+    q = the ceil((n_cal+1)·(1−α))-th smallest calibration
+    nonconformity |label − pred| is the interval half-width, and the
+    HELD-OUT rows report empirical coverage — the audit that tells you
+    whether ±q actually contains (1−α) of reality before you ship the
+    interval (calibration_bins grades probability estimates; this
+    grades interval widths).
+
+    Exact-integer discipline: nonconformities are integer absolute
+    errors; the order statistic comes from (value, count) cells +
+    cumulative sum (the weighted_percentile idiom — no global sort,
+    no single-partition window; cells = distinct error values), rank
+    k = (9·(n_cal+1) + 9) div 10 at α = 10%; coverage in milli via
+    nonnegative integer division. The oracle replays split, rank and
+    threshold exactly.
+
+    Returns ONE row: (n_cal, k_rank, threshold, n_test, n_covered,
+    coverage_milli).
+    """
+    from pyspark.sql import Window
+
+    from drune_spark.functions.hashes import md5_u32
+
+    is_cal = (
+        F.pmod(
+            md5_u32(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            F.lit(100),
+        )
+        < cal_pct
+    )
+    nc = F.abs(
+        F.col(label_col).cast("long") - F.col(pred_col).cast("long")
+    )
+    base = df.select(is_cal.alias("cal"), nc.alias("nc"))
+    cal_cells = (
+        base.filter("cal").groupBy("nc")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = Window.orderBy("nc")
+    wall = Window.partitionBy()
+    keep = 100 - alpha_pct
+    ranked = cal_cells.select(
+        "nc",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n_cal"),
+    ).withColumn(
+        # ceil(keep·(n_cal+1)/100) on nonnegative operands
+        "k_rank",
+        F.expr(f"({keep} * (n_cal + 1) + 99) div 100"),
+    )
+    thr = (
+        ranked.filter(F.col("cum") >= F.col("k_rank"))
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.max("k_rank").alias("k_rank"),
+            F.min("nc").alias("threshold"),
+        )
+    )
+    test = base.filter(~F.col("cal")).crossJoin(F.broadcast(thr))
+    return test.agg(
+        F.max("n_cal").cast("long").alias("n_cal"),
+        F.max("k_rank").cast("long").alias("k_rank"),
+        F.max("threshold").cast("long").alias("threshold"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(
+            (F.col("nc") <= F.col("threshold")).cast("long")
+        ).alias("n_covered"),
+    ).withColumn(
+        "coverage_milli", F.expr("n_covered * 1000 div n_test")
+    )

@@ -4723,3 +4723,28 @@ class TestRound7Operators:
         from drune_spark.operators.graph import pagerank_int
         g = {r.node: r.rank_int for r in pagerank_int(edges).collect()}
         assert g["d"] > 0
+
+    def test_conformal_coverage_hand_case(self, spark):
+        import hashlib
+        from drune_spark.operators.stats import conformal_coverage
+
+        rows = [(i, 10 * i + (i % 7), 10 * i) for i in range(60)]
+        df = spark.createDataFrame(rows, ["rid", "label", "pred"])
+        out = conformal_coverage(
+            df, "pred", "label", "rid", alpha_pct=10, salt="t9",
+            cal_pct=50,
+        ).collect()[0]
+
+        def is_cal(i):
+            u = int(hashlib.md5(f"t9{i}".encode()).hexdigest()[:8], 16)
+            return u % 100 < 50
+
+        cal = sorted((i % 7) for i in range(60) if is_cal(i))
+        test = [(i % 7) for i in range(60) if not is_cal(i)]
+        k = (90 * (len(cal) + 1) + 99) // 100
+        thr = cal[k - 1]
+        covered = sum(1 for v in test if v <= thr)
+        assert out.n_cal == len(cal) and out.k_rank == k
+        assert out.threshold == thr
+        assert out.n_test == len(test) and out.n_covered == covered
+        assert out.coverage_milli == covered * 1000 // len(test)
