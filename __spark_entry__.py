@@ -8565,6 +8565,24 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-recovery exactly-once proof (streaming/runner.py
+    stream_resume_counts): a keyed count drains HALF the input, the
+    query stops, the other half lands, and a SECOND query resumes
+    from the SAME checkpoint — the final complete-mode table equals
+    one-shot batch counts ONLY if state restored AND the file log
+    prevented re-reads (double-count and half-count corruptions are
+    both hash-visible). The restartability property behind every
+    100-TB streaming backfill. Oracle = plain GROUP BY count."""
+    _tune(spark)
+    from drune_spark.streaming.runner import stream_resume_counts
+
+    return stream_resume_counts(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        key_col="event_type",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -8597,6 +8615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,
         "ppr_seeded": q_ppr_seeded,
         "conformal": q_conformal,
+        "stream_resume": q_stream_resume,
         # -- never-driver-verified backlog, oldest first (63) ------------
         "lang_mix": q_lang_mix,
         "churn_flags": q_churn_flags,
@@ -15268,6 +15287,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": _pagerank_oracle(n_iters=3),
         "ppr_seeded": _ppr_oracle(n_iters=3),
+        "stream_resume": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
         "conformal": """
             WITH base AS (
                 SELECT ('0x' || substr(md5('cf1' ||

@@ -826,3 +826,97 @@ def stream_admission(
     return spark.createDataFrame(
         sorted(rows), schema=f"{key_col} string, {id_col} bigint"
     )
+
+
+def stream_resume_counts(
+    spark: SparkSession,
+    events_path: str,
+    key_col: str = "event_type",
+    n_splits: int = 4,
+    n_state_partitions: int | None = 8,
+) -> DataFrame:
+    """Checkpoint-recovery / exactly-once proof — the restart story
+    every other streaming gate leaves untested: a keyed count
+    aggregation drains HALF the input (availableNow run 1, its own
+    lifecycle), the query STOPS, the other half lands in the source
+    directory, and a SECOND query starts from the SAME checkpoint.
+    The final complete-mode table equals the one-shot batch counts —
+    which can only happen if (a) run 2 restored run 1's aggregation
+    state from the state store AND (b) the checkpointed file log kept
+    run 2 from re-reading run 1's files (re-read would double-count;
+    fresh state would half-count — both corruptions are hash-visible).
+
+    This is the operational property that makes 100-TB streaming
+    pipelines restartable mid-backfill: state + source progress live
+    in the checkpoint, not the driver. Returns (key_col, n) ordered
+    by key.
+    """
+    import shutil
+
+    ev = spark.read.parquet(events_path).select(
+        F.col(key_col).alias("k"), F.col("event_id").alias("i")
+    )
+    root = tempfile.mkdtemp(prefix="drune_resume_stream_")
+    in_dir = os.path.join(root, "in")
+    stage = os.path.join(root, "stage")
+    ckpt = os.path.join(root, "ckpt")
+    name = f"resume_{uuid.uuid4().hex[:8]}"
+    try:
+        (
+            ev.withColumn("sp", F.pmod("i", F.lit(n_splits)))
+            .repartition(n_splits, "sp")
+            .select("k", "sp")
+            .write.mode("overwrite")
+            .partitionBy("sp")
+            .parquet(stage)
+        )
+        os.makedirs(in_dir, exist_ok=True)
+
+        def land(splits) -> None:
+            import time as _time
+
+            now = _time.time()
+            for b in splits:
+                d = os.path.join(stage, f"sp={b}")
+                for fn in os.listdir(d):
+                    # skip _SUCCESS markers and .crc sidecars — copying
+                    # a hidden .part-*.crc under a visible name makes
+                    # the stream read it as parquet and fail
+                    if fn.startswith((".", "_")) or not fn.endswith(
+                        ".parquet"
+                    ):
+                        continue
+                    dst = os.path.join(in_dir, f"sp{b}_{fn}")
+                    shutil.copy(os.path.join(d, fn), dst)
+                    os.utime(dst, (now - 600 + 100 * b,) * 2)
+
+        def drain() -> None:
+            q = (
+                spark.readStream.schema("k string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(in_dir)
+                .groupBy("k")
+                .count()
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        with state_partitions(spark, n_state_partitions):
+            land(range(n_splits // 2))
+            drain()                      # run 1: first half only
+            land(range(n_splits // 2, n_splits))
+            drain()                      # run 2: SAME checkpoint, new files
+        rows = [
+            (r.k, int(r["count"]))
+            for r in spark.table(name).collect()
+        ]  # |keys|-row fetch
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), schema=f"{key_col} string, n bigint"
+    )

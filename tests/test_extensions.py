@@ -4748,3 +4748,25 @@ class TestRound7Operators:
         assert out.threshold == thr
         assert out.n_test == len(test) and out.n_covered == covered
         assert out.coverage_milli == covered * 1000 // len(test)
+
+    def test_stream_resume_state_carries_across_restart(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from drune_spark.streaming.runner import stream_resume_counts
+
+        path = str(tmp_path / "ev.parquet")
+        n = 40
+        pq.write_table(
+            pa.table({
+                "event_type": [f"t{i % 3}" for i in range(n)],
+                "event_id": pa.array(list(range(n)), type=pa.int64()),
+            }),
+            path,
+        )
+        out = {r.event_type: r.n
+               for r in stream_resume_counts(spark, path).collect()}
+        # full counts despite the two-run split: neither half-counted
+        # (fresh state) nor double-counted (file re-read)
+        from collections import Counter
+        want = Counter(f"t{i % 3}" for i in range(n))
+        assert out == dict(want)
