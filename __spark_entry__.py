@@ -8598,58 +8598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- new this round (r7): chained step-type gates -----------------
-        "ann_pipeline": q_ann_pipeline,
-        "screen_pipeline": q_screen_pipeline,
-        "join_refresh": q_join_refresh,
-        "rank_tau": q_rank_tau,
-        "sql_udf": q_sql_udf,
-        "neyman_alloc": q_neyman_alloc,
-        "stream_admission": q_stream_admission,
-        "threshold_sweep": q_threshold_sweep,
-        "zonemap_audit": q_zonemap_audit,
-        "dp_median": q_dp_median,
-        "rollup_retract": q_rollup_retract,
-        "heldout_bits": q_heldout_bits,
-        "pq_encode": q_pq_encode,
-        "pq_recall": q_pq_recall,
-        "ppr_seeded": q_ppr_seeded,
-        "conformal": q_conformal,
-        "stream_resume": q_stream_resume,
-        # -- never-driver-verified backlog, oldest first (63) ------------
-        "lang_mix": q_lang_mix,
-        "churn_flags": q_churn_flags,
-        "weighted_percentile": q_weighted_percentile,
-        "grouped_mode": q_grouped_mode,
-        "explode_outer": q_explode_outer,
-        "percent_of_total": q_percent_of_total,
-        "grouped_ols": q_grouped_ols,
-        "set_sim_join": q_set_sim_join,
-        "weighted_sample": q_weighted_sample,
-        "feature_hash": q_feature_hash,
-        "scd2_snapshot": q_scd2_snapshot,
-        "collocations": q_collocations,
-        "json_flatten": q_json_flatten,
-        "grouping_sets": q_grouping_sets,
-        "agg_filter": q_agg_filter,
-        "array_functions": q_array_functions,
-        "date_functions": q_date_functions,
-        "dynamic_pivot": q_dynamic_pivot,
-        "source_divergence": q_source_divergence,
-        "nullsafe_join": q_nullsafe_join,
-        "regex_functions": q_regex_functions,
-        "pandas_udf_hash": q_pandas_udf_hash,
-        "winsorized_stats": q_winsorized_stats,
-        "triangle_count": q_triangle_count,
-        "cohort_retention": q_cohort_retention,
-        "time_weighted_avg": q_time_weighted_avg,
-        "gap_fill": q_gap_fill,
-        "hll_sliding": q_hll_sliding,
-        "quota_sample": q_quota_sample,
-        "mad_outliers": q_mad_outliers,
-        "cms_topk": q_cms_topk,
-        "corr_moments": q_corr_moments,
-        "rank_family": q_rank_family,
+        # -- never-driver-verified backlog, oldest first (30) ------------
         "string_functions": q_string_functions,
         "rolling_features": q_rolling_features,
         "cube_aggregate": q_cube_aggregate,
@@ -8680,7 +8629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": q_fim_transform,
         "source_marginals": q_source_marginals,
         "llm_pipeline": q_llm_pipeline,
-        # -- driver-verified pass, stalest round first (256) -------------
+        # -- driver-verified pass, stalest round first (306) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
@@ -8937,6 +8886,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_bands": q_discount_bands,
         "weekday_hour_heatmap": q_weekday_hour_heatmap,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "ann_pipeline": q_ann_pipeline,
+        "screen_pipeline": q_screen_pipeline,
+        "join_refresh": q_join_refresh,
+        "rank_tau": q_rank_tau,
+        "sql_udf": q_sql_udf,
+        "neyman_alloc": q_neyman_alloc,
+        "stream_admission": q_stream_admission,
+        "threshold_sweep": q_threshold_sweep,
+        "zonemap_audit": q_zonemap_audit,
+        "dp_median": q_dp_median,
+        "rollup_retract": q_rollup_retract,
+        "heldout_bits": q_heldout_bits,
+        "pq_encode": q_pq_encode,
+        "pq_recall": q_pq_recall,
+        "ppr_seeded": q_ppr_seeded,
+        "conformal": q_conformal,
+        "stream_resume": q_stream_resume,
+        "lang_mix": q_lang_mix,
+        "churn_flags": q_churn_flags,
+        "weighted_percentile": q_weighted_percentile,
+        "grouped_mode": q_grouped_mode,
+        "explode_outer": q_explode_outer,
+        "percent_of_total": q_percent_of_total,
+        "grouped_ols": q_grouped_ols,
+        "set_sim_join": q_set_sim_join,
+        "weighted_sample": q_weighted_sample,
+        "feature_hash": q_feature_hash,
+        "scd2_snapshot": q_scd2_snapshot,
+        "collocations": q_collocations,
+        "json_flatten": q_json_flatten,
+        "grouping_sets": q_grouping_sets,
+        "agg_filter": q_agg_filter,
+        "array_functions": q_array_functions,
+        "date_functions": q_date_functions,
+        "dynamic_pivot": q_dynamic_pivot,
+        "source_divergence": q_source_divergence,
+        "nullsafe_join": q_nullsafe_join,
+        "regex_functions": q_regex_functions,
+        "pandas_udf_hash": q_pandas_udf_hash,
+        "winsorized_stats": q_winsorized_stats,
+        "triangle_count": q_triangle_count,
+        "cohort_retention": q_cohort_retention,
+        "time_weighted_avg": q_time_weighted_avg,
+        "gap_fill": q_gap_fill,
+        "hll_sliding": q_hll_sliding,
+        "quota_sample": q_quota_sample,
+        "mad_outliers": q_mad_outliers,
+        "cms_topk": q_cms_topk,
+        "corr_moments": q_corr_moments,
+        "rank_family": q_rank_family,
     }
 
 
