@@ -8598,18 +8598,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, oldest first (30) ------------
-        "string_functions": q_string_functions,
-        "rolling_features": q_rolling_features,
-        "cube_aggregate": q_cube_aggregate,
-        "equidepth_bins": q_equidepth_bins,
-        "event_bigrams": q_event_bigrams,
+        # -- never-driver-verified backlog, waited-longest first (30) ----
         "time_rollup": q_time_rollup,
         "rollup_refresh": q_rollup_refresh,
         "value_histogram": q_value_histogram,
         "grouped_percentiles": q_grouped_percentiles,
         "window_analytics": q_window_analytics,
         "kafka_roundtrip": q_kafka_roundtrip,
+        "string_functions": q_string_functions,
+        "rolling_features": q_rolling_features,
+        "cube_aggregate": q_cube_aggregate,
+        "equidepth_bins": q_equidepth_bins,
+        "event_bigrams": q_event_bigrams,
         "url_dedup": q_url_dedup,
         "silhouette": q_silhouette,
         "bigram_lm": q_bigram_lm,

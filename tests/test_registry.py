@@ -137,6 +137,44 @@ class TestRegistryHygiene:
         with pytest.raises(SystemExit, match="rotation violation"):
             registry_sync.check_rotation(bad, seen)
 
+    def test_rotation_checker_bites_on_starved_backlog(self):
+        """A never-verified entry jumped by a LATER-introduced
+        never-verified entry must be rejected — the 19 r6 gates waited
+        two full rounds behind later additions under the old
+        preserved-order rule (VERDICT r7 #7)."""
+        import pytest
+        import registry_sync
+
+        names = list(entrymod.queries())
+        seen = registry_sync.driver_rows()
+        intro = registry_sync.intro_rounds()
+        never = [n for n in names if n not in seen]
+        if len(never) < 2:
+            pytest.skip("needs >=2 never-verified entries")
+        by_intro = sorted(never, key=lambda n: intro.get(n, 99))
+        oldest, newest = by_intro[0], by_intro[-1]
+        if intro.get(oldest, 99) == intro.get(newest, 99):
+            pytest.skip("all never-verified entries share one intro round")
+        # Simulate starvation: move the newest-introduced entry above
+        # the longest-waiting one.
+        bad = [n for n in names if n != newest]
+        bad.insert(bad.index(oldest), newest)
+        with pytest.raises(SystemExit, match="starved"):
+            registry_sync.check_rotation(bad, seen)
+
+    def test_intro_rounds_covers_registry(self):
+        """Every registry entry has a recorded round-of-introduction —
+        rotate_registry auto-registers new gates at the current round so
+        they queue behind the older never-verified backlog."""
+        import registry_sync
+
+        intro = registry_sync.intro_rounds()
+        missing = [n for n in entrymod.queries() if n not in intro]
+        assert not missing, (
+            f"entries missing from tools/intro_rounds.json: {missing} — "
+            "run python3 tools/rotate_registry.py"
+        )
+
     def test_seeded_mismatch_is_detected(self):
         """The ledger comparison actually bites: a perturbed registry
         must NOT equal the committed section."""

@@ -34,10 +34,15 @@ def main() -> None:
     passed = [n for n in names if registry_sync.rotation_class(n, seen) == 2]
     failed.sort(key=lambda n: (seen[n][0], pos[n]))
     passed.sort(key=lambda n: (seen[n][0], pos[n]))
+    # Never-verified: waited-longest (earliest intro round) first, so no
+    # entry is starved by later additions (VERDICT r7 #7). New entries
+    # are auto-registered at the current round by intro_rounds(names).
+    intro = registry_sync.intro_rounds(names)
+    never.sort(key=lambda n: (intro[n], pos[n]))
 
     sections = [
         (f"stale driver-FAILs — fixed locally, re-test first ({len(failed)})", failed),
-        (f"never-driver-verified backlog, oldest first ({len(never)})", never),
+        (f"never-driver-verified backlog, waited-longest first ({len(never)})", never),
         (f"driver-verified pass, stalest round first ({len(passed)})", passed),
     ]
     body_lines = []
