@@ -248,6 +248,11 @@ def zonemap_skip_audit(
     Returns one row per layout: (layout, n_groups, groups_skipped,
     rows_scanned) — rows_scanned = rows inside non-skippable groups.
     """
+    if lo is None or hi is None:
+        # A NULL bound would make the skip predicate NULL for every
+        # group (groups_skipped = NULL, rows_scanned = all rows) —
+        # fail fast instead (ADVICE r7).
+        raise ValueError("zonemap_skip_audit requires both lo and hi bounds")
     from pyspark.sql import Window
 
     v = F.col(value_col).cast("long")

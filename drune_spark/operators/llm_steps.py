@@ -306,6 +306,14 @@ class SimilaritySearchStep(Step):
     (possibly screened) running frame, so the step composes after
     filters: neighbors are searched among SURVIVORS only.
 
+    Consumption caveat (ADVICE r7): with ``query_mod`` the query side
+    is a filter OVER the running frame, so ``current`` is consumed
+    TWICE — corpus scan + broadcast query derivation. Harmless when
+    the upstream is a pushdown filter (the ann_pipeline shape), but
+    after an expensive chain (e.g. dedup) the chain re-runs once for
+    the small query side; prefer ``queries_source`` or checkpoint the
+    upstream step there.
+
     ``method='brute'`` is the exact baseline (corpus scanned once,
     queries broadcast, WindowGroupLimit partial top-k — the ann_topk
     plan); ``'ivf'`` probes nprobe coarse cells (the 100-TB path).

@@ -857,5 +857,9 @@ def conformal_coverage(
             (F.col("nc") <= F.col("threshold")).cast("long")
         ).alias("n_covered"),
     ).withColumn(
-        "coverage_milli", F.expr("n_covered * 1000 div n_test")
+        # Guard the degenerate empty-held-out split (tiny input or
+        # cal_pct=100): report NULL coverage instead of an ANSI
+        # divide-by-zero (ADVICE r7).
+        "coverage_milli",
+        F.expr("CASE WHEN n_test > 0 THEN n_covered * 1000 div n_test END"),
     )

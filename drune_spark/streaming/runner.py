@@ -800,7 +800,16 @@ def stream_admission(
                 )
                 .select("k", "i")
             )
-            adm.write.mode("append").parquet(out_dir)
+            # Sink keyed by batch_id (overwrite) so a micro-batch RETRY
+            # replaces rather than duplicates its rows (ADVICE r7). The
+            # driver-side counters stay at-least-once: a retried batch
+            # re-folds its counts, so a production deployment must make
+            # the whole admit() idempotent (e.g. persist per-batch
+            # counter deltas alongside the sink and fold on read) —
+            # fine here because the availableNow drain retries nothing.
+            adm.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
             for r in adm.groupBy("k").count().collect():
                 seen[r.k] = seen.get(r.k, 0) + r["count"]
 
@@ -819,7 +828,9 @@ def stream_admission(
             query.awaitTermination()
         rows = [
             (r.k, r.i)
-            for r in spark.read.parquet(out_dir).collect()
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+            .collect()
         ]  # ≤ quota·|keys| admitted cells — bounded driver fetch
     finally:
         shutil.rmtree(split_dir, ignore_errors=True)
