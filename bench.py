@@ -314,11 +314,11 @@ BENCH_QUERIES = [
     "pq_recall",
     "ppr_seeded",
     "conformal",
+    # dbscan admitted in r8 (VERDICT r7 #3): the per-block union-find
+    # rewrite + hoisted pair norms took it 14.5s → 3.3s steady at sf0.1
+    "dbscan",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
-    # 31 rows (recursive_reachability already times Spark recursion);
-    # dbscan stays out: audit-tier — 21s at sf0.1 even with CC
-    # pointer-jumping (r6); the cost is the blocked cosine pair scan,
-    # not the driver loop
+    # 31 rows (recursive_reachability already times Spark recursion)
 ]
 
 

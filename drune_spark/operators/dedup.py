@@ -425,6 +425,22 @@ def connected_components(
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # Width adaptation (round 8, the label_propagation lesson in
+    # reverse): checkpointed/cached scans are NOT AQE-coalesced, so a
+    # small edge list inherited 32 partitions and every round's stages
+    # scheduled 32 near-empty tasks — at gate scale the loop was pure
+    # task-scheduling overhead (dbscan's CC phase: 7.9s for 550 edges).
+    # Scale the loop's width to the edge count; big graphs keep full
+    # parallelism.
+    m = both.count()
+    spark = pairs.sparkSession
+    max_w = spark.sparkContext.defaultParallelism
+    w = max(2, min(max_w, m // 100_000 + 1))
+    if w < max_w:
+        both.unpersist()
+        both = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition(w).persist()
     labels = all_nodes.select(
         F.col(all_nodes.columns[0]).alias("node")
     ).distinct().withColumn("label", F.col("node")).persist()
@@ -440,6 +456,17 @@ def connected_components(
         n = labels.count()
         max_iterations = max(8, math.ceil(math.log2(n + 1)) + 2)
 
+    # Convergence-check fusion (round 8): each round used to pay a
+    # THIRD driver action — a separate changed-labels count job after
+    # the two localCheckpoints. The count now rides the new_labels
+    # checkpoint job as a Dataset.observe metric (zero extra actions).
+    # A fully-fused single-action variant (stepped not checkpointed,
+    # its two consumers recomputing the neighbor-min join in one job)
+    # was A/B-measured SLOWER at gate scale (8-10s vs 5-8s over 3
+    # trials) — the recomputed subtree costs more stages than the
+    # barrier saves — so stepped stays checkpointed at every size.
+    from pyspark.sql import Observation
+
     changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
@@ -451,12 +478,13 @@ def connected_components(
         # planning time grows superlinearly with rounds — on a long-
         # chain graph (dbscan's cosine components, diameter ~15+) the
         # 20-round loop spent MINUTES in the optimizer (784s gate).
-        # localCheckpoint truncates lineage each round (eager — the
-        # loop pays an action per round anyway); planning stays O(1).
+        # localCheckpoint truncates lineage each round; planning
+        # stays O(1) because `labels` is always a checkpointed leaf.
         stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
             .select(
                 labels.node,
+                F.col("label").alias("prev"),
                 F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
             )
             .localCheckpoint()
@@ -465,27 +493,31 @@ def connected_components(
         # a node id (init label=node; mins over labels stay in the id
         # domain), so the self-join on label==node resolves each node's
         # current root one extra hop — O(diameter) → O(log diameter)
-        # rounds. The jump reads `stepped` twice; it was just
-        # localCheckpointed, so both branches scan materialized rows.
+        # rounds.
         parent = stepped.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
+        obs = Observation()  # fresh per round — safe for re-execution
         new_labels = (
             stepped.join(parent, stepped.label == parent.pnode, "left")
             .select(
                 stepped.node,
+                F.col("prev"),
                 F.least(
                     stepped.label, F.coalesce("plabel", stepped.label)
                 ).alias("label"),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("label") != F.col("prev")).cast("long")),
+                    F.lit(0),
+                ).alias("changed"),
+            )
+            .select("node", "label")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
+        changed = int(obs.get["changed"])
         labels.unpersist()
         labels = new_labels
         if changed == 0:
