@@ -8151,6 +8151,37 @@ def q_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return StepRunner(spark).run(steps, {"embeddings": emb}, emb)
 
 
+def q_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ serving path as a YAML-declarable chain
+    (VERDICT r7 #5; llm_steps.py IvfPqServeStep → embeddings.py
+    ivf_pq_serve): filter screen → Lloyd-TRAINED coarse cells
+    (kmeans.py ivf_train, integer-exact) → global PQ codebooks/codes
+    (pq_encode math) → every 50th surviving id probes its 3 nearest
+    trained cells by the SAME integer distance and ADC-scores ONLY
+    probed-cell candidates → recall@10 vs the exact cosine ranking.
+    The industry-standard 100 TB ANN layout end to end: train,
+    compress, prune, audit — one chained oracle replays all four
+    stages (the llm_pipeline pattern)."""
+    _tune(spark)
+    import drune_spark.operators.llm_steps  # noqa: F401
+    import drune_spark.operators.steps  # noqa: F401
+    from drune_spark.config.models import StepConfig
+    from drune_spark.operators.registry import StepRunner
+
+    emb = _t(spark, sf_dir, "embeddings")
+    steps = [
+        StepConfig(name="screen", type="filter",
+                   params={"where": "vec_id % 4 != 3"}),
+        StepConfig(name="serve", type="ivf_pq_serve", params={
+            "k": 10, "n_centroids": 8, "n_iters": 2, "nprobe": 3,
+            "dim": 64, "n_subspaces": 4, "codebook_size": 8,
+            "query_mod": 50, "id_col": "vec_id",
+            "vec_col": "embedding",
+        }),
+    ]
+    return StepRunner(spark).run(steps, {"embeddings": emb}, emb)
+
+
 def q_screen_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """YAML-declarable label-noise audit (VERDICT r6 #8): the chain
     filter → label_noise (llm_steps.py LabelNoiseStep) — the same
@@ -8603,7 +8634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (30) ----
+        # -- never-driver-verified backlog, waited-longest first (31) ----
         "time_rollup": q_time_rollup,
         "rollup_refresh": q_rollup_refresh,
         "value_histogram": q_value_histogram,
@@ -8634,6 +8665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": q_fim_transform,
         "source_marginals": q_source_marginals,
         "llm_pipeline": q_llm_pipeline,
+        "ivfpq_serve": q_ivfpq_serve,
         # -- driver-verified pass, stalest round first (306) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -8944,22 +8976,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _ivf_train_oracle(k: int = 8, t_iters: int = 2, dim: int = 64) -> str:
-    """SQL replay of operators/kmeans.py ivf_train: quantize with the
-    identical FP sequence, then unroll ``t_iters`` Lloyd rounds as CTEs
-    (assign = row_number argmin with (dist, centroid_id) tie-break;
-    update = per-position rounded integer mean (2s+n)//(2n), empty
-    cells keep their previous centroid), then a final assignment pass
-    for member counts and integer SSE. All-integer after quantization,
-    so the hash match proves the whole training replays exactly."""
+def _ivf_train_ctes(
+    k: int = 8,
+    t_iters: int = 2,
+    dim: int = 64,
+    where: str = "TRUE",
+    materialized: bool = False,
+) -> str:
+    """The shared Lloyd-training CTE chain (quantize, c0 seeds, then
+    per round d{t} distances / a{t} argmin assignment / u{t}+c{t+1}
+    rounded-mean update) — used by the ivf_train oracle and spliced
+    into the ivfpq_serve oracle (there with the screen predicate in
+    ``where`` and MATERIALIZED hints, since the serve text references
+    the chain tail from several CTEs)."""
+    mat = "MATERIALIZED " if materialized else ""
     parts = [
         f"""
-            WITH q AS (
+            WITH q AS {mat}(
                 SELECT vec_id,
                        list_transform(CAST(embedding AS DOUBLE[]),
                            x -> CAST(floor((x + 1.0) * 127.0 + 0.5)
                                      AS BIGINT)) AS q
-                FROM embeddings
+                FROM embeddings WHERE {where}
             ),
             c0 AS (
                 SELECT vec_id AS centroid_id, q AS c
@@ -8979,7 +9017,7 @@ def _ivf_train_oracle(k: int = 8, t_iters: int = 2, dim: int = 64) -> str:
                              c.centroid_id
                       FROM q, c{t} c) x{t}
             ),
-            a{t} AS (
+            a{t} AS {mat}(
                 SELECT vec_id, qv, centroid_id, dist FROM (
                     SELECT *, row_number() OVER (
                         PARTITION BY vec_id
@@ -9002,7 +9040,7 @@ def _ivf_train_oracle(k: int = 8, t_iters: int = 2, dim: int = 64) -> str:
                       FROM a{t})
                 GROUP BY centroid_id, pos
             ),
-            c{t + 1} AS (
+            c{t + 1} AS {mat}(
                 SELECT p.centroid_id, COALESCE(u.c, p.c) AS c
                 FROM c{t} p LEFT JOIN (
                     SELECT centroid_id, list(m ORDER BY pos) AS c
@@ -9010,6 +9048,18 @@ def _ivf_train_oracle(k: int = 8, t_iters: int = 2, dim: int = 64) -> str:
                 ) u USING (centroid_id)
             )"""
             )
+    return "".join(parts)
+
+
+def _ivf_train_oracle(k: int = 8, t_iters: int = 2, dim: int = 64) -> str:
+    """SQL replay of operators/kmeans.py ivf_train: quantize with the
+    identical FP sequence, then unroll ``t_iters`` Lloyd rounds as CTEs
+    (assign = row_number argmin with (dist, centroid_id) tie-break;
+    update = per-position rounded integer mean (2s+n)//(2n), empty
+    cells keep their previous centroid), then a final assignment pass
+    for member counts and integer SSE. All-integer after quantization,
+    so the hash match proves the whole training replays exactly."""
+    parts = [_ivf_train_ctes(k=k, t_iters=t_iters, dim=dim)]
     t_final = t_iters
     parts.append(
         f""",
@@ -9030,6 +9080,157 @@ def _ivf_train_oracle(k: int = 8, t_iters: int = 2, dim: int = 64) -> str:
         """
     )
     return "".join(parts)
+
+
+def _ivfpq_serve_oracle(
+    k_cent: int = 8,
+    t_iters: int = 2,
+    dim: int = 64,
+    m: int = 4,
+    cb: int = 8,
+    topk: int = 10,
+    nprobe: int = 3,
+    qmod: int = 50,
+    where: str = "vec_id % 4 != 3",
+) -> str:
+    """SQL replay of the composed IVF-PQ serving path (embeddings.py
+    ivf_pq_serve behind the ivf_pq_serve step): the shared Lloyd
+    training chain (screen predicate pushed into the quantize CTE,
+    exactly like the Spark step sees survivors), cell map = the final
+    assignment pass a{t}, per-query nprobe probe by the SAME integer
+    distance, global PQ codebooks/codes (the pq_recall CTEs, corpus
+    screened), ADC scored over probed-cell candidates only, recall
+    joined against the exact cosine ranking. MATERIALIZED on the
+    multiply-referenced CTEs (the r5 chain-inlining trap)."""
+    sub = dim // m
+    t = t_iters
+    train = _ivf_train_ctes(
+        k=k_cent, t_iters=t_iters, dim=dim, where=where,
+        materialized=True,
+    )
+    return (
+        train
+        + f""",
+            v AS MATERIALIZED (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE {where}
+            ),
+            seeds AS (
+                SELECT vec_id AS code, v AS cw FROM (
+                    SELECT vec_id, v,
+                           row_number() OVER (ORDER BY vec_id) AS rn
+                    FROM v) WHERE rn <= {cb}
+            ),
+            sp AS (SELECT UNNEST(range(0, {m})) AS s),
+            book AS MATERIALIZED (
+                SELECT code, s,
+                       cw[s * {sub} + 1 : s * {sub} + {sub}] AS cwv
+                FROM seeds CROSS JOIN sp
+            ),
+            subs AS (
+                SELECT vec_id, s,
+                       v[s * {sub} + 1 : s * {sub} + {sub}] AS sv
+                FROM v CROSS JOIN sp
+            ),
+            assigned AS MATERIALIZED (
+                SELECT vec_id AS cand, s, code FROM (
+                    SELECT subs.vec_id, subs.s, book.code,
+                           row_number() OVER (
+                               PARTITION BY subs.vec_id, subs.s
+                               ORDER BY list_cosine_similarity(
+                                   subs.sv, book.cwv) DESC,
+                                   book.code ASC) AS rn
+                    FROM subs JOIN book ON subs.s = book.s
+                ) WHERE rn = 1
+            ),
+            dq AS MATERIALIZED (
+                SELECT vec_id AS query_id, v AS qv2
+                FROM v WHERE vec_id % {qmod} = 0
+            ),
+            qq AS (
+                SELECT vec_id AS query_id, q AS qzv
+                FROM q WHERE vec_id % {qmod} = 0
+            ),
+            pd AS (
+                SELECT query_id, centroid_id AS cell,
+                       CAST(list_sum(list_transform(
+                           generate_series(1, {dim}),
+                           i -> (qzv[i] - cv[i]) * (qzv[i] - cv[i])
+                       )) AS BIGINT) AS dist
+                FROM (SELECT qq.query_id, qq.qzv, c.c AS cv,
+                             c.centroid_id
+                      FROM qq, c{t} c) y
+            ),
+            probes AS MATERIALIZED (
+                SELECT query_id, cell FROM (
+                    SELECT query_id, cell, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY dist, cell) AS rn
+                    FROM pd) WHERE rn <= {nprobe}
+            ),
+            cellmap AS MATERIALIZED (
+                SELECT vec_id AS cand, centroid_id AS cell
+                FROM a{t}
+            ),
+            parts AS MATERIALIZED (
+                SELECT query_id, s, code,
+                       CAST(floor(list_cosine_similarity(
+                           qv2[s * {sub} + 1 : s * {sub} + {sub}], cwv)
+                           * 1000000) AS BIGINT) AS part_micro
+                FROM dq CROSS JOIN book
+            ),
+            cands AS (
+                SELECT p.query_id, cm.cand
+                FROM probes p JOIN cellmap cm ON cm.cell = p.cell
+                WHERE cm.cand <> p.query_id
+            ),
+            scored AS MATERIALIZED (
+                SELECT cd.query_id, cd.cand,
+                       CAST(SUM(part_micro) AS BIGINT) AS adc
+                FROM cands cd
+                JOIN assigned asg ON asg.cand = cd.cand
+                JOIN parts p ON p.s = asg.s AND p.code = asg.code
+                           AND p.query_id = cd.query_id
+                GROUP BY 1, 2
+            ),
+            napprox AS (
+                SELECT query_id, cand FROM (
+                    SELECT query_id, cand, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY adc DESC, cand ASC) AS rn
+                    FROM scored) WHERE rn <= {topk}
+            ),
+            ncand AS (
+                SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+                FROM scored GROUP BY 1
+            ),
+            ex_scored AS (
+                SELECT dq.query_id, v.vec_id AS neighbor_id,
+                       list_cosine_similarity(v.v, dq.qv2) AS cosine
+                FROM v, dq WHERE v.vec_id <> dq.query_id
+            ),
+            exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                    FROM ex_scored) WHERE rn <= {topk}
+            ),
+            hits AS (
+                SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM napprox a JOIN exact e
+                  ON a.query_id = e.query_id AND a.cand = e.neighbor_id
+                GROUP BY 1
+            )
+            SELECT dq.query_id,
+                   CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+            FROM dq
+            LEFT JOIN ncand nc ON dq.query_id = nc.query_id
+            LEFT JOIN hits h ON dq.query_id = h.query_id
+            ORDER BY dq.query_id
+        """
+    )
 
 
 def _zorder_oracle(bits: int = 16, top_bits: int = 6) -> str:
@@ -15016,6 +15217,10 @@ def oracle_sql() -> dict[str, str]:
             FROM fused WHERE fused_rank <= 5
         """,
         "ivf_train": _ivf_train_oracle(k=8, t_iters=2, dim=64),
+        "ivfpq_serve": _ivfpq_serve_oracle(
+            k_cent=8, t_iters=2, dim=64, m=4, cb=8, topk=10,
+            nprobe=3, qmod=50, where="vec_id % 4 != 3",
+        ),
         "zorder_layout": _zorder_oracle(bits=16, top_bits=6),
         "compact_parquet": """
             SELECT o_orderkey, o_custkey,

@@ -318,7 +318,11 @@ BENCH_QUERIES = [
     # rewrite + hoisted pair norms took it 14.5s → 3.3s steady at sf0.1
     "dbscan",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
-    # 31 rows (recursive_reachability already times Spark recursion)
+    # 31 rows (recursive_reachability already times Spark recursion);
+    # ivfpq_serve stays out: training-tier — ~20s steady at sf0.1 is
+    # dominated by ivf_train's Lloyd control rounds (already timed via
+    # ivf_train) + the exact-baseline eval; the serving-path pieces it
+    # composes (ann_ivf_topk, pq_encode, pq_recall) are benched
 ]
 
 

@@ -372,6 +372,50 @@ class SimilaritySearchStep(Step):
         return out
 
 
+@StepRegistry.register("ivf_pq_serve")
+class IvfPqServeStep(Step):
+    """The composed IVF-PQ serving path as a pipeline stage (round 8,
+    VERDICT r7 #5): Lloyd-trained coarse cells → PQ encoding →
+    nprobe-probed ADC top-k → recall@k eval vs exact
+    (embeddings.ivf_pq_serve), over the RUNNING frame — so the whole
+    index trains on and serves screen survivors only, exactly like
+    ann_pipeline's brute stage. Terminal-audit stage: output is
+    (query_id, n_cand, n_hits), one row per derived query.
+
+    Consumption note: like similarity_search with query_mod, queries
+    are a pushdown filter over the corpus — the upstream chain is
+    scanned by training, encoding, probing and the exact baseline;
+    put a checkpoint step before this one after expensive chains."""
+
+    def execute(
+        self,
+        inputs,
+        current,
+        *,
+        k: int = 10,
+        n_centroids: int = 8,
+        n_iters: int = 2,
+        nprobe: int = 3,
+        dim: int = 64,
+        n_subspaces: int = 4,
+        codebook_size: int = 8,
+        query_mod: int = 50,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        source: Optional[str] = None,
+        **_: Any,
+    ) -> DataFrame:
+        from drune_spark.operators.embeddings import ivf_pq_serve
+
+        return ivf_pq_serve(
+            self.pick_input(inputs, current, source),
+            k=k, n_centroids=n_centroids, n_iters=n_iters,
+            nprobe=nprobe, dim=dim, n_subspaces=n_subspaces,
+            codebook_size=codebook_size, query_mod=query_mod,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+
 @StepRegistry.register("label_noise")
 class LabelNoiseStep(Step):
     """kNN label-noise screen as a pipeline stage (round 7): the

@@ -4480,6 +4480,31 @@ class TestStepPipelineChaining:
         want = sorted(((r.query_id, r.rank, r.neighbor_id) for r in direct.collect()))
         assert got == want
 
+    def test_ivf_pq_serve_step_matches_direct_call(self, spark, emb):
+        """The composed IVF-PQ serving chain (r8, VERDICT r7 #5): the
+        StepRunner stage equals the direct operator call on the
+        screened corpus, queries are survivors, and probing actually
+        prunes (n_cand < survivor count when nprobe < n_centroids)."""
+        from drune_spark.operators.embeddings import ivf_pq_serve
+
+        params = dict(k=3, n_centroids=4, n_iters=1, nprobe=2,
+                      dim=4, n_subspaces=2, codebook_size=4,
+                      query_mod=8)
+        chained = self._run(spark, emb, [
+            ("filter", {"where": "vec_id % 4 != 3"}),
+            ("ivf_pq_serve", params),
+        ])
+        surv = emb.filter("vec_id % 4 != 3")
+        direct = ivf_pq_serve(surv, **params)
+        got = sorted(map(tuple, chained.collect()))
+        want = sorted(map(tuple, direct.collect()))
+        assert got == want and got
+        n_surv = surv.count()
+        for qid, n_cand, n_hits in got:
+            assert qid % 8 == 0 and qid % 4 != 3
+            assert 0 < n_cand < n_surv, "probe did not prune"
+            assert 0 <= n_hits <= 3
+
     def test_label_noise_step_audits_survivors_only(self, spark, emb):
         from drune_spark.operators.similarity import knn_label_noise
 

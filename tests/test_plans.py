@@ -139,6 +139,29 @@ class TestPlans:
         assert partial and final and exchange
         assert final[0] < exchange[0] < partial[0]
 
+    def test_ivf_pq_serve_probe_pruned(self, spark):
+        """The composed IVF-PQ serving path (VERDICT r7 #5): candidate
+        generation must be the probes ⋈ cellmap equi-join on the coarse
+        cell (the partition-pruning shape — with a cell-partitioned
+        table this is a pruned read), the ADC chain must be planned
+        exactly ONCE (rank and candidate count share one window
+        shuffle), and nothing may fall back to a cartesian."""
+        from drune_spark.operators.embeddings import ivf_pq_serve
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = executed_plan(ivf_pq_serve(emb))
+        assert "CartesianProduct" not in plan
+        # Probe join keyed on the coarse cell.
+        assert "BroadcastHashJoin [cell" in plan
+        # ADC candidate chain appears once: a single cand-keyed join
+        # feeds both the top-k rank and the n_cand window.
+        assert plan.count("SortMergeJoin [cand") + plan.count(
+            "BroadcastHashJoin [cand"
+        ) == 1
+        # Lloyd centroid pick stays TakeOrdered inside ivf_train's
+        # passes; the final window pair shares one query_id shuffle.
+        assert "TakeOrderedAndProject" in plan
+
     def test_partitioned_readback_prunes_partitions(self, spark, entry):
         """The w4 gate query's partition-column filter must prune
         directories at scan time, not filter rows post-read."""
