@@ -6363,34 +6363,18 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen (paraphrased eval leakage that shares no 8-gram). Per
     contaminated vector: the best-matching eval id + cosine
     (deterministic argmax: cosine desc, eval id asc). Corpus scans
-    once against the broadcast eval set; never pairs corpus×corpus."""
+    once against the broadcast eval set; never pairs corpus×corpus.
+    r8: promoted to the reusable operator dedup.decontaminate_semantic
+    (VERDICT r7 #6) with a planted-paraphrase pytest."""
     _tune(spark)
-    from drune_spark.functions.vectors import (
-        cosine_similarity,
-        to_double_array,
-    )
+    from drune_spark.operators.dedup import decontaminate_semantic
 
     emb = _t(spark, sf_dir, "embeddings")
-    evalset = emb.filter("vec_id < 20").select(
-        F.col("vec_id").alias("eval_id"),
-        to_double_array(F.col("embedding")).alias("ev"),
+    evalset = emb.filter("vec_id < 20").withColumnRenamed(
+        "vec_id", "eval_id"
     )
-    corpus = emb.filter("vec_id >= 20").select(
-        "vec_id", to_double_array(F.col("embedding")).alias("v")
-    )
-    scored = corpus.join(F.broadcast(evalset)).select(
-        "vec_id", "eval_id",
-        cosine_similarity(F.col("v"), F.col("ev")).alias("cosine"),
-    ).filter(F.col("cosine") >= 0.4)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("eval_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "eval_id", "cosine")
+    return decontaminate_semantic(
+        emb.filter("vec_id >= 20"), evalset, threshold=0.4
     )
 
 

@@ -705,6 +705,65 @@ def decontaminate(
         )
     )
 
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Embedding-space decontamination (the semantic complement of the
+    n-gram ``decontaminate`` screen): flag corpus rows whose embedding
+    cosine against ANY held-out eval vector clears ``threshold`` —
+    PARAPHRASED benchmark leakage that shares no shingle with the eval
+    text and therefore sails through the shingle-overlap screen. Per
+    contaminated row, the best-matching eval id + cosine are returned
+    (deterministic argmax: cosine desc, eval id asc).
+
+    Scale shape: the eval set is benchmark-sized (thousands), so it
+    broadcasts and the corpus scans ONCE past it — O(n·|eval|) fused
+    in one stage, never corpus×corpus; the row_number argmax keeps the
+    rank-limit pushdown (WindowGroupLimit). Same contract as the
+    driver-verified gate `decontaminate_semantic` (round 5, promoted
+    to an operator in r8 — VERDICT r7 #6).
+
+    Returns (id_col, eval_id_col, cosine) — contaminated rows only.
+    """
+    from pyspark.sql import Window
+
+    from drune_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    ev = evalset.select(
+        F.col(eval_id_col),
+        to_double_array(F.col(vec_col)).alias("ev"),
+    )
+    c = corpus.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
+    )
+    scored = (
+        c.join(F.broadcast(ev))
+        .select(
+            id_col,
+            eval_id_col,
+            cosine_similarity(F.col("v"), F.col("ev")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col(eval_id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, eval_id_col, "cosine")
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str,

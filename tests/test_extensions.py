@@ -4518,6 +4518,52 @@ class TestStepPipelineChaining:
         assert got == want and got
 
 
+class TestSemanticDecontamination:
+    """decontaminate_semantic (r8 operator promotion, VERDICT r7 #6):
+    a PLANTED PARAPHRASE — worded so it shares no k-gram with the eval
+    text, embedded almost parallel to the eval vector — must sail
+    through the shingle-overlap screen yet be flagged by the embedding
+    screen; an unrelated (near-orthogonal) doc must pass both."""
+
+    def test_planted_paraphrase_caught_by_embedding_not_ngrams(self, spark):
+        from drune_spark.operators.dedup import (
+            decontaminate,
+            decontaminate_semantic,
+        )
+
+        eval_rows = [(100, "the quick brown fox jumps over the lazy dog "
+                           "near the quiet river bank at dawn",
+                      [1.0, 0.0, 0.2, 0.1])]
+        corpus_rows = [
+            # paraphrase: zero shared 3-grams, embedding ~parallel
+            (1, "a speedy russet vulpine leaps across an idle canine "
+                "beside a calm stream edge in early morning",
+             [0.98, 0.01, 0.21, 0.09]),
+            # unrelated: near-orthogonal embedding
+            (2, "quarterly revenue grew eleven percent on strong "
+                "hardware demand across retail segments",
+             [0.0, 1.0, -0.1, 0.05]),
+        ]
+        evalset = spark.createDataFrame(
+            eval_rows, ["eval_id", "text", "embedding"]
+        )
+        corpus = spark.createDataFrame(
+            corpus_rows, ["vec_id", "text", "embedding"]
+        )
+        ngram = decontaminate(
+            corpus, evalset.withColumnRenamed("eval_id", "vec_id"),
+            text_col="text", id_col="vec_id", k=3, min_shared=1,
+        ).collect()
+        assert all(not r.contaminated for r in ngram), (
+            "paraphrase unexpectedly shares a 3-gram with the eval text"
+        )
+        sem = decontaminate_semantic(
+            corpus, evalset, threshold=0.6
+        ).collect()
+        assert [(r.vec_id, r.eval_id) for r in sem] == [(1, 100)]
+        assert sem[0].cosine > 0.9
+
+
 class TestRound7Operators:
     def test_join_refresh_equals_full_recompute(self, spark):
         from drune_spark.operators.ivm import (
