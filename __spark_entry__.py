@@ -5556,6 +5556,24 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synthesize_audio(docs))
 
 
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity detection (multimodal.audio_vad) —
+    the speech-data curation screen: REAL WAV decode, 16-step frames,
+    frame speech iff Σv² > per-sample threshold × frame size; exact
+    integer speech ratio + order-sensitive frame-energy checksum. The
+    oracle recomputes every frame energy from the closed-form sample
+    formula. Shuffle-free mapInPandas both stages."""
+    _tune(spark)
+    from drune_spark.operators.multimodal import (
+        audio_vad,
+        synthesize_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_vad(synthesize_audio(docs), frame_len=16,
+                     threshold_per_sample=1_400_000)
+
+
 def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video codec round-trip (multimodal mandate, final third):
     one uncompressed AVI per document encoded from closed-form frames
@@ -5637,6 +5655,24 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = lsh_topk(emb, queries, k=5, dim=64, bands=4,
                       planes_per_band=8)
     return recall_at_k(exact, approx, queries, k=5)
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval (embeddings.py matryoshka_recall):
+    recall@5 of cosine top-k on prefix-truncated embeddings (8/16/32
+    dims) vs the full 64-dim exact ranking — how far the vector column
+    can be cut before retrieval quality drops. One corpus×queries scan
+    scores every truncation level; the hit test consumes the top-k
+    frame once via dim-membership sets. All-integer outputs."""
+    _tune(spark)
+    from drune_spark.operators.embeddings import matryoshka_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return matryoshka_recall(emb, queries, dims=(8, 16, 32),
+                             full_dim=64, k=5)
 
 
 def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6058,6 +6094,60 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) * F.col("sz")).cast("long").alias("n_docs"),
     ).select(F.col("sz").cast("long").alias("cluster_size"),
              "n_clusters", "n_docs")
+
+
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size-weighted soft dedup (dedup.py soft_dedup): every
+    near-dup cluster member kept with deterministic probability
+    1/cluster_size (md5 draw), canonical min-id member always kept —
+    expected one surviving copy per cluster without hard-dropping the
+    corpus distribution. One window over the verified component labels;
+    oracle replays the shared clustering text + the same md5 rule."""
+    _tune(spark)
+    from drune_spark.operators.dedup import ngram_jaccard_pairs, soft_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3,
+                                threshold=0.5)
+    return soft_dedup(docs, pairs, "doc_id", salt="sd1")
+
+
+def q_rejection_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution matching by deterministic rejection sampling
+    (sampling.py rejection_match): thin each source so its length-band
+    profile matches the corpus-wide target — over-represented bands
+    accept at min(1, target_share/actual_share), under-represented
+    keep all. DECIMAL(38,0) ppm arithmetic + md5 draw, all broadcast
+    totals; per-row verdicts hash-checked."""
+    _tune(spark)
+    from drune_spark.operators.sampling import rejection_match
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.expr("CAST(n_chars div 100 AS BIGINT)").alias("band"),
+    )
+    return rejection_match(docs, "source", "band", "doc_id", salt="rm1")
+
+
+def q_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dup pairs (dedup.py
+    edit_verified_pairs): shingle-Jaccard candidates at a loose 0.1
+    screen, then the banded-levenshtein precision pass keeps only
+    pairs within 5 character edits — the typo-family certifier. The
+    DP runs on candidates only (∝ dup rate, never n²); oracle replays
+    the candidate CTE + DuckDB's levenshtein (classic DP, value-exact
+    vs Spark's)."""
+    _tune(spark)
+    from drune_spark.operators.dedup import (
+        edit_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3,
+                                threshold=0.1)
+    return edit_verified_pairs(docs, pairs, "text", "doc_id",
+                               max_dist=5)
 
 
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8618,7 +8708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (31) ----
+        # -- never-driver-verified backlog, waited-longest first (36) ----
         "time_rollup": q_time_rollup,
         "rollup_refresh": q_rollup_refresh,
         "value_histogram": q_value_histogram,
@@ -8650,6 +8740,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_marginals": q_source_marginals,
         "llm_pipeline": q_llm_pipeline,
         "ivfpq_serve": q_ivfpq_serve,
+        "soft_dedup": q_soft_dedup,
+        "matryoshka_recall": q_matryoshka_recall,
+        "audio_vad": q_audio_vad,
+        "edit_dedup": q_edit_dedup,
+        "rejection_match": q_rejection_match,
         # -- driver-verified pass, stalest round first (306) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -11905,6 +12000,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(abs(v)) AS BIGINT) AS abs_sum,
                    CAST(SUM(v * (j + 1)) AS BIGINT) AS wsum
             FROM s GROUP BY doc_id, n, ch, rate
+        """,
+        # Same closed-form sample formula as audio_decode, refolded into
+        # 16-time-step frames: i = j // ch, f = i // 16, frame energy =
+        # Σ v² over all channels, speech iff e > 1.4M × samples-in-frame.
+        "audio_vad": """
+            WITH d AS (
+                SELECT doc_id,
+                       64 + doc_id % 37 AS n,
+                       1 + doc_id % 2 AS ch
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, (j // ch) // 16 AS f,
+                       (doc_id * 13 + 7 * (j // ch) + 5 * (j % ch))
+                           % 4096 - 2048 AS v
+                FROM d, UNNEST(generate_series(0, n * ch - 1)) AS t(j)
+            ),
+            fr AS (
+                SELECT doc_id, f,
+                       CAST(SUM(v * v) AS BIGINT) AS e,
+                       COUNT(*) AS cnt
+                FROM s GROUP BY doc_id, f
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_frames,
+                       CAST(count_if(e > 1400000 * cnt) AS BIGINT)
+                           AS n_speech,
+                       CAST(SUM(e * (f + 1)) AS BIGINT) AS energy_wsum
+                FROM fr GROUP BY doc_id
+            )
+            SELECT doc_id AS media_id, n_frames, n_speech,
+                   CAST(n_speech * 1000000 // n_frames AS BIGINT)
+                       AS speech_ppm,
+                   energy_wsum
+            FROM agg
         """,
         # Closed form of the constructed 3-batch watermark schedule (see
         # streamed_distinct_within_watermark): every key emits its hour-1
@@ -15167,6 +15298,59 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "ann_topk": _ann_topk_oracle(n_queries=5, k=5),
+        "matryoshka_recall": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 5
+            ),
+            c AS (
+                SELECT vec_id AS neighbor_id,
+                       CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings
+            ),
+            dimsv AS (SELECT UNNEST([8, 16, 32, 64]) AS dim),
+            topk AS MATERIALIZED (
+                SELECT query_id, neighbor_id, dim FROM (
+                    SELECT query_id, neighbor_id, dim,
+                           row_number() OVER (
+                               PARTITION BY query_id, dim
+                               ORDER BY cosine DESC, neighbor_id ASC
+                           ) AS rank
+                    FROM (
+                        SELECT query_id, neighbor_id, dim,
+                               list_cosine_similarity(
+                                   list_slice(cv, 1, dim),
+                                   list_slice(qv, 1, dim)) AS cosine
+                        FROM c, q, dimsv
+                        WHERE neighbor_id <> query_id
+                    )
+                ) WHERE rank <= 5
+            ),
+            hits AS (
+                SELECT t.query_id, t.dim,
+                       CAST(count(*) AS BIGINT) AS n_hits
+                FROM topk t
+                JOIN (SELECT query_id, neighbor_id FROM topk
+                      WHERE dim = 64) f
+                  ON t.query_id = f.query_id
+                 AND t.neighbor_id = f.neighbor_id
+                WHERE t.dim <> 64
+                GROUP BY t.query_id, t.dim
+            ),
+            grid AS (
+                SELECT query_id, dim
+                FROM (SELECT DISTINCT query_id FROM q),
+                     (SELECT UNNEST([8, 16, 32]) AS dim)
+            )
+            SELECT g.query_id, CAST(g.dim AS INT) AS dim,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(h.n_hits, 0) * 1000000 // 5
+                        AS BIGINT) AS recall_ppm
+            FROM grid g
+            LEFT JOIN hits h
+              ON g.query_id = h.query_id AND g.dim = h.dim
+        """,
         "hybrid_search": f"""
             WITH bm AS (
                 SELECT {_hybrid_qid_case()} AS qid, doc_id, rank
@@ -15955,6 +16139,99 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS survivor_quality
             FROM agg
         """.replace("{K}", str(1 << 33)),
+        # Shared labels text again: the soft-dedup draw replays the
+        # identical component labeling, then the md5 keep rule.
+        "soft_dedup": f"""
+            WITH RECURSIVE {cluster_ctes},
+            sz AS (
+                SELECT doc_id, cluster_id,
+                       CAST(count(*) OVER (PARTITION BY cluster_id)
+                            AS BIGINT) AS cluster_size,
+                       MIN(doc_id) OVER (PARTITION BY cluster_id)
+                           AS canon
+                FROM labels
+            )
+            SELECT doc_id, cluster_id, cluster_size,
+                   CAST(CASE WHEN doc_id = canon
+                             OR ('0x' || substr(md5('sd1' ||
+                                 CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                 % cluster_size = 0
+                        THEN 1 ELSE 0 END AS INTEGER) AS kept
+            FROM sz
+        """,
+        # HUGEINT moments mirror the Spark DECIMAL(38,0) ppm arithmetic;
+        # // == DIV on the nonnegative operands.
+        "rejection_match": """
+            WITH base AS (
+                SELECT doc_id, source,
+                       CAST(n_chars // 100 AS BIGINT) AS band
+                FROM documents
+            ),
+            a AS (
+                SELECT source, band, COUNT(*) AS a_gb
+                FROM base GROUP BY source, band
+            ),
+            g AS (
+                SELECT source, COUNT(*) AS a_g FROM base GROUP BY source
+            ),
+            t AS (
+                SELECT band, COUNT(*) AS t_b FROM base GROUP BY band
+            ),
+            tt AS (SELECT COUNT(*) AS t_total FROM base),
+            j AS (
+                SELECT b.doc_id, b.source, b.band,
+                       least(CAST(1000000 AS BIGINT),
+                             CAST((t_b::HUGEINT * a_g * 1000000)
+                                  // (t_total::HUGEINT * a_gb)
+                                  AS BIGINT)) AS p_ppm
+                FROM base b
+                JOIN a USING (source, band)
+                JOIN g USING (source)
+                JOIN t USING (band), tt
+            )
+            SELECT doc_id, source, band, p_ppm,
+                   CAST(CASE WHEN ('0x' || substr(md5('rm1' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 1000000 < p_ppm
+                        THEN 1 ELSE 0 END AS INTEGER) AS accepted
+            FROM j
+        """,
+        # Candidate CTE = the shared shingle-Jaccard shape at the loose
+        # 0.1 screen; DuckDB's classic-DP levenshtein is value-exact vs
+        # Spark's banded variant for dist <= the bound.
+        "edit_dedup": f"""
+            WITH toks AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ),
+            shing AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+                FROM toks, UNNEST(generate_series(1,
+                         greatest(len(w) - 2, 0))) AS t(i)
+            ),
+            sizes AS (
+                SELECT doc_id, COUNT(*) AS ns FROM shing GROUP BY doc_id
+            ),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS nc
+                FROM shing a JOIN shing b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            cand AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.1
+            )
+            SELECT p.id_a, p.id_b,
+                   CAST(levenshtein(da.text, db.text) AS INTEGER) AS dist
+            FROM cand p
+            JOIN documents da ON da.doc_id = p.id_a
+            JOIN documents db ON db.doc_id = p.id_b
+            WHERE levenshtein(da.text, db.text) <= 5
+        """,
         "split_leakage": f"""
             WITH RECURSIVE {cluster_ctes},
             splits AS (

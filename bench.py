@@ -17,12 +17,26 @@ expect r3+ numbers to sit at the low end of earlier runs' noise band.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Tiered run order (VERDICT r7 #8): the registry outgrew the 420 s
+# min-of-2 budget (280 admitted queries, ~220 s throttled), so which
+# queries degrade to single-pass was becoming a fixed property of list
+# position — the tail NEVER got a steady-state number. Two tiers now:
+#   headline — BENCH_QUERIES[:20] (the cross-round summary set) always
+#     runs first and always gets min-of-2, budget-exempt;
+#   deep — everything else, rotated by a per-round offset (the count of
+#     existing BENCH_r*.json artifacts — deterministic, advances once
+#     per driver round) so min-of-2 coverage CYCLES through the deep
+#     tier across rounds instead of starving the same suffix.
+# BENCH_full.json records which queries got min-of-2 vs single-pass.
+N_HEADLINE = 20
 
 BENCH_QUERIES = [
     "p1_schema_apply",
@@ -347,6 +361,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    min2: set[str] = set()
+
+    headline_tier = BENCH_QUERIES[:N_HEADLINE]
+    deep_tier = BENCH_QUERIES[N_HEADLINE:]
+    here_dir = os.path.dirname(os.path.abspath(__file__))
+    rot = len(glob.glob(os.path.join(here_dir, "BENCH_r*.json")))
+    if deep_tier:
+        off = rot % len(deep_tier)
+        deep_tier = deep_tier[off:] + deep_tier[:off]
+    run_order = headline_tier + deep_tier
 
     def emit() -> None:
         # The driver captures only a bounded tail of stdout: BENCH_r03
@@ -361,17 +385,22 @@ def main() -> None:
             "queries": timings,
             "errors": errors,
             "sf": sf_val,
+            "deep_tier_rotation": rot,
+            "min2_queries": sorted(min2),
+            "single_pass_queries": sorted(set(timings) - min2),
         }
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_full.json"), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
-        headline = {k: timings[k] for k in BENCH_QUERIES[:20] if k in timings}
+        headline = {k: timings[k] for k in BENCH_QUERIES[:N_HEADLINE]
+                    if k in timings}
         sys.stdout.flush()
         print(json.dumps({
             "metric": "total_headline_query_seconds",
             "value": full["value"],
             "unit": "sec",
             "n_queries": len(timings),
+            "n_min2": len(min2),
             "n_failed": len(errors),
             "failed": sorted(errors)[:8],
             "anchor_tpch_q3": timings.get("tpch_q3"),
@@ -418,7 +447,7 @@ def main() -> None:
         # strictly worse).
         budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
         t_start = time.time()
-        for name in BENCH_QUERIES:
+        for name in run_order:
             try:
                 first = run(name)
                 # Past budget, a single first pass still pays cold
@@ -427,12 +456,17 @@ def main() -> None:
                 # steady-state query this way. Re-run anything whose
                 # first pass is over 1s (few queries, bounded extra
                 # wall); cheap queries absorb at most ~1s of error.
+                # The headline tier is budget-exempt: its 20 queries
+                # are the cross-round comparison set and always report
+                # steady state.
                 if (
-                    time.time() - t_start < budget_s
+                    name in headline_tier
+                    or time.time() - t_start < budget_s
                     or first > 1.0
                 ):
                     try:
                         second = run(name)
+                        min2.add(name)
                     except Exception:  # noqa: BLE001 — keep first pass
                         second = first
                     timings[name] = round(min(first, second), 3)

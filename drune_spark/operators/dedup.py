@@ -1607,3 +1607,95 @@ def source_marginals(
         )
         .orderBy("source")
     )
+
+
+def soft_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "sd1",
+    max_iterations: int | None = 20,
+) -> DataFrame:
+    """Cluster-size-weighted soft deduplication: instead of hard-keeping
+    one survivor per near-dup cluster, every member is kept with
+    probability 1/cluster_size (the RefinedWeb/FineWeb practice — the
+    expected number of surviving copies per cluster is one, so training
+    loss stops over-weighting duplicated content while the corpus keeps
+    its topical distribution), except the canonical member (lowest id),
+    which is ALWAYS kept so no cluster loses coverage to an unlucky
+    draw.
+
+    The draw is deterministic and oracle-mirrorable: member kept iff
+    ``md5_u32(salt || id) % cluster_size == 0`` (DuckDB:
+    ``('0x' || substr(md5(salt || id), 1, 8))::BIGINT % sz = 0``).
+
+    One window over ``cluster_id`` supplies size and canonical id —
+    NO join-back onto the labels frame, which would re-execute the
+    iterative component labeling per branch (the self-referencing-DAG
+    trap). At 100 TB: the window shuffles (id, cluster_id) pairs only,
+    and the labeling itself is the O(log n) pointer-jump loop.
+
+    Returns (id_col, cluster_id, cluster_size, kept 0/1).
+    """
+    from pyspark.sql import Window
+
+    from drune_spark.functions.hashes import md5_u32
+
+    labels = connected_components(pairs, docs.select(id_col),
+                                  max_iterations)
+    w = Window.partitionBy("cluster_id")
+    sized = labels.select(
+        F.col(id_col),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        F.min(id_col).over(w).alias("_canon"),
+    )
+    draw = md5_u32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return sized.select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (
+            (F.col(id_col) == F.col("_canon"))
+            | (draw % F.col("cluster_size") == 0)
+        ).cast("int").alias("kept"),
+    )
+
+
+def edit_verified_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 5,
+) -> DataFrame:
+    """Edit-distance verification of near-dup candidates: join texts
+    back onto a bounded (id_a, id_b) candidate frame — produced by any
+    of the blocked generators (LSH banding, shingle Jaccard) — and keep
+    pairs whose character levenshtein distance is ≤ ``max_dist``. This
+    is the precision pass the estimate-based screens can't give: two
+    docs can share most shingles yet differ by a large structural edit,
+    and conversely a small in-word typo family is exactly what a tight
+    edit bound certifies.
+
+    Scale: the DP never runs on the corpus — only on candidate pairs
+    (∝ near-dup rate, not n²), and Spark's banded
+    ``levenshtein(l, r, threshold)`` caps the DP band at O(max_dist)
+    per character instead of O(|b|) (returns −1 above the bound, which
+    the filter drops). Shuffles are two hash joins keyed on doc ids.
+
+    Returns (id_a, id_b, dist) with exact integer distances —
+    cross-engine parity with any classic-DP ``levenshtein`` (DuckDB's
+    matches Spark's value-for-value).
+    """
+    ta = docs.select(F.col(id_col).alias("id_a"),
+                     F.col(text_col).alias("__ta"))
+    tb = docs.select(F.col(id_col).alias("id_b"),
+                     F.col(text_col).alias("__tb"))
+    j = pairs.select("id_a", "id_b").join(ta, "id_a").join(tb, "id_b")
+    d = F.levenshtein(F.col("__ta"), F.col("__tb"), int(max_dist))
+    return (
+        j.select("id_a", "id_b", d.alias("dist"))
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )

@@ -577,3 +577,93 @@ def ivf_pq_serve(
         )
         .orderBy("query_id")
     )
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32),
+    full_dim: int = 64,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Matryoshka truncation eval (Kusupati et al. 2022,
+    arXiv:2205.13147): per-query recall@k of cosine top-k computed on
+    PREFIX-truncated embeddings (first ``m`` dims, renormalized by the
+    cosine itself) against the full-dimension exact ranking — the
+    audit that decides how far an MRL-trained embedding column can be
+    truncated before retrieval quality drops, i.e. how much of the
+    100 TB vector footprint (and ANN index) can be cut.
+
+    One corpus×queries scan computes EVERY truncation level's cosine
+    (explode of a per-pair struct array — no per-dim rescans), one
+    window ranks all (query, dim) cells, and the hit test consumes the
+    top-k frame exactly ONCE: pairs fold to their dim-membership set,
+    a hit for dim m = {m, full_dim} both present (the
+    self-referencing-DAG trap avoided — no topk-vs-topk join that
+    would re-execute the scan per branch).
+
+    Returns (query_id, dim, n_hits, recall_ppm), zero-filled from the
+    queries × dims grid so empty truncations still report.
+    """
+    all_dims = [int(m) for m in dims] + [int(full_dim)]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qv"),
+    )
+    per_pair = F.array(*[
+        F.struct(
+            F.lit(m).alias("dim"),
+            cosine_similarity(
+                F.slice("cv", 1, m), F.slice("qv", 1, m)
+            ).alias("cosine"),
+        )
+        for m in all_dims
+    ]).cast("array<struct<dim:int,cosine:double>>")  # HOF members drop
+    # struct field names without the explicit cast (kmeans.py trap)
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.explode(per_pair).alias("s"))
+        .select("query_id", "neighbor_id", "s.dim", "s.cosine")
+    )
+    from pyspark.sql import Window
+    w = (
+        Window.partitionBy("query_id", "dim")
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    pair_dims = topk.groupBy("query_id", "neighbor_id").agg(
+        F.collect_set("dim").alias("ds")
+    )
+    hits = (
+        pair_dims
+        .withColumn("in_full", F.array_contains("ds", full_dim))
+        .select(
+            "query_id", "in_full",
+            F.explode(F.array_remove("ds", full_dim)).alias("dim"),
+        )
+        .groupBy("query_id", "dim")
+        .agg(F.count_if("in_full").alias("n_hits"))
+    )
+    dims_df = queries.sparkSession.createDataFrame(
+        [(int(m),) for m in dims], "dim int"
+    )
+    grid = queries.select(F.col(query_id_col).alias("query_id")) \
+        .distinct().crossJoin(F.broadcast(dims_df))
+    return grid.join(hits, ["query_id", "dim"], "left").select(
+        "query_id",
+        "dim",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.expr(f"coalesce(n_hits, 0) * 1000000 div {int(k)}")
+        .cast("long").alias("recall_ppm"),
+    )

@@ -220,6 +220,64 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(proc, schema=AUDIO_FEATURE_SCHEMA)
 
 
+AUDIO_VAD_SCHEMA = (
+    "media_id bigint, n_frames bigint, n_speech bigint, "
+    "speech_ppm bigint, energy_wsum bigint"
+)
+
+
+def audio_vad(
+    media: DataFrame,
+    frame_len: int = 16,
+    threshold_per_sample: int = 1_400_000,
+) -> DataFrame:
+    """Energy-based voice-activity detection — the first screen of any
+    speech-data curation pipeline (drop silence/noise-only clips,
+    meter speech density per source). REAL WAV decode
+    (operators/audioio.py), then frames of ``frame_len`` time steps:
+    frame energy = Σ v² over every sample (all channels) in the frame,
+    speech iff energy > threshold_per_sample · samples_in_frame. The
+    trailing partial frame is kept (its threshold scales with its true
+    sample count), so short clips aren't silently truncated.
+
+    All-integer outputs; ``energy_wsum`` = Σ energy_f·(f+1) is
+    order-sensitive across frames, so a single mis-framed sample breaks
+    the oracle hash. Shuffle-free mapInPandas — at 100 TB this is
+    embarrassingly parallel over binary rows, and only the 5-column
+    feature rows leave the stage.
+
+    Returns (media_id, n_frames, n_speech, speech_ppm, energy_wsum).
+    """
+    from drune_spark.operators.audioio import decode_wav
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _rate, arr = decode_wav(bytes(content))
+                n, ch = arr.shape
+                sq = (arr.astype(np.int64) ** 2).sum(axis=1)
+                n_frames = (n + frame_len - 1) // frame_len
+                energies, n_speech, wsum = [], 0, 0
+                for f in range(n_frames):
+                    seg = sq[f * frame_len:(f + 1) * frame_len]
+                    e = int(seg.sum())
+                    if e > threshold_per_sample * seg.size * ch:
+                        n_speech += 1
+                    wsum += e * (f + 1)
+                    energies.append(e)
+                rows.append({
+                    "media_id": int(mid),
+                    "n_frames": n_frames,
+                    "n_speech": n_speech,
+                    "speech_ppm": n_speech * 1_000_000 // n_frames,
+                    "energy_wsum": wsum,
+                })
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(proc, schema=AUDIO_VAD_SCHEMA)
+
+
 IMAGE_FEATURE_SCHEMA = (
     "media_id bigint, width int, height int, channels int, "
     "px_sum bigint, wsum bigint, r_sum bigint, g_sum bigint, b_sum bigint"

@@ -671,3 +671,67 @@ def neyman_allocation(
         )
         .orderBy("stratum")
     )
+
+
+def rejection_match(
+    df: DataFrame,
+    group_col: str,
+    strata_col: str,
+    id_col: str,
+    salt: str = "rm1",
+) -> DataFrame:
+    """Distribution matching by deterministic rejection sampling: thin
+    each group (e.g. source) so its strata distribution (e.g. length
+    bands) matches the corpus-wide target — the rebalancing step before
+    mixing heterogeneous sources into one training corpus (a FineWeb-
+    style "match the reference length/quality profile" pass).
+
+    Accept probability per (group g, stratum b) =
+    ``min(1, (t_b/t_total) / (a_gb/a_g))`` — strata a group
+    over-represents are thinned to the target share, under-represented
+    strata keep everything (rejection can only remove). The draw is
+    deterministic: accept iff ``md5_u32(salt || id) % 10⁶ < p_ppm``,
+    with p_ppm computed in DECIMAL(38,0) (counts at 100 TB are ~10¹²;
+    the t_b·a_g·10⁶ product would overflow BIGINT).
+
+    Cost: two group-cell aggregates + one stratum aggregate + one 1-row
+    total, all broadcast back onto the row stream (the percent_of_total
+    totals pattern) — rows never shuffle.
+
+    Returns per-row (id, group, stratum, p_ppm, accepted 0/1).
+    """
+    from drune_spark.functions.hashes import md5_u32
+
+    base = df.select(id_col, group_col, strata_col)
+    a_cell = base.groupBy(group_col, strata_col).agg(
+        F.count(F.lit(1)).alias("a_gb")
+    )
+    a_tot = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("a_g")
+    )
+    t_cell = base.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("t_b")
+    )
+    t_tot = base.agg(F.count(F.lit(1)).alias("t_total"))
+    p_ppm = F.expr(
+        "least(CAST(1000000 AS BIGINT), CAST("
+        "(CAST(t_b AS DECIMAL(38,0)) * CAST(a_g AS DECIMAL(38,0))"
+        " * 1000000) DIV "
+        "(CAST(t_total AS DECIMAL(38,0)) * CAST(a_gb AS DECIMAL(38,0)))"
+        " AS BIGINT))"
+    )
+    draw = md5_u32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        base
+        .join(F.broadcast(a_cell), [group_col, strata_col])
+        .join(F.broadcast(a_tot), [group_col])
+        .join(F.broadcast(t_cell), [strata_col])
+        .crossJoin(F.broadcast(t_tot))
+        .select(
+            id_col,
+            group_col,
+            strata_col,
+            p_ppm.alias("p_ppm"),
+            (draw % 1_000_000 < p_ppm).cast("int").alias("accepted"),
+        )
+    )
