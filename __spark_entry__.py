@@ -2716,6 +2716,77 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("event_type"), "rank_int")
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (graph.py hits_int) over the bipartite
+    customer→supplier purchase graph (edges = orders⋈lineitem pairs,
+    weighted by line count): 3 integer rounds, each side renormalized
+    to max=10⁶ by shifted div with a 1-row driver control fetch.
+    All-integer → the unrolled-CTE oracle replays every round
+    bit-for-bit (scalar-subquery maxes)."""
+    _tune(spark)
+    from drune_spark.operators.graph import hits_int
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return hits_int(edges, n_iters=3)
+
+
+def _hits_oracle(n_iters: int = 3, scale: int = 1_000_000) -> str:
+    """SQL replay of graph.py hits_int: unrolled half-steps with
+    scalar-subquery max renormalizers. AS MATERIALIZED on every chained
+    CTE — DuckDB re-expands referenced CTEs otherwise (the r5 MMR
+    lesson). SUM() is CAST at definition so downstream products stay
+    BIGINT, never HUGEINT."""
+    parts = [f"""
+            WITH edges AS MATERIALIZED (
+                SELECT o_custkey AS src, l_suppkey AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS w
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                GROUP BY o_custkey, l_suppkey
+            ),
+            h0 AS (
+                SELECT DISTINCT src, CAST({scale} AS BIGINT) AS h
+                FROM edges
+            )"""]
+    for t in range(n_iters):
+        parts.append(f""",
+            ar{t} AS MATERIALIZED (
+                SELECT dst, CAST(SUM(h * w) AS BIGINT) AS r
+                FROM edges JOIN h{t} USING (src) GROUP BY dst
+            ),
+            a{t + 1} AS MATERIALIZED (
+                SELECT dst,
+                       CAST(r * {scale} // (SELECT MAX(r) FROM ar{t})
+                            AS BIGINT) AS a
+                FROM ar{t}
+            ),
+            hr{t} AS MATERIALIZED (
+                SELECT src, CAST(SUM(a * w) AS BIGINT) AS r
+                FROM edges JOIN a{t + 1} USING (dst) GROUP BY src
+            ),
+            h{t + 1} AS MATERIALIZED (
+                SELECT src,
+                       CAST(r * {scale} // (SELECT MAX(r) FROM hr{t})
+                            AS BIGINT) AS h
+                FROM hr{t}
+            )""")
+    parts.append(f"""
+            SELECT dst AS node, 'auth' AS kind, a AS score_int
+            FROM a{n_iters}
+            UNION ALL
+            SELECT src, 'hub', h FROM h{n_iters}
+        """)
+    return "".join(parts)
+
+
 def _pagerank_oracle(n_iters: int = 3, damping_pct: int = 85,
                      scale: int = 1_000_000) -> str:
     """SQL replay of operators/graph.py pagerank_int over the event
@@ -8409,6 +8480,20 @@ def q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dead-letter routing (streaming/runner.py stream_dlq):
+    every micro-batch screened by the SAME RuleRegistry rules the batch
+    DQ engine uses (isin on event_type, gte on value — first failing
+    rule names the reason), pass rows to the main sink, failures to the
+    DLQ, both written per-batch-id (retry-idempotent). Routing is
+    stateless per row, so the forced 4-batch drain's read-back counts
+    equal the batch SQL — batch-split invariance IS the claim."""
+    _tune(spark)
+    from drune_spark.streaming.runner import stream_dlq
+
+    return stream_dlq(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-cutoff retention curve (text_analysis.py
     threshold_sweep): docs and token mass surviving each candidate
@@ -8708,7 +8793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (36) ----
+        # -- never-driver-verified backlog, waited-longest first (38) ----
         "time_rollup": q_time_rollup,
         "rollup_refresh": q_rollup_refresh,
         "value_histogram": q_value_histogram,
@@ -8745,6 +8830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad": q_audio_vad,
         "edit_dedup": q_edit_dedup,
         "rejection_match": q_rejection_match,
+        "hits_scores": q_hits_scores,
+        "stream_dlq": q_stream_dlq,
         # -- driver-verified pass, stalest round first (306) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -10474,6 +10561,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) WHERE rk <= 25
             ORDER BY event_type, event_id
+        """,
+        # Stateless per-row routing — multi-batch drain counts equal
+        # the one-shot batch SQL by construction.
+        "stream_dlq": """
+            WITH r AS (
+                SELECT event_type,
+                       CASE WHEN NOT (event_type IN
+                                 ('click', 'view', 'purchase', 'signup'))
+                                 THEN 'bad_type'
+                            WHEN NOT (value >= 2.0) THEN 'low_value'
+                            ELSE 'ok' END AS reason
+                FROM events
+            )
+            SELECT CASE WHEN reason = 'ok' THEN 'main' ELSE 'dlq' END
+                       AS route,
+                   reason, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM r GROUP BY route, reason, event_type
         """,
         "threshold_sweep": """
             WITH n AS (
@@ -15673,6 +15778,7 @@ def oracle_sql() -> dict[str, str]:
             + FUNNEL_BODY.strip().removeprefix("WITH")
         ),
         "pagerank": _pagerank_oracle(n_iters=3),
+        "hits_scores": _hits_oracle(n_iters=3),
         "ppr_seeded": _ppr_oracle(n_iters=3),
         "stream_resume": """
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n

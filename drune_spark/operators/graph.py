@@ -742,3 +742,69 @@ def personalized_pagerank_int(
             ).cast("long").alias("rank_int"),
         )
     return ranks
+
+
+def hits_int(
+    edges: DataFrame,
+    n_iters: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) with integer-exact
+    rounds: ``a(d) = Σ_{s→d} h(s)·w``, ``h(s) = Σ_{s→d} a(d)·w``, each
+    side renormalized to ``max = scale`` by shifted integer division
+    after every half-step (the power-iteration/perceptron driver-loop
+    family: per-round state is one node-sized frame + a 1-row max
+    fetch for the renormalizer — data rows never reach the driver).
+
+    All-integer math → sums are order-independent at any parallelism
+    and an unrolled-CTE oracle replays every round bit-for-bit. The
+    edge list is persisted once (every round reads it — the iterative
+    persist rule); per-round raw frames are node-sized and persisted
+    only so the max fetch and the next half-step share one
+    materialization.
+
+    Returns (node, kind 'hub'|'auth', score_int) for every node on the
+    matching side of at least one edge.
+    """
+    e = edges.select("src", "dst", "w").persist()
+    hubs = e.select("src").distinct().select(
+        "src", F.lit(int(scale)).cast("long").alias("h")
+    )
+    auth = None
+    for _ in range(n_iters):
+        a_raw = (
+            e.join(hubs, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("h") * F.col("w")).alias("r"))
+            .persist()
+        )
+        max_a = a_raw.agg(F.max("r")).collect()[0][0]
+        auth = a_raw.select(
+            "dst",
+            F.expr(f"CAST(r * {int(scale)} div {int(max_a)} AS BIGINT)")
+            .alias("a"),
+        )
+        h_raw = (
+            e.join(auth, "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("a") * F.col("w")).alias("r"))
+            .persist()
+        )
+        max_h = h_raw.agg(F.max("r")).collect()[0][0]
+        hubs = h_raw.select(
+            "src",
+            F.expr(f"CAST(r * {int(scale)} div {int(max_h)} AS BIGINT)")
+            .alias("h"),
+        )
+    return (
+        auth.select(
+            F.col("dst").alias("node"),
+            F.lit("auth").alias("kind"),
+            F.col("a").alias("score_int"),
+        )
+        .unionByName(hubs.select(
+            F.col("src").alias("node"),
+            F.lit("hub").alias("kind"),
+            F.col("h").alias("score_int"),
+        ))
+    )

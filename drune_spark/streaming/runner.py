@@ -931,3 +931,108 @@ def stream_resume_counts(
     return spark.createDataFrame(
         sorted(rows), schema=f"{key_col} string, n bigint"
     )
+
+
+def stream_dlq(
+    spark: SparkSession,
+    events_path: str,
+    rules: list[tuple[str, str, str, dict]] | None = None,
+    n_splits: int = 4,
+    n_state_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming dead-letter routing — the ingest-quality pattern every
+    production pipeline needs: each micro-batch is screened by the SAME
+    declarative RuleRegistry rules the batch DQ engine uses
+    (quality/rules.py; reference constraints at
+    /root/reference/src/drune/core/quality — batch-only there), passing
+    rows land in the main sink and failing rows in a dead-letter sink
+    with the FIRST failing rule's reason attached (rule order = reason
+    precedence, the warn→drop→fail discipline). Both sinks are written
+    per-batch-id (overwrite) so a micro-batch retry replaces rather
+    than duplicates — the whole route is idempotent, unlike a blind
+    append.
+
+    Routing is stateless per row, so sink counts are batch-split
+    invariant by construction — THE oracle claim: however the file
+    source slices the drain (forced multi-batch via
+    maxFilesPerTrigger=1), read-back counts equal the batch SQL. At
+    100 TB the same foreachBatch body runs on a live source; the DLQ
+    keeps the main table clean without dropping evidence.
+
+    Returns (route, reason, key, n) counts from the two sinks.
+    """
+    import shutil
+
+    from drune_spark.quality.rules import RuleRegistry
+
+    if rules is None:
+        rules = [
+            ("bad_type", "isin", "event_type",
+             {"positional": [["click", "view", "purchase", "signup"]]}),
+            ("low_value", "greater_than_or_equal_to", "value",
+             {"positional": [2.0]}),
+        ]
+    checks = []
+    for reason, rule_name, col, params in rules:
+        ok = RuleRegistry.get(rule_name)(col, params)
+        checks.append((reason, ok))
+    reason_expr = F.lit("ok")
+    for reason, ok in reversed(checks):
+        reason_expr = F.when(~ok, F.lit(reason)).otherwise(reason_expr)
+
+    split_dir = tempfile.mkdtemp(prefix="drune_dlq_stream_")
+    main_dir = os.path.join(split_dir, "main")
+    dlq_dir = os.path.join(split_dir, "dlq")
+    try:
+        (
+            spark.read.parquet(events_path)
+            .select("event_id", "event_type", "value")
+            .withColumn("sp", F.pmod("event_id", F.lit(n_splits)))
+            .repartition(n_splits, "sp")
+            .write.mode("overwrite")
+            .partitionBy("sp")
+            .parquet(os.path.join(split_dir, "in"))
+        )
+
+        def route(batch_df: DataFrame, batch_id: int) -> None:
+            tagged = batch_df.withColumn("reason", reason_expr)
+            tagged.filter("reason <> 'ok'").write.mode("overwrite") \
+                .parquet(os.path.join(dlq_dir, f"batch={batch_id}"))
+            tagged.filter("reason = 'ok'").drop("reason") \
+                .write.mode("overwrite") \
+                .parquet(os.path.join(main_dir, f"batch={batch_id}"))
+
+        with tempfile.TemporaryDirectory() as ckpt, \
+                state_partitions(spark, n_state_partitions):
+            query = (
+                spark.readStream
+                .schema("event_id bigint, event_type string, value double")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(os.path.join(split_dir, "in", "sp=*"))
+                .writeStream
+                .foreachBatch(route)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+
+        opts = {"recursiveFileLookup": "true"}
+        dlq_counts = [
+            ("dlq", r.reason, r.event_type, r.n)
+            for r in spark.read.options(**opts).parquet(dlq_dir)
+            .groupBy("reason", "event_type")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+        main_counts = [
+            ("main", "ok", r.event_type, r.n)
+            for r in spark.read.options(**opts).parquet(main_dir)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+    finally:
+        shutil.rmtree(split_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(dlq_counts + main_counts),
+        schema="route string, reason string, event_type string, n bigint",
+    )

@@ -5017,3 +5017,54 @@ class TestRejectionMatch:
         for i, (p, acc) in got.items():
             h = int(hashlib.md5(f"s{i}".encode()).hexdigest()[:8], 16)
             assert acc == (1 if h % 1_000_000 < p else 0)
+
+
+class TestHits:
+    def test_hub_and_authority_ordering(self, spark):
+        from drune_spark.operators.graph import hits_int
+
+        # supplier 10 bought by all hubs; 11 only by hub 3 -> 10 is the
+        # top authority and 3 (touching both) the top hub.
+        edges = spark.createDataFrame(
+            [(1, 10, 1), (2, 10, 1), (3, 10, 1), (3, 11, 1)],
+            ["src", "dst", "w"],
+        )
+        out = {(r.kind, r.node): r.score_int
+               for r in hits_int(edges, n_iters=3).collect()}
+        assert out[("auth", 10)] == 1_000_000
+        assert out[("auth", 11)] < 500_000
+        assert out[("hub", 3)] == 1_000_000
+        assert out[("hub", 1)] == out[("hub", 2)] < 1_000_000
+        # round-3 exact integer replay: a_raw(10)=2*714285+10^6
+        assert out[("auth", 11)] == 10**12 // 2428570
+
+
+class TestStreamDlq:
+    def test_routing_counts_and_reason_precedence(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from drune_spark.streaming.runner import stream_dlq
+
+        path = str(tmp_path / "ev.parquet")
+        # 8 rows: 2 bad-type (one ALSO low-value -> first rule wins),
+        # 2 low-value only, 4 clean.
+        rows = [
+            (0, "error", 5.0), (1, "error", 1.0),
+            (2, "click", 1.5), (3, "view", 0.5),
+            (4, "click", 3.0), (5, "view", 9.0),
+            (6, "purchase", 2.0), (7, "signup", 2.5),
+        ]
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": [r[1] for r in rows],
+            "value": [r[2] for r in rows],
+            "ts": pa.array([0] * len(rows), type=pa.int64()),
+        }), path)
+        out = {(r.route, r.reason, r.event_type): r.n
+               for r in stream_dlq(spark, path, n_splits=3).collect()}
+        assert out[("dlq", "bad_type", "error")] == 2   # precedence
+        assert out[("dlq", "low_value", "click")] == 1
+        assert out[("dlq", "low_value", "view")] == 1
+        assert out[("main", "ok", "click")] == 1
+        assert sum(n for (route, _, _), n in out.items()
+                   if route == "main") == 4
