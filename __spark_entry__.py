@@ -2931,6 +2931,85 @@ BM25_QUERIES = [
 ]
 
 
+def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (search.py
+    expansion_terms): top-5 RM1 expansion terms per BM25 query —
+    feedback-set term mass × integer-log₂ corpus surprisal, original
+    terms and stopwords excluded, lexical tie-break. The feedback
+    retrieval is the verified bm25_search ranking (shared score_sql
+    text); the expansion weight is all-integer via the conv/printf
+    bit-length primitive."""
+    _tune(spark)
+    from drune_spark.operators.search import bm25_topk, expansion_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    topk = bm25_topk(docs, BM25_QUERIES, k=10)
+    return expansion_terms(docs, topk, BM25_QUERIES, m=5)
+
+
+def _query_expansion_oracle() -> str:
+    """Composes the shared bm25 oracle text as the feedback CTE, then
+    replays the integer expansion weight (printf('%b') ≡ Spark conv
+    bit-length, verified cross-engine in r5)."""
+    from drune_spark.operators.search import bm25_oracle_sql
+
+    excl_vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in BM25_QUERIES for t in terms
+    )
+    return f"""
+            WITH fb AS MATERIALIZED (
+                SELECT query_id, doc_id
+                FROM ({bm25_oracle_sql(BM25_QUERIES, k=10)})
+            ),
+            toks2 AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                              '\\s+')) AS w
+                FROM documents
+            ),
+            tf2 AS (
+                SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks2 GROUP BY doc_id, w
+            ),
+            df2 AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf2 GROUP BY w
+            ),
+            nd AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+            ),
+            fbtf AS (
+                SELECT f.query_id, t.w,
+                       CAST(SUM(t.tf) AS BIGINT) AS fb_tf
+                FROM fb f JOIN tf2 t USING (doc_id)
+                GROUP BY f.query_id, t.w
+            ),
+            excl(query_id, w) AS (VALUES {excl_vals}),
+            cand AS (
+                SELECT c.query_id, c.w AS term,
+                       c.fb_tf * length(printf('%b', n_docs // df))
+                           AS weight_int
+                FROM fbtf c JOIN df2 USING (w), nd
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM excl e
+                    WHERE e.query_id = c.query_id AND e.w = c.w
+                )
+                AND c.w NOT IN ('the','a','and','of','to','in','is','it')
+            ),
+            ranked AS (
+                SELECT query_id, term,
+                       CAST(weight_int AS BIGINT) AS weight_int,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY weight_int DESC, term ASC) AS rank
+                FROM cand
+            )
+            SELECT query_id, term, CAST(rank AS INTEGER) AS rank,
+                   weight_int
+            FROM ranked WHERE rank <= 5
+        """
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval: top-10 docs for three multi-term
     queries, one corpus pass for all of them. The float term-sum is
@@ -5645,6 +5724,26 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
                      threshold_per_sample=1_400_000)
 
 
+def q_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file quarantine (multimodal.media_quarantine): real PNGs
+    with deterministic fault injection (id%7==3 truncated mid-IHDR,
+    id%7==5 magic flipped) — the codec must REJECT exactly those and
+    fully decode the rest (px_sum proves it); one bad file never fails
+    the batch. Closed-form oracle: corrupt ids by arithmetic, pixel
+    sums from the synth formula."""
+    _tune(spark)
+    from drune_spark.operators.multimodal import (
+        corrupt_media_subset,
+        media_quarantine,
+        synthesize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return media_quarantine(
+        corrupt_media_subset(synthesize_images(docs))
+    )
+
+
 def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video codec round-trip (multimodal mandate, final third):
     one uncompressed AVI per document encoded from closed-form frames
@@ -5726,6 +5825,25 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = lsh_topk(emb, queries, k=5, dim=64, bands=4,
                       planes_per_band=8)
     return recall_at_k(exact, approx, queries, k=5)
+
+
+def q_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index staleness audit (embeddings.py ivf_cell_drift): the
+    80% hash-split "existing index" defines the coarse cells; the 20%
+    arriving batch is assigned to THOSE cells and per-cell occupancy
+    shares compared in integer ppm — the retrain-or-append decision an
+    incremental vector store runs per ingest. Centroid argmax is the
+    verified ivf_assign shape on both sides."""
+    _tune(spark)
+    from drune_spark.operators.embeddings import ivf_cell_drift
+    from drune_spark.operators.sampling import split_by_hash
+
+    emb = _t(spark, sf_dir, "embeddings")
+    splits = split_by_hash(
+        emb, "vec_id", {"index": 0.8, "new": 0.2}, salt="ivd1"
+    )
+    return ivf_cell_drift(splits["index"], splits["new"],
+                          n_centroids=16)
 
 
 def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8202,6 +8320,21 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (packing.py span_corrupt_transform):
+    two disjoint 3-word spans per doc masked with <X0>/<X1> sentinels,
+    (input, target) pair emitted — the denoising counterpart of the
+    FIM reorder. Deterministic md5 span geometry (one span per word-
+    half); pure narrow projection, every transformed byte replayed by
+    the oracle."""
+    _tune(spark)
+    from drune_spark.operators.packing import span_corrupt_transform
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_corrupt_transform(docs, "text", "doc_id", span_len=3,
+                                  salt="span1")
+
+
 def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-middle training transform (packing.py fim_transform,
     arXiv:2207.14255): a deterministic half of the corpus splits at
@@ -8492,6 +8625,26 @@ def q_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from drune_spark.streaming.runner import stream_dlq
 
     return stream_dlq(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson-bootstrap CI (stats.py bootstrap_mean_ci)
+    for mean order value per priority: 32 deterministic md5-drawn
+    Poisson(1) replicates + the b=−1 point estimate in ONE explode
+    pass, exact order-statistic band (2nd smallest/largest replicate
+    mean). DECIMAL-exact micro money; every replicate replayed by the
+    oracle."""
+    _tune(spark)
+    from drune_spark.operators.stats import bootstrap_mean_ci
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000"
+               " AS BIGINT)").alias("price_micro"),
+        "o_orderkey",
+    )
+    return bootstrap_mean_ci(orders, "o_orderpriority", "price_micro",
+                             "o_orderkey", n_boot=32, salt="bs1")
 
 
 def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8793,7 +8946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (38) ----
+        # -- never-driver-verified backlog, waited-longest first (43) ----
         "time_rollup": q_time_rollup,
         "rollup_refresh": q_rollup_refresh,
         "value_histogram": q_value_histogram,
@@ -8832,6 +8985,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rejection_match": q_rejection_match,
         "hits_scores": q_hits_scores,
         "stream_dlq": q_stream_dlq,
+        "bootstrap_ci": q_bootstrap_ci,
+        "query_expansion": q_query_expansion,
+        "span_corrupt": q_span_corrupt,
+        "media_quarantine": q_media_quarantine,
+        "ivf_drift": q_ivf_drift,
         # -- driver-verified pass, stalest round first (306) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -10209,6 +10367,43 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d JOIN per p ON d.source = p.source
             ORDER BY d.source
         """,
+        # Slice parity: Spark slice(w, a, len) == DuckDB w[a:a+len-1]
+        # (inclusive ends); empty slices join to '' on both engines.
+        "span_corrupt": """
+            WITH d AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, text, w, len(w) AS nw, len(w) // 2 AS half,
+                       CASE WHEN len(w) >= 8 THEN 1 ELSE 0 END
+                           AS applied,
+                       1 + ('0x' || substr(md5('span1a:' ||
+                               CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % greatest(len(w) // 2 - 2, 1) AS s0,
+                       len(w) // 2 + 1 + ('0x' || substr(md5('span1b:' ||
+                               CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % greatest(len(w) - len(w) // 2 - 2, 1) AS s1
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST(applied AS INTEGER) AS applied,
+                   CAST(CASE WHEN applied = 1 THEN s0 ELSE 0 END
+                        AS BIGINT) AS s0,
+                   CAST(CASE WHEN applied = 1 THEN s1 ELSE 0 END
+                        AS BIGINT) AS s1,
+                   CASE WHEN applied = 1 THEN
+                       coalesce(array_to_string(w[1:s0-1], ' '), '') || ' <X0> ' ||
+                       coalesce(array_to_string(w[s0+3:s1-1], ' '), '') || ' <X1> ' ||
+                       coalesce(array_to_string(w[s1+3:nw], ' '), '')
+                   ELSE text END AS input_text,
+                   CASE WHEN applied = 1 THEN
+                       '<X0> ' || array_to_string(w[s0:s0+2], ' ') ||
+                       ' <X1> ' || array_to_string(w[s1:s1+2], ' ')
+                   ELSE '' END AS target_text
+            FROM g
+        """,
         "fim_transform": """
             WITH base AS (
                 SELECT doc_id, text, length(text) AS n,
@@ -10561,6 +10756,68 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) WHERE rk <= 25
             ORDER BY event_type, event_id
+        """,
+        # Every Poisson(1) replicate weight replayed from the same
+        # truncated inverse-CDF ppm table; SUM() CAST at use sites
+        # (HUGEINT), // == div on the nonnegative operands.
+        "bootstrap_ci": """
+            WITH r0 AS (
+                SELECT o_orderpriority AS g,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,6))
+                            * 1000000 AS BIGINT) AS x,
+                       o_orderkey AS i, b
+                FROM orders,
+                     UNNEST(generate_series(-1, 31)) AS t(b)
+            ),
+            wts AS (
+                SELECT g, x, b,
+                       CASE WHEN b = -1 THEN 1 ELSE
+                           CASE WHEN u < 367879 THEN 0
+                                WHEN u < 735759 THEN 1
+                                WHEN u < 919699 THEN 2
+                                WHEN u < 981012 THEN 3
+                                WHEN u < 996340 THEN 4
+                                WHEN u < 999406 THEN 5
+                                ELSE 6 END END AS w
+                FROM (
+                    SELECT g, x, b,
+                           ('0x' || substr(md5('bs1' ||
+                               CAST(b AS VARCHAR) || ':' ||
+                               CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                               % 1000000 AS u
+                    FROM r0
+                )
+            ),
+            reps AS MATERIALIZED (
+                SELECT g, b,
+                       CAST(SUM(CASE WHEN b = -1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n,
+                       CASE WHEN CAST(SUM(w) AS BIGINT) > 0 THEN
+                           CAST(SUM(w * x) AS BIGINT)
+                           // CAST(SUM(w) AS BIGINT) END AS m
+                FROM wts GROUP BY g, b
+            ),
+            ranked AS (
+                SELECT g, m,
+                       row_number() OVER (PARTITION BY g
+                           ORDER BY m ASC, b ASC) AS r_lo,
+                       row_number() OVER (PARTITION BY g
+                           ORDER BY m DESC, b DESC) AS r_hi
+                FROM reps WHERE b >= 0
+            ),
+            band AS (
+                SELECT g,
+                       MAX(CASE WHEN r_lo = 2 THEN m END)
+                           AS ci_lo_micro,
+                       MAX(CASE WHEN r_hi = 2 THEN m END)
+                           AS ci_hi_micro
+                FROM ranked GROUP BY g
+            )
+            SELECT p.g AS o_orderpriority, p.n AS n_rows,
+                   p.m AS mean_micro, band.ci_lo_micro,
+                   band.ci_hi_micro
+            FROM reps p JOIN band USING (g)
+            WHERE p.b = -1
         """,
         # Stateless per-row routing — multi-batch drain counts equal
         # the one-shot batch SQL by construction.
@@ -12105,6 +12362,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(abs(v)) AS BIGINT) AS abs_sum,
                    CAST(SUM(v * (j + 1)) AS BIGINT) AS wsum
             FROM s GROUP BY doc_id, n, ch, rate
+        """,
+        # Corrupt ids are pure id arithmetic; clean rows replay the
+        # image_decode pixel-sum formula.
+        "media_quarantine": """
+            WITH d AS (
+                SELECT doc_id,
+                       4 + doc_id % 5 AS w,
+                       3 + doc_id % 4 AS h
+                FROM documents
+            ),
+            px AS (
+                SELECT doc_id,
+                       (doc_id * 7 + 3 * ((i // 3) % w)
+                        + 5 * (i // (3 * w)) + 11 * (i % 3)) % 256 AS v
+                FROM d, UNNEST(generate_series(0, w * h * 3 - 1)) AS t(i)
+            ),
+            sums AS (
+                SELECT doc_id, CAST(SUM(v) AS BIGINT) AS px_sum
+                FROM px GROUP BY doc_id
+            )
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 7 IN (3, 5) THEN 'quarantine'
+                        ELSE 'ok' END AS route,
+                   CASE WHEN doc_id % 7 IN (3, 5) THEN 'decode_error'
+                        ELSE '' END AS reason,
+                   CAST(CASE WHEN doc_id % 7 IN (3, 5) THEN 0
+                             ELSE px_sum END AS BIGINT) AS px_sum
+            FROM sums
         """,
         # Same closed-form sample formula as audio_decode, refolded into
         # 16-time-step frames: i = j // ch, f = i // 16, frame energy =
@@ -15403,6 +15688,60 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "ann_topk": _ann_topk_oracle(n_queries=5, k=5),
+        # Centroids derive from the base split only; assignment is the
+        # verified ivf_assign argmax replay on both populations.
+        "ivf_drift": """
+            WITH m AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       substr(md5('ivd1' || CAST(vec_id AS VARCHAR)),
+                              1, 4) < 'cccd' AS in_base
+                FROM embeddings
+            ),
+            c AS (
+                SELECT vec_id AS centroid_id, v AS cv
+                FROM m WHERE in_base ORDER BY vec_id LIMIT 16
+            ),
+            ranked AS (
+                SELECT vec_id, in_base, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, centroid_id ASC) AS rn
+                FROM (
+                    SELECT m.vec_id, m.in_base, c.centroid_id,
+                           list_cosine_similarity(m.v, c.cv) AS sim
+                    FROM m, c
+                )
+            ),
+            cnt AS (
+                SELECT centroid_id,
+                       CAST(count_if(in_base) AS BIGINT) AS n_base,
+                       CAST(count_if(NOT in_base) AS BIGINT) AS n_new
+                FROM ranked WHERE rn = 1 GROUP BY centroid_id
+            ),
+            tot AS (
+                SELECT g.centroid_id,
+                       coalesce(n_base, 0) AS n_base,
+                       coalesce(n_new, 0) AS n_new
+                FROM (SELECT centroid_id FROM c) g
+                LEFT JOIN cnt USING (centroid_id)
+            ),
+            t AS (
+                SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+                       CAST(SUM(n_new) AS BIGINT) AS tn
+                FROM tot
+            )
+            SELECT centroid_id,
+                   CAST(n_base AS BIGINT) AS n_base,
+                   CAST(n_new AS BIGINT) AS n_new,
+                   CAST(n_base * 1000000 // tb AS BIGINT)
+                       AS share_base_ppm,
+                   CAST(CASE WHEN tn > 0 THEN n_new * 1000000 // tn
+                             ELSE 0 END AS BIGINT) AS share_new_ppm,
+                   CAST(abs(CASE WHEN tn > 0 THEN n_new * 1000000 // tn
+                                 ELSE 0 END
+                            - n_base * 1000000 // tb) AS BIGINT)
+                       AS drift_ppm
+            FROM tot, t
+        """,
         "matryoshka_recall": """
             WITH q AS (
                 SELECT vec_id AS query_id,
@@ -15757,6 +16096,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "bm25_search": bm25_oracle_sql(BM25_QUERIES, k=10),
+        "query_expansion": _query_expansion_oracle(),
         "table_profile": _profile_oracle(),
         "window_analytics": f"""
             WITH wa_base AS (

@@ -331,6 +331,19 @@ BENCH_QUERIES = [
     # dbscan admitted in r8 (VERDICT r7 #3): the per-block union-find
     # rewrite + hoisted pair norms took it 14.5s → 3.3s steady at sf0.1
     "dbscan",
+    # round-8 additions (stream_dlq stays out: streaming side-effect
+    # gate, per precedent)
+    "soft_dedup",
+    "matryoshka_recall",
+    "audio_vad",
+    "edit_dedup",
+    "rejection_match",
+    "hits_scores",
+    "bootstrap_ci",
+    "query_expansion",
+    "span_corrupt",
+    "media_quarantine",
+    "ivf_drift",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # ivfpq_serve stays out: training-tier — ~20s steady at sf0.1 is

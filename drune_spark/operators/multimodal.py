@@ -776,3 +776,78 @@ def image_resize_features(media: DataFrame, factor: int = 2) -> DataFrame:
         schema="media_id bigint, out_w int, out_h int, "
                "px_sum bigint, wsum bigint",
     )
+
+
+def corrupt_media_subset(
+    media: DataFrame,
+    mod: int = 7,
+    truncate_rem: int = 3,
+    clobber_rem: int = 5,
+) -> DataFrame:
+    """Deterministic fault injection for the quarantine gate: rows with
+    ``media_id % mod == truncate_rem`` keep only their first 20 bytes
+    (mid-stream truncation — the classic upload failure), rows with
+    ``media_id % mod == clobber_rem`` get their magic byte flipped
+    (wrong-format/bit-rot); everything else passes through. Closed
+    form by id arithmetic, so the oracle knows exactly which files a
+    correct decoder must reject."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                r = int(mid) % mod
+                if r == truncate_rem:
+                    b = b[:20]
+                elif r == clobber_rem:
+                    b = bytes([b[0] ^ 0xFF]) + b[1:]
+                out.append(b)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "content": out,
+            })
+
+    return media.mapInPandas(
+        gen, schema="media_id bigint, content binary"
+    )
+
+
+def media_quarantine(media: DataFrame) -> DataFrame:
+    """Corrupt-file quarantine — the decode-stage twin of the
+    streaming dead-letter route: every binary is REALLY decoded
+    (operators/imageio.py); files the codec rejects land in the
+    quarantine with route='quarantine' instead of poisoning the batch
+    (one bad upload must never fail a 100 TB decode stage), clean
+    files emit route='ok' plus their exact pixel sum — proof the
+    decode ran, not just a try/except around a header sniff.
+
+    Arrow-batched mapInPandas, per-row isolation inside the batch
+    loop; only (id, route, reason, px_sum) rows leave the stage.
+    """
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    arr = decode_image(bytes(content))
+                    rows.append({
+                        "media_id": int(mid),
+                        "route": "ok",
+                        "reason": "",
+                        "px_sum": int(
+                            arr.astype(np.int64).sum()
+                        ),
+                    })
+                except Exception:  # noqa: BLE001 — quarantine, not fail
+                    rows.append({
+                        "media_id": int(mid),
+                        "route": "quarantine",
+                        "reason": "decode_error",
+                        "px_sum": 0,
+                    })
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        proc,
+        schema="media_id bigint, route string, reason string, "
+               "px_sum bigint",
+    )

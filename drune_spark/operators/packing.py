@@ -418,3 +418,67 @@ def fim_exprs(text_col: str, id_col: str, salt: str = "fim"):
     )
     out_text = F.when(applied == 1, fim).otherwise(F.col(text_col))
     return applied, lo, hi, out_text
+
+
+def span_corrupt_transform(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_len: int = 3,
+    salt: str = "span1",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020, arXiv:1910.10683
+    §3.1.4): mask two word spans per document with sentinels and emit
+    the (input, target) pair — input keeps the surrounding words with
+    ``<X0>``/``<X1>`` in place of the spans, target is the sentinel-
+    delimited span contents. The denoising counterpart of the FIM
+    reorder (packing.py fim_transform): FIM moves text, span
+    corruption REMOVES it, which is what T5/UL2-class encoder-decoder
+    pretraining consumes.
+
+    Deterministic geometry: span 0 starts at an md5 draw inside the
+    first word-half, span 1 inside the second half — disjoint by
+    construction, no overlap/merge cases; docs under ``2·span_len + 2``
+    words pass through unchanged (applied = 0). Pure narrow projection
+    (split + slice + concat — whole-stage codegen, no shuffle, no
+    UDF); at 100 TB this fuses into the packing scan like FIM does.
+
+    Returns (id, applied, s0, s1, input_text, target_text).
+    """
+    L = int(span_len)
+    w = tokens(F.col(text_col))
+    nw = F.size(w)
+    half = F.floor(nw / 2).cast("int")
+    h = lambda tag: md5_u32(  # noqa: E731 — tiny local expr builder
+        F.concat(F.lit(f"{salt}{tag}:"), F.col(id_col).cast("string"))
+    )
+    applied = (nw >= 2 * L + 2).cast("int")
+    # greatest(…, 1) guards the pass-through rows (nw < 2L+2): CaseWhen
+    # evaluates lazily in Spark, but the DuckDB mirror computes these
+    # for every row, and % 0 must never occur on either side.
+    s0 = F.lit(1) + F.pmod(h("a"), F.greatest(half - L + 1, F.lit(1)))
+    s1 = half + 1 + F.pmod(
+        h("b"), F.greatest(nw - half - L + 1, F.lit(1))
+    )
+    seg = lambda a, ln: F.array_join(  # noqa: E731
+        F.slice(w, a, ln), " "
+    )
+    input_text = F.concat(
+        seg(F.lit(1), s0 - 1), F.lit(" <X0> "),
+        seg(s0 + L, s1 - s0 - L), F.lit(" <X1> "),
+        seg(s1 + L, nw - s1 - L + 1),
+    )
+    target_text = F.concat(
+        F.lit("<X0> "), seg(s0, F.lit(L)),
+        F.lit(" <X1> "), seg(s1, F.lit(L)),
+    )
+    return df.select(
+        F.col(id_col),
+        applied.alias("applied"),
+        F.when(applied == 1, s0).otherwise(0).cast("long").alias("s0"),
+        F.when(applied == 1, s1).otherwise(0).cast("long").alias("s1"),
+        F.when(applied == 1, input_text)
+        .otherwise(F.col(text_col)).alias("input_text"),
+        F.when(applied == 1, target_text)
+        .otherwise(F.lit("")).alias("target_text"),
+    )

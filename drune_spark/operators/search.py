@@ -497,3 +497,76 @@ def sparse_cosine_pairs(
         .filter(F.col("cos2_ppm") >= min_cos2_ppm)
         .select("id_a", "id_b", "dot", "norm2_a", "norm2_b", "cos2_ppm")
     )
+
+
+def expansion_terms(
+    docs: DataFrame,
+    feedback: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    m: int = 5,
+    stopwords: tuple[str, ...] = (
+        "the", "a", "and", "of", "to", "in", "is", "it",
+    ),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM1-style): given
+    each query's top-k retrieved docs (``feedback``: query_id, doc_id
+    — typically ``bm25_topk`` output), rank candidate expansion terms
+    by ``Σ_fb tf(t, d) · bits(N div df_t)`` — feedback-set term mass
+    weighted by the integer log₂ surprisal of corpus rarity (the
+    cross-engine ``length(conv(x, 10, 2))`` ≡ floor(log₂ x)+1
+    primitive, so the whole weight is integer-exact). Original query
+    terms and stopwords are excluded; ties break lexically.
+
+    Cost: the corpus tokenization pass runs twice (feedback-mass join
+    + corpus df) — both map-side-partial (doc, term) aggregates; the
+    feedback side is k·|Q| rows and broadcasts. Nothing scales with
+    query count.
+
+    Returns (query_id, term, rank, weight_int), top ``m`` per query.
+    """
+    from pyspark.sql import Window
+
+    from drune_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    fb_tf = (
+        feedback.select("query_id", "doc_id")
+        .join(tf, "doc_id")
+        .groupBy("query_id", "w")
+        .agg(F.sum("tf").alias("fb_tf"))
+    )
+    excl = docs.sparkSession.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        "query_id string, w string",
+    )
+    bits = F.expr(
+        "length(conv(CAST(n_docs div df AS STRING), 10, 2))"
+    ).cast("long")
+    cand = (
+        fb_tf.join(F.broadcast(excl), ["query_id", "w"], "left_anti")
+        .filter(~F.col("w").isin(*stopwords))
+        .join(dfs, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "query_id",
+            F.col("w").alias("term"),
+            (F.col("fb_tf") * bits).alias("weight_int"),
+        )
+    )
+    rk = Window.partitionBy("query_id").orderBy(
+        F.col("weight_int").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= m)
+        .select("query_id", "term",
+                F.col("rank").cast("int").alias("rank"), "weight_int")
+    )

@@ -863,3 +863,95 @@ def conformal_coverage(
         "coverage_milli",
         F.expr("CASE WHEN n_test > 0 THEN n_covered * 1000 div n_test END"),
     )
+
+
+# Truncated inverse-CDF of Poisson(1) in ppm — the per-row replicate
+# weight of the distributed (Poisson) bootstrap. P(k) = e⁻¹/k!
+# cumulated and floored to ppm; k is capped at 6 (tail mass < 1 ppm).
+_POISSON1_CUM_PPM = (367879, 735759, 919699, 981012, 996340, 999406)
+
+
+def _poisson1_weight(u_ppm):  # u_ppm: Column in [0, 1e6)
+    w = F.lit(6)
+    for k in range(len(_POISSON1_CUM_PPM) - 1, -1, -1):
+        w = F.when(u_ppm < _POISSON1_CUM_PPM[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    value_micro_col: str,
+    id_col: str,
+    n_boot: int = 32,
+    salt: str = "bs1",
+) -> DataFrame:
+    """Grouped-mean confidence interval by the DISTRIBUTED bootstrap:
+    each row enters replicate b with a deterministic Poisson(1) weight
+    (the standard Poisson approximation to multinomial resampling —
+    exact multinomial needs coordinated draws across rows, which is
+    precisely what a shuffle-free 100 TB resample cannot do), drawn as
+    the truncated inverse-CDF of ``md5_u32(salt‖b‖':'‖id) % 10⁶``. The
+    CI is the EXACT order-statistic band of the replicate means (2nd
+    smallest / 2nd largest of B=32 ≈ a 94% interval) — the conformal
+    discipline: no float quantile interpolation, ties broken by
+    replicate id.
+
+    One pass: rows explode into B+1 replicates (b = −1 is the point
+    estimate with weight 1), one (group, b) aggregate, one group-sized
+    window. Means are integer micro via ``Σ w·x div Σ w`` — order-
+    independent, so the oracle replays every replicate bit-for-bit.
+
+    Returns (group, n_rows, mean_micro, ci_lo_micro, ci_hi_micro).
+    """
+    from pyspark.sql import Window
+
+    from drune_spark.functions.hashes import md5_u32
+
+    b = F.explode(F.sequence(F.lit(-1), F.lit(n_boot - 1))).alias("b")
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_micro_col).alias("x"),
+        F.col(id_col).alias("i"),
+        b,
+    )
+    u = md5_u32(F.concat(F.lit(salt), F.col("b").cast("string"),
+                         F.lit(":"), F.col("i").cast("string"))) % 1_000_000
+    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(u))
+    reps = (
+        rows.withColumn("w", w)
+        .groupBy("g", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("wx"),
+            F.sum("w").alias("ws"),
+            F.sum(F.when(F.col("b") == -1, 1).otherwise(0)).alias("n"),
+        )
+        .select(
+            "g", "b", "n",
+            F.expr("CASE WHEN ws > 0 THEN wx div ws END").alias("m"),
+        )
+    )
+    # Two consumers below (point row + rank window) — persist the
+    # group×(B+1)-row replicate frame so the 5M-row explode+aggregate
+    # runs once, not per branch (lazy marks suffice at 2 branches).
+    reps = reps.persist()
+    asc = Window.partitionBy("g").orderBy(F.col("m").asc(),
+                                          F.col("b").asc())
+    desc = Window.partitionBy("g").orderBy(F.col("m").desc(),
+                                           F.col("b").desc())
+    ranked = reps.filter("b >= 0").select(
+        "g", "m",
+        F.row_number().over(asc).alias("r_lo"),
+        F.row_number().over(desc).alias("r_hi"),
+    )
+    point = reps.filter("b = -1").select(
+        "g", F.col("n").alias("n_rows"), F.col("m").alias("mean_micro")
+    )
+    band = ranked.groupBy("g").agg(
+        F.max(F.when(F.col("r_lo") == 2, F.col("m"))).alias("ci_lo_micro"),
+        F.max(F.when(F.col("r_hi") == 2, F.col("m"))).alias("ci_hi_micro"),
+    )
+    return point.join(band, "g").select(
+        F.col("g").alias(group_col), "n_rows", "mean_micro",
+        "ci_lo_micro", "ci_hi_micro",
+    )

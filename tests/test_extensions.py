@@ -5068,3 +5068,153 @@ class TestStreamDlq:
         assert out[("main", "ok", "click")] == 1
         assert sum(n for (route, _, _), n in out.items()
                    if route == "main") == 4
+
+
+class TestBootstrapCi:
+    def test_point_estimate_and_band_order(self, spark):
+        from drune_spark.operators.stats import bootstrap_mean_ci
+
+        rows = [("A", (i + 1) * 1_000_000, i) for i in range(40)]
+        df = spark.createDataFrame(rows, ["g", "x_micro", "i"])
+        out = bootstrap_mean_ci(df, "g", "x_micro", "i",
+                                n_boot=16, salt="t").collect()[0]
+        # point estimate: mean of 1..40 = 20.5
+        assert out.n_rows == 40
+        assert out.mean_micro == 20_500_000
+        assert out.ci_lo_micro <= out.mean_micro <= out.ci_hi_micro
+        assert out.ci_lo_micro < out.ci_hi_micro  # band is non-trivial
+
+    def test_poisson_weights_match_python_replay(self, spark):
+        import hashlib
+        from drune_spark.operators.stats import (
+            _POISSON1_CUM_PPM,
+            bootstrap_mean_ci,
+        )
+
+        rows = [("A", 1_000_000, i) for i in range(10)]
+        df = spark.createDataFrame(rows, ["g", "x_micro", "i"])
+        out = bootstrap_mean_ci(df, "g", "x_micro", "i",
+                                n_boot=4, salt="p").collect()[0]
+
+        def weight(b, i):
+            u = int(hashlib.md5(f"p{b}:{i}".encode()).hexdigest()[:8],
+                    16) % 1_000_000
+            for k, c in enumerate(_POISSON1_CUM_PPM):
+                if u < c:
+                    return k
+            return 6
+
+        means = []
+        for b in range(4):
+            ws = [weight(b, i) for i in range(10)]
+            if sum(ws) > 0:
+                means.append(sum(w * 1_000_000 for w in ws) // sum(ws))
+        # all replicate means of a constant column are the constant
+        assert all(m == 1_000_000 for m in means)
+        assert out.ci_lo_micro == out.ci_hi_micro == 1_000_000
+
+
+class TestQueryExpansion:
+    def test_excludes_query_terms_and_ranks_by_weight(self, spark):
+        from drune_spark.operators.search import expansion_terms
+
+        docs = spark.createDataFrame([
+            (1, "hash join shuffle probe build"),
+            (2, "hash join shuffle partition skew"),
+            (3, "window sort spill buffer"),
+            (4, "the the the common common filler"),
+        ], ["doc_id", "text"])
+        fb = spark.createDataFrame(
+            [("q1", 1), ("q1", 2)], ["query_id", "doc_id"]
+        )
+        out = [(r.term, r.rank, r.weight_int) for r in expansion_terms(
+            docs, fb, [("q1", ["hash", "join"])], m=3
+        ).orderBy("rank").collect()]
+        terms = [t for t, _, _ in out]
+        assert "hash" not in terms and "join" not in terms
+        assert "the" not in terms            # stopword excluded
+        # shuffle: fb_tf=2, df=2 (n=4 docs, bits(4//2)=bits(2)=2) -> 4
+        assert out[0][0] == "shuffle" and out[0][2] == 4
+
+
+class TestSpanCorrupt:
+    def test_geometry_and_reconstruction(self, spark):
+        import hashlib
+        from drune_spark.operators.packing import span_corrupt_transform
+
+        words = [f"w{i}" for i in range(12)]
+        df = spark.createDataFrame([(5, " ".join(words))],
+                                   ["doc_id", "text"])
+        out = span_corrupt_transform(df, "text", "doc_id",
+                                     span_len=3, salt="s").collect()[0]
+        nw, half = 12, 6
+        h = lambda tag: int(hashlib.md5(
+            f"s{tag}:5".encode()).hexdigest()[:8], 16)
+        s0 = 1 + h("a") % (half - 2)
+        s1 = half + 1 + h("b") % (nw - half - 2)
+        assert out.applied == 1 and out.s0 == s0 and out.s1 == s1
+        span0 = words[s0 - 1:s0 + 2]
+        span1 = words[s1 - 1:s1 + 2]
+        assert out.target_text == (
+            "<X0> " + " ".join(span0) + " <X1> " + " ".join(span1)
+        )
+        assert "<X0>" in out.input_text and "<X1>" in out.input_text
+        for w in span0 + span1:
+            assert w not in out.input_text.split()
+
+    def test_short_doc_passthrough(self, spark):
+        from drune_spark.operators.packing import span_corrupt_transform
+
+        df = spark.createDataFrame([(1, "too few words here")],
+                                   ["doc_id", "text"])
+        out = span_corrupt_transform(df, "text", "doc_id").collect()[0]
+        assert out.applied == 0
+        assert out.input_text == "too few words here"
+        assert out.target_text == ""
+
+
+class TestMediaQuarantine:
+    def test_corrupt_files_quarantined_clean_decoded(self, spark):
+        from drune_spark.operators.multimodal import (
+            corrupt_media_subset,
+            media_quarantine,
+            synth_pixels,
+            synthesize_images,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(14)],
+                                     ["doc_id"])
+        out = {r.media_id: r for r in media_quarantine(
+            corrupt_media_subset(synthesize_images(docs))
+        ).collect()}
+        for i in range(14):
+            if i % 7 in (3, 5):
+                assert out[i].route == "quarantine"
+                assert out[i].reason == "decode_error"
+            else:
+                assert out[i].route == "ok"
+                assert out[i].px_sum == int(synth_pixels(i).sum())
+
+
+class TestIvfDrift:
+    def test_shifted_batch_shows_drift(self, spark):
+        from drune_spark.operators.embeddings import ivf_cell_drift
+
+        # base: two tight clusters around e0 and e1; batch: all near e1
+        base = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+             (2, [0.9, 0.1]), (3, [0.1, 0.9]),
+             (4, [0.8, 0.2]), (5, [0.2, 0.8])],
+            ["vec_id", "embedding"],
+        )
+        batch = spark.createDataFrame(
+            [(100, [0.0, 1.0]), (101, [0.1, 0.9]), (102, [0.2, 0.8])],
+            ["vec_id", "embedding"],
+        )
+        out = {r.centroid_id: r for r in ivf_cell_drift(
+            base, batch, n_centroids=2).collect()}
+        assert out[0].n_base == 3 and out[1].n_base == 3
+        assert out[0].n_new == 0 and out[1].n_new == 3
+        assert out[1].share_new_ppm == 1_000_000
+        assert out[0].drift_ppm == 500_000
+        assert out[1].drift_ppm == 500_000

@@ -94,6 +94,25 @@ QUERIES = [
     "join_refresh",
     "zonemap_audit",
     "llm_pipeline",
+    # round-8: the reshaped blocked DBSCAN rides the existing "dbscan"
+    # entry and the observe-folded ANF rides "anf_reach"; new ops —
+    # the composed IVF-PQ serving chain (train+probe+eval), cluster
+    # labels + one window (soft dedup), candidate-bounded levenshtein
+    # verify, iterative HITS over the purchase graph (edge-count
+    # scaling), the all-dims single-scan truncation eval, and the
+    # decode+frame VAD stage (row-count scaling)
+    "ivfpq_serve",
+    "soft_dedup",
+    "edit_dedup",
+    "hits_scores",
+    "matryoshka_recall",
+    "audio_vad",
+    # round-8 second wave: the B+1-replicate explode aggregate
+    # (row×B scaling), the two-corpus-pass RM1 expansion, and the
+    # decode-with-fault-isolation stage (row-count scaling)
+    "bootstrap_ci",
+    "query_expansion",
+    "media_quarantine",
 ]
 TABLES = ["documents", "embeddings", "lineitem", "orders", "events"]
 # dimension tables ride along UNSCALED (a 3x fact load keeps its dims;
