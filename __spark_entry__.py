@@ -2153,6 +2153,28 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH top-k (similarity.py lsh_multiprobe_topk):
+    each query also probes the buckets one flipped hyperplane bit away
+    — recall toward brute force without more hash tables; only the
+    broadcast query side multiplies ×9. The oracle states the probe
+    set as bit_count(xor(band codes)) <= 1 over the same embedded
+    hyperplane constants as ann_lsh."""
+    _tune(spark)
+    from drune_spark.operators.similarity import lsh_multiprobe_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    out = lsh_multiprobe_topk(emb, queries, k=5, dim=64, bands=4,
+                              planes_per_band=8)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed ANN search: 5 queries probe their 4 nearest of 16
     coarse cells and score only those cells' vectors — the partition-
@@ -5706,6 +5728,22 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synthesize_audio(docs))
 
 
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer 2:1 audio downsampling (multimodal.audio_resample):
+    REAL WAV decode → per-channel box-filter decimation with the
+    nonnegative-domain shift so floor == trunc on both engines;
+    order-sensitive output checksum. Oracle refolds the closed-form
+    sample formula pairwise."""
+    _tune(spark)
+    from drune_spark.operators.multimodal import (
+        audio_resample,
+        synthesize_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_resample(synthesize_audio(docs), factor=2)
+
+
 def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-based voice-activity detection (multimodal.audio_vad) —
     the speech-data curation screen: REAL WAV decode, 16-step frames,
@@ -6299,6 +6337,22 @@ def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3,
                                 threshold=0.5)
     return soft_dedup(docs, pairs, "doc_id", salt="sd1")
+
+
+def q_walkforward_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged walk-forward CV audit (sampling.py walkforward_folds):
+    3 expanding-window folds over event time — train strictly before
+    cut − 12h embargo, embargo rows PURGED (the boundary leakage hash
+    splits can't see), 5-day test window, rest future. Integer-µs
+    arithmetic off one broadcast (min, max) row; one scan fans out to
+    all folds."""
+    _tune(spark)
+    from drune_spark.operators.sampling import walkforward_folds
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("ts_us")
+    )
+    return walkforward_folds(ev, "ts_us", n_folds=3)
 
 
 def q_rejection_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8946,7 +9000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (43) ----
+        # -- never-driver-verified backlog, waited-longest first (46) ----
         "time_rollup": q_time_rollup,
         "rollup_refresh": q_rollup_refresh,
         "value_histogram": q_value_histogram,
@@ -8990,6 +9044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corrupt": q_span_corrupt,
         "media_quarantine": q_media_quarantine,
         "ivf_drift": q_ivf_drift,
+        "audio_resample": q_audio_resample,
+        "walkforward_split": q_walkforward_split,
+        "lsh_multiprobe": q_lsh_multiprobe,
         # -- driver-verified pass, stalest round first (306) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -9720,6 +9777,54 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
                 FROM sigs c JOIN sigs q
                   ON c.band = q.band AND c.bsig = q.bsig
+                WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       list_cosine_similarity(cv.v, qv.v) AS cs
+                FROM cands
+                JOIN vecs cv ON cv.vec_id = neighbor_id
+                JOIN vecs qv ON qv.vec_id = query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cs DESC, neighbor_id ASC) AS rank,
+                       cs
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   round(cs, 6) AS cosine
+            FROM ranked WHERE rank <= 5
+        """
+    # Multi-probe variant: same embedded hyperplanes, band bits fold to
+    # integer codes, candidate set = Hamming <= 1 per band via
+    # bit_count(xor) — equivalent to enumerating the 1-bit-flip probes.
+    ann_multiprobe_sql = f"""
+            WITH planes(pid, pl) AS (VALUES {plane_rows}),
+            vecs AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            bits AS (
+                SELECT vec_id, pid // 8 AS band, pid,
+                       CASE WHEN list_dot_product(v, pl) >= 0
+                            THEN 1 ELSE 0 END AS bit
+                FROM vecs, planes
+            ),
+            codes AS (
+                SELECT vec_id, band,
+                       CAST(SUM(bit * (1 << (pid % 8))) AS BIGINT)
+                           AS code
+                FROM bits GROUP BY vec_id, band
+            ),
+            cands AS (
+                SELECT DISTINCT q.vec_id AS query_id,
+                       c.vec_id AS neighbor_id
+                FROM codes c JOIN codes q
+                  ON c.band = q.band
+                 AND bit_count(xor(c.code, q.code)) <= 1
                 WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
             ),
             scored AS (
@@ -12390,6 +12495,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 7 IN (3, 5) THEN 0
                              ELSE px_sum END AS BIGINT) AS px_sum
             FROM sums
+        """,
+        # Pairwise refold of the audio_decode sample formula:
+        # y[j,c] = (raw(2j)%4096 + raw(2j+1)%4096) // 2 - 2048, both
+        # operands nonnegative so // == div.
+        "audio_resample": """
+            WITH d AS (
+                SELECT doc_id,
+                       64 + doc_id % 37 AS n,
+                       1 + doc_id % 2 AS ch,
+                       8000 + (doc_id % 3) * 4000 AS rate
+                FROM documents
+            ),
+            y AS (
+                SELECT doc_id, n, ch, rate, j, c,
+                       ((doc_id * 13 + 7 * (2 * j) + 5 * c) % 4096
+                        + (doc_id * 13 + 7 * (2 * j + 1) + 5 * c)
+                          % 4096) // 2 - 2048 AS yv
+                FROM d,
+                     UNNEST(generate_series(0, n // 2 - 1)) AS tj(j),
+                     UNNEST(generate_series(0, ch - 1)) AS tc(c)
+            )
+            SELECT doc_id AS media_id,
+                   CAST(rate AS INTEGER) AS rate_in,
+                   CAST(rate // 2 AS INTEGER) AS rate_out,
+                   CAST(n AS INTEGER) AS n_in,
+                   CAST(n // 2 AS INTEGER) AS n_out,
+                   CAST(SUM(yv * (j * ch + c + 1)) AS BIGINT)
+                       AS out_wsum
+            FROM y GROUP BY doc_id, n, ch, rate
         """,
         # Same closed-form sample formula as audio_decode, refolded into
         # 16-time-step frames: i = j // ch, f = i // 16, frame energy =
@@ -15642,6 +15776,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE hamming <= 3
         """,
         "ann_lsh": ann_lsh_sql,
+        "lsh_multiprobe": ann_multiprobe_sql,
         "ann_ivf_topk": """
             WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -16604,6 +16739,37 @@ def oracle_sql() -> dict[str, str]:
                                  % cluster_size = 0
                         THEN 1 ELSE 0 END AS INTEGER) AS kept
             FROM sz
+        """,
+        # (mx - mn) and fold arithmetic nonnegative throughout, so
+        # // == div; embargo/test constants in integer µs.
+        "walkforward_split": """
+            WITH b AS (
+                SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS mn,
+                       CAST(MAX(epoch_us(ts)) AS BIGINT) AS mx
+                FROM events
+            ),
+            folds AS (SELECT UNNEST([1, 2, 3]) AS fold),
+            tagged AS (
+                SELECT f.fold,
+                       b.mn + f.fold * ((b.mx - b.mn) // 4) AS cut_us,
+                       CASE WHEN epoch_us(e.ts) <
+                                 b.mn + f.fold * ((b.mx - b.mn) // 4)
+                                 - 43200000000 THEN 'train'
+                            WHEN epoch_us(e.ts) <
+                                 b.mn + f.fold * ((b.mx - b.mn) // 4)
+                                 THEN 'purged'
+                            WHEN epoch_us(e.ts) <
+                                 b.mn + f.fold * ((b.mx - b.mn) // 4)
+                                 + 432000000000 THEN 'test'
+                            ELSE 'future' END AS part
+                FROM events e, folds f, b
+            )
+            SELECT CAST(fold AS INTEGER) AS fold, cut_us,
+                   CAST(count_if(part = 'train') AS BIGINT) AS n_train,
+                   CAST(count_if(part = 'purged') AS BIGINT) AS n_purged,
+                   CAST(count_if(part = 'test') AS BIGINT) AS n_test,
+                   CAST(count_if(part = 'future') AS BIGINT) AS n_future
+            FROM tagged GROUP BY fold, cut_us
         """,
         # HUGEINT moments mirror the Spark DECIMAL(38,0) ppm arithmetic;
         # // == DIV on the nonnegative operands.

@@ -344,6 +344,9 @@ BENCH_QUERIES = [
     "span_corrupt",
     "media_quarantine",
     "ivf_drift",
+    "audio_resample",
+    "walkforward_split",
+    "lsh_multiprobe",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # ivfpq_serve stays out: training-tier — ~20s steady at sf0.1 is

@@ -851,3 +851,55 @@ def media_quarantine(media: DataFrame) -> DataFrame:
         schema="media_id bigint, route string, reason string, "
                "px_sum bigint",
     )
+
+
+AUDIO_RESAMPLE_SCHEMA = (
+    "media_id bigint, rate_in int, rate_out int, n_in int, n_out int, "
+    "out_wsum bigint"
+)
+
+
+def audio_resample(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Integer rational downsampling (the 16 kHz→8 kHz pass every
+    speech-data pipeline runs before feature extraction): REAL WAV
+    decode, then each output sample is the box-filter mean of
+    ``factor`` consecutive input time steps per channel, computed as
+    ``(Σ (x+2048)) div factor − 2048`` — the domain shift keeps the
+    division on NONNEGATIVE operands so floor == trunc and the DuckDB
+    ``//`` replay is value-exact (the r5 trunc-vs-floor rule). A
+    trailing partial group is dropped (n_out = n_in div factor), as a
+    real decimator would.
+
+    ``out_wsum`` = Σ y[j]·(j+1) over the interleaved output stream —
+    order-sensitive, so any mis-grouped or mis-averaged sample breaks
+    the oracle hash. Shuffle-free mapInPandas.
+
+    Returns (media_id, rate_in, rate_out, n_in, n_out, out_wsum).
+    """
+    from drune_spark.operators.audioio import decode_wav
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, arr = decode_wav(bytes(content))
+                n, ch = arr.shape
+                n_out = n // factor
+                x = arr[: n_out * factor].astype(np.int64) + 2048
+                y = (
+                    x.reshape(n_out, factor, ch).sum(axis=1) // factor
+                ) - 2048
+                flat = y.ravel()
+                rows.append({
+                    "media_id": int(mid),
+                    "rate_in": rate,
+                    "rate_out": rate // factor,
+                    "n_in": n,
+                    "n_out": n_out,
+                    "out_wsum": int(
+                        (flat * np.arange(1, flat.size + 1)).sum()
+                    ),
+                })
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(proc, schema=AUDIO_RESAMPLE_SCHEMA)

@@ -735,3 +735,53 @@ def rejection_match(
             (draw % 1_000_000 < p_ppm).cast("int").alias("accepted"),
         )
     )
+
+
+def walkforward_folds(
+    df: DataFrame,
+    ts_us_col: str,
+    n_folds: int = 3,
+    test_us: int = 5 * 86_400_000_000,
+    embargo_us: int = 12 * 3_600_000_000,
+) -> DataFrame:
+    """Purged walk-forward cross-validation audit for time-ordered
+    data (the split discipline financial/forecasting ML uses instead
+    of hash splits, which leak future information backwards): fold f's
+    cut sits at ``min + f·(span div (n_folds+1))``; rows strictly
+    before ``cut − embargo`` train, rows inside the embargo window are
+    PURGED (near-boundary rows whose labels/windows straddle the cut —
+    the leakage hash splits can't see), the next ``test_us`` test, and
+    the rest are future. Everything is integer-µs arithmetic off one
+    broadcast (min, max) row — ONE scan fans out to all folds via a
+    broadcast fold frame.
+
+    Returns (fold, cut_us, n_train, n_purged, n_test, n_future).
+    """
+    spark = df.sparkSession
+    b = df.agg(
+        F.min(ts_us_col).alias("mn"), F.max(ts_us_col).alias("mx")
+    )
+    folds = spark.range(1, n_folds + 1).select(
+        F.col("id").cast("int").alias("fold")
+    )
+    cut = (F.col("mn")
+           + F.col("fold") * F.expr(f"(mx - mn) div {n_folds + 1}"))
+    tagged = (
+        df.select(F.col(ts_us_col).alias("t"))
+        .crossJoin(F.broadcast(folds))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "fold",
+            cut.alias("cut_us"),
+            F.when(F.col("t") < cut - F.lit(int(embargo_us)), "train")
+            .when(F.col("t") < cut, "purged")
+            .when(F.col("t") < cut + F.lit(int(test_us)), "test")
+            .otherwise("future").alias("part"),
+        )
+    )
+    return tagged.groupBy("fold", "cut_us").agg(
+        F.count_if(F.col("part") == "train").alias("n_train"),
+        F.count_if(F.col("part") == "purged").alias("n_purged"),
+        F.count_if(F.col("part") == "test").alias("n_test"),
+        F.count_if(F.col("part") == "future").alias("n_future"),
+    )

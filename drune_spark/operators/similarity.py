@@ -983,3 +983,89 @@ def truncation_rank_agreement(
         )
         .orderBy("query_id")
     )
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-probe SRP-LSH (Lv et al. 2007, VLDB — multi-probe LSH):
+    besides its own bucket, each query probes every bucket whose band
+    code differs by ONE flipped hyperplane bit — the buckets a
+    near-neighbor most likely fell into when one projection landed on
+    the wrong side. Recall rises toward brute-force without adding
+    hash tables (more bands = more memory at 100 TB; more probes =
+    only more QUERY-side rows).
+
+    Plan shape: band signatures fold to integer codes; the corpus
+    side stays ONE row per (vector, band) — probing multiplies only
+    the broadcast query side ×(planes_per_band + 1). The candidate
+    join stays a (band, code) equi-join; candidate set ≡ all corpus
+    vectors within Hamming 1 of the query in some band (the oracle
+    states it that way via bit_count(xor)).
+
+    Returns (query_id, neighbor_id, rank, cosine).
+    """
+    planes = _hyperplanes(dim, bands * planes_per_band, seed)
+
+    def band_code(sig_col, b: int):
+        code = F.lit(0)
+        for j in range(planes_per_band):
+            code = code + (
+                F.element_at(sig_col, b * planes_per_band + j + 1)
+                * F.lit(1 << j)
+            )
+        return code.cast("int")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(F.col(vec_col)).alias("cvec"),
+    ).withColumn("sig", srp_signature(F.col("cvec"), planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qsig", srp_signature(F.col("qvec"), planes))
+
+    c_bands = c.select(
+        "neighbor_id", "cvec",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     band_code(F.col("sig"), b).alias("code"))
+            for b in range(bands)
+        ]).cast("array<struct<band:int,code:int>>")).alias("bc"),
+    ).select("neighbor_id", "cvec", "bc.band", "bc.code")
+    probes = []
+    for b in range(bands):
+        base = band_code(F.col("qsig"), b)
+        probes.append(F.struct(F.lit(b).alias("band"),
+                               base.alias("code")))
+        for j in range(planes_per_band):
+            probes.append(F.struct(
+                F.lit(b).alias("band"),
+                base.bitwiseXOR(F.lit(1 << j)).alias("code"),
+            ))
+    q_probes = q.select(
+        "query_id", "qvec",
+        F.explode(
+            F.array(*probes).cast("array<struct<band:int,code:int>>")
+        ).alias("bc"),
+    ).select("query_id", "qvec", "bc.band", "bc.code")
+    cands = (
+        c_bands.join(F.broadcast(q_probes), ["band", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("cvec"), F.col("qvec")).alias("cosine"),
+    )
+    return _topk_per_query(scored, k)

@@ -5218,3 +5218,97 @@ class TestIvfDrift:
         assert out[1].share_new_ppm == 1_000_000
         assert out[0].drift_ppm == 500_000
         assert out[1].drift_ppm == 500_000
+
+
+class TestAudioResample:
+    def test_box_filter_pairs_and_odd_tail_drop(self, spark):
+        import numpy as np
+        from drune_spark.operators.audioio import encode_wav
+        from drune_spark.operators.multimodal import audio_resample
+
+        # 5 mono samples: pairs (10, 20) -> 15, (-7, -8) -> floor
+        # behavior via domain shift: ((-7+2048)+(-8+2048))//2-2048 = -8
+        samples = np.array([[10], [20], [-7], [-8], [99]],
+                           dtype=np.int16)
+        media = spark.createDataFrame(
+            [(3, bytearray(encode_wav(samples, 16000)))],
+            ["media_id", "content"],
+        )
+        out = audio_resample(media, factor=2).collect()[0]
+        assert out.n_in == 5 and out.n_out == 2   # odd tail dropped
+        assert out.rate_out == 8000
+        assert out.out_wsum == 15 * 1 + (-8) * 2
+
+    def test_stereo_interleaving(self, spark):
+        import numpy as np
+        from drune_spark.operators.audioio import encode_wav
+        from drune_spark.operators.multimodal import audio_resample
+
+        samples = np.array([[1, 100], [3, 200]], dtype=np.int16)
+        media = spark.createDataFrame(
+            [(4, bytearray(encode_wav(samples, 8000)))],
+            ["media_id", "content"],
+        )
+        out = audio_resample(media, factor=2).collect()[0]
+        # one output frame: ch0 (1+3)//2 = 2, ch1 (100+200)//2 = 150
+        assert out.n_out == 1
+        assert out.out_wsum == 2 * 1 + 150 * 2
+
+
+class TestWalkforward:
+    def test_purge_window_and_fold_counts(self, spark):
+        from drune_spark.operators.sampling import walkforward_folds
+
+        # 100 points at hours 0..99; folds cut at 25h/50h/75h;
+        # embargo 2h, test 10h.
+        us_h = 3_600_000_000
+        df = spark.createDataFrame(
+            [(i * us_h,) for i in range(100)], ["ts_us"]
+        )
+        out = {r.fold: r for r in walkforward_folds(
+            df, "ts_us", n_folds=3, test_us=10 * us_h,
+            embargo_us=2 * us_h,
+        ).collect()}
+        # span = 99h; cut_1 = 99h div 4 = 24.75h (µs arithmetic)
+        f1 = out[1]
+        assert f1.cut_us == 99 * us_h // 4
+        assert f1.n_train == 23      # hours 0..22 (< 22.75h)
+        assert f1.n_purged == 2      # hours 23, 24
+        assert f1.n_test == 10       # hours 25..34
+        assert f1.n_future == 65
+        assert sum([f1.n_train, f1.n_purged, f1.n_test,
+                    f1.n_future]) == 100
+
+
+class TestLshMultiprobe:
+    def test_candidates_superset_of_single_probe(self, spark):
+        from drune_spark.operators.similarity import (
+            lsh_multiprobe_topk,
+            lsh_topk,
+        )
+
+        emb = spark.range(0, 200).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(0, 15), j -> "
+            " CAST(((id + 1) * (j + 3) % 17) - 8 AS DOUBLE)) AS embedding",
+        )
+        queries = emb.filter("vec_id < 3").withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        single = lsh_topk(emb, queries, k=5, dim=16, bands=2,
+                          planes_per_band=8)
+        multi = lsh_multiprobe_topk(emb, queries, k=5, dim=16,
+                                    bands=2, planes_per_band=8)
+        s = {(r.query_id, r.neighbor_id, r.rank) for r in single.collect()}
+        m = {(r.query_id, r.neighbor_id, r.rank) for r in multi.collect()}
+        # multiprobe candidates ⊇ single-probe, so its top-k cosine at
+        # each rank is >= the single-probe one; with enough neighbors
+        # both fill all ranks
+        assert len(m) == len(s) == 15
+        # and the multiprobe result must contain every single-probe
+        # neighbor whose cosine beats multiprobe's kth — weaker but
+        # deterministic: assert per-query rank-1 cosine not worse
+        s1 = {r.query_id: r.cosine for r in single.collect() if r.rank == 1}
+        m1 = {r.query_id: r.cosine for r in multi.collect() if r.rank == 1}
+        for qid in s1:
+            assert m1[qid] >= s1[qid] - 1e-12

@@ -113,6 +113,9 @@ QUERIES = [
     "bootstrap_ci",
     "query_expansion",
     "media_quarantine",
+    # round-8 third wave: the ×9 query-side probe fan-out (corpus side
+    # must stay one row per (vector, band))
+    "lsh_multiprobe",
 ]
 TABLES = ["documents", "embeddings", "lineitem", "orders", "events"]
 # dimension tables ride along UNSCALED (a 3x fact load keeps its dims;
