@@ -1014,6 +1014,8 @@ def lsh_multiprobe_topk(
 
     Returns (query_id, neighbor_id, rank, cosine).
     """
+    from drune_spark.functions.partitioning import fan_out
+
     planes = _hyperplanes(dim, bands * planes_per_band, seed)
 
     def band_code(sig_col, b: int):
@@ -1025,14 +1027,34 @@ def lsh_multiprobe_topk(
             )
         return code.cast("int")
 
-    c = corpus.select(
+    # Corpus signatures go through the codegen aggregate path
+    # (srp_signatures_agg): srp_signature's 32 interpreted dot() folds
+    # measured ~12s on the sf0.1 corpus vs ~1s for the explode+FMA
+    # aggregate. The sig joins back onto the (cheap) corpus scan for
+    # the scoring vectors; the 5-row query side keeps the fold.
+    cvecs = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         to_double_array(F.col(vec_col)).alias("cvec"),
-    ).withColumn("sig", srp_signature(F.col("cvec"), planes))
-    q = queries.select(
+    )
+    csigs = srp_signatures_agg(cvecs, ["neighbor_id"], "cvec", planes)
+    c = cvecs.join(csigs, "neighbor_id")
+    # Query side goes through the SAME aggregate path — not for speed
+    # (5 rows) but as an optimizer BARRIER: a withColumn fold here gets
+    # CollapseProject-inlined into all ~288 probe-code references below
+    # (2048-literal plane arrays per copy), exploding the generated
+    # code. Behind the aggregate, qsig is a real attribute and each
+    # probe code is 8 cheap array lookups. Steady-state cost ~2.6s at
+    # sf0.1; the first 1-2 executions in a session pay 8-20s of
+    # codegen JIT for the ~84KB plan — a transient, not a data cost.
+    qvecs = queries.select(
         F.col(query_id_col).alias("query_id"),
         to_double_array(F.col(vec_col)).alias("qvec"),
-    ).withColumn("qsig", srp_signature(F.col("qvec"), planes))
+    )
+    q = qvecs.join(
+        srp_signatures_agg(qvecs, ["query_id"], "qvec", planes)
+        .withColumnRenamed("sig", "qsig"),
+        "query_id",
+    )
 
     c_bands = c.select(
         "neighbor_id", "cvec",
@@ -1069,3 +1091,50 @@ def lsh_multiprobe_topk(
         cosine_similarity(F.col("cvec"), F.col("qvec")).alias("cosine"),
     )
     return _topk_per_query(scored, k)
+
+
+def srp_signatures_agg(
+    df: DataFrame,
+    id_cols: list[str],
+    vec_col: str,
+    planes: list[list[float]],
+) -> DataFrame:
+    """SRP signatures via posexplode + conditional-sum aggregate — the
+    codegen path for the hyperplane dot products. ``srp_signature``'s
+    per-plane ``dot()`` folds are interpreted HOF lambdas (32 planes ×
+    64 dims re-walks the array per plane, outside whole-stage
+    codegen); here the vector explodes ONCE to (i, x) rows and every
+    plane's dot is a fused multiply-add against a CONSTANT-FOLDED
+    literal plane array — one codegen HashAggregate with 32 sum
+    buffers. At the sf0.1 corpus size both paths measure <1s warm; the
+    aggregate form keeps the signature math inside whole-stage codegen
+    as the corpus grows (the fold would re-walk the array per plane,
+    interpreted).
+
+    FP parity with the fold (and with DuckDB's list_dot_product):
+    posexplode emits one vector's rows contiguously in one task, and
+    partial aggregation accumulates them in row order — ascending i,
+    the exact fold order — with exactly one partial per group at the
+    merge. Only the SIGN is consumed downstream anyway.
+
+    Returns ``id_cols`` + ``sig`` (array<int> of 0/1, plane order).
+    """
+    n_planes = len(planes)
+    plane_arrs = [
+        F.array(*[F.lit(float(x)) for x in p]) for p in planes
+    ]
+    pos = df.select(
+        *id_cols, F.posexplode(vec_col).alias("i", "x")
+    )
+    dots = pos.groupBy(*id_cols).agg(*[
+        F.sum(
+            F.col("x")
+            * F.element_at(plane_arrs[p], F.col("i") + 1)
+        ).alias(f"d{p}")
+        for p in range(n_planes)
+    ])
+    sig = F.array(*[
+        F.when(F.col(f"d{p}") >= 0, 1).otherwise(0)
+        for p in range(n_planes)
+    ])
+    return dots.select(*id_cols, sig.alias("sig"))
