@@ -263,6 +263,43 @@ class FimStep(Step):
         return df.withColumn(text_col, out_text)
 
 
+@StepRegistry.register("span_corrupt")
+class SpanCorruptStep(Step):
+    """T5-style span corruption as a pipeline stage (round 8): replaces
+    ``text_col`` with the sentinel-masked input and adds
+    ``target_col`` with the sentinel-delimited span contents
+    (packing.py span_corrupt_exprs) — the denoising twin of the FIM
+    stage. In-place column splice: the input is consumed ONCE (the
+    FimStep discipline; a join-back-on-id would re-evaluate the whole
+    upstream chain per branch)."""
+
+    def execute(
+        self,
+        inputs,
+        current,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        target_col: str = "target_text",
+        span_len: int = 3,
+        salt: str = "span1",
+        source: Optional[str] = None,
+        **_: Any,
+    ) -> DataFrame:
+        from drune_spark.operators.packing import span_corrupt_exprs
+
+        df = self.pick_input(inputs, current, source)
+        applied, _s0, _s1, input_text, target_text = span_corrupt_exprs(
+            text_col, id_col, span_len, salt
+        )
+        return df.withColumn(
+            target_col, F.when(applied == 1, target_text).otherwise("")
+        ).withColumn(
+            text_col,
+            F.when(applied == 1, input_text).otherwise(F.col(text_col)),
+        )
+
+
 @StepRegistry.register("pack")
 class PackStep(Step):
     """Sequence packing as a pipeline stage: whitespace token counts

@@ -445,6 +445,30 @@ def span_corrupt_transform(
 
     Returns (id, applied, s0, s1, input_text, target_text).
     """
+    applied, s0, s1, input_text, target_text = span_corrupt_exprs(
+        text_col, id_col, span_len, salt
+    )
+    return df.select(
+        F.col(id_col),
+        applied.alias("applied"),
+        F.when(applied == 1, s0).otherwise(0).cast("long").alias("s0"),
+        F.when(applied == 1, s1).otherwise(0).cast("long").alias("s1"),
+        F.when(applied == 1, input_text)
+        .otherwise(F.col(text_col)).alias("input_text"),
+        F.when(applied == 1, target_text)
+        .otherwise(F.lit("")).alias("target_text"),
+    )
+
+def span_corrupt_exprs(
+    text_col: str,
+    id_col: str,
+    span_len: int = 3,
+    salt: str = "span1",
+):
+    """The span-corruption column expressions (applied, s0, s1,
+    input_text, target_text) as pure Columns — the fim_exprs pattern:
+    pipeline steps splice the corrupted text in place with withColumn,
+    consuming their input exactly once."""
     L = int(span_len)
     w = tokens(F.col(text_col))
     nw = F.size(w)
@@ -472,13 +496,4 @@ def span_corrupt_transform(
         F.lit("<X0> "), seg(s0, F.lit(L)),
         F.lit(" <X1> "), seg(s1, F.lit(L)),
     )
-    return df.select(
-        F.col(id_col),
-        applied.alias("applied"),
-        F.when(applied == 1, s0).otherwise(0).cast("long").alias("s0"),
-        F.when(applied == 1, s1).otherwise(0).cast("long").alias("s1"),
-        F.when(applied == 1, input_text)
-        .otherwise(F.col(text_col)).alias("input_text"),
-        F.when(applied == 1, target_text)
-        .otherwise(F.lit("")).alias("target_text"),
-    )
+    return applied, s0, s1, input_text, target_text

@@ -5312,3 +5312,25 @@ class TestLshMultiprobe:
         m1 = {r.query_id: r.cosine for r in multi.collect() if r.rank == 1}
         for qid in s1:
             assert m1[qid] >= s1[qid] - 1e-12
+
+
+class TestSpanCorruptStep:
+    def test_step_splice_matches_transform(self, spark):
+        from drune_spark.operators.llm_steps import StepRegistry
+        from drune_spark.operators.packing import span_corrupt_transform
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{i}_{j}" for j in range(12)))
+             for i in range(6)] + [(99, "short doc")],
+            ["doc_id", "text"],
+        )
+        step = StepRegistry.get("span_corrupt")(spark, "denoise")
+        out = {r.doc_id: r for r in step.execute(
+            {}, docs, text_col="text", id_col="doc_id", salt="t"
+        ).collect()}
+        ref = {r.doc_id: r for r in span_corrupt_transform(
+            docs, "text", "doc_id", span_len=3, salt="t"
+        ).collect()}
+        for i in list(range(6)) + [99]:
+            assert out[i].text == ref[i].input_text
+            assert out[i].target_text == ref[i].target_text

@@ -384,3 +384,28 @@ class TestCorpusExamplePipeline:
         # dedup ran: chunk doc_ids are unique per (doc, chunk)
         assert chunks.select("doc_id", "chunk_id").distinct().count() \
             == chunks.count()
+
+
+class TestPretrainExamplePipeline:
+    def test_cli_runs_span_corrupt_chain(self, spark, monkeypatch):
+        """The examples/project `pretrain` pipeline: token_screen →
+        dedup → span_corrupt → pack declaratively — the round-8
+        denoising stage inside the single-plan step chain."""
+        monkeypatch.chdir(REPO)
+        import shutil
+        from drune_spark import cli as cli_mod
+
+        out = "/tmp/drune_spark_example_pretrain"
+        shutil.rmtree(out, ignore_errors=True)
+        runner = CliRunner()
+        result = runner.invoke(
+            cli_mod.cli, ["run", "pretrain", "--project", PROJECT_DIR]
+        )
+        assert result.exit_code == 0, result.output
+        seqs = spark.read.parquet(f"{out}/dm_pretrain_sequences.parquet")
+        assert seqs.count() > 0
+        assert set(seqs.columns) >= {
+            "doc_id", "n_tokens", "pack_group", "seq_id"}
+        import pyspark.sql.functions as SF
+        # packing grouped into the declared 8 hash groups
+        assert seqs.agg(SF.max("pack_group")).collect()[0][0] <= 7
