@@ -10908,7 +10908,7 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY m ASC, b ASC) AS r_lo,
                        row_number() OVER (PARTITION BY g
                            ORDER BY m DESC, b DESC) AS r_hi
-                FROM reps WHERE b >= 0
+                FROM reps WHERE b >= 0 AND m IS NOT NULL
             ),
             band AS (
                 SELECT g,

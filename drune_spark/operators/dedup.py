@@ -437,10 +437,14 @@ def connected_components(
     max_w = spark.sparkContext.defaultParallelism
     w = max(2, min(max_w, m // 100_000 + 1))
     if w < max_w:
-        both.unpersist()
-        both = edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).repartition(w).persist()
+        # Repartition FROM the still-cached frame, then swap persists:
+        # rebuilding from `edges` would re-run the expensive upstream
+        # pairs join a second time (the repartition's one materializing
+        # action below reads the cache instead).
+        wide = both
+        both = wide.repartition(w).persist()
+        both.count()
+        wide.unpersist()
     labels = all_nodes.select(
         F.col(all_nodes.columns[0]).alias("node")
     ).distinct().withColumn("label", F.col("node")).persist()
@@ -1643,6 +1647,8 @@ def soft_dedup(
 
     labels = connected_components(pairs, docs.select(id_col),
                                   max_iterations)
+    if id_col != "doc_id":  # CC's output id column is fixed
+        labels = labels.withColumnRenamed("doc_id", id_col)
     w = Window.partitionBy("cluster_id")
     sized = labels.select(
         F.col(id_col),

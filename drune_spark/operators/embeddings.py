@@ -163,6 +163,39 @@ def power_iteration_axis(
     )
 
 
+def pq_codebook(
+    v: DataFrame,
+    n_subspaces: int,
+    sub: int,
+    codebook_size: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared per-subspace PQ codebook — subvectors of the
+    ``codebook_size`` lowest-id vectors (the ivf_assign seed
+    discipline). ONE definition consumed by pq_encode (write path),
+    pq_adc_recall and ivf_pq_serve (serve paths): the (s, code) join
+    keys of stored codes and ADC lookup tables derive from the same
+    frame, so the seed rule can never silently drift between them.
+    Input ``v`` must carry (id_col, v: array<double>).
+
+    Returns (code, s, cwv) — n_subspaces · codebook_size rows,
+    broadcast-sized.
+    """
+    seeds = (
+        v.orderBy(F.col(id_col))
+        .limit(codebook_size)
+        .select(F.col(id_col).alias("code"), F.col("v").alias("cw"))
+    )
+    spaces = F.explode(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1))
+    ).alias("s")
+    return seeds.select("code", spaces, "cw").select(
+        "code",
+        "s",
+        F.expr(f"slice(cw, s * {sub} + 1, {sub})").alias("cwv"),
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     dim: int = 64,
@@ -201,11 +234,6 @@ def pq_encode(
     v = corpus.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
     )
-    seeds = (
-        v.orderBy(F.col(id_col))
-        .limit(codebook_size)
-        .select(F.col(id_col).alias("code"), F.col("v").alias("cw"))
-    )
     spaces = F.explode(
         F.sequence(F.lit(0), F.lit(n_subspaces - 1))
     ).alias("s")
@@ -214,11 +242,7 @@ def pq_encode(
         "s",
         F.expr(f"slice(v, s * {sub} + 1, {sub})").alias("sv"),
     )
-    book = seeds.select("code", spaces, "cw").select(
-        "code",
-        "s",
-        F.expr(f"slice(cw, s * {sub} + 1, {sub})").alias("cwv"),
-    )
+    book = pq_codebook(v, n_subspaces, sub, codebook_size, id_col)
     assigned = (
         subs.join(F.broadcast(book), "s")
         .select(
@@ -324,18 +348,7 @@ def pq_adc_recall(
     v = corpus.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
     )
-    seeds = (
-        v.orderBy(F.col(id_col))
-        .limit(codebook_size)
-        .select(F.col(id_col).alias("code"), F.col("v").alias("cw"))
-    )
-    spaces = F.explode(
-        F.sequence(F.lit(0), F.lit(n_subspaces - 1))
-    ).alias("s")
-    book = seeds.select("code", spaces, "cw").select(
-        "code", "s",
-        F.expr(f"slice(cw, s * {sub} + 1, {sub})").alias("cwv"),
-    )
+    book = pq_codebook(v, n_subspaces, sub, codebook_size, id_col)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         to_double_array(F.col(vec_col)).alias("qv"),
@@ -494,18 +507,7 @@ def ivf_pq_serve(
     v = corpus.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
     )
-    seeds = (
-        v.orderBy(F.col(id_col))
-        .limit(codebook_size)
-        .select(F.col(id_col).alias("code"), F.col("v").alias("cw"))
-    )
-    spaces = F.explode(
-        F.sequence(F.lit(0), F.lit(n_subspaces - 1))
-    ).alias("s")
-    book = seeds.select("code", spaces, "cw").select(
-        "code", "s",
-        F.expr(f"slice(cw, s * {sub} + 1, {sub})").alias("cwv"),
-    )
+    book = pq_codebook(v, n_subspaces, sub, codebook_size, id_col)
     queries = corpus.filter(is_query)
     q = queries.select(
         F.col(id_col).alias("query_id"),

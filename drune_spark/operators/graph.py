@@ -784,6 +784,12 @@ def hits_int(
         "src", F.lit(int(scale)).cast("long").alias("h")
     )
     auth = None
+    # Residency discipline (the anf_reach rule): each round's raw
+    # frames are superseded by the next half-step's materialization —
+    # unpersist them then; after the loop only the FINAL two
+    # node-sized frames stay cached (the returned plan reads them),
+    # and the edge copies are released.
+    prev_a = prev_h = None
     for _ in range(n_iters):
         a_raw = (
             e_src.join(hubs, "src")
@@ -792,6 +798,14 @@ def hits_int(
             .persist()
         )
         max_a = a_raw.agg(F.max("r")).collect()[0][0]
+        if max_a is None:  # no edges at all — empty-graph guard
+            for f in (a_raw, e_src, e_dst):
+                f.unpersist()
+            return spark.createDataFrame(
+                [], "node bigint, kind string, score_int bigint"
+            )
+        if prev_h is not None:
+            prev_h.unpersist()
         auth = a_raw.select(
             "dst",
             F.expr(f"CAST(r * {int(scale)} div {int(max_a)} AS BIGINT)")
@@ -804,11 +818,16 @@ def hits_int(
             .persist()
         )
         max_h = h_raw.agg(F.max("r")).collect()[0][0]
+        if prev_a is not None:
+            prev_a.unpersist()
+        prev_a, prev_h = a_raw, h_raw
         hubs = h_raw.select(
             "src",
             F.expr(f"CAST(r * {int(scale)} div {int(max_h)} AS BIGINT)")
             .alias("h"),
         )
+    e_src.unpersist()
+    e_dst.unpersist()
     return (
         auth.select(
             F.col("dst").alias("node"),

@@ -270,7 +270,12 @@ def audio_vad(
                     "media_id": int(mid),
                     "n_frames": n_frames,
                     "n_speech": n_speech,
-                    "speech_ppm": n_speech * 1_000_000 // n_frames,
+                    # zero-sample clip (valid RIFF, empty data chunk):
+                    # report 0 rather than fail the whole Arrow batch
+                    "speech_ppm": (
+                        n_speech * 1_000_000 // n_frames
+                        if n_frames else 0
+                    ),
                     "energy_wsum": wsum,
                 })
             yield pd.DataFrame(rows)

@@ -939,7 +939,11 @@ def bootstrap_mean_ci(
                                           F.col("b").asc())
     desc = Window.partitionBy("g").orderBy(F.col("m").desc(),
                                            F.col("b").desc())
-    ranked = reps.filter("b >= 0").select(
+    # Replicates whose Poisson draw selected zero total weight have a
+    # NULL mean — excluded from the band on BOTH engines (Spark sorts
+    # NULLS FIRST ascending, DuckDB NULLS LAST: without the filter the
+    # order-statistic band diverges for tiny groups).
+    ranked = reps.filter("b >= 0 AND m IS NOT NULL").select(
         "g", "m",
         F.row_number().over(asc).alias("r_lo"),
         F.row_number().over(desc).alias("r_hi"),

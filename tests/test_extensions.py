@@ -5334,3 +5334,19 @@ class TestSpanCorruptStep:
         for i in list(range(6)) + [99]:
             assert out[i].text == ref[i].input_text
             assert out[i].target_text == ref[i].target_text
+
+
+class TestBootstrapDegenerateGroup:
+    def test_single_row_group_null_replicates_excluded(self, spark):
+        from drune_spark.operators.stats import bootstrap_mean_ci
+
+        # one row: ~37% of replicates draw weight 0 -> NULL mean;
+        # they must be excluded from the band (Spark NULLS FIRST vs
+        # DuckDB NULLS LAST would otherwise diverge), leaving a
+        # degenerate but non-NULL CI equal to the value itself.
+        df = spark.createDataFrame([("A", 7_000_000, 1)],
+                                   ["g", "x", "i"])
+        out = bootstrap_mean_ci(df, "g", "x", "i",
+                                n_boot=32, salt="z").collect()[0]
+        assert out.mean_micro == 7_000_000
+        assert out.ci_lo_micro == out.ci_hi_micro == 7_000_000
