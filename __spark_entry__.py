@@ -2175,6 +2175,280 @@ def q_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain reweighting (sampling.py doremi_reweight, Xie et
+    al. 2023): 3 multiplicative-weights rounds over the documents
+    corpus — hash-sample each source ∝ its weight, measure sampled
+    mean unigram-surprisal loss (the integer bit-length primitive),
+    grow weights by excess-over-best, renormalize to Σ=10⁶ ppm by
+    shifted div. One doc-frame aggregate + a 20-row control fetch per
+    round (the perceptron/HITS family); the unrolled-CTE oracle
+    replays every round digit-for-digit."""
+    _tune(spark)
+    from drune_spark.operators.sampling import doremi_reweight
+
+    return doremi_reweight(
+        _t(spark, sf_dir, "documents"), rounds=3, eta_denom=512
+    )
+
+
+def q_nsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN greedy walk (similarity.py nsw_greedy_search, Malkov
+    2014 — the single-layer HNSW ancestor): build a navigable
+    small-world graph (top-6 in-IVF-cell cosine neighbors, symmetrized,
+    + the seed clique as the long-range layer), then walk every 50th
+    vector greedily from the min-id entry point for 4 hops, moving
+    only on floored-micro cosine improvement. All queries walk in
+    parallel as rows; hops are unrolled joins over the persisted edge
+    list. Integer-encoded argmax → the hop-unrolled CTE oracle replays
+    the walk exactly."""
+    _tune(spark)
+    from drune_spark.operators.similarity import nsw_greedy_search
+
+    return nsw_greedy_search(
+        _t(spark, sf_dir, "embeddings"),
+        n_cells=8, m_edges=6, hops=4, query_mod=50,
+    )
+
+
+def q_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketed batch assembly (multimodal.py
+    aspect_ratio_buckets — the NovelAI/SDXL image-training loader):
+    deterministic synthetic (w, h) per doc (md5-derived, 256..1279),
+    nearest-ladder-bucket assignment by the cross-multiplied integer
+    ratio distance, batches of 8 within each bucket, per-batch size /
+    pixel / would-upscale census. One literal explode + one window
+    partitioned by bucket — no global sort."""
+    _tune(spark)
+    from drune_spark.functions.hashes import md5_u32
+    from drune_spark.operators.multimodal import aspect_ratio_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (
+            F.lit(256)
+            + md5_u32(
+                F.concat(F.lit("aw:"), F.col("doc_id").cast("string"))
+            )
+            % 1024
+        ).alias("width"),
+        (
+            F.lit(256)
+            + md5_u32(
+                F.concat(F.lit("ah:"), F.col("doc_id").cast("string"))
+            )
+            % 1024
+        ).alias("height"),
+    )
+    return aspect_ratio_buckets(meta, batch_size=8)
+
+
+def q_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order shuffle audit (sampling.py
+    shuffle_quality_audit): per dataloader shard (hash mod 8, ordered
+    by an independent position hash — the shuffled read order),
+    adjacent same-source pairs, observed Wald-Wolfowitz runs and the
+    permutation-null expectation in integer ppm. Windows partition BY
+    SHARD (never a global sort); n=1 shards guarded with
+    greatest(·,1) on both engines."""
+    _tune(spark)
+    from drune_spark.operators.sampling import shuffle_quality_audit
+
+    return shuffle_quality_audit(
+        _t(spark, sf_dir, "documents"),
+        group_col="source", id_col="doc_id", n_shards=8,
+    )
+
+
+def _doremi_oracle(
+    rounds: int = 3, eta_denom: int = 4096, scale: int = 1_000_000,
+    rate_mod: int = 65536,
+) -> str:
+    """SQL replay of sampling.py doremi_reweight: the unigram-loss CTE
+    chain once, then one (sample → loss → update → renorm) CTE block
+    per round with scalar-subquery max/min/sum controls — the
+    perceptron/HITS unrolled-oracle family. AS MATERIALIZED on every
+    chained CTE (the r5 MMR lesson); SUMs CAST at use sites so weight
+    products stay BIGINT, never HUGEINT."""
+    parts = [f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   UNNEST(regexp_split_to_array(trim(text), '\\s+'))
+                       AS token
+            FROM documents
+        ),
+        tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        vocab AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS n_t
+            FROM tok2 GROUP BY token
+        ),
+        total AS (
+            SELECT CAST(SUM(n_t) AS BIGINT) AS n_corpus FROM vocab
+        ),
+        bits AS (
+            SELECT token,
+                   CAST(length(printf('%b', n_corpus // n_t))
+                        AS BIGINT) AS b
+            FROM vocab, total
+        ),
+        dl AS MATERIALIZED (
+            SELECT t.doc_id AS id, d.source,
+                   CAST(SUM(b) AS BIGINT) * 1000
+                       // CAST(count(*) AS BIGINT) AS loss
+            FROM tok2 t JOIN bits USING (token)
+                 JOIN documents d ON d.doc_id = t.doc_id
+            GROUP BY t.doc_id, d.source
+        ),
+        w0 AS MATERIALIZED (
+            SELECT source,
+                   CAST({scale} // (SELECT COUNT(DISTINCT source)
+                                    FROM dl) AS BIGINT) AS w
+            FROM (SELECT DISTINCT source FROM dl)
+        )"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+        k{t} AS MATERIALIZED (
+            SELECT w.source, CAST(COUNT(dl.id) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(dl.loss), 0) AS BIGINT) AS sl
+            FROM w{t - 1} w LEFT JOIN dl
+              ON dl.source = w.source
+             AND ('0x' || substr(md5('{t}:' ||
+                      CAST(dl.id AS VARCHAR)), 1, 8))::BIGINT
+                 % {rate_mod}
+                 < w.w * {rate_mod} // (SELECT MAX(w) FROM w{t - 1})
+            GROUP BY w.source
+        ),
+        l{t} AS MATERIALIZED (
+            SELECT source, n,
+                   CASE WHEN n > 0 THEN sl // n ELSE NULL END AS L
+            FROM k{t}
+        ),
+        u{t} AS MATERIALIZED (
+            SELECT l.source, l.n,
+                   CAST(COALESCE(l.L, -1) AS BIGINT) AS ml,
+                   w.w * ({eta_denom} +
+                          CASE WHEN l.L IS NULL THEN 0
+                               ELSE l.L - (SELECT MIN(L) FROM l{t}
+                                           WHERE L IS NOT NULL) END)
+                       // {eta_denom} AS wr
+            FROM l{t} l JOIN w{t - 1} w USING (source)
+        ),
+        w{t} AS MATERIALIZED (
+            SELECT source, n, ml,
+                   CAST(wr * {scale}
+                        // (SELECT CAST(SUM(wr) AS BIGINT) FROM u{t})
+                        AS BIGINT) AS w
+            FROM u{t}
+        )""")
+    selects = [
+        f"""SELECT {t} AS round, source, n AS n_sampled,
+               ml AS mean_loss, w AS weight_ppm FROM w{t}"""
+        for t in range(1, rounds + 1)
+    ]
+    parts.append("\n        " + "\n        UNION ALL\n        ".join(selects))
+    return "".join(parts)
+
+
+def _nsw_oracle(
+    n_cells: int = 8, m_edges: int = 6, hops: int = 4,
+    query_mod: int = 50,
+) -> str:
+    """SQL replay of similarity.py nsw_greedy_search: graph build
+    (seed-cell assignment → in-cell pairs + seed clique → symmetrized
+    top-M edges), then one CTE per greedy hop. Cosines via
+    list_cosine_similarity over DOUBLE[] (bit-equal to the Spark
+    zip_with fold, proven across rounds), floored to micro BEFORE any
+    comparison; the argmax encode is (cos+10⁶)·2³³ + (2³³−1−node)."""
+    em = 1 << 33  # encode modulus, matches the Spark side
+    cosm = (
+        "CAST(floor(list_cosine_similarity({a}, {b}) * 1000000.0) "
+        "AS BIGINT)"
+    )
+    parts = [f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        seeds AS MATERIALIZED (
+            SELECT nid AS sid, v AS sv FROM e WHERE nid < {n_cells}
+        ),
+        assign AS MATERIALIZED (
+            SELECT e.nid,
+                   {em - 1} - (MAX(
+                       ({cosm.format(a='e.v', b='s.sv')} + 1000000)
+                       * {em} + ({em - 1} - s.sid)
+                   ) % {em}) AS cell
+            FROM e, seeds s GROUP BY e.nid
+        ),
+        ca AS MATERIALIZED (
+            SELECT e.nid, e.v, a.cell FROM e JOIN assign a USING (nid)
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.nid AS ai, b.nid AS bi,
+                   {cosm.format(a='a.v', b='b.v')} AS cs
+            FROM ca a JOIN ca b
+              ON a.cell = b.cell AND a.nid < b.nid
+        ),
+        sym AS MATERIALIZED (
+            SELECT ai AS src, bi AS dst, cs FROM pairs
+            UNION ALL
+            SELECT bi AS src, ai AS dst, cs FROM pairs
+        ),
+        edges AS MATERIALIZED (
+            -- seed-clique (long-range) edges are exempt from the
+            -- top-M cut or cross-cell walks are impossible
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (
+                           PARTITION BY src
+                           ORDER BY cs DESC, dst ASC
+                       ) AS rk
+                FROM sym
+            ) WHERE rk <= {m_edges}
+            UNION ALL
+            SELECT s1.sid AS src, s2.sid AS dst
+            FROM seeds s1 JOIN seeds s2 ON s1.sid <> s2.sid
+        ),
+        q AS MATERIALIZED (
+            SELECT nid AS query_id, v AS qv FROM e
+            WHERE nid % {query_mod} = 0
+        ),
+        st0 AS MATERIALIZED (
+            SELECT q.query_id, ev.nid AS node,
+                   {cosm.format(a='q.qv', b='ev.v')} AS cos_micro
+            FROM q, e ev
+            WHERE ev.nid = (SELECT MIN(nid) FROM e)
+        )"""]
+    for t in range(1, hops + 1):
+        parts.append(f""",
+        c{t} AS MATERIALIZED (
+            SELECT s.query_id,
+                   MAX(({cosm.format(a='q.qv', b='nb.v')} + 1000000)
+                       * {em} + ({em - 1} - ed.dst)) AS enc
+            FROM st{t - 1} s
+                 JOIN edges ed ON ed.src = s.node
+                 JOIN e nb ON nb.nid = ed.dst
+                 JOIN q ON q.query_id = s.query_id
+            GROUP BY s.query_id
+        ),
+        st{t} AS MATERIALIZED (
+            SELECT s.query_id,
+                   CASE WHEN c.enc IS NOT NULL
+                             AND (c.enc // {em}) - 1000000 > s.cos_micro
+                        THEN {em - 1} - (c.enc % {em})
+                        ELSE s.node END AS node,
+                   GREATEST(
+                       COALESCE((c.enc // {em}) - 1000000, -2000000),
+                       s.cos_micro
+                   ) AS cos_micro
+            FROM st{t - 1} s LEFT JOIN c{t} c USING (query_id)
+        )""")
+    parts.append(f"""
+        SELECT query_id, node, cos_micro FROM st{hops}""")
+    return "".join(parts)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed ANN search: 5 queries probe their 4 nearest of 16
     coarse cells and score only those cells' vectors — the partition-
@@ -9000,7 +9274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (46) ----
+        # -- never-driver-verified backlog, waited-longest first (50) ----
         "time_rollup": q_time_rollup,
         "rollup_refresh": q_rollup_refresh,
         "value_histogram": q_value_histogram,
@@ -9047,6 +9321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample": q_audio_resample,
         "walkforward_split": q_walkforward_split,
         "lsh_multiprobe": q_lsh_multiprobe,
+        "doremi_mix": q_doremi_mix,
+        "nsw_search": q_nsw_search,
+        "aspect_bucket": q_aspect_bucket,
+        "shuffle_audit": q_shuffle_audit,
         # -- driver-verified pass, stalest round first (306) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -15777,6 +16055,93 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh": ann_lsh_sql,
         "lsh_multiprobe": ann_multiprobe_sql,
+        "doremi_mix": _doremi_oracle(rounds=3, eta_denom=512),
+        "nsw_search": _nsw_oracle(
+            n_cells=8, m_edges=6, hops=4, query_mod=50
+        ),
+        "aspect_bucket": """
+            WITH m AS (
+                SELECT doc_id AS id,
+                       256 + ('0x' || substr(md5('aw:' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 1024 AS w,
+                       256 + ('0x' || substr(md5('ah:' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 1024 AS h
+                FROM documents
+            ),
+            ladder AS (
+                SELECT * FROM (VALUES
+                    (0, CAST(512 AS BIGINT), CAST(512 AS BIGINT)),
+                    (1, 640, 448), (2, 448, 640), (3, 768, 384),
+                    (4, 384, 768), (5, 896, 320), (6, 320, 896)
+                ) AS t(bidx, bw, bh)
+            ),
+            best AS (
+                SELECT id, w, h,
+                       MIN(ABS(w * bh - h * bw) * 16 + bidx) % 16
+                           AS bidx
+                FROM m, ladder GROUP BY id, w, h
+            ),
+            batched AS (
+                SELECT b.bidx, b.w, b.h, l.bw, l.bh,
+                       (row_number() OVER (
+                            PARTITION BY b.bidx ORDER BY b.id
+                        ) - 1) // 8 AS batch_id
+                FROM best b JOIN ladder l USING (bidx)
+            )
+            SELECT bw AS bucket_w, bh AS bucket_h, batch_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_imgs,
+                   CAST(SUM(w * h) AS BIGINT) AS sum_src_pixels,
+                   CAST(COUNT(*) FILTER (WHERE w * h < bw * bh)
+                        AS BIGINT) AS n_upscaled
+            FROM batched GROUP BY bw, bh, batch_id
+        """,
+        "shuffle_audit": """
+            WITH sa_base AS (
+                SELECT doc_id AS id, source AS g,
+                       ('0x' || substr(md5('sh:' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 8 AS shard,
+                       md5('po:' || CAST(doc_id AS VARCHAR)) AS pos
+                FROM documents
+            ),
+            adj AS (
+                SELECT shard, g,
+                       lead(g) OVER (
+                           PARTITION BY shard ORDER BY pos, id
+                       ) AS nxt
+                FROM sa_base
+            ),
+            per AS (
+                SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(COUNT(*) FILTER (WHERE nxt = g)
+                            AS BIGINT) AS adj_same
+                FROM adj GROUP BY shard
+            ),
+            comp AS (
+                SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_groups,
+                       CAST(SUM(n_d * (n_d - 1)) AS BIGINT) AS s_same
+                FROM (
+                    SELECT shard, g, CAST(COUNT(*) AS BIGINT) AS n_d
+                    FROM sa_base GROUP BY shard, g
+                )
+                GROUP BY shard
+            ),
+            joined AS (
+                SELECT p.shard, p.n_docs, c.n_groups, p.adj_same,
+                       p.n_docs - p.adj_same AS observed_runs,
+                       s_same * 1000000
+                           // GREATEST(p.n_docs * (p.n_docs - 1), 1)
+                           AS p_same_ppm
+                FROM per p JOIN comp c USING (shard)
+            )
+            SELECT shard, n_docs, n_groups, adj_same, observed_runs,
+                   p_same_ppm,
+                   1000000 + (n_docs - 1) * (1000000 - p_same_ppm)
+                       AS expected_runs_e6
+            FROM joined
+        """,
         "ann_ivf_topk": """
             WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -347,6 +347,10 @@ BENCH_QUERIES = [
     "audio_resample",
     "walkforward_split",
     "lsh_multiprobe",
+    "doremi_mix",
+    "nsw_search",
+    "aspect_bucket",
+    "shuffle_audit",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # ivfpq_serve stays out: training-tier — ~20s steady at sf0.1 is

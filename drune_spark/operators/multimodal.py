@@ -908,3 +908,106 @@ def audio_resample(media: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(proc, schema=AUDIO_RESAMPLE_SCHEMA)
+
+
+# Canonical resolution ladder for aspect-ratio bucketed batching: the
+# SDXL-style bucket list — one square plus landscape/portrait pairs at
+# progressively wider aspect ratios, all ≈ 512² pixels so every batch
+# has a near-constant token/compute budget.
+ASPECT_BUCKETS: list[tuple[int, int, int]] = [
+    (0, 512, 512),
+    (1, 640, 448),
+    (2, 448, 640),
+    (3, 768, 384),
+    (4, 384, 768),
+    (5, 896, 320),
+    (6, 320, 896),
+]
+
+
+def aspect_ratio_buckets(
+    meta: DataFrame,
+    id_col: str = "media_id",
+    w_col: str = "width",
+    h_col: str = "height",
+    batch_size: int = 8,
+    buckets: list[tuple[int, int, int]] | None = None,
+) -> DataFrame:
+    """Aspect-ratio bucketed batch assembly for image training (the
+    NovelAI/SDXL data-loading pattern): images may only share a batch
+    with images of the SAME target resolution, so each image is
+    assigned to the ladder bucket whose aspect ratio it is closest to,
+    then packed into fixed-size batches within its bucket. Resizing to
+    a shared per-batch resolution instead of one global square crop is
+    what preserves composition at training time.
+
+    All integer: closeness is the cross-multiplied ratio distance
+    ``|w·bh − h·bw|`` (no float division), ties → lower bucket index
+    via the integer-encoded argmin ``min(dist·16 + idx)``; batch ids
+    are ``(row_number − 1) div batch_size`` over (bucket, id) — one
+    small literal explode + one window partitioned by bucket, no
+    global sort. At 100 TB the window key would widen to
+    (bucket, shard) exactly like the dataloader's shards.
+
+    Returns per (bucket_w, bucket_h, batch_id): n_imgs, sum_src_pixels
+    and n_upscaled (images whose source area is below the bucket
+    area — they would upscale, the quality-loss census a curation
+    pass reviews).
+
+    No counterpart in /root/reference; driver-mandated multimodal
+    training-data extension.
+    """
+    bks = buckets or ASPECT_BUCKETS
+    assert len(bks) <= 16, "argmin encode reserves 4 bits for the index"
+    cand = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("bidx"),
+                F.lit(bw).cast("long").alias("bw"),
+                F.lit(bh).cast("long").alias("bh"),
+            )
+            for i, bw, bh in bks
+        ])
+    )
+    base = meta.select(
+        F.col(id_col).alias("id"),
+        F.col(w_col).cast("long").alias("w"),
+        F.col(h_col).cast("long").alias("h"),
+    ).select("id", "w", "h", cand.alias("b"))
+    best = (
+        base.select(
+            "id", "w", "h",
+            (
+                F.abs(
+                    F.col("w") * F.col("b.bh") - F.col("h") * F.col("b.bw")
+                )
+                * F.lit(16)
+                + F.col("b.bidx")
+            ).alias("enc"),
+        )
+        .groupBy("id", "w", "h")
+        .agg(F.min("enc").alias("enc"))
+        .select("id", "w", "h", (F.col("enc") % 16).alias("bidx"))
+    )
+    bw_expr = F.coalesce(*[
+        F.when(F.col("bidx") == i, F.lit(bw).cast("long"))
+        for i, bw, _ in bks
+    ])
+    bh_expr = F.coalesce(*[
+        F.when(F.col("bidx") == i, F.lit(bh).cast("long"))
+        for i, _, bh in bks
+    ])
+    batched = best.select(
+        "bidx", "w", "h",
+        bw_expr.alias("bucket_w"),
+        bh_expr.alias("bucket_h"),
+        F.expr(f"(row_number() OVER (PARTITION BY bidx ORDER BY id) - 1)"
+               f" div {int(batch_size)}").alias("batch_id"),
+    )
+    return batched.groupBy("bucket_w", "bucket_h", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.sum(F.expr("w * h")).cast("long").alias("sum_src_pixels"),
+        F.count_if(
+            F.col("w") * F.col("h") < F.col("bucket_w") * F.col("bucket_h")
+        ).alias("n_upscaled"),
+    )
