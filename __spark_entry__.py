@@ -2261,44 +2261,64 @@ def q_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The per-doc surprisal CTE chain — ONE shared text for the
+# unigram_surprisal oracle and the DoReMi loss (the Spark twin is the
+# shared text_analysis.doc_surprisal helper): any change to the
+# tokenize/bit-cost math lands in both oracles or neither.
+SURPRISAL_DOC_CTES = """
+            tok AS (
+                SELECT doc_id,
+                       UNNEST(regexp_split_to_array(trim(text), '\\s+'))
+                           AS token
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+            vocab AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS n_t
+                FROM tok2 GROUP BY token
+            ),
+            total AS (
+                SELECT CAST(SUM(n_t) AS BIGINT) AS n_corpus FROM vocab
+            ),
+            bits AS (
+                SELECT token,
+                       CAST(length(printf('%b', n_corpus // n_t))
+                            AS BIGINT) AS surprisal_bits
+                FROM vocab, total
+            ),
+            doc AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(SUM(surprisal_bits) AS BIGINT) AS sum_bits
+                FROM tok2 JOIN bits USING (token)
+                GROUP BY doc_id
+            ),
+            doc2 AS (
+                SELECT doc_id, n_tokens, sum_bits,
+                       sum_bits * 1000 // n_tokens AS mean_millibits
+                FROM doc
+            )"""
+
+
 def _doremi_oracle(
     rounds: int = 3, eta_denom: int = 4096, scale: int = 1_000_000,
-    rate_mod: int = 65536,
+    rate_bits: int = 16,
 ) -> str:
-    """SQL replay of sampling.py doremi_reweight: the unigram-loss CTE
-    chain once, then one (sample → loss → update → renorm) CTE block
-    per round with scalar-subquery max/min/sum controls — the
-    perceptron/HITS unrolled-oracle family. AS MATERIALIZED on every
-    chained CTE (the r5 MMR lesson); SUMs CAST at use sites so weight
-    products stay BIGINT, never HUGEINT."""
+    """SQL replay of sampling.py doremi_reweight: the SHARED unigram
+    surprisal CTE chain (SURPRISAL_DOC_CTES) once, then one (sample →
+    loss → update → renorm) CTE block per round with scalar-subquery
+    max/min/sum controls — the perceptron/HITS unrolled-oracle family.
+    ``rate_bits`` must mirror doremi_reweight's parameter of the same
+    name (the sampling threshold is ``hash % 2^rate_bits``). AS
+    MATERIALIZED on every chained CTE (the r5 MMR lesson); SUMs CAST
+    at use sites so weight products stay BIGINT, never HUGEINT."""
+    rate_mod = 1 << rate_bits
     parts = [f"""
-        WITH tok AS (
-            SELECT doc_id,
-                   UNNEST(regexp_split_to_array(trim(text), '\\s+'))
-                       AS token
-            FROM documents
-        ),
-        tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
-        vocab AS (
-            SELECT token, CAST(count(*) AS BIGINT) AS n_t
-            FROM tok2 GROUP BY token
-        ),
-        total AS (
-            SELECT CAST(SUM(n_t) AS BIGINT) AS n_corpus FROM vocab
-        ),
-        bits AS (
-            SELECT token,
-                   CAST(length(printf('%b', n_corpus // n_t))
-                        AS BIGINT) AS b
-            FROM vocab, total
-        ),
+        WITH {SURPRISAL_DOC_CTES.strip()},
         dl AS MATERIALIZED (
-            SELECT t.doc_id AS id, d.source,
-                   CAST(SUM(b) AS BIGINT) * 1000
-                       // CAST(count(*) AS BIGINT) AS loss
-            FROM tok2 t JOIN bits USING (token)
-                 JOIN documents d ON d.doc_id = t.doc_id
-            GROUP BY t.doc_id, d.source
+            SELECT d2.doc_id AS id, d.source,
+                   d2.mean_millibits AS loss
+            FROM doc2 d2 JOIN documents d USING (doc_id)
         ),
         w0 AS MATERIALIZED (
             SELECT source,
@@ -2371,7 +2391,9 @@ def _nsw_oracle(
             FROM embeddings
         ),
         seeds AS MATERIALIZED (
-            SELECT nid AS sid, v AS sv FROM e WHERE nid < {n_cells}
+            -- the n_cells LOWEST ids present (ivf_assign convention)
+            SELECT nid AS sid, v AS sv FROM e
+            ORDER BY nid LIMIT {n_cells}
         ),
         assign AS MATERIALIZED (
             SELECT e.nid,
@@ -10211,39 +10233,8 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "mmr_rerank": _mmr_oracle(n_queries=3, top=20, k=8, lam=700_000),
-        "unigram_surprisal": """
-            WITH tok AS (
-                SELECT doc_id,
-                       UNNEST(regexp_split_to_array(trim(text), '\\s+'))
-                           AS token
-                FROM documents
-            ),
-            tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
-            vocab AS (
-                SELECT token, CAST(count(*) AS BIGINT) AS n_t
-                FROM tok2 GROUP BY token
-            ),
-            total AS (
-                SELECT CAST(SUM(n_t) AS BIGINT) AS n_corpus FROM vocab
-            ),
-            bits AS (
-                SELECT token,
-                       CAST(length(printf('%b', n_corpus // n_t))
-                            AS BIGINT) AS surprisal_bits
-                FROM vocab, total
-            ),
-            doc AS (
-                SELECT doc_id,
-                       CAST(count(*) AS BIGINT) AS n_tokens,
-                       CAST(SUM(surprisal_bits) AS BIGINT) AS sum_bits
-                FROM tok2 JOIN bits USING (token)
-                GROUP BY doc_id
-            ),
-            doc2 AS (
-                SELECT doc_id, n_tokens, sum_bits,
-                       sum_bits * 1000 // n_tokens AS mean_millibits
-                FROM doc
-            ),
+        "unigram_surprisal": f"""
+            WITH {SURPRISAL_DOC_CTES.strip()},
             cuts AS (
                 SELECT quantile_cont(mean_millibits, CAST(1.0/3 AS DOUBLE))
                            AS c1,

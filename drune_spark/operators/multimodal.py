@@ -958,7 +958,17 @@ def aspect_ratio_buckets(
     training-data extension.
     """
     bks = buckets or ASPECT_BUCKETS
-    assert len(bks) <= 16, "argmin encode reserves 4 bits for the index"
+    # The %16 argmin decode and the coalesce dim lookup depend on the
+    # DECLARED indices, not the list length: indices must be unique,
+    # nonnegative and < 16 or decode silently mis-assigns.
+    idxs = [i for i, _, _ in bks]
+    if len(set(idxs)) != len(idxs) or any(
+        i < 0 or i >= 16 for i in idxs
+    ):
+        raise ValueError(
+            "bucket indices must be unique and in [0, 16): "
+            f"{idxs}"
+        )
     cand = F.explode(
         F.array(*[
             F.struct(

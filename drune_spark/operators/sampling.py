@@ -823,40 +823,24 @@ def doremi_reweight(
 
     Returns the full trajectory: one row per (round, source) with
     n_sampled, mean_loss (milli-bits/token, -1 when unsampled) and
-    weight_ppm AFTER that round's update+renorm.
+    weight_ppm AFTER that round's update+renorm. Domains whose docs
+    are ALL empty/whitespace have no surprisal rows and are absent
+    from the output entirely (the renormalization spans token-bearing
+    domains only).
 
     No counterpart in /root/reference (2.8k-LoC native engine, no mix
     optimizer); driver-mandated training-data extension.
     """
     from drune_spark.functions.hashes import md5_u32
-    from drune_spark.functions.text import tokens
+    from drune_spark.operators.text_analysis import doc_surprisal
 
     spark = docs.sparkSession
-    tok = (
-        docs.select(
-            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
-        )
-        .filter(F.col("token") != "")
+    per_doc = doc_surprisal(docs, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("mean_millibits").alias("loss")
     )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
-    total = vocab.agg(F.sum("n_t").cast("long").alias("n_corpus"))
-    bits = vocab.crossJoin(F.broadcast(total)).select(
-        "token",
-        F.length(F.conv(F.expr("CAST(n_corpus div n_t AS STRING)"), 10, 2))
-        .cast("long")
-        .alias("b"),
-    )
-    per_doc = (
-        tok.join(bits, "token")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("b").alias("sum_bits"),
-        )
-        .select(
-            id_col, F.expr("sum_bits * 1000 div n_tokens").alias("loss")
-        )
-    )
+    # Inner join: domains whose docs are ALL empty/whitespace have no
+    # surprisal rows and therefore no weight row in the output — the
+    # renormalization spans token-bearing domains only.
     scored = (
         docs.select(id_col, F.col(source_col).alias("src"))
         .join(per_doc, id_col)

@@ -1192,7 +1192,11 @@ def nsw_greedy_search(
         F.col(id_col).alias("nid"),
         to_double_array(F.col(vec_col)).alias("v"),
     ).persist()
-    seeds = c.filter(F.col("nid") < n_cells).select(
+    # Seeds = the n_cells LOWEST ids actually present (the ivf_assign
+    # convention) — an orderBy+limit TakeOrdered, not a `< n_cells`
+    # filter, so sparse or non-zero-based id spaces still seed a full
+    # graph instead of silently degenerating to zero edges.
+    seeds = c.orderBy("nid").limit(n_cells).select(
         F.col("nid").alias("sid"), F.col("v").alias("sv")
     )
     cos_micro = lambda a, b: F.floor(  # noqa: E731
@@ -1263,7 +1267,9 @@ def nsw_greedy_search(
     # walks could never leave the entry cell.
     s1 = seeds.select(F.col("sid").alias("src"))
     s2 = seeds.select(F.col("sid").alias("dst"))
-    clique_edges = s1.crossJoin(s2).filter(F.col("src") != F.col("dst"))
+    clique_edges = s1.crossJoin(F.broadcast(s2)).filter(
+        F.col("src") != F.col("dst")
+    )  # broadcast-pinned: n_cells rows, never a CartesianProduct
     edges = (
         sym.withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= m_edges)
@@ -1277,7 +1283,7 @@ def nsw_greedy_search(
     ).persist()
     entry = c.agg(F.min("nid")).collect()[0][0]  # 1-row control fetch
     if entry is None:
-        for f in (c, edges, queries):
+        for f in (c, ca, edges, queries):
             f.unpersist()
         return emb.sparkSession.createDataFrame(
             [], "query_id bigint, node bigint, cos_micro bigint"

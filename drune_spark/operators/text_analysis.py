@@ -755,6 +755,55 @@ def zipf_fit(
     )
 
 
+def doc_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document corpus-trained unigram surprisal — the shared loss
+    primitive behind ``unigram_surprisal`` (tercile bucketing) and
+    ``sampling.doremi_reweight`` (domain excess loss). One tokenize
+    explode, a vocabulary aggregate, the integer floor-log2 bit cost
+    ``length(base2(N div n_t))`` per token, and a doc-sized aggregate.
+    Docs with no non-empty tokens are absent from the output (inner
+    token join) — callers must not assume full coverage.
+
+    Returns (id_col, n_tokens, sum_bits, mean_millibits) — all
+    integer, engine-exact (DuckDB mirror: ``length(printf('%b', x))``).
+    """
+    tok = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    total = vocab.agg(F.sum("n_t").cast("long").alias("n_corpus"))
+    bits = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.length(
+                F.conv(F.expr("CAST(n_corpus div n_t AS STRING)"), 10, 2)
+            )
+            .cast("long")
+            .alias("surprisal_bits"),
+        )
+    )
+    return (
+        tok.join(bits, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("surprisal_bits").alias("sum_bits"),
+        )
+        .withColumn(
+            "mean_millibits",
+            F.expr("sum_bits * 1000 div n_tokens"),
+        )
+    )
+
+
 def unigram_surprisal(
     df: DataFrame,
     text_col: str = "text",
@@ -785,35 +834,7 @@ def unigram_surprisal(
 
     Returns (id_col, n_tokens, sum_bits, mean_millibits, bucket).
     """
-    tok = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
-        .filter(F.col("token") != "")
-    )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
-    total = vocab.agg(F.sum("n_t").cast("long").alias("n_corpus"))
-    bits = (
-        vocab.crossJoin(F.broadcast(total))
-        .select(
-            "token",
-            F.length(
-                F.conv(F.expr("CAST(n_corpus div n_t AS STRING)"), 10, 2)
-            )
-            .cast("long")
-            .alias("surprisal_bits"),
-        )
-    )
-    doc = (
-        tok.join(bits, "token")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("surprisal_bits").alias("sum_bits"),
-        )
-        .withColumn(
-            "mean_millibits",
-            F.expr("sum_bits * 1000 div n_tokens"),
-        )
-    )
+    doc = doc_surprisal(df, text_col=text_col, id_col=id_col)
     cuts = doc.agg(
         F.expr(
             "percentile(mean_millibits, array(1D/3, 2D/3))"

@@ -116,6 +116,12 @@ QUERIES = [
     # round-8 third wave: the ×9 query-side probe fan-out (corpus side
     # must stay one row per (vector, band))
     "lsh_multiprobe",
+    # round-8 fourth wave: the in-cell pair build behind the NSW graph
+    # (pair count ∝ Σ cell² is the scaling risk; the walk itself is
+    # query-sized), and the per-round sampled-loss aggregates of the
+    # DoReMi loop (each round is one doc-frame scan)
+    "nsw_search",
+    "doremi_mix",
 ]
 TABLES = ["documents", "embeddings", "lineitem", "orders", "events"]
 # dimension tables ride along UNSCALED (a 3x fact load keeps its dims;
