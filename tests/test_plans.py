@@ -534,3 +534,20 @@ class TestRound4ThirdWavePlans:
         # exactly once (a branch re-plan would duplicate it)
         assert plan.count("SortMergeJoin") + plan.count(
             "BroadcastHashJoin") <= 4
+
+    def test_aspect_bucket_no_global_sort(self, spark, entry):
+        """Batch ids come from a window PARTITIONED BY bucket — never a
+        global (empty-partition-spec) sort; the ladder is a literal
+        explode, so no join shuffles at all."""
+        plan = executed_plan(entry.q_aspect_bucket(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        # a global window would show an Exchange SinglePartition
+        assert "SinglePartition" not in plan
+
+    def test_shuffle_audit_windows_by_shard(self, spark, entry):
+        """The lead() pass partitions BY SHARD (the dataloader's unit of
+        independence) — no single-partition global order."""
+        plan = executed_plan(entry.q_shuffle_audit(spark, SF))
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
