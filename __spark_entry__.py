@@ -2300,6 +2300,174 @@ SURPRISAL_DOC_CTES = """
             )"""
 
 
+def q_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization + exact rerank (embeddings.py
+    binary_quantize_rerank — the Lucene/Vespa BQ+rescore serving
+    stage): sign-bit signatures packed into one BIGINT via
+    explode(sequence)+bit_or, Hamming top-50 shortlist by XOR+popcount,
+    exact floored-micro cosine rerank to top-5. Integer ranks and
+    tiebreaks everywhere — the oracle replays signature, shortlist and
+    rerank digit-exactly."""
+    _tune(spark)
+    from drune_spark.operators.embeddings import binary_quantize_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return binary_quantize_rerank(
+        emb, queries, k=5, shortlist=50, dim=64
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (search.py hard_negative_mine, the
+    DPR/ANCE recipe): BM25 top-10 per query, rank-1 = positive,
+    lower-ranked hits flagged hard when their embedding cosine to the
+    positive is below 0.25 — lexically retrieved but semantically far,
+    the pairs contrastive training needs. Shared bm25 text + the
+    proven cosine fold; all outputs integer."""
+    _tune(spark)
+    from drune_spark.operators.search import hard_negative_mine
+
+    return hard_negative_mine(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        BM25_QUERIES,
+        k=10,
+        cos_thresh_micro=250_000,
+    )
+
+
+def q_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn-then-apply mixture chain (llm_steps.py DomainMixStep):
+    token_screen (the llm_pipeline screen) → domain_mix — DoReMi
+    weights learned ON THE SCREENED corpus, then a salted hash
+    resample at final-weight rates, all YAML-declarable. Output =
+    per-source kept counts; the oracle replays screen, every learning
+    round and the resample in one chained SQL."""
+    _tune(spark)
+    import drune_spark.operators.llm_steps  # noqa: F401
+    import drune_spark.operators.steps  # noqa: F401
+    from drune_spark.config.models import StepConfig
+    from drune_spark.operators.registry import StepRunner
+
+    docs = _t(spark, sf_dir, "documents")
+    steps = [
+        StepConfig(name="screen", type="token_screen", params={
+            "min_tokens": 50, "sw_lo_milli": 1, "sw_hi_milli": 700,
+        }),
+        StepConfig(name="mix", type="domain_mix", params={
+            "rounds": 3, "eta_denom": 512, "salt": "mix",
+        }),
+    ]
+    runner = StepRunner(spark)
+    out = runner.run(steps, {"documents": docs}, docs)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
+def _bq_rerank_oracle(
+    k: int = 5, shortlist: int = 50, dim: int = 64, n_queries: int = 5,
+) -> str:
+    """SQL replay of embeddings.py binary_quantize_rerank: per-dim
+    sign bits folded with bit_or (two's-complement << matches Spark,
+    r6), Hamming via bit_count(xor), both ranking windows on integer
+    keys with id tiebreaks."""
+    return f"""
+        WITH sig AS MATERIALIZED (
+            -- two 32-bit halves: shifts stay <= 31 (DuckDB raises on
+            -- 1 << 63), every intermediate positive
+            SELECT vec_id,
+                   bit_or(CASE WHEN j < 32 AND embedding[j + 1] >= 0
+                          THEN (CAST(1 AS BIGINT) << j)
+                          ELSE CAST(0 AS BIGINT) END) AS lo,
+                   bit_or(CASE WHEN j >= 32 AND embedding[j + 1] >= 0
+                          THEN (CAST(1 AS BIGINT) << (j - 32))
+                          ELSE CAST(0 AS BIGINT) END) AS hi
+            FROM (SELECT vec_id, embedding,
+                         UNNEST(range(0, {dim})) AS j
+                  FROM embeddings)
+            GROUP BY vec_id
+        ),
+        e AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        ham AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(bit_count(xor(q.lo, c.lo))
+                        + bit_count(xor(q.hi, c.hi)) AS BIGINT)
+                       AS hamming
+            FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {n_queries}
+        ),
+        short AS MATERIALIZED (
+            SELECT query_id, neighbor_id, hamming FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY hamming ASC, neighbor_id ASC
+                ) AS hrk FROM ham
+            ) WHERE hrk <= {shortlist}
+        ),
+        rr AS MATERIALIZED (
+            SELECT s.query_id, s.neighbor_id, s.hamming,
+                   CAST(floor(list_cosine_similarity(qe.v, ce.v)
+                              * 1000000.0) AS BIGINT) AS cos_micro
+            FROM short s
+                 JOIN e qe ON qe.vec_id = s.query_id
+                 JOIN e ce ON ce.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+               hamming, cos_micro
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_micro DESC, neighbor_id ASC
+            ) AS rank FROM rr
+        ) WHERE rank <= {k}
+    """
+
+
+def _hard_negatives_oracle(
+    k: int = 10, cos_thresh_micro: int = 250_000,
+) -> str:
+    """Composes the shared bm25 oracle text (the query_expansion
+    nesting pattern) with the positive-anchored cosine flag."""
+    from drune_spark.operators.search import bm25_oracle_sql
+
+    return f"""
+        WITH hn AS MATERIALIZED (
+            SELECT query_id, doc_id, rank
+            FROM ({bm25_oracle_sql(BM25_QUERIES, k=k)})
+        ),
+        hne AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        pos AS MATERIALIZED (
+            SELECT h.query_id, e.v AS pv
+            FROM hn h JOIN hne e ON e.vec_id = h.doc_id
+            WHERE h.rank = 1
+        ),
+        scored2 AS (
+            SELECT h.query_id, h.doc_id, h.rank AS bm25_rank,
+                   CAST(floor(list_cosine_similarity(e.v, p.pv)
+                              * 1000000.0) AS BIGINT)
+                       AS cos_to_pos_micro
+            FROM hn h
+                 JOIN hne e ON e.vec_id = h.doc_id
+                 JOIN pos p USING (query_id)
+            WHERE h.rank > 1
+        )
+        SELECT query_id, doc_id, bm25_rank, cos_to_pos_micro,
+               CAST(CASE WHEN cos_to_pos_micro < {cos_thresh_micro}
+                    THEN 1 ELSE 0 END AS INTEGER) AS is_hard
+        FROM scored2
+    """
+
+
 def _doremi_oracle(
     rounds: int = 3, eta_denom: int = 4096, scale: int = 1_000_000,
     rate_bits: int = 16,
@@ -2312,13 +2480,39 @@ def _doremi_oracle(
     name (the sampling threshold is ``hash % 2^rate_bits``). AS
     MATERIALIZED on every chained CTE (the r5 MMR lesson); SUMs CAST
     at use sites so weight products stay BIGINT, never HUGEINT."""
+    chain = _doremi_cte_chain(
+        rounds=rounds, eta_denom=eta_denom, scale=scale,
+        rate_bits=rate_bits,
+    )
+    selects = [
+        f"""SELECT {t} AS round, source, n AS n_sampled,
+               ml AS mean_loss, w AS weight_ppm FROM w{t}"""
+        for t in range(1, rounds + 1)
+    ]
+    return (
+        "\n        WITH " + chain + "\n        "
+        + "\n        UNION ALL\n        ".join(selects)
+    )
+
+
+def _doremi_cte_chain(
+    rounds: int, eta_denom: int, scale: int, rate_bits: int,
+    src: str = "documents",
+) -> str:
+    """The DoReMi CTE chain text (no leading WITH, no final SELECT),
+    ending at ``w{rounds}`` — shared by _doremi_oracle (trajectory
+    output) and _mix_pipeline_oracle (resample output). ``src`` lets
+    the chain read a screened CTE instead of the raw documents view;
+    it must expose (doc_id, text, source)."""
     rate_mod = 1 << rate_bits
-    parts = [f"""
-        WITH {SURPRISAL_DOC_CTES.strip()},
+    sup = SURPRISAL_DOC_CTES.strip()
+    if src != "documents":
+        sup = sup.replace("FROM documents", f"FROM {src}")
+    parts = [f"""{sup},
         dl AS MATERIALIZED (
             SELECT d2.doc_id AS id, d.source,
                    d2.mean_millibits AS loss
-            FROM doc2 d2 JOIN documents d USING (doc_id)
+            FROM doc2 d2 JOIN {src} d USING (doc_id)
         ),
         w0 AS MATERIALIZED (
             SELECT source,
@@ -2361,13 +2555,59 @@ def _doremi_oracle(
                         AS BIGINT) AS w
             FROM u{t}
         )""")
-    selects = [
-        f"""SELECT {t} AS round, source, n AS n_sampled,
-               ml AS mean_loss, w AS weight_ppm FROM w{t}"""
-        for t in range(1, rounds + 1)
-    ]
-    parts.append("\n        " + "\n        UNION ALL\n        ".join(selects))
     return "".join(parts)
+
+
+def _mix_pipeline_oracle(
+    rounds: int = 3, eta_denom: int = 512, rate_bits: int = 16,
+    salt: str = "mix", scale: int = 1_000_000,
+) -> str:
+    """SQL replay of the token_screen → domain_mix step chain: the
+    llm_pipeline screen CTE (verbatim stopword-hits text, but carrying
+    ``source``), the shared DoReMi chain learning weights ON THE
+    SCREENED corpus, then the salted resample at final-weight rates —
+    per-source kept counts."""
+    rate_mod = 1 << rate_bits
+    chain = _doremi_cte_chain(
+        rounds=rounds, eta_denom=eta_denom, scale=scale,
+        rate_bits=rate_bits, src="mpd",
+    )
+    return f"""
+        WITH mpd AS MATERIALIZED (
+            SELECT doc_id, text, source FROM (
+                SELECT doc_id, text, source,
+                       len(regexp_split_to_array(
+                           trim(lower(text)), '\\s+')) AS n,
+                       (len(t) - len(list_filter(t, x -> x <> 'the')))
+                  + (len(t) - len(list_filter(t, x -> x <> 'a')))
+                  + (len(t) - len(list_filter(t, x -> x <> 'and')))
+                  + (len(t) - len(list_filter(t, x -> x <> 'of')))
+                  + (len(t) - len(list_filter(t, x -> x <> 'to')))
+                  + (len(t) - len(list_filter(t, x -> x <> 'in')))
+                  + (len(t) - len(list_filter(t, x -> x <> 'is')))
+                  + (len(t) - len(list_filter(t, x -> x <> 'it'))) AS hits
+                FROM (SELECT doc_id, text, source,
+                             regexp_split_to_array(
+                                 trim(lower(text)), '\\s+') AS t
+                      FROM documents)
+            )
+            WHERE n >= 50
+              AND (CAST(hits AS BIGINT) * 1000) // n BETWEEN 1 AND 700
+        ),
+        {chain},
+        mrates AS (
+            SELECT source,
+                   w * {rate_mod} // (SELECT MAX(w) FROM w{rounds})
+                       AS rate
+            FROM w{rounds}
+        )
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM mpd d JOIN mrates r ON r.source = d.source
+        WHERE ('0x' || substr(md5('{salt}:' ||
+                  CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {rate_mod} < r.rate
+        GROUP BY d.source
+    """
 
 
 def _nsw_oracle(
@@ -9296,7 +9536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (50) ----
+        # -- never-driver-verified backlog, waited-longest first (53) ----
         "time_rollup": q_time_rollup,
         "rollup_refresh": q_rollup_refresh,
         "value_histogram": q_value_histogram,
@@ -9347,6 +9587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nsw_search": q_nsw_search,
         "aspect_bucket": q_aspect_bucket,
         "shuffle_audit": q_shuffle_audit,
+        "bq_rerank": q_bq_rerank,
+        "hard_negatives": q_hard_negatives,
+        "mix_pipeline": q_mix_pipeline,
         # -- driver-verified pass, stalest round first (306) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -16047,6 +16290,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": ann_lsh_sql,
         "lsh_multiprobe": ann_multiprobe_sql,
         "doremi_mix": _doremi_oracle(rounds=3, eta_denom=512),
+        "bq_rerank": _bq_rerank_oracle(k=5, shortlist=50, dim=64),
+        "hard_negatives": _hard_negatives_oracle(
+            k=10, cos_thresh_micro=250_000
+        ),
+        "mix_pipeline": _mix_pipeline_oracle(
+            rounds=3, eta_denom=512, salt="mix"
+        ),
         "nsw_search": _nsw_oracle(
             n_cells=8, m_edges=6, hops=4, query_mod=50
         ),

@@ -351,6 +351,9 @@ BENCH_QUERIES = [
     "nsw_search",
     "aspect_bucket",
     "shuffle_audit",
+    "bq_rerank",
+    "hard_negatives",
+    "mix_pipeline",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # ivfpq_serve stays out: training-tier — ~20s steady at sf0.1 is

@@ -483,3 +483,76 @@ class LabelNoiseStep(Step):
             df, k=k, n_clusters=n_clusters, id_col=id_col,
             vec_col=vec_col, label_col=label_col,
         )
+
+
+@StepRegistry.register("domain_mix")
+class DomainMixStep(Step):
+    """Learned-mixture resampling as a pipeline stage (round 8): run
+    ``sampling.doremi_reweight`` on the running frame to LEARN
+    per-source weights, then hash-resample the same frame at rates
+    ∝ the final weights — "learn the mixture, then apply it" in one
+    declarative step, composing after screens/dedup exactly like
+    ``corpus_mix`` applies a HAND-CHOSEN mixture.
+
+    Consumption note: the running frame is read by the DoReMi loss
+    scan AND the final resample filter, so it is persisted here (the
+    loop's control fetches are sequential driver jobs — the first
+    materializes the cache, later consumers replay it; no branch
+    race). The resample hash is salted independently of the per-round
+    sampling hashes, so round-sampling decisions never leak into
+    membership.
+    """
+
+    def execute(
+        self,
+        inputs,
+        current,
+        *,
+        rounds: int = 3,
+        eta_denom: int = 512,
+        source_col: str = "source",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        salt: str = "mix",
+        rate_bits: int = 16,
+        source: Optional[str] = None,
+        **_: Any,
+    ) -> DataFrame:
+        from drune_spark.functions.hashes import md5_u32
+        from drune_spark.operators.sampling import doremi_reweight
+
+        df = self.pick_input(inputs, current, source).persist()
+        traj = doremi_reweight(
+            df, rounds=rounds, source_col=source_col, id_col=id_col,
+            text_col=text_col, eta_denom=eta_denom, rate_bits=rate_bits,
+        )
+        final = {
+            r["source"]: int(r["weight_ppm"])
+            for r in traj.collect()  # |domains|·rounds literal rows
+            if r["round"] == rounds
+        }
+        if not final:
+            return df.filter(F.lit(False))
+        max_w = max(final.values())
+        rate_mod = 1 << rate_bits
+        rate = F.coalesce(
+            *(
+                [
+                    F.when(
+                        F.col(source_col) == F.lit(s),
+                        F.lit(int(w * rate_mod // max_w)),
+                    )
+                    for s, w in final.items()
+                ]
+                + [F.lit(0)]
+            )
+        )
+        return df.filter(
+            md5_u32(
+                F.concat(
+                    F.lit(f"{salt}:"), F.col(id_col).cast("string")
+                )
+            )
+            % rate_mod
+            < rate
+        )

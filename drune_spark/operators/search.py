@@ -570,3 +570,81 @@ def expansion_terms(
         .select("query_id", "term",
                 F.col("rank").cast("int").alias("rank"), "weight_int")
     )
+
+
+def hard_negative_mine(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    k: int = 10,
+    cos_thresh_micro: int = 250_000,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/reranker training (the
+    DPR/ANCE recipe): per query, run BM25 top-k, treat the rank-1 hit
+    as the positive, and flag lower-ranked hits whose embedding cosine
+    to the positive falls below a threshold — documents the lexical
+    retriever surfaces but that are semantically FAR from the best
+    answer. Exactly the pairs that teach a bi-encoder the most;
+    random negatives (negative_pairs) are trivially separable.
+
+    Plan shape: the BM25 stage is the shared bm25_topk pipeline (one
+    corpus pass); everything after operates on queries×k rows — the
+    positive's embedding broadcast per query, one cosine fold each.
+    Cosines floored to integer micro before the threshold compare
+    (engine-exact; same contract as the dedup/ANN family).
+
+    Returns (query_id, doc_id, bm25_rank, cos_to_pos_micro, is_hard)
+    for every non-positive ranked hit, is_hard ∈ {0, 1}. Hits without
+    an embedding row are dropped (inner join), and a query whose
+    rank-1 hit has no embedding contributes no rows — mining operates
+    over the embedded subset only.
+
+    No counterpart in /root/reference; driver-mandated training-data
+    extension.
+    """
+    from drune_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    topk = bm25_topk(docs, queries, k=k, id_col=id_col)
+    emb = embeddings.select(
+        F.col(emb_id_col).alias("__eid"),
+        to_double_array(F.col(vec_col)).alias("__ev"),
+    )
+    pos = (
+        topk.filter(F.col("rank") == 1)
+        .join(emb, F.col("doc_id") == F.col("__eid"))
+        .select("query_id", F.col("__ev").alias("pv"))
+    )
+    cand = (
+        topk.filter(F.col("rank") > 1)
+        .join(emb, F.col("doc_id") == F.col("__eid"))
+        .join(F.broadcast(pos), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").alias("bm25_rank"),
+            F.floor(
+                cosine_similarity(F.col("__ev"), F.col("pv"))
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("cos_to_pos_micro"),
+        )
+    )
+    return cand.select(
+        "query_id",
+        "doc_id",
+        "bm25_rank",
+        "cos_to_pos_micro",
+        F.when(
+            F.col("cos_to_pos_micro") < F.lit(int(cos_thresh_micro)), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_hard"),
+    )

@@ -170,3 +170,102 @@ class TestShuffleAudit:
         assert row["n_docs"] == 1
         assert row["p_same_ppm"] == 0
         assert row["observed_runs"] == 1
+
+
+class TestBinaryQuantizeRerank:
+    def test_planted_hamming_and_rerank(self, spark):
+        rows = [
+            (0, [1.0, 1.0, 1.0, 1.0]),    # query
+            (1, [1.0, 1.0, 1.0, -1.0]),   # hamming 1, cos 0.5
+            (2, [-1.0, -1.0, -1.0, -1.0]),  # hamming 4, cos -1
+            (3, [1.0, 1.0, -1.0, -1.0]),  # hamming 2, cos 0
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        from drune_spark.operators.embeddings import binary_quantize_rerank
+
+        q = emb.filter("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+        out = binary_quantize_rerank(
+            emb, q, k=2, shortlist=2, dim=4
+        ).collect()
+        assert len(out) == 2
+        by_rank = {r["rank"]: r for r in out}
+        # shortlist of 2 by hamming = {1 (h=1), 3 (h=2)}; rerank by cos
+        assert by_rank[1]["neighbor_id"] == 1
+        assert by_rank[1]["hamming"] == 1
+        assert by_rank[1]["cos_micro"] == 500_000
+        assert by_rank[2]["neighbor_id"] == 3
+        assert by_rank[2]["cos_micro"] == 0
+
+    def test_high_dims_pack_into_two_halves(self, spark):
+        # bit 63 (dim index 63) must land in the hi word without any
+        # 1<<63 overflow; two opposite sign patterns -> hamming = dim.
+        a = [1.0] * 64
+        b = [-1.0] * 64
+        emb = spark.createDataFrame(
+            [(0, a), (1, b)], "vec_id long, embedding array<float>"
+        )
+        from drune_spark.operators.embeddings import binary_quantize_rerank
+
+        q = emb.filter("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+        out = binary_quantize_rerank(emb, q, k=1, shortlist=5, dim=64).collect()
+        assert out[0]["hamming"] == 64
+
+
+class TestHardNegativeMine:
+    def test_flags_semantically_far_hits(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "foo foo foo"),      # positive: highest tf density
+                (1, "foo pad"),          # close embedding -> easy
+                (2, "foo pad pad"),      # far embedding -> hard
+            ],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [1.0, 0.01]),
+                (2, [-1.0, 0.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        from drune_spark.operators.search import hard_negative_mine
+
+        out = {
+            r["doc_id"]: r
+            for r in hard_negative_mine(
+                docs, emb, [("q", ["foo"])], k=10,
+                cos_thresh_micro=250_000,
+            ).collect()
+        }
+        assert set(out) == {1, 2}  # positive (doc 0) excluded
+        assert out[1]["is_hard"] == 0
+        assert out[2]["is_hard"] == 1
+        assert out[2]["cos_to_pos_micro"] == -1_000_000
+
+
+class TestDomainMixStep:
+    def test_resample_keeps_hard_domain_whole(self, spark):
+        rows = []
+        for i in range(12):
+            rows.append((i, "hard", f"tok{i}a tok{i}b tok{i}c"))
+        for i in range(12, 24):
+            rows.append((i, "easy", "the the the"))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        import drune_spark.operators.llm_steps as llm_steps
+
+        step = llm_steps.DomainMixStep(spark, "mix")
+        out = step.execute({}, docs, rounds=1, eta_denom=512)
+        got = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        # hard domain has max weight -> rate == rate_mod -> all kept
+        assert got.get("hard") == 12
+        assert got.get("easy", 0) <= 12
+        # output rows are a subset of the input
+        assert out.join(docs, "doc_id", "left_anti").count() == 0

@@ -122,6 +122,11 @@ QUERIES = [
     # DoReMi loop (each round is one doc-frame scan)
     "nsw_search",
     "doremi_mix",
+    # round-8 fifth wave: the 8-byte Hamming shortlist stage (signature
+    # build is the corpus-sized job), and the screen → learn → resample
+    # chain (per-round doc scans over the screened frame)
+    "bq_rerank",
+    "mix_pipeline",
 ]
 TABLES = ["documents", "embeddings", "lineitem", "orders", "events"]
 # dimension tables ride along UNSCALED (a 3x fact load keeps its dims;
