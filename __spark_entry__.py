@@ -2558,15 +2558,45 @@ def _doremi_cte_chain(
     return "".join(parts)
 
 
+def _token_screen_cte(
+    cols: str, min_tokens: int = 50, sw_lo: int = 1, sw_hi: int = 700,
+) -> str:
+    """ONE screen-CTE text for every oracle that replays
+    TokenScreenStep (llm_pipeline's ``scr``, mix_pipeline's ``mpd``):
+    the stopword-hits sum is GENERATED from the same
+    functions/text.py STOPWORDS list the step iterates, so adding a
+    stopword lands in the step and every oracle together or not at
+    all (the SURPRISAL_DOC_CTES doctrine)."""
+    from drune_spark.functions.text import STOPWORDS
+
+    hits = "\n              + ".join(
+        f"(len(t) - len(list_filter(t, x -> x <> '{w}')))"
+        for w in STOPWORDS
+    )
+    return f"""
+            SELECT {cols} FROM (
+                SELECT {cols},
+                       len(regexp_split_to_array(
+                           trim(lower(text)), '\\s+')) AS n,
+                       {hits} AS hits
+                FROM (SELECT {cols},
+                             regexp_split_to_array(
+                                 trim(lower(text)), '\\s+') AS t
+                      FROM documents)
+            )
+            WHERE n >= {min_tokens}
+              AND (CAST(hits AS BIGINT) * 1000) // n
+                  BETWEEN {sw_lo} AND {sw_hi}"""
+
+
 def _mix_pipeline_oracle(
     rounds: int = 3, eta_denom: int = 512, rate_bits: int = 16,
     salt: str = "mix", scale: int = 1_000_000,
 ) -> str:
     """SQL replay of the token_screen → domain_mix step chain: the
-    llm_pipeline screen CTE (verbatim stopword-hits text, but carrying
-    ``source``), the shared DoReMi chain learning weights ON THE
-    SCREENED corpus, then the salted resample at final-weight rates —
-    per-source kept counts."""
+    shared screen CTE (carrying ``source``), the shared DoReMi chain
+    learning weights ON THE SCREENED corpus, then the salted resample
+    at final-weight rates — per-source kept counts."""
     rate_mod = 1 << rate_bits
     chain = _doremi_cte_chain(
         rounds=rounds, eta_denom=eta_denom, scale=scale,
@@ -2574,25 +2604,7 @@ def _mix_pipeline_oracle(
     )
     return f"""
         WITH mpd AS MATERIALIZED (
-            SELECT doc_id, text, source FROM (
-                SELECT doc_id, text, source,
-                       len(regexp_split_to_array(
-                           trim(lower(text)), '\\s+')) AS n,
-                       (len(t) - len(list_filter(t, x -> x <> 'the')))
-                  + (len(t) - len(list_filter(t, x -> x <> 'a')))
-                  + (len(t) - len(list_filter(t, x -> x <> 'and')))
-                  + (len(t) - len(list_filter(t, x -> x <> 'of')))
-                  + (len(t) - len(list_filter(t, x -> x <> 'to')))
-                  + (len(t) - len(list_filter(t, x -> x <> 'in')))
-                  + (len(t) - len(list_filter(t, x -> x <> 'is')))
-                  + (len(t) - len(list_filter(t, x -> x <> 'it'))) AS hits
-                FROM (SELECT doc_id, text, source,
-                             regexp_split_to_array(
-                                 trim(lower(text)), '\\s+') AS t
-                      FROM documents)
-            )
-            WHERE n >= 50
-              AND (CAST(hits AS BIGINT) * 1000) // n BETWEEN 1 AND 700
+            {_token_screen_cte("doc_id, text, source")}
         ),
         {chain},
         mrates AS (
@@ -10874,27 +10886,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, pack_group, n_tokens, bin_id, fill FROM rec
         """,
-        "llm_pipeline": """
-            WITH scr AS (
-                SELECT doc_id, text FROM (
-                    SELECT doc_id, text,
-                           len(regexp_split_to_array(
-                               trim(lower(text)), '\\s+')) AS n,
-                           (len(t) - len(list_filter(t, x -> x <> 'the')))
-                      + (len(t) - len(list_filter(t, x -> x <> 'a')))
-                      + (len(t) - len(list_filter(t, x -> x <> 'and')))
-                      + (len(t) - len(list_filter(t, x -> x <> 'of')))
-                      + (len(t) - len(list_filter(t, x -> x <> 'to')))
-                      + (len(t) - len(list_filter(t, x -> x <> 'in')))
-                      + (len(t) - len(list_filter(t, x -> x <> 'is')))
-                      + (len(t) - len(list_filter(t, x -> x <> 'it'))) AS hits
-                    FROM (SELECT doc_id, text,
-                                 regexp_split_to_array(
-                                     trim(lower(text)), '\\s+') AS t
-                          FROM documents)
-                )
-                WHERE n >= 50
-                  AND (CAST(hits AS BIGINT) * 1000) // n BETWEEN 1 AND 700
+        "llm_pipeline": "\n            WITH scr AS ("
+        + _token_screen_cte("doc_id, text")
+        + """
             ),
             ddp AS (
                 SELECT doc_id, text FROM (

@@ -798,6 +798,14 @@ def binary_quantize_rerank(
     """
     from pyspark.sql import Window
 
+    if dim > 64:
+        # Spark's shiftleft wraps the shift amount mod 64, so dims
+        # beyond two 32-bit halves would SILENTLY alias bits (DuckDB
+        # raises instead) — fail loudly here.
+        raise ValueError(
+            f"binary_quantize_rerank packs at most 64 dims; got {dim}"
+        )
+
     def sigs(df: DataFrame, src_id: str, out_id: str) -> DataFrame:
         return (
             df.select(

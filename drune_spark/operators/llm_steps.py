@@ -521,6 +521,11 @@ class DomainMixStep(Step):
         from drune_spark.functions.hashes import md5_u32
         from drune_spark.operators.sampling import doremi_reweight
 
+        if rounds < 1:
+            # rounds=0 would yield an empty trajectory -> empty weight
+            # map -> the whole corpus silently dropped. Fail loudly;
+            # "apply a known mixture" is corpus_mix's job.
+            raise ValueError("domain_mix needs rounds >= 1")
         df = self.pick_input(inputs, current, source).persist()
         traj = doremi_reweight(
             df, rounds=rounds, source_col=source_col, id_col=id_col,

@@ -591,8 +591,10 @@ def hard_negative_mine(
     random negatives (negative_pairs) are trivially separable.
 
     Plan shape: the BM25 stage is the shared bm25_topk pipeline (one
-    corpus pass); everything after operates on queries×k rows — the
-    positive's embedding broadcast per query, one cosine fold each.
+    corpus pass — the queries×k result is persisted because the
+    positive and candidate branches both read it); everything after
+    operates on queries×k rows — the positive's embedding broadcast
+    per query, one cosine fold each.
     Cosines floored to integer micro before the threshold compare
     (engine-exact; same contract as the dedup/ANN family).
 
@@ -610,7 +612,11 @@ def hard_negative_mine(
         to_double_array,
     )
 
-    topk = bm25_topk(docs, queries, k=k, id_col=id_col)
+    # topk feeds BOTH the positive branch (rank 1) and the candidate
+    # branch (rank > 1) — persist the queries×k frame or the whole
+    # BM25 corpus pipeline plans and runs twice (the r7
+    # consume-once rule; two consumers share the lazy mark fine).
+    topk = bm25_topk(docs, queries, k=k, id_col=id_col).persist()
     emb = embeddings.select(
         F.col(emb_id_col).alias("__eid"),
         to_double_array(F.col(vec_col)).alias("__ev"),

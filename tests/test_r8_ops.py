@@ -269,3 +269,26 @@ class TestDomainMixStep:
         assert got.get("easy", 0) <= 12
         # output rows are a subset of the input
         assert out.join(docs, "doc_id", "left_anti").count() == 0
+
+    def test_dim_over_64_rejected(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [1.0] * 128)], "vec_id long, embedding array<float>"
+        )
+        from drune_spark.operators.embeddings import binary_quantize_rerank
+
+        with pytest.raises(ValueError, match="64 dims"):
+            binary_quantize_rerank(emb, emb.withColumnRenamed(
+                "vec_id", "query_id"), dim=128)
+
+
+class TestDomainMixGuards:
+    def test_zero_rounds_rejected(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a", "x y z")], "doc_id long, source string, text string"
+        )
+        import drune_spark.operators.llm_steps as llm_steps
+
+        with pytest.raises(ValueError, match="rounds"):
+            llm_steps.DomainMixStep(spark, "mix").execute(
+                {}, docs, rounds=0
+            )
