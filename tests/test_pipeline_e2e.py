@@ -389,8 +389,9 @@ class TestCorpusExamplePipeline:
 class TestPretrainExamplePipeline:
     def test_cli_runs_span_corrupt_chain(self, spark, monkeypatch):
         """The examples/project `pretrain` pipeline: token_screen →
-        dedup → span_corrupt → pack declaratively — the round-8
-        denoising stage inside the single-plan step chain."""
+        dedup → domain_mix → span_corrupt → pack declaratively — the
+        round-8 denoising and learned-mixture stages inside one step
+        chain."""
         monkeypatch.chdir(REPO)
         import shutil
         from drune_spark import cli as cli_mod
