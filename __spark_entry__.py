@@ -2368,6 +2368,81 @@ def q_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-ordered sequence packing (packing.py similarity_pack,
+    the in-context-pretraining recipe): coarse semantic cells via the
+    shared seed_cell_assign argmax, docs packed in decreasing-cohesion
+    order within each cell, boundaries by tokens-before div budget —
+    per-sequence size/cohesion audit, all integer."""
+    _tune(spark)
+    from drune_spark.operators.packing import similarity_pack
+
+    return similarity_pack(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        n_cells=8, budget=512,
+    )
+
+
+def _sim_pack_oracle(n_cells: int = 8, budget: int = 512) -> str:
+    """SQL replay of packing.py similarity_pack: the seed-argmax cell
+    assignment (the nsw_search encode), whitespace token counts, one
+    ROWS-explicit running-sum window per cell, div boundaries."""
+    em = 1 << 33
+    return f"""
+        WITH spe AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        sps AS MATERIALIZED (
+            SELECT vec_id AS sid, v AS sv FROM spe
+            ORDER BY vec_id LIMIT {n_cells}
+        ),
+        spa AS MATERIALIZED (
+            SELECT spe.vec_id,
+                   {em - 1} - (MAX(
+                       (CAST(floor(list_cosine_similarity(spe.v, s.sv)
+                                   * 1000000.0) AS BIGINT) + 1000000)
+                       * {em} + ({em - 1} - s.sid)
+                   ) % {em}) AS cell,
+                   (MAX(
+                       (CAST(floor(list_cosine_similarity(spe.v, s.sv)
+                                   * 1000000.0) AS BIGINT) + 1000000)
+                       * {em} + ({em - 1} - s.sid)
+                   ) // {em}) - 1000000 AS cos_micro
+            FROM spe, sps s GROUP BY spe.vec_id
+        ),
+        spt AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                                       '\\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        spj AS MATERIALIZED (
+            SELECT a.cell, a.cos_micro, t.doc_id, t.n_tokens
+            FROM spa a JOIN spt t ON t.doc_id = a.vec_id
+        ),
+        spw AS (
+            SELECT cell, cos_micro, n_tokens,
+                   (CAST(SUM(n_tokens) OVER (
+                        PARTITION BY cell
+                        ORDER BY cos_micro DESC, doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW
+                    ) AS BIGINT) - n_tokens) // {budget} AS seq_id
+            FROM spj
+        )
+        SELECT cell, seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               MIN(cos_micro) AS cos_min_micro,
+               MAX(cos_micro) AS cos_max_micro
+        FROM spw GROUP BY cell, seq_id
+    """
+
+
 def _bq_rerank_oracle(
     k: int = 5, shortlist: int = 50, dim: int = 64, n_queries: int = 5,
 ) -> str:
@@ -9548,7 +9623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (53) ----
+        # -- never-driver-verified backlog, waited-longest first (54) ----
         "time_rollup": q_time_rollup,
         "rollup_refresh": q_rollup_refresh,
         "value_histogram": q_value_histogram,
@@ -9602,6 +9677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_rerank": q_bq_rerank,
         "hard_negatives": q_hard_negatives,
         "mix_pipeline": q_mix_pipeline,
+        "sim_pack": q_sim_pack,
         # -- driver-verified pass, stalest round first (306) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -16291,6 +16367,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_pipeline": _mix_pipeline_oracle(
             rounds=3, eta_denom=512, salt="mix"
         ),
+        "sim_pack": _sim_pack_oracle(n_cells=8, budget=512),
         "nsw_search": _nsw_oracle(
             n_cells=8, m_edges=6, hops=4, query_mod=50
         ),

@@ -354,6 +354,7 @@ BENCH_QUERIES = [
     "bq_rerank",
     "hard_negatives",
     "mix_pipeline",
+    "sim_pack",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # ivfpq_serve stays out: training-tier — ~20s steady at sf0.1 is

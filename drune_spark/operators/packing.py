@@ -497,3 +497,69 @@ def span_corrupt_exprs(
         F.lit(" <X1> "), seg(s1, F.lit(L)),
     )
     return applied, s0, s1, input_text, target_text
+
+
+def similarity_pack(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_cells: int = 8,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Similarity-ordered sequence packing — the in-context-pretraining
+    recipe (Shi et al. 2023, arXiv:2310.10638): instead of hash-random
+    fill (``pack_sequences``), documents are grouped into coarse
+    semantic cells (seed-cosine argmax — the shared
+    ``similarity.seed_cell_assign`` primitive) and packed in
+    decreasing-cohesion order within each cell, so each training
+    sequence concatenates RELATED documents — the ordering that
+    teaches long-context models to use cross-document context.
+
+    All integer: cell + floored-micro cosine from the shared
+    assignment, token counts via the whitespace token_count, sequence
+    boundaries by ``tokens-before div budget`` over the
+    (cos_micro DESC, id) window PARTITIONED BY CELL — n_cells
+    independent window partitions, no global sort, same spill bound
+    argument as pack_sequences' hash groups.
+
+    Returns per (cell, seq_id): n_docs, sum_tokens, cohesion band
+    (min/max cos_micro of members) — the per-sequence audit a curation
+    pass reviews. Docs without an embedding row are dropped (inner
+    join; the hard_negative_mine caveat).
+
+    No counterpart in /root/reference; driver-mandated training-data
+    extension.
+    """
+    from drune_spark.functions.text import token_count
+    from drune_spark.operators.similarity import seed_cell_assign
+
+    cells = seed_cell_assign(
+        emb, n_cells=n_cells, id_col=emb_id_col, vec_col=vec_col
+    )
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    j = cells.join(
+        toks, F.col(emb_id_col) == F.col("__id")
+    ).select("__id", "cell", "cos_micro", "n_tokens")
+    packed = j.select(
+        "cell",
+        "cos_micro",
+        "n_tokens",
+        F.expr(
+            f"(sum(n_tokens) OVER (PARTITION BY cell "
+            f"ORDER BY cos_micro DESC, __id ASC "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            f"- n_tokens) div {int(budget)}"
+        ).alias("seq_id"),
+    )
+    return packed.groupBy("cell", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.min("cos_micro").alias("cos_min_micro"),
+        F.max("cos_micro").alias("cos_max_micro"),
+    )

@@ -1195,7 +1195,8 @@ def nsw_greedy_search(
     # Seeds = the n_cells LOWEST ids actually present (the ivf_assign
     # convention) — an orderBy+limit TakeOrdered, not a `< n_cells`
     # filter, so sparse or non-zero-based id spaces still seed a full
-    # graph instead of silently degenerating to zero edges.
+    # graph instead of silently degenerating to zero edges. Assignment
+    # is the shared seed_cell_assign primitive (reads the cached c).
     seeds = c.orderBy("nid").limit(n_cells).select(
         F.col("nid").alias("sid"), F.col("v").alias("sv")
     )
@@ -1203,23 +1204,9 @@ def nsw_greedy_search(
         cosine_similarity(a, b) * F.lit(1_000_000.0)
     ).cast("long")
 
-    assign = (
-        c.crossJoin(F.broadcast(seeds))
-        .groupBy("nid")
-        .agg(
-            F.max(
-                (cos_micro(F.col("v"), F.col("sv")) + F.lit(shift))
-                * F.lit(enc_mod)
-                + (F.lit(enc_mod - 1) - F.col("sid"))
-            ).alias("enc")
-        )
-        .select(
-            "nid",
-            (F.lit(enc_mod - 1) - F.col("enc") % F.lit(enc_mod)).alias(
-                "cell"
-            ),
-        )
-    )
+    assign = seed_cell_assign(
+        c, n_cells=n_cells, id_col="nid", vec_col="v"
+    ).select("nid", "cell")
     # ca is consumed by BOTH sides of the pair self-join — persist it
     # eagerly or each side replans the assignment argmax (the r3
     # self-referencing-DAG trap, join form).
@@ -1356,3 +1343,51 @@ def nsw_greedy_search(
     # bench clearCache bounds it. The returned state is a truncated
     # checkpoint scan — no lineage to replay.
     return state.select("query_id", "node", "cos_micro")
+
+
+def seed_cell_assign(
+    emb: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse semantic cells by seed-cosine argmax — the shared
+    blocking primitive behind nsw_greedy_search's graph build and
+    packing.similarity_pack's topic grouping: seeds are the n_cells
+    LOWEST ids present (the ivf_assign convention), every vector joins
+    its most-similar seed, ties → lower seed id via the integer
+    argmax encode ``(cos_micro + 10⁶)·2³³ + (2³³−1−seed)``.
+
+    Returns (id_col, cell, cos_micro) where cos_micro is the floored
+    micro cosine TO THE CHOSEN SEED — the cohesion measure downstream
+    orderings use. One corpus×n_cells broadcast cross, one aggregate.
+    """
+    enc_mod = 1 << 33
+    shift = 1_000_000
+    c = emb.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+    )
+    seeds = c.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("__sid"), F.col("__v").alias("__sv")
+    )
+    cosm = F.floor(
+        cosine_similarity(F.col("__v"), F.col("__sv"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        c.crossJoin(F.broadcast(seeds))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                (cosm + F.lit(shift)) * F.lit(enc_mod)
+                + (F.lit(enc_mod - 1) - F.col("__sid"))
+            ).alias("__enc")
+        )
+        .select(
+            id_col,
+            (F.lit(enc_mod - 1) - F.col("__enc") % F.lit(enc_mod))
+            .alias("cell"),
+            (F.expr(f"__enc div {enc_mod}") - F.lit(shift))
+            .alias("cos_micro"),
+        )
+    )

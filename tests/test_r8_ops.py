@@ -292,3 +292,49 @@ class TestDomainMixGuards:
             llm_steps.DomainMixStep(spark, "mix").execute(
                 {}, docs, rounds=0
             )
+
+
+class TestSimilarityPack:
+    def test_packs_cells_in_cohesion_order(self, spark):
+        # Seeds 0 ([1,0]) and 1 ([0,1]); two docs per cell with known
+        # token counts; budget forces one boundary inside cell 0.
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+                (2, [1.0, 0.1]), (3, [1.0, 0.2]),
+                (4, [0.1, 1.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c"),        # 3 tokens, cell 0, cos 1.0
+                (1, "d e"),          # 2 tokens, cell 1, cos 1.0
+                (2, "f g h i"),      # 4 tokens, cell 0
+                (3, "j k"),          # 2 tokens, cell 0
+                (4, "l"),            # 1 token,  cell 1
+            ],
+            "doc_id long, text string",
+        )
+        from drune_spark.operators.packing import similarity_pack
+
+        out = {
+            (r["cell"], r["seq_id"]): r
+            for r in similarity_pack(
+                docs, emb, n_cells=2, budget=6
+            ).collect()
+        }
+        # Cell 0 order: doc 0 (cos 1.0, 3 toks), doc 2 (cos .995, 4),
+        # doc 3 (cos .980, 2). Boundaries at tokens-before div 6:
+        # doc0 before=0 -> seq 0; doc2 before=3 -> seq 0; doc3
+        # before=7 -> seq 1.
+        assert out[(0, 0)]["n_docs"] == 2
+        assert out[(0, 0)]["sum_tokens"] == 7
+        assert out[(0, 1)]["n_docs"] == 1
+        assert out[(0, 1)]["sum_tokens"] == 2
+        # Cell 1: both docs fit one sequence (3 tokens total).
+        assert out[(1, 0)]["n_docs"] == 2
+        assert out[(1, 0)]["sum_tokens"] == 3
+        # Cohesion band is ordered: min <= max, max = 10^6 for the
+        # seed's own sequence.
+        assert out[(0, 0)]["cos_max_micro"] >= 999_999
