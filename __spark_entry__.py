@@ -2443,6 +2443,184 @@ def _sim_pack_oracle(n_cells: int = 8, budget: int = 512) -> str:
     """
 
 
+def q_a3_dup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 duplicate-count validation exposed to the gate (VERDICT r8
+    #4; quality/rules.py `unique` + quality/manager.py
+    apply_constraints — reference duckdb constraints.py:64-74): the
+    window count==1 rule on l_orderkey with on_fail='drop' keeps
+    exactly the single-lineitem orders; the dropped-duplicate total
+    (the counts ledger the reference logs) rides along as a constant
+    column so the oracle verifies BOTH the surviving rows and the
+    count machinery."""
+    _tune(spark)
+    from drune_spark.config.models import (
+        ColumnSpec,
+        ConstraintSpec,
+        SchemaSpec,
+    )
+    from drune_spark.quality.manager import apply_constraints
+
+    df = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    schema = SchemaSpec(columns=[
+        ColumnSpec(name="l_orderkey", type="long", constraints=[
+            ConstraintSpec(rule="unique", on_fail="drop"),
+        ]),
+    ])
+    res = apply_constraints(df, schema, pipeline_name="a3")
+    n_dup = int(res.failed_total())
+    res.unpersist()
+    return res.passed.select(
+        "l_orderkey", "l_linenumber",
+        F.lit(n_dup).cast("long").alias("n_dup_rows_dropped"),
+    )
+
+
+def q_s8_dynamic_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 dynamic path injection exposed to the gate (VERDICT r8 #4;
+    sources/readers.py resolve_dynamic_path — reference
+    core/pipeline.py:119-142): two partitions of nation written under
+    one directory-typed source; the runtime path picks 'early' and the
+    read must see ONLY that file's rows (the oracle recomputes the
+    early slice from nation directly)."""
+    _tune(spark)
+    import tempfile
+
+    from drune_spark.config.models import SourceSpec
+    from drune_spark.sources.readers import read_source
+
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    base = tempfile.mkdtemp(prefix="drune_gate_s8_")
+    nation.filter("n_regionkey < 2").write.mode("overwrite").parquet(
+        base + "/early"
+    )
+    nation.filter("n_regionkey >= 2").write.mode("overwrite").parquet(
+        base + "/late"
+    )
+    spec = SourceSpec(
+        name="s8", type="file", format="parquet", path=base,
+        expected_columns=3,
+    )
+    return read_source(spark, spec, runtime_path="early").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+def q_w2_table_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 catalog-table write exposed to the gate (VERDICT r8 #4;
+    sinks/writers.py write_target type='table' — reference
+    engines/spark/steps/writer.py saveAsTable path): overwrite with
+    the low-region slice, append the rest, read the table back — the
+    result must be exactly nation, recomputable by the oracle without
+    touching the catalog. Overwrite-first keeps the gate idempotent
+    across reruns."""
+    _tune(spark)
+    import os as _os
+
+    from drune_spark.config.models import TargetSpec
+    from drune_spark.sinks.writers import _fs_delete, _fs_exists, write_target
+
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tbl = "w2_gate_nation"
+    # A PRIOR session may have left the managed location behind without
+    # a catalog entry (fresh metastore, same warehouse dir) — then
+    # saveAsTable raises LOCATION_ALREADY_EXISTS even in overwrite
+    # mode. Drop both the entry and the orphan location.
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    loc = _os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"), tbl
+    )
+    if _fs_exists(spark, loc):
+        _fs_delete(spark, loc)
+    write_target(spark, nation.filter("n_regionkey < 2"), TargetSpec(
+        name="w2", type="table", table_name=tbl, mode="overwrite",
+    ))
+    write_target(spark, nation.filter("n_regionkey >= 2"), TargetSpec(
+        name="w2", type="table", table_name=tbl, mode="append",
+    ))
+    return spark.read.table(tbl).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-exact token accounting through the packing path (VERDICT r8
+    #5): bpe_train's learned merges (bpe.py) → per-doc subword counts
+    (bpe_token_counts — the same narrow replace chain as bpe_apply,
+    one (id,int) shuffle) → pack_sequences budgets on TOKENIZER-TRUE
+    counts instead of the whitespace proxy. One chained oracle replays
+    merges, per-doc counts, and the pack window (the mix_pipeline
+    pattern)."""
+    _tune(spark)
+    from drune_spark.operators.bpe import bpe_token_counts, bpe_train
+    from drune_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["pair"], r["merged"])
+        for r in bpe_train(docs, n_merges=BPE_MERGES).collect()
+    ]
+    counts = bpe_token_counts(docs, merges)
+    return pack_sequences(
+        counts, "n_bpe_tokens", "doc_id", budget=256, n_groups=8
+    )
+
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified contamination report (VERDICT r8 #6; dedup.py
+    contamination_report): the dataset-card audit combining all three
+    decon signals on one per-doc grain — word-3-gram shingle overlap
+    (exact leakage), embedding cosine >= 0.4 (paraphrased leakage),
+    canonical-URL collision (provenance leakage; URLs synthesized from
+    doc ids with the url_dedup noise dimensions) — plus the per-source
+    contamination rate as a window column (integer ppm). Eval set =
+    every 17th doc (the decontaminate gate's split)."""
+    _tune(spark)
+    from drune_spark.operators.dedup import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://WWW."))
+        .otherwise(F.lit("https://")),
+        F.lit("d"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.com"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/page"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/"))
+        .otherwise(F.lit("")),
+        F.lit("?id="), (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("&utm_source=feed"))
+        .otherwise(F.lit("")),
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    rep = contamination_report(
+        docs.filter("doc_id % 17 <> 0"),
+        docs.filter("doc_id % 17 = 0"),
+        emb.filter("vec_id % 17 <> 0"),
+        emb.filter("vec_id % 17 = 0").withColumnRenamed(
+            "vec_id", "eval_id"
+        ),
+        urls.filter("doc_id % 17 <> 0"),
+        urls.filter("doc_id % 17 = 0"),
+        k=3, min_shared=2, threshold=0.4,
+    )
+    src = docs.select("doc_id", "source")
+    return rep.join(src, "doc_id").select(
+        "doc_id", "source", "n_shared_ngrams",
+        "ngram_hit", "semantic_hit", "url_hit", "contaminated",
+        F.expr(
+            "CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY source) AS BIGINT) * 1000000 div "
+            "COUNT(*) OVER (PARTITION BY source)"
+        ).alias("src_contam_ppm"),
+    )
+
+
 def _bq_rerank_oracle(
     k: int = 5, shortlist: int = 50, dim: int = 64, n_queries: int = 5,
 ) -> str:
@@ -9623,62 +9801,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (54) ----
-        "time_rollup": q_time_rollup,
-        "rollup_refresh": q_rollup_refresh,
-        "value_histogram": q_value_histogram,
-        "grouped_percentiles": q_grouped_percentiles,
-        "window_analytics": q_window_analytics,
-        "kafka_roundtrip": q_kafka_roundtrip,
-        "string_functions": q_string_functions,
-        "rolling_features": q_rolling_features,
-        "cube_aggregate": q_cube_aggregate,
-        "equidepth_bins": q_equidepth_bins,
-        "event_bigrams": q_event_bigrams,
-        "url_dedup": q_url_dedup,
-        "silhouette": q_silhouette,
-        "bigram_lm": q_bigram_lm,
-        "anf_reach": q_anf_reach,
-        "modularity": q_modularity,
-        "trimmed_mean": q_trimmed_mean,
-        "calibration_bins": q_calibration_bins,
-        "bin_pack": q_bin_pack,
-        "image_neardup": q_image_neardup,
-        "stream_cms_merge": q_stream_cms_merge,
-        "perceptron_distill": q_perceptron_distill,
-        "label_noise": q_label_noise,
-        "audio_neardup": q_audio_neardup,
-        "embedding_pca": q_embedding_pca,
-        "video_neardup": q_video_neardup,
-        "image_resize": q_image_resize,
-        "fim_transform": q_fim_transform,
-        "source_marginals": q_source_marginals,
-        "llm_pipeline": q_llm_pipeline,
-        "ivfpq_serve": q_ivfpq_serve,
-        "soft_dedup": q_soft_dedup,
-        "matryoshka_recall": q_matryoshka_recall,
-        "audio_vad": q_audio_vad,
-        "edit_dedup": q_edit_dedup,
-        "rejection_match": q_rejection_match,
-        "hits_scores": q_hits_scores,
-        "stream_dlq": q_stream_dlq,
-        "bootstrap_ci": q_bootstrap_ci,
-        "query_expansion": q_query_expansion,
-        "span_corrupt": q_span_corrupt,
-        "media_quarantine": q_media_quarantine,
-        "ivf_drift": q_ivf_drift,
-        "audio_resample": q_audio_resample,
-        "walkforward_split": q_walkforward_split,
-        "lsh_multiprobe": q_lsh_multiprobe,
-        "doremi_mix": q_doremi_mix,
-        "nsw_search": q_nsw_search,
-        "aspect_bucket": q_aspect_bucket,
-        "shuffle_audit": q_shuffle_audit,
+        # -- never-driver-verified backlog, waited-longest first (9) -----
         "bq_rerank": q_bq_rerank,
         "hard_negatives": q_hard_negatives,
         "mix_pipeline": q_mix_pipeline,
         "sim_pack": q_sim_pack,
-        # -- driver-verified pass, stalest round first (306) -------------
+        "a3_dup_count": q_a3_dup_count,
+        "s8_dynamic_path": q_s8_dynamic_path,
+        "w2_table_write": q_w2_table_write,
+        "bpe_pack": q_bpe_pack,
+        "contamination_report": q_contamination_report,
+        # -- driver-verified pass, stalest round first (356) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
@@ -9985,6 +10118,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,
         "corr_moments": q_corr_moments,
         "rank_family": q_rank_family,
+        "time_rollup": q_time_rollup,
+        "rollup_refresh": q_rollup_refresh,
+        "value_histogram": q_value_histogram,
+        "grouped_percentiles": q_grouped_percentiles,
+        "window_analytics": q_window_analytics,
+        "kafka_roundtrip": q_kafka_roundtrip,
+        "string_functions": q_string_functions,
+        "rolling_features": q_rolling_features,
+        "cube_aggregate": q_cube_aggregate,
+        "equidepth_bins": q_equidepth_bins,
+        "event_bigrams": q_event_bigrams,
+        "url_dedup": q_url_dedup,
+        "silhouette": q_silhouette,
+        "bigram_lm": q_bigram_lm,
+        "anf_reach": q_anf_reach,
+        "modularity": q_modularity,
+        "trimmed_mean": q_trimmed_mean,
+        "calibration_bins": q_calibration_bins,
+        "bin_pack": q_bin_pack,
+        "image_neardup": q_image_neardup,
+        "stream_cms_merge": q_stream_cms_merge,
+        "perceptron_distill": q_perceptron_distill,
+        "label_noise": q_label_noise,
+        "audio_neardup": q_audio_neardup,
+        "embedding_pca": q_embedding_pca,
+        "video_neardup": q_video_neardup,
+        "image_resize": q_image_resize,
+        "fim_transform": q_fim_transform,
+        "source_marginals": q_source_marginals,
+        "llm_pipeline": q_llm_pipeline,
+        "ivfpq_serve": q_ivfpq_serve,
+        "soft_dedup": q_soft_dedup,
+        "matryoshka_recall": q_matryoshka_recall,
+        "audio_vad": q_audio_vad,
+        "edit_dedup": q_edit_dedup,
+        "rejection_match": q_rejection_match,
+        "hits_scores": q_hits_scores,
+        "stream_dlq": q_stream_dlq,
+        "bootstrap_ci": q_bootstrap_ci,
+        "query_expansion": q_query_expansion,
+        "span_corrupt": q_span_corrupt,
+        "media_quarantine": q_media_quarantine,
+        "ivf_drift": q_ivf_drift,
+        "audio_resample": q_audio_resample,
+        "walkforward_split": q_walkforward_split,
+        "lsh_multiprobe": q_lsh_multiprobe,
+        "doremi_mix": q_doremi_mix,
+        "nsw_search": q_nsw_search,
+        "aspect_bucket": q_aspect_bucket,
+        "shuffle_audit": q_shuffle_audit,
     }
 
 
@@ -17994,5 +18177,155 @@ def oracle_sql() -> dict[str, str]:
                     AS INTEGER) AS is_dup
         FROM m LEFT JOIN agg a ON m.doc_id = a.new_doc
         WHERE m.in_batch
+    """
+    # -- round-9 entries ---------------------------------------------------
+    d["a3_dup_count"] = """
+        WITH singles AS (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING COUNT(*) = 1
+        ),
+        dn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT l_orderkey FROM singles)
+        )
+        SELECT l.l_orderkey, l.l_linenumber,
+               (SELECT n FROM dn) AS n_dup_rows_dropped
+        FROM lineitem l JOIN singles USING (l_orderkey)
+    """
+    d["s8_dynamic_path"] = """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_regionkey < 2
+    """
+    d["w2_table_write"] = """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """
+    d["bpe_pack"] = f"""
+        {bpe_ctes},
+        bp_toksrc AS (
+            SELECT doc_id,
+                   ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g'))
+                   || ' ' AS repr
+            FROM (SELECT doc_id,
+                         UNNEST(regexp_split_to_array(trim(text),
+                                                      '\\s+')) AS word
+                  FROM documents)
+        ),
+        bp_applied AS (
+            SELECT doc_id, {bpe_applied} AS repr FROM bp_toksrc
+        ),
+        bp_cnt AS (
+            SELECT doc_id,
+                   CAST(SUM(len(string_split(trim(repr), ' ')))
+                        AS BIGINT) AS n_tokens
+            FROM bp_applied GROUP BY doc_id
+        ),
+        bp_t AS (
+            SELECT doc_id, n_tokens,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT % 8 AS INTEGER)
+                       AS pack_group
+            FROM bp_cnt
+        )
+        SELECT doc_id, n_tokens, pack_group,
+               CAST(floor((SUM(n_tokens) OVER (
+                        PARTITION BY pack_group ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)
+                    - n_tokens) / 256.0) AS INTEGER) AS seq_id
+        FROM bp_t
+    """
+    _cr_canon = (
+        "regexp_replace(regexp_replace(lower("
+        "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),"
+        " '^www\\.', ''), ':(80|443)$', '')"
+        " || CASE WHEN regexp_replace(regexp_extract(url,"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),"
+        " '/+$', '') = '' THEN '/'"
+        " ELSE regexp_replace(regexp_extract(url,"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),"
+        " '/+$', '') END"
+        " || CASE WHEN regexp_extract(url, '[?&]id=([^&#]*)', 1) <> ''"
+        " THEN '?id=' || regexp_extract(url, '[?&]id=([^&#]*)', 1)"
+        " ELSE '' END"
+    )
+    d["contamination_report"] = f"""
+        WITH cr_toks AS (
+            SELECT doc_id, {toks_lower} AS w FROM documents
+        ),
+        cr_shing AS MATERIALIZED (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(
+                       concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 8)
+                   )::BIGINT AS shingle
+            FROM cr_toks, UNNEST(generate_series(1,
+                     greatest(len(w) - 2, 0))) AS t(i)
+        ),
+        cr_bsh AS (
+            SELECT DISTINCT shingle FROM cr_shing WHERE doc_id % 17 = 0
+        ),
+        cr_nh AS (
+            SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM cr_shing s JOIN cr_bsh USING (shingle)
+            WHERE s.doc_id % 17 <> 0
+            GROUP BY s.doc_id
+        ),
+        cr_ev AS (
+            SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id % 17 = 0
+        ),
+        cr_c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 17 <> 0
+        ),
+        cr_sem AS (
+            SELECT DISTINCT c.vec_id FROM cr_c c, cr_ev ev
+            WHERE list_cosine_similarity(c.v, ev.e) >= 0.4
+        ),
+        cr_urls AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.'
+                         ELSE 'https://' END
+                    || 'd' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.Example.com'
+                    || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+                    || '/page'
+                    || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+                    || '?id=' || CAST(doc_id % 50 AS VARCHAR)
+                    || CASE WHEN doc_id % 5 = 0 THEN '&utm_source=feed'
+                            ELSE '' END
+                   ) AS url
+            FROM documents
+        ),
+        cr_canon AS MATERIALIZED (
+            SELECT doc_id, {_cr_canon} AS canon FROM cr_urls
+        ),
+        cr_uhit AS (
+            SELECT DISTINCT c.doc_id FROM cr_canon c
+            JOIN (SELECT DISTINCT canon FROM cr_canon
+                  WHERE doc_id % 17 = 0) e USING (canon)
+            WHERE c.doc_id % 17 <> 0
+        ),
+        cr_rep AS (
+            SELECT dd.doc_id, dd.source,
+                   CAST(coalesce(h.n_shared, 0) AS BIGINT)
+                       AS n_shared_ngrams,
+                   coalesce(h.n_shared, 0) >= 2 AS ngram_hit,
+                   s.vec_id IS NOT NULL AS semantic_hit,
+                   u.doc_id IS NOT NULL AS url_hit
+            FROM documents dd
+            LEFT JOIN cr_nh h ON h.doc_id = dd.doc_id
+            LEFT JOIN cr_sem s ON s.vec_id = dd.doc_id
+            LEFT JOIN cr_uhit u ON u.doc_id = dd.doc_id
+            WHERE dd.doc_id % 17 <> 0
+        )
+        SELECT doc_id, source, n_shared_ngrams, ngram_hit,
+               semantic_hit, url_hit,
+               (ngram_hit OR semantic_hit OR url_hit) AS contaminated,
+               CAST(SUM(CASE WHEN (ngram_hit OR semantic_hit OR url_hit)
+                        THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY source) AS BIGINT) * 1000000
+                   // COUNT(*) OVER (PARTITION BY source)
+                   AS src_contam_ppm
+        FROM cr_rep
     """
     return d

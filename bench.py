@@ -355,6 +355,11 @@ BENCH_QUERIES = [
     "hard_negatives",
     "mix_pipeline",
     "sim_pack",
+    # round-9 additions (s8_dynamic_path/w2_table_write stay out:
+    # tiny-nation roundtrip gates, all setup cost, nothing to measure)
+    "a3_dup_count",
+    "bpe_pack",
+    "contamination_report",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # ivfpq_serve stays out: training-tier — ~20s steady at sf0.1 is

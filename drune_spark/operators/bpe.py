@@ -151,6 +151,34 @@ def bpe_apply(
     )
 
 
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts with a learned merge list — the
+    tokenizer-true budget the packing path needs (pack_sequences on a
+    whitespace proxy under-counts subword splits and over-counts merged
+    units). Same narrow replace chain as ``bpe_apply``; per word the
+    subword count is ``size(split(...))``, summed per doc in ONE
+    groupBy on the id (the only shuffle; carries (id, int) pairs,
+    never text). Returns (id_col, n_bpe_tokens)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).select(F.col(id_col), _spaced(F.col("word")).alias("repr"))
+    col = F.col("repr")
+    for pair, merged in merges:
+        col = F.replace(col, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    per_word = toks.select(
+        id_col, F.size(F.split(F.trim(col), " ")).alias("n_toks")
+    )
+    return per_word.groupBy(id_col).agg(
+        F.sum("n_toks").cast("long").alias("n_bpe_tokens")
+    )
+
+
 def tokenizer_fertility(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -23,7 +23,7 @@ Four strategies, all DataFrame-native and shuffle-conscious:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from drune_spark.functions.hashes import (
@@ -768,6 +768,94 @@ def decontaminate_semantic(
     )
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    corpus_urls: DataFrame,
+    eval_urls: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_shared: int = 2,
+    threshold: float = 0.4,
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    url_col: str = "url",
+    keep_params: tuple[str, ...] = ("id",),
+) -> DataFrame:
+    """Unified contamination audit — the dataset-card row a real
+    pipeline publishes per eval set. Combines the three independent
+    decontamination signals on one per-corpus-doc grain:
+
+    - ``ngram_hit``: >= ``min_shared`` distinct word-k-gram shingles
+      shared with any benchmark doc (``decontaminate`` — exact/verbatim
+      leakage);
+    - ``semantic_hit``: embedding cosine >= ``threshold`` against any
+      eval vector (``decontaminate_semantic`` — paraphrased leakage
+      that shares no shingle). Corpus docs without an embedding row
+      simply can't fire this signal (left join);
+    - ``url_hit``: canonical URL (``canonical_url_expr``) collides
+      with any eval doc's canonical URL — provenance-level leakage
+      (the same page crawled into both splits) that needs neither
+      shared text nor a vector.
+
+    ``contaminated`` = any of the three. Scale shape: each signal is
+    the already-audited operator's plan (broadcast benchmark shingle
+    set / broadcast eval vectors / broadcast eval canonical-URL set);
+    the combiner is two left joins on the id — corpus text never
+    shuffles and nothing pairs corpus×corpus.
+    """
+    ngram = decontaminate(
+        corpus, benchmark, text_col, id_col,
+        k=k, min_shared=min_shared,
+    ).select(
+        id_col,
+        F.col("n_shared").alias("n_shared_ngrams"),
+        F.col("contaminated").alias("ngram_hit"),
+    )
+    sem = decontaminate_semantic(
+        corpus_emb, eval_emb, threshold=threshold,
+        id_col=emb_id_col, vec_col=vec_col, eval_id_col=eval_id_col,
+    ).select(
+        F.col(emb_id_col).alias("__sid"), F.lit(True).alias("semantic_hit")
+    )
+    eval_canon = F.broadcast(
+        eval_urls.select(
+            canonical_url_expr(F.col(url_col), keep_params).alias("__canon")
+        ).distinct()
+    )
+    url_hits = (
+        corpus_urls.select(
+            F.col(id_col).alias("__uid"),
+            canonical_url_expr(F.col(url_col), keep_params).alias("__canon"),
+        )
+        .join(eval_canon, "__canon")
+        .select("__uid")
+        .distinct()
+        .withColumn("url_hit", F.lit(True))
+    )
+    return (
+        ngram
+        .join(sem, ngram[id_col] == sem["__sid"], "left")
+        .join(url_hits, ngram[id_col] == url_hits["__uid"], "left")
+        .select(
+            id_col,
+            "n_shared_ngrams",
+            "ngram_hit",
+            F.coalesce("semantic_hit", F.lit(False)).alias("semantic_hit"),
+            F.coalesce("url_hit", F.lit(False)).alias("url_hit"),
+            (
+                F.col("ngram_hit")
+                | F.coalesce("semantic_hit", F.lit(False))
+                | F.coalesce("url_hit", F.lit(False))
+            ).alias("contaminated"),
+        )
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str,
@@ -1050,6 +1138,41 @@ def split_leakage_audit(
     )
 
 
+def canonical_url_expr(
+    url: Column, keep_params: tuple[str, ...] = ("id",)
+) -> Column:
+    """The canonical-URL expression shared by ``canonical_url_dedup``
+    and ``contamination_report``: host lowercased with ``www.``/default
+    ports stripped, trailing slashes collapsed (empty path → ``/``),
+    query reduced to the ``keep_params`` allowlist in allowlist order.
+    Pure anchored-regex component extraction — row-local, fuses into
+    the scan; each regex is mirrored verbatim in the DuckDB oracles."""
+    scheme_host = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+    path_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(url, scheme_host, 1)),
+            r"^www\.",
+            "",
+        ),
+        r":(80|443)$",
+        "",
+    )
+    raw_path = F.regexp_extract(url, path_re, 1)
+    path = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    parts = []
+    for p in keep_params:
+        v = F.regexp_extract(url, r"[?&]" + p + r"=([^&#]*)", 1)
+        parts.append(F.when(v != "", F.concat(F.lit(p + "="), v)))
+    qs = F.concat_ws("&", *parts) if parts else F.lit("")
+    return F.concat(
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
 def canonical_url_dedup(
     df: DataFrame,
     url_col: str = "url",
@@ -1080,30 +1203,7 @@ def canonical_url_dedup(
     never page content. Returns (canonical_url, n_dups, keeper_id)
     with keeper = min id per group (deterministic survivor).
     """
-    scheme_host = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
-    path_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-    host = F.regexp_replace(
-        F.regexp_replace(
-            F.lower(F.regexp_extract(F.col(url_col), scheme_host, 1)),
-            r"^www\.",
-            "",
-        ),
-        r":(80|443)$",
-        "",
-    )
-    raw_path = F.regexp_extract(F.col(url_col), path_re, 1)
-    path = F.regexp_replace(raw_path, r"/+$", "")
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    parts = []
-    for p in keep_params:
-        v = F.regexp_extract(F.col(url_col), r"[?&]" + p + r"=([^&#]*)", 1)
-        parts.append(F.when(v != "", F.concat(F.lit(p + "="), v)))
-    qs = F.concat_ws("&", *parts) if parts else F.lit("")
-    canonical = F.concat(
-        host,
-        path,
-        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
-    )
+    canonical = canonical_url_expr(F.col(url_col), keep_params)
     return (
         df.select(canonical.alias("canonical_url"), F.col(id_col))
         .groupBy("canonical_url")

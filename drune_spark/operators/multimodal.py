@@ -969,6 +969,14 @@ def aspect_ratio_buckets(
             "bucket indices must be unique and in [0, 16): "
             f"{idxs}"
         )
+    # Output is keyed by (bucket_w, bucket_h, batch_id), not bidx:
+    # two indices sharing one (bw, bh) would silently merge their
+    # batches in the final groupBy.
+    dims = [(bw, bh) for _, bw, bh in bks]
+    if len(set(dims)) != len(dims):
+        raise ValueError(
+            f"bucket (width, height) pairs must be unique: {dims}"
+        )
     cand = F.explode(
         F.array(*[
             F.struct(

@@ -536,6 +536,8 @@ def similarity_pack(
     from drune_spark.functions.text import token_count
     from drune_spark.operators.similarity import seed_cell_assign
 
+    if budget < 1:
+        raise ValueError("similarity_pack needs budget >= 1")
     cells = seed_cell_assign(
         emb, n_cells=n_cells, id_col=emb_id_col, vec_col=vec_col
     )

@@ -995,8 +995,12 @@ def shuffle_quality_audit(
             "n_groups",
             "adj_same",
             F.expr("n_docs - adj_same").alias("observed_runs"),
+            # DECIMAL(38,0) intermediate: s_same <= n_docs^2 per
+            # shard, so a BIGINT product s_same*scale overflows past
+            # ~3M docs/shard (ANSI raises). DECIMAL matches DuckDB's
+            # HUGEINT widening; `div` still returns BIGINT.
             F.expr(
-                f"s_same * {int(scale)} div "
+                f"CAST(s_same AS DECIMAL(38,0)) * {int(scale)} div "
                 "greatest(n_docs * (n_docs - 1), 1)"
             ).alias("p_same_ppm"),
         )

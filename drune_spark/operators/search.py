@@ -616,6 +616,11 @@ def hard_negative_mine(
     # branch (rank > 1) — persist the queries×k frame or the whole
     # BM25 corpus pipeline plans and runs twice (the r7
     # consume-once rule; two consumers share the lazy mark fine).
+    # The mark is left in place (lazy; k×|queries| rows): library
+    # callers making repeated calls outside bench.py's per-query
+    # clearCache must spark.catalog.clearCache() (or unpersist the
+    # result's lineage) themselves, or marks accumulate — the
+    # documented marathon-OOM family.
     topk = bm25_topk(docs, queries, k=k, id_col=id_col).persist()
     emb = embeddings.select(
         F.col(emb_id_col).alias("__eid"),

@@ -120,6 +120,17 @@ class TestAspectRatioBuckets:
         )
         assert out == [(0, 2), (1, 2), (2, 1)]
 
+    def test_duplicate_dims_rejected(self, spark):
+        meta = spark.createDataFrame(
+            [(1, 512, 512)], "media_id long, width long, height long"
+        )
+        from drune_spark.operators.multimodal import aspect_ratio_buckets
+
+        with pytest.raises(ValueError, match="must be unique"):
+            aspect_ratio_buckets(
+                meta, buckets=[(0, 512, 512), (1, 512, 512)]
+            )
+
 
 class TestShuffleAudit:
     def test_matches_python_replay(self, spark):
@@ -338,3 +349,13 @@ class TestSimilarityPack:
         # Cohesion band is ordered: min <= max, max = 10^6 for the
         # seed's own sequence.
         assert out[(0, 0)]["cos_max_micro"] >= 999_999
+
+    def test_budget_guard(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        from drune_spark.operators.packing import similarity_pack
+
+        with pytest.raises(ValueError, match="budget"):
+            similarity_pack(docs, emb, n_cells=1, budget=0)
