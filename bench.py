@@ -362,10 +362,11 @@ BENCH_QUERIES = [
     "contamination_report",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
-    # ivfpq_serve stays out: training-tier — ~20s steady at sf0.1 is
-    # dominated by ivf_train's Lloyd control rounds (already timed via
-    # ivf_train) + the exact-baseline eval; the serving-path pieces it
-    # composes (ann_ivf_topk, pq_encode, pq_recall) are benched
+    # ivfpq_serve stays out: training-tier — r9 cut it ~25s -> ~8-12s
+    # at gate scale (F.lit array literals, with_stats=False train,
+    # n_iters=1) but it is still Lloyd-control dominated (already
+    # timed via ivf_train) + the exact-baseline eval; the serving-path
+    # pieces it composes (ann_ivf_topk, pq_encode, pq_recall) are benched
 ]
 
 

@@ -451,7 +451,7 @@ def ivf_pq_serve(
     sub = dim // n_subspaces
     trained = ivf_train(
         corpus, n_centroids=n_centroids, n_iters=n_iters, dim=dim,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, with_stats=False,
     ).collect()  # k rows of dim ints — bounded control fetch
     centroids = sorted(
         (int(r["centroid_id"]), [int(x) for x in r["centroid"]])

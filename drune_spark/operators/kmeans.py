@@ -63,8 +63,11 @@ def quantize_unsigned(
 
 def _sqdist(qcol, c: list[int]):
     """Exact integer squared L2 distance of array column ``qcol`` to
-    the literal centroid ``c``."""
-    carr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+    the literal centroid ``c``. One array literal, not dim F.lit
+    columns: per-element lits cost dim py4j round-trips PER CENTROID
+    at expression-BUILD time (~2s per k=8/dim=64 _best_cell site —
+    measured r9; the driver-loop ops build these each round)."""
+    carr = F.lit([int(v) for v in c]).cast("array<bigint>")
     return F.aggregate(
         F.zip_with(qcol, carr, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -99,6 +102,7 @@ def ivf_train(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_stats: bool = True,
 ) -> DataFrame:
     """Train IVF coarse centroids with ``n_iters`` Lloyd rounds over
     quantized codes. Returns (centroid_id, centroid array<long>,
@@ -150,6 +154,16 @@ def ivf_train(
                 for cid, old in centroids
             ]
 
+        spark = corpus.sparkSession
+        if not with_stats:
+            # Serving-path callers (ivf_pq_serve) only consume
+            # (centroid_id, centroid) — skip the final assignment pass
+            # (one full _best_cell job) and report zeroed stats.
+            return spark.createDataFrame(
+                [(cid, c, 0, 0) for cid, c in centroids],
+                schema="centroid_id long, centroid array<long>, "
+                       "n_members long, sse long",
+            )
         stats = (
             q.select(_best_cell(centroids).alias("__best"))
             .select(
@@ -162,7 +176,6 @@ def ivf_train(
                 F.sum("dist").alias("sse"),
             )
         )
-        spark = corpus.sparkSession
         cent_df = spark.createDataFrame(
             list(centroids),
             schema="centroid_id long, centroid array<long>",
