@@ -123,6 +123,27 @@ def bpe_train(
     )
 
 
+def _word_reprs(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """(key_col, repr) — one row per whitespace word, boundary-padded
+    space-joined symbols. The shared tokenize front of every
+    merge-application path."""
+    return df.select(
+        F.col(key_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).select(F.col(key_col), _spaced(F.col("word")).alias("repr"))
+
+
+def _merged_repr(merges: list[tuple[str, str]]):
+    """The non-overlapping left-scan merge-replace chain over a
+    boundary-padded ``repr`` column — the ONE definition of how a
+    learned merge list is applied (bpe_apply / bpe_token_counts /
+    tokenizer_fertility all consume it; _bpe_oracle_ctes mirrors it)."""
+    col = F.col("repr")
+    for pair, merged in merges:
+        col = F.replace(col, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    return col
+
+
 def bpe_apply(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -133,15 +154,8 @@ def bpe_apply(
     multiset after applying each merge in order (one narrow ``replace``
     chain — whole-stage-codegen'd, zero shuffles until the final
     histogram aggregation). Returns (token, n_occurrences, n_docs)."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
-    ).select(F.col(id_col), _spaced(F.col("word")).alias("repr"))
-    col = F.col("repr")
-    for pair, merged in merges:
-        col = F.replace(
-            col, F.lit(f" {pair} "), F.lit(f" {merged} ")
-        )
+    toks = _word_reprs(df, text_col, id_col)
+    col = _merged_repr(merges)
     exploded = toks.select(
         id_col, F.explode(F.split(F.trim(col), " ")).alias("token")
     )
@@ -164,15 +178,10 @@ def bpe_token_counts(
     subword count is ``size(split(...))``, summed per doc in ONE
     groupBy on the id (the only shuffle; carries (id, int) pairs,
     never text). Returns (id_col, n_bpe_tokens)."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
-    ).select(F.col(id_col), _spaced(F.col("word")).alias("repr"))
-    col = F.col("repr")
-    for pair, merged in merges:
-        col = F.replace(col, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    toks = _word_reprs(df, text_col, id_col)
     per_word = toks.select(
-        id_col, F.size(F.split(F.trim(col), " ")).alias("n_toks")
+        id_col,
+        F.size(F.split(F.trim(_merged_repr(merges)), " ")).alias("n_toks"),
     )
     return per_word.groupBy(id_col).agg(
         F.sum("n_toks").cast("long").alias("n_bpe_tokens")
@@ -201,9 +210,7 @@ def tokenizer_fertility(
         F.col(group_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
     ).select(group_col, "word", _spaced(F.col("word")).alias("repr"))
-    col = F.col("repr")
-    for pair, merged in merges:
-        col = F.replace(col, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    col = _merged_repr(merges)
     per_word = toks.select(
         group_col,
         F.length("word").alias("n_chars"),
