@@ -2621,6 +2621,67 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping census under a gain stage (multimodal.audio_clipping):
+    the loudness-normalization audit — REAL WAV decode, sample clips
+    iff |s·gain_milli| > 32767·1000 (all-integer, no division);
+    clip_pos_sum = Σ (i+1) over clipped flat positions is
+    order-sensitive (the audio_vad wsum discipline), so the oracle
+    hash proves WHICH samples clip. Closed-form sample formula both
+    engines."""
+    _tune(spark)
+    from drune_spark.operators.multimodal import (
+        audio_clipping,
+        synthesize_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_clipping(synthesize_audio(docs), gain_milli=20_000)
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit (packing.pack_efficiency): fill /
+    padding-waste ppm, overflow count and doc/token totals per pack
+    group over the pack_sequences assignment — the dataset-card row
+    for the packing stage (fill + waste = 10⁶ by construction). Two
+    cells-sized aggregates; one chained oracle replays pack + audit."""
+    _tune(spark)
+    from drune_spark.functions.text import token_count
+    from drune_spark.operators.packing import (
+        pack_efficiency,
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_toks")
+    )
+    packed = pack_sequences(docs, "n_toks", "doc_id", budget=256,
+                            n_groups=8)
+    return pack_efficiency(packed, budget=256)
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free split assignment (dedup.cluster_split) — the FIXER
+    paired with split_leakage_audit's detector: the 80/20 draw hashes
+    the near-dup CLUSTER id (word-3-gram Jaccard >= 0.5 components),
+    so no cluster straddles the boundary by construction. Oracle =
+    recursive-CTE clustering + the identical md5-threshold on the
+    cluster id."""
+    _tune(spark)
+    from drune_spark.operators.dedup import (
+        cluster_split,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3,
+                                threshold=0.5)
+    return cluster_split(
+        docs, pairs, "doc_id",
+        fractions={"train": 0.8, "test": 0.2}, salt="cs1",
+    )
+
+
 def _bq_rerank_oracle(
     k: int = 5, shortlist: int = 50, dim: int = 64, n_queries: int = 5,
 ) -> str:
@@ -9806,7 +9867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (9) -----
+        # -- never-driver-verified backlog, waited-longest first (12) ----
         "bq_rerank": q_bq_rerank,
         "hard_negatives": q_hard_negatives,
         "mix_pipeline": q_mix_pipeline,
@@ -9816,6 +9877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_table_write": q_w2_table_write,
         "bpe_pack": q_bpe_pack,
         "contamination_report": q_contamination_report,
+        "audio_clipping": q_audio_clipping,
+        "pack_efficiency": q_pack_efficiency,
+        "cluster_split": q_cluster_split,
         # -- driver-verified pass, stalest round first (356) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -18332,5 +18396,76 @@ def oracle_sql() -> dict[str, str]:
                    // COUNT(*) OVER (PARTITION BY source)
                    AS src_contam_ppm
         FROM cr_rep
+    """
+    d["audio_clipping"] = """
+        WITH acd AS (
+            SELECT doc_id, 64 + doc_id % 37 AS n, 1 + doc_id % 2 AS ch
+            FROM documents
+        ),
+        acs AS (
+            SELECT doc_id, j,
+                   (doc_id * 13 + 7 * (j // ch) + 5 * (j % ch))
+                       % 4096 - 2048 AS v
+            FROM acd, UNNEST(generate_series(0, n * ch - 1)) AS t(j)
+        ),
+        acc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(count_if(abs(v * 20000) > 32767000) AS BIGINT)
+                       AS n_clipped,
+                   CAST(COALESCE(SUM(CASE WHEN abs(v * 20000) > 32767000
+                                     THEN j + 1 END), 0) AS BIGINT)
+                       AS clip_pos_sum
+            FROM acs GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id, n_samples, n_clipped,
+               CAST(n_clipped * 1000000 // n_samples AS BIGINT)
+                   AS clip_ppm,
+               clip_pos_sum
+        FROM acc
+    """
+    d["pack_efficiency"] = """
+        WITH pe_t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT % 8 AS INTEGER)
+                       AS pack_group
+            FROM documents
+        ),
+        pe_p AS (
+            SELECT doc_id, n_tokens, pack_group,
+                   CAST(floor((SUM(n_tokens) OVER (
+                            PARTITION BY pack_group ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+                        - n_tokens) / 256.0) AS INTEGER) AS seq_id
+            FROM pe_t
+        ),
+        pe_s AS (
+            SELECT pack_group, seq_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS s
+            FROM pe_p GROUP BY pack_group, seq_id
+        )
+        SELECT pack_group,
+               CAST(COUNT(*) AS BIGINT) AS n_seqs,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(s) AS BIGINT) AS sum_tokens,
+               CAST(count_if(s > 256) AS BIGINT) AS n_overflow,
+               CAST(SUM(LEAST(s, 256)) AS BIGINT) * 1000000
+                   // (COUNT(*) * 256) AS fill_ppm,
+               CAST(SUM(GREATEST(256 - s, 0)) AS BIGINT) * 1000000
+                   // (COUNT(*) * 256) AS waste_ppm
+        FROM pe_s GROUP BY pack_group
+    """
+    d["cluster_split"] = f"""
+        WITH RECURSIVE {cluster_ctes}
+        SELECT doc_id, cluster_id,
+               CASE WHEN substr(md5('cs1' ||
+                        CAST(cluster_id AS VARCHAR)), 1, 4) < 'cccd'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM labels
     """
     return d

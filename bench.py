@@ -360,6 +360,9 @@ BENCH_QUERIES = [
     "a3_dup_count",
     "bpe_pack",
     "contamination_report",
+    "audio_clipping",
+    "pack_efficiency",
+    "cluster_split",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # ivfpq_serve stays out: training-tier — r9 cut it ~25s -> ~8-12s

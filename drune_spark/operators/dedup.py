@@ -1138,6 +1138,53 @@ def split_leakage_audit(
     )
 
 
+def cluster_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+    max_iterations: int | None = 20,
+) -> DataFrame:
+    """Leak-free split assignment — the FIXER paired with
+    ``split_leakage_audit``'s detector: the train/test draw hashes the
+    near-dup CLUSTER id, not the doc id, so every member of a cluster
+    inherits one draw and no cluster can straddle a boundary by
+    construction (doc-level hashing leaks whenever near-duplicates
+    hash apart — the memorization-as-generalization failure).
+
+    Same consecutive-md5-hex-range scheme as ``split_by_hash``
+    (deterministic, engine-portable, exactly disjoint); fractions
+    summing below 1 leave a NULL-split holdout. Cost = the clustering
+    plus one row-local hash projection; documents shuffle only by
+    cluster label.
+
+    Returns (id_col, cluster_id, split).
+    """
+    from drune_spark.operators.sampling import (
+        fraction_to_hex_threshold,
+        hash_bucket,
+    )
+
+    fr = fractions or {"train": 0.8, "test": 0.2}
+    if sum(fr.values()) > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {sum(fr.values())} > 1")
+    labels = connected_components(pairs, docs.select(id_col),
+                                  max_iterations)
+    bucket = hash_bucket(F.col("cluster_id"), salt, 4)
+    split = None
+    lo = 0.0
+    for name, frac in fr.items():
+        lo += frac
+        cond = bucket < F.lit(fraction_to_hex_threshold(lo, 4))
+        split = (
+            F.when(cond, F.lit(name))
+            if split is None
+            else split.when(cond, F.lit(name))
+        )
+    return labels.select(F.col(id_col), "cluster_id", split.alias("split"))
+
+
 def canonical_url_expr(
     url: Column, keep_params: tuple[str, ...] = ("id",)
 ) -> Column:

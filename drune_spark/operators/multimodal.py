@@ -283,6 +283,58 @@ def audio_vad(
     return media.mapInPandas(proc, schema=AUDIO_VAD_SCHEMA)
 
 
+AUDIO_CLIP_SCHEMA = (
+    "media_id bigint, n_samples bigint, n_clipped bigint, "
+    "clip_ppm bigint, clip_pos_sum bigint"
+)
+
+
+def audio_clipping(
+    media: DataFrame,
+    gain_milli: int = 20_000,
+    full_scale: int = 32_767,
+) -> DataFrame:
+    """Clipping census under a gain stage — the loudness-normalization
+    audit a speech pipeline runs before amplifying a corpus: a sample
+    clips when ``|s · gain_milli / 1000|`` exceeds int16 full scale.
+    Integer throughout (``s·gain_milli`` then compare against
+    ``full_scale·1000`` — no division, no rounding ambiguity).
+
+    ``clip_pos_sum`` = Σ (i+1) over clipped positions of the
+    interleaved frame-major stream is order-sensitive, so the oracle
+    hash proves exactly WHICH samples clip, not just how many (the
+    audio_vad wsum discipline). Shuffle-free mapInPandas; only the
+    5-column census rows leave the stage.
+
+    Returns (media_id, n_samples, n_clipped, clip_ppm, clip_pos_sum).
+    """
+    from drune_spark.operators.audioio import decode_wav
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            bound = full_scale * 1000
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _rate, arr = decode_wav(bytes(content))
+                flat = arr.astype(np.int64).ravel()
+                n = int(flat.size)
+                clipped = np.abs(flat * gain_milli) > bound
+                n_clip = int(clipped.sum())
+                pos_sum = int(
+                    (np.flatnonzero(clipped).astype(np.int64) + 1).sum()
+                )
+                rows.append({
+                    "media_id": int(mid),
+                    "n_samples": n,
+                    "n_clipped": n_clip,
+                    "clip_ppm": n_clip * 1_000_000 // n if n else 0,
+                    "clip_pos_sum": pos_sum,
+                })
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(proc, schema=AUDIO_CLIP_SCHEMA)
+
+
 IMAGE_FEATURE_SCHEMA = (
     "media_id bigint, width int, height int, channels int, "
     "px_sum bigint, wsum bigint, r_sum bigint, g_sum bigint, b_sum bigint"

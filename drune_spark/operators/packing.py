@@ -112,6 +112,61 @@ def pack_sequences(
     )
 
 
+def pack_efficiency(
+    packed: DataFrame,
+    budget: int,
+    group_col: str = "pack_group",
+    seq_col: str = "seq_id",
+    tok_col: str = "n_tokens",
+) -> DataFrame:
+    """Packing-efficiency audit — the dataset-card row for the packing
+    stage: how full the training sequences actually are. Consumes a
+    pack assignment (``pack_sequences``/``bpe_pack`` output) and
+    reports per pack group: sequences built, docs packed, total
+    tokens, overflowing sequences (the contract allows overflow by at
+    most one document — this counts how often it happens), and fill /
+    padding-waste rates in integer ppm of ``n_seqs · budget``
+    (fill counts each sequence at most at budget; waste is the padding
+    a fixed-length batch would burn). fill + waste = 10⁶ by
+    construction.
+
+    One (group, seq) aggregate then one group aggregate — the audit
+    costs two partial-aggregated shuffles over (group, seq, int) cells
+    regardless of corpus size.
+    """
+    if budget < 1:
+        raise ValueError("pack_efficiency needs budget >= 1")
+    seqs = packed.groupBy(group_col, seq_col).agg(
+        F.count(F.lit(1)).alias("__docs"),
+        F.sum(tok_col).cast("long").alias("__s"),
+    )
+    b = int(budget)
+    return (
+        seqs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("__docs").cast("long").alias("n_docs"),
+            F.sum("__s").cast("long").alias("sum_tokens"),
+            F.sum((F.col("__s") > b).cast("long")).alias("n_overflow"),
+            F.sum(F.least(F.col("__s"), F.lit(b))).cast("long")
+             .alias("__fill"),
+            F.sum(F.greatest(F.lit(b) - F.col("__s"), F.lit(0)))
+             .cast("long").alias("__waste"),
+        )
+        .select(
+            group_col,
+            "n_seqs",
+            "n_docs",
+            "sum_tokens",
+            "n_overflow",
+            F.expr(f"__fill * 1000000 div (n_seqs * {b})")
+             .alias("fill_ppm"),
+            F.expr(f"__waste * 1000000 div (n_seqs * {b})")
+             .alias("waste_ppm"),
+        )
+    )
+
+
 def model_inputs(
     df: DataFrame,
     text_col: str = "text",

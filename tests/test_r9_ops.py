@@ -134,3 +134,125 @@ class TestBpeTokenCounts:
         )
         got = bpe_token_counts(docs, []).collect()
         assert got[0]["n_bpe_tokens"] == 5
+
+
+class TestPackEfficiency:
+    def test_fill_waste_overflow(self, spark):
+        # Pre-packed assignment: group 0 has seq 0 = 10+3 tokens
+        # (overflow past budget 10), seq 1 = 4 tokens; group 1 has
+        # seq 0 = 10 exactly.
+        packed = spark.createDataFrame(
+            [
+                (1, 10, 0, 0),
+                (2, 3, 0, 0),
+                (3, 4, 0, 1),
+                (4, 10, 1, 0),
+            ],
+            "doc_id long, n_tokens long, pack_group int, seq_id int",
+        )
+        from drune_spark.operators.packing import pack_efficiency
+
+        out = {
+            r["pack_group"]: r
+            for r in pack_efficiency(packed, budget=10).collect()
+        }
+        g0 = out[0]
+        assert (g0["n_seqs"], g0["n_docs"], g0["sum_tokens"]) == (2, 3, 17)
+        assert g0["n_overflow"] == 1
+        # fill = (min(13,10) + min(4,10)) / 20, waste = (0 + 6) / 20
+        assert g0["fill_ppm"] == 700_000
+        assert g0["waste_ppm"] == 300_000
+        assert g0["fill_ppm"] + g0["waste_ppm"] == 1_000_000
+        g1 = out[1]
+        assert g1["fill_ppm"] == 1_000_000 and g1["waste_ppm"] == 0
+        assert g1["n_overflow"] == 0
+
+    def test_budget_guard(self, spark):
+        packed = spark.createDataFrame(
+            [(1, 10, 0, 0)],
+            "doc_id long, n_tokens long, pack_group int, seq_id int",
+        )
+        from drune_spark.operators.packing import pack_efficiency
+
+        with pytest.raises(ValueError, match="budget"):
+            pack_efficiency(packed, budget=0)
+
+
+class TestClusterSplit:
+    def test_near_dups_share_split(self, spark):
+        from drune_spark.operators.dedup import cluster_split
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(1, 9)], "doc_id long"
+        )
+        # Clusters: {1,2,3} (chained pairs), {4,5}; 6-8 singletons.
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+        rows = cluster_split(
+            docs, pairs, "doc_id",
+            fractions={"train": 0.8, "test": 0.2}, salt="t1",
+        ).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        assert len(by_id) == 8  # singletons get rows too
+        assert len({by_id[i]["split"] for i in (1, 2, 3)}) == 1
+        assert len({by_id[i]["cluster_id"] for i in (1, 2, 3)}) == 1
+        assert by_id[4]["split"] == by_id[5]["split"]
+        assert all(r["split"] in ("train", "test") for r in rows)
+
+    def test_fraction_holdout_and_guard(self, spark):
+        from drune_spark.operators.dedup import cluster_split
+
+        docs = spark.createDataFrame([(i,) for i in range(20)],
+                                     "doc_id long")
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        rows = cluster_split(
+            docs, pairs, "doc_id", fractions={"train": 0.5}, salt="t2"
+        ).collect()
+        splits = {r["split"] for r in rows}
+        assert None in splits and "train" in splits  # holdout stays NULL
+        with pytest.raises(ValueError, match="fractions"):
+            cluster_split(docs, pairs, "doc_id",
+                          fractions={"a": 0.9, "b": 0.2})
+
+
+class TestAudioClipping:
+    def test_counts_match_python_replay(self, spark):
+        from drune_spark.operators.multimodal import (
+            audio_clipping,
+            synth_samples,
+            synthesize_audio,
+        )
+
+        docs = spark.createDataFrame([(3,), (10,)], "doc_id long")
+        got = {
+            r["media_id"]: r
+            for r in audio_clipping(
+                synthesize_audio(docs), gain_milli=20_000
+            ).collect()
+        }
+        for did in (3, 10):
+            _rate, arr = synth_samples(did)
+            flat = [int(v) for row in arr for v in row]
+            clipped = [
+                j + 1 for j, v in enumerate(flat)
+                if abs(v * 20_000) > 32_767_000
+            ]
+            r = got[did]
+            assert r["n_samples"] == len(flat)
+            assert r["n_clipped"] == len(clipped)
+            assert r["clip_pos_sum"] == sum(clipped)
+            assert r["clip_ppm"] == len(clipped) * 1_000_000 // len(flat)
+
+    def test_no_gain_no_clipping(self, spark):
+        from drune_spark.operators.multimodal import (
+            audio_clipping,
+            synthesize_audio,
+        )
+
+        docs = spark.createDataFrame([(1,)], "doc_id long")
+        r = audio_clipping(
+            synthesize_audio(docs), gain_milli=1_000
+        ).collect()[0]
+        # synth samples stay within ±2048 — unity gain never clips
+        assert r["n_clipped"] == 0 and r["clip_pos_sum"] == 0
