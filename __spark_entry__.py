@@ -18424,41 +18424,57 @@ def oracle_sql() -> dict[str, str]:
                clip_pos_sum
         FROM acc
     """
-    d["pack_efficiency"] = """
-        WITH pe_t AS (
+    # ONE pack-replay text for the pack_sequences gate and every oracle
+    # that chains on its assignment (pack_efficiency) — the shared-CTE
+    # convention (token_screen/_doremi_cte_chain precedent). The
+    # empty-text CASE mirrors Spark token_count (DuckDB
+    # len(regexp_split_to_array('', ...)) = 1, Spark = 0 — the sim_pack
+    # spt guard).
+    _pack_replay = """pk_t AS (
             SELECT doc_id,
-                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
-                        AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                                       '\\s+'))
+                        END AS BIGINT) AS n_tokens,
                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                                         1, 8))::BIGINT % 8 AS INTEGER)
                        AS pack_group
             FROM documents
         ),
-        pe_p AS (
+        pk_p AS (
             SELECT doc_id, n_tokens, pack_group,
                    CAST(floor((SUM(n_tokens) OVER (
                             PARTITION BY pack_group ORDER BY doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND CURRENT ROW)
                         - n_tokens) / 256.0) AS INTEGER) AS seq_id
-            FROM pe_t
-        ),
+            FROM pk_t
+        )"""
+    d["pack_sequences"] = f"""
+        WITH {_pack_replay}
+        SELECT doc_id, n_tokens, pack_group, seq_id FROM pk_p
+    """
+    d["pack_efficiency"] = f"""
+        WITH {_pack_replay},
         pe_s AS (
             SELECT pack_group, seq_id,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_tokens) AS BIGINT) AS s
-            FROM pe_p GROUP BY pack_group, seq_id
+            FROM pk_p GROUP BY pack_group, seq_id
+        ),
+        pe_g AS (
+            SELECT pack_group,
+                   CAST(COUNT(*) AS BIGINT) AS n_seqs,
+                   CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                   CAST(SUM(s) AS BIGINT) AS sum_tokens,
+                   CAST(count_if(s > 256) AS BIGINT) AS n_overflow,
+                   CAST(SUM(LEAST(s, 256)) AS BIGINT) * 1000000
+                       // (COUNT(*) * 256) AS fill_ppm
+            FROM pe_s GROUP BY pack_group
         )
-        SELECT pack_group,
-               CAST(COUNT(*) AS BIGINT) AS n_seqs,
-               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
-               CAST(SUM(s) AS BIGINT) AS sum_tokens,
-               CAST(count_if(s > 256) AS BIGINT) AS n_overflow,
-               CAST(SUM(LEAST(s, 256)) AS BIGINT) * 1000000
-                   // (COUNT(*) * 256) AS fill_ppm,
-               CAST(SUM(GREATEST(256 - s, 0)) AS BIGINT) * 1000000
-                   // (COUNT(*) * 256) AS waste_ppm
-        FROM pe_s GROUP BY pack_group
+        SELECT pack_group, n_seqs, n_docs, sum_tokens, n_overflow,
+               fill_ppm, 1000000 - fill_ppm AS waste_ppm
+        FROM pe_g
     """
     d["cluster_split"] = f"""
         WITH RECURSIVE {cluster_ctes}

@@ -1144,7 +1144,7 @@ def cluster_split(
     id_col: str = "doc_id",
     fractions: dict[str, float] | None = None,
     salt: str = "",
-    max_iterations: int | None = 20,
+    max_iterations: int | None = None,
 ) -> DataFrame:
     """Leak-free split assignment — the FIXER paired with
     ``split_leakage_audit``'s detector: the train/test draw hashes the
@@ -1152,6 +1152,11 @@ def cluster_split(
     inherits one draw and no cluster can straddle a boundary by
     construction (doc-level hashing leaks whenever near-duplicates
     hash apart — the memorization-as-generalization failure).
+    ``max_iterations`` defaults to None — the derived O(log n)
+    pointer-jump cap that GUARANTEES convergence — because a
+    non-converged component would split into several cluster ids and
+    could straddle after all, the exact leak this op exists to
+    prevent.
 
     Same consecutive-md5-hex-range scheme as ``split_by_hash``
     (deterministic, engine-portable, exactly disjoint); fractions
@@ -1182,7 +1187,11 @@ def cluster_split(
             if split is None
             else split.when(cond, F.lit(name))
         )
-    return labels.select(F.col(id_col), "cluster_id", split.alias("split"))
+    # connected_components hardcodes its output columns — restore the
+    # caller's id name so id_col != 'doc_id' resolves.
+    return labels.select(
+        F.col("doc_id").alias(id_col), "cluster_id", split.alias("split")
+    )
 
 
 def canonical_url_expr(

@@ -283,6 +283,10 @@ def audio_vad(
     return media.mapInPandas(proc, schema=AUDIO_VAD_SCHEMA)
 
 
+# n_samples here counts INTERLEAVED values (frames × channels) — the
+# grain clipping is measured at — unlike audio_features.n_samples,
+# which counts frames per channel. Join the two censuses on media_id
+# with that 2x-on-stereo difference in mind.
 AUDIO_CLIP_SCHEMA = (
     "media_id bigint, n_samples bigint, n_clipped bigint, "
     "clip_ppm bigint, clip_pos_sum bigint"

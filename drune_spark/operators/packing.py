@@ -127,8 +127,10 @@ def pack_efficiency(
     most one document — this counts how often it happens), and fill /
     padding-waste rates in integer ppm of ``n_seqs · budget``
     (fill counts each sequence at most at budget; waste is the padding
-    a fixed-length batch would burn). fill + waste = 10⁶ by
-    construction.
+    a fixed-length batch would burn). ``waste_ppm`` is defined as the
+    exact complement ``10⁶ − fill_ppm`` (one floor division, one
+    subtraction — two independent floors would leak 1 ppm whenever the
+    division is inexact).
 
     One (group, seq) aggregate then one group aggregate — the audit
     costs two partial-aggregated shuffles over (group, seq, int) cells
@@ -150,8 +152,6 @@ def pack_efficiency(
             F.sum((F.col("__s") > b).cast("long")).alias("n_overflow"),
             F.sum(F.least(F.col("__s"), F.lit(b))).cast("long")
              .alias("__fill"),
-            F.sum(F.greatest(F.lit(b) - F.col("__s"), F.lit(0)))
-             .cast("long").alias("__waste"),
         )
         .select(
             group_col,
@@ -161,9 +161,8 @@ def pack_efficiency(
             "n_overflow",
             F.expr(f"__fill * 1000000 div (n_seqs * {b})")
              .alias("fill_ppm"),
-            F.expr(f"__waste * 1000000 div (n_seqs * {b})")
-             .alias("waste_ppm"),
         )
+        .withColumn("waste_ppm", F.lit(1_000_000) - F.col("fill_ppm"))
     )
 
 

@@ -167,6 +167,21 @@ class TestPackEfficiency:
         assert g1["fill_ppm"] == 1_000_000 and g1["waste_ppm"] == 0
         assert g1["n_overflow"] == 0
 
+    def test_inexact_division_complement(self, spark):
+        # 3 seqs, budget 10, fills 9/10/10: fill = 29e6 div 30 =
+        # 966_666; waste is the EXACT complement (33_334), not an
+        # independent floor (which would read 33_333 and leak 1 ppm).
+        packed = spark.createDataFrame(
+            [(1, 9, 0, 0), (2, 10, 0, 1), (3, 10, 0, 2)],
+            "doc_id long, n_tokens long, pack_group int, seq_id int",
+        )
+        from drune_spark.operators.packing import pack_efficiency
+
+        r = pack_efficiency(packed, budget=10).collect()[0]
+        assert r["fill_ppm"] == 966_666
+        assert r["waste_ppm"] == 33_334
+        assert r["fill_ppm"] + r["waste_ppm"] == 1_000_000
+
     def test_budget_guard(self, spark):
         packed = spark.createDataFrame(
             [(1, 10, 0, 0)],
