@@ -2682,6 +2682,36 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chat_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-export structural lint (chat.py chat_lint): per
+    conversation — role-alternation violations, boundary roles (user
+    opens / assistant closes), empty turns, and the combined ok flag.
+    Turn table synthesized deterministically from events
+    (chat_turns_from_events: conv = user, total (µs, id) order, role
+    from event type). One lag window + one conversation aggregate."""
+    _tune(spark)
+    from drune_spark.operators.chat import chat_lint, chat_turns_from_events
+
+    ev = _t(spark, sf_dir, "events")
+    return chat_lint(chat_turns_from_events(ev))
+
+
+def q_chat_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window trim (chat.py chat_truncate): keep the longest
+    whole-turn SUFFIX within a 256-token budget — oldest turns drop
+    first, never mid-turn. One DESC running-sum window; suffix_tokens
+    rides along so the output is self-auditing. Same synthesized turn
+    table as chat_lint."""
+    _tune(spark)
+    from drune_spark.operators.chat import (
+        chat_truncate,
+        chat_turns_from_events,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return chat_truncate(chat_turns_from_events(ev), budget=256)
+
+
 def _bq_rerank_oracle(
     k: int = 5, shortlist: int = 50, dim: int = 64, n_queries: int = 5,
 ) -> str:
@@ -9867,7 +9897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (12) ----
+        # -- never-driver-verified backlog, waited-longest first (14) ----
         "bq_rerank": q_bq_rerank,
         "hard_negatives": q_hard_negatives,
         "mix_pipeline": q_mix_pipeline,
@@ -9880,6 +9910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_clipping": q_audio_clipping,
         "pack_efficiency": q_pack_efficiency,
         "cluster_split": q_cluster_split,
+        "chat_lint": q_chat_lint,
+        "chat_truncate": q_chat_truncate,
         # -- driver-verified pass, stalest round first (356) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -18483,5 +18515,53 @@ def oracle_sql() -> dict[str, str]:
                         CAST(cluster_id AS VARCHAR)), 1, 4) < 'cccd'
                     THEN 'train' ELSE 'test' END AS split
         FROM labels
+    """
+    # Shared synthesized turn table for the chat gates (chat.py
+    # chat_turns_from_events mirror): conv = user, total (µs, id)
+    # order, role from event type, token cost 1 + id % 37.
+    _chat_turns = """ct AS (
+            SELECT user_id AS conv_id,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) - 1 AS turn_idx,
+                   CASE WHEN event_type IN ('click', 'view', 'signup')
+                        THEN 'user' ELSE 'assistant' END AS role,
+                   CAST(1 + event_id % 37 AS BIGINT) AS n_tokens
+            FROM events
+        )"""
+    d["chat_lint"] = f"""
+        WITH {_chat_turns},
+        cl AS (
+            SELECT conv_id, turn_idx, role, n_tokens,
+                   lag(role) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS prev
+            FROM ct
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(count_if(role = 'user') AS BIGINT) AS n_user,
+               CAST(count_if(role = 'assistant') AS BIGINT)
+                   AS n_assistant,
+               CAST(count_if(prev = role) AS BIGINT) AS n_role_repeats,
+               count_if(turn_idx = 0 AND role = 'user') > 0
+                   AS starts_user,
+               max_by(role, turn_idx) = 'assistant' AS ends_assistant,
+               CAST(count_if(n_tokens = 0) AS BIGINT) AS n_empty,
+               (count_if(turn_idx = 0 AND role = 'user') > 0
+                AND max_by(role, turn_idx) = 'assistant'
+                AND count_if(prev = role) = 0
+                AND count_if(n_tokens = 0) = 0) AS ok
+        FROM cl GROUP BY conv_id
+    """
+    d["chat_truncate"] = f"""
+        WITH {_chat_turns}
+        SELECT conv_id, turn_idx, role, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+                   AS suffix_tokens
+        FROM ct
+        QUALIFY suffix_tokens <= 256
     """
     return d

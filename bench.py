@@ -363,6 +363,8 @@ BENCH_QUERIES = [
     "audio_clipping",
     "pack_efficiency",
     "cluster_split",
+    "chat_lint",
+    "chat_truncate",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # ivfpq_serve stays out: training-tier — r9 cut it ~25s -> ~8-12s

@@ -231,6 +231,62 @@ class TestClusterSplit:
                           fractions={"a": 0.9, "b": 0.2})
 
 
+class TestChatOps:
+    def _turns(self, spark):
+        return spark.createDataFrame(
+            [
+                # conv 1: clean user/assistant alternation
+                (1, 0, "user", 5),
+                (1, 1, "assistant", 7),
+                (1, 2, "user", 3),
+                (1, 3, "assistant", 4),
+                # conv 2: assistant-first, a repeat, an empty turn,
+                # trailing user
+                (2, 0, "assistant", 6),
+                (2, 1, "assistant", 2),
+                (2, 2, "user", 0),
+            ],
+            "conv_id long, turn_idx long, role string, n_tokens long",
+        )
+
+    def test_lint_flags(self, spark):
+        from drune_spark.operators.chat import chat_lint
+
+        out = {r["conv_id"]: r for r in chat_lint(self._turns(spark)).collect()}
+        c1 = out[1]
+        assert (c1["n_turns"], c1["n_user"], c1["n_assistant"]) == (4, 2, 2)
+        assert c1["n_role_repeats"] == 0 and c1["n_empty"] == 0
+        assert c1["starts_user"] and c1["ends_assistant"] and c1["ok"]
+        c2 = out[2]
+        assert c2["n_role_repeats"] == 1
+        assert c2["n_empty"] == 1
+        assert not c2["starts_user"] and not c2["ends_assistant"]
+        assert not c2["ok"]
+
+    def test_truncate_keeps_whole_turn_suffix(self, spark):
+        from drune_spark.operators.chat import chat_truncate
+
+        out = chat_truncate(self._turns(spark), budget=8).collect()
+        kept = {(r["conv_id"], r["turn_idx"]): r["suffix_tokens"] for r in out}
+        # conv 1 suffixes from newest: 4, 7, 14, 19 -> keep turns 3, 2
+        assert kept == {
+            (1, 3): 4, (1, 2): 7,
+            # conv 2 suffixes: 0, 2, 8 -> all three fit in 8
+            (2, 2): 0, (2, 1): 2, (2, 0): 8,
+        }
+
+    def test_truncate_oversized_newest_turn_drops_conv(self, spark):
+        from drune_spark.operators.chat import chat_truncate
+
+        turns = spark.createDataFrame(
+            [(9, 0, "user", 3), (9, 1, "assistant", 100)],
+            "conv_id long, turn_idx long, role string, n_tokens long",
+        )
+        assert chat_truncate(turns, budget=50).count() == 0
+        with pytest.raises(ValueError, match="budget"):
+            chat_truncate(turns, budget=0)
+
+
 class TestAudioClipping:
     def test_counts_match_python_replay(self, spark):
         from drune_spark.operators.multimodal import (
