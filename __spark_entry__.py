@@ -18516,19 +18516,12 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'train' ELSE 'test' END AS split
         FROM labels
     """
-    # Shared synthesized turn table for the chat gates (chat.py
-    # chat_turns_from_events mirror): conv = user, total (µs, id)
-    # order, role from event type, token cost 1 + id % 37.
-    _chat_turns = """ct AS (
-            SELECT user_id AS conv_id,
-                   row_number() OVER (
-                       PARTITION BY user_id
-                       ORDER BY epoch_us(ts), event_id) - 1 AS turn_idx,
-                   CASE WHEN event_type IN ('click', 'view', 'signup')
-                        THEN 'user' ELSE 'assistant' END AS role,
-                   CAST(1 + event_id % 37 AS BIGINT) AS n_tokens
-            FROM events
-        )"""
+    # Shared synthesized turn table for the chat gates — GENERATED from
+    # chat.py's USER_EVENT_TYPES / TURN_TOKEN_MOD constants so the two
+    # sides cannot drift.
+    from drune_spark.operators.chat import chat_turns_oracle_cte
+
+    _chat_turns = chat_turns_oracle_cte()
     d["chat_lint"] = f"""
         WITH {_chat_turns},
         cl AS (

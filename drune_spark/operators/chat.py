@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 USER_EVENT_TYPES = ("click", "view", "signup")
+TURN_TOKEN_MOD = 37  # token cost = id % 37 ∈ [0, 36] — zeros occur, so
+# the lint's n_empty branch has real cross-engine signal.
 
 
 def chat_turns_from_events(
@@ -43,17 +45,20 @@ def chat_turns_from_events(
     """Deterministic (conv_id, turn_idx, role, n_tokens) turn table
     from the events stream: conversation = user, turns ordered by
     (event-time µs, event id — a total order), role from the event
-    type (clicks/views/signups speak as 'user', purchases/errors as
-    'assistant' — deliberately imperfect alternation so the lint has
-    real signal), token cost 1 + id % 37."""
-    base = events.select(
+    type (USER_EVENT_TYPES speak as 'user', the rest as 'assistant' —
+    deliberately imperfect alternation so the lint has real signal),
+    token cost id % TURN_TOKEN_MOD. NULL-timestamp rows are dropped
+    BEFORE the rank window (Spark ASC = NULLS FIRST vs DuckDB = NULLS
+    LAST — the r8 rank-window rule). The DuckDB mirror is GENERATED
+    from the same constants by ``chat_turns_oracle_cte``."""
+    base = events.filter(F.col(ts_col).isNotNull()).select(
         F.col(conv_col).alias("conv_id"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
         F.col(id_col).alias("__eid"),
         F.when(
             F.col(type_col).isin(*USER_EVENT_TYPES), F.lit("user")
         ).otherwise(F.lit("assistant")).alias("role"),
-        (F.lit(1) + F.col(id_col) % 37).cast("long").alias("n_tokens"),
+        (F.col(id_col) % TURN_TOKEN_MOD).cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy("conv_id").orderBy("__us", "__eid")
     return base.select(
@@ -62,6 +67,24 @@ def chat_turns_from_events(
         "role",
         "n_tokens",
     )
+
+
+def chat_turns_oracle_cte() -> str:
+    """DuckDB CTE body mirroring ``chat_turns_from_events`` — GENERATED
+    from USER_EVENT_TYPES / TURN_TOKEN_MOD so the two sides cannot
+    drift (the _token_screen_cte convention)."""
+    in_list = ", ".join(f"'{t}'" for t in USER_EVENT_TYPES)
+    return f"""ct AS (
+            SELECT user_id AS conv_id,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) - 1 AS turn_idx,
+                   CASE WHEN event_type IN ({in_list})
+                        THEN 'user' ELSE 'assistant' END AS role,
+                   CAST(event_id % {TURN_TOKEN_MOD} AS BIGINT)
+                       AS n_tokens
+            FROM events WHERE ts IS NOT NULL
+        )"""
 
 
 def chat_lint(
@@ -128,6 +151,13 @@ def chat_truncate(
     window, ROWS-explicit); a conversation whose newest turn alone
     exceeds the budget yields no rows — correct, and the lint's
     n_empty/token stats are where that is caught upstream.
+
+    Precondition: ``tok_col >= 0`` for every turn — a negative count
+    (bad upstream tokenizer delta) makes the DESC running sum
+    non-monotone, so the kept set could have mid-conversation holes
+    instead of being one contiguous suffix. Run ``chat_lint`` (or an
+    equivalent token-count screen) first; this operator does not scan
+    the data to re-validate it.
 
     Returns surviving (conv_id, turn_idx, role, n_tokens,
     suffix_tokens) — suffix_tokens is the running total the budget
