@@ -2712,6 +2712,58 @@ def q_chat_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chat_truncate(chat_turns_from_events(ev), budget=256)
 
 
+def q_chat_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable-token accounting (chat.py chat_loss_mask): per
+    conversation, the context (user) vs trainable (assistant) token
+    split and trainable_ppm — the gradient-per-sequence-slot budget an
+    SFT curation pass balances. Same generated turn-table CTE as the
+    other chat gates."""
+    _tune(spark)
+    from drune_spark.operators.chat import (
+        chat_loss_mask,
+        chat_turns_from_events,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return chat_loss_mask(chat_turns_from_events(ev))
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO pair mining (preference.py preference_pairs): per prompt
+    group (doc_id % 50, the generation fan-out proxy), chosen =
+    (max score, lowest id) and rejected = (min score, HIGHEST id) —
+    one integer encoding serves both argmax and argmin with opposite
+    tie directions — plus the margin. Score = text length (the quality
+    proxy); groups of one are dropped."""
+    _tune(spark)
+    from drune_spark.operators.preference import preference_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).alias("prompt_id"),
+        "doc_id",
+        F.length("text").alias("score"),
+    )
+    return preference_pairs(docs, "prompt_id", "doc_id", "score")
+
+
+def q_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO group-relative advantage (preference.py group_advantage,
+    arXiv:2402.03300): (r·n − S) / floor(sqrt(n·Q − S²)) in integer
+    milli per candidate — exact DECIMAL/HUGEINT moments, one IEEE
+    sqrt (the neyman_allocation primitive), sign-split division
+    (trunc-vs-floor diverges on negatives). Same grouping and score
+    as preference_pairs."""
+    _tune(spark)
+    from drune_spark.operators.preference import group_advantage
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).alias("prompt_id"),
+        "doc_id",
+        F.length("text").alias("score"),
+    )
+    return group_advantage(docs, "prompt_id", "doc_id", "score")
+
+
 def _bq_rerank_oracle(
     k: int = 5, shortlist: int = 50, dim: int = 64, n_queries: int = 5,
 ) -> str:
@@ -9897,7 +9949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (14) ----
+        # -- never-driver-verified backlog, waited-longest first (17) ----
         "bq_rerank": q_bq_rerank,
         "hard_negatives": q_hard_negatives,
         "mix_pipeline": q_mix_pipeline,
@@ -9912,6 +9964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": q_cluster_split,
         "chat_lint": q_chat_lint,
         "chat_truncate": q_chat_truncate,
+        "chat_loss_mask": q_chat_loss_mask,
+        "preference_pairs": q_preference_pairs,
+        "group_advantage": q_group_advantage,
         # -- driver-verified pass, stalest round first (356) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -18556,5 +18611,69 @@ def oracle_sql() -> dict[str, str]:
                    AS suffix_tokens
         FROM ct
         QUALIFY suffix_tokens <= 256
+    """
+    d["chat_loss_mask"] = f"""
+        WITH {_chat_turns}
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(CASE WHEN role <> 'assistant' THEN n_tokens
+                        ELSE 0 END) AS BIGINT) AS context_tokens,
+               CAST(SUM(CASE WHEN role = 'assistant' THEN n_tokens
+                        ELSE 0 END) AS BIGINT) AS trainable_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN role = 'assistant' THEN n_tokens
+                        ELSE 0 END) AS BIGINT) * 1000000
+                   // GREATEST(CAST(SUM(n_tokens) AS BIGINT), 1)
+                   AS trainable_ppm
+        FROM ct GROUP BY conv_id
+    """
+    _pref_enc = 1 << 33
+    _pref_src = """pf AS (
+            SELECT doc_id % 50 AS prompt_id, doc_id,
+                   CAST(length(text) AS BIGINT) AS score
+            FROM documents
+        )"""
+    d["preference_pairs"] = f"""
+        WITH {_pref_src},
+        pe AS (
+            SELECT prompt_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                   MAX(score * {_pref_enc}
+                       + ({_pref_enc - 1} - doc_id)) AS emax,
+                   MIN(score * {_pref_enc}
+                       + ({_pref_enc - 1} - doc_id)) AS emin
+            FROM pf GROUP BY prompt_id
+            HAVING COUNT(*) >= 2
+        )
+        SELECT prompt_id, n_candidates,
+               {_pref_enc - 1} - emax % {_pref_enc} AS chosen_id,
+               emax // {_pref_enc} AS chosen_score,
+               {_pref_enc - 1} - emin % {_pref_enc} AS rejected_id,
+               emin // {_pref_enc} AS rejected_score,
+               emax // {_pref_enc} - emin // {_pref_enc} AS margin
+        FROM pe
+    """
+    d["group_advantage"] = f"""
+        WITH {_pref_src},
+        gm AS (
+            SELECT prompt_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(score) AS HUGEINT) AS sm,
+                   CAST(SUM(score * score) AS HUGEINT) AS sq
+            FROM pf GROUP BY prompt_id
+        ),
+        gj AS (
+            SELECT f.prompt_id, f.doc_id, f.score,
+                   CAST(floor(sqrt(CAST(g.n * g.sq - g.sm * g.sm
+                        AS DOUBLE))) AS BIGINT) AS den,
+                   CAST(f.score AS HUGEINT) * g.n - g.sm AS num
+            FROM pf f JOIN gm g USING (prompt_id)
+        )
+        SELECT prompt_id, doc_id, score,
+               CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                         * (CAST(abs(num) AS HUGEINT) * 1000 // den)
+                         AS BIGINT) END AS adv_milli
+        FROM gj
     """
     return d

@@ -365,6 +365,9 @@ BENCH_QUERIES = [
     "cluster_split",
     "chat_lint",
     "chat_truncate",
+    "chat_loss_mask",
+    "preference_pairs",
+    "group_advantage",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # ivfpq_serve stays out: training-tier — r9 cut it ~25s -> ~8-12s

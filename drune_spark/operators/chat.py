@@ -136,6 +136,48 @@ def chat_lint(
     )
 
 
+def chat_loss_mask(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    tok_col: str = "n_tokens",
+    trainable_role: str = "assistant",
+) -> DataFrame:
+    """Trainable-token accounting for the per-turn loss mask: SFT
+    masks the loss on non-``trainable_role`` turns, so the tokens that
+    actually teach are only the assistant's — the budget a curation
+    pass balances (a conversation that is 95% user context buys almost
+    no gradient per sequence slot). One conversation aggregate over
+    (conv, role, tokens) cells.
+
+    Returns (conv_id, n_turns, context_tokens, trainable_tokens,
+    total_tokens, trainable_ppm) with trainable_ppm =
+    trainable·10⁶ div max(total, 1).
+    """
+    g = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(role_col).alias("__role"),
+        F.col(tok_col).cast("long").alias("__tok"),
+    )
+    return g.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(
+            F.when(F.col("__role") != trainable_role, F.col("__tok"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("context_tokens"),
+        F.sum(
+            F.when(F.col("__role") == trainable_role, F.col("__tok"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("trainable_tokens"),
+        F.sum("__tok").cast("long").alias("total_tokens"),
+        F.expr(
+            f"CAST(sum(CASE WHEN __role = '{trainable_role}'"
+            " THEN __tok ELSE 0 END) AS BIGINT) * 1000000"
+            " div greatest(CAST(sum(__tok) AS BIGINT), 1)"
+        ).alias("trainable_ppm"),
+    )
+
+
 def chat_truncate(
     turns: DataFrame,
     budget: int,

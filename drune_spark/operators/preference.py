@@ -1,0 +1,130 @@
+"""Preference-data construction operators (driver extension).
+
+RLHF / DPO / GRPO pipelines consume (prompt group, candidate, score)
+tables; this module provides the two standard constructions:
+
+- ``preference_pairs`` — per prompt group, the (chosen, rejected) pair
+  by score argmax/argmin with deterministic id tie-breaks and the
+  score margin: the DPO/RLHF pair-mining step.
+- ``group_advantage`` — GRPO-style group-relative advantage
+  (Shao et al. 2024, arXiv:2402.03300): per candidate,
+  (r − mean_group) / σ_group in integer milli, with exact integer
+  moments (DECIMAL(38,0) ≡ DuckDB HUGEINT) and ONE IEEE sqrt — the
+  neyman_allocation cross-engine primitive.
+
+Both are one groupBy over (group, id, score) cells — candidate text
+never shuffles; group sizes are the generation fan-out (4-64), so
+skew is bounded by construction.
+
+No counterpart in /root/reference; driver-mandated LLM-data extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ENC = 1 << 33  # id domain bound for the integer-encoded argmax/argmin
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Per prompt group: chosen = (max score, ties → LOWEST id),
+    rejected = (min score, ties → HIGHEST id) — opposite tie
+    directions so an all-tied group still yields a distinct pair —
+    plus the score margin. Groups with fewer than two candidates are
+    dropped (no pair to mine). Scores must be nonnegative integers
+    and ids in [0, 2³³) — the integer-encoded argmax contract
+    (``score·2³³ ± id`` stays under 2⁶³).
+
+    Returns (group_col, n_candidates, chosen_id, chosen_score,
+    rejected_id, rejected_score, margin).
+    """
+    g = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(score_col).cast("long").alias("__s"),
+    )
+    # ONE encoding serves both ends: max → (max score, lowest id);
+    # min → (min score, HIGHEST id) — opposite tie directions for free.
+    enc = F.col("__s") * F.lit(ENC) + (F.lit(ENC - 1) - F.col("__id"))
+    agg = (
+        g.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max(enc).alias("__emax"),
+            F.min(enc).alias("__emin"),
+        )
+        .filter(F.col("n_candidates") >= 2)
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_candidates",
+        (F.lit(ENC - 1) - F.col("__emax") % ENC).alias("chosen_id"),
+        F.expr(f"__emax div {ENC}").alias("chosen_score"),
+        (F.lit(ENC - 1) - F.col("__emin") % ENC).alias("rejected_id"),
+        F.expr(f"__emin div {ENC}").alias("rejected_score"),
+        F.expr(f"__emax div {ENC} - __emin div {ENC}").alias("margin"),
+    )
+
+
+def group_advantage(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """GRPO group-relative advantage in integer milli:
+    ``adv = (r − mean) / σ = (r·n − S) / sqrt(n·Q − S²)`` per group
+    (population σ; the n cancels). Exact integer moments via
+    DECIMAL(38,0) (DuckDB HUGEINT twin), ONE IEEE sqrt floored to
+    unit, and the division runs sign-split —
+    ``sign(num) · (|num|·1000 div den)`` — because trunc-vs-floor
+    integer division diverges across engines on negative operands.
+    Zero-variance groups (den = 0) report adv_milli = 0.
+
+    Returns (group_col, id_col, score, adv_milli).
+    """
+    g = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("long").alias("__s"),
+    )
+    mom = g.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__s").cast("decimal(38,0)")).alias("__sm"),
+        F.sum((F.col("__s") * F.col("__s")).cast("decimal(38,0)"))
+         .alias("__sq"),
+    )
+    den = F.expr(
+        "CAST(floor(sqrt(CAST(CAST(__n AS DECIMAL(38,0)) * __sq"
+        " - __sm * __sm AS DOUBLE))) AS BIGINT)"
+    )
+    # DECIMAL before the product: a BIGINT r·n overflows once
+    # score·group_size passes 2⁶³ (ANSI raises), moments already don't.
+    num = F.expr("CAST(__s AS DECIMAL(38,0)) * __n - __sm")
+    return (
+        g.join(F.broadcast(mom), "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__id").alias(id_col),
+            F.col("__s").alias("score"),
+            den.alias("__den"),
+            num.alias("__num"),
+        )
+        .select(
+            group_col,
+            id_col,
+            "score",
+            F.expr(
+                "CASE WHEN __den = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(CASE WHEN __num < 0 THEN -1 ELSE 1 END"
+                "      * (CAST(abs(__num) AS DECIMAL(38,0)) * 1000"
+                "         div __den) AS BIGINT) END"
+            ).alias("adv_milli"),
+        )
+    )

@@ -287,6 +287,72 @@ class TestChatOps:
             chat_truncate(turns, budget=0)
 
 
+class TestChatLossMask:
+    def test_accounting(self, spark):
+        from drune_spark.operators.chat import chat_loss_mask
+
+        turns = spark.createDataFrame(
+            [
+                (1, 0, "user", 5),
+                (1, 1, "assistant", 7),
+                (1, 2, "user", 3),
+                (1, 3, "assistant", 4),
+            ],
+            "conv_id long, turn_idx long, role string, n_tokens long",
+        )
+        r = chat_loss_mask(turns).collect()[0]
+        assert (r["n_turns"], r["context_tokens"],
+                r["trainable_tokens"], r["total_tokens"]) == (4, 8, 11, 19)
+        assert r["trainable_ppm"] == 11_000_000 // 19
+
+
+class TestPreferencePairs:
+    def test_pair_mining_and_ties(self, spark):
+        from drune_spark.operators.preference import preference_pairs
+
+        df = spark.createDataFrame(
+            [
+                # group 0: clear winner/loser
+                (0, 10, 5), (0, 11, 9), (0, 12, 2),
+                # group 1: all tied -> chosen lowest id, rejected highest
+                (1, 20, 7), (1, 21, 7), (1, 22, 7),
+                # group 2: singleton -> dropped
+                (2, 30, 4),
+            ],
+            "grp long, cid long, score long",
+        )
+        out = {r["grp"]: r for r in
+               preference_pairs(df, "grp", "cid", "score").collect()}
+        assert set(out) == {0, 1}
+        g0 = out[0]
+        assert (g0["chosen_id"], g0["chosen_score"]) == (11, 9)
+        assert (g0["rejected_id"], g0["rejected_score"]) == (12, 2)
+        assert g0["margin"] == 7
+        g1 = out[1]
+        assert (g1["chosen_id"], g1["rejected_id"]) == (20, 22)
+        assert g1["margin"] == 0
+        assert g1["chosen_id"] != g1["rejected_id"]
+
+
+class TestGroupAdvantage:
+    def test_hand_computed(self, spark):
+        from drune_spark.operators.preference import group_advantage
+
+        df = spark.createDataFrame(
+            [
+                # group 0: scores 1, 3 -> m2 = 2*10 - 16 = 4, den = 2;
+                # num = r*2 - 4 -> -2 / +2 -> adv -1000 / +1000
+                (0, 1, 1), (0, 2, 3),
+                # group 1: zero variance -> adv 0
+                (1, 3, 5), (1, 4, 5),
+            ],
+            "grp long, cid long, score long",
+        )
+        out = {r["cid"]: r["adv_milli"] for r in
+               group_advantage(df, "grp", "cid", "score").collect()}
+        assert out == {1: -1000, 2: 1000, 3: 0, 4: 0}
+
+
 class TestAudioClipping:
     def test_counts_match_python_replay(self, spark):
         from drune_spark.operators.multimodal import (
