@@ -170,11 +170,11 @@ def chat_loss_mask(
             .otherwise(F.lit(0))
         ).cast("long").alias("trainable_tokens"),
         F.sum("__tok").cast("long").alias("total_tokens"),
+    ).withColumn(
+        "trainable_ppm",
         F.expr(
-            f"CAST(sum(CASE WHEN __role = '{trainable_role}'"
-            " THEN __tok ELSE 0 END) AS BIGINT) * 1000000"
-            " div greatest(CAST(sum(__tok) AS BIGINT), 1)"
-        ).alias("trainable_ppm"),
+            "trainable_tokens * 1000000 div greatest(total_tokens, 1)"
+        ),
     )
 
 

@@ -49,9 +49,29 @@ def preference_pairs(
         F.col(id_col).cast("long").alias("__id"),
         F.col(score_col).cast("long").alias("__s"),
     )
+    # The encoding is only an argmax/argmin for in-domain inputs —
+    # a negative score flips the trunc-mod decode and '%'/'div' on
+    # negatives diverge across engines — so violations fail LOUDLY:
+    # assert_true throws per offending row; on the pass path it is
+    # NULL, coalesced to a 0 term (zero cost, stays in codegen).
+    guard = F.coalesce(
+        F.assert_true(
+            (F.col("__s") >= 0)
+            & (F.col("__id") >= 0)
+            & (F.col("__id") < ENC),
+            F.lit(
+                "preference_pairs needs score >= 0 and id in [0, 2^33)"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
     # ONE encoding serves both ends: max → (max score, lowest id);
     # min → (min score, HIGHEST id) — opposite tie directions for free.
-    enc = F.col("__s") * F.lit(ENC) + (F.lit(ENC - 1) - F.col("__id"))
+    enc = (
+        guard
+        + F.col("__s") * F.lit(ENC)
+        + (F.lit(ENC - 1) - F.col("__id"))
+    )
     agg = (
         g.groupBy("__g")
         .agg(
@@ -100,10 +120,9 @@ def group_advantage(
         F.sum((F.col("__s") * F.col("__s")).cast("decimal(38,0)"))
          .alias("__sq"),
     )
-    den = F.expr(
-        "CAST(floor(sqrt(CAST(CAST(__n AS DECIMAL(38,0)) * __sq"
-        " - __sm * __sm AS DOUBLE))) AS BIGINT)"
-    )
+    from drune_spark.operators.stats import sqrt_moment_sql
+
+    den = F.expr(sqrt_moment_sql("__n", "__sq", "__sm"))
     # DECIMAL before the product: a BIGINT r·n overflows once
     # score·group_size passes 2⁶³ (ANSI raises), moments already don't.
     num = F.expr("CAST(__s AS DECIMAL(38,0)) * __n - __sm")

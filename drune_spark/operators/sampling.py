@@ -583,6 +583,16 @@ TEMPERATURE_MIX_SQL = """
 """
 
 
+def _sqrt_moment_milli():
+    """floor(sqrt(n·Σx² − (Σx)²)) · 1000 over the (n_rows, sq, sm)
+    moment columns — the shared stats.sqrt_moment_sql primitive,
+    milli-scaled AFTER the integer floor (no milli-edge double
+    products)."""
+    from drune_spark.operators.stats import sqrt_moment_sql
+
+    return F.expr(f"{sqrt_moment_sql('n_rows', 'sq', 'sm')} * 1000")
+
+
 def neyman_allocation(
     df: DataFrame,
     stratum_col: str,
@@ -631,10 +641,7 @@ def neyman_allocation(
         .select(
             "stratum",
             "n_rows",
-            F.expr(
-                "CAST(floor(sqrt(CAST(CAST(n_rows AS DECIMAL(38,0)) * sq"
-                " - sm * sm AS DOUBLE))) * 1000 AS BIGINT)"
-            ).alias("w_milli"),
+            _sqrt_moment_milli().alias("w_milli"),
         )
     )
     # floor(sqrt(m2)) * 1000: the sqrt of an exact integer, floored to

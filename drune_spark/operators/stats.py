@@ -300,6 +300,20 @@ def ols_sql_exprs() -> tuple[str, str, str]:
     return slope, intercept, r2
 
 
+def sqrt_moment_sql(n: str, sq: str, sm: str) -> str:
+    """``floor(sqrt(n·Σx² − (Σx)²))`` as BIGINT — the ONE cross-engine
+    integer-exact N·S primitive (CLAUDE.md r7 fact 9): exact integer
+    moments (Spark DECIMAL(38,0) ≡ DuckDB HUGEINT) cast to a
+    correctly-rounded double, one IEEE sqrt, floored to unit — both
+    engines agree bit-for-bit. Shared by sampling.neyman_allocation
+    (×1000 milli-scaled) and preference.group_advantage (unit σ
+    denominator); extend THIS helper, never re-inline the text."""
+    return (
+        f"CAST(floor(sqrt(CAST(CAST({n} AS DECIMAL(38,0)) * {sq}"
+        f" - {sm} * {sm} AS DOUBLE))) AS BIGINT)"
+    )
+
+
 def grouped_moments(
     df: DataFrame,
     x_col: str,
