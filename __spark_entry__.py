@@ -2764,6 +2764,37 @@ def q_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_advantage(docs, "prompt_id", "doc_id", "score")
 
 
+def q_niah_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-a-haystack eval synthesis (text_analysis.py
+    needle_insert): a unique id-derived needle spliced into each
+    haystack at depth (id % 5)·25% of its tokens; the emitted
+    md5-prefix fingerprint of the spliced text proves the EXACT token
+    placement against the oracle, not just counts. Row-local — fuses
+    into the scan."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import needle_insert
+
+    return needle_insert(_t(spark, sf_dir, "documents"), depth_levels=5)
+
+
+def q_chat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-grain sequence packing: whole conversations (never
+    split — the chat analog of pack_sequences' whole-doc contract)
+    fill ~2048-token sequences inside 4 hash groups; conv totals from
+    the shared synthesized turn table. Chained oracle = turn CTE +
+    conversation totals + the pack window."""
+    _tune(spark)
+    from drune_spark.operators.chat import chat_turns_from_events
+    from drune_spark.operators.packing import pack_sequences
+
+    turns = chat_turns_from_events(_t(spark, sf_dir, "events"))
+    conv = turns.groupBy("conv_id").agg(
+        F.sum("n_tokens").cast("long").alias("conv_tokens")
+    )
+    return pack_sequences(conv, "conv_tokens", "conv_id",
+                          budget=2048, n_groups=4)
+
+
 def _bq_rerank_oracle(
     k: int = 5, shortlist: int = 50, dim: int = 64, n_queries: int = 5,
 ) -> str:
@@ -9949,7 +9980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (17) ----
+        # -- never-driver-verified backlog, waited-longest first (19) ----
         "bq_rerank": q_bq_rerank,
         "hard_negatives": q_hard_negatives,
         "mix_pipeline": q_mix_pipeline,
@@ -9967,6 +9998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_loss_mask": q_chat_loss_mask,
         "preference_pairs": q_preference_pairs,
         "group_advantage": q_group_advantage,
+        "niah_synth": q_niah_synth,
+        "chat_pack": q_chat_pack,
         # -- driver-verified pass, stalest round first (356) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -18675,5 +18708,53 @@ def oracle_sql() -> dict[str, str]:
                          * (CAST(abs(num) AS HUGEINT) * 1000 // den)
                          AS BIGINT) END AS adv_milli
         FROM gj
+    """
+    d["niah_synth"] = """
+        WITH nh AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS w,
+                   'NDL' || CAST(doc_id AS VARCHAR) AS needle,
+                   CAST((doc_id % 5) * 25 AS BIGINT) AS depth_pct
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        nx AS (
+            SELECT doc_id, w, needle, depth_pct,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(len(w) AS BIGINT) * depth_pct // 100
+                       AS insert_pos
+            FROM nh
+        )
+        SELECT doc_id, n_tokens, depth_pct, insert_pos, needle,
+               substr(md5(array_to_string(
+                   list_concat(
+                       list_concat(
+                           w[1:CAST(insert_pos AS INTEGER)],
+                           [needle]),
+                       w[CAST(insert_pos AS INTEGER) + 1
+                         :CAST(n_tokens AS INTEGER)]),
+                   ' ')), 1, 8) AS fp
+        FROM nx
+    """
+    d["chat_pack"] = f"""
+        WITH {_chat_turns},
+        cv AS (
+            SELECT conv_id,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+            FROM ct GROUP BY conv_id
+        ),
+        cg AS (
+            SELECT conv_id, n_tokens,
+                   CAST(('0x' || substr(md5(CAST(conv_id AS VARCHAR)),
+                                        1, 8))::BIGINT % 4 AS INTEGER)
+                       AS pack_group
+            FROM cv
+        )
+        SELECT conv_id, n_tokens, pack_group,
+               CAST(floor((SUM(n_tokens) OVER (
+                        PARTITION BY pack_group ORDER BY conv_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)
+                    - n_tokens) / 2048.0) AS INTEGER) AS seq_id
+        FROM cg
     """
     return d

@@ -368,6 +368,8 @@ BENCH_QUERIES = [
     "chat_loss_mask",
     "preference_pairs",
     "group_advantage",
+    "niah_synth",
+    "chat_pack",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # ivfpq_serve stays out: training-tier — r9 cut it ~25s -> ~8-12s

@@ -1288,3 +1288,67 @@ def heldout_bigram_bits(
         )
         .orderBy("source")
     )
+
+
+def needle_insert(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth_levels: int = 5,
+    needle_prefix: str = "NDL",
+) -> DataFrame:
+    """Needle-in-a-haystack eval-set synthesis (Kamradt's NIAH probe,
+    the standard long-context retrieval eval): splice a unique,
+    id-derived needle token into each haystack document at a
+    deterministic depth — ``depth_pct = (id % depth_levels) ·
+    (100 div (depth_levels − 1))``, insert position =
+    ``n_tokens · depth_pct div 100`` whole tokens in — so the eval
+    sweeps the full context uniformly and every (document, depth) cell
+    is reproducible from ids alone.
+
+    Row-local string/array work that fuses into the scan; the emitted
+    fingerprint ``substr(md5(spliced_text), 1, 8)`` proves the EXACT
+    splice (token order, single-space joins) against the oracle, so
+    the gate verifies placement, not just counts. Empty/whitespace
+    documents are excluded (no token grid to index into).
+
+    Returns (id_col, n_tokens, depth_pct, insert_pos, needle, fp).
+    """
+    if depth_levels < 2:
+        raise ValueError("needle_insert needs depth_levels >= 2")
+    step = 100 // (depth_levels - 1)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    needle = F.concat(F.lit(needle_prefix), F.col(id_col).cast("string"))
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            toks.alias("__w"),
+            needle.alias("needle"),
+            ((F.col(id_col) % depth_levels) * step).alias("depth_pct"),
+        )
+        .withColumn("n_tokens", F.size("__w").cast("long"))
+        .withColumn(
+            "insert_pos",
+            F.expr("n_tokens * depth_pct div 100").cast("long"),
+        )
+    )
+    spliced = F.array_join(
+        F.concat(
+            F.expr("slice(__w, 1, cast(insert_pos as int))"),
+            F.array(F.col("needle")),
+            F.expr(
+                "slice(__w, cast(insert_pos as int) + 1, "
+                "cast(n_tokens - insert_pos as int))"
+            ),
+        ),
+        " ",
+    )
+    return base.select(
+        id_col,
+        "n_tokens",
+        "depth_pct",
+        "insert_pos",
+        "needle",
+        F.substring(F.md5(spliced), 1, 8).alias("fp"),
+    )

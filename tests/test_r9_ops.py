@@ -353,6 +353,44 @@ class TestGroupAdvantage:
         assert out == {1: -1000, 2: 1000, 3: 0, 4: 0}
 
 
+class TestNeedleInsert:
+    def test_exact_splice_positions(self, spark):
+        import hashlib
+
+        from drune_spark.operators.text_analysis import needle_insert
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c d"),    # depth 0%  -> needle first
+                (2, "a b c d"),    # depth 50% -> after 2 tokens
+                (4, "a b c d"),    # depth 100% -> needle last
+                (5, "   "),        # whitespace-only -> excluded
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               needle_insert(docs, depth_levels=5).collect()}
+        assert set(out) == {0, 2, 4}
+        expect = {
+            0: "NDL0 a b c d",
+            2: "a b NDL2 c d",
+            4: "a b c d NDL4",
+        }
+        for did, text in expect.items():
+            r = out[did]
+            assert r["n_tokens"] == 4
+            assert r["fp"] == hashlib.md5(text.encode()).hexdigest()[:8]
+        assert (out[0]["insert_pos"], out[2]["insert_pos"],
+                out[4]["insert_pos"]) == (0, 2, 4)
+
+    def test_depth_levels_guard(self, spark):
+        from drune_spark.operators.text_analysis import needle_insert
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="depth_levels"):
+            needle_insert(docs, depth_levels=1)
+
+
 class TestAudioClipping:
     def test_counts_match_python_replay(self, spark):
         from drune_spark.operators.multimodal import (
