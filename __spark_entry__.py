@@ -18709,32 +18709,11 @@ def oracle_sql() -> dict[str, str]:
                          AS BIGINT) END AS adv_milli
         FROM gj
     """
-    d["niah_synth"] = """
-        WITH nh AS (
-            SELECT doc_id,
-                   regexp_split_to_array(trim(text), '\\s+') AS w,
-                   'NDL' || CAST(doc_id AS VARCHAR) AS needle,
-                   CAST((doc_id % 5) * 25 AS BIGINT) AS depth_pct
-            FROM documents WHERE length(trim(text)) > 0
-        ),
-        nx AS (
-            SELECT doc_id, w, needle, depth_pct,
-                   CAST(len(w) AS BIGINT) AS n_tokens,
-                   CAST(len(w) AS BIGINT) * depth_pct // 100
-                       AS insert_pos
-            FROM nh
-        )
-        SELECT doc_id, n_tokens, depth_pct, insert_pos, needle,
-               substr(md5(array_to_string(
-                   list_concat(
-                       list_concat(
-                           w[1:CAST(insert_pos AS INTEGER)],
-                           [needle]),
-                       w[CAST(insert_pos AS INTEGER) + 1
-                         :CAST(n_tokens AS INTEGER)]),
-                   ' ')), 1, 8) AS fp
-        FROM nx
-    """
+    from drune_spark.operators.text_analysis import niah_oracle_sql
+
+    # GENERATED from the same constants q_niah_synth passes — the two
+    # sides cannot drift (chat_turns_oracle_cte convention).
+    d["niah_synth"] = niah_oracle_sql(depth_levels=5, needle_prefix="NDL")
     d["chat_pack"] = f"""
         WITH {_chat_turns},
         cv AS (

@@ -1300,11 +1300,13 @@ def needle_insert(
     """Needle-in-a-haystack eval-set synthesis (Kamradt's NIAH probe,
     the standard long-context retrieval eval): splice a unique,
     id-derived needle token into each haystack document at a
-    deterministic depth — ``depth_pct = (id % depth_levels) ·
-    (100 div (depth_levels − 1))``, insert position =
-    ``n_tokens · depth_pct div 100`` whole tokens in — so the eval
-    sweeps the full context uniformly and every (document, depth) cell
-    is reproducible from ids alone.
+    deterministic depth — ``depth_pct = (id % depth_levels) · 100
+    div (depth_levels − 1)``, interpolated so the sweep always spans
+    0..100 INCLUSIVE for any level count (a per-level integer step
+    would floor to 0 past 101 levels and never reach the end-of-
+    context cell for non-divisor counts); insert position =
+    ``n_tokens · depth_pct div 100`` whole tokens in — every
+    (document, depth) cell reproducible from ids alone.
 
     Row-local string/array work that fuses into the scan; the emitted
     fingerprint ``substr(md5(spliced_text), 1, 8)`` proves the EXACT
@@ -1316,16 +1318,18 @@ def needle_insert(
     """
     if depth_levels < 2:
         raise ValueError("needle_insert needs depth_levels >= 2")
-    step = 100 // (depth_levels - 1)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     needle = F.concat(F.lit(needle_prefix), F.col(id_col).cast("string"))
+    depth = F.expr(
+        f"(({id_col} % {depth_levels}) * 100) div {depth_levels - 1}"
+    ).cast("long")
     base = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(
             F.col(id_col),
             toks.alias("__w"),
             needle.alias("needle"),
-            ((F.col(id_col) % depth_levels) * step).alias("depth_pct"),
+            depth.alias("depth_pct"),
         )
         .withColumn("n_tokens", F.size("__w").cast("long"))
         .withColumn(
@@ -1352,3 +1356,40 @@ def needle_insert(
         "needle",
         F.substring(F.md5(spliced), 1, 8).alias("fp"),
     )
+
+
+def niah_oracle_sql(
+    depth_levels: int = 5, needle_prefix: str = "NDL"
+) -> str:
+    """DuckDB mirror of ``needle_insert`` over the documents table —
+    GENERATED from the same constants the Spark side uses so the two
+    cannot drift (the chat_turns_oracle_cte convention)."""
+    lv, lm = int(depth_levels), int(depth_levels) - 1
+    return f"""
+        WITH nh AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS w,
+                   '{needle_prefix}' || CAST(doc_id AS VARCHAR)
+                       AS needle,
+                   CAST(((doc_id % {lv}) * 100) // {lm} AS BIGINT)
+                       AS depth_pct
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        nx AS (
+            SELECT doc_id, w, needle, depth_pct,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(len(w) AS BIGINT) * depth_pct // 100
+                       AS insert_pos
+            FROM nh
+        )
+        SELECT doc_id, n_tokens, depth_pct, insert_pos, needle,
+               substr(md5(array_to_string(
+                   list_concat(
+                       list_concat(
+                           w[1:CAST(insert_pos AS INTEGER)],
+                           [needle]),
+                       w[CAST(insert_pos AS INTEGER) + 1
+                         :CAST(n_tokens AS INTEGER)]),
+                   ' ')), 1, 8) AS fp
+        FROM nx
+    """
