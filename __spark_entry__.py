@@ -2795,6 +2795,28 @@ def q_chat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                           budget=2048, n_groups=4)
 
 
+def q_pack_mask_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document attention-leakage audit (packing.py
+    pack_mask_audit): per packed sequence, the token pairs that would
+    attend across a document boundary under full attention —
+    cross_pairs = (T² − Σnᵢ²) div 2 and its ppm share of all pairs —
+    the number that justifies (or waives) the block-diagonal
+    dataloader mask. Chained oracle on the shared pack replay."""
+    _tune(spark)
+    from drune_spark.functions.text import token_count
+    from drune_spark.operators.packing import (
+        pack_mask_audit,
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_toks")
+    )
+    packed = pack_sequences(docs, "n_toks", "doc_id", budget=256,
+                            n_groups=8)
+    return pack_mask_audit(packed)
+
+
 def _bq_rerank_oracle(
     k: int = 5, shortlist: int = 50, dim: int = 64, n_queries: int = 5,
 ) -> str:
@@ -9980,7 +10002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (19) ----
+        # -- never-driver-verified backlog, waited-longest first (20) ----
         "bq_rerank": q_bq_rerank,
         "hard_negatives": q_hard_negatives,
         "mix_pipeline": q_mix_pipeline,
@@ -10000,6 +10022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_advantage": q_group_advantage,
         "niah_synth": q_niah_synth,
         "chat_pack": q_chat_pack,
+        "pack_mask_audit": q_pack_mask_audit,
         # -- driver-verified pass, stalest round first (356) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -18573,6 +18596,22 @@ def oracle_sql() -> dict[str, str]:
     d["pack_sequences"] = f"""
         WITH {_pack_replay}
         SELECT doc_id, n_tokens, pack_group, seq_id FROM pk_p
+    """
+    d["pack_mask_audit"] = f"""
+        WITH {_pack_replay},
+        pm AS (
+            SELECT pack_group, seq_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS t,
+                   CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS ss
+            FROM pk_p GROUP BY pack_group, seq_id
+        )
+        SELECT pack_group, seq_id, n_docs,
+               t AS total_tokens,
+               (t * t - ss) // 2 AS cross_pairs,
+               (t * t - ss) * 1000000 // GREATEST(t * t - t, 1)
+                   AS leak_ppm
+        FROM pm
     """
     d["pack_efficiency"] = f"""
         WITH {_pack_replay},

@@ -370,6 +370,7 @@ BENCH_QUERIES = [
     "group_advantage",
     "niah_synth",
     "chat_pack",
+    "pack_mask_audit",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # ivfpq_serve stays out: training-tier — r9 cut it ~25s -> ~8-12s

@@ -166,6 +166,51 @@ def pack_efficiency(
     )
 
 
+def pack_mask_audit(
+    packed: DataFrame,
+    group_col: str = "pack_group",
+    seq_col: str = "seq_id",
+    tok_col: str = "n_tokens",
+) -> DataFrame:
+    """Cross-document attention-leakage audit for packed sequences:
+    under FULL attention (no block-diagonal mask) every token pair
+    drawn from two different documents in one sequence attends across
+    a document boundary — the contamination the in-context-pretraining
+    line measures before deciding whether the dataloader needs the
+    per-document mask. Per sequence with doc token counts n₁..n_d and
+    T = Σnᵢ:
+
+        cross_pairs = Σ_{i<j} nᵢ·nⱼ = (T² − Σnᵢ²) div 2   (exact —
+        the numerator is always even),
+        leak_ppm    = (T² − Σnᵢ²)·10⁶ div max(T² − T, 1)  (share of
+        all unordered token pairs that cross a boundary; the ÷2
+        cancels).
+
+    One (group, seq) aggregate over integer cells; T is bounded by
+    budget + one overflow document, so every term stays far inside
+    int64 at any corpus size.
+
+    Returns (group_col, seq_col, n_docs, total_tokens, cross_pairs,
+    leak_ppm).
+    """
+    seqs = packed.groupBy(group_col, seq_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok_col).cast("long").alias("__t"),
+        F.sum(F.col(tok_col) * F.col(tok_col)).cast("long").alias("__ss"),
+    )
+    return seqs.select(
+        group_col,
+        seq_col,
+        "n_docs",
+        F.col("__t").alias("total_tokens"),
+        F.expr("(__t * __t - __ss) div 2").alias("cross_pairs"),
+        F.expr(
+            "(__t * __t - __ss) * 1000000"
+            " div greatest(__t * __t - __t, 1)"
+        ).alias("leak_ppm"),
+    )
+
+
 def model_inputs(
     df: DataFrame,
     text_col: str = "text",

@@ -193,6 +193,37 @@ class TestPackEfficiency:
             pack_efficiency(packed, budget=0)
 
 
+class TestPackMaskAudit:
+    def test_cross_pair_math(self, spark):
+        # seq (0,0): docs of 3 and 2 tokens -> T=5, ss=13,
+        # cross = (25-13)/2 = 6 = 3*2; pairs = (25-5)/2 = 10.
+        # seq (0,1): single doc -> zero leakage.
+        packed = spark.createDataFrame(
+            [(1, 3, 0, 0), (2, 2, 0, 0), (3, 7, 0, 1)],
+            "doc_id long, n_tokens long, pack_group int, seq_id int",
+        )
+        from drune_spark.operators.packing import pack_mask_audit
+
+        out = {(r["pack_group"], r["seq_id"]): r
+               for r in pack_mask_audit(packed).collect()}
+        s0 = out[(0, 0)]
+        assert (s0["n_docs"], s0["total_tokens"]) == (2, 5)
+        assert s0["cross_pairs"] == 6
+        assert s0["leak_ppm"] == 12 * 1_000_000 // 20
+        s1 = out[(0, 1)]
+        assert s1["cross_pairs"] == 0 and s1["leak_ppm"] == 0
+
+    def test_single_token_sequence_no_div0(self, spark):
+        packed = spark.createDataFrame(
+            [(1, 1, 0, 0)],
+            "doc_id long, n_tokens long, pack_group int, seq_id int",
+        )
+        from drune_spark.operators.packing import pack_mask_audit
+
+        r = pack_mask_audit(packed).collect()[0]
+        assert r["cross_pairs"] == 0 and r["leak_ppm"] == 0
+
+
 class TestClusterSplit:
     def test_near_dups_share_split(self, spark):
         from drune_spark.operators.dedup import cluster_split
