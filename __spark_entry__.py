@@ -2817,6 +2817,48 @@ def q_pack_mask_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_mask_audit(packed)
 
 
+def q_terminal_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style terminal-punctuation screen (text_analysis.py
+    terminal_punct_screen, Raffel et al. 2020 §2.2): per-source rate
+    of documents ending in terminal punctuation — the truncation-
+    artifact census. The synthetic corpus is word soup (never ends in
+    punctuation), so terminators are injected deterministically by
+    id (the url_dedup synthesis precedent): id%4 ∈ {0,1,3} get
+    '.', '!', '?' — 75% clean."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import terminal_punct_screen
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("."))
+            .when(F.col("doc_id") % 4 == 1, F.lit("!"))
+            .when(F.col("doc_id") % 4 == 3, F.lit("?"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return terminal_punct_screen(docs)
+
+
+def q_recency_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted corpus refresh (sampling.py recency_weights →
+    weighted_sample): draw weight HALVES per age bucket (integer
+    shifts — an exact, engine-portable decay curve, no exp()), then
+    the deterministic lottery-ticket draw takes the 1000 freshest-
+    biased events. Span endpoints via one broadcast 1-row aggregate."""
+    _tune(spark)
+    from drune_spark.operators.sampling import (
+        recency_weights,
+        weighted_sample,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ww = recency_weights(ev, "ts", "event_id", base=64, buckets=6)
+    out = weighted_sample(ww, "event_id", "weight", 1000, salt="rc1")
+    return out.select("event_id", "age_bucket", "weight", "ticket")
+
+
 def _bq_rerank_oracle(
     k: int = 5, shortlist: int = 50, dim: int = 64, n_queries: int = 5,
 ) -> str:
@@ -10002,7 +10044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (20) ----
+        # -- never-driver-verified backlog, waited-longest first (22) ----
         "bq_rerank": q_bq_rerank,
         "hard_negatives": q_hard_negatives,
         "mix_pipeline": q_mix_pipeline,
@@ -10023,6 +10065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "niah_synth": q_niah_synth,
         "chat_pack": q_chat_pack,
         "pack_mask_audit": q_pack_mask_audit,
+        "terminal_punct": q_terminal_punct,
+        "recency_sample": q_recency_sample,
         # -- driver-verified pass, stalest round first (356) -------------
         "hash_sample": q_hash_sample,
         "text_metrics": q_text_metrics,
@@ -18596,6 +18640,63 @@ def oracle_sql() -> dict[str, str]:
     d["pack_sequences"] = f"""
         WITH {_pack_replay}
         SELECT doc_id, n_tokens, pack_group, seq_id FROM pk_p
+    """
+    d["terminal_punct"] = """
+        WITH tp AS (
+            SELECT source,
+                   text || CASE WHEN doc_id % 4 = 0 THEN '.'
+                                WHEN doc_id % 4 = 1 THEN '!'
+                                WHEN doc_id % 4 = 3 THEN '?'
+                                ELSE '' END AS text
+            FROM documents
+        ),
+        tc AS (
+            SELECT source,
+                   CASE WHEN right(rtrim(text), 1)
+                             IN ('.', '!', '?', '"')
+                        THEN 1 ELSE 0 END AS c
+            FROM tp
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(c) AS BIGINT) AS n_clean,
+               CAST(SUM(c) AS BIGINT) * 1000000 // COUNT(*)
+                   AS clean_ppm
+        FROM tc GROUP BY source
+    """
+    d["recency_sample"] = """
+        WITH rb AS (
+            SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx
+            FROM events WHERE ts IS NOT NULL
+        ),
+        re AS (
+            SELECT event_id, epoch_us(ts) AS us FROM events
+            WHERE ts IS NOT NULL
+        ),
+        rw AS (
+            SELECT event_id,
+                   CAST(LEAST((rb.mx - us) //
+                            GREATEST((rb.mx - rb.mn) // 6, 1), 6)
+                        AS BIGINT) AS age_bucket
+            FROM re, rb
+        ),
+        rt AS (
+            SELECT event_id, age_bucket,
+                   CAST(GREATEST(64 >> CAST(age_bucket AS INTEGER), 1)
+                        AS BIGINT) AS weight
+            FROM rw
+        ),
+        rtk AS (
+            SELECT event_id, age_bucket, weight,
+                   list_min(list_transform(range(1, weight + 1),
+                       i -> ('0x' || substr(md5('rc1:'
+                           || CAST(event_id AS VARCHAR) || ':'
+                           || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                   )) AS ticket
+            FROM rt
+        )
+        SELECT event_id, age_bucket, weight, ticket
+        FROM rtk ORDER BY ticket, event_id LIMIT 1000
     """
     d["pack_mask_audit"] = f"""
         WITH {_pack_replay},

@@ -371,6 +371,8 @@ BENCH_QUERIES = [
     "niah_synth",
     "chat_pack",
     "pack_mask_audit",
+    "terminal_punct",
+    "recency_sample",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # ivfpq_serve stays out: training-tier — r9 cut it ~25s -> ~8-12s

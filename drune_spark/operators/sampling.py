@@ -1018,3 +1018,51 @@ def shuffle_quality_audit(
             ).alias("expected_runs_e6"),
         )
     )
+
+
+def recency_weights(
+    df: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    base: int = 64,
+    buckets: int = 6,
+) -> DataFrame:
+    """Time-decay sampling weights — the freshness bias of a
+    continual-pretraining corpus refresh: the draw weight HALVES per
+    age bucket (``weight = max(base >> bucket, 1)``, bucket = age div
+    (span div buckets), capped at ``buckets``), so feeding the output
+    to ``weighted_sample`` yields a deterministic recency-weighted
+    draw with an exact, engine-portable decay curve (integer shifts —
+    no exp(), no libm rounding to disagree on).
+
+    Span endpoints come from ONE broadcast 1-row aggregate (the totals
+    pattern — no collect); NULL timestamps are dropped. Returns
+    (id_col, age_bucket, weight).
+    """
+    if base < 1 or buckets < 1:
+        raise ValueError("recency_weights needs base >= 1, buckets >= 1")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = df.filter(F.col(ts_col).isNotNull()).select(
+        F.col(id_col), us.alias("__us")
+    )
+    bounds = e.agg(
+        F.min("__us").alias("__mn"), F.max("__us").alias("__mx")
+    )
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            id_col,
+            F.expr(
+                f"least((__mx - __us) div "
+                f"greatest((__mx - __mn) div {int(buckets)}, 1), "
+                f"{int(buckets)})"
+            ).cast("long").alias("age_bucket"),
+        )
+        .withColumn(
+            "weight",
+            F.expr(
+                f"greatest(shiftright({int(base)}, "
+                f"cast(age_bucket as int)), 1)"
+            ).cast("long"),
+        )
+    )

@@ -1393,3 +1393,36 @@ def niah_oracle_sql(
                    ' ')), 1, 8) AS fp
         FROM nx
     """
+
+
+TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def terminal_punct_screen(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """C4-style terminal-punctuation screen (Raffel et al. 2020 §2.2 —
+    "retain lines ending in terminal punctuation"): documents whose
+    trimmed text does NOT end in ``. ! ?`` or a closing quote are
+    usually truncation artifacts (mid-sentence crawler cuts, stripped
+    boilerplate tails), and their rate per source is the release-gate
+    row. ``right(rtrim(text), 1)`` is engine-identical; one
+    source-sized aggregate, zero shuffle of text.
+
+    Returns (source, n_docs, n_clean, clean_ppm).
+    """
+    last = F.expr(f"right(rtrim({text_col}), 1)")
+    clean = last.isin(*TERMINAL_PUNCT).cast("long")
+    return (
+        df.select(F.col(source_col).alias("source"), clean.alias("__c"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__c").cast("long").alias("n_clean"),
+        )
+        .withColumn(
+            "clean_ppm", F.expr("n_clean * 1000000 div n_docs")
+        )
+    )

@@ -422,6 +422,60 @@ class TestNeedleInsert:
             needle_insert(docs, depth_levels=1)
 
 
+class TestTerminalPunct:
+    def test_per_source_rates(self, spark):
+        from drune_spark.operators.text_analysis import (
+            terminal_punct_screen,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                ("a", "ends well."),
+                ("a", "ends badly"),
+                ("a", "quoted end?"),
+                ("b", "trailing spaces !   "),
+            ],
+            "source string, text string",
+        )
+        out = {r["source"]: r
+               for r in terminal_punct_screen(docs).collect()}
+        assert (out["a"]["n_docs"], out["a"]["n_clean"]) == (3, 2)
+        assert out["a"]["clean_ppm"] == 2_000_000 // 3
+        # rtrim before the last-char test: trailing whitespace is clean
+        assert (out["b"]["n_clean"], out["b"]["clean_ppm"]) == (1, 1_000_000)
+
+
+class TestRecencyWeights:
+    def test_decay_buckets(self, spark):
+        import datetime as dt
+
+        from drune_spark.operators.sampling import recency_weights
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0 + dt.timedelta(days=6)),   # newest -> bucket 0, w 64
+            (2, t0 + dt.timedelta(days=5)),   # 1 day old -> bucket 1, 32
+            (3, t0),                          # oldest -> bucket 6, w 1
+            (4, None),                        # NULL ts dropped
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        out = {r["event_id"]: r for r in
+               recency_weights(df, base=64, buckets=6).collect()}
+        assert set(out) == {1, 2, 3}
+        assert (out[1]["age_bucket"], out[1]["weight"]) == (0, 64)
+        assert (out[2]["age_bucket"], out[2]["weight"]) == (1, 32)
+        assert (out[3]["age_bucket"], out[3]["weight"]) == (6, 1)
+
+    def test_param_guard(self, spark):
+        from drune_spark.operators.sampling import recency_weights
+
+        df = spark.createDataFrame([(1,)], "event_id long").withColumn(
+            "ts", F.current_timestamp()
+        )
+        with pytest.raises(ValueError, match="recency_weights"):
+            recency_weights(df, base=0)
+
+
 class TestAudioClipping:
     def test_counts_match_python_replay(self, spark):
         from drune_spark.operators.multimodal import (
