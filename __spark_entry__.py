@@ -18641,7 +18641,13 @@ def oracle_sql() -> dict[str, str]:
         WITH {_pack_replay}
         SELECT doc_id, n_tokens, pack_group, seq_id FROM pk_p
     """
-    d["terminal_punct"] = """
+    from drune_spark.operators.text_analysis import TERMINAL_PUNCT
+
+    # IN-list GENERATED from the shared constant (never inline).
+    _tp_in = ", ".join(
+        "'" + c.replace("'", "''") + "'" for c in TERMINAL_PUNCT
+    )
+    d["terminal_punct"] = f"""
         WITH tp AS (
             SELECT source,
                    text || CASE WHEN doc_id % 4 = 0 THEN '.'
@@ -18653,7 +18659,7 @@ def oracle_sql() -> dict[str, str]:
         tc AS (
             SELECT source,
                    CASE WHEN right(rtrim(text), 1)
-                             IN ('.', '!', '?', '"')
+                             IN ({_tp_in})
                         THEN 1 ELSE 0 END AS c
             FROM tp
         )

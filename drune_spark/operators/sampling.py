@@ -1041,10 +1041,20 @@ def recency_weights(
     """
     if base < 1 or buckets < 1:
         raise ValueError("recency_weights needs base >= 1, buckets >= 1")
+    if buckets > 30:
+        # Spark shiftright wraps the shift mod the operand width
+        # SILENTLY where DuckDB >> just underflows to 0 — any
+        # bit-shift operator must guard its own bound (the bq_rerank
+        # dim<=64 precedent). Past base=2^30 the curve is flat at 1
+        # anyway.
+        raise ValueError("recency_weights needs buckets <= 30")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    e = df.filter(F.col(ts_col).isNotNull()).select(
-        F.col(id_col), us.alias("__us")
-    )
+    # NULL ids would fold to a NULL lottery ticket downstream, and
+    # rank/order NULLS FIRST-vs-LAST diverges across engines — drop
+    # them with the NULL timestamps.
+    e = df.filter(
+        F.col(ts_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col), us.alias("__us"))
     bounds = e.agg(
         F.min("__us").alias("__mn"), F.max("__us").alias("__mx")
     )

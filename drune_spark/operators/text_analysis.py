@@ -1414,7 +1414,12 @@ def terminal_punct_screen(
     Returns (source, n_docs, n_clean, clean_ppm).
     """
     last = F.expr(f"right(rtrim({text_col}), 1)")
-    clean = last.isin(*TERMINAL_PUNCT).cast("long")
+    # Explicit otherwise(0): isin().cast() leaves NULL for NULL text,
+    # and a SUM over an all-NULL group returns NULL where the oracle's
+    # CASE ... ELSE 0 returns 0.
+    clean = F.when(last.isin(*TERMINAL_PUNCT), F.lit(1)).otherwise(
+        F.lit(0)
+    ).cast("long")
     return (
         df.select(F.col(source_col).alias("source"), clean.alias("__c"))
         .groupBy("source")
