@@ -2491,7 +2491,9 @@ def q_s8_dynamic_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    base = tempfile.mkdtemp(prefix="drune_gate_s8_")
+    # Fixed deterministic path (ADVICE r9: mkdtemp per invocation leaked
+    # a new /tmp dir on every min-of-2 / hostile / sweep rerun).
+    base = tempfile.gettempdir() + "/drune_gate_s8_fixed"
     nation.filter("n_regionkey < 2").write.mode("overwrite").parquet(
         base + "/early"
     )
@@ -10029,6 +10031,74 @@ def q_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-grade exact-substring removal plan (VERDICT r9 #5;
+    dedup.py suffix_spans, Lee et al. 2022): occurrence-level k-gram
+    duplication (within-doc repeats count, like two suffixes sharing a
+    k-prefix) with FIRST-OCCURRENCE retention — every copy of a
+    duplicated 32-token window except the globally first (lowest
+    (doc, pos)) is cut; maximal cut runs merge into removal spans.
+    ONE window shuffle keyed on the gram hash (count + min occurrence
+    key in the same pass), per-doc island merge — shuffle ∝ shingles,
+    never pairs. Oracle replays the identical md5/window math."""
+    _tune(spark)
+    from drune_spark.operators.dedup import suffix_spans
+
+    return suffix_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=32
+    )
+
+
+def q_token_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level decontamination (VERDICT r9 #7; dedup.py
+    token_ngram_decon): 13-gram overlap over the learned-BPE TOKEN
+    stream — the GPT-3/PaLM decon standard — between train
+    (doc_id % 17 <> 0) and eval (% 17 = 0) splits. The token stream is
+    built by ONE whole-document boundary-padded replace chain
+    (bpe.bpe_token_stream — cross-word merges impossible by
+    construction); gram join is a hash join on md5 gram hashes,
+    shuffle ∝ shingles. One row per eval doc, zero-hit docs included.
+    Oracle recomputes the merges (shared _bpe_oracle_ctes constants)
+    and replays the same stream + join."""
+    _tune(spark)
+    from drune_spark.operators.bpe import bpe_train
+    from drune_spark.operators.dedup import token_ngram_decon
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["pair"], r["merged"])
+        for r in bpe_train(docs, n_merges=BPE_MERGES).collect()
+    ]
+    return token_ngram_decon(
+        docs.filter("doc_id % 17 <> 0"),
+        docs.filter("doc_id % 17 = 0"),
+        merges,
+        n=13,
+        min_shared=1,
+    )
+
+
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG codec round-trip (VERDICT r9 #6; multimodal
+    mandate): one JPEG per document encoded through the full
+    DCT → flat-16 quantize → zigzag → Annex-K Huffman pipeline
+    (operators/jpegio.py), then a SEPARATE Arrow stage Huffman-decodes,
+    dequantizes and IDCTs the bytes back. Pixels are constant even-
+    valued 8×8 blocks, so the lossy pipeline is bit-exact (DC-only
+    blocks, see jpegio docstring) and the DuckDB oracle recomputes
+    every feature from the closed-form block formula; ``wsum`` is
+    order-sensitive, so one wrong bit anywhere in the entropy stream
+    breaks the hash. Shuffle-free mapInPandas both stages."""
+    _tune(spark)
+    from drune_spark.operators.multimodal import (
+        image_features,
+        synthesize_jpegs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_features(synthesize_jpegs(docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -10044,58 +10114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (22) ----
-        "bq_rerank": q_bq_rerank,
-        "hard_negatives": q_hard_negatives,
-        "mix_pipeline": q_mix_pipeline,
-        "sim_pack": q_sim_pack,
-        "a3_dup_count": q_a3_dup_count,
-        "s8_dynamic_path": q_s8_dynamic_path,
-        "w2_table_write": q_w2_table_write,
-        "bpe_pack": q_bpe_pack,
-        "contamination_report": q_contamination_report,
-        "audio_clipping": q_audio_clipping,
-        "pack_efficiency": q_pack_efficiency,
-        "cluster_split": q_cluster_split,
-        "chat_lint": q_chat_lint,
-        "chat_truncate": q_chat_truncate,
-        "chat_loss_mask": q_chat_loss_mask,
-        "preference_pairs": q_preference_pairs,
-        "group_advantage": q_group_advantage,
-        "niah_synth": q_niah_synth,
-        "chat_pack": q_chat_pack,
-        "pack_mask_audit": q_pack_mask_audit,
-        "terminal_punct": q_terminal_punct,
-        "recency_sample": q_recency_sample,
-        # -- driver-verified pass, stalest round first (356) -------------
-        "hash_sample": q_hash_sample,
-        "text_metrics": q_text_metrics,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "multimodal_features": q_multimodal_features,
-        "sessionize": q_sessionize,
-        "stream_window": q_stream_window,
-        "stream_stateful": q_stream_stateful,
-        "dedup_exact": q_dedup_exact,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf_assign": q_ann_ivf_assign,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ivf_train": q_ivf_train,
-        "zorder_layout": q_zorder_layout,
-        "tpch_q3": q_tpch_q3,
-        "j1_join_agg": q_j1_join_agg,
-        "dq_constraints": q_dq_constraints,
-        "topk_customers": q_topk_customers,
-        "p1_schema_apply": q_p1_schema_apply,
-        "p3_snake_case": q_p3_snake_case,
-        "p4_hash_key": q_p4_hash_key,
-        "p5_filter_step": q_p5_filter_step,
+        # -- never-driver-verified backlog, waited-longest first (3) -----
+        "suffix_spans": q_suffix_spans,
+        "token_decon": q_token_decon,
+        "jpeg_decode": q_jpeg_decode,
+        # -- driver-verified pass, stalest round first (378) -------------
         "j3_anti_join": q_j3_anti_join,
         "a1_pricing_summary": q_a1_pricing_summary,
         "a2_pivot": q_a2_pivot,
@@ -10424,6 +10447,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nsw_search": q_nsw_search,
         "aspect_bucket": q_aspect_bucket,
         "shuffle_audit": q_shuffle_audit,
+        "bq_rerank": q_bq_rerank,
+        "hard_negatives": q_hard_negatives,
+        "mix_pipeline": q_mix_pipeline,
+        "sim_pack": q_sim_pack,
+        "a3_dup_count": q_a3_dup_count,
+        "s8_dynamic_path": q_s8_dynamic_path,
+        "w2_table_write": q_w2_table_write,
+        "bpe_pack": q_bpe_pack,
+        "contamination_report": q_contamination_report,
+        "audio_clipping": q_audio_clipping,
+        "pack_efficiency": q_pack_efficiency,
+        "cluster_split": q_cluster_split,
+        "chat_lint": q_chat_lint,
+        "chat_truncate": q_chat_truncate,
+        "chat_loss_mask": q_chat_loss_mask,
+        "preference_pairs": q_preference_pairs,
+        "group_advantage": q_group_advantage,
+        "niah_synth": q_niah_synth,
+        "chat_pack": q_chat_pack,
+        "pack_mask_audit": q_pack_mask_audit,
+        "terminal_punct": q_terminal_punct,
+        "recency_sample": q_recency_sample,
+        "hash_sample": q_hash_sample,
+        "text_metrics": q_text_metrics,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "sessionize": q_sessionize,
+        "stream_window": q_stream_window,
+        "stream_stateful": q_stream_stateful,
+        "dedup_exact": q_dedup_exact,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf_assign": q_ann_ivf_assign,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ivf_train": q_ivf_train,
+        "zorder_layout": q_zorder_layout,
+        "tpch_q3": q_tpch_q3,
+        "j1_join_agg": q_j1_join_agg,
+        "dq_constraints": q_dq_constraints,
+        "topk_customers": q_topk_customers,
+        "p1_schema_apply": q_p1_schema_apply,
+        "p3_snake_case": q_p3_snake_case,
+        "p4_hash_key": q_p4_hash_key,
+        "p5_filter_step": q_p5_filter_step,
     }
 
 
@@ -10963,6 +11036,21 @@ def oracle_sql() -> dict[str, str]:
     for s in range(1, BPE_MERGES + 1):
         bpe_applied = (
             f"replace({bpe_applied},"
+            f" ' ' || (SELECT pair FROM b{s}) || ' ',"
+            f" ' ' || (SELECT replace(pair, ' ', '') FROM b{s}) || ' ')"
+        )
+    # Whole-document BPE token stream (mirror of bpe.bpe_token_stream):
+    # boundary-pad the whitespace-normalized doc, apply the same merge
+    # chain (scalar subqueries on the shared b1..bN CTEs), split on
+    # space RUNS — drops the boundary symbols, keeps document order.
+    doc_spaced = (
+        "' ' || trim(regexp_replace(regexp_replace(trim(text),"
+        " '\\s+', ' ', 'g'), '(.)', '\\1 ', 'g')) || ' '"
+    )
+    bpe_doc_stream = doc_spaced
+    for s in range(1, BPE_MERGES + 1):
+        bpe_doc_stream = (
+            f"replace({bpe_doc_stream},"
             f" ' ' || (SELECT pair FROM b{s}) || ' ',"
             f" ' ' || (SELECT replace(pair, ' ', '') FROM b{s}) || ' ')"
         )
@@ -17505,24 +17593,10 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text
             FROM e
         """,
-        "pack_sequences": """
-            WITH t AS (
-                SELECT doc_id,
-                       CAST(len(regexp_split_to_array(trim(text), '\\s+'))
-                            AS BIGINT) AS n_tokens,
-                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                            1, 8))::BIGINT % 8 AS INTEGER)
-                           AS pack_group
-                FROM documents
-            )
-            SELECT doc_id, n_tokens, pack_group,
-                   CAST(floor((SUM(n_tokens) OVER (
-                            PARTITION BY pack_group ORDER BY doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND CURRENT ROW)
-                        - n_tokens) / 256.0) AS INTEGER) AS seq_id
-            FROM t
-        """,
+        # "pack_sequences" is assigned after this literal via the shared
+        # _pack_replay generator (ADVICE r9: the old inline text was
+        # shadowed by that later d["pack_sequences"] assignment and could
+        # drift — removed; single source of truth below).
         "redact_pii": """
             WITH c AS (
                 SELECT doc_id,
@@ -18673,11 +18747,11 @@ def oracle_sql() -> dict[str, str]:
     d["recency_sample"] = """
         WITH rb AS (
             SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx
-            FROM events WHERE ts IS NOT NULL
+            FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
         ),
         re AS (
             SELECT event_id, epoch_us(ts) AS us FROM events
-            WHERE ts IS NOT NULL
+            WHERE ts IS NOT NULL AND event_id IS NOT NULL
         ),
         rw AS (
             SELECT event_id,
@@ -18881,5 +18955,124 @@ def oracle_sql() -> dict[str, str]:
                                  AND CURRENT ROW)
                     - n_tokens) / 2048.0) AS INTEGER) AS seq_id
         FROM cg
+    """
+    # -- round-10 entries --------------------------------------------------
+    # Mirror of dedup.suffix_spans (k=32): occurrence-level k-gram
+    # duplication + first-occurrence retention (min integer occurrence
+    # key doc·2^21+pos) + per-doc island merge. Window COUNT/MIN over
+    # the fp partition == Spark's one-pass window shape.
+    d["suffix_spans"] = """
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(list_slice(ws, i + 1, i + 32), ' '))
+                       AS fp
+            FROM w, UNNEST(range(GREATEST(len(ws) - 31, 0))) AS t(i)
+        ),
+        m AS (
+            SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY fp) AS occ_n,
+                   MIN(doc_id * 2097152 + pos) OVER (PARTITION BY fp)
+                       AS mok
+            FROM g
+        ),
+        c AS (
+            SELECT doc_id, pos FROM m
+            WHERE occ_n >= 2 AND doc_id * 2097152 + pos <> mok
+        ),
+        k AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) > 32
+                        THEN 1 ELSE 0 END AS brk
+            FROM c
+        ),
+        sp AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS span_id
+            FROM k
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 31 AS BIGINT) AS span_end,
+               CAST(MAX(pos) - MIN(pos) + 32 AS BIGINT) AS span_tokens
+        FROM sp GROUP BY doc_id, span_id
+    """
+    # Mirror of dedup.token_ngram_decon over the shared BPE merge CTEs:
+    # whole-doc token stream (bpe_doc_stream above), 13-gram md5
+    # fingerprints, distinct train (fp, doc), LEFT joins keep zero-hit
+    # eval docs.
+    d["token_decon"] = bpe_ctes + f""",
+        ds AS (
+            SELECT doc_id,
+                   string_split_regex(trim({bpe_doc_stream}), ' +') AS toks
+            FROM documents
+        ),
+        gr AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(list_slice(toks, i + 1, i + 13),
+                                       ' ')) AS fp
+            FROM ds, UNNEST(range(GREATEST(len(toks) - 12, 0))) AS t(i)
+        ),
+        tr AS (
+            SELECT DISTINCT fp, doc_id AS tdoc FROM gr
+            WHERE doc_id % 17 <> 0
+        ),
+        ev AS (SELECT doc_id, fp FROM gr WHERE doc_id % 17 = 0),
+        tot AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
+            FROM ev GROUP BY doc_id
+        ),
+        hit AS (
+            SELECT e.doc_id,
+                   CAST(COUNT(DISTINCT e.fp) AS BIGINT) AS nh,
+                   CAST(COUNT(DISTINCT t.tdoc) AS BIGINT) AS nt
+            FROM (SELECT DISTINCT doc_id, fp FROM ev) e
+            JOIN tr t USING (fp)
+            GROUP BY e.doc_id
+        )
+        SELECT d0.doc_id,
+               CAST(COALESCE(tot.ng, 0) AS BIGINT) AS n_token_grams,
+               CAST(COALESCE(hit.nh, 0) AS BIGINT) AS n_hit_grams,
+               CAST(COALESCE(hit.nt, 0) AS BIGINT) AS n_train_docs,
+               CAST(CASE WHEN COALESCE(hit.nh, 0) >= 1 THEN 1 ELSE 0 END
+                    AS INTEGER) AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) d0
+        LEFT JOIN tot ON d0.doc_id = tot.doc_id
+        LEFT JOIN hit ON d0.doc_id = hit.doc_id
+    """
+    # Pixel-formula mirror of multimodal.synth_jpeg_blocks (grayscale,
+    # channels=1 so r/g/b sums all equal px_sum): i is the row-major
+    # flat index, x = i % w, y = i // w, block value from the even-
+    # valued closed form — exact because the flat-16 DC-only roundtrip
+    # is bit-exact (jpegio.py).
+    d["jpeg_decode"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   16 + 4 * (doc_id % 3) AS w,
+                   8 + 4 * (doc_id % 2) AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h, i,
+                   2 * ((7 * doc_id + 5 * ((i % w) // 8)
+                         + 3 * ((i // w) // 8)) % 64) + 64 AS v
+            FROM d, UNNEST(generate_series(0, w * h - 1)) AS t(i)
+        )
+        SELECT doc_id AS media_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(v * (i + 1)) AS BIGINT) AS wsum,
+               CAST(SUM(v) AS BIGINT) AS r_sum,
+               CAST(SUM(v) AS BIGINT) AS g_sum,
+               CAST(SUM(v) AS BIGINT) AS b_sum
+        FROM px GROUP BY doc_id, w, h
     """
     return d

@@ -383,3 +383,42 @@ VITERBI_SEGMENT_BODY = """
                       / length(word)) AS BIGINT) AS saved_ppm
     FROM dp WHERE pos = length(word) GROUP BY word
 """
+
+
+def bpe_token_stream(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Ordered per-document BPE token array — the token-id stream view
+    the decontamination / packing paths need (``bpe_apply`` gives the
+    corpus histogram; this keeps sequence order).
+
+    One narrow expression chain per document, no per-word explode: the
+    WHOLE document is boundary-padded at once (every char space-joined,
+    so the original space characters become standalone boundary
+    symbols flanked by runs of >= 3 spaces), the learned merge chain is
+    applied with the same non-overlapping left-scan ``replace`` as
+    ``_merged_repr``, and the result is split on space RUNS — which
+    both drops the boundary symbols and yields exactly the
+    concatenation of the per-word token sequences in document order.
+    Cross-word merges are impossible by construction: merge pairs are
+    single-spaced (``" p q "``) and word boundaries are never
+    single-spaced, so the replace can't bridge them (pytest pins
+    multiset equality with ``bpe_apply``).
+
+    Returns ``(id_col, toks array<string>)``. Whole-stage codegen end
+    to end; zero shuffles.
+    """
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    col = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(norm, "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    for pair, merged in merges:
+        col = F.replace(col, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    return df.select(
+        F.col(id_col), F.split(F.trim(col), " +").alias("toks")
+    )

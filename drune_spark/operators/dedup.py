@@ -1861,3 +1861,207 @@ def edit_verified_pairs(
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def suffix_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+) -> DataFrame:
+    """Suffix-array-grade exact-substring dedup: maximal duplicated
+    token spans with FIRST-OCCURRENCE retention — the removal plan of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): any ``k``-token substring occurring >= 2 times in the
+    corpus is duplicated, and every occurrence except the globally
+    first (lowest ``(doc, pos)``) is cut.
+
+    This upgrades :func:`duplicate_spans` (the r03 stand-in) on three
+    axes that make it suffix-array-equivalent for the "what do I
+    remove" question:
+
+    - **occurrence-level frequency** (not per-doc df): within-document
+      repeats are duplicates too, exactly as two suffixes sharing a
+      ``k``-prefix are in a suffix array;
+    - **first-occurrence retention**: the canonical copy survives, so
+      the output is an actionable removal plan, not just a report;
+    - **span rows**: maximal cut runs ``[span_start, span_end]`` per
+      doc (positions whose covered ranges overlap or touch merge),
+      directly consumable by a splice step.
+
+    Distributed shape (the reference engine's one-node suffix automaton
+    has no cluster counterpart): positional ``k``-gram fingerprints →
+    ONE window shuffle keyed on fingerprint (occurrence count + min
+    occurrence key in the same pass — no groupBy+join-back double
+    shuffle) → per-doc island merge (windows bounded by doc length).
+    Shuffle volume ∝ shingles, never pairs; hot-gram skew is bounded
+    because the partition key is the gram hash and the per-key payload
+    is (doc, pos) longs, never text. md5 fingerprints keep the op
+    engine-portable for the DuckDB oracle.
+
+    Returns ``(id_col, span_start, span_end, span_tokens)`` — one row
+    per maximal removal span, token positions 0-based inclusive.
+    """
+    from pyspark.sql import Window
+
+    from drune_spark.functions.partitioning import fan_out
+
+    if k < 2:
+        raise ValueError("suffix_spans needs k >= 2")
+    base = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("doc"),
+        tokens(F.lower(F.col(text_col))).alias("w"),
+    )
+    n = F.size("w") - F.lit(k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.expr("cast(array() as array<int>)")
+    )
+    pos_df = base.select("doc", "w", F.explode(idx).alias("pos"))
+    # Gram via element_at projections (codegen), not a transform lambda
+    # (interpreted HOF — the r5 ngram_diversity lesson).
+    fp = F.md5(
+        F.concat_ws(
+            " ",
+            *[
+                F.element_at(F.col("w"), F.col("pos") + j + 1)
+                for j in range(k)
+            ],
+        )
+    )
+    # Integer occurrence key: doc * 2^21 + pos. The in-codegen
+    # assert_true guard (zero term of the consumed expression) throws
+    # loudly if a doc ever exceeds 2^21 token positions instead of
+    # silently corrupting the first-occurrence order.
+    okey = (
+        F.col("doc") * F.lit(1 << 21)
+        + F.col("pos")
+        + F.coalesce(
+            F.assert_true(
+                F.col("pos") < F.lit(1 << 21),
+                F.lit("suffix_spans: doc exceeds 2^21 token positions"),
+            ).cast("long"),
+            F.lit(0),
+        )
+    )
+    occ = pos_df.select("doc", "pos", fp.alias("fp"), okey.alias("okey"))
+    wfp = Window.partitionBy("fp")
+    marked = occ.select(
+        "doc",
+        "pos",
+        F.count(F.lit(1)).over(wfp).alias("occ_n"),
+        F.min("okey").over(wfp).alias("min_okey"),
+        "okey",
+    )
+    cut = marked.filter(
+        (F.col("occ_n") >= 2) & (F.col("okey") != F.col("min_okey"))
+    ).select("doc", "pos")
+    wd = Window.partitionBy("doc").orderBy("pos")
+    spans = (
+        cut.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(wd) > k, 1).otherwise(0),
+        )
+        .withColumn("span_id", F.sum("brk").over(wd))
+        .groupBy("doc", "span_id")
+        .agg(F.min("pos").alias("s"), F.max("pos").alias("e"))
+    )
+    return spans.select(
+        F.col("doc").alias(id_col),
+        F.col("s").cast("long").alias("span_start"),
+        (F.col("e") + F.lit(k - 1)).cast("long").alias("span_end"),
+        (F.col("e") - F.col("s") + F.lit(k)).cast("long").alias(
+            "span_tokens"
+        ),
+    )
+
+
+def token_ngram_decon(
+    train: DataFrame,
+    eval_df: DataFrame,
+    merges: list[tuple[str, str]],
+    n: int = 13,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-level decontamination — the eval-leakage standard (13-gram
+    TOKENIZER-id overlap, as used by GPT-3/PaLM/Llama decon, Brown et
+    al. 2020 app. C): an eval document is contaminated iff >=
+    ``min_shared`` of its ``n``-gram windows over the learned-BPE token
+    stream also occur anywhere in the training corpus.
+
+    Char/word shingles (``contamination_report``) miss exactly the
+    cases tokenizers normalize (whitespace runs, subword re-splits);
+    conversely a paraphrase shares words but not long token runs —
+    pytest plants both to prove the signals separate.
+
+    Shape: :func:`~drune_spark.operators.bpe.bpe_token_stream` builds
+    both streams (narrow, zero shuffle), gram fingerprints are md5 over
+    the joined token window (codegen ``element_at`` projections, no
+    HOF lambda), the train side dedupes to distinct ``(fp, doc)`` and
+    the join is a hash join on the gram hash — shuffle ∝ shingles,
+    never pairs; no text ever shuffles. Returns ONE row per eval doc
+    (LEFT joins keep the zero-hit docs — a decon report must show the
+    clean ones): ``(id_col, n_token_grams, n_hit_grams, n_train_docs,
+    contaminated)``, all counts int64, flag int 0/1.
+    """
+    from drune_spark.functions.partitioning import fan_out
+
+    from drune_spark.operators.bpe import bpe_token_stream
+
+    if n < 2:
+        raise ValueError("token_ngram_decon needs n >= 2")
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = fan_out(bpe_token_stream(df, merges, text_col, id_col))
+        sz = F.size("toks") - F.lit(n - 1)
+        idx = F.when(sz >= 1, F.sequence(F.lit(0), sz - 1)).otherwise(
+            F.expr("cast(array() as array<int>)")
+        )
+        pos_df = toks.select(F.col(id_col), "toks",
+                             F.explode(idx).alias("pos"))
+        fp = F.md5(
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("toks"), F.col("pos") + j + 1)
+                    for j in range(n)
+                ],
+            )
+        )
+        return pos_df.select(F.col(id_col), fp.alias("fp"))
+
+    ev = grams(eval_df)
+    tr = grams(train).select(
+        "fp", F.col(id_col).alias("__tdoc")
+    ).distinct()
+    hits = (
+        ev.distinct()
+        .join(tr, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("fp").alias("__nh"),
+            F.countDistinct("__tdoc").alias("__nt"),
+        )
+    )
+    totals = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("__ng"))
+    return (
+        eval_df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__ng"), F.lit(0)).cast("long").alias(
+                "n_token_grams"
+            ),
+            F.coalesce(F.col("__nh"), F.lit(0)).cast("long").alias(
+                "n_hit_grams"
+            ),
+            F.coalesce(F.col("__nt"), F.lit(0)).cast("long").alias(
+                "n_train_docs"
+            ),
+            (
+                F.coalesce(F.col("__nh"), F.lit(0)) >= F.lit(min_shared)
+            ).cast("int").alias("contaminated"),
+        )
+    )

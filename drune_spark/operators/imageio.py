@@ -206,9 +206,13 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 def sniff_and_decode(content: bytes) -> np.ndarray:
-    """Magic-byte dispatch: PNG or BMP → uint8 pixel array."""
+    """Magic-byte dispatch: PNG, BMP, or baseline JPEG → uint8 pixels."""
     if content[:8] == _PNG_SIG:
         return decode_png(content)
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:2] == b"\xff\xd8":
+        from drune_spark.operators.jpegio import decode_jpeg
+
+        return decode_jpeg(content)
     raise ValueError("unrecognized image format")

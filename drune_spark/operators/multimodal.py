@@ -1085,3 +1085,46 @@ def aspect_ratio_buckets(
             F.col("w") * F.col("h") < F.col("bucket_w") * F.col("bucket_h")
         ).alias("n_upscaled"),
     )
+
+
+def synth_jpeg_blocks(doc_id: int) -> np.ndarray:
+    """Deterministic grayscale test image for the JPEG gate, built from
+    CONSTANT 8×8 blocks with EVEN values so the flat-16 quantization
+    roundtrip is bit-exact (see jpegio.py module docstring):
+    w = 16 + 4·(id%3), h = 8 + 4·(id%2) (non-multiples of 8 included),
+    block value v(bx, by) = 2·((7·id + 5·bx + 3·by) mod 64) + 64,
+    pixel(y, x) = v(x div 8, y div 8). Closed-form → the DuckDB oracle
+    recomputes every decoded feature from this formula alone."""
+    w = 16 + 4 * (doc_id % 3)
+    h = 8 + 4 * (doc_id % 2)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    v = 2 * ((7 * doc_id + 5 * (x // 8) + 3 * (y // 8)) % 64) + 64
+    return v.astype(np.uint8)[..., None]
+
+
+def synthesize_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode one REAL baseline JPEG per row (media_id, content binary)
+    — full DCT → quantize → zigzag → Huffman pipeline per image
+    (operators/jpegio.py), flat-16 quantization so the constant-block
+    pixels roundtrip exactly. Arrow-batched, no shuffle."""
+    import numpy as _np
+
+    from drune_spark.operators.jpegio import encode_jpeg
+
+    flat16 = _np.full((8, 8), 16, dtype=_np.int64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "content": [
+                    encode_jpeg(synth_jpeg_blocks(int(i)), quant_luma=flat16)
+                    for i in ids
+                ],
+            })
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="media_id bigint, content binary"
+    )

@@ -196,7 +196,12 @@ def pack_mask_audit(
     seqs = packed.groupBy(group_col, seq_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tok_col).cast("long").alias("__t"),
-        F.sum(F.col(tok_col) * F.col(tok_col)).cast("long").alias("__ss"),
+        # Square in int64: an IntegerType token count over ~46k tokens
+        # would overflow int32 during the product (ANSI raises) — cast
+        # BEFORE the multiply, matching the oracle's BIGINT arithmetic.
+        F.sum(
+            F.col(tok_col).cast("long") * F.col(tok_col).cast("long")
+        ).alias("__ss"),
     )
     return seqs.select(
         group_col,

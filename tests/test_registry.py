@@ -59,6 +59,39 @@ class TestRegistryHygiene:
                 return
         raise AssertionError("queries() not found")
 
+    def test_oracle_literal_keys_not_shadowed(self):
+        """An oracle_sql() dict-literal key that is later reassigned via
+        d["key"] = ... is dead text that silently drifts (ADVICE r9:
+        pack_sequences). Flag literal keys that are also subscript-assigned
+        inside oracle_sql()."""
+        src = open(os.path.join(REPO, "__spark_entry__.py")).read()
+        tree = ast.parse(src)
+        for fn in ast.walk(tree):
+            if isinstance(fn, ast.FunctionDef) and fn.name == "oracle_sql":
+                literal_keys = {
+                    k.value
+                    for n in ast.walk(fn)
+                    if isinstance(n, ast.Dict)
+                    for k in n.keys
+                    if isinstance(k, ast.Constant)
+                }
+                assigned_keys = set()
+                for n in ast.walk(fn):
+                    if (
+                        isinstance(n, ast.Assign)
+                        and len(n.targets) == 1
+                        and isinstance(n.targets[0], ast.Subscript)
+                        and isinstance(n.targets[0].slice, ast.Constant)
+                    ):
+                        assigned_keys.add(n.targets[0].slice.value)
+                shadowed = sorted(literal_keys & assigned_keys)
+                assert shadowed == [], (
+                    f"oracle_sql literal keys shadowed by later "
+                    f"assignment: {shadowed}"
+                )
+                return
+        raise AssertionError("oracle_sql() not found")
+
     def test_entry_values_are_callables_with_standard_signature(self):
         import inspect
 
