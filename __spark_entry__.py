@@ -10102,6 +10102,68 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthesize_jpegs(docs))
 
 
+# Shared constants for the watermark gate: the q_ function AND the
+# oracle text render from these (the niah_oracle_sql/_pack_replay
+# convention — retuning never needs a synchronized hand-edit).
+WATERMARK_SALT = "wm1"
+WATERMARK_THRESHOLD_PPM = 560_000
+
+
+def q_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Green-list watermark screen (text_analysis.py watermark_detect,
+    Kirchenbauer et al. 2023 γ=1/2): token i is green iff
+    md5_u32('wm1:prev:token') is even; per-doc green fraction in
+    integer ppm, flagged at >= 560000 — the provenance intake screen
+    keeping model output from feeding back into pretraining data. One
+    narrow explode + one id groupBy; md5-parity rule identical in the
+    oracle."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import watermark_detect
+
+    return watermark_detect(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        salt=WATERMARK_SALT,
+        green_ppm_threshold=WATERMARK_THRESHOLD_PPM,
+    )
+
+
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup savings over the VERIFIED content-defined
+    chunking (dedup.py cdc_dedup over packing.py cdc_chunks — one
+    chunker definition, r5 gate `cdc_chunks`): CDC boundaries
+    re-synchronize after edits, so first-occurrence chunk dedup
+    catches shifted duplicates fixed-width blocking misses (pytest
+    plants a prefix-shifted copy). One fingerprint-window shuffle
+    (count + min occurrence key in one pass, the suffix_spans
+    discipline); oracle nests the existing cdc_chunks text as a
+    derived table (the bm25/hard_negatives pattern)."""
+    _tune(spark)
+    from drune_spark.operators.dedup import cdc_dedup
+    from drune_spark.operators.packing import cdc_chunks
+
+    return cdc_dedup(
+        cdc_chunks(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                   window=16)
+    )
+
+
+def q_prefix_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache hit audit (packing.py prefix_cache_audit): per-
+    source lexicographic serve order against a radix trie — each
+    prompt reuses LCP(predecessor) tokens (the adjacent-sorted-LCP
+    trie identity); LCP computed order-free as the count of equal
+    first-i-token joins (monotone in i). The vLLM-style shared-prefix
+    batching decision metric. Windows bounded per source; oracle
+    replays the identical sort + slice-equality count."""
+    _tune(spark)
+    from drune_spark.operators.packing import prefix_cache_audit
+
+    return prefix_cache_audit(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        group_col="source", max_tokens=64,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification-priority queue. The driver's
     correctness gate evaluates exactly the FIRST ~50 entries each round
@@ -10117,7 +10179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (3) -----
+        # -- never-driver-verified backlog, waited-longest first (6) -----
+        "watermark_detect": q_watermark_detect,
+        "cdc_dedup": q_cdc_dedup,
+        "prefix_cache": q_prefix_cache,
         "suffix_spans": q_suffix_spans,
         "token_decon": q_token_decon,
         "jpeg_decode": q_jpeg_decode,
@@ -10839,6 +10904,45 @@ def _profile_oracle() -> str:
                    {mns} AS min_str, {mxs} AS max_str
             FROM orders""")
     return "\n            UNION ALL".join(branches)
+
+
+# Mirror of packing.cdc_chunks (window=16): one text consumed by the
+# cdc_chunks gate verbatim AND nested as a derived table by cdc_dedup
+# (the bm25/hard_negatives composition pattern).
+CDC_CHUNKS_ORACLE = """
+            WITH d AS (
+                SELECT doc_id, text, len(text) AS L FROM documents
+            ),
+            b AS (
+                SELECT doc_id, i AS p
+                FROM d, UNNEST(generate_series(16, L)) AS t(i)
+                WHERE substr(md5(substr(text, i - 15, 16)), 1, 1) = '0'
+            ),
+            bl AS (
+                SELECT doc_id, list_sort(list(p)) AS bs
+                FROM b GROUP BY doc_id
+            ),
+            j AS (
+                SELECT d.doc_id, d.text, d.L,
+                       coalesce(bl.bs, CAST([] AS BIGINT[])) AS bs
+                FROM d LEFT JOIN bl USING (doc_id)
+            ),
+            spans AS (
+                SELECT doc_id, text,
+                       CAST(k - 1 AS INTEGER) AS chunk_no,
+                       CASE WHEN k = 1 THEN 1 ELSE bs[k - 1] + 1 END
+                           AS s,
+                       CASE WHEN k = len(bs) + 1 THEN L ELSE bs[k] END
+                           AS e
+                FROM j, UNNEST(generate_series(1, len(bs) + 1)) AS t(k)
+            )
+            SELECT doc_id, chunk_no,
+                   CAST(s AS INTEGER) AS start_pos,
+                   CAST(e - s + 1 AS INTEGER) AS chunk_len,
+                   md5(substr(text, CAST(s AS INTEGER),
+                              CAST(e - s + 1 AS INTEGER))) AS chunk_md5
+            FROM spans WHERE s <= e
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12854,41 +12958,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Chunk ordinals count every span INCLUDING the filtered empty
         # tail (a boundary at the last char), so ordinals match the
-        # Spark side's pre-filter posexplode numbering.
-        "cdc_chunks": """
-            WITH d AS (
-                SELECT doc_id, text, len(text) AS L FROM documents
-            ),
-            b AS (
-                SELECT doc_id, i AS p
-                FROM d, UNNEST(generate_series(16, L)) AS t(i)
-                WHERE substr(md5(substr(text, i - 15, 16)), 1, 1) = '0'
-            ),
-            bl AS (
-                SELECT doc_id, list_sort(list(p)) AS bs
-                FROM b GROUP BY doc_id
-            ),
-            j AS (
-                SELECT d.doc_id, d.text, d.L,
-                       coalesce(bl.bs, CAST([] AS BIGINT[])) AS bs
-                FROM d LEFT JOIN bl USING (doc_id)
-            ),
-            spans AS (
-                SELECT doc_id, text,
-                       CAST(k - 1 AS INTEGER) AS chunk_no,
-                       CASE WHEN k = 1 THEN 1 ELSE bs[k - 1] + 1 END
-                           AS s,
-                       CASE WHEN k = len(bs) + 1 THEN L ELSE bs[k] END
-                           AS e
-                FROM j, UNNEST(generate_series(1, len(bs) + 1)) AS t(k)
-            )
-            SELECT doc_id, chunk_no,
-                   CAST(s AS INTEGER) AS start_pos,
-                   CAST(e - s + 1 AS INTEGER) AS chunk_len,
-                   md5(substr(text, CAST(s AS INTEGER),
-                              CAST(e - s + 1 AS INTEGER))) AS chunk_md5
-            FROM spans WHERE s <= e
-        """,
+        # Spark side's pre-filter posexplode numbering. Shared constant:
+        # cdc_dedup nests this same text as a derived table.
+        "cdc_chunks": CDC_CHUNKS_ORACLE,
         "ngram_diversity": f"""
             WITH toksd AS (
                 SELECT source, {toks_lower} AS w FROM documents
@@ -19077,5 +19149,102 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(v) AS BIGINT) AS g_sum,
                CAST(SUM(v) AS BIGINT) AS b_sum
         FROM px GROUP BY doc_id, w, h
+    """
+    # Mirror of text_analysis.watermark_detect: the md5-parity green
+    # rule on 1-indexed bigram positions; docs with < 2 tokens drop on
+    # both sides (range(1, 1) is empty). Rendered from the SAME
+    # constants the gate passes (WATERMARK_SALT / _THRESHOLD_PPM).
+    d["watermark_detect"] = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('{WATERMARK_SALT}:' || ws[i]
+                                        || ':'
+                                        || ws[i + 1]), 1, 8))::BIGINT
+                       % 2 AS g
+            FROM w, UNNEST(range(1, len(ws))) AS t(i)
+        ),
+        a AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+                   CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_green
+            FROM p GROUP BY doc_id
+        )
+        SELECT doc_id, n_scored, n_green,
+               n_green * 1000000 // n_scored AS green_ppm,
+               CAST(CASE WHEN n_green * 1000000 // n_scored
+                              >= {WATERMARK_THRESHOLD_PPM}
+                         THEN 1 ELSE 0 END AS INTEGER) AS flagged
+        FROM a
+    """
+    # Mirror of dedup.cdc_dedup over the SHARED cdc_chunks body
+    # (CDC_CHUNKS_ORACLE nested as a derived table): first-occurrence
+    # retention on doc·2^21 + chunk_no, per-doc savings summary.
+    d["cdc_dedup"] = f"""
+        WITH ck AS MATERIALIZED (
+            SELECT * FROM ({CDC_CHUNKS_ORACLE}) t
+        ),
+        dd AS (
+            SELECT doc_id, CAST(chunk_len AS BIGINT) AS clen,
+                   CASE WHEN COUNT(*) OVER (PARTITION BY chunk_md5) >= 2
+                             AND doc_id * 2097152 + chunk_no
+                                 <> MIN(doc_id * 2097152 + chunk_no)
+                                    OVER (PARTITION BY chunk_md5)
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM ck
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dup_chunks,
+               CAST(SUM(is_dup * clen) AS BIGINT) AS dup_chars,
+               CAST(SUM(clen) AS BIGINT) AS total_chars,
+               CAST(SUM(is_dup * clen) AS BIGINT) * 1000000
+                   // GREATEST(CAST(SUM(clen) AS BIGINT), 1)
+                   AS dup_ppm
+        FROM dd GROUP BY doc_id
+    """
+    # Mirror of packing.prefix_cache_audit: per-source lexicographic
+    # lag, LCP = count of equal first-i-token joins (monotone), LEFT
+    # join keeps each source's first prompt at 0 hits.
+    d["prefix_cache"] = """
+        WITH b AS (
+            SELECT doc_id, source,
+                   list_slice(regexp_split_to_array(trim(text),
+                                                    '\\s+'), 1, 64)
+                       AS toks,
+                   text AS txt
+            FROM documents
+        ),
+        l AS (
+            SELECT doc_id, source, toks,
+                   lag(toks) OVER (PARTITION BY source
+                                   ORDER BY txt, doc_id) AS ptoks
+            FROM b
+        ),
+        e AS (
+            SELECT doc_id, i,
+                   CASE WHEN array_to_string(list_slice(toks, 1, i), ' ')
+                             = array_to_string(list_slice(ptoks, 1, i),
+                                               ' ')
+                        THEN 1 ELSE 0 END AS eq
+            FROM l, UNNEST(range(1, LEAST(len(toks), len(ptoks)) + 1))
+                        AS t(i)
+            WHERE ptoks IS NOT NULL
+        ),
+        h AS (
+            SELECT doc_id, CAST(SUM(eq) AS BIGINT) AS hit
+            FROM e GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.source,
+               CAST(len(b.toks) AS BIGINT) AS prompt_tokens,
+               COALESCE(h.hit, 0) AS hit_tokens,
+               COALESCE(h.hit, 0) * 1000000
+                   // GREATEST(CAST(len(b.toks) AS BIGINT), 1)
+                   AS hit_ppm
+        FROM b LEFT JOIN h ON b.doc_id = h.doc_id
     """
     return d

@@ -2065,3 +2065,77 @@ def token_ngram_decon(
             ).cast("int").alias("contaminated"),
         )
     )
+
+
+def cdc_dedup(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "chunk_md5",
+    ord_col: str = "chunk_no",
+    len_col: str = "chunk_len",
+) -> DataFrame:
+    """Corpus-wide chunk dedup with FIRST-OCCURRENCE retention over a
+    content-defined chunking (consumes ``packing.cdc_chunks`` output —
+    one chunker definition, per the shared-helper rule). CDC boundaries
+    re-synchronize after edits, so this catches shifted duplicates that
+    fixed-width blocking (``segment_dedup``'s grain) misses — the
+    rsync/LBFS/restic storage-dedup action, here as the corpus-prep
+    measurement "how many bytes would chunk-level dedup reclaim".
+
+    Dedup is occurrence-level (within-doc repeats count) with the
+    ``suffix_spans`` discipline: ONE window shuffle keyed on the chunk
+    fingerprint computes occurrence count + min occurrence key
+    (doc·2²¹ + chunk ordinal) in one pass; every occurrence except the
+    globally first is a dup. Shuffle ∝ chunks (≪ characters), payload
+    is (fp, two longs) — text never shuffles.
+
+    Returns per doc: ``(id_col, n_chunks, n_dup_chunks, dup_chars,
+    total_chars, dup_ppm)``.
+    """
+    from pyspark.sql import Window
+
+    # In-codegen domain guard (the suffix_spans discipline): an
+    # out-of-range chunk ordinal would bleed into the doc field of the
+    # occurrence key and silently corrupt first-occurrence order on
+    # BOTH engines — throw loudly instead; free on the pass path.
+    okey = (
+        F.col(id_col) * F.lit(1 << 21)
+        + F.col(ord_col)
+        + F.coalesce(
+            F.assert_true(
+                F.col(ord_col) < F.lit(1 << 21),
+                F.lit("cdc_dedup: doc exceeds 2^21 chunks"),
+            ).cast("long"),
+            F.lit(0),
+        )
+    )
+    wfp = Window.partitionBy(fp_col)
+    dd = chunks.select(
+        F.col(id_col),
+        F.col(len_col).cast("long").alias("__len"),
+        (
+            (F.count(F.lit(1)).over(wfp) >= 2)
+            & (okey != F.min(okey).over(wfp))
+        ).cast("long").alias("__dup"),
+    )
+    return (
+        dd.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("__dup").cast("long").alias("n_dup_chunks"),
+            F.sum(F.col("__dup") * F.col("__len")).cast("long").alias(
+                "dup_chars"
+            ),
+            F.sum("__len").cast("long").alias("total_chars"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            "dup_chars",
+            "total_chars",
+            F.expr(
+                "dup_chars * 1000000 div greatest(total_chars, 1)"
+            ).alias("dup_ppm"),
+        )
+    )

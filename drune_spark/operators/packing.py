@@ -669,3 +669,85 @@ def similarity_pack(
         F.min("cos_micro").alias("cos_min_micro"),
         F.max("cos_micro").alias("cos_max_micro"),
     )
+
+
+def prefix_cache_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Radix-tree prefix-cache hit audit — the serving-efficiency
+    measurement behind vLLM-style automatic prefix caching: if each
+    group's prompts are served in lexicographic order against a prefix
+    trie, every prompt reuses exactly ``LCP(prompt, predecessor)``
+    tokens of cached KV state (the classic identity: the sum of
+    adjacent-sorted LCPs equals total trie-edge reuse). Reports
+    per-prompt hit tokens and hit rate, the number that decides
+    whether shared-prefix batching is worth deploying on a workload.
+
+    Prompts are the first ``max_tokens`` whitespace tokens. LCP is
+    computed order-free as ``count of i where the first-i-token joins
+    of prompt and predecessor are equal`` (prefix equality is monotone
+    in i, so the count IS the LCP — no early-exit fold, no interpreted
+    HOF, identical in SQL). Sort windows are per group, bounded by
+    group size; ties among identical texts are harmless (LCP with an
+    identical text is full length regardless of tie order) but are
+    still broken on the id for engine parity.
+
+    Returns ``(id_col, group_col, prompt_tokens, hit_tokens,
+    hit_ppm)`` — one row per prompt; the first prompt of each group
+    hits 0.
+    """
+    from pyspark.sql import Window
+
+    from drune_spark.functions.text import tokens
+
+    if max_tokens < 1:
+        raise ValueError("prefix_cache_audit needs max_tokens >= 1")
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.slice(tokens(F.col(text_col)), 1, int(max_tokens)).alias(
+            "toks"
+        ),
+        F.col(text_col).alias("__txt"),
+    )
+    wg = Window.partitionBy(group_col).orderBy("__txt", id_col)
+    lagged = base.select(
+        F.col(id_col),
+        F.col(group_col),
+        "toks",
+        F.lag("toks").over(wg).alias("ptoks"),
+    )
+    m = F.least(F.size("toks"), F.size("ptoks"))
+    idx = F.when(
+        F.col("ptoks").isNotNull() & (m >= 1),
+        F.sequence(F.lit(1), m),
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    ex = lagged.select(
+        F.col(id_col), F.explode(idx).alias("i"), "toks", "ptoks"
+    )
+    eq = (
+        F.array_join(F.slice("toks", 1, F.col("i")), " ")
+        == F.array_join(F.slice("ptoks", 1, F.col("i")), " ")
+    )
+    hits = ex.groupBy(id_col).agg(
+        F.sum(eq.cast("long")).cast("long").alias("hit_tokens")
+    )
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            id_col,
+            group_col,
+            F.size("toks").cast("long").alias("prompt_tokens"),
+            F.coalesce("hit_tokens", F.lit(0)).cast("long").alias(
+                "hit_tokens"
+            ),
+            F.expr(
+                "coalesce(hit_tokens, 0) * 1000000"
+                " div greatest(size(toks), 1)"
+            ).alias("hit_ppm"),
+        )
+    )

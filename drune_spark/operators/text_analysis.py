@@ -1431,3 +1431,67 @@ def terminal_punct_screen(
             "clean_ppm", F.expr("n_clean * 1000000 div n_docs")
         )
     )
+
+
+def watermark_detect(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "wm1",
+    green_ppm_threshold: int = 560_000,
+) -> DataFrame:
+    """Green-list watermark detector (Kirchenbauer et al. 2023, "A
+    Watermark for Large Language Models", γ = 1/2 simplified): token i
+    is GREEN iff the portable 32-bit hash of ``salt:prev:token`` is
+    even — the bigram-seeded vocabulary split a soft watermark biases
+    generation toward. A document whose green fraction sits far above
+    the natural ~1/2 is flagged as likely machine-generated with this
+    key; the provenance screen a training-corpus intake runs to keep
+    model output from feeding back into pretraining data.
+
+    All-integer: green_ppm = n_green·10⁶ div n_scored (n_scored =
+    T−1 bigram positions); the md5-parity green rule is identical in
+    any engine with md5 (functions/hashes.md5_u32). One narrow
+    explode + one groupBy on the id — shuffle carries (id, two longs).
+    Short docs are noisy by nature (the pytest plants a long forced-
+    green sequence to pin detection); thresholding is the caller's
+    policy knob. Returns (id_col, n_scored, n_green, green_ppm,
+    flagged 0/1); docs with < 2 tokens are dropped (nothing to score).
+    """
+    from drune_spark.functions.hashes import md5_u32
+    from drune_spark.functions.partitioning import fan_out
+
+    base = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("w")
+    )
+    n = F.size("w") - 1
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.expr("cast(array() as array<int>)")
+    )
+    pos = base.select(F.col(id_col), "w", F.explode(idx).alias("i"))
+    green = (
+        md5_u32(
+            F.concat_ws(
+                ":",
+                F.lit(salt),
+                F.element_at(F.col("w"), F.col("i")),
+                F.element_at(F.col("w"), F.col("i") + 1),
+            )
+        )
+        % 2
+        == 0
+    )
+    agg = pos.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(green.cast("long")).cast("long").alias("n_green"),
+    )
+    return agg.select(
+        id_col,
+        "n_scored",
+        "n_green",
+        F.expr("n_green * 1000000 div n_scored").alias("green_ppm"),
+        (
+            F.expr("n_green * 1000000 div n_scored")
+            >= F.lit(int(green_ppm_threshold))
+        ).cast("int").alias("flagged"),
+    )

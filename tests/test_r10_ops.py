@@ -296,3 +296,192 @@ class TestTokenDecon:
         )
         with pytest.raises(ValueError):
             token_ngram_decon(df, df, self.MERGES, n=1)
+
+
+# ------------------------------------------------------ watermark_detect
+
+
+def _md5_u32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+class TestWatermarkDetect:
+    def _forced(self, salt: str, n: int, want_green: bool) -> str:
+        """Greedy sequential construction (fine in a test; the operator
+        itself is position-parallel): pick each next token so the
+        bigram hash parity matches."""
+        toks = ["seed"]
+        for i in range(n):
+            for j in range(64):
+                cand = f"c{i}x{j}"
+                green = _md5_u32(f"{salt}:{toks[-1]}:{cand}") % 2 == 0
+                if green == want_green:
+                    toks.append(cand)
+                    break
+            else:
+                raise AssertionError("no candidate with wanted parity")
+        return " ".join(toks)
+
+    def test_planted_watermark_flagged(self, spark):
+        from drune_spark.operators.text_analysis import watermark_detect
+
+        df = spark.createDataFrame(
+            [
+                (1, self._forced("wm1", 60, True)),   # all green
+                (2, self._forced("wm1", 60, False)),  # all red
+                (3, "one"),                           # unscorable
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in watermark_detect(df).collect()}
+        assert out[1].flagged == 1 and out[1].n_green == 60
+        assert out[2].flagged == 0 and out[2].n_green == 0
+        assert out[1].green_ppm == 1_000_000
+        assert 3 not in out  # < 2 tokens -> nothing to score
+
+    def test_key_dependence(self, spark):
+        from drune_spark.operators.text_analysis import watermark_detect
+
+        # a sequence forced green under wm1 is ~half green under a
+        # different key — detection requires the key
+        df = spark.createDataFrame(
+            [(1, self._forced("wm1", 60, True))],
+            "doc_id long, text string",
+        )
+        row = watermark_detect(df, salt="otherkey").collect()[0]
+        assert 10 <= row.n_green <= 50
+
+
+# ------------------------------------------------------------- cdc_dedup
+
+
+class TestCdcDedup:
+    def _boundaries(self, text: str, window: int = 16):
+        import hashlib
+
+        return [
+            p for p in range(window, len(text) + 1)
+            if hashlib.md5(
+                text[p - window:p].encode()
+            ).hexdigest()[0] == "0"
+        ]
+
+    def _long_text(self, seed: int, n: int = 400) -> str:
+        import hashlib
+
+        # deterministic APERIODIC pseudo-text (a periodic formula here
+        # creates real within-doc duplicate chunks and fails the
+        # zero-dup assertions for the right reason)
+        return "".join(
+            chr(
+                97
+                + int(
+                    hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:4],
+                    16,
+                )
+                % 26
+            )
+            for i in range(n)
+        )
+
+    def test_shift_invariance_catches_prefixed_copy(self, spark):
+        from drune_spark.operators.dedup import cdc_dedup
+        from drune_spark.operators.packing import cdc_chunks
+
+        a = self._long_text(1)
+        # precondition: the body has interior boundaries to re-sync at
+        assert len(self._boundaries(a)) >= 2
+        df = spark.createDataFrame(
+            [(1, a), (2, "XYZ PREFIX SHIFT " + a)],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in cdc_dedup(cdc_chunks(df, window=16)).collect()
+        }
+        # doc 1 is the first occurrence everywhere: zero dups
+        assert out[1].n_dup_chunks == 0
+        # doc 2: boundaries re-synchronize after the first unchanged
+        # window, so every chunk past the first shared boundary
+        # duplicates doc 1 — fixed-width blocking would miss ALL of
+        # them (every window shifted by the prefix length)
+        assert out[2].n_dup_chunks >= 1
+        assert out[2].dup_chars > 0
+        assert out[2].dup_ppm > 0
+
+    def test_within_doc_repeat(self, spark):
+        from drune_spark.operators.dedup import cdc_dedup
+        from drune_spark.operators.packing import cdc_chunks
+
+        s = self._long_text(2, 300)
+        assert len(self._boundaries(s)) >= 2
+        df = spark.createDataFrame(
+            [(1, s + s)], "doc_id long, text string"
+        )
+        row = cdc_dedup(cdc_chunks(df, window=16)).collect()[0]
+        # the second copy re-syncs onto the first's chunking:
+        # occurrence-level dedup counts within-doc repeats
+        assert row.n_dup_chunks >= 1
+        assert row.total_chars == 2 * len(s)
+
+    def test_no_false_dups_on_distinct_docs(self, spark):
+        from drune_spark.operators.dedup import cdc_dedup
+        from drune_spark.operators.packing import cdc_chunks
+
+        df = spark.createDataFrame(
+            [(1, self._long_text(3)), (2, self._long_text(4))],
+            "doc_id long, text string",
+        )
+        rows = cdc_dedup(cdc_chunks(df, window=16)).collect()
+        assert all(r.n_dup_chunks == 0 for r in rows)
+
+
+# ---------------------------------------------------------- prefix_cache
+
+
+class TestPrefixCacheAudit:
+    def test_planted_lcp(self, spark):
+        from drune_spark.operators.packing import prefix_cache_audit
+
+        df = spark.createDataFrame(
+            [
+                (1, "s1", "alpha beta gamma delta"),
+                (2, "s1", "alpha beta gamma epsilon"),
+                (3, "s1", "alpha beta zeta"),
+                (4, "s1", "omega"),
+                (5, "s2", "alpha beta gamma delta"),  # other group
+            ],
+            "doc_id long, source string, text string",
+        )
+        out = {
+            r.doc_id: r for r in prefix_cache_audit(df).collect()
+        }
+        # sorted s1 order: doc1, doc2, doc3, doc4
+        assert out[1].hit_tokens == 0           # first in group
+        assert out[2].hit_tokens == 3           # alpha beta gamma
+        assert out[3].hit_tokens == 2           # alpha beta
+        assert out[4].hit_tokens == 0           # omega shares nothing
+        assert out[5].hit_tokens == 0           # alone in s2
+        assert out[2].prompt_tokens == 4
+        assert out[2].hit_ppm == 750_000
+
+    def test_identical_prompts_full_hit(self, spark):
+        from drune_spark.operators.packing import prefix_cache_audit
+
+        df = spark.createDataFrame(
+            [(i, "s", "same exact prompt text") for i in range(3)],
+            "doc_id long, source string, text string",
+        )
+        rows = prefix_cache_audit(df).collect()
+        assert sorted(r.hit_tokens for r in rows) == [0, 4, 4]
+
+    def test_max_tokens_guard(self, spark):
+        from drune_spark.operators.packing import prefix_cache_audit
+
+        df = spark.createDataFrame(
+            [(1, "s", "x")], "doc_id long, source string, text string"
+        )
+        with pytest.raises(ValueError):
+            prefix_cache_audit(df, max_tokens=0)
