@@ -10108,6 +10108,123 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 WATERMARK_SALT = "wm1"
 WATERMARK_THRESHOLD_PPM = 560_000
 
+# Bradley-Terry gate constants (gate match-synthesis AND oracle render
+# from these).
+BT_K = 8
+BT_ROUNDS = 4
+BT_SCALE = 1_000_000
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength fit (preference.py bradley_terry, the
+    Chatbot-Arena rating model): matches synthesized from orders with
+    TRUE BT outcome semantics — systems a = o_custkey % 8,
+    b = (a + 1 + (o_custkey div 8) % 7) % 8, strengths s_i = i+1,
+    winner = a iff o_orderkey % (s_a + s_b) < s_a — then 4 integer MM
+    rounds (floor arithmetic, Σ ratings renormalized to k·10⁶). One
+    Spark aggregation pass; the k=8-item iteration is a driver-side
+    python loop over two collected control frames (perceptron family);
+    oracle replays the identical floors in unrolled CTEs generated
+    from the same constants."""
+    _tune(spark)
+    from drune_spark.operators.preference import bradley_terry
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    k = BT_K
+    a = (F.col("o_custkey") % k).cast("long")
+    b = (
+        (a + 1 + F.expr(f"o_custkey div {k}") % (k - 1)) % k
+    ).cast("long")
+    sa = a + 1
+    sb = b + 1
+    a_wins = F.col("o_orderkey") % (sa + sb) < sa
+    matches = o.select(
+        F.when(a_wins, a).otherwise(b).alias("winner"),
+        F.when(a_wins, b).otherwise(a).alias("loser"),
+    )
+    return bradley_terry(matches, n_rounds=BT_ROUNDS, scale=BT_SCALE)
+
+
+def q_rand_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response (privacy.py randomized_response, the
+    local-DP mechanism): each customer's sensitive bit (mktsegment =
+    BUILDING) flips with p = 1/4 on a deterministic md5 draw; per-
+    nation prevalence debiased from reported counts alone with exact
+    integer algebra ((4·reported − n)·1000 div 2 — always even, so
+    trunc == floor even when negative). Audit columns expose the true
+    count and the estimator error. One groupBy; md5-parity oracle."""
+    _tune(spark)
+    from drune_spark.operators.privacy import randomized_response
+
+    c = _t(spark, sf_dir, "customer")
+    return randomized_response(
+        c,
+        sensitive=F.col("c_mktsegment") == "BUILDING",
+        group_col="c_nationkey",
+        id_col="c_custkey",
+        salt="rr1",
+        flip_denom=4,
+    )
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase part graph (Newman
+    2002) — the structural sibling of the modularity gate: Pearson
+    correlation of endpoint degrees over symmetrized edges, computed
+    by the VERIFIED stats.grouped_moments (integer sufficient
+    statistics, the one shared double expression — series_corr's
+    parity discipline). Positive r = hubs buy with hubs. Edges reuse
+    the k_truss builder shape (w ≥ 2)."""
+    _tune(spark)
+    from drune_spark.operators.stats import grouped_moments
+
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    # symmetrize via the explode(array(struct)) fan-out (never a union
+    # of two projections — the union-re-plan trap), then per-node
+    # degree and endpoint-degree pairs. sym is read by the deg build
+    # AND the pairs scan (and deg by both join sides): lazy persists
+    # dedupe 2-3 plan-time branches (CLAUDE.md r8 note 27) and stop
+    # the lineitem self-join from re-executing per branch; bench's
+    # per-query clearCache bounds residency.
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
+                F.struct(F.col("dst").alias("u"), F.col("src").alias("v")),
+            )
+        ).alias("e")
+    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v")).persist()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
+    du = deg.select(F.col("u").alias("__u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("__v"), F.col("deg").alias("deg_v"))
+    pairs = (
+        sym.join(du, sym.u == F.col("__u"))
+        .join(dv, sym.v == F.col("__v"))
+        .select(
+            F.lit("copurchase").alias("graph"),
+            F.col("deg_u").cast("double").alias("x"),
+            F.col("deg_v").cast("double").alias("y"),
+        )
+    )
+    return grouped_moments(
+        pairs, "x", "y", ["graph"], scale_x=1, scale_y=1
+    )
+
 
 def q_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Green-list watermark screen (text_analysis.py watermark_detect,
@@ -10179,7 +10296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (6) -----
+        # -- never-driver-verified backlog, waited-longest first (9) -----
+        "bradley_terry": q_bradley_terry,
+        "rand_response": q_rand_response,
+        "assortativity": q_assortativity,
         "watermark_detect": q_watermark_detect,
         "cdc_dedup": q_cdc_dedup,
         "prefix_cache": q_prefix_cache,
@@ -10904,6 +11024,82 @@ def _profile_oracle() -> str:
                    {mns} AS min_str, {mxs} AS max_str
             FROM orders""")
     return "\n            UNION ALL".join(branches)
+
+
+def _bt_oracle(
+    k: int = BT_K, n_rounds: int = BT_ROUNDS, scale: int = BT_SCALE
+) -> str:
+    """Unrolled-CTE replay of preference.bradley_terry over the gate's
+    synthesized matches — generated from the SAME constants the gate
+    passes (pagerank/ivf_train convention). Every floor division
+    mirrors the python driver loop; BIGINT casts at every SUM use site
+    (the HUGEINT rebit rule)."""
+    s2 = scale * scale
+    parts = [f"""
+        WITH mm AS MATERIALIZED (
+            SELECT CASE WHEN o_orderkey % (a + b + 2) < a + 1
+                        THEN a ELSE b END AS winner,
+                   CASE WHEN o_orderkey % (a + b + 2) < a + 1
+                        THEN b ELSE a END AS loser
+            FROM (SELECT o_orderkey,
+                         o_custkey % {k} AS a,
+                         (o_custkey % {k} + 1
+                          + (o_custkey // {k}) % {k - 1}) % {k} AS b
+                  FROM orders)
+        ),
+        np AS MATERIALIZED (
+            SELECT LEAST(winner, loser) AS a,
+                   GREATEST(winner, loser) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM mm GROUP BY 1, 2
+        ),
+        wn AS MATERIALIZED (
+            SELECT winner AS item, CAST(COUNT(*) AS BIGINT) AS w
+            FROM mm GROUP BY 1
+        ),
+        ls AS MATERIALIZED (
+            SELECT loser AS item, CAST(COUNT(*) AS BIGINT) AS l
+            FROM mm GROUP BY 1
+        ),
+        it AS MATERIALIZED (
+            SELECT item FROM wn UNION SELECT item FROM ls
+        ),
+        r0 AS (SELECT item, CAST({scale} AS BIGINT) AS w FROM it)"""]
+    for t in range(1, n_rounds + 1):
+        parts.append(f""",
+        d{t} AS MATERIALIZED (
+            SELECT i.item,
+                   CAST(SUM(np.n * {s2} // GREATEST(wa.w + wb.w, 1))
+                        AS BIGINT) AS denom
+            FROM it i
+            JOIN np ON np.a = i.item OR np.b = i.item
+            JOIN r{t - 1} wa ON wa.item = np.a
+            JOIN r{t - 1} wb ON wb.item = np.b
+            GROUP BY i.item
+        ),
+        u{t} AS MATERIALIZED (
+            SELECT it.item,
+                   COALESCE(wn.w, 0) * {s2}
+                       // GREATEST(COALESCE(d{t}.denom, 0), 1) AS w
+            FROM it LEFT JOIN wn USING (item)
+                    LEFT JOIN d{t} USING (item)
+        ),
+        r{t} AS MATERIALIZED (
+            SELECT item,
+                   CAST(w * {k} * {scale}
+                        // GREATEST((SELECT CAST(SUM(w) AS BIGINT)
+                                     FROM u{t}), 1) AS BIGINT) AS w
+            FROM u{t}
+        )""")
+    parts.append(f"""
+        SELECT it.item,
+               r{n_rounds}.w AS rating,
+               COALESCE(wn.w, 0) AS n_wins,
+               COALESCE(wn.w, 0) + COALESCE(ls.l, 0) AS n_matches
+        FROM it JOIN r{n_rounds} USING (item)
+                LEFT JOIN wn USING (item)
+                LEFT JOIN ls USING (item)""")
+    return "".join(parts)
 
 
 # Mirror of packing.cdc_chunks (window=16): one text consumed by the
@@ -19246,5 +19442,89 @@ def oracle_sql() -> dict[str, str]:
                    // GREATEST(CAST(len(b.toks) AS BIGINT), 1)
                    AS hit_ppm
         FROM b LEFT JOIN h ON b.doc_id = h.doc_id
+    """
+    # GENERATED from the same BT_K/BT_ROUNDS/BT_SCALE constants the
+    # gate passes — the two sides cannot drift.
+    d["bradley_terry"] = _bt_oracle()
+    # Mirror of privacy.randomized_response (p = 1/4, nation grain):
+    # reported = truth XOR md5 flip; (4r − n)·1000 is always even so
+    # // 2 == Spark div 2 even on negative estimates.
+    d["rand_response"] = """
+        WITH c AS (
+            SELECT c_nationkey,
+                   CASE WHEN c_mktsegment = 'BUILDING'
+                        THEN 1 ELSE 0 END AS t,
+                   CASE WHEN ('0x' || substr(md5('rr1:'
+                            || CAST(c_custkey AS VARCHAR)), 1, 8))
+                            ::BIGINT % 4 = 0
+                        THEN 1 ELSE 0 END AS f
+            FROM customer
+        ),
+        a AS (
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN t <> f THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_reported,
+                   CAST(SUM(t) AS BIGINT) AS true_count
+            FROM c GROUP BY c_nationkey
+        )
+        SELECT c_nationkey, n, n_reported,
+               (4 * n_reported - n) * 1000 // 2 AS est_milli,
+               true_count,
+               abs((4 * n_reported - n) * 1000 // 2
+                   - true_count * 1000) AS abs_err_milli
+        FROM a
+    """
+    # Mirror of q_assortativity: co-purchase edges (the k_truss e0
+    # shape), symmetrized endpoint-degree pairs, then the EXACT
+    # series_corr moment/corr expression text (one shared double op
+    # order).
+    d["assortativity"] = """
+        WITH lp AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        sym AS MATERIALIZED (
+            SELECT u, v FROM e0
+            UNION ALL
+            SELECT v, u FROM e0
+        ),
+        deg AS MATERIALIZED (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY u
+        ),
+        prs AS (
+            SELECT du.deg AS x, dv.deg AS y
+            FROM sym JOIN deg du ON du.u = sym.u
+                     JOIN deg dv ON dv.u = sym.v
+        ),
+        a AS (
+            SELECT 'copurchase' AS graph, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sx2,
+                   CAST(SUM(y * y) AS BIGINT) AS sy2
+            FROM prs
+        )
+        SELECT graph, n, sx, sy, sxy, sx2, sy2,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS cov_pop,
+               ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE))
+               / sqrt(((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE))
+                 * ((CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE))) AS corr
+        FROM a
     """
     return d

@@ -147,3 +147,86 @@ def group_advantage(
             ).alias("adv_milli"),
         )
     )
+
+
+def bradley_terry(
+    matches: DataFrame,
+    n_rounds: int = 6,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bradley-Terry strength fit from pairwise outcomes (Bradley &
+    Terry 1952; the rating model behind Chatbot-Arena-style LLM evals
+    and RLHF reward-model sanity checks): items i get strengths wᵢ
+    with P(i beats j) = wᵢ/(wᵢ+wⱼ), fit by ``n_rounds`` of the classic
+    MM update  wᵢ ← Wᵢ / Σⱼ nᵢⱼ/(wᵢ+wⱼ)  (Hunter 2004), renormalized
+    to Σw = k·scale each round.
+
+    All-integer: strengths live at ``scale``; the MM update is
+    denomᵢ = Σⱼ floor(nᵢⱼ·scale² / (wᵢ+wⱼ)),
+    wᵢ' = floor(Wᵢ·scale² / max(denomᵢ, 1)) — every intermediate
+    < 2⁶³ for any corpus with < ~9·10⁶ matches (guarded). Spark does
+    ONE aggregation pass (wins per item + symmetric pair counts, the
+    only shuffles); the k-item iteration is driver-side python over
+    the two collected control frames (the perceptron/power-iteration
+    family — k is the item domain, e.g. 8 model variants, never the
+    corpus) and the result returns via createDataFrame. The oracle
+    replays the identical floor arithmetic in unrolled CTEs generated
+    from the same constants.
+
+    Returns (item, rating, n_wins, n_matches) — rating at ``scale``,
+    Σ ratings = k·scale; deterministic (items sorted, integer math).
+    """
+    spark = matches.sparkSession
+    # ONE aggregation job: the ordered-pair counts carry everything —
+    # n_ij, wins and losses all fold from them in the driver (three
+    # separate collects would re-run the matches-producing lineage
+    # three times).
+    ordered = (
+        matches.groupBy(
+            F.col(winner_col).alias("wi"), F.col(loser_col).alias("lo")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_ij: dict[tuple[int, int], int] = {}
+    w_i: dict[int, int] = {}
+    l_i: dict[int, int] = {}
+    for r in ordered:
+        wi, lo, n = int(r["wi"]), int(r["lo"]), int(r["n"])
+        key = (min(wi, lo), max(wi, lo))
+        n_ij[key] = n_ij.get(key, 0) + n
+        w_i[wi] = w_i.get(wi, 0) + n
+        l_i[lo] = l_i.get(lo, 0) + n
+    items = sorted(set(w_i) | set(l_i))
+    k = len(items)
+    total = sum(n_ij.values())
+    if total >= (1 << 63) // (scale * scale):
+        raise ValueError("bradley_terry: match volume overflows int64")
+    S2 = scale * scale
+    w = {i: scale for i in items}
+    for _ in range(int(n_rounds)):
+        nxt = {}
+        for i in items:
+            denom = 0
+            for (a, b), n in n_ij.items():
+                # guard: a dominated pair can floor BOTH ratings to 0
+                # after renormalization (review finding: //0 crash)
+                if i == a or i == b:
+                    denom += n * S2 // max(w[a] + w[b], 1)
+            nxt[i] = w_i.get(i, 0) * S2 // max(denom, 1)
+        tot = sum(nxt.values())
+        w = {i: nxt[i] * k * scale // max(tot, 1) for i in items}
+    rows = [
+        (
+            int(i),
+            int(w[i]),
+            int(w_i.get(i, 0)),
+            int(w_i.get(i, 0) + l_i.get(i, 0)),
+        )
+        for i in items
+    ]
+    return spark.createDataFrame(
+        rows, "item long, rating long, n_wins long, n_matches long"
+    )

@@ -14,7 +14,7 @@ report is at most |QID-combination| rows, typically tiny).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -256,4 +256,89 @@ def dp_median_band(
         .select("band", "n", "cum_count", "utility", "noise",
                 "score", "chosen")
         .orderBy("band")
+    )
+
+
+def randomized_response(
+    df: DataFrame,
+    sensitive: Column,
+    group_col: str,
+    id_col: str,
+    salt: str = "rr1",
+    flip_denom: int = 4,
+) -> DataFrame:
+    """Warner-1965 randomized response — the local-DP sibling of the
+    central-DP ``dp_noisy_counts``: each record reports its sensitive
+    bit FLIPPED with probability p = 1/``flip_denom`` (deterministic
+    md5 draw on the id — reproducible, engine-portable), and the
+    per-group prevalence is debiased from reported counts alone:
+
+        E[reported] = true·(1−p) + (n−true)·p
+        ⇒ true = (reported − n·p) / (1 − 2p)
+        ⇒ est  = (flip_denom·reported − n) · scale
+                 div (flip_denom − 2)            (exact integers)
+
+    The aggregator never needs the raw bit — the audit columns
+    (true_count, abs_err_milli) exist because this is the calibration
+    gate proving the estimator's algebra, not a production leak.
+
+    Engine parity on negative estimates: Spark ``div`` truncates,
+    DuckDB ``//`` floors — they agree only when the division is EXACT,
+    so keep the milli scale (1000) divisible by ``flip_denom − 2``
+    (true for the defaults; the gate pins flip_denom = 4 → ÷2).
+
+    One groupBy shuffle carrying four longs per group. Returns
+    (group_col, n, n_reported, est_milli, true_count, abs_err_milli);
+    est_milli = debiased count ×1000.
+    """
+    if flip_denom < 3:
+        raise ValueError("randomized_response needs flip_denom >= 3")
+    if 1000 % (int(flip_denom) - 2) != 0:
+        # inexact negative division diverges between Spark div (trunc)
+        # and DuckDB // (floor) — enforce the documented precondition
+        # instead of silently drifting on low-prevalence groups
+        raise ValueError(
+            "randomized_response needs 1000 % (flip_denom - 2) == 0 "
+            "for engine-exact estimates"
+        )
+    from drune_spark.functions.hashes import md5_u32
+
+    flip = (
+        md5_u32(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+        % F.lit(int(flip_denom))
+        == 0
+    )
+    truth = sensitive.cast("boolean")
+    # NULL sensitive bits would count in n but silently drop from the
+    # sums (NULL-parity finding) — fail loudly in-codegen instead
+    null_guard = F.coalesce(
+        F.assert_true(
+            truth.isNotNull(),
+            F.lit("randomized_response: NULL sensitive bit"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    reported = truth != flip  # XOR
+    # The guard rides the COUNT term (sum of 1 + guard): a NULL truth
+    # makes the reported/true sum inputs NULL and Spark's Sum skips
+    # null inputs BEFORE evaluating them (verified — a guard attached
+    # there never fires), but this term is never NULL so the
+    # assert_true always evaluates per row.
+    agg = df.groupBy(group_col).agg(
+        F.sum(F.lit(1).cast("long") + null_guard)
+        .cast("long").alias("n"),
+        F.sum(reported.cast("long")).cast("long").alias("n_reported"),
+        F.sum(truth.cast("long")).cast("long").alias("true_count"),
+    )
+    fd = int(flip_denom)
+    est = F.expr(
+        f"({fd} * n_reported - n) * 1000 div ({fd} - 2)"
+    )
+    return agg.select(
+        group_col,
+        "n",
+        "n_reported",
+        est.alias("est_milli"),
+        "true_count",
+        F.abs(est - F.col("true_count") * 1000).alias("abs_err_milli"),
     )

@@ -485,3 +485,131 @@ class TestPrefixCacheAudit:
         )
         with pytest.raises(ValueError):
             prefix_cache_audit(df, max_tokens=0)
+
+
+# --------------------------------------------------------- bradley_terry
+
+
+class TestBradleyTerry:
+    def test_transitive_strengths_ordered(self, spark):
+        from drune_spark.operators.preference import bradley_terry
+
+        rows = (
+            [(2, 1)] * 9 + [(1, 2)] * 1
+            + [(1, 0)] * 9 + [(0, 1)] * 1
+            + [(2, 0)] * 9 + [(0, 2)] * 1
+        )
+        df = spark.createDataFrame(rows, "winner long, loser long")
+        out = {r.item: r for r in bradley_terry(df, n_rounds=8).collect()}
+        assert out[2].rating > out[1].rating > out[0].rating
+        assert out[2].n_wins == 18 and out[2].n_matches == 20
+        # renormalized total: k * scale (floor slack < k)
+        total = sum(r.rating for r in out.values())
+        assert 3 * 1_000_000 - 3 <= total <= 3 * 1_000_000
+
+    def test_deterministic(self, spark):
+        from drune_spark.operators.preference import bradley_terry
+
+        df = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (0, 1)], "winner long, loser long"
+        )
+        r1 = sorted(map(tuple, bradley_terry(df).collect()))
+        r2 = sorted(map(tuple, bradley_terry(df).collect()))
+        assert r1 == r2
+
+    def test_overflow_guard(self, spark):
+        from drune_spark.operators.preference import bradley_terry
+
+        df = spark.createDataFrame([(0, 1)], "winner long, loser long")
+        with pytest.raises(ValueError):
+            bradley_terry(df, scale=10**10)
+
+
+# --------------------------------------------------------- rand_response
+
+
+class TestRandomizedResponse:
+    def test_estimator_algebra_exact(self, spark):
+        from drune_spark.operators.privacy import randomized_response
+
+        rows = [(i, "g", i % 3 == 0) for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, grp string, s boolean")
+        out = randomized_response(
+            df, F.col("s"), "grp", "id", salt="t1", flip_denom=4
+        ).collect()[0]
+        # replicate flips independently
+        n_rep = sum(
+            1
+            for i in range(40)
+            if (i % 3 == 0) != (_md5_u32(f"t1:{i}") % 4 == 0)
+        )
+        assert out.n_reported == n_rep
+        assert out.true_count == 14
+        assert out.est_milli == (4 * n_rep - 40) * 1000 // 2
+        assert out.abs_err_milli == abs(out.est_milli - 14_000)
+
+    def test_flip_denom_guard(self, spark):
+        from drune_spark.operators.privacy import randomized_response
+
+        df = spark.createDataFrame(
+            [(1, "g", True)], "id long, grp string, s boolean"
+        )
+        with pytest.raises(ValueError):
+            randomized_response(df, F.col("s"), "grp", "id", flip_denom=2)
+
+
+# --------------------------------------------------------- assortativity
+
+
+class TestAssortativityComposition:
+    def test_star_graph_negative(self, spark):
+        from drune_spark.operators.stats import grouped_moments
+
+        # star: hub degree 4, leaves degree 1 -> perfectly
+        # disassortative (r = -1)
+        edges = [(0, i) for i in range(1, 5)]
+        sym = edges + [(b, a) for a, b in edges]
+        deg = {0: 4, 1: 1, 2: 1, 3: 1, 4: 1}
+        pairs = spark.createDataFrame(
+            [("g", float(deg[a]), float(deg[b])) for a, b in sym],
+            "graph string, x double, y double",
+        )
+        row = grouped_moments(
+            pairs, "x", "y", ["graph"], scale_x=1, scale_y=1
+        ).collect()[0]
+        assert abs(row.corr + 1.0) < 1e-12
+
+
+class TestWave3ReviewFixes:
+    def test_bt_dominated_pair_no_crash(self, spark):
+        from drune_spark.operators.preference import bradley_terry
+
+        # items 1 and 2 are crushed by 0 — their ratings floor to 0
+        # and the pair (1, 2) divisor hits the max(.., 1) guard
+        rows = (
+            [(0, 1)] * 1000 + [(0, 2)] * 1000 + [(1, 2)] * 1
+        )
+        df = spark.createDataFrame(rows, "winner long, loser long")
+        out = {r.item: r for r in bradley_terry(df, n_rounds=4).collect()}
+        assert out[0].rating > out[1].rating
+        assert out[0].rating > out[2].rating
+
+    def test_rand_response_null_sensitive_raises(self, spark):
+        from drune_spark.operators.privacy import randomized_response
+
+        df = spark.createDataFrame(
+            [(1, "g", True), (2, "g", None)],
+            "id long, grp string, s boolean",
+        )
+        out = randomized_response(df, F.col("s"), "grp", "id")
+        with pytest.raises(Exception, match="NULL sensitive"):
+            out.collect()
+
+    def test_rand_response_inexact_denom_raises(self, spark):
+        from drune_spark.operators.privacy import randomized_response
+
+        df = spark.createDataFrame(
+            [(1, "g", True)], "id long, grp string, s boolean"
+        )
+        with pytest.raises(ValueError, match="1000"):
+            randomized_response(df, F.col("s"), "grp", "id", flip_denom=5)
