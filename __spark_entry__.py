@@ -10226,6 +10226,48 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve (text_analysis.py heaps_law):
+    exact V(n) at 8 evenly spaced corpus-prefix checkpoints — the
+    dedup-value forecast complementing zipf_fit's static rank-
+    frequency law. One token-volume shuffle (per-type min global
+    index); prefix sums are doc-grain. All-integer; oracle replays
+    the identical window/ceiling arithmetic."""
+    _tune(spark)
+    from drune_spark.operators.text_analysis import heaps_law
+
+    return heaps_law(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        checkpoints=HEAPS_CP,
+    )
+
+
+# rq_encode gate constants (gate AND oracle render from these).
+RQ_K = 8
+RQ_DIM = 64
+
+# heaps_law gate constant (gate AND oracle render from it).
+HEAPS_CP = 8
+
+
+def q_rq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage residual quantization (embeddings.py rq_encode, the
+    RVQ/RQ-VAE additive sibling of pq_encode's product split): integer
+    lattice, lowest-id stage-1 codebook, stage-2 codebook = zero
+    vector + stage-1 residuals of the next ids (monotone refinement:
+    err2 <= err1 by construction). One bounded control fetch, one
+    corpus scan, zero shuffles; oracle replays seeds, residual
+    codebook and both integer argmins in SQL from the same
+    constants."""
+    _tune(spark)
+    from drune_spark.operators.embeddings import rq_encode
+
+    return rq_encode(
+        _t(spark, sf_dir, "embeddings"), dim=RQ_DIM,
+        codebook_size=RQ_K,
+    )
+
+
 def q_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Green-list watermark screen (text_analysis.py watermark_detect,
     Kirchenbauer et al. 2023 γ=1/2): token i is green iff
@@ -10296,7 +10338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (9) -----
+        # -- never-driver-verified backlog, waited-longest first (11) ----
+        "heaps_law": q_heaps_law,
+        "rq_encode": q_rq_encode,
         "bradley_terry": q_bradley_terry,
         "rand_response": q_rand_response,
         "assortativity": q_assortativity,
@@ -11100,6 +11144,126 @@ def _bt_oracle(
                 LEFT JOIN wn USING (item)
                 LEFT JOIN ls USING (item)""")
     return "".join(parts)
+
+
+def _heaps_oracle(cp: int = HEAPS_CP) -> str:
+    """SQL replay of text_analysis.heaps_law, generated from the
+    gate's checkpoint constant: doc-grain prefix sums, per-type min
+    global index, ceiling-divided checkpoint prefixes. w and l are
+    MATERIALIZED — each is referenced from multiple chained CTEs and
+    DuckDB would otherwise re-expand the tokenize scan per reference
+    (the r5 CTE-inlining trap)."""
+    return f"""
+        WITH w AS MATERIALIZED (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+            FROM documents
+        ),
+        l AS MATERIALIZED (SELECT doc_id, len(ws) AS len FROM w),
+        cm AS (
+            SELECT doc_id,
+                   CAST(SUM(len) OVER (ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) - len AS cum_before
+            FROM l
+        ),
+        tk AS (
+            SELECT ws[i + 1] AS word, cm.cum_before + i AS gidx
+            FROM w JOIN cm USING (doc_id),
+                 UNNEST(range(len(ws))) AS t(i)
+        ),
+        fi AS (
+            SELECT word, CAST(MIN(gidx) AS BIGINT) AS first_idx
+            FROM tk GROUP BY word
+        ),
+        tt AS (SELECT CAST(SUM(len) AS BIGINT) AS total FROM l),
+        cp AS (
+            SELECT CAST(k AS INTEGER) AS checkpoint,
+                   CAST((tt.total * k + {cp - 1}) // {cp} AS BIGINT)
+                       AS prefix_tokens
+            FROM tt, UNNEST(range(1, {cp + 1})) AS t(k)
+        )
+        SELECT cp.checkpoint, cp.prefix_tokens,
+               CAST(SUM(CASE WHEN fi.first_idx < cp.prefix_tokens
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS vocab_size,
+               CAST(SUM(CASE WHEN fi.first_idx < cp.prefix_tokens
+                             THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+                   // GREATEST(cp.prefix_tokens, 1) AS type_token_ppm
+        FROM fi CROSS JOIN cp
+        GROUP BY cp.checkpoint, cp.prefix_tokens
+    """
+
+
+def _rq_oracle(k: int = RQ_K, dim: int = RQ_DIM) -> str:
+    """SQL replay of embeddings.rq_encode: quantize, stage-1 seed
+    codebook (ordinal = id rank), integer-argmin assignment, residual,
+    stage-2 codebook = zero vector + residuals of ids ranked
+    k+1..2k−1, second argmin. Generated from the gate's constants."""
+    sq1 = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> (p.qv[i] - s1.cw[i]) * (p.qv[i] - s1.cw[i])))"
+        f" AS BIGINT)"
+    )
+    sq2 = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> (r.rv[i] - s2.cw[i]) * (r.rv[i] - s2.cw[i])))"
+        f" AS BIGINT)"
+    )
+    return f"""
+        WITH q AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor((x + 1.0) * 127.0 + 0.5)
+                                 AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        rk AS MATERIALIZED (
+            SELECT vec_id, qv,
+                   row_number() OVER (ORDER BY vec_id) AS rnk
+            FROM q
+        ),
+        s1 AS MATERIALIZED (
+            SELECT CAST(rnk - 1 AS BIGINT) AS code, qv AS cw
+            FROM rk WHERE rnk <= {k}
+        ),
+        a1p AS (
+            SELECT p.vec_id, p.qv, s1.code, s1.cw, {sq1} AS dist
+            FROM q p, s1
+        ),
+        a1 AS MATERIALIZED (
+            SELECT vec_id, qv, code AS code1, dist AS err1, cw AS cw1
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY dist, code) AS rn
+                  FROM a1p) WHERE rn = 1
+        ),
+        r AS MATERIALIZED (
+            SELECT vec_id, code1, err1,
+                   list_transform(generate_series(1, {dim}),
+                       i -> qv[i] - cw1[i]) AS rv
+            FROM a1
+        ),
+        s2 AS MATERIALIZED (
+            SELECT CAST(0 AS BIGINT) AS code,
+                   list_transform(generate_series(1, {dim}),
+                       i -> CAST(0 AS BIGINT)) AS cw
+            UNION ALL
+            SELECT CAST(row_number() OVER (ORDER BY sr.vec_id)
+                        AS BIGINT) AS code,
+                   sr.rv AS cw
+            FROM (SELECT r.vec_id, r.rv FROM r
+                  JOIN rk ON rk.vec_id = r.vec_id
+                  WHERE rk.rnk > {k} AND rk.rnk <= {2 * k - 1}) sr
+        ),
+        a2p AS (
+            SELECT r.vec_id, r.code1, r.err1, s2.code, {sq2} AS dist
+            FROM r, s2
+        )
+        SELECT vec_id, code1, code AS code2, err1, dist AS err2
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist, code) AS rn
+              FROM a2p) WHERE rn = 1
+    """
 
 
 # Mirror of packing.cdc_chunks (window=16): one text consumed by the
@@ -19443,6 +19607,10 @@ def oracle_sql() -> dict[str, str]:
                    AS hit_ppm
         FROM b LEFT JOIN h ON b.doc_id = h.doc_id
     """
+    # GENERATED from the same HEAPS_CP constant the gate passes.
+    d["heaps_law"] = _heaps_oracle()
+    # GENERATED from the same RQ_K/RQ_DIM constants the gate passes.
+    d["rq_encode"] = _rq_oracle()
     # GENERATED from the same BT_K/BT_ROUNDS/BT_SCALE constants the
     # gate passes — the two sides cannot drift.
     d["bradley_terry"] = _bt_oracle()

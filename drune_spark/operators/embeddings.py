@@ -895,3 +895,126 @@ def binary_quantize_rerank(
             "query_id", "neighbor_id", "rank", "hamming", "cos_micro"
         )
     )
+
+
+def rq_encode(
+    corpus: DataFrame,
+    dim: int = 64,
+    codebook_size: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage residual quantization (Chen et al. 2010 RVQ; the
+    additive-quantization sibling of ``pq_encode``'s product
+    decomposition — PQ splits DIMENSIONS, RQ refines the WHOLE vector
+    with a second codebook over stage-1 residuals, the layout behind
+    RQ-VAE-style semantic ids).
+
+    Deterministic, all-integer: vectors quantize to the unsigned
+    lattice (kmeans.quantize_unsigned), stage-1 codebook = the
+    ``codebook_size`` lowest-id quantized vectors (the pq/ivf seed
+    discipline, codeword ordinal = id rank), stage-2 codebook = the
+    ZERO vector (ordinal 0 — guarantees err2 <= err1, the monotone-
+    refinement RQ property) plus the stage-1 residuals of the NEXT
+    ``codebook_size − 1`` ids (their own assignment computed in the
+    driver from the same collected frame — seeds' own residuals are
+    identically zero and would degenerate the codebook). Assignment
+    is exact integer squared L2 with (dist, ordinal) tie-break.
+
+    Plan shape: ONE bounded control fetch (2k−1 rows) and two narrow
+    aggregate BARRIERS keyed on the (unique) id — without them
+    CollapseProject inlines each argmin struct into every downstream
+    reference and the interpreted ``_sqdist``/``zip_with`` folds
+    re-run ~18× per row (the r8 lsh_multiprobe trap); with them each
+    stage's argmin evaluates exactly once per row and the corpus fans
+    out across tasks (the single-file embeddings trap). The oracle
+    replays seeds, residual codebook and both argmins in SQL.
+
+    Returns (id_col, code1, code2, err1, err2): codebook ordinals and
+    exact integer squared errors, err2 <= err1 always.
+    """
+    from drune_spark.functions.partitioning import fan_out
+    from drune_spark.operators.kmeans import _sqdist, quantize_unsigned
+
+    qz = quantize_unsigned(fan_out(corpus), vec_col, id_col)
+    need = 2 * codebook_size - 1
+    head = qz.orderBy(F.col(id_col)).limit(need).collect()
+    if len(head) < need:
+        raise ValueError(f"rq_encode needs >= {need} vectors")
+    head_v = [[int(x) for x in r["qv"]] for r in head]
+    if len(head_v[0]) != dim:
+        # a dim mismatch silently truncates in python zip, NULL-pads
+        # in Spark zip_with and NULL-indexes in the oracle — three
+        # inconsistent behaviors; fail loudly instead
+        raise ValueError(
+            f"rq_encode: dim={dim} but vectors have "
+            f"{len(head_v[0])} elements"
+        )
+    c1 = head_v[:codebook_size]
+
+    def assign1(qv: list[int]) -> tuple[int, int]:
+        best = None
+        for j, c in enumerate(c1):
+            d = sum((a - b) * (a - b) for a, b in zip(qv, c))
+            if best is None or (d, j) < best:
+                best = (d, j)
+        return best[1], best[0]
+
+    c2 = [[0] * dim] + [
+        [
+            a - b
+            for a, b in zip(v, c1[assign1(v)[0]])
+        ]
+        for v in head_v[codebook_size:need]
+    ]
+
+    def argmin_struct(col, cents):
+        arr = F.array(
+            *[
+                F.struct(
+                    _sqdist(col, c).alias("dist"),
+                    F.lit(j).cast("long").alias("code"),
+                )
+                for j, c in enumerate(cents)
+            ]
+        )
+        return F.array_min(
+            arr.cast("array<struct<dist:bigint,code:bigint>>")
+        )
+
+    # stage 1: ONE argmin site, then the aggregate barrier makes the
+    # struct a real attribute (ids are unique — `first` is exact)
+    s1 = qz.select(
+        F.col(id_col), "qv",
+        argmin_struct(F.col("qv"), c1).alias("__b1"),
+    )
+    g1 = s1.groupBy(id_col).agg(
+        F.first("qv").alias("qv"), F.first("__b1").alias("__b1")
+    )
+    cw1_arr = F.array(
+        *[F.lit(c).cast("array<bigint>") for c in c1]
+    )
+    resid = F.zip_with(
+        F.col("qv"),
+        F.element_at(cw1_arr, (F.col("__b1")["code"] + 1).cast("int")),
+        lambda a, b: a - b,
+    )
+    # stage 2: again ONE argmin site over the residual, then a barrier
+    s2 = g1.select(
+        F.col(id_col),
+        F.col("__b1")["code"].alias("code1"),
+        F.col("__b1")["dist"].alias("err1"),
+        argmin_struct(resid, c2).alias("__b2"),
+    )
+    g2 = s2.groupBy(id_col).agg(
+        F.first("code1").alias("code1"),
+        F.first("err1").alias("err1"),
+        F.first("__b2").alias("__b2"),
+    )
+    return g2.select(
+        F.col(id_col),
+        "code1",
+        F.col("__b2")["code"].alias("code2"),
+        "err1",
+        F.col("__b2")["dist"].alias("err2"),
+    )

@@ -1495,3 +1495,95 @@ def watermark_detect(
             >= F.lit(int(green_ppm_threshold))
         ).cast("int").alias("flagged"),
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoints: int = 8,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve (Heaps 1978): V(n) = distinct
+    word types among the first n corpus tokens, sampled at
+    ``checkpoints`` evenly spaced prefix sizes n_k = ⌈total·k/cp⌉ —
+    the dedup-value forecast every tokenizer/vocab decision reads
+    (V(n) ~ K·n^β; a flattening curve means new data stops buying new
+    vocabulary). Complements the zipf_fit gate: rank-frequency is the
+    static law, this is its growth form.
+
+    Distributed shape: per-doc token arrays → per-doc length prefix
+    sums (ONE window over doc-count rows — doc-grain metadata, never
+    token-grain) → each token's global index = cum_before + pos → per
+    TYPE the minimum global index (one groupBy on the word — the only
+    token-volume shuffle, carrying (word, long)) → V(n_k) = count of
+    types with first index < n_k via one broadcast checkpoint join.
+    All-integer; the curve is exact, not sampled.
+
+    Returns (checkpoint, prefix_tokens, vocab_size, type_token_ppm).
+    """
+    from pyspark.sql import Window
+
+    from drune_spark.functions.partitioning import fan_out
+
+    if checkpoints < 1:
+        raise ValueError("heaps_law needs checkpoints >= 1")
+    base = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("doc"),
+        tokens(F.lower(F.col(text_col))).alias("w"),
+    )
+    # lens is read by the cum window AND the totals aggregate — the
+    # lazy persist dedupes the branches so documents is not re-scanned
+    # and re-tokenized per consumer (r3 self-referencing-DAG rule)
+    lens = base.select("doc", F.size("w").alias("len")).persist()
+    wd = Window.orderBy("doc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # rename the join key: cum derives from base, and a same-name
+    # equi-join on a self-derived frame trips the ambiguous-self-join
+    # analyzer check
+    cum = lens.select(
+        F.col("doc").alias("__cdoc"),
+        (F.sum("len").over(wd) - F.col("len")).alias("cum_before"),
+    )
+    toks = (
+        base.join(cum, F.col("doc") == F.col("__cdoc"))
+        .select(
+            "cum_before",
+            F.posexplode("w").alias("pos", "word"),
+        )
+        .select(
+            "word",
+            (F.col("cum_before") + F.col("pos")).alias("gidx"),
+        )
+    )
+    first = toks.groupBy("word").agg(F.min("gidx").alias("first_idx"))
+    total = lens.agg(F.sum("len").cast("long").alias("total"))
+    cps = total.select(
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(checkpoints)))
+        ).alias("checkpoint"),
+        "total",
+    ).select(
+        "checkpoint",
+        F.expr(
+            f"cast((total * checkpoint + {int(checkpoints)} - 1)"
+            f" div {int(checkpoints)} as long)"
+        ).alias("prefix_tokens"),
+    )
+    joined = first.crossJoin(F.broadcast(cps))
+    return (
+        joined.groupBy("checkpoint", "prefix_tokens")
+        .agg(
+            F.sum(
+                (F.col("first_idx") < F.col("prefix_tokens")).cast("long")
+            ).cast("long").alias("vocab_size")
+        )
+        .select(
+            F.col("checkpoint").cast("int").alias("checkpoint"),
+            "prefix_tokens",
+            "vocab_size",
+            F.expr(
+                "vocab_size * 1000000 div greatest(prefix_tokens, 1)"
+            ).alias("type_token_ppm"),
+        )
+    )

@@ -613,3 +613,103 @@ class TestWave3ReviewFixes:
         )
         with pytest.raises(ValueError, match="1000"):
             randomized_response(df, F.col("s"), "grp", "id", flip_denom=5)
+
+
+# ------------------------------------------------------------- heaps_law
+
+
+class TestHeapsLaw:
+    def test_planted_growth_curve(self, spark):
+        from drune_spark.operators.text_analysis import heaps_law
+
+        # 4 docs x 4 tokens = 16 tokens; checkpoints at 4/8/12/16.
+        # types first appear at global idx 0,1,2,3 | 4,5 | 8 | none new
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),
+                (2, "e f a b"),
+                (3, "g a b c"),
+                (4, "a b c d"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.checkpoint: r
+            for r in heaps_law(df, checkpoints=4).collect()
+        }
+        assert [out[k].prefix_tokens for k in (1, 2, 3, 4)] == [
+            4, 8, 12, 16,
+        ]
+        assert [out[k].vocab_size for k in (1, 2, 3, 4)] == [4, 6, 7, 7]
+        assert out[1].type_token_ppm == 1_000_000
+
+    def test_monotone_on_corpus_sample(self, spark):
+        from drune_spark.operators.text_analysis import heaps_law
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(50)
+        rows = sorted(
+            heaps_law(df, checkpoints=4).collect(),
+            key=lambda r: r.checkpoint,
+        )
+        sizes = [r.vocab_size for r in rows]
+        assert sizes == sorted(sizes)  # V(n) is nondecreasing
+
+    def test_checkpoint_guard(self, spark):
+        from drune_spark.operators.text_analysis import heaps_law
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            heaps_law(df, checkpoints=0)
+
+
+# ------------------------------------------------------------- rq_encode
+
+
+class TestRqEncode:
+    def _emb(self, spark, n=20, dim=8):
+        import math
+
+        rows = []
+        for i in range(n):
+            # two clusters + per-id jitter
+            base = 0.5 if i % 2 == 0 else -0.5
+            vec = [
+                base + 0.01 * ((i * 7 + j) % 5)
+                for j in range(dim)
+            ]
+            rows.append((i, vec))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_monotone_refinement(self, spark):
+        from drune_spark.operators.embeddings import rq_encode
+
+        out = rq_encode(
+            self._emb(spark), dim=8, codebook_size=4
+        ).collect()
+        assert len(out) == 20
+        for r in out:
+            assert r.err2 <= r.err1  # zero codeword guarantees it
+        # seeds themselves reconstruct exactly at stage 1
+        byid = {r.vec_id: r for r in out}
+        for i in range(4):
+            assert byid[i].err1 == 0 and byid[i].err2 == 0
+
+    def test_codes_in_range_and_deterministic(self, spark):
+        from drune_spark.operators.embeddings import rq_encode
+
+        a = sorted(map(tuple, rq_encode(
+            self._emb(spark), dim=8, codebook_size=4).collect()))
+        b = sorted(map(tuple, rq_encode(
+            self._emb(spark), dim=8, codebook_size=4).collect()))
+        assert a == b
+        for row in a:
+            assert 0 <= row[1] < 4 and 0 <= row[2] < 4
+
+    def test_small_corpus_guard(self, spark):
+        from drune_spark.operators.embeddings import rq_encode
+
+        df = self._emb(spark, n=5)
+        with pytest.raises(ValueError):
+            rq_encode(df, dim=8, codebook_size=4)
