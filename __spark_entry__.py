@@ -10226,6 +10226,25 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (stats.py
+    quantile_normalize, Bolstad et al. 2003): per-doc token counts
+    mapped onto the pooled distribution via the exact integer
+    lower-bound rule — the batch-effect correction that makes
+    per-source quality scores rank-comparable before one global
+    threshold. Per-group windows + a broadcast value-CELL range join
+    (bounded by the value domain, never row count); oracle replays
+    the identical rank/ceiling/lower-bound arithmetic."""
+    _tune(spark)
+    from drune_spark.functions.text import token_count
+    from drune_spark.operators.stats import quantile_normalize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("ntok")
+    )
+    return quantile_normalize(docs, "ntok", "source", "doc_id")
+
+
 def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth curve (text_analysis.py heaps_law):
     exact V(n) at 8 evenly spaced corpus-prefix checkpoints — the
@@ -10338,7 +10357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (11) ----
+        # -- never-driver-verified backlog, waited-longest first (12) ----
+        "quantile_norm": q_quantile_norm,
         "heaps_law": q_heaps_law,
         "rq_encode": q_rq_encode,
         "bradley_terry": q_bradley_terry,
@@ -19606,6 +19626,48 @@ def oracle_sql() -> dict[str, str]:
                    // GREATEST(CAST(len(b.toks) AS BIGINT), 1)
                    AS hit_ppm
         FROM b LEFT JOIN h ON b.doc_id = h.doc_id
+    """
+    # Mirror of stats.quantile_normalize over per-doc token counts:
+    # per-source ranks, pooled value cells with running totals, and
+    # the ceil(r·N/n) lower-bound inversion.
+    d["quantile_norm"] = """
+        WITH v AS MATERIALIZED (
+            SELECT doc_id, source,
+                   CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                                       '\\s+'))
+                        END AS BIGINT) AS value
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        r AS (
+            SELECT doc_id, source, value,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY value, doc_id) AS r,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM v
+        ),
+        c AS MATERIALIZED (
+            SELECT cv, cum,
+                   COALESCE(lag(cum) OVER (ORDER BY cv), 0) AS prev
+            FROM (
+                SELECT value AS cv,
+                       CAST(SUM(cnt) OVER (ORDER BY value
+                                           ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS cum
+                FROM (SELECT value, COUNT(*) AS cnt FROM v
+                      GROUP BY value)
+            )
+        ),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM v),
+        k AS (
+            SELECT doc_id, source, value,
+                   (r.r * t.total + r.n - 1) // r.n AS k
+            FROM r, t
+        )
+        SELECT k.doc_id, k.source, k.value,
+               CAST(c.cv AS BIGINT) AS mapped_value
+        FROM k JOIN c ON c.prev < k.k AND k.k <= c.cum
     """
     # GENERATED from the same HEAPS_CP constant the gate passes.
     d["heaps_law"] = _heaps_oracle()

@@ -973,3 +973,87 @@ def bootstrap_mean_ci(
         F.col("g").alias(group_col), "n_rows", "mean_micro",
         "ci_lo_micro", "ci_hi_micro",
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups (the batch-effect
+    correction standard, Bolstad et al. 2003): every group's value
+    distribution is mapped onto the POOLED distribution, so two
+    sources whose quality/length scores drift apart (different
+    crawlers, different epochs) become rank-comparable — the
+    cross-source score alignment a mixing policy needs before
+    thresholding one global cutoff.
+
+    Exact integer rule: row with within-group rank r of n (ties on
+    the id) maps to the pooled value at rank ⌈r·N/n⌉ under the
+    lower-bound rule — the smallest value whose pooled cumulative
+    count reaches the target rank (the ``weighted_percentile``
+    discipline; no interpolation FP). ``value_col`` must be integral
+    (the cast to long TRUNCATES doubles in Spark where a naive oracle
+    CAST rounds — the round-6 money trap; route fractional scores
+    through an explicit DECIMAL quantization first). NULL values are
+    dropped (rank windows order NULLS FIRST in Spark but LAST in
+    DuckDB — the NULL-parity rule for oracle-twinned windows).
+
+    Scale shape: within-group ranks are per-group windows (bounded by
+    group size); the pooled distribution lives as VALUE CELLS
+    (distinct value → [prev_cum, cum] interval — bounded by the value
+    domain, never row count), and the rank inversion is an INTERVAL
+    join on the broadcast cell table (prev_cum < k <= cum matches
+    exactly one cell per row — no re-aggregation after the join).
+    Returns (id_col, group_col, value, mapped_value).
+    """
+    from pyspark.sql import Window
+
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col).cast("long").alias("value"),
+    ).persist()  # read by ranks, cells AND totals — one scan, not 3
+    wg = Window.partitionBy(group_col).orderBy("value", id_col)
+    ranked = vals.select(
+        id_col,
+        group_col,
+        "value",
+        F.row_number().over(wg).alias("__r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(group_col)
+        ).alias("__n"),
+    )
+    wc = Window.orderBy("__cv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cells = (
+        vals.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(F.col("value").alias("__cv"), "__c")
+        .select("__cv", F.sum("__c").over(wc).alias("__cum"))
+        .select(
+            "__cv",
+            "__cum",
+            F.coalesce(
+                F.lag("__cum").over(Window.orderBy("__cv")), F.lit(0)
+            ).alias("__prev"),
+        )
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("__tot"))
+    tgt = ranked.crossJoin(F.broadcast(total)).select(
+        id_col,
+        group_col,
+        "value",
+        F.expr("(__r * __tot + __n - 1) div __n").alias("__k"),
+    )
+    return tgt.join(
+        F.broadcast(cells),
+        (F.col("__prev") < F.col("__k")) & (F.col("__k") <= F.col("__cum")),
+    ).select(
+        id_col,
+        group_col,
+        "value",
+        F.col("__cv").cast("long").alias("mapped_value"),
+    )

@@ -713,3 +713,47 @@ class TestRqEncode:
         df = self._emb(spark, n=5)
         with pytest.raises(ValueError):
             rq_encode(df, dim=8, codebook_size=4)
+
+
+# --------------------------------------------------------- quantile_norm
+
+
+class TestQuantileNormalize:
+    def test_planted_mapping(self, spark):
+        from drune_spark.operators.stats import quantile_normalize
+
+        # group a: values 10, 20 (n=2); group b: 1, 2, 3, 4 (n=4);
+        # pooled sorted: 1,2,3,4,10,20 (N=6)
+        df = spark.createDataFrame(
+            [
+                (1, "a", 10), (2, "a", 20),
+                (3, "b", 1), (4, "b", 2), (5, "b", 3), (6, "b", 4),
+            ],
+            "id long, grp string, v long",
+        )
+        out = {
+            r.id: r.mapped_value
+            for r in quantile_normalize(df, "v", "grp", "id").collect()
+        }
+        # a rank1: ceil(1*6/2)=3 -> pooled 3rd = 3; rank2: 6th = 20
+        assert out[1] == 3 and out[2] == 20
+        # b rank r: ceil(r*6/4) = 2,3,5,6 -> 2,3,10,20
+        assert (out[3], out[4], out[5], out[6]) == (2, 3, 10, 20)
+
+    def test_identical_groups_identity(self, spark):
+        from drune_spark.operators.stats import quantile_normalize
+
+        rows = [(i, "g" + str(i % 2), (i * 7) % 10) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, grp string, v long")
+        out = quantile_normalize(df, "v", "grp", "id")
+        # mapped distribution per group has the same multiset shape as
+        # the pooled quantile targets; group sizes equal -> both groups
+        # get identical mapped multisets
+        rows = out.collect()
+        g = {
+            grp: sorted(
+                r.mapped_value for r in rows if r.grp == grp
+            )
+            for grp in ("g0", "g1")
+        }
+        assert g["g0"] == g["g1"]
