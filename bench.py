@@ -373,6 +373,19 @@ BENCH_QUERIES = [
     "pack_mask_audit",
     "terminal_punct",
     "recency_sample",
+    # round-10 entries
+    "suffix_spans",
+    "token_decon",
+    "jpeg_decode",
+    "watermark_detect",
+    "cdc_dedup",
+    "prefix_cache",
+    "bradley_terry",
+    "rand_response",
+    "assortativity",
+    "heaps_law",
+    "rq_encode",
+    "quantile_norm",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # ivfpq_serve stays out: training-tier — r9 cut it ~25s -> ~8-12s
