@@ -10226,6 +10226,52 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION half of exact-substring dedup (dedup.py scrub_spans
+    over the verified suffix_spans removal plan, Lee et al. 2022):
+    splice every duplicated-span token range out of each document and
+    prove the exact splice with an md5 fingerprint of the scrubbed
+    text (the NIAH fingerprint discipline — counts plus hash, no full
+    text through the compare). Docs without spans pass through. Oracle
+    nests the shared SUFFIX_SPANS_ORACLE text as a derived table."""
+    _tune(spark)
+    from drune_spark.operators.dedup import scrub_spans, suffix_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = suffix_spans(docs, "text", "doc_id", k=32)
+    return scrub_spans(docs, spans, "text", "doc_id")
+
+
+# halving gate constants (gate AND oracle render from these).
+HALVING_BASE = 2
+HALVING_ROUNDS = 3
+
+
+def q_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive-halving source selection (sampling.py
+    successive_halving, Karnin et al. 2013): each round doubles the
+    per-source evaluation budget (cum 2/6/14 docs in id order, reward
+    = token count capped at 200) and keeps the better half by
+    (mean desc, source asc) — the fixed-budget bandit a data team runs
+    before paying full evaluation on every candidate source. Fully
+    declarative (no driver loop); oracle replays the identical
+    unrolled rounds from the same constants."""
+    _tune(spark)
+    from drune_spark.functions.text import token_count
+    from drune_spark.operators.sampling import successive_halving
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.least(token_count(F.col("text")), F.lit(200))
+        .alias("reward"),
+    )
+    return successive_halving(
+        docs, "reward", "source", "doc_id",
+        base_budget=HALVING_BASE, n_rounds=HALVING_ROUNDS,
+    )
+
+
 def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source quantile normalization (stats.py
     quantile_normalize, Bolstad et al. 2003): per-doc token counts
@@ -10357,7 +10403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger consistency. Run both tools after each round's CORRECTNESS
     artifact lands and after any registry edit."""
     return {
-        # -- never-driver-verified backlog, waited-longest first (12) ----
+        # -- never-driver-verified backlog, waited-longest first (14) ----
+        "span_scrub": q_span_scrub,
+        "halving": q_halving,
         "quantile_norm": q_quantile_norm,
         "heaps_law": q_heaps_law,
         "rq_encode": q_rq_encode,
@@ -11284,6 +11332,56 @@ def _rq_oracle(k: int = RQ_K, dim: int = RQ_DIM) -> str:
                   PARTITION BY vec_id ORDER BY dist, code) AS rn
               FROM a2p) WHERE rn = 1
     """
+
+
+# Mirror of dedup.suffix_spans (k=32): occurrence-level k-gram
+# duplication + first-occurrence retention (min integer occurrence
+# key doc·2^21+pos) + per-doc island merge. Window COUNT/MIN over the
+# fp partition == Spark's one-pass window shape. One text consumed by
+# the suffix_spans gate verbatim AND nested as a derived table by
+# span_scrub (the cdc_dedup composition pattern).
+SUFFIX_SPANS_ORACLE = """
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(list_slice(ws, i + 1, i + 32), ' '))
+                       AS fp
+            FROM w, UNNEST(range(GREATEST(len(ws) - 31, 0))) AS t(i)
+        ),
+        m AS (
+            SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY fp) AS occ_n,
+                   MIN(doc_id * 2097152 + pos) OVER (PARTITION BY fp)
+                       AS mok
+            FROM g
+        ),
+        c AS (
+            SELECT doc_id, pos FROM m
+            WHERE occ_n >= 2 AND doc_id * 2097152 + pos <> mok
+        ),
+        k AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) > 32
+                        THEN 1 ELSE 0 END AS brk
+            FROM c
+        ),
+        sp AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS span_id
+            FROM k
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 31 AS BIGINT) AS span_end,
+               CAST(MAX(pos) - MIN(pos) + 32 AS BIGINT) AS span_tokens
+        FROM sp GROUP BY doc_id, span_id
+"""
 
 
 # Mirror of packing.cdc_chunks (window=16): one text consumed by the
@@ -19412,52 +19510,9 @@ def oracle_sql() -> dict[str, str]:
         FROM cg
     """
     # -- round-10 entries --------------------------------------------------
-    # Mirror of dedup.suffix_spans (k=32): occurrence-level k-gram
-    # duplication + first-occurrence retention (min integer occurrence
-    # key doc·2^21+pos) + per-doc island merge. Window COUNT/MIN over
-    # the fp partition == Spark's one-pass window shape.
-    d["suffix_spans"] = """
-        WITH w AS (
-            SELECT doc_id,
-                   regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-            FROM documents
-        ),
-        g AS (
-            SELECT doc_id, i AS pos,
-                   md5(array_to_string(list_slice(ws, i + 1, i + 32), ' '))
-                       AS fp
-            FROM w, UNNEST(range(GREATEST(len(ws) - 31, 0))) AS t(i)
-        ),
-        m AS (
-            SELECT doc_id, pos,
-                   COUNT(*) OVER (PARTITION BY fp) AS occ_n,
-                   MIN(doc_id * 2097152 + pos) OVER (PARTITION BY fp)
-                       AS mok
-            FROM g
-        ),
-        c AS (
-            SELECT doc_id, pos FROM m
-            WHERE occ_n >= 2 AND doc_id * 2097152 + pos <> mok
-        ),
-        k AS (
-            SELECT doc_id, pos,
-                   CASE WHEN pos - lag(pos) OVER (
-                            PARTITION BY doc_id ORDER BY pos) > 32
-                        THEN 1 ELSE 0 END AS brk
-            FROM c
-        ),
-        sp AS (
-            SELECT doc_id, pos,
-                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                                  ROWS UNBOUNDED PRECEDING) AS span_id
-            FROM k
-        )
-        SELECT doc_id,
-               CAST(MIN(pos) AS BIGINT) AS span_start,
-               CAST(MAX(pos) + 31 AS BIGINT) AS span_end,
-               CAST(MAX(pos) - MIN(pos) + 32 AS BIGINT) AS span_tokens
-        FROM sp GROUP BY doc_id, span_id
-    """
+    # Mirror of dedup.suffix_spans (k=32) — shared constant: span_scrub
+    # nests this same text as a derived table.
+    d["suffix_spans"] = SUFFIX_SPANS_ORACLE
     # Mirror of dedup.token_ngram_decon over the shared BPE merge CTEs:
     # whole-doc token stream (bpe_doc_stream above), 13-gram md5
     # fingerprints, distinct train (fp, doc), LEFT joins keep zero-hit
@@ -19627,6 +19682,97 @@ def oracle_sql() -> dict[str, str]:
                    AS hit_ppm
         FROM b LEFT JOIN h ON b.doc_id = h.doc_id
     """
+    # Mirror of dedup.scrub_spans over the shared suffix-span plan
+    # (SUFFIX_SPANS_ORACLE nested as a derived table): anti-join
+    # covered positions, position-ordered reassembly, md5 fingerprint.
+    d["span_scrub"] = f"""
+        WITH ssp AS MATERIALIZED (
+            SELECT * FROM ({SUFFIX_SPANS_ORACLE}) t
+        ),
+        tk AS MATERIALIZED (
+            SELECT doc_id, i AS pos, ws[i + 1] AS word
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)),
+                                               '\\s+') AS ws
+                  FROM documents),
+                 UNNEST(range(len(ws))) AS t(i)
+        ),
+        cov AS (
+            SELECT DISTINCT tk.doc_id, tk.pos
+            FROM tk JOIN ssp ON ssp.doc_id = tk.doc_id
+                 AND tk.pos BETWEEN ssp.span_start AND ssp.span_end
+        ),
+        kp AS (
+            SELECT tk.doc_id, tk.pos, tk.word
+            FROM tk LEFT JOIN cov
+              ON cov.doc_id = tk.doc_id AND cov.pos = tk.pos
+            WHERE cov.pos IS NULL
+        ),
+        st AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+                   md5(string_agg(word, ' ' ORDER BY pos))
+                       AS scrubbed_fp
+            FROM kp GROUP BY doc_id
+        ),
+        tt AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total
+            FROM tk GROUP BY doc_id
+        )
+        SELECT tt.doc_id,
+               CAST(COALESCE(st.kept_tokens, 0) AS BIGINT)
+                   AS kept_tokens,
+               CAST(tt.total - COALESCE(st.kept_tokens, 0) AS BIGINT)
+                   AS cut_tokens,
+               COALESCE(st.scrubbed_fp, md5('')) AS scrubbed_fp
+        FROM tt LEFT JOIN st ON tt.doc_id = st.doc_id
+    """
+    # Mirror of sampling.successive_halving — GENERATED from the same
+    # HALVING_BASE/HALVING_ROUNDS constants the gate passes.
+    _h_parts = ["""
+        WITH rw AS MATERIALIZED (
+            SELECT source AS arm,
+                   CAST(LEAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                                       '\\s+'))
+                        END, 200) AS BIGINT) AS rw,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS j
+            FROM documents
+        ),
+        al0 AS (SELECT DISTINCT arm FROM rw)"""]
+    _h_cum = 0
+    for _r in range(1, HALVING_ROUNDS + 1):
+        _h_cum += HALVING_BASE * (1 << (_r - 1))
+        _h_parts.append(f""",
+        m{_r} AS (
+            SELECT rw.arm, CAST(COUNT(*) AS BIGINT) AS n_evals,
+                   CAST(SUM(rw.rw) AS BIGINT) * 1000000
+                       // CAST(COUNT(*) AS BIGINT) AS mean_reward_micro
+            FROM rw JOIN al{_r - 1} USING (arm)
+            WHERE j <= {_h_cum} GROUP BY rw.arm
+        ),
+        k{_r} AS (
+            SELECT *, row_number() OVER (
+                       ORDER BY mean_reward_micro DESC, arm ASC) AS rk,
+                   COUNT(*) OVER () AS alive
+            FROM m{_r}
+        ),
+        o{_r} AS MATERIALIZED (
+            SELECT CAST({_r} AS INTEGER) AS round, arm, n_evals,
+                   mean_reward_micro,
+                   CAST(CASE WHEN rk <= (alive + 1) // 2
+                        THEN 1 ELSE 0 END AS INTEGER) AS survived
+            FROM k{_r}
+        ),
+        al{_r} AS (SELECT arm FROM o{_r} WHERE survived = 1)""")
+    _h_union = " UNION ALL ".join(
+        f"SELECT * FROM o{_r}" for _r in range(1, HALVING_ROUNDS + 1)
+    )
+    _h_parts.append(f"""
+        SELECT round, arm AS source, n_evals, mean_reward_micro,
+               survived
+        FROM ({_h_union})""")
+    d["halving"] = "".join(_h_parts)
     # Mirror of stats.quantile_normalize over per-doc token counts:
     # per-source ranks, pooled value cells with running totals, and
     # the ceil(r·N/n) lower-bound inversion.

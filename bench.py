@@ -386,6 +386,8 @@ BENCH_QUERIES = [
     "heaps_law",
     "rq_encode",
     "quantile_norm",
+    "span_scrub",
+    "halving",
     # viterbi_segment stays out: 8s of pure recursion-step overhead on
     # 31 rows (recursive_reachability already times Spark recursion);
     # ivfpq_serve stays out: training-tier — r9 cut it ~25s -> ~8-12s

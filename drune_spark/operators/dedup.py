@@ -2139,3 +2139,81 @@ def cdc_dedup(
             ).alias("dup_ppm"),
         )
     )
+
+
+def scrub_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a span removal plan: splice the token ranges produced by
+    :func:`suffix_spans` (or any ``(id, span_start, span_end)`` frame,
+    0-based inclusive) OUT of each document — the action half of
+    exact-substring dedup (Lee et al. 2022 cut the spans; reporting
+    them is only half the job).
+
+    Shape: tokens posexplode → equi-join on the doc id against the
+    span frame (spans are rare — the join output is tokens × spans-
+    per-doc, spans-per-doc ≈ 1) → a token survives iff NO span covers
+    its position → per-doc reassembly via position-sorted structs
+    (``collect_list`` order is shuffle-nondeterministic — the
+    cdc_dedup array_sort discipline). Docs with no spans pass through
+    unchanged (left join semantics).
+
+    Returns ``(id_col, kept_tokens, cut_tokens, scrubbed_fp)`` —
+    counts plus the md5 of the space-joined scrubbed text (the NIAH
+    fingerprint discipline: the hash proves the EXACT splice without
+    hauling full text through the gate compare).
+    """
+    from drune_spark.functions.partitioning import fan_out
+
+    # persisted: the token stream is read by the keep-filter AND the
+    # totals aggregate — without it the tokenize+posexplode subtree
+    # re-executes per branch (the r7 self-referencing-step class)
+    toks = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias(
+            "pos", "word"
+        ),
+    ).persist()
+    sp = spans.select(
+        F.col(id_col).alias("sdoc"),
+        F.col("span_start").alias("ss"),
+        F.col("span_end").alias("se"),
+    )
+    # ONE left_anti with the range predicate expresses "no span covers
+    # this token" directly — no covered-set materialization, no second
+    # self-join (overlapping spans are fine: anti-join semantics)
+    kept = toks.join(
+        sp,
+        (F.col("doc") == F.col("sdoc"))
+        & (F.col("pos") >= F.col("ss"))
+        & (F.col("pos") <= F.col("se")),
+        "left_anti",
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "word"))),
+        lambda s: s.getField("word"),
+    )
+    stats = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.md5(F.array_join(ordered, " ")).alias("scrubbed_fp"),
+    )
+    totals = toks.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("__total")
+    )
+    return (
+        totals.join(stats, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+            (F.col("__total") - F.coalesce("kept_tokens", F.lit(0)))
+            .cast("long").alias("cut_tokens"),
+            F.coalesce(
+                "scrubbed_fp", F.md5(F.lit(""))
+            ).alias("scrubbed_fp"),
+        )
+    )

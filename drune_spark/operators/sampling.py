@@ -1076,3 +1076,110 @@ def recency_weights(
             ).cast("long"),
         )
     )
+
+
+def successive_halving(
+    df: DataFrame,
+    reward_col: str,
+    arm_col: str,
+    id_col: str,
+    base_budget: int = 2,
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Successive-halving source selection (Karnin et al. 2013; the
+    fixed-budget bandit behind Hyperband): every round doubles the
+    per-arm evaluation budget and keeps the better half — how a data
+    team picks which sources deserve deeper quality evaluation without
+    paying full-corpus evaluation for every candidate. Unlike DoReMi's
+    gradient-style reweighting this is pure order statistics: fully
+    DECLARATIVE (no driver loop, no collect — the rounds unroll into
+    one lazy plan of window ranks over arm-count-sized frames).
+
+    Deterministic integer semantics: arm evaluations are its docs in
+    ``id_col`` order (rank j); round r (1-based) adds the next
+    ``base_budget·2^(r−1)`` evaluations per surviving arm (cumulative
+    ``cum_r``); an arm's score is mean reward over its first
+    ``min(cum_r, available)`` evals in integer ppm (sum·10⁶ div n);
+    survivors = rank ≤ ⌈alive/2⌉ by (mean desc, arm asc). Arms with
+    fewer docs than the budget are scored on what they have (never
+    dropped for scarcity alone).
+
+    Returns one row per (round, arm alive at round start):
+    ``(round, arm_col, n_evals, mean_reward_micro, survived)`` —
+    mean_reward_micro = mean reward × 10⁶ (micro-units of whatever
+    the caller's reward is — NOT rescaled to a 0..10⁶ ppm range);
+    20 arms → 20+10+5 rows at the defaults.
+    """
+    from pyspark.sql import Window
+
+    if base_budget < 1 or n_rounds < 1:
+        raise ValueError(
+            "successive_halving needs base_budget >= 1, n_rounds >= 1"
+        )
+    if n_rounds > 6:
+        # each round doubles the alive-chain references into the plan;
+        # past ~6 unrolled rounds the lazy-plan growth needs the
+        # localCheckpoint treatment (r5 CC lesson) — guard instead of
+        # silently degrading
+        raise ValueError("successive_halving needs n_rounds <= 6")
+    rewards = df.select(
+        F.col(arm_col).alias("arm"),
+        F.col(reward_col).cast("long").alias("rw"),
+        F.row_number().over(
+            Window.partitionBy(arm_col).orderBy(F.col(id_col))
+        ).alias("j"),
+    ).persist()
+    # EAGER materialization: every round's scored frame AND the alive
+    # chain read this — 6+ branches of one job race a lazy cache and
+    # each recomputes (CLAUDE.md r5-s3 lesson 2)
+    rewards.count()
+    alive = rewards.select("arm").distinct()
+    out_frames = []
+    cum = 0
+    for r in range(1, n_rounds + 1):
+        cum += base_budget * (1 << (r - 1))
+        scored = (
+            rewards.filter(F.col("j") <= cum)
+            .join(alive, "arm")
+            .groupBy("arm")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_evals"),
+                F.sum("rw").cast("long").alias("__s"),
+            )
+            .select(
+                "arm",
+                "n_evals",
+                F.expr("__s * 1000000 div n_evals").alias(
+                    "mean_reward_micro"
+                ),
+            )
+        )
+        wr = Window.orderBy(
+            F.col("mean_reward_micro").desc(), F.col("arm").asc()
+        )
+        ranked = scored.select(
+            "arm",
+            "n_evals",
+            "mean_reward_micro",
+            F.row_number().over(wr).alias("__rk"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy(F.lit(1))
+            ).alias("__alive"),
+        )
+        marked = ranked.select(
+            F.lit(r).cast("int").alias("round"),
+            F.col("arm"),
+            "n_evals",
+            "mean_reward_micro",
+            F.expr("cast(__rk <= (__alive + 1) div 2 as int)")
+            .alias("survived"),
+        )
+        out_frames.append(marked)
+        alive = marked.filter(F.col("survived") == 1).select("arm")
+    out = out_frames[0]
+    for f in out_frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "round", F.col("arm").alias(arm_col), "n_evals",
+        "mean_reward_micro", "survived",
+    )

@@ -757,3 +757,122 @@ class TestQuantileNormalize:
             for grp in ("g0", "g1")
         }
         assert g["g0"] == g["g1"]
+
+
+# ------------------------------------------------------------ span_scrub
+
+
+class TestScrubSpans:
+    def test_planted_splice_exact(self, spark):
+        import hashlib
+
+        from drune_spark.operators.dedup import scrub_spans
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "x y z")],
+            "doc_id long, text string",
+        )
+        spans = spark.createDataFrame(
+            [(1, 1, 3, 3)],
+            "doc_id long, span_start long, span_end long,"
+            " span_tokens long",
+        )
+        out = {r.doc_id: r for r in
+               scrub_spans(docs, spans).collect()}
+        # doc 1: cut tokens 1..3 (b c d) -> "a e f"
+        assert out[1].kept_tokens == 3 and out[1].cut_tokens == 3
+        assert out[1].scrubbed_fp == hashlib.md5(b"a e f").hexdigest()
+        # doc 2 untouched
+        assert out[2].cut_tokens == 0
+        assert out[2].scrubbed_fp == hashlib.md5(b"x y z").hexdigest()
+
+    def test_full_coverage_empty_fp(self, spark):
+        import hashlib
+
+        from drune_spark.operators.dedup import scrub_spans
+
+        docs = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )
+        spans = spark.createDataFrame(
+            [(1, 0, 1, 2)],
+            "doc_id long, span_start long, span_end long,"
+            " span_tokens long",
+        )
+        row = scrub_spans(docs, spans).collect()[0]
+        assert row.kept_tokens == 0 and row.cut_tokens == 2
+        assert row.scrubbed_fp == hashlib.md5(b"").hexdigest()
+
+    def test_composes_with_suffix_spans(self, spark):
+        from drune_spark.operators.dedup import scrub_spans, suffix_spans
+
+        shared = " ".join(f"tok{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(1, shared + " uniq tail"), (2, "lead words " + shared)],
+            "doc_id long, text string",
+        )
+        spans = suffix_spans(docs, k=8)
+        out = {r.doc_id: r for r in
+               scrub_spans(docs, spans).collect()}
+        # doc 1 keeps everything (first occurrence); doc 2 loses the
+        # 40-token copy, keeps its 2 lead words
+        assert out[1].cut_tokens == 0
+        assert out[2].kept_tokens == 2 and out[2].cut_tokens == 40
+
+
+# --------------------------------------------------------------- halving
+
+
+class TestSuccessiveHalving:
+    def test_planted_selection(self, spark):
+        from drune_spark.operators.sampling import successive_halving
+
+        # 4 arms; rewards constant per arm: a=400 > b=300 > c=200 > d=100
+        rows = []
+        rw = {"a": 400, "b": 300, "c": 200, "d": 100}
+        for arm, r in rw.items():
+            for j in range(10):
+                rows.append((f"{arm}{j}", arm, r))
+        df = spark.createDataFrame(rows, "id string, arm string, r long")
+        out = successive_halving(
+            df, "r", "arm", "id", base_budget=2, n_rounds=2
+        ).collect()
+        by = {(r["round"], r.arm): r for r in out}
+        # round 1: 4 alive, keep ceil(4/2)=2 -> a, b survive
+        assert by[(1, "a")].survived == 1
+        assert by[(1, "b")].survived == 1
+        assert by[(1, "c")].survived == 0
+        assert by[(1, "d")].survived == 0
+        # round 2: only a, b scored; keep ceil(2/2)=1 -> a
+        assert (2, "c") not in by and (2, "d") not in by
+        assert by[(2, "a")].survived == 1
+        assert by[(2, "b")].survived == 0
+        # budgets: round 1 cum=2 evals, round 2 cum=6
+        assert by[(1, "a")].n_evals == 2
+        assert by[(2, "a")].n_evals == 6
+        # constant reward 400 -> mean_micro = (2*400)*1e6 div 2
+        assert by[(1, "a")].mean_reward_micro == 400 * 1_000_000
+
+    def test_scarce_arm_not_dropped_for_scarcity(self, spark):
+        from drune_spark.operators.sampling import successive_halving
+
+        rows = [("x1", "x", 500), ("y1", "y", 100), ("y2", "y", 100),
+                ("y3", "y", 100), ("y4", "y", 100), ("y5", "y", 100),
+                ("y6", "y", 100)]
+        df = spark.createDataFrame(rows, "id string, arm string, r long")
+        out = successive_halving(
+            df, "r", "arm", "id", base_budget=2, n_rounds=2
+        ).collect()
+        by = {(r["round"], r.arm): r for r in out}
+        # x has only 1 doc but wins on mean; scored on what it has
+        assert by[(1, "x")].n_evals == 1
+        assert by[(1, "x")].survived == 1
+
+    def test_guards(self, spark):
+        from drune_spark.operators.sampling import successive_halving
+
+        df = spark.createDataFrame(
+            [("a", "g", 1)], "id string, arm string, r long"
+        )
+        with pytest.raises(ValueError):
+            successive_halving(df, "r", "arm", "id", base_budget=0)
