@@ -36,6 +36,30 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = "media_id bigint, kind string, n_bytes bigint, sha256 string, feature array<double>"
 
 
+def _ids_wide(df: DataFrame, id_col: str) -> DataFrame:
+    """Fan the id projection out to full parallelism before an EXPENSIVE
+    synthesize kernel. A small parquet table arrives as ONE input split,
+    and a mapInPandas chain is narrow — so synth + decode both ran
+    single-task (r10 optimization profile: image_resize = 2 tasks,
+    ~3.6 s of task time on one core). The repartition shuffles only the
+    id column; every downstream Arrow stage inherits the width
+    shuffle-free. Per-row outputs are partitioning-independent, so
+    results are unchanged.
+
+    Applied ONLY where the downstream kernels are multi-second
+    (neardup images/videos: 18×16 pixel codecs + dHash resizes; JPEG
+    DCT/Huffman both directions) — measured steady wins of 1.0-3.4 s
+    each at sf0.1. The cheap producers (tiny 4-6 px PNGs, 64-100-frame
+    WAVs) stay narrow: for sub-second kernels the 32-task fan-out costs
+    MORE than it saves (~+1-2 s of exchange + per-partition Arrow/python
+    round-trips; audio_neardup measured 0.9 s → 1.8 s, media_quarantine
+    1.0 s → 3.1 s when fanned). At 100 TB input splits are plentiful and
+    this helper is a no-op (fan_out only widens below the target)."""
+    from drune_spark.functions.partitioning import fan_out
+
+    return fan_out(df.select(id_col))
+
+
 def decode_image(content: bytes) -> np.ndarray:
     """Decode PNG or 24-bit BMP bytes to an (h, w, ch) uint8 array —
     REAL codecs (zlib inflate + all five PNG row filters / struct BMP
@@ -558,7 +582,7 @@ def synthesize_neardup_images(
                 ],
             })
 
-    return df.select(id_col).mapInPandas(
+    return _ids_wide(df, id_col).mapInPandas(
         gen, schema="media_id bigint, content binary"
     )
 
@@ -743,7 +767,7 @@ def synthesize_neardup_videos(
                 ],
             })
 
-    return df.select(id_col).mapInPandas(
+    return _ids_wide(df, id_col).mapInPandas(
         gen, schema="media_id bigint, content binary"
     )
 
@@ -1125,6 +1149,6 @@ def synthesize_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ],
             })
 
-    return df.select(id_col).mapInPandas(
+    return _ids_wide(df, id_col).mapInPandas(
         gen, schema="media_id bigint, content binary"
     )
