@@ -6452,8 +6452,8 @@ def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     never move), per-doc integer ppm via broadcast-joined df counts,
     then a source-cell average with integer division."""
     _tune(spark)
-    from drune_spark.functions.hashes import md5_u32, word_shingles
-    from drune_spark.functions.text import tokens
+    from drune_spark.functions.hashes import md5_u32
+    from drune_spark.operators.dedup import shingle_cells
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
@@ -6461,24 +6461,27 @@ def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32-bit md5 shingle keys instead of strings: the df shuffle and
     # the df-join carry 4-byte ints (measured 17.5s -> ~3s at sf0.1);
     # the oracle hashes identically, so any collision merges the same
-    # shingles on both engines. sh feeds two consumers -> persist.
-    sh = docs.select(
-        "doc_id", "source",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    word_shingles(tokens(F.lower(F.col("text"))), 3),
-                    md5_u32,
-                )
-            )
-        ).alias("sh"),
-    ).persist()
+    # shingles on both engines. Shingles come from the shared CODEGEN
+    # shingle_cells builder (r10: the word_shingles HOF re-ran the
+    # tokenize per element, interpreted); distinct AFTER md5 preserves
+    # the old array_distinct(transform(..., md5)) semantics exactly.
+    # sh feeds two consumers -> persist; source rides back in via a
+    # doc-grain join below (source is functionally dependent on doc_id).
+    sh = (
+        shingle_cells(docs, "text", "doc_id", 3)
+        .select(
+            F.col("doc").alias("doc_id"),
+            md5_u32(F.col("shingle")).alias("sh"),
+        )
+        .distinct()
+        .persist()
+    )
     df_tbl = sh.groupBy("sh").agg(
         F.countDistinct("doc_id").alias("df")
     )
     per_doc = (
         sh.join(df_tbl, "sh")
-        .groupBy("doc_id", "source")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_sh"),
             F.count_if(F.col("df") == 1).alias("n_unique"),
@@ -6486,6 +6489,7 @@ def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "novelty_ppm", F.expr("n_unique * 1000000 div n_sh")
         )
+        .join(docs.select("doc_id", "source"), "doc_id")
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

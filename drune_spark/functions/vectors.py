@@ -19,6 +19,28 @@ def to_double_array(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def lit_double_array(values) -> Column:
+    """array<double> literal in ONE py4j round-trip.
+
+    Both ``F.array(*[F.lit(x) ...])`` and ``F.lit(list)`` (which pyspark
+    classic expands to exactly that per-element loop internally) cost one
+    py4j round-trip PER ELEMENT — measured 3.8 s of pure driver time for
+    32×64 hyperplane literals per call site (the r10 ann_lsh build
+    profile). One F.expr parse is ~100× cheaper and yields the same
+    constant-folded literal. ``repr`` round-trips IEEE doubles exactly
+    and the ``D`` suffix forces DOUBLE (not DECIMAL) literals, so the
+    array is bit-identical to the per-element form."""
+    body = ", ".join(f"{float(x)!r}D" for x in values)
+    return F.expr(f"array({body})")
+
+
+def lit_long_array(values) -> Column:
+    """array<bigint> literal in ONE py4j round-trip (see
+    ``lit_double_array`` — same per-element-loop pitfall)."""
+    body = ", ".join(f"{int(x)}L" for x in values)
+    return F.expr(f"array({body})")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),

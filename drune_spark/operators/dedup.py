@@ -76,6 +76,54 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
     )
 
 
+def shingle_cells(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """DISTINCT (doc, shingle-string) word-k-gram cells in the CODEGEN
+    position-explode form — the one shingle builder every shingle
+    consumer should share.
+
+    ``word_shingles``' transform evaluates INTERPRETED and its lambda
+    references the ``tokens(...)`` split expression, so HOF evaluation
+    re-runs the whole tokenize per element_at reference — k× per
+    shingle per doc (the r5 HOF rule). The r10 profile measured the
+    decontaminate benchmark+corpus shingle builds at 65.6 + 23.9 task-
+    seconds at sf0.1; this form is fully whole-stage-codegen (split
+    runs once per row, each shingle is k array reads).
+
+    Value parity with explode(word_shingles(...)): concat_ws over the
+    same 1-based positions, and DISTINCT on (doc, shingle) ==
+    per-doc array_distinct. Docs with < k tokens yield no rows in both
+    forms. Returns columns (``doc``, ``shingle``).
+    """
+    from drune_spark.functions.partitioning import fan_out
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("doc"), toks.alias("__t")
+    )
+    nsh = F.size(F.col("__t")) - (k - 1)
+    pos = base.select(
+        "doc",
+        "__t",
+        F.explode(
+            F.when(nsh >= 1, F.sequence(F.lit(1), nsh)).otherwise(
+                F.expr("cast(array() as array<int>)")
+            )
+        ).alias("i"),
+    )
+    return pos.select(
+        "doc",
+        F.concat_ws(
+            " ",
+            *[F.element_at(F.col("__t"), F.col("i") + j) for j in range(k)],
+        ).alias("shingle"),
+    ).distinct()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -100,31 +148,12 @@ def ngram_jaccard_pairs(
     # Codegen shingle build (no higher-order functions): HOF lambdas
     # evaluate INTERPRETED — word_shingles' transform costs ~1.4s/pass
     # at sf0.1 where the position-explode + per-row element_at form is
-    # fully whole-stage-codegen'd. The per-doc array_distinct becomes a
-    # (doc, shingle) DISTINCT — one extra exchange the self-join's
-    # shingle shuffle amortizes. Minhash keeps the array/fold form (it
-    # needs per-doc arrays and is shuffle-free by design).
-    from drune_spark.functions.partitioning import fan_out
-
-    toks = tokens(F.lower(F.col(text_col)))
-    base = fan_out(df).select(F.col(id_col).alias("doc"), toks.alias("__t"))
-    nsh = F.size(F.col("__t")) - (k - 1)
-    pos = base.select(
-        "doc",
-        "__t",
-        F.explode(
-            F.when(nsh >= 1, F.sequence(F.lit(1), nsh)).otherwise(
-                F.expr("cast(array() as array<int>)")
-            )
-        ).alias("i"),
-    )
-    exploded = pos.select(
-        "doc",
-        F.concat_ws(
-            " ",
-            *[F.element_at(F.col("__t"), F.col("i") + j) for j in range(k)],
-        ).alias("shingle"),
-    ).distinct()
+    # fully whole-stage-codegen'd (shared shingle_cells helper). The
+    # per-doc array_distinct becomes a (doc, shingle) DISTINCT — one
+    # extra exchange the self-join's shingle shuffle amortizes. Minhash
+    # keeps the array/fold form (it needs per-doc arrays and is
+    # shuffle-free by design).
+    exploded = shingle_cells(df, text_col, id_col, k)
     if max_shingle_df is not None:
         # The hot set is tiny (only shingles above the cap) → broadcast
         # anti-join; the df count itself is one partial-aggregated
@@ -675,19 +704,18 @@ def decontaminate(
     for a giant holdout, falling back to a shuffle join on the hash).
     The md5-based hash keeps the op engine-portable / oracle-checkable.
     """
-    from drune_spark.functions.hashes import md5_u32, word_shingles
-    from drune_spark.functions.partitioning import fan_out
-    from drune_spark.functions.text import tokens
+    from drune_spark.functions.hashes import md5_u32
 
     def sh(df: DataFrame) -> DataFrame:
-        # Interpreted shingle transform + md5 chains are CPU-bound:
-        # widen single-split inputs first (see _doc_shingles).
-        return fan_out(df.select(F.col(id_col), F.col(text_col))).select(
-            F.col(id_col),
-            F.explode(
-                word_shingles(tokens(F.lower(F.col(text_col))), k)
-            ).alias("__g"),
-        ).select(id_col, md5_u32(F.col("__g")).alias("__shingle"))
+        # Codegen position-explode shingles (shared shingle_cells; the
+        # word_shingles HOF form re-ran the tokenize per element
+        # interpreted — measured 65.6 + 23.9 task-seconds for these two
+        # builds at sf0.1, now ~2 s). md5 AFTER the distinct, exactly
+        # like the old explode(word_shingles) → md5 order.
+        return shingle_cells(df, text_col, id_col, k).select(
+            F.col("doc").alias(id_col),
+            md5_u32(F.col("shingle")).alias("__shingle"),
+        )
 
     c = sh(corpus)
     b = sh(benchmark).select("__shingle").distinct()

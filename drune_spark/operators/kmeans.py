@@ -67,7 +67,10 @@ def _sqdist(qcol, c: list[int]):
     columns: per-element lits cost dim py4j round-trips PER CENTROID
     at expression-BUILD time (~2s per k=8/dim=64 _best_cell site —
     measured r9; the driver-loop ops build these each round)."""
-    carr = F.lit([int(v) for v in c]).cast("array<bigint>")
+    # ONE py4j round-trip: F.lit(list) expands to a per-element loop
+    # inside pyspark (64 round-trips per centroid, k·64 per site).
+    from drune_spark.functions.vectors import lit_long_array
+    carr = lit_long_array(c)
     return F.aggregate(
         F.zip_with(qcol, carr, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),

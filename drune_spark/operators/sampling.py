@@ -498,7 +498,11 @@ def kcenter_coreset(
         )
         prev = None
         for rnd in range(1, k + 1):
-            lit_center = F.array(*[F.lit(float(x)) for x in center])
+            # ONE py4j call — the per-element form (and F.lit(list),
+            # which pyspark expands to the same loop) was 64
+            # round-trips of driver time per round.
+            from drune_spark.functions.vectors import lit_double_array
+            lit_center = lit_double_array(center)
             # Persist each round's coverage: the per-round collect is
             # already an action, so the persist costs no extra barrier
             # and stops round j from re-folding rounds 1..j-1's

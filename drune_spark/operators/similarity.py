@@ -92,10 +92,18 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def srp_signature(vec_col, planes: list[list[float]]):
-    """Sign-random-projection bit signature as array<int> of 0/1."""
+    """Sign-random-projection bit signature as array<int> of 0/1.
+
+    Kept for unit tests / tiny frames only — the fold builds one
+    interpreted ``dot`` per plane and costs SECONDS of driver-side
+    py4j/analysis time to construct (32 planes measured ~4.5-7 s to
+    BUILD, before any job). Production sites go through
+    ``srp_signatures_agg`` (codegen, cheap to build, sign-identical)."""
+    from drune_spark.functions.vectors import lit_double_array
+
     bits = []
     for plane in planes:
-        p = F.array(*[F.lit(x) for x in plane])
+        p = lit_double_array(plane)  # ONE py4j call
         bits.append(F.when(dot(vec_col, p) >= 0, 1).otherwise(0))
     return F.array(*bits)
 
@@ -115,14 +123,30 @@ def lsh_topk(
     """Approximate top-k: score only corpus vectors sharing an SRP band
     with the query. Returns (query_id, neighbor_id, rank, cosine)."""
     planes = _hyperplanes(dim, bands * planes_per_band, seed)
-    c = corpus.select(
+    # Signatures via the posexplode+sum aggregate (srp_signatures_agg),
+    # NOT the per-plane dot() folds: the folds are interpreted at run
+    # time AND cost seconds of driver-side py4j/analysis time just to
+    # CONSTRUCT (32 planes ≈ 4.5-7 s measured; the r10 profile showed
+    # ann_recall spending 5 s wall on 0.7 s of task time). Sign parity
+    # fold↔aggregate is the proven srp_signatures_agg contract the
+    # lsh_multiprobe oracle already rests on.
+    cvecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         to_double_array(F.col(vec_col)).alias("cvec"),
-    ).withColumn("sig", srp_signature(F.col("cvec"), planes))
-    q = queries.select(
+    )
+    c = cvecs.join(
+        srp_signatures_agg(cvecs, ["neighbor_id"], "cvec", planes),
+        "neighbor_id",
+    )
+    qvecs = queries.select(
         F.col(query_id_col).alias("query_id"),
         to_double_array(F.col(vec_col)).alias("qvec"),
-    ).withColumn("qsig", srp_signature(F.col("qvec"), planes))
+    )
+    q = qvecs.join(
+        srp_signatures_agg(qvecs, ["query_id"], "qvec", planes)
+        .withColumnRenamed("sig", "qsig"),
+        "query_id",
+    )
 
     def band_key(sig_col, b: int):
         return F.xxhash64(F.lit(b), F.slice(sig_col, b * planes_per_band + 1,
@@ -1120,9 +1144,13 @@ def srp_signatures_agg(
     Returns ``id_cols`` + ``sig`` (array<int> of 0/1, plane order).
     """
     n_planes = len(planes)
-    plane_arrs = [
-        F.array(*[F.lit(float(x)) for x in p]) for p in planes
-    ]
+    # ONE py4j call per plane: both the per-element F.array(*[F.lit(x)])
+    # form AND F.lit(list) (which pyspark expands to that same loop
+    # internally) cost 64 round-trips per plane — measured ~2-4 s of
+    # pure driver time per 32-plane call site before any job ran. The
+    # expr-parsed literal is bit-identical (repr round-trip, D suffix).
+    from drune_spark.functions.vectors import lit_double_array
+    plane_arrs = [lit_double_array(p) for p in planes]
     pos = df.select(
         *id_cols, F.posexplode(vec_col).alias("i", "x")
     )

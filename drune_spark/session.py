@@ -49,6 +49,13 @@ DEFAULT_CONF = {
     # pure loss here.
     "spark.sql.optimizer.excludedRules":
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    # PySpark 4 captures a python call-site string and ships it to the
+    # JVM (set_current_origin) on EVERY DataFrame/Column op for richer
+    # error messages — one extra py4j round-trip + a stack walk per op.
+    # The r10 build profile measured it as a visible slice of the
+    # 2-5 s expression-build time of the wide ANN/IVF operators.
+    # Pure-overhead toggle, no semantic effect; leave errors terse.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
@@ -103,6 +110,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.shuffle.partitions",
         "spark.sql.optimizer.excludedRules",
+        # Best-effort on an external session: pyspark caches the flag
+        # python-side on first use, so this only helps if set before
+        # the first DataFrame op of the process.
+        "spark.python.sql.dataFrameDebugging.enabled",
     ):
         try:
             spark.conf.set(key, DEFAULT_CONF[key])
