@@ -473,10 +473,19 @@ def sparse_cosine_pairs(
     norms = tf.groupBy("doc").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("norm2")
     )
+    # Explicit term-keyed width for the pair join (r10): the join INPUT
+    # is tiny (term cells), so AQE's input-byte-based coalescing ran the
+    # whole quadratic pair EXPANSION + partial aggregate on one task
+    # (profiled ~4 s single-task at sf0.1). repartition(n, term) is a
+    # user-specified width AQE keeps; both aliases share the one
+    # exchange, and the explosion spreads over the term buckets.
+    spark = df.sparkSession
+    width = max(2, spark.sparkContext.defaultParallelism)
+    tfw = tf.repartition(width, "term")
     dots = (
-        tf.alias("a")
+        tfw.alias("a")
         .join(
-            tf.alias("b"),
+            tfw.alias("b"),
             (F.col("a.term") == F.col("b.term"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
