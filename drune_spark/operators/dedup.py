@@ -167,14 +167,17 @@ def ngram_jaccard_pairs(
         exploded = exploded.join(
             F.broadcast(hot), on="shingle", how="left_anti"
         )
-    # The (doc, shingle) cell frame is read THREE times (both sides of
-    # the intersection self-join + the per-doc sizes) — the
-    # self-referencing-DAG trap: unpersisted, the interpreted-HOF
-    # shingle expression re-executes per branch (measured 3-4.7s vs
-    # ~1s at sf0.1). Persisted once, like the LSH signature frame;
-    # residency is one invocation's cell set, bounded by the caller's
-    # clearCache between queries.
+    # The (doc, shingle) cell frame is read FOUR times (both sides of
+    # the intersection self-join + the per-doc sizes subtree, which
+    # appears twice as a broadcast build). EAGER persist+count, not a
+    # lazy mark: the two sizes broadcast exchanges execute as separate
+    # concurrent jobs that race the unpopulated cache and each re-run
+    # the whole shingle build (the r5 >=4-branch rule — A/B at sf0.1:
+    # lazy 78-98 taskSec / 5.3-6.9 s wall vs eager 44-60 taskSec /
+    # 3.0-3.6 s wall, r10). Residency is one invocation's cell set,
+    # bounded by the caller's clearCache between queries.
     exploded = exploded.persist()
+    exploded.count()
     # Sizes from the cells (shingles are array_distinct'd per doc).
     # Docs with zero shingles (< k tokens) drop out, but they cannot
     # share a shingle with anything, so no pair loses its size row.
@@ -1609,7 +1612,10 @@ def containment_pairs(
         exploded = exploded.join(
             F.broadcast(hot), on="shingle", how="left_anti"
         )
+    # Eager, not lazy, for the same reason as ngram_jaccard_pairs: the
+    # sizes broadcast builds race the cold cache as concurrent jobs.
     exploded = exploded.persist()
+    exploded.count()
     sizes = exploded.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
