@@ -643,26 +643,50 @@ def partition_modularity(
     endpoint; the assignment frame broadcasts when small (a labels
     table), and the global m2 scalar rides in as a broadcast 1-row
     cross (the temperature_mix shape). Integer sums are order-free at
-    any parallelism. Returns (community, l2_internal, degree_sum,
-    q_num) ordered by community.
+    any parallelism. ``assign`` must be a partition — one row per
+    node (duplicate assignments would inflate the joined edge counts).
+    Returns (community, l2_internal, degree_sum, q_num) ordered by
+    community.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     amap = assign.select(
         F.col(node_col).alias("__n"), F.col(comm_col).alias("__c")
     )
+    # ONE pass over the edge list (r10): the old shape computed m2 as a
+    # second aggregate over `e`, and because the m2 broadcast build runs
+    # as a concurrent future, the edge-producing join re-executed for
+    # that branch (2x the expensive part of the query). LEFT joins keep
+    # every edge in the tagged frame, so m2 = sum of the per-group edge
+    # counts INCLUDING the unassigned (NULL-community) group — exactly
+    # |directed edges| — while l2_internal / degree_sum count only
+    # both-endpoints-assigned rows, matching the old inner-join
+    # semantics (ca == cb is null-rejecting; `cb IS NOT NULL` inside
+    # the non-null-ca groups replicates the second inner join).
     tagged = (
-        e.join(amap.withColumnRenamed("__n", "a"), "a")
+        e.join(amap.withColumnRenamed("__n", "a"), "a", "left")
         .withColumnRenamed("__c", "ca")
-        .join(amap.withColumnRenamed("__n", "b"), "b")
+        .join(amap.withColumnRenamed("__n", "b"), "b", "left")
         .withColumnRenamed("__c", "cb")
     )
-    m2 = e.agg(F.count(F.lit(1)).alias("m2"))
-    cells = tagged.groupBy(F.col("ca").alias("community")).agg(
+    cells_all = tagged.groupBy(F.col("ca").alias("community")).agg(
         F.sum(
             F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)
         ).cast("long").alias("l2_internal"),
-        F.count(F.lit(1)).cast("long").alias("degree_sum"),
+        F.sum(
+            F.when(F.col("cb").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("degree_sum"),
+        F.count(F.lit(1)).cast("long").alias("__n_edges"),
     )
+    # community-count-sized (tens of rows) — eager persist so the m2
+    # total and the output read the SAME materialization instead of
+    # re-running the tagged join per branch (broadcast builds race a
+    # lazy persist mark; r10 change-5 lesson).
+    cells_all = cells_all.persist()
+    cells_all.count()
+    m2 = cells_all.agg(
+        F.sum("__n_edges").cast("long").alias("m2")
+    )
+    cells = cells_all.filter(F.col("community").isNotNull())
     return (
         cells.crossJoin(F.broadcast(m2))
         .select(

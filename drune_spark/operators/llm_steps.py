@@ -201,7 +201,17 @@ class TokenScreenStep(Step):
     length/stopword complement to the gopher ``quality_filter``
     (repetition/shape) gate above. The predicate uses the non-HOF
     size−array_remove idiom, so the whole screen stays in whole-stage
-    codegen and fuses into the scan."""
+    codegen.
+
+    Plan shape (r10): the token split and stopword counts live in a
+    PROJECT list (where whole-stage codegen applies subexpression
+    elimination — split(trim(lower(text))) is evaluated ONCE per row),
+    and the filter is pinned ABOVE that projection with an always-true
+    nondeterministic conjunct. Without the pin, predicate pushdown
+    inlines the aliases into a single Filter condition, where codegen
+    does NOT eliminate common subexpressions — the screen then
+    re-evaluates the whole tokenize once per stopword term per bound
+    (measured ~35 split() evaluations per row at the gate)."""
 
     def execute(
         self,
@@ -224,14 +234,32 @@ class TokenScreenStep(Step):
         for w in STOPWORDS:
             term = n - F.size(F.array_remove(toks, w))
             hits = term if hits is None else hits + term
-        df2 = df.withColumn("__hits", hits).withColumn("__n", n)
+        # Value-preserving pushdown pin (r10): PushPredicateThroughNonJoin
+        # substitutes the __hits/__n aliases back into the filter whenever
+        # every projected field is deterministic — even for a
+        # nondeterministic or CaseWhen-wrapped condition (both probed) —
+        # and the inlined Filter re-evaluates split() ~35x per row
+        # because FilterExec codegen has no subexpression elimination.
+        # A nondeterministic PROJECTED field (__pin, referenced by the
+        # filter so column pruning keeps it) blocks the push entirely:
+        # the filter stays ABOVE the projection, references __hits/__n
+        # as attributes, and ProjectExec codegen CSE evaluates the
+        # tokenize ONCE per row. __pin >= 0 is always true
+        # (monotonically_increasing_id is nonnegative by construction):
+        # adds no rows, drops no rows, never reaches the output.
+        df2 = (
+            df.withColumn("__hits", hits)
+            .withColumn("__n", n)
+            .withColumn("__pin", F.monotonically_increasing_id())
+        )
         sw = F.expr("(CAST(__hits AS BIGINT) * 1000) div __n")
         cond = (
             (F.col("__n") >= int(min_tokens))
             & (sw >= int(sw_lo_milli))
             & (sw <= int(sw_hi_milli))
+            & (F.col("__pin") >= 0)
         )
-        return df2.filter(cond).drop("__hits", "__n")
+        return df2.filter(cond).drop("__hits", "__n", "__pin")
 
 
 @StepRegistry.register("fim")

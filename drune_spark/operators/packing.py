@@ -317,12 +317,20 @@ def cdc_chunks(
 
     Returns (id_col, chunk_no, start_pos, chunk_len, chunk_md5).
     """
+    from drune_spark.functions.partitioning import fan_out
+
     L = F.length(F.col(text_col))
     idx = F.when(
         L >= window, F.sequence(F.lit(window), L)
     ).otherwise(F.expr("cast(array() as array<int>)"))
+    # fan_out (r10): the boundary explode pays one md5 per CHARACTER
+    # and the span side one md5 per chunk — both scan-fused, so with a
+    # single-split parquet input the whole chunker ran on ONE core
+    # (sf0.1: ~5.5M window hashes on one task). One narrow (id, text)
+    # width shuffle feeds BOTH sides; no-op at production split counts.
+    base = fan_out(df.select(F.col(id_col), F.col(text_col)))
     bounds = (
-        df.select(F.col(id_col), F.col(text_col))
+        base
         .select(
             id_col,
             F.explode(idx).alias("p"),
@@ -342,7 +350,7 @@ def cdc_chunks(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("p")).alias("bs"))
     )
-    j = df.select(F.col(id_col), F.col(text_col)).join(
+    j = base.join(
         bounds, id_col, "left"
     ).select(
         id_col,

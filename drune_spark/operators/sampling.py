@@ -140,6 +140,8 @@ def weighted_sample(
 
     Returns the winning rows + (weight, ticket), ticket ascending.
     """
+    from drune_spark.functions.partitioning import fan_out
+
     key = f"CAST({key_col} AS STRING)"
     ticket_hash = (
         f"CAST(conv(substring(md5(concat('{salt}:', {key}, ':', "
@@ -149,8 +151,15 @@ def weighted_sample(
         f"array_min(transform(sequence(1, CAST({weight_col} AS INT)), "
         f"i -> {ticket_hash}))"
     )
+    # fan_out (r10): the ticket fold is an INTERPRETED HOF paying up to
+    # `weight` md5 evaluations per row, and sf-scale inputs arrive as a
+    # single parquet split — without the width the whole fold runs on
+    # one core (r8 matryoshka lesson). The shuffle carries only the
+    # pre-ticket columns; ticket values are per-row md5 functions and
+    # TakeOrdered is a global order, so placement cannot change the
+    # result. No-op when the input is already at core-count width.
     return (
-        df.filter(F.col(weight_col) >= 1)
+        fan_out(df.filter(F.col(weight_col) >= 1))
         .withColumn("ticket", F.expr(draw))
         .orderBy("ticket", key_col)
         .limit(n)

@@ -542,14 +542,15 @@ def stream_upsert(
             unioned.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn")
         )
-        # state is keys-sized; rewrite via a temp dir + atomic-ish swap,
-        # and drop the per-batch scratch dir once swapped (a long-lived
-        # stream would otherwise leave one dir per micro-batch behind)
+        # state is keys-sized; write to a temp dir (the read side of
+        # this batch still points at state_path) then swap with a
+        # filesystem rename — the old shape re-READ the temp dir and
+        # re-WROTE it through Spark, paying a second full write job
+        # per micro-batch for bytes that were already on disk.
         tmp_out = state_path + f".b{batch_id}"
         reduced.write.mode("overwrite").parquet(tmp_out)
-        final = sess.read.parquet(tmp_out)
-        final.write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(tmp_out, ignore_errors=True)
+        shutil.rmtree(state_path, ignore_errors=True)
+        os.rename(tmp_out, state_path)
 
     with tempfile.TemporaryDirectory() as ckpt, \
             state_partitions(spark, n_state_partitions):
