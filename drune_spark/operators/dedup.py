@@ -1942,29 +1942,26 @@ def suffix_spans(
 
     if k < 2:
         raise ValueError("suffix_spans needs k >= 2")
-    # Narrow (doc, pos, word) explode + (k-1)-deep lead window (r10):
-    # the old position-explode kept the whole token ARRAY alongside
-    # every position row for the element_at projections, so each gram
-    # row carried a full copy of its document's token array through
-    # the generate — n_tokens × array_bytes of row traffic per doc
-    # (the token_ngram_decon lesson, same fix). The lead window
-    # rebuilds the same k-windows from single-token rows for one
-    # narrow shuffle ∝ tokens; the gram md5 stays codegen (no
-    # transform lambda — the r5 ngram_diversity lesson still holds).
-    # lead(word, k-1) IS NULL exactly past the last full window
-    # (token array elements are never NULL), reproducing the old
-    # sequence bound.
-    pos_df = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+    base = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc"),
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias(
-            "pos", "word"
-        ),
+        tokens(F.lower(F.col(text_col))).alias("w"),
     )
-    wdoc = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("word")] + [
-        F.lead("word", j).over(wdoc) for j in range(1, k)
-    ]
-    fp = F.md5(F.concat_ws(" ", *parts))
+    n = F.size("w") - F.lit(k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.expr("cast(array() as array<int>)")
+    )
+    pos_df = base.select("doc", "w", F.explode(idx).alias("pos"))
+    # Gram via element_at projections (codegen), not a transform lambda
+    # (interpreted HOF — the r5 ngram_diversity lesson).
+    fp = F.md5(
+        F.concat_ws(
+            " ",
+            *[
+                F.element_at(F.col("w"), F.col("pos") + j + 1)
+                for j in range(k)
+            ],
+        )
+    )
     # Integer occurrence key: doc * 2^21 + pos. The in-codegen
     # assert_true guard (zero term of the consumed expression) throws
     # loudly if a doc ever exceeds 2^21 token positions instead of
@@ -1980,14 +1977,7 @@ def suffix_spans(
             F.lit(0),
         )
     )
-    occ = (
-        pos_df.select(
-            "doc", "pos", fp.alias("fp"), okey.alias("okey"),
-            parts[-1].alias("__last"),
-        )
-        .filter(F.col("__last").isNotNull())
-        .drop("__last")
-    )
+    occ = pos_df.select("doc", "pos", fp.alias("fp"), okey.alias("okey"))
     wfp = Window.partitionBy("fp")
     marked = occ.select(
         "doc",
@@ -2049,8 +2039,6 @@ def token_ngram_decon(
     clean ones): ``(id_col, n_token_grams, n_hit_grams, n_train_docs,
     contaminated)``, all counts int64, flag int 0/1.
     """
-    from pyspark.sql import Window
-
     from drune_spark.functions.partitioning import fan_out
 
     from drune_spark.operators.bpe import bpe_token_stream
@@ -2059,41 +2047,34 @@ def token_ngram_decon(
         raise ValueError("token_ngram_decon needs n >= 2")
 
     def grams(df: DataFrame) -> DataFrame:
-        # Narrow (id, pos, tok) explode + (n-1)-deep lead window
-        # (r10): the old shape exploded POSITIONS and kept the whole
-        # token ARRAY alongside each one for the element_at
-        # projection, so every gram row carried a full copy of its
-        # document's token array through the generate — ~n_tokens ×
-        # array_bytes of row traffic per doc (measured ~300
-        # task-seconds at sf0.1, the whole query's cost). The lead
-        # window rebuilds the same windows from single-token rows for
-        # one narrow shuffle ∝ tokens; gram md5 stays codegen. Window
-        # validity: lead(tok, n-1) IS NULL exactly past the last full
-        # window (array elements are never NULL), reproducing the old
-        # sequence bound.
         toks = fan_out(bpe_token_stream(df, merges, text_col, id_col))
-        pos_tok = toks.select(
-            F.col(id_col),
-            F.posexplode(F.col("toks")).alias("pos", "tok"),
+        sz = F.size("toks") - F.lit(n - 1)
+        idx = F.when(sz >= 1, F.sequence(F.lit(0), sz - 1)).otherwise(
+            F.expr("cast(array() as array<int>)")
         )
-        parts = [F.col("tok")] + [
-            F.lead("tok", j).over(
-                Window.partitionBy(id_col).orderBy("pos")
+        pos_df = toks.select(F.col(id_col), "toks",
+                             F.explode(idx).alias("pos"))
+        fp = F.md5(
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("toks"), F.col("pos") + j + 1)
+                    for j in range(n)
+                ],
             )
-            for j in range(1, n)
-        ]
-        fp = F.md5(F.concat_ws(" ", *parts))
-        return (
-            pos_tok.select(F.col(id_col), fp.alias("fp"),
-                           parts[-1].alias("__last"))
-            .filter(F.col("__last").isNotNull())
-            .select(F.col(id_col), "fp")
         )
+        return pos_df.select(F.col(id_col), fp.alias("fp"))
 
     # The eval gram stream feeds TWO branches (per-doc totals and the
-    # distinct-join hit counts) — eager persist so the tokenize +
-    # gram build runs once, not per branch (eval side is gram-count-
-    # sized and narrow: (id, fp) rows).
+    # distinct-join hit counts) — eager persist so the tokenize + gram
+    # build runs once, not per branch (eval side is gram-count-sized
+    # and narrow: (id, fp) rows). The gram build itself deliberately
+    # KEEPS the carry-the-array element_at form: an interleaved A/B
+    # against a narrow posexplode + lead-window build measured the
+    # carry form FASTER (1.3 vs 2.0 s/pass on the sf0.1 train side) —
+    # generate + project fuse in whole-stage codegen, so the token
+    # array is never copied per gram row and the window variant just
+    # pays an extra doc-keyed shuffle+sort.
     ev = grams(eval_df).persist()
     ev.count()
     tr = grams(train).select(
