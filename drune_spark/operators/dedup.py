@@ -181,9 +181,18 @@ def ngram_jaccard_pairs(
     # Sizes from the cells (shingles are array_distinct'd per doc).
     # Docs with zero shingles (< k tokens) drop out, but they cannot
     # share a shingle with anything, so no pair loses its size row.
+    # LAZY persist: the executed DAG built this aggregate TWICE (the
+    # id_a/id_b broadcast joins materialize as independent concurrent
+    # broadcast-build jobs and AQE exchange reuse loses the race, each
+    # re-scanning the 260k-cell cache). Two consumers dedupe fine at
+    # plan time (r8: InMemoryRelation substitution happens during
+    # planning) and the DAGScheduler shares the partial-agg shuffle
+    # stage by shuffleId, so no eager count job is needed — the eager
+    # variant's extra sequential job ate the win in the interleaved
+    # A/B (lazy 1.98-2.57 s/pass vs none 2.01-3.25, eager 2.15-2.50).
     sizes = exploded.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_shingles")
-    )
+    ).persist()
     inter = (
         exploded.alias("a")
         .join(exploded.alias("b"),
@@ -768,6 +777,7 @@ def decontaminate_semantic(
     """
     from pyspark.sql import Window
 
+    from drune_spark.functions.partitioning import fan_out
     from drune_spark.functions.vectors import (
         cosine_similarity,
         to_double_array,
@@ -777,9 +787,14 @@ def decontaminate_semantic(
         F.col(eval_id_col),
         to_double_array(F.col(vec_col)).alias("ev"),
     )
-    c = corpus.select(
+    # fan_out: sf-scale embeddings arrive as ONE parquet split, so the
+    # O(n·|eval|) interpreted cosine scan ran on a single task (3.3 s
+    # single-task stage inside contamination_report at sf0.1 — the r8
+    # matryoshka lesson). No-op at production split counts; placement
+    # cannot change per-pair cosines or the id-keyed argmax.
+    c = fan_out(corpus.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
-    )
+    ))
     scored = (
         c.join(F.broadcast(ev))
         .select(
