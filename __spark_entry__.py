@@ -7446,9 +7446,17 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingredient is an independently-oracled screen."""
     _tune(spark)
     from drune_spark.functions.hashes import fingerprint_md5
+    from drune_spark.functions.partitioning import fan_out
     from drune_spark.functions.text import lang_id, token_count
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # fan_out: sf-scale documents arrive as ONE parquet split, so the
+    # heavy per-row screens (tokenize + md5 + lang_id) ran single-task
+    # (profiled 4 tasks / 2.0 taskSec on one core). No-op at
+    # production split counts; the source-keyed aggregate is
+    # placement-independent. Interleaved A/B: 2.4-2.9 -> 1.4-1.6 s.
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select("source", "lang", "text")
+    ).select(
         "source",
         "lang",
         token_count(F.col("text")).alias("n_toks"),

@@ -437,6 +437,7 @@ def connected_components(
     pairs: DataFrame,
     all_nodes: DataFrame,
     max_iterations: int | None = 20,
+    driver_cutoff: int | None = None,
 ) -> DataFrame:
     """Dedup clustering: connected components over near-dup pairs via
     min-label propagation (HashMin). Returns (doc_id, cluster_id) where
@@ -475,6 +476,72 @@ def connected_components(
     # parallelism.
     m = both.count()
     spark = pairs.sparkSession
+    # Size-adaptive driver fast path (r10): below the cutoff the whole
+    # iterative loop is replaced by ONE bounded collect + union-find on
+    # the driver — the same memory class as a broadcast-join build
+    # (the edge list ALREADY had to be small enough to persist and to
+    # broadcast labels against). The distributed HashMin loop costs
+    # ~6 sequential jobs/round (neighbor-min broadcast build, stepped
+    # checkpoint, pointer-jump build, observe checkpoint) at ~0.1 s of
+    # driver latency each, so a 512-edge bench graph paid ~2 s of pure
+    # job sequencing for microseconds of union-find work. Union by
+    # min-root + path compression yields root = component min — the
+    # identical fixpoint, order-independent, so oracle hashes are
+    # untouched. Above the cutoff (production graphs) the distributed
+    # loop runs unchanged; the threshold is on DIRECTED edge rows
+    # (2|E|) and is env-tunable for cluster memory
+    # (SPARK_GRAFT_CC_DRIVER_EDGES, default 200k rows ≈ a few MB).
+    if driver_cutoff is None:
+        import os
+
+        driver_cutoff = int(
+            os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "200000")
+        )
+    if m <= driver_cutoff:
+        rows = both.collect()
+        both.unpersist()
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            ra, rb = _find(row[0]), _find(row[1])
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        from pyspark.sql.types import StructField, StructType
+
+        node_type = both.schema["src"].dataType
+        nontrivial = [
+            (n, root)
+            for n in {r[0] for r in rows}
+            if (root := _find(n)) != n
+        ]
+        small = spark.createDataFrame(
+            nontrivial,
+            StructType([
+                StructField("node", node_type, False),
+                StructField("label", node_type, False),
+            ]),
+        )
+        return (
+            all_nodes.select(
+                F.col(all_nodes.columns[0]).alias("node")
+            )
+            .distinct()
+            .join(F.broadcast(small), "node", "left")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.coalesce("label", "node").alias("cluster_id"),
+            )
+        )
     max_w = spark.sparkContext.defaultParallelism
     w = max(2, min(max_w, m // 100_000 + 1))
     if w < max_w:

@@ -127,7 +127,8 @@ class TestDedup:
         )
         nodes = spark.createDataFrame([(i,) for i in range(7)], ["doc_id"])
         with pytest.warns(RuntimeWarning, match="did not converge"):
-            out = connected_components(edges, nodes, max_iterations=1)
+            out = connected_components(edges, nodes, max_iterations=1,
+                                       driver_cutoff=0)
             out.collect()
 
     def test_connected_components_pointer_jump_handles_deep_chains(
@@ -145,12 +146,36 @@ class TestDedup:
             [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
         )
         nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
-        out = connected_components(edges, nodes, max_iterations=12)
+        out = connected_components(edges, nodes, max_iterations=12,
+                                   driver_cutoff=0)
         labels = {r.doc_id: r.cluster_id for r in out.collect()}
         assert labels == {i: 0 for i in range(n)}
         assert not [
             w for w in recwarn if "did not converge" in str(w.message)
         ]
+
+    def test_connected_components_driver_path_matches_distributed(
+        self, spark
+    ):
+        """The small-graph driver union-find fast path (r10) must be
+        row-identical to the distributed HashMin loop: same min-id
+        labels, singletons mapping to themselves, on a graph mixing
+        chains, a triangle, and isolated nodes."""
+        from drune_spark.operators.dedup import connected_components
+
+        edge_list = [(1, 2), (2, 3), (7, 5), (5, 9), (9, 7), (11, 12)]
+        edges = spark.createDataFrame(edge_list, ["id_a", "id_b"])
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(1, 14)], ["doc_id"]
+        )
+        fast = {r.doc_id: r.cluster_id
+                for r in connected_components(edges, nodes).collect()}
+        slow = {r.doc_id: r.cluster_id
+                for r in connected_components(
+                    edges, nodes, driver_cutoff=0).collect()}
+        assert fast == slow
+        assert fast[3] == 1 and fast[9] == 5 and fast[12] == 11
+        assert fast[4] == 4 and fast[13] == 13
 
     def test_md5_u32_matches_duckdb(self, spark):
         """The portable hash must equal DuckDB's hex-cast of the same md5
