@@ -1587,12 +1587,22 @@ def incremental_minhash_dedup(
             ).alias("bb"),
         ).select("doc", "bb.band", "bb.bucket")
 
+    # EAGER persists (r10): sigs_old feeds TWO stages of one job (the
+    # band probe and the signature join) and sigs_new feeds two
+    # concurrent broadcast builds — lazily-persisted, each consumer
+    # re-ran the full minhash (portable md5 = the expensive path;
+    # interleaved A/B at sf0.1: 39-77 taskSec lazy vs 27-42 eager,
+    # eager 3/3 on task time). Residency = corpus signature rows
+    # (~0.5% of text bytes); at production scale the corpus index is a
+    # precomputed table, not an in-session frame (docstring above).
     sigs_new = minhash_signatures(
         new_df, text_col, id_col, num_perm, k, seed, portable
     ).persist()
     sigs_old = minhash_signatures(
         existing_df, text_col, id_col, num_perm, k, seed, portable
-    )
+    ).persist()
+    sigs_old.count()
+    sigs_new.count()
     cands = (
         _banded(sigs_old)
         .join(
