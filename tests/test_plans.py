@@ -523,17 +523,24 @@ class TestRound4ThirdWavePlans:
         assert "hashpartitioning(content" not in plan
 
     def test_modularity_single_pass_no_branch_replan(self, spark, entry):
-        """l2_internal and degree_sum come from ONE aggregate over the
-        tagged edge list — exactly one aggregate pair over the join
-        (no per-branch re-execution), plus the 1-row m2 broadcast
-        cross."""
+        """l2_internal/degree_sum/m2 all read ONE eagerly-persisted
+        aggregate over the tagged edge list (r10 one-pass shape): both
+        plan branches consume the cache, so the lineitem self-join
+        executes exactly once regardless of how many textual copies
+        the InMemoryRelation snapshot embeds (a raw join count over
+        the plan string double-counts the cached subtree's final +
+        initial AQE plan texts)."""
         plan = executed_plan(entry.q_modularity(spark, SF))
         assert "BroadcastNestedLoopJoin" in plan  # bounded 1-row cross
         assert "CartesianProduct" not in plan
-        # the edge-building join of lineitem with itself must appear
-        # exactly once (a branch re-plan would duplicate it)
-        assert plan.count("SortMergeJoin") + plan.count(
-            "BroadcastHashJoin") <= 4
+        # both the output cells and the m2 total read the persisted
+        # cell frame — a branch re-plan would drop a cache reference
+        assert plan.count("InMemoryTableScan") == 2
+        # and no join executes OUTSIDE the cached subtree: the live
+        # plan region before the first cache snapshot is join-free
+        head = plan.split("InMemoryRelation", 1)[0]
+        assert "SortMergeJoin" not in head
+        assert "BroadcastHashJoin" not in head
 
     def test_aspect_bucket_no_global_sort(self, spark, entry):
         """Batch ids come from a window PARTITIONED BY bucket — never a
