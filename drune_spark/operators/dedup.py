@@ -381,13 +381,18 @@ def minhash_lsh_pairs(
     equality ⟺ band-slice equality, which is what a SQL twin joins on).
     """
     rows_per_band = num_perm // bands
-    # Persist: banding and the two signature joins below all read this;
-    # without it the whole shingle+hash lineage recomputes each time.
-    # Left cached after return on purpose (the result is lazy and still
+    # EAGER persist (r10): banding and the two signature joins below all
+    # read this, and the signature-side joins run as CONCURRENT
+    # broadcast-build jobs that race a lazy persist mark — each racer
+    # re-ran the whole shingle+md5 fold lineage (interleaved A/B at
+    # sf0.1 on the cross_source_dups shape: lazy 30.4/4.1/2.5 s/pass vs
+    # eager 3.8/0.9/1.8 — the §14 incremental_dedup family). Left
+    # cached after return on purpose (the result is lazy and still
     # reads it); LRU eviction is the long-lived-session backstop.
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, k, seed, portable
     ).persist()
+    sigs.count()
     # The self-join carries only (doc, band, bucket) — 24 bytes/row —
     # never the 64-slot signatures; those join back onto the (much
     # smaller) deduped candidate set afterwards.
@@ -1100,9 +1105,13 @@ def minhash_lsh_pairs_recent(
     rows_per_band = num_perm // bands
     days = df.select(F.col(id_col).alias("doc"),
                      F.col(day_col).alias("day"))
+    # Eager persist: same concurrent-broadcast-build race as
+    # minhash_lsh_pairs (the two signature joins below) — see the A/B
+    # evidence there.
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, k, seed, portable
     ).join(days, "doc").persist()
+    sigs.count()
     week = F.expr(f"day div {int(horizon_days)}")
 
     def banded(fan_out: bool):
