@@ -745,7 +745,9 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     fact = spark.read.parquet(path)
-    dim = spark.createDataFrame(
+    from drune_spark.functions.partitioning import local_frame
+    dim = local_frame(
+        spark,
         [("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
          ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold")],
         "prio string, tier string",
@@ -8878,7 +8880,9 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in per_flag
     ]
-    return spark.createDataFrame(
+    from drune_spark.functions.partitioning import local_frame
+    return local_frame(
+        spark,
         rows,
         "l_returnflag string, n_flag_rows long, flag_qty long, "
         "n_rows long, sum_qty long, n_disc long, flag_rows_ppm long",

@@ -242,3 +242,123 @@ def rendezvous_assign(
             .alias("shard"),
         )
     )
+
+
+def _parse_simple_schema(schema: str):
+    """Parse ``"name type, name type"`` splitting only TOP-LEVEL commas
+    (so ``array<long>`` survives). Returns [(name, normalized_type)]."""
+    cols, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            cols.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    cols.append("".join(cur))
+    out = []
+    for c in cols:
+        parts = c.strip().split(None, 1)
+        if len(parts) != 2:
+            return None
+        out.append((parts[0], parts[1].strip().lower().replace(" ", "")))
+    return out
+
+
+_LF_INT_TYPES = {"int", "integer", "bigint", "long"}
+_LF_LONG_ARRAYS = {"array<bigint>", "array<long>"}
+
+
+def _lf_literal(v, t: str) -> str | None:
+    """One SQL literal token for value ``v`` of simple type ``t``;
+    None = unsupported (caller falls back)."""
+    if v is None:
+        return "NULL"
+    if t in _LF_INT_TYPES:
+        return f"{int(v)}L"
+    if t == "double":
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            return f"CAST('{f!r}' AS DOUBLE)"
+        return f"{f!r}D"
+    if t == "boolean":
+        return "true" if bool(v) else "false"
+    if t == "string":
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    if t in _LF_LONG_ARRAYS:
+        inner = ", ".join("NULL" if x is None else f"{int(x)}L" for x in v)
+        return f"array({inner})"
+    return None
+
+
+def local_frame(
+    spark,
+    rows,
+    schema,
+    max_literal_rows: int = 1024,
+) -> DataFrame:
+    """Driver-local rows as a DataFrame WITHOUT the default python scan.
+
+    ``spark.createDataFrame(list)`` becomes a pickled RDD parallelized
+    over ``defaultParallelism`` slices: every action launches that many
+    python-worker tasks whose measured cost is ~150-350 ms of pure
+    handshake wait EACH (r10 profile: 32-slice local frame ≈ 0.43 s per
+    noop save steady vs ≈ 0.10 s as a JVM literal frame) — and min-of-2
+    benching pays it per pass. Control/result frames in driver-loop
+    operators are tiny, so this builds them as ONE range(n, 1 partition)
+    + per-column ``element_at(array(<literals>), id+1)`` projection:
+    pure JVM, zero python workers, one expr parse per column
+    (the ``lit_double_array`` lesson — never per-element ``F.lit``).
+
+    Value fidelity: ints exact; doubles via ``repr`` round-trip (the
+    proven lit_double_array contract, ``D`` suffix, Infinity/NaN via
+    CAST); strings with backslash+quote escaping (raw newlines are legal
+    inside Spark string literals); None → typed NULL (the final
+    ``cast`` to the declared column type resolves all-NULL columns).
+    Output column order, names and types match ``createDataFrame``'s.
+
+    Falls back to ``createDataFrame(parallelize(rows, slices))`` —
+    slices sized by row count, not defaultParallelism — when the schema
+    is not a simple string schema (int/long/double/string/boolean/
+    array<long>), any value is unsupported, or rows exceed
+    ``max_literal_rows`` (a >64KB CreateArray codegen method would fall
+    back to interpreted eval anyway; a plan-text blowup is never worth
+    a local frame).
+    """
+    from pyspark.sql import functions as F
+
+    rows = list(rows)
+    n = len(rows)
+    cols = _parse_simple_schema(schema) if isinstance(schema, str) else None
+
+    def _fallback() -> DataFrame:
+        slices = max(1, min(
+            spark.sparkContext.defaultParallelism, 1 + n // 50_000
+        ))
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, slices), schema
+        )
+
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    if cols is None or n > max_literal_rows:
+        return _fallback()
+    arrays = []
+    for ci, (_, t) in enumerate(cols):
+        lits = []
+        for r in rows:
+            lit = _lf_literal(r[ci], t)
+            if lit is None:
+                return _fallback()
+            lits.append(lit)
+        arrays.append("array(" + ", ".join(lits) + ")")
+    base = spark.range(0, n, 1, 1)
+    return base.select(*[
+        F.element_at(F.expr(arr), (F.col("id") + 1).cast("int"))
+        .cast(t).alias(name)
+        for arr, (name, t) in zip(arrays, cols)
+    ])

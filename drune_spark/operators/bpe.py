@@ -118,8 +118,10 @@ def bpe_train(
                 F.lit(f" {merged} "),
             ),
         )
-    return spark.createDataFrame(
-        merges, "step int, pair string, merged string, pair_count bigint"
+    from drune_spark.functions.partitioning import local_frame
+    return local_frame(
+        spark, merges,
+        "step int, pair string, merged string, pair_count bigint",
     )
 
 
@@ -325,8 +327,9 @@ def wordpiece_train(
                 F.lit(f" {merged} "),
             ),
         )
-    return spark.createDataFrame(
-        merges,
+    from drune_spark.functions.partitioning import local_frame
+    return local_frame(
+        spark, merges,
         "step int, pair string, merged string, pair_count bigint,"
         " score bigint",
     )

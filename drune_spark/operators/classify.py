@@ -72,4 +72,5 @@ def batch_perceptron(
     schema = "round int, err_n bigint, " + ", ".join(
         f"w_{c} bigint" for c in x_cols
     )
-    return spark.createDataFrame(out_rows, schema=schema)
+    from drune_spark.functions.partitioning import local_frame
+    return local_frame(spark, out_rows, schema)

@@ -529,7 +529,9 @@ def connected_components(
             for n in {r[0] for r in rows}
             if (root := _find(n)) != n
         ]
-        small = spark.createDataFrame(
+        from drune_spark.functions.partitioning import local_frame
+        small = local_frame(
+            spark,
             nontrivial,
             StructType([
                 StructField("node", node_type, False),

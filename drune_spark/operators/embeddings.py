@@ -136,12 +136,31 @@ def power_iteration_axis(
     Returns (round, dim_i, v) for every round — the full trajectory,
     convergence itself being part of the checked output.
     """
-    C = gram_cells(df, vec_col=vec_col, dim=dim, scale=scale).persist()
+    from drune_spark.functions.vectors import lit_long_array
+
+    # The cell table is dim² rows REGARDLESS of corpus size, so a
+    # near-single-partition layout is scale-safe (not a local[32]
+    # constant): 32 cached partitions of ~128 cells each cost ~0.4 s
+    # of per-task overhead per round vs ~0.12 s coalesced (interleaved
+    # A/B ×3, identical values). ~500k cells per partition keeps even
+    # dim=1024 (1M cells) at a sane width.
+    n_parts = max(1, (dim * dim) // 500_000)
+    C = gram_cells(df, vec_col=vec_col, dim=dim, scale=scale) \
+        .coalesce(n_parts).persist()
     v = [scale] * dim
     out_rows = []
     for r in range(1, rounds + 1):
-        vf = spark.createDataFrame(
-            [(i, int(v[i])) for i in range(dim)], "b int, vb long"
+        # JVM literal-array frame, NOT spark.createDataFrame: a local
+        # python createDataFrame becomes a pickled RDD scanned by
+        # defaultParallelism python tasks, each paying a ~250 ms worker
+        # handshake (r10 profile: 0 CPU, 0 input, ~50 taskSec/query of
+        # pure wait). range(1 partition) + posexplode of one literal
+        # array stays entirely in the JVM.
+        vf = spark.range(0, dim, 1, 1).select(
+            F.col("id").cast("int").alias("b"),
+            F.element_at(
+                lit_long_array(v), (F.col("id") + 1).cast("int")
+            ).alias("vb"),
         )
         w_rows = (
             C.join(F.broadcast(vf), "b")
@@ -158,8 +177,15 @@ def power_iteration_axis(
         v = [(x * scale + scale * m) // m - scale for x in w]
         out_rows.extend((r, i, int(v[i])) for i in range(dim))
     C.unpersist()
-    return spark.createDataFrame(
-        out_rows, schema="round int, dim_i int, v long"
+    # Same JVM-literal discipline for the trajectory output (row order
+    # is round-major, exactly the old tuple order).
+    vs = lit_long_array([t[2] for t in out_rows])
+    return spark.range(0, len(out_rows), 1, 1).select(
+        (F.lit(1) + F.expr(f"id div {int(dim)}")).cast("int")
+        .alias("round"),
+        F.pmod(F.col("id"), F.lit(dim)).cast("int").alias("dim_i"),
+        F.element_at(vs, (F.col("id") + 1).cast("int"))
+        .cast("long").alias("v"),
     )
 
 
@@ -663,8 +689,9 @@ def matryoshka_recall(
         .groupBy("query_id", "dim")
         .agg(F.count_if("in_full").alias("n_hits"))
     )
-    dims_df = queries.sparkSession.createDataFrame(
-        [(int(m),) for m in dims], "dim int"
+    from drune_spark.functions.partitioning import local_frame
+    dims_df = local_frame(
+        queries.sparkSession, [(int(m),) for m in dims], "dim int"
     )
     grid = queries.select(F.col(query_id_col).alias("query_id")) \
         .distinct().crossJoin(F.broadcast(dims_df))

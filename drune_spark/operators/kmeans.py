@@ -162,10 +162,13 @@ def ivf_train(
             # Serving-path callers (ivf_pq_serve) only consume
             # (centroid_id, centroid) — skip the final assignment pass
             # (one full _best_cell job) and report zeroed stats.
-            return spark.createDataFrame(
+            from drune_spark.functions.partitioning import \
+                local_frame
+            return local_frame(
+                spark,
                 [(cid, c, 0, 0) for cid, c in centroids],
-                schema="centroid_id long, centroid array<long>, "
-                       "n_members long, sse long",
+                "centroid_id long, centroid array<long>, "
+                "n_members long, sse long",
             )
         stats = (
             q.select(_best_cell(centroids).alias("__best"))
@@ -179,9 +182,11 @@ def ivf_train(
                 F.sum("dist").alias("sse"),
             )
         )
-        cent_df = spark.createDataFrame(
+        from drune_spark.functions.partitioning import local_frame
+        cent_df = local_frame(
+            spark,
             list(centroids),
-            schema="centroid_id long, centroid array<long>",
+            "centroid_id long, centroid array<long>",
         )
         return cent_df.join(F.broadcast(stats), "centroid_id", "left").select(
             "centroid_id",

@@ -227,6 +227,7 @@ def bradley_terry(
         )
         for i in items
     ]
-    return spark.createDataFrame(
-        rows, "item long, rating long, n_wins long, n_matches long"
+    from drune_spark.functions.partitioning import local_frame
+    return local_frame(
+        spark, rows, "item long, rating long, n_wins long, n_matches long"
     )

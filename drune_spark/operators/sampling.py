@@ -541,10 +541,12 @@ def kcenter_coreset(
         if prev is not None:
             prev.unpersist()
         spark = df.sparkSession
-        out = spark.createDataFrame(
+        from drune_spark.functions.partitioning import local_frame
+        out = local_frame(
+            spark,
             [(int(s), int(v), c if c is None else int(c))
              for s, v, c in chosen],
-            schema="sel_no int, vec_id long, cov_micro long",
+            "sel_no int, vec_id long, cov_micro long",
         )
         if id_col != "vec_id":
             out = out.withColumnRenamed("vec_id", id_col)
@@ -936,7 +938,9 @@ def doremi_reweight(
                 )
             )
     scored.unpersist()
-    return spark.createDataFrame(
+    from drune_spark.functions.partitioning import local_frame
+    return local_frame(
+        spark,
         out_rows,
         "round int, source string, n_sampled bigint, "
         "mean_loss bigint, weight_ppm bigint",

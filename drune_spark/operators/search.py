@@ -552,7 +552,9 @@ def expansion_terms(
         .groupBy("query_id", "w")
         .agg(F.sum("tf").alias("fb_tf"))
     )
-    excl = docs.sparkSession.createDataFrame(
+    from drune_spark.functions.partitioning import local_frame
+    excl = local_frame(
+        docs.sparkSession,
         [(qid, t) for qid, terms in queries for t in terms],
         "query_id string, w string",
     )

@@ -569,10 +569,12 @@ def stream_upsert(
     import shutil
 
     rows = spark.read.parquet(state_path).collect()
-    out = spark.createDataFrame(
+    from drune_spark.functions.partitioning import local_frame
+    out = local_frame(
+        spark,
         rows,
-        schema="user_id bigint, ts_us bigint, event_id bigint, "
-               "last_type string",
+        "user_id bigint, ts_us bigint, event_id bigint, "
+        "last_type string",
     )
     shutil.rmtree(state_dir, ignore_errors=True)
     return out.select(
@@ -707,9 +709,11 @@ def stream_cms_sketch(
     finally:
         shutil.rmtree(split_dir, ignore_errors=True)
 
-    sketch = spark.createDataFrame(
+    from drune_spark.functions.partitioning import local_frame
+    sketch = local_frame(
+        spark,
         [(j, b, n) for (j, b), n in sorted(cells.items())],
-        schema="j int, bucket bigint, n long",
+        "j int, bucket bigint, n long",
     )
     top = (
         ev.groupBy("user_id")
@@ -789,8 +793,11 @@ def stream_admission(
         from pyspark.sql import Window
 
         def admit(batch_df: DataFrame, batch_id: int) -> None:
-            m = spark.createDataFrame(
-                list(seen.items()) or [("", 0)], "k string, prior long"
+            from drune_spark.functions.partitioning import \
+                local_frame
+            m = local_frame(
+                spark, list(seen.items()) or [("", 0)],
+                "k string, prior long",
             )
             w = Window.partitionBy("k").orderBy("i")
             adm = (
@@ -835,8 +842,9 @@ def stream_admission(
         ]  # ≤ quota·|keys| admitted cells — bounded driver fetch
     finally:
         shutil.rmtree(split_dir, ignore_errors=True)
-    return spark.createDataFrame(
-        sorted(rows), schema=f"{key_col} string, {id_col} bigint"
+    from drune_spark.functions.partitioning import local_frame
+    return local_frame(
+        spark, sorted(rows), f"{key_col} string, {id_col} bigint"
     )
 
 
@@ -929,8 +937,9 @@ def stream_resume_counts(
         ]  # |keys|-row fetch
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        sorted(rows), schema=f"{key_col} string, n bigint"
+    from drune_spark.functions.partitioning import local_frame
+    return local_frame(
+        spark, sorted(rows), f"{key_col} string, n bigint"
     )
 
 
@@ -1033,7 +1042,9 @@ def stream_dlq(
         ]
     finally:
         shutil.rmtree(split_dir, ignore_errors=True)
-    return spark.createDataFrame(
+    from drune_spark.functions.partitioning import local_frame
+    return local_frame(
+        spark,
         sorted(dlq_counts + main_counts),
-        schema="route string, reason string, event_type string, n bigint",
+        "route string, reason string, event_type string, n bigint",
     )

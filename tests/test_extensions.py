@@ -5375,3 +5375,66 @@ class TestBootstrapDegenerateGroup:
                                 n_boot=32, salt="z").collect()[0]
         assert out.mean_micro == 7_000_000
         assert out.ci_lo_micro == out.ci_hi_micro == 7_000_000
+
+
+class TestLocalFrame:
+    """local_frame must be value-, name- and type-identical to
+    createDataFrame on every supported schema (r10: it replaces the
+    32-slice pickled python scan in control/result frames)."""
+
+    def _assert_same(self, spark, rows, schema):
+        from drune_spark.functions.partitioning import local_frame
+
+        got = local_frame(spark, rows, schema)
+        exp = spark.createDataFrame(rows, schema)
+        assert [f.name for f in got.schema.fields] == \
+               [f.name for f in exp.schema.fields]
+        assert [f.dataType for f in got.schema.fields] == \
+               [f.dataType for f in exp.schema.fields]
+        assert sorted(map(repr, (tuple(r) for r in got.collect()))) == \
+               sorted(map(repr, (tuple(r) for r in exp.collect())))
+
+    def test_ints_and_longs(self, spark):
+        rows = [(0, -(2**63)), (1, 2**63 - 1), (-2147483648, 0),
+                (2147483647, None), (None, 42)]
+        self._assert_same(spark, rows, "a int, b bigint")
+
+    def test_nasty_strings(self, spark):
+        rows = [("plain",), ("it's",), ("back\\slash",), ("new\nline",),
+                ("tab\there",), ("quote\"d",), ("unié中",),
+                ("",), (None,), ("a,b<c>d",), ("\\'",)]
+        self._assert_same(spark, rows, "s string")
+
+    def test_doubles(self, spark):
+        rows = [(0.0,), (-0.0,), (1.5,), (1e-300,), (-1e300,),
+                (5e-324,), (float("inf"),), (float("-inf"),),
+                (float("nan"),), (None,)]
+        self._assert_same(spark, rows, "x double")
+
+    def test_long_array_and_bool(self, spark):
+        rows = [([1, 2, 3], True), ([], False), (None, None),
+                ([-(2**62), None, 7], True)]
+        self._assert_same(spark, rows, "v array<long>, f boolean")
+
+    def test_mixed_row(self, spark):
+        rows = [(1, "a'b", 2.5, [9, 8]), (2, None, None, None)]
+        self._assert_same(
+            spark, rows, "i int, s string, d double, v array<bigint>")
+
+    def test_empty_and_fallback(self, spark):
+        from drune_spark.functions.partitioning import local_frame
+
+        assert local_frame(spark, [], "a int").count() == 0
+        # over the literal cap -> sliced-parallelize fallback, same rows
+        rows = [(i,) for i in range(1500)]
+        got = local_frame(spark, rows, "a int", max_literal_rows=100)
+        assert got.rdd.getNumPartitions() == 1
+        assert sorted(r.a for r in got.collect()) == list(range(1500))
+
+    def test_jvm_path_has_no_python_scan(self, spark):
+        from drune_spark.functions.partitioning import local_frame
+
+        df = local_frame(spark, [(1, "x")], "a int, s string")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" not in plan
+        assert "Range" in plan
