@@ -358,6 +358,7 @@ def k_truss(
     rounds: int = 2,
     src: str = "src",
     dst: str = "dst",
+    driver_cutoff: int | None = None,
 ) -> DataFrame:
     """k-truss peel (Cohen 2008, 'Trusses: cohesive subgraphs for
     social network analysis'): the subgraph in which every edge closes
@@ -398,6 +399,59 @@ def k_truss(
         .distinct()
         .localCheckpoint()
     )
+    # Size-adaptive driver fast path (r10, the connected_components
+    # pattern): the peel runs ~6 sequential jobs per round at ~0.1 s of
+    # driver latency each — a few-thousand-edge bench graph paid ~4 s of
+    # job sequencing for microseconds of set-intersection work. Below
+    # the cutoff (edge rows; the checkpointed list is ALREADY
+    # materialized and broadcast-class small) ONE bounded collect +
+    # in-memory peel replaces the loop. Support = |N(u) ∩ N(v)| per
+    # round — the identical canonical triangle set, exact integer
+    # counts, so oracle hashes are untouched. Above the cutoff
+    # (production graphs) the distributed peel runs unchanged; the
+    # threshold is env-tunable (SPARK_GRAFT_TRUSS_DRIVER_EDGES,
+    # default 200k rows ≈ a few MB, the CC cutoff class).
+    if driver_cutoff is None:
+        import os
+
+        driver_cutoff = int(
+            os.environ.get("SPARK_GRAFT_TRUSS_DRIVER_EDGES", "200000")
+        )
+    if e.count() <= driver_cutoff:
+        rows = [(r[0], r[1]) for r in e.collect()]
+
+        def _support(edge_set):
+            adj: dict = {}
+            for u, v in edge_set:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            return {
+                (u, v): len(adj[u] & adj[v]) for u, v in edge_set
+            }
+
+        cur_edges = list(rows)
+        for _ in range(rounds):
+            sup = _support(cur_edges)
+            cur_edges = [uv for uv in cur_edges if sup[uv] >= k - 2]
+        final = _support(cur_edges)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from drune_spark.functions.partitioning import local_frame
+
+        node_type = e.schema["u"].dataType
+        nt = node_type.simpleString()
+        out_rows = [(u, v, final[(u, v)]) for u, v in cur_edges]
+        # String schema where possible: local_frame's JVM-literal path
+        # (no python scan) only engages for simple string schemas.
+        if nt in ("int", "bigint", "string", "double", "boolean"):
+            schema = f"src {nt}, dst {nt}, support bigint"
+        else:
+            schema = StructType([
+                StructField("src", node_type, True),
+                StructField("dst", node_type, True),
+                StructField("support", LongType(), True),
+            ])
+        return local_frame(edges.sparkSession, out_rows, schema)
 
     def support(edf: DataFrame) -> DataFrame:
         # Degree-ordered orientation (the standard triangle-counting
@@ -509,6 +563,7 @@ def anf_reach(
     rounds: int = 3,
     src: str = "src",
     dst: str = "dst",
+    driver_cutoff: int | None = None,
 ) -> DataFrame:
     """Approximate neighborhood function (ANF, Palmer/Gibbons/Faloutsos
     2002) over a SYMMETRIC edge list: per radius r, the total
@@ -543,6 +598,71 @@ def anf_reach(
     e0 = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).persist()
+    # Size-adaptive driver fast path (r10, the connected_components /
+    # k_truss pattern): each round costs several sequential jobs of
+    # ~0.1 s driver latency for microseconds of bit-OR work on a
+    # bench-scale graph. Below the cutoff (directed edge rows — the
+    # persisted list is broadcast-class small) ONE bounded collect
+    # replaces the loop; every value is replayed EXACTLY: seed bit =
+    # lowest set bit of md5_u32(node:trial:anf) | 2^31 (hashlib md5 on
+    # the identical string), masks merge with |, mass = lowest set bit
+    # of the complement — all int64-domain integers, order-free, so
+    # oracle hashes are untouched. Inner-join semantics mirrored: seeds
+    # come from DISTINCT src values and a round keeps only nodes with
+    # ≥1 neighbor whose mask exists. Above the cutoff the distributed
+    # loop runs unchanged (SPARK_GRAFT_ANF_DRIVER_EDGES, default 200k).
+    if driver_cutoff is None:
+        import os
+
+        driver_cutoff = int(
+            os.environ.get("SPARK_GRAFT_ANF_DRIVER_EDGES", "200000")
+        )
+    if e0.count() <= driver_cutoff:
+        import hashlib
+
+        edge_rows = [(r[0], r[1]) for r in e0.collect()]
+        e0.unpersist()
+        nodes = {a for a, _ in edge_rows}
+
+        def _seed(node, trial):
+            s = f"{node}:{trial}:anf".encode()
+            hv = int(hashlib.md5(s).hexdigest()[:8], 16) | (1 << 31)
+            return hv & -hv
+
+        masks = {
+            (n, t): _seed(n, t) for n in nodes for t in range(trials)
+        }
+
+        def _metrics(m):
+            return (
+                len(m),
+                sum((~v) & -(~v) for v in m.values()),
+            )
+
+        out_rows = [(0, *_metrics(masks))]
+        for r in range(1, rounds + 1):
+            nbm: dict = {}
+            for a, b in edge_rows:
+                for t in range(trials):
+                    bm = masks.get((b, t))
+                    if bm is not None:
+                        key = (a, t)
+                        nbm[key] = nbm.get(key, 0) | bm
+            masks = {
+                key: masks[key] | m
+                for key, m in nbm.items()
+                if key in masks
+            }
+            out_rows.append((r, *_metrics(masks)))
+        from drune_spark.functions.partitioning import local_frame
+
+        # String schema: engages local_frame's JVM-literal path
+        # (a StructType falls back to the pickled python scan).
+        return local_frame(
+            edges.sparkSession,
+            out_rows,
+            "radius int, cells bigint, reach_mass bigint",
+        )
     h = md5_u32(
         F.concat_ws(
             ":", F.col("node").cast("string"),
@@ -772,6 +892,7 @@ def hits_int(
     edges: DataFrame,
     n_iters: int = 3,
     scale: int = 1_000_000,
+    driver_cutoff: int | None = None,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) with integer-exact
     rounds: ``a(d) = Σ_{s→d} h(s)·w``, ``h(s) = Σ_{s→d} a(d)·w``, each
@@ -801,7 +922,95 @@ def hits_int(
         spark.sparkContext.defaultParallelism,
         int(spark.conf.get("spark.sql.shuffle.partitions")),
     ))
-    e = edges.select("src", "dst", "w")
+    e = edges.select("src", "dst", "w").persist()
+    # Size-adaptive driver fast path (r10, the connected_components /
+    # k_truss pattern): the distributed loop costs 2 half-steps × 3
+    # jobs × n_iters of sequential driver latency (~40 jobs) plus two
+    # edge repartition+persists — on a bench-scale graph that is pure
+    # job sequencing. Below the cutoff (edge rows; collected via Arrow,
+    # ~24 B/row — broadcast-build memory class) the rounds replay on
+    # the driver in EXACT int64 arithmetic: integer sums are
+    # order-free, the renormalizer is the same nonnegative floor
+    # division, and the domain is guarded — any sum that could leave
+    # int64 (where the distributed ANSI path would raise) falls back to
+    # the distributed loop instead of wrapping. Oracle hashes are
+    # untouched. Above the cutoff the loop runs unchanged
+    # (SPARK_GRAFT_HITS_DRIVER_EDGES, default 1M rows).
+    if driver_cutoff is None:
+        import os
+
+        driver_cutoff = int(
+            os.environ.get("SPARK_GRAFT_HITS_DRIVER_EDGES", "1000000")
+        )
+    n_edges = e.count()
+    if n_edges <= driver_cutoff:
+        tbl = e.toArrow()
+        e.unpersist()
+        if tbl.num_rows == 0:
+            return spark.createDataFrame(
+                [], "node bigint, kind string, score_int bigint"
+            )
+        import numpy as np
+
+        src_arr = tbl.column("src").to_numpy(zero_copy_only=False)
+        dst_arr = tbl.column("dst").to_numpy(zero_copy_only=False)
+        w_arr = tbl.column("w").to_numpy(zero_copy_only=False)
+        # Overflow guard: every half-step sum is bounded by
+        # scale · Σw (scores never exceed `scale` after the first
+        # renormalize and start AT scale) and the renormalizer by
+        # max_r · scale ≤ scale² · Σw. If that bound could leave
+        # int64 — where the distributed ANSI path would raise — run
+        # distributed; the numpy path must never wrap silently.
+        # Σw via exact python ints (an int64 sum could itself wrap).
+        total_w = int(w_arr.astype(object).sum())
+        if (
+            w_arr.dtype == np.int64
+            and scale * scale * total_w < (1 << 63)
+            and bool((w_arr > 0).all())
+        ):
+            # Vectorized exact-int64 replay: factorize node ids, then
+            # each half-step is one np.add.at scatter-sum + one
+            # elementwise renormalize — floor division of nonnegative
+            # int64 == Spark `div`; every product is under the guard
+            # bound, so all arithmetic is exact.
+            src_uniq, src_idx = np.unique(src_arr, return_inverse=True)
+            dst_uniq, dst_idx = np.unique(dst_arr, return_inverse=True)
+            w64 = w_arr.astype(np.int64, copy=False)
+            h = np.full(len(src_uniq), int(scale), dtype=np.int64)
+            a = None
+            for _ in range(n_iters):
+                acc = np.zeros(len(dst_uniq), dtype=np.int64)
+                np.add.at(acc, dst_idx, h[src_idx] * w64)
+                a = acc * int(scale) // int(acc.max())
+                acc = np.zeros(len(src_uniq), dtype=np.int64)
+                np.add.at(acc, src_idx, a[dst_idx] * w64)
+                h = acc * int(scale) // int(acc.max())
+            auth = dict(zip(dst_uniq.tolist(), a.tolist()))
+            hubs = dict(zip(src_uniq.tolist(), h.tolist()))
+            from drune_spark.functions.partitioning import local_frame
+
+            node_t = e.schema["dst"].dataType.simpleString()
+            hub_t = e.schema["src"].dataType.simpleString()
+            if node_t == hub_t and node_t in (
+                "int", "bigint", "string", "double", "boolean"
+            ):
+                schema = f"node {node_t}, kind string, score_int bigint"
+            else:
+                from pyspark.sql.types import (
+                    LongType, StringType, StructField, StructType,
+                )
+
+                schema = StructType([
+                    StructField("node", e.schema["dst"].dataType, True),
+                    StructField("kind", StringType(), False),
+                    StructField("score_int", LongType(), True),
+                ])
+            return local_frame(
+                spark,
+                [(d, "auth", a) for d, a in auth.items()]
+                + [(s, "hub", h) for s, h in hubs.items()],
+                schema,
+            )
     e_src = e.repartition(width, "src").persist()
     e_dst = e.repartition(width, "dst").persist()
     hubs = e_src.select("src").distinct().select(
@@ -823,7 +1032,7 @@ def hits_int(
         )
         max_a = a_raw.agg(F.max("r")).collect()[0][0]
         if max_a is None:  # no edges at all — empty-graph guard
-            for f in (a_raw, e_src, e_dst):
+            for f in (a_raw, e_src, e_dst, e):
                 f.unpersist()
             return spark.createDataFrame(
                 [], "node bigint, kind string, score_int bigint"
@@ -854,8 +1063,10 @@ def hits_int(
     # discipline: repeat executions cache-hit, bench clearCache bounds
     # residency, LRU is the backstop) — an eager unpersist here made
     # every min-of-2 pass rebuild the orders⋈lineitem edge join
-    # (bench 2.2s → 7.0s). Residency after return: the two edge copies
-    # + the final two node-sized frames.
+    # (bench 2.2s → 7.0s). Residency after return: the three edge
+    # copies (e feeds both repartitioned copies, so the expensive
+    # upstream join builds once, not twice) + the final two
+    # node-sized frames.
     return (
         auth.select(
             F.col("dst").alias("node"),

@@ -5438,3 +5438,54 @@ class TestLocalFrame:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Scan ExistingRDD" not in plan
         assert "Range" in plan
+
+
+class TestGraphDriverFastPaths:
+    """r10: the size-adaptive driver fast paths of k_truss / anf_reach /
+    hits_int must be row-identical to the distributed loops (the
+    connected_components parity contract). driver_cutoff=0 pins the
+    distributed path."""
+
+    def test_k_truss_driver_matches_distributed(self, spark):
+        from drune_spark.operators.graph import k_truss
+
+        # K4 + pendant triangle + an isolated edge: exercises peel,
+        # survivors, and zero-support edges.
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        extra = [(0, 10), (0, 11), (10, 11), (20, 21)]
+        edges = spark.createDataFrame(k4 + extra, ["src", "dst"])
+        fast = sorted(map(tuple, k_truss(edges, k=3, rounds=2).collect()))
+        slow = sorted(map(tuple, k_truss(
+            edges, k=3, rounds=2, driver_cutoff=0).collect()))
+        assert fast == slow
+        assert len(fast) == 9  # K4 (6) + pendant triangle (3) survive k=3
+
+    def test_anf_reach_driver_matches_distributed(self, spark):
+        from drune_spark.operators.graph import anf_reach
+
+        # path + triangle, symmetric edge rows (the gate contract)
+        und = [(1, 2), (2, 3), (3, 4), (7, 8), (8, 9), (9, 7)]
+        sym = und + [(b, a) for a, b in und]
+        edges = spark.createDataFrame(sym, ["src", "dst"])
+        fast = sorted(map(tuple, anf_reach(
+            edges, trials=4, rounds=3).collect()))
+        slow = sorted(map(tuple, anf_reach(
+            edges, trials=4, rounds=3, driver_cutoff=0).collect()))
+        assert fast == slow
+        assert [r[0] for r in fast] == [0, 1, 2, 3]
+
+    def test_hits_driver_matches_distributed(self, spark):
+        from drune_spark.operators.graph import hits_int
+
+        edges = spark.createDataFrame(
+            [(1, 10, 2), (2, 10, 1), (3, 10, 1), (3, 11, 3), (4, 12, 1)],
+            ["src", "dst", "w"],
+        )
+        fast = sorted(map(tuple, hits_int(edges, n_iters=3).collect()))
+        slow = sorted(map(tuple, hits_int(
+            edges, n_iters=3, driver_cutoff=0).collect()))
+        assert fast == slow
+        schema_fast = hits_int(edges, n_iters=3).schema
+        schema_slow = hits_int(edges, n_iters=3, driver_cutoff=0).schema
+        assert [(f.name, f.dataType) for f in schema_fast] == [
+            (f.name, f.dataType) for f in schema_slow]
