@@ -62,17 +62,65 @@ def bpe_train(
     df: DataFrame,
     n_merges: int = 3,
     text_col: str = "text",
+    driver_cutoff: int | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
     table (step, pair, merged, pair_count) — ``pair`` is the space-
     separated symbol pair, ``merged`` its concatenation, ``pair_count``
     the frequency-weighted corpus count that made it the argmax.
+
+    Size-adaptive driver fast path (r10, the connected_components /
+    k_truss pattern): the merge loop runs over the VOCABULARY-sized
+    (repr, freq) table — below ``driver_cutoff`` rows
+    (SPARK_GRAFT_BPE_DRIVER_VOCAB, default 200k ≈ a few MB, the
+    broadcast-build memory class) one bounded collect replaces the
+    n_merges × (explode + aggregate + TakeOrdered + replace) job
+    chain. Every value replays EXACTLY: ``str.strip(' ').split(' ')``
+    == split(trim(repr), " "), python ``str.replace`` == Spark
+    ``replace`` (leftmost non-overlapping, verified incl. the
+    self-overlapping " a a a a " case), integer sums are exact, and
+    the (count desc, pair asc) tie-break is the same order (python
+    code-point string order == Spark UTF8 binary order). Above the
+    cutoff the distributed loop runs unchanged.
     """
     spark = df.sparkSession
     words = word_freq_table(df, text_col).select(
         _spaced(F.col("word")).alias("repr"), "freq"
     )
     words = words.persist()
+    if driver_cutoff is None:
+        import os
+
+        driver_cutoff = int(
+            os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB", "200000")
+        )
+    if words.count() <= driver_cutoff:
+        rows = [(r[0], r[1]) for r in words.collect()]
+        words.unpersist()
+        from drune_spark.functions.partitioning import local_frame
+
+        reprs = [rp for rp, _ in rows]
+        freqs = [fq for _, fq in rows]
+        merges = []
+        for step in range(1, n_merges + 1):
+            counts: dict = {}
+            for rp, fq in zip(reprs, freqs):
+                syms = rp.strip(" ").split(" ")
+                for i in range(len(syms) - 1):
+                    p = syms[i] + " " + syms[i + 1]
+                    counts[p] = counts.get(p, 0) + fq
+            best_count = max(counts.values())
+            best_pair = min(
+                p for p, c in counts.items() if c == best_count
+            )
+            merged = best_pair.replace(" ", "")
+            merges.append((step, best_pair, merged, best_count))
+            pat, rep = f" {best_pair} ", f" {merged} "
+            reprs = [rp.replace(pat, rep) for rp in reprs]
+        return local_frame(
+            spark, merges,
+            "step int, pair string, merged string, pair_count bigint",
+        )
     merges = []
     for step in range(1, n_merges + 1):
         syms = F.split(F.trim(F.col("repr")), " ")
@@ -236,6 +284,7 @@ def wordpiece_train(
     df: DataFrame,
     n_merges: int = 3,
     text_col: str = "text",
+    driver_cutoff: int | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` WordPiece merges (Schuster & Nakajima 2012;
     the BERT tokenizer's trainer): where BPE merges the most FREQUENT
@@ -264,6 +313,61 @@ def wordpiece_train(
     words = words.persist()
     merges = []
     scale = 1 << 40
+    # Size-adaptive driver fast path (the bpe_train pattern; same
+    # primitive-parity guarantees). The likelihood-ratio score adds
+    # int64 products, so each round guards max(pair_count)·2^40 and
+    # max(sym_count)² — where a product could leave int64 (the
+    # distributed ANSI path would raise) the loop falls through to the
+    # distributed rounds on the still-persisted words table.
+    if driver_cutoff is None:
+        import os
+
+        driver_cutoff = int(
+            os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB", "200000")
+        )
+    if words.count() <= driver_cutoff:
+        rows = [(r[0], r[1]) for r in words.collect()]
+        reprs = [rp for rp, _ in rows]
+        freqs = [fq for _, fq in rows]
+        ok = True
+        py_merges: list = []
+        for step in range(1, n_merges + 1):
+            sym_counts: dict = {}
+            pair_counts: dict = {}
+            for rp, fq in zip(reprs, freqs):
+                syms = rp.strip(" ").split(" ")
+                for s in syms:
+                    sym_counts[s] = sym_counts.get(s, 0) + fq
+                for i in range(len(syms) - 1):
+                    key = (syms[i], syms[i + 1])
+                    pair_counts[key] = pair_counts.get(key, 0) + fq
+            max_cnt = max(sym_counts.values())
+            max_pc = max(pair_counts.values())
+            if max_pc * scale >= (1 << 63) or max_cnt * max_cnt >= (
+                1 << 63
+            ):
+                ok = False
+                break
+            pair = None
+            score = pc = -1
+            for (sa, sb), c in pair_counts.items():
+                sc = c * scale // (sym_counts[sa] * sym_counts[sb])
+                p = sa + " " + sb
+                if sc > score or (sc == score and p < pair):
+                    score, pair, pc = sc, p, c
+            merged = pair.replace(" ", "")
+            py_merges.append((step, pair, merged, pc, score))
+            pat, rep = f" {pair} ", f" {merged} "
+            reprs = [rp.replace(pat, rep) for rp in reprs]
+        if ok:
+            words.unpersist()
+            from drune_spark.functions.partitioning import local_frame
+
+            return local_frame(
+                spark, py_merges,
+                "step int, pair string, merged string,"
+                " pair_count bigint, score bigint",
+            )
     for step in range(1, n_merges + 1):
         base = words.select(
             F.split(F.trim(F.col("repr")), " ").alias("sym"), "freq"

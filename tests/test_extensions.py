@@ -5489,3 +5489,40 @@ class TestGraphDriverFastPaths:
         schema_slow = hits_int(edges, n_iters=3, driver_cutoff=0).schema
         assert [(f.name, f.dataType) for f in schema_fast] == [
             (f.name, f.dataType) for f in schema_slow]
+
+
+class TestBpeDriverFastPath:
+    """r10: bpe_train / wordpiece_train driver fast paths must be
+    row-identical to the distributed merge loops, including the
+    self-overlapping-run under-merge and the (count/score desc,
+    pair asc) tie-break."""
+
+    def _docs(self, spark):
+        rows = [
+            ("a a a a b", 1), ("low lower lowest", 2),
+            ("über ärm", 3), ("b b a a", 4), ("", 5), ("x", 6),
+        ]
+        return spark.createDataFrame(
+            [(t,) + (i,) for t, i in rows], ["text", "doc_id"]
+        )
+
+    def test_bpe_train_driver_matches_distributed(self, spark):
+        from drune_spark.operators.bpe import bpe_train
+
+        docs = self._docs(spark)
+        fast = sorted(map(tuple, bpe_train(docs, n_merges=4).collect()))
+        slow = sorted(map(tuple, bpe_train(
+            docs, n_merges=4, driver_cutoff=0).collect()))
+        assert fast == slow
+        assert len(fast) == 4
+
+    def test_wordpiece_train_driver_matches_distributed(self, spark):
+        from drune_spark.operators.bpe import wordpiece_train
+
+        docs = self._docs(spark)
+        fast = sorted(map(tuple, wordpiece_train(
+            docs, n_merges=3).collect()))
+        slow = sorted(map(tuple, wordpiece_train(
+            docs, n_merges=3, driver_cutoff=0).collect()))
+        assert fast == slow
+        assert len(fast) == 3
