@@ -177,6 +177,102 @@ class TestDedup:
         assert fast[3] == 1 and fast[9] == 5 and fast[12] == 11
         assert fast[4] == 4 and fast[13] == 13
 
+    def test_jaccard_pairs_driver_path_matches_distributed(self, spark):
+        """The small-corpus driver pair fast path (r10) must be
+        row-identical to the distributed shingle self-join: same pairs,
+        same IEEE jaccard doubles, with and without the hot-shingle
+        cap, on docs mixing exact dups, partial overlap and uniques."""
+        from drune_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f g"),
+                (2, "a b c d e f g"),
+                (3, "a b c d e x y"),
+                (4, "p q r s t u v"),
+                (5, "z z z z z z z"),
+                (6, "z z z z z z z"),
+                (7, "lone doc"),
+            ],
+            ["doc_id", "text"],
+        )
+        for cap in (None, 3):
+            fast = sorted(
+                map(tuple, ngram_jaccard_pairs(
+                    docs, "text", "doc_id", k=3, threshold=0.3,
+                    max_shingle_df=cap).collect())
+            )
+            slow = sorted(
+                map(tuple, ngram_jaccard_pairs(
+                    docs, "text", "doc_id", k=3, threshold=0.3,
+                    max_shingle_df=cap, driver_cutoff=0).collect())
+            )
+            assert fast == slow and len(fast) > 0
+
+    def test_containment_pairs_driver_path_matches_distributed(self, spark):
+        """Same contract for the asymmetric containment op: both
+        directions, integer ppm math, on a doc embedded in a larger
+        one (the case jaccard misses)."""
+        from drune_spark.operators.dedup import containment_pairs
+
+        docs = spark.createDataFrame(
+            [
+                (10, "a b c d e"),
+                (20, "a b c d e f g h i j k l m n o p"),
+                (30, "q r s t u v w"),
+            ],
+            ["doc_id", "text"],
+        )
+        fast = sorted(
+            map(tuple, containment_pairs(
+                docs, "text", "doc_id", k=3,
+                min_containment_ppm=500_000).collect())
+        )
+        slow = sorted(
+            map(tuple, containment_pairs(
+                docs, "text", "doc_id", k=3,
+                min_containment_ppm=500_000, driver_cutoff=0).collect())
+        )
+        assert fast == slow and len(fast) > 0
+        # the small doc must be reported as contained in the large one
+        assert any(r[0] == 10 and r[1] == 20 and r[4] == 1_000_000
+                   for r in fast)
+
+    def test_pair_counts_arrow_matches_python(self, spark):
+        """The vectorized Arrow/numpy pair counter must produce the
+        identical (pair -> count) and (doc -> size) maps as the
+        Counter/combinations fallback, including string ids."""
+        from drune_spark.operators.dedup import (
+            _grouped_doc_arrays,
+            _pair_counts,
+            _pair_counts_arrow,
+            shingle_cells,
+        )
+
+        for ids in ((1, 2, 3, 4), ("dA", "dB", "dC", "dD")):
+            docs = spark.createDataFrame(
+                [
+                    (ids[0], "w1 w2 w3 w4 w5"),
+                    (ids[1], "w1 w2 w3 w4 w9"),
+                    (ids[2], "w9 w8 w7 w6 w5"),
+                    (ids[3], "u1 u2 u3"),
+                ],
+                ["doc_id", "text"],
+            )
+            cells = shingle_cells(docs, "text", "doc_id", 2)
+            g = _grouped_doc_arrays(cells)
+            uniq, sizes, ac, bc, counts = _pair_counts_arrow(g)
+            szs, common = _pair_counts(g.collect())
+            assert {
+                (uniq[a].item() if hasattr(uniq[a], "item") else uniq[a],
+                 uniq[b].item() if hasattr(uniq[b], "item") else uniq[b]): int(c)
+                for a, b, c in zip(ac, bc, counts)
+            } == dict(common)
+            assert {
+                (uniq[i].item() if hasattr(uniq[i], "item") else uniq[i]):
+                int(sizes[i]) for i in range(len(uniq))
+            } == dict(szs)
+
     def test_md5_u32_matches_duckdb(self, spark):
         """The portable hash must equal DuckDB's hex-cast of the same md5
         prefix — the whole point of the portable path."""
