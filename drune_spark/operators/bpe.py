@@ -41,7 +41,13 @@ from pyspark.sql import functions as F
 
 
 def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, freq) over whitespace tokens — the BPE trainer's input."""
+    """(word, freq) over whitespace tokens — the BPE trainer's input.
+
+    Deliberately NOT fanned out (r10 interleaved A/B: narrow 0.42-0.58
+    s/pass vs fanned 0.93-1.50 at sf0.1) — the plain tokenize +
+    partial aggregation is cheaper than the added exchange + 32-task
+    stages; the merge-chain fronts (``_word_reprs``) are the ones that
+    pay per-word work worth spreading."""
     return (
         df.select(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
@@ -176,8 +182,13 @@ def bpe_train(
 def _word_reprs(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     """(key_col, repr) — one row per whitespace word, boundary-padded
     space-joined symbols. The shared tokenize front of every
-    merge-application path."""
-    return df.select(
+    merge-application path. Fanned out below the explode so the
+    downstream per-word merge replace chain (the expensive per-row
+    work) runs on every core instead of the single sf-scale parquet
+    split (r10; placement-independent, no-op at production widths)."""
+    from drune_spark.functions.partitioning import fan_out
+
+    return fan_out(df.select(F.col(key_col), F.col(text_col))).select(
         F.col(key_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
     ).select(F.col(key_col), _spaced(F.col("word")).alias("repr"))
@@ -256,7 +267,11 @@ def tokenizer_fertility(
     n_tokens (post-merge subwords), fertility_ppm = tokens·10⁶ div
     words, chars_per_token_ppm = chars·10⁶ div tokens.
     """
-    toks = df.select(
+    from drune_spark.functions.partitioning import fan_out
+
+    # Same single-split fix as _word_reprs: the merge chain below runs
+    # per word and must not fuse onto one parquet split.
+    toks = fan_out(df.select(F.col(group_col), F.col(text_col))).select(
         F.col(group_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
     ).select(group_col, "word", _spaced(F.col("word")).alias("repr"))

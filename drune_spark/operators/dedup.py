@@ -140,9 +140,10 @@ def _grouped_doc_arrays(exploded: DataFrame) -> DataFrame:
 
 
 def _pair_counts(groups: list):
-    """Pure-python fallback of ``_pair_counts_arrow`` (same integers
-    from the same grouped arrays, Counter + combinations); used when
-    the Arrow transfer is unavailable and pinned equal by pytest."""
+    """Independent pure-python reference of ``_pair_counts_arrow``
+    (Counter + combinations over the same grouped arrays); exists so
+    pytest can pin the vectorized implementation against a second,
+    trivially-auditable derivation of the same integers."""
     from collections import Counter
     from itertools import combinations
 
@@ -169,18 +170,28 @@ def _pair_counts_arrow(gdf: DataFrame):
     distinct doc ids (value order == Spark order, see
     ``_grouped_doc_arrays``), sizes[i] = |shingle set of uniq[i]|,
     and for every candidate pair counts[p] = |intersection| with
-    uniq[a_codes[p]] < uniq[b_codes[p]].
+    uniq[a_codes[p]] < uniq[b_codes[p]]. Raises ``OverflowError`` on
+    pair volumes past ``_PAIRS_DRIVER_MAX_PAIRS`` — callers decide the
+    cutoff BEFORE transferring; this is the last-resort guard.
     """
     import numpy as np
 
     col = gdf.toArrow().column("ds").combine_chunks()
-    offsets = np.asarray(col.offsets)
+    offsets = np.asarray(col.offsets, dtype=np.int64)
+    lens = np.diff(offsets)
+    n_pairs = int((lens * (lens - 1) // 2).sum())
+    if n_pairs > _PAIRS_DRIVER_MAX_PAIRS:
+        raise OverflowError(
+            f"candidate pair volume {n_pairs} exceeds the driver replay "
+            f"cap {_PAIRS_DRIVER_MAX_PAIRS}"
+        )
     flat = col.values.to_numpy(zero_copy_only=False)
     uniq, codes = np.unique(flat, return_inverse=True)
     codes = codes.astype(np.int64)
     sizes = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
-    lens = np.diff(offsets)
     n_u = max(1, len(uniq))
+    if n_u >= 3_000_000_000:  # int64 pair-key packing bound (n_u² < 2⁶³)
+        raise OverflowError(f"{n_u} distinct ids overflow int64 pair keys")
     keys_parts = []
     for m in np.unique(lens):
         if m < 2:
@@ -189,8 +200,6 @@ def _pair_counts_arrow(gdf: DataFrame):
         iu, ju = np.triu_indices(int(m), k=1)
         a = codes[(starts[:, None] + iu[None, :]).ravel()]
         b = codes[(starts[:, None] + ju[None, :]).ravel()]
-        # one int64 key per (a, b): codes < n_u <= cell cutoff, so
-        # a*n_u + b stays far inside int64
         keys_parts.append(a * n_u + b)
     if not keys_parts:
         z = np.empty(0, np.int64)
@@ -201,6 +210,40 @@ def _pair_counts_arrow(gdf: DataFrame):
 
 
 _PAIRS_DRIVER_ID_TYPES = ("bigint", "int", "string")
+# Candidate-pair cap for the driver replay (Σ m(m-1)/2 over shingle
+# groups): 64M int64 pair keys ≈ 0.5 GB transient numpy — the same
+# memory class as the grouped collect itself. Above it the distributed
+# self-join runs instead (it spreads the pair expansion across tasks).
+_PAIRS_DRIVER_MAX_PAIRS = 64_000_000
+
+
+def _driver_pair_counts(
+    exploded: DataFrame, n_cells: int, driver_cutoff: int | None
+):
+    """The shared driver-fast-path gate for the exact pair operators:
+    returns ``(id_type, uniq, sizes, a_codes, b_codes, counts)`` when
+    the pair computation should replay on the driver, or ``None`` when
+    the distributed self-join should run (cell table above the cutoff,
+    unsupported id type for the literal-frame return, or a pair volume
+    past ``_PAIRS_DRIVER_MAX_PAIRS`` — estimated from the group sizes
+    BEFORE any quadratic allocation). Genuine failures (MemoryError,
+    numpy bugs) propagate loudly; nothing is silently retried."""
+    if driver_cutoff is None:
+        import os
+
+        driver_cutoff = int(
+            os.environ.get("SPARK_GRAFT_JACCARD_DRIVER_CELLS", "2000000")
+        )
+    if n_cells > driver_cutoff:
+        return None
+    id_type = exploded.schema["doc"].dataType.simpleString()
+    if id_type not in _PAIRS_DRIVER_ID_TYPES:
+        return None
+    try:
+        res = _pair_counts_arrow(_grouped_doc_arrays(exploded))
+    except OverflowError:
+        return None
+    return (id_type, *res)
 
 
 def ngram_jaccard_pairs(
@@ -269,43 +312,27 @@ def ngram_jaccard_pairs(
     # aggregate and both sizes broadcast joins; pair counts, set sizes
     # and the jaccard division replay on the driver with the identical
     # integer arithmetic and ONE IEEE double division (exact ints
-    # < 2^53 → correctly-rounded quotient on both engines). Above the
-    # cutoff the distributed self-join below runs unchanged — the
-    # production path at corpus scale. Env-tunable for cluster memory
-    # (SPARK_GRAFT_JACCARD_DRIVER_CELLS, default 2M cells ≈ tens of MB
-    # of grouped id arrays).
-    if driver_cutoff is None:
-        import os
-
-        driver_cutoff = int(
-            os.environ.get("SPARK_GRAFT_JACCARD_DRIVER_CELLS", "2000000")
-        )
-    id_type = exploded.schema["doc"].dataType.simpleString()
-    if n_cells <= driver_cutoff and id_type in _PAIRS_DRIVER_ID_TYPES:
-        gdf = _grouped_doc_arrays(exploded)
+    # < 2^53 → correctly-rounded quotient on both engines, numpy
+    # float64 == JVM double). Above the cutoff — or past the candidate
+    # pair-volume cap — the distributed self-join below runs unchanged,
+    # the production path at corpus scale. Env-tunable for cluster
+    # memory (SPARK_GRAFT_JACCARD_DRIVER_CELLS, default 2M cells ≈
+    # tens of MB of grouped id arrays).
+    hit = _driver_pair_counts(exploded, n_cells, driver_cutoff)
+    if hit is not None:
+        id_type, uniq, sizes, ac, bc, counts = hit
+        exploded.unpersist()
         rows = []
-        try:
-            uniq, sizes, ac, bc, counts = _pair_counts_arrow(gdf)
-            exploded.unpersist()
-            if len(counts):
-                # numpy float64 division == the JVM's IEEE double
-                # division (both operands exact ints < 2^53)
-                j = counts / (sizes[ac] + sizes[bc] - counts)
-                keep = j >= threshold
-                rows = list(
-                    zip(
-                        uniq[ac[keep]].tolist(),
-                        uniq[bc[keep]].tolist(),
-                        j[keep].tolist(),
-                    )
+        if len(counts):
+            j = counts / (sizes[ac] + sizes[bc] - counts)
+            keep = j >= threshold
+            rows = list(
+                zip(
+                    uniq[ac[keep]].tolist(),
+                    uniq[bc[keep]].tolist(),
+                    j[keep].tolist(),
                 )
-        except Exception:  # pragma: no cover - arrow-less fallback
-            szs, common = _pair_counts(gdf.collect())
-            exploded.unpersist()
-            for (a, b), c in common.items():
-                jj = c / (szs[a] + szs[b] - c)
-                if jj >= threshold:
-                    rows.append((a, b, jj))
+            )
         from drune_spark.functions.partitioning import local_frame
 
         return local_frame(
@@ -1820,27 +1847,10 @@ def containment_pairs(
     containment measured A→B (id_a's shingles found in id_b);
     id_a != id_b, both directions emitted independently.
     """
-    from drune_spark.functions.partitioning import fan_out
-
-    toks = tokens(F.lower(F.col(text_col)))
-    base = fan_out(df).select(F.col(id_col).alias("doc"), toks.alias("__t"))
-    nsh = F.size(F.col("__t")) - (k - 1)
-    pos = base.select(
-        "doc",
-        "__t",
-        F.explode(
-            F.when(nsh >= 1, F.sequence(F.lit(1), nsh)).otherwise(
-                F.expr("cast(array() as array<int>)")
-            )
-        ).alias("i"),
-    )
-    exploded = pos.select(
-        "doc",
-        F.concat_ws(
-            " ",
-            *[F.element_at(F.col("__t"), F.col("i") + j) for j in range(k)],
-        ).alias("shingle"),
-    ).distinct()
+    # The shared codegen shingle builder (one definition for every
+    # shingle consumer — it also projects to (id, text) before its
+    # fan_out, where this op's old inline copy shuffled all columns).
+    exploded = shingle_cells(df, text_col, id_col, k)
     if max_shingle_df is not None:
         hot = (
             exploded.groupBy("shingle")
@@ -1858,44 +1868,27 @@ def containment_pairs(
     # Same size-adaptive driver fast path as ngram_jaccard_pairs (one
     # grouped-collect job replaces the self-join + sizes join); the
     # containment normalizer is all-integer (n_common·10⁶ div size_a,
-    # both nonnegative, so python // == Spark div exactly). Both
-    # directions of each unordered pair are emitted, as in the join.
-    if driver_cutoff is None:
-        import os
-
-        driver_cutoff = int(
-            os.environ.get("SPARK_GRAFT_JACCARD_DRIVER_CELLS", "2000000")
-        )
-    id_type = exploded.schema["doc"].dataType.simpleString()
-    if n_cells <= driver_cutoff and id_type in _PAIRS_DRIVER_ID_TYPES:
-        gdf = _grouped_doc_arrays(exploded)
+    # both nonnegative, so int64 floor_divide == Spark div exactly,
+    # and c·10⁶ ≤ cutoff·10⁶ < 2⁶³). Both directions of each unordered
+    # pair are emitted, as in the join.
+    hit = _driver_pair_counts(exploded, n_cells, driver_cutoff)
+    if hit is not None:
+        id_type, uniq, sizes, ac, bc, counts = hit
+        exploded.unpersist()
         rows = []
-        try:
-            uniq, sizes, ac, bc, counts = _pair_counts_arrow(gdf)
-            exploded.unpersist()
-            if len(counts):
-                # both directions; int64 floor_divide == Spark div on
-                # nonnegative operands, and c·10⁶ ≤ cutoff·10⁶ < 2^63
-                for xs, ys in ((ac, bc), (bc, ac)):
-                    ppm = counts * 1_000_000 // sizes[xs]
-                    keep = ppm >= min_containment_ppm
-                    rows.extend(
-                        zip(
-                            uniq[xs[keep]].tolist(),
-                            uniq[ys[keep]].tolist(),
-                            counts[keep].tolist(),
-                            sizes[xs[keep]].tolist(),
-                            ppm[keep].tolist(),
-                        )
+        if len(counts):
+            for xs, ys in ((ac, bc), (bc, ac)):
+                ppm = counts * 1_000_000 // sizes[xs]
+                keep = ppm >= min_containment_ppm
+                rows.extend(
+                    zip(
+                        uniq[xs[keep]].tolist(),
+                        uniq[ys[keep]].tolist(),
+                        counts[keep].tolist(),
+                        sizes[xs[keep]].tolist(),
+                        ppm[keep].tolist(),
                     )
-        except Exception:  # pragma: no cover - arrow-less fallback
-            szs, common = _pair_counts(gdf.collect())
-            exploded.unpersist()
-            for (a, b), c in common.items():
-                for x, y in ((a, b), (b, a)):
-                    ppm = c * 1_000_000 // szs[x]
-                    if ppm >= min_containment_ppm:
-                        rows.append((x, y, c, szs[x], ppm))
+                )
         from drune_spark.functions.partitioning import local_frame
 
         return local_frame(
@@ -2335,7 +2328,17 @@ def token_ngram_decon(
         raise ValueError("token_ngram_decon needs n >= 2")
 
     def grams(df: DataFrame) -> DataFrame:
-        toks = fan_out(bpe_token_stream(df, merges, text_col, id_col))
+        # fan_out BELOW the token stream, not above it: the per-merge
+        # replace chain is the expensive per-row work (one whole-doc
+        # scan per learned merge), and sf-scale documents arrive as ONE
+        # parquet split — with the exchange above the chain it ran as a
+        # single task (r10 profile: an 8 s 1-task broadcast-build job).
+        # Only (id, text) is shuffled; placement can't change per-row
+        # expressions. No-op at production split counts.
+        toks = bpe_token_stream(
+            fan_out(df.select(F.col(id_col), F.col(text_col))),
+            merges, text_col, id_col,
+        )
         sz = F.size("toks") - F.lit(n - 1)
         idx = F.when(sz >= 1, F.sequence(F.lit(0), sz - 1)).otherwise(
             F.expr("cast(array() as array<int>)")
