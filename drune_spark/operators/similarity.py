@@ -1168,6 +1168,146 @@ def srp_signatures_agg(
     return dots.select(*id_cols, sig.alias("sig"))
 
 
+def _nsw_driver_rows(
+    ids, V, n_cells: int, m_edges: int, hops: int, query_mod: int
+):
+    """Driver replay of the ENTIRE nsw build + walk on collected
+    vectors — every float op in the exact order of the distributed
+    expressions, so results are bit-identical:
+
+    - cosine = dot/(norm·norm) where dot is the left-assoc
+      zip_with/aggregate fold ``((0.0 + a₀b₀) + a₁b₁) + …`` —
+      vectorized across PAIRS while looping dims SEQUENTIALLY
+      (``acc = acc + A[:,j]·B[:,j]``), which preserves each element's
+      accumulation order exactly; np.sqrt/np.floor/float64 ÷ are the
+      same correctly-rounded IEEE ops as the JVM's.
+    - everything after the ``floor(cos·10⁶)`` is int64 (encodes,
+      argmaxes, tie-breaks) and replays the same integer arithmetic.
+
+    Returns [(query_id, node, cos_micro)] or None when the driver
+    path must not run (non-uniform dims, zero-norm or non-finite
+    vectors — the distributed fold's NULL/NaN semantics are not worth
+    replicating)."""
+    import numpy as np
+
+    enc_mod = 1 << 33
+    shift = 1_000_000
+    n, d = V.shape
+    if n == 0:
+        return []
+    if bool((ids < 0).any()):
+        return None  # % / encode arithmetic assumes nonnegative ids
+
+    def _dot_fold(A, B):
+        acc = np.zeros(len(A), dtype=np.float64)
+        for j in range(d):
+            acc = acc + A[:, j] * B[:, j]
+        return acc
+
+    norms = np.sqrt(_dot_fold(V, V))
+    if not np.all(np.isfinite(V)) or not np.all(norms > 0.0):
+        return None
+
+    def _cos_micro(A, B, na, nb):
+        cos = _dot_fold(A, B) / (na * nb)
+        return np.floor(cos * 1_000_000.0).astype(np.int64)
+
+    order = np.argsort(ids, kind="stable")
+    seed_idx = order[: min(n_cells, n)]
+    seed_ids = ids[seed_idx]
+    # seed_cell_assign: per-vector argmax over seeds of the integer
+    # encode (cos_micro + 10⁶)·2³³ + (2³³ − 1 − sid)
+    best_enc = np.full(n, -1, dtype=np.int64)
+    for si in seed_idx:
+        cm = _cos_micro(V, V[np.full(n, si)], norms, norms[si])
+        enc = (cm + shift) * enc_mod + (enc_mod - 1 - ids[si])
+        best_enc = np.maximum(best_enc, enc)
+    cells = (enc_mod - 1) - best_enc % enc_mod
+
+    # in-cell pairs (ai < bi by id), cosine, symmetrize, top-M per src
+    srcs, dsts, css = [], [], []
+    for cell in np.unique(cells):
+        members = np.where(cells == cell)[0]
+        if len(members) < 2:
+            continue
+        mi = members[np.argsort(ids[members], kind="stable")]
+        iu, ju = np.triu_indices(len(mi), k=1)
+        a, b = mi[iu], mi[ju]
+        cs = _cos_micro(V[a], V[b], norms[a], norms[b])
+        srcs.append(ids[a])
+        dsts.append(ids[b])
+        css.append(cs)
+        srcs.append(ids[b])
+        dsts.append(ids[a])
+        css.append(cs)
+    if srcs:
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        cs = np.concatenate(css)
+        # row_number over (partition src, order cs desc, dst asc):
+        # sort by (src, -cs, dst), then rank = position since the
+        # start of each equal-src run
+        sel = np.lexsort((dst, -cs, src))
+        src, dst = src[sel], dst[sel]
+        run = np.zeros(len(src), dtype=np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], src[1:] != src[:-1]))
+        )
+        run[starts] = starts
+        run = np.maximum.accumulate(run)
+        rank = np.arange(len(src)) - run + 1
+        keep = rank <= m_edges
+        src, dst = src[keep], dst[keep]
+    else:
+        src = np.empty(0, dtype=np.int64)
+        dst = np.empty(0, dtype=np.int64)
+    # seed clique (exempt from the top-M cut), duplicates harmless —
+    # the hop argmax is duplicate-insensitive, as in the union form
+    neighbors: dict = {}
+    for s_, d_ in zip(src.tolist(), dst.tolist()):
+        neighbors.setdefault(s_, []).append(d_)
+    for s_ in seed_ids.tolist():
+        for d_ in seed_ids.tolist():
+            if s_ != d_:
+                neighbors.setdefault(s_, []).append(d_)
+
+    idx_of = {int(v): i for i, v in enumerate(ids.tolist())}
+    entry = int(ids[order[0]])
+    ev = V[idx_of[entry]]
+    evn = norms[idx_of[entry]]
+    qmask = ids % query_mod == 0
+    out = []
+    for qi in np.where(qmask)[0]:
+        qv, qn = V[qi], norms[qi]
+        node = entry
+        cm0 = _cos_micro(
+            qv[None, :], ev[None, :], np.array([qn]), np.array([evn])
+        )
+        cos = int(cm0[0])
+        for _ in range(hops):
+            nbrs = neighbors.get(node)
+            if not nbrs:
+                continue
+            ni = np.fromiter(
+                (idx_of[x] for x in nbrs), dtype=np.int64, count=len(nbrs)
+            )
+            cm = _cos_micro(
+                np.repeat(qv[None, :], len(ni), axis=0),
+                V[ni],
+                np.full(len(ni), qn),
+                norms[ni],
+            )
+            enc = (cm + shift) * enc_mod + (enc_mod - 1 - ids[ni])
+            best = int(enc.max())
+            bn = (enc_mod - 1) - best % enc_mod
+            bc = best // enc_mod - shift
+            if bc > cos:
+                node = int(bn)
+            cos = max(bc, cos)
+        out.append((int(ids[qi]), node, cos))
+    return out
+
+
 def nsw_greedy_search(
     emb: DataFrame,
     n_cells: int = 8,
@@ -1176,6 +1316,7 @@ def nsw_greedy_search(
     query_mod: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    driver_cutoff: int | None = None,
 ) -> DataFrame:
     """Graph-ANN serving: greedy best-first walk over a navigable
     small-world neighbor graph (Malkov et al. 2014 — the single-layer
@@ -1215,6 +1356,54 @@ def nsw_greedy_search(
 
     enc_mod = 1 << 33
     shift = 1_000_000
+
+    # Size-adaptive driver fast path (r10 — the §13/§20 family): the
+    # distributed build + 4-hop walk runs 47 sequential jobs (pair
+    # join, top-M window, per-hop joins + eager localCheckpoints) at
+    # ~0.1 s scheduling latency each for a corpus that fits one Arrow
+    # transfer. Below the row cutoff (SPARK_GRAFT_NSW_DRIVER_ROWS,
+    # default 5000 — n·d doubles plus n²/(2·n_cells) pair cosines is
+    # the driver-compute class there) the whole thing replays on the
+    # driver bit-exactly (see _nsw_driver_rows); above it, or when the
+    # replay declines (ragged dims, zero norms, negative ids), the
+    # distributed path below runs unchanged.
+    if driver_cutoff is None:
+        import os
+
+        driver_cutoff = int(
+            os.environ.get("SPARK_GRAFT_NSW_DRIVER_ROWS", "5000")
+        )
+    n_rows = emb.count()
+    if n_rows <= driver_cutoff:
+        import numpy as np
+
+        tbl = emb.select(
+            F.col(id_col).alias("nid"),
+            to_double_array(F.col(vec_col)).alias("v"),
+        ).toArrow()
+        ids = tbl.column("nid").combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vcol = tbl.column("v").combine_chunks()
+        lens = np.diff(np.asarray(vcol.offsets, dtype=np.int64))
+        rows = None
+        if n_rows == 0 or (len(lens) and (lens == lens[0]).all()):
+            V = (
+                vcol.values.to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n_rows, int(lens[0]) if len(lens) else 0)
+            )
+            rows = _nsw_driver_rows(
+                ids, V, n_cells, m_edges, hops, query_mod
+            )
+        if rows is not None:
+            from drune_spark.functions.partitioning import local_frame
+
+            return local_frame(
+                emb.sparkSession,
+                rows,
+                "query_id bigint, node bigint, cos_micro bigint",
+            )
 
     c = fan_out(emb).select(
         F.col(id_col).alias("nid"),

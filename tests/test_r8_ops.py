@@ -80,6 +80,31 @@ class TestNswGreedySearch:
 
         assert nsw_greedy_search(emb).count() == 0
 
+    def test_driver_path_matches_distributed(self, spark):
+        """The r10 driver replay (build + walk in numpy with the exact
+        fold FP order) must be row-identical to the distributed path
+        on the planted two-cluster graph, including the float→double
+        cast and the seed-clique crossing."""
+        rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        for i in range(2, 10):
+            rows.append((i, [1.0, 0.01 * i]))
+        for i in range(10, 18):
+            rows.append((i, [0.01 * i, 1.0]))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        from drune_spark.operators.similarity import nsw_greedy_search
+
+        kw = dict(n_cells=2, m_edges=3, hops=3, query_mod=5)
+        fast = sorted(map(tuple, nsw_greedy_search(emb, **kw).collect()))
+        slow = sorted(
+            map(
+                tuple,
+                nsw_greedy_search(emb, driver_cutoff=0, **kw).collect(),
+            )
+        )
+        assert fast == slow and len(fast) == 4
+
 
 class TestAspectRatioBuckets:
     def test_assignment_and_batches(self, spark):
