@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from drune_spark.functions.vectors import cosine_similarity, dot, to_double_array
+from drune_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    norm,
+    to_double_array,
+)
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -1427,20 +1432,52 @@ def nsw_greedy_search(
     # ca is consumed by BOTH sides of the pair self-join — persist it
     # eagerly or each side replans the assignment argmax (the r3
     # self-referencing-DAG trap, join form).
-    ca = c.join(assign, "nid").persist()
+    # Per-node norm hoisted out of the O(Σ cell²) pair scan (the r8
+    # dbscan lesson): norm(a) recomputed inside cosine_similarity per
+    # PAIR is 2 of the 3 interpreted 64-element folds each pair pays —
+    # the hoisted column is the same sqrt(dot(v,v)) fold over the same
+    # array, so dot/(na·nb) is bit-identical to the inline form.
+    ca = c.join(assign, "nid").withColumn(
+        "nrm", norm(F.col("v"))
+    ).persist()
     ca.count()
-    a = ca.select(
-        F.col("nid").alias("ai"), F.col("v").alias("av"), "cell"
+    # Pair IDS first (narrow quadratic rows), spread, then attach the
+    # vectors by id (guide §8: decide with small rows, move payloads
+    # once): the cell equi-join hashes into at most n_cells partitions
+    # and AQE coalesces them by the tiny INPUT bytes — blind to the
+    # quadratic join output — so the pair cosines otherwise run on a
+    # handful of tasks (measured 49 s at 3× scale; the §4
+    # sparse_cosine disease). The keyless repartition spreads the
+    # id pairs (16 B/row) across every core before the wide vectors
+    # are attached; placement cannot change per-pair values.
+    aid = ca.select(F.col("nid").alias("ai"), "cell")
+    bid = ca.select(F.col("nid").alias("bi"), "cell")
+    pid = (
+        aid.join(bid, "cell")
+        .filter(F.col("ai") < F.col("bi"))
+        .select("ai", "bi")
+        .repartition(c.sparkSession.sparkContext.defaultParallelism)
     )
-    b = ca.select(
-        F.col("nid").alias("bi"), F.col("v").alias("bv"), "cell"
+    va = ca.select(
+        F.col("nid").alias("ai"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    vb = ca.select(
+        F.col("nid").alias("bi"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
     )
     in_cell = (
-        a.join(b, "cell")
-        .filter(F.col("ai") < F.col("bi"))
+        pid.join(va, "ai")
+        .join(vb, "bi")
         .select(
             "ai", "bi",
-            cos_micro(F.col("av"), F.col("bv")).alias("cs"),
+            F.floor(
+                dot(F.col("av"), F.col("bv"))
+                / (F.col("an") * F.col("bn"))
+                * F.lit(1_000_000.0)
+            ).cast("long").alias("cs"),
         )
     )
     # Symmetrize via the explode(array(struct...)) fan-out, NOT a
