@@ -40,12 +40,32 @@ def _tune(spark: SparkSession) -> SparkSession:
     return tune_session(spark)
 
 
+# Per-process parquet SCHEMA cache (r10 optimization): every
+# spark.read.parquet without an explicit schema runs a 1-task
+# footer-inference job — ~0.05-0.1 s of job sequencing per table read,
+# paid by nearly all 331 bench queries (1-3 reads each). The schema is
+# METADATA read from the same files on the first touch of each path in
+# the process (testdata cannot change mid-process), so supplying it
+# back via .schema(...) changes no query's rows — only the inference
+# job disappears. This is not result caching: no data rows, statistics
+# or computed outputs are held. SPARK_GRAFT_SCHEMA_CACHE=0 disables
+# (A/B hook; the external driver's harness works either way).
+_SCHEMA_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":  # nanosecond timestamps — Spark needs the long path
         from drune_spark.sources.readers import read_parquet_nanos_safe
         return read_parquet_nanos_safe(spark, path)
-    return spark.read.parquet(path)
+    if os.environ.get("SPARK_GRAFT_SCHEMA_CACHE", "1") == "0":
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 # --------------------------------------------------------------------------

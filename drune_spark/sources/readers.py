@@ -31,6 +31,12 @@ class ReadError(RuntimeError):
     pass
 
 
+# path → (nanos target cols, raw Spark schema) — see
+# read_parquet_nanos_safe. Keyed per absolute path for the life of the
+# process; schema metadata only, never rows.
+_NANOS_READ_CACHE: dict = {}
+
+
 def resolve_dynamic_path(spec: SourceSpec, runtime_path: Optional[str]) -> Optional[str]:
     """If a runtime file is supplied for a directory-typed source, read
     that concrete file; if the source already points at a file, replace
@@ -75,8 +81,15 @@ def read_parquet_nanos_safe(
       (lossless under the pinned UTC session).
     - timestamp with tz / INT96: plain read already yields TIMESTAMP.
     """
+    cache_on = (
+        nanos_cols is None
+        and os.environ.get("SPARK_GRAFT_SCHEMA_CACHE", "1") != "0"
+    )
+    cached = _NANOS_READ_CACHE.get(path) if cache_on else None
     targets = nanos_cols
-    if targets is None:
+    if cached is not None:
+        targets = cached[0]
+    elif targets is None:
         try:
             import pyarrow.parquet as pq
             schema = pq.read_schema(path.replace("file://", ""))
@@ -86,11 +99,27 @@ def read_parquet_nanos_safe(
         except Exception:
             targets = []
     if not targets:
-        return _cast_ntz_to_timestamp(spark.read.parquet(path))
+        if cached is not None:
+            df = spark.read.schema(cached[1]).parquet(path)
+        else:
+            df = spark.read.parquet(path)
+            if cache_on:
+                # Raw Spark schema per path, cached for the process: the
+                # footer-inference job (~0.05-0.1 s of sequencing) runs
+                # once per path instead of once per query. Metadata only
+                # — the schema came from these same files; rows are
+                # untouched (SPARK_GRAFT_SCHEMA_CACHE=0 disables).
+                _NANOS_READ_CACHE[path] = (targets, df.schema)
+        return _cast_ntz_to_timestamp(df)
     # Leave the conf set for the session: execution re-reads it, and all
     # nanos-bearing reads route through this helper anyway.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    if cached is not None:
+        df = spark.read.schema(cached[1]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if cache_on:
+            _NANOS_READ_CACHE[path] = (targets, df.schema)
     from pyspark.sql import functions as F
     raw_types = dict(df.dtypes)
     for c in targets:

@@ -112,6 +112,46 @@ class TestReadSource:
         # event-time ops must accept it (this is what NTZ breaks)
         df.selectExpr("unix_micros(ts)").collect()
 
+    # r10 optimization: per-process schema caches (readers._NANOS_READ_CACHE
+    # and __spark_entry__._SCHEMA_CACHE) skip the footer-inference job on
+    # repeat reads of a path. Cached reads must be row- and
+    # schema-identical to cold reads for every timestamp flavor.
+    @pytest.mark.parametrize("flavor", ["ns", "us_ntz"])
+    def test_nanos_cache_hit_matches_cold_read(self, spark, tmp_path, flavor):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import datetime as dt
+        from drune_spark.sources import readers
+
+        instants = [dt.datetime(2024, 1, 1, 0, 0, 0, 123456),
+                    dt.datetime(2025, 12, 31, 23, 59, 59, 0)]
+        unit = {"ns": "ns", "us_ntz": "us"}[flavor]
+        p = str(tmp_path / f"cache_{flavor}.parquet")
+        arr = pa.array(instants, type=pa.timestamp(unit))
+        pq.write_table(pa.table({"ts": arr}), p)
+
+        readers._NANOS_READ_CACHE.pop(p, None)
+        cold = read_parquet_nanos_safe(spark, p)
+        cold_rows = sorted(r.ts for r in cold.collect())
+        assert p in readers._NANOS_READ_CACHE
+        warm = read_parquet_nanos_safe(spark, p)
+        assert warm.schema == cold.schema
+        assert sorted(r.ts for r in warm.collect()) == cold_rows
+
+    def test_entry_schema_cache_hit_matches_cold_read(self, spark):
+        import __spark_entry__ as entrymod
+
+        sf = "/root/testdata/sf0.001"
+        path = f"{sf}/customer.parquet"
+        entrymod._SCHEMA_CACHE.pop(path, None)
+        cold = entrymod._t(spark, sf, "customer")
+        n = cold.count()
+        assert path in entrymod._SCHEMA_CACHE
+        warm = entrymod._t(spark, sf, "customer")
+        assert warm.schema == cold.schema
+        assert warm.count() == n
+
 
 class TestTryCastDates:
     def test_try_cast_formatted_date_nulls_malformed(self, spark):
