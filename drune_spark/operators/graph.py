@@ -54,14 +54,132 @@ def transition_edges(
     )
 
 
+def _pagerank_driver_replay(
+    edges: DataFrame,
+    n_iters: int,
+    damping_pct: int,
+    scale: int,
+    seed_nodes: list | None,
+    driver_cutoff: int | None,
+):
+    """Size-adaptive driver replay shared by :func:`pagerank_int` and
+    :func:`personalized_pagerank_int` (r10 — the hits_int/§18 family):
+    below an edge-row cutoff the unrolled damped rounds cost ~5-6
+    sequential jobs of scheduling latency EACH at bench scale for a
+    graph whose edge list is a few hundred rows. Collect the edges once
+    (Arrow) and replay every round in exact int64 numpy — integer sums
+    are order-free, floor division of nonnegative int64 == Spark
+    ``div``, and every bound that could leave int64 (where the
+    distributed ANSI path would raise) falls back to the distributed
+    loop instead of wrapping. Oracle hashes are untouched: the replay
+    produces the same (node, rank_int) integers.
+
+    Returns the ranks DataFrame, or None → run the distributed loop
+    (cutoff exceeded, unsupported types, nonpositive weights, or an
+    overflow-risk bound). Env-tunable: SPARK_GRAFT_PAGERANK_DRIVER_EDGES
+    (default 1M rows — broadcast-build memory class, ~24 B/row)."""
+    import os
+
+    if driver_cutoff is None:
+        driver_cutoff = int(
+            os.environ.get("SPARK_GRAFT_PAGERANK_DRIVER_EDGES", "1000000")
+        )
+    if not (0 <= int(damping_pct) <= 100) or int(scale) <= 0:
+        return None
+    if seed_nodes is not None and len(seed_nodes) == 0:
+        return None  # the distributed build raises ZeroDivisionError
+    spark = edges.sparkSession
+    node_t = edges.schema["src"].dataType.simpleString()
+    if (
+        node_t != edges.schema["dst"].dataType.simpleString()
+        or node_t not in ("int", "bigint", "string")
+    ):
+        return None
+    e = edges.select("src", "dst", "w").persist()
+    n_edges = e.count()
+    if n_edges > driver_cutoff:
+        e.unpersist()
+        return None
+    tbl = e.toArrow()
+    e.unpersist()
+    from drune_spark.functions.partitioning import local_frame
+
+    schema = f"node {node_t}, rank_int bigint"
+    if tbl.num_rows == 0:
+        return local_frame(spark, [], schema)
+    import numpy as np
+
+    w_arr = tbl.column("w").to_numpy(zero_copy_only=False)
+    if w_arr.dtype not in (np.dtype(np.int64), np.dtype(np.int32)):
+        return None
+    if not bool((w_arr > 0).all()):
+        return None
+    # Σw exact in python ints (an int64 scatter-sum could itself wrap).
+    if int(w_arr.astype(object).sum()) >= (1 << 63):
+        return None
+    src_arr = tbl.column("src").to_numpy(zero_copy_only=False)
+    dst_arr = tbl.column("dst").to_numpy(zero_copy_only=False)
+    w64 = w_arr.astype(np.int64, copy=False)
+    nodes = np.unique(np.concatenate([src_arr, dst_arr]))
+    n_nodes = len(nodes)
+    src_idx = np.searchsorted(nodes, src_arr)
+    dst_idx = np.searchsorted(nodes, dst_arr)
+    w_out = np.zeros(n_nodes, dtype=np.int64)
+    np.add.at(w_out, src_idx, w64)
+    two63 = 1 << 63
+    if seed_nodes is None:
+        base_val = ((100 - int(damping_pct)) * int(scale)) // 100
+        base_vec = np.full(n_nodes, int(base_val), dtype=np.int64)
+    else:
+        # PPR teleport: total restart mass matches the global variant's
+        # Σ base, split over the seeds (matches the distributed build's
+        # exact python-int arithmetic with n_nodes from nodes.count()).
+        per_seed = ((100 - int(damping_pct)) * int(scale) * n_nodes) // (
+            100 * len(seed_nodes)
+        )
+        if per_seed >= two63:
+            return None
+        is_seed = np.isin(nodes, np.array(list(seed_nodes)))
+        base_vec = np.where(is_seed, np.int64(per_seed), np.int64(0))
+    rank = np.full(n_nodes, int(scale), dtype=np.int64)
+    for _ in range(int(n_iters)):
+        # Exact pre-guards in python ints BEFORE any int64 op could
+        # wrap: per-edge product ≤ max_rank·max_w; each contrib term
+        # ≤ rank[src] (w ≤ w_out), so any dst's sum ≤ n_edges·max_rank.
+        max_rank = int(rank.max())
+        max_w = int(w64.max())
+        if max_rank * max_w >= two63 or n_edges * max_rank >= two63:
+            return None
+        contrib = (rank[src_idx] * w64) // w_out[src_idx]
+        c_sum = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(c_sum, dst_idx, contrib)
+        max_c = int(c_sum.max())
+        if (
+            int(damping_pct) * max_c >= two63
+            or int(base_vec.max()) + (int(damping_pct) * max_c) // 100
+            >= two63
+        ):
+            return None
+        rank = base_vec + (int(damping_pct) * c_sum) // 100
+    return local_frame(
+        spark, list(zip(nodes.tolist(), rank.tolist())), schema
+    )
+
+
 def pagerank_int(
     edges: DataFrame,
     n_iters: int = 3,
     damping_pct: int = 85,
     scale: int = 1_000_000,
+    driver_cutoff: int | None = None,
 ) -> DataFrame:
     """(node, rank_int) after ``n_iters`` integer-exact damped rounds
     from a uniform start of ``scale`` per node."""
+    hit = _pagerank_driver_replay(
+        edges, n_iters, damping_pct, scale, None, driver_cutoff
+    )
+    if hit is not None:
+        return hit
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -830,6 +948,7 @@ def personalized_pagerank_int(
     n_iters: int = 3,
     damping_pct: int = 85,
     scale: int = 1_000_000,
+    driver_cutoff: int | None = None,
 ) -> DataFrame:
     """Personalized PageRank (Page et al. 1999 §6 / Jeh & Widom 2003)
     with the pagerank_int integer discipline: the restart mass
@@ -851,6 +970,11 @@ def personalized_pagerank_int(
     equi-join + node-keyed sum; (node, int64) cells only.
     Returns (node, rank_int).
     """
+    hit = _pagerank_driver_replay(
+        edges, n_iters, damping_pct, scale, list(seed_nodes), driver_cutoff
+    )
+    if hit is not None:
+        return hit
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))

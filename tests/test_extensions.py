@@ -5570,6 +5570,65 @@ class TestGraphDriverFastPaths:
         assert fast == slow
         assert [r[0] for r in fast] == [0, 1, 2, 3]
 
+    def test_pagerank_driver_matches_distributed(self, spark):
+        from drune_spark.operators.graph import pagerank_int
+
+        # dangling node (10), source-only node (1), a 2-cycle, and
+        # weighted multi-in-degree: exercises base-only nodes,
+        # contribution sums and the w_out division.
+        edges = spark.createDataFrame(
+            [(1, 2, 3), (2, 3, 1), (3, 2, 2), (3, 10, 1), (2, 10, 4)],
+            ["src", "dst", "w"],
+        )
+        fast = sorted(map(tuple, pagerank_int(edges, n_iters=3).collect()))
+        slow = sorted(map(tuple, pagerank_int(
+            edges, n_iters=3, driver_cutoff=0).collect()))
+        assert fast == slow
+        schema_fast = pagerank_int(edges, n_iters=3).schema
+        schema_slow = pagerank_int(edges, n_iters=3, driver_cutoff=0).schema
+        assert [(f.name, f.dataType) for f in schema_fast] == [
+            (f.name, f.dataType) for f in schema_slow]
+
+    def test_pagerank_driver_matches_distributed_string_nodes(self, spark):
+        from drune_spark.operators.graph import pagerank_int
+
+        edges = spark.createDataFrame(
+            [("a", "b", 2), ("b", "c", 1), ("c", "a", 1), ("b", "a", 3)],
+            ["src", "dst", "w"],
+        )
+        fast = sorted(map(tuple, pagerank_int(edges, n_iters=2).collect()))
+        slow = sorted(map(tuple, pagerank_int(
+            edges, n_iters=2, driver_cutoff=0).collect()))
+        assert fast == slow
+
+    def test_ppr_driver_matches_distributed(self, spark):
+        from drune_spark.operators.graph import personalized_pagerank_int
+
+        edges = spark.createDataFrame(
+            [("s", "a", 1), ("a", "b", 2), ("b", "s", 1), ("a", "c", 1),
+             ("x", "y", 5)],
+            ["src", "dst", "w"],
+        )
+        # seed in-graph plus a seed absent from the graph (teleport mass
+        # to a missing node is simply dropped on both paths)
+        for seeds in (["s"], ["s", "zz"]):
+            fast = sorted(map(tuple, personalized_pagerank_int(
+                edges, seeds, n_iters=3).collect()))
+            slow = sorted(map(tuple, personalized_pagerank_int(
+                edges, seeds, n_iters=3, driver_cutoff=0).collect()))
+            assert fast == slow, seeds
+
+    def test_pagerank_driver_nonpositive_weight_falls_back(self, spark):
+        from drune_spark.operators.graph import (
+            _pagerank_driver_replay,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2, 0), (2, 3, 1)], ["src", "dst", "w"]
+        )
+        assert _pagerank_driver_replay(
+            edges, 3, 85, 1_000_000, None, None) is None
+
     def test_hits_driver_matches_distributed(self, spark):
         from drune_spark.operators.graph import hits_int
 
