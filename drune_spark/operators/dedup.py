@@ -420,6 +420,18 @@ def prefix_filter_join(
         )
         .filter(F.col("token") != "")
     )
+    # The token table is read by FIVE branches (sizes, dfreq, the
+    # ranked window, and both verification sides ta/tb) that
+    # materialize through separate concurrent broadcast-build jobs —
+    # the r5 >=4-branch rule: lazy marks race the unpopulated cache and
+    # each re-runs the fan_out+tokenize+explode chain, and the
+    # unpersisted cand below re-runs the prefix self-join per consumer.
+    # EAGER persist+count (r10 interleaved A/B at sf0.1, tok+cand
+    # persists together: plain 128-145 s/pass vs persisted 31-42 s).
+    # Residency is one invocation's distinct (doc, token) set; callers
+    # bound accumulation via clearCache (bench.py does).
+    tok = tok.persist()
+    tok.count()
     sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
     from pyspark.sql import Window
@@ -453,6 +465,12 @@ def prefix_filter_join(
             >= t * F.greatest("size_a", "size_b")
         )
     )
+    # Two consumers (the intersection aggregate and the final
+    # verification join) of one action: a LAZY mark is race-free here —
+    # plan-time InMemoryRelation substitution dedupes both branches
+    # (r8 note: CacheManager substitution happens during planning) and
+    # avoids an extra eager count job.
+    cand = cand.persist()
     ta = tok.select(F.col("doc").alias("a"), "token")
     tb = tok.select(F.col("doc").alias("b"), "token")
     inter = (
