@@ -379,11 +379,123 @@ def ngram_jaccard_pairs(
     )
 
 
+# Word-op budget for the set-similarity driver replay: the all-pairs
+# bitmask intersection costs n(n-1)/2 · ceil(V/64) uint64 AND+popcounts.
+# 512M word-ops ≈ a few seconds of numpy — the same time class as ONE
+# distributed shuffle round at that size. Above it (or above the cell
+# cutoff / mask-matrix memory bound) the distributed PPJoin runs.
+_SETSIM_DRIVER_MAX_WORDOPS = 512_000_000
+_SETSIM_DRIVER_MAX_MASK_WORDS = 64_000_000  # n · ceil(V/64) ≤ 512 MB
+
+
+def _popcount_u64(x):
+    """Vectorized 64-bit SWAR popcount (numpy < 2 has no bitwise_count).
+    Branch-free integer arithmetic — exact on every uint64 value
+    (pinned against int.bit_count in pytest)."""
+    import numpy as np
+
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def _setsim_driver_pairs(tok: DataFrame, n_cells: int, t: int,
+                         driver_cutoff: int | None):
+    """Driver bitmask replay gate for ``prefix_filter_join``: returns the
+    result pandas frame when the exact all-pairs computation should run
+    on the driver, or ``None`` for the distributed PPJoin path.
+
+    Why a bitmask, not the §20 per-token triu expansion: word tokens
+    (unlike k-gram shingles) include stopword-class tokens shared by
+    nearly every doc, so Σ df² explodes — the very problem the prefix
+    filter exists to dodge. Packing each doc's distinct-token set into
+    ceil(V/64) uint64 words makes every pair's |∩| one AND + popcount
+    regardless of token frequency: cost is exactly n²/2 · W word-ops,
+    estimated BEFORE any allocation. All arithmetic is int64 (sizes,
+    intersections, the cross-multiplied threshold test, ppm floor-div
+    on nonnegative operands == Spark ``div``), so the rows are the
+    identical integers the distributed join produces. Pair order
+    a < b comes from np.unique's sort: numeric order for int ids,
+    UTF8-binary == codepoint order for strings — Spark's ``<`` on both.
+    """
+    import os
+
+    if driver_cutoff is None:
+        driver_cutoff = int(
+            os.environ.get("SPARK_GRAFT_SETSIM_DRIVER_CELLS", "2000000")
+        )
+    if n_cells > driver_cutoff or n_cells == 0:
+        return None
+    id_type = tok.schema["doc"].dataType.simpleString()
+    if id_type not in _PAIRS_DRIVER_ID_TYPES:
+        return None
+    import numpy as np
+    import pandas as pd
+
+    at = tok.toArrow()
+    doc_col = at.column("doc").combine_chunks().to_numpy(
+        zero_copy_only=False)
+    tok_col = at.column("token").combine_chunks().to_numpy(
+        zero_copy_only=False)
+    uniq_docs, dcodes = np.unique(doc_col, return_inverse=True)
+    uniq_toks, tcodes = np.unique(tok_col, return_inverse=True)
+    n, v = len(uniq_docs), len(uniq_toks)
+    w = (v + 63) // 64
+    if n * w > _SETSIM_DRIVER_MAX_MASK_WORDS:
+        return None
+    if n * (n - 1) // 2 * w > _SETSIM_DRIVER_MAX_WORDOPS:
+        return None
+    masks = np.zeros((n, w), dtype=np.uint64)
+    tcodes = tcodes.astype(np.int64)
+    np.bitwise_or.at(
+        masks,
+        (dcodes.astype(np.int64), tcodes >> 6),
+        np.uint64(1) << (tcodes.astype(np.uint64) & np.uint64(63)),
+    )
+    sizes = _popcount_u64(masks).sum(axis=1).astype(np.int64)
+    t64 = np.int64(t)
+    parts_a, parts_b, parts_nc = [], [], []
+    for i in range(n - 1):
+        nc = _popcount_u64(masks[i] & masks[i + 1:]).sum(
+            axis=1).astype(np.int64)
+        # The distributed path only ever sees pairs sharing >= 1 prefix
+        # token, so nc >= 1 is part of the contract (matters at t = 0);
+        # the length filter is implied by the threshold test (nc <= min
+        # and sa+sb-nc >= max => 100*min >= t*max) — pruning only.
+        keep = (nc >= 1) & (
+            100 * nc >= t64 * (sizes[i] + sizes[i + 1:] - nc)
+        )
+        if keep.any():
+            idx = np.nonzero(keep)[0]
+            parts_a.append(np.full(len(idx), i, dtype=np.int64))
+            parts_b.append(idx + i + 1)
+            parts_nc.append(nc[idx])
+    if parts_a:
+        ai = np.concatenate(parts_a)
+        bi = np.concatenate(parts_b)
+        nc = np.concatenate(parts_nc)
+    else:
+        ai = bi = nc = np.empty(0, dtype=np.int64)
+    sa, sb = sizes[ai], sizes[bi]
+    return pd.DataFrame({
+        "a": uniq_docs[ai],
+        "b": uniq_docs[bi],
+        "size_a": sa,
+        "size_b": sb,
+        "n_common": nc,
+        "jaccard_ppm": (1_000_000 * nc) // np.maximum(sa + sb - nc, 1),
+    }), id_type
+
+
 def prefix_filter_join(
     df: DataFrame,
     text_col: str,
     id_col: str,
     threshold_pct: int = 50,
+    driver_cutoff: int | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join with PPJoin-style prefix filtering
     (Xiao et al., WWW'08): find all doc pairs whose word-SET Jaccard is
@@ -431,7 +543,33 @@ def prefix_filter_join(
     # Residency is one invocation's distinct (doc, token) set; callers
     # bound accumulation via clearCache (bench.py does).
     tok = tok.persist()
-    tok.count()
+    n_cells = tok.count()
+    # Size-adaptive driver fast path (r10, the §20 pattern): at bench
+    # scale the verification join explodes — cand(a,b) ⋈ tokens(a)
+    # materializes |cand| · avg|doc| rows (~1e9 at sf0.1, where 57% of
+    # ALL pairs pass the 0.6 threshold: 7.1M result rows from 5000
+    # docs) — 31-42 s/pass for integer work a bitmask replay does in
+    # seconds. Below the cell cutoff (SPARK_GRAFT_SETSIM_DRIVER_CELLS)
+    # and the mask/word-op budgets, collect the (doc, token) cells once
+    # via Arrow and compute ALL pairs' exact |∩| as uint64 AND +
+    # popcount; the result returns as ONE Arrow-backed local frame.
+    # Above any bound the distributed PPJoin below runs unchanged —
+    # the production path, whose prefix filter is what scales.
+    hit = _setsim_driver_pairs(tok, n_cells, t, driver_cutoff)
+    if hit is not None:
+        pdf, id_type = hit
+        tok.unpersist()
+        spark = df.sparkSession
+        # Arrow slices createDataFrame into maxRecordsPerBatch-row
+        # partitions (10k default → 700+ micro-tasks at 7M result
+        # rows); coalesce to core width — a narrow merge, no shuffle.
+        return spark.createDataFrame(
+            pdf,
+            schema=(
+                f"a {id_type}, b {id_type}, size_a bigint, "
+                "size_b bigint, n_common bigint, jaccard_ppm bigint"
+            ),
+        ).coalesce(max(1, spark.sparkContext.defaultParallelism))
     sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
     from pyspark.sql import Window

@@ -488,6 +488,55 @@ class TestPrefixFilterJoin:
         assert (r.a, r.b, r.n_common) == (1, 2, 3)
         assert r.jaccard_ppm == 1000000 * 3 // 5
 
+    def test_driver_path_matches_distributed(self, spark):
+        """The r10 bitmask driver replay (default cutoff) and the
+        distributed PPJoin (cutoff 0) must return IDENTICAL rows —
+        int ids and string ids, a vocab spanning >64 tokens (multi-word
+        masks), ties, exact dups, and a zero-overlap doc."""
+        from drune_spark.operators.dedup import prefix_filter_join
+        vocab = [f"tok{j:03d}" for j in range(90)]
+        rows = [
+            (i, " ".join(vocab[(i * 5 + j * 11) % 90] for j in range(12)))
+            for i in range(40)
+        ] + [(40, "loner")]
+        for schema, ids in (
+            ("doc_id long, text string", lambda i: i),
+            ("doc_id string, text string", lambda i: f"d{i:02d}"),
+        ):
+            df = spark.createDataFrame(
+                [(ids(i), txt) for i, txt in rows], schema
+            )
+            for t in (40, 75):
+                fast = prefix_filter_join(
+                    df, "text", "doc_id", threshold_pct=t
+                )
+                slow = prefix_filter_join(
+                    df, "text", "doc_id", threshold_pct=t,
+                    driver_cutoff=0,
+                )
+                assert sorted(map(tuple, fast.collect())) == sorted(
+                    map(tuple, slow.collect())
+                )
+                # names + types must match exactly (the oracle hashes
+                # values under sorted column names); nullability is
+                # plan metadata — counts are non-nullable only on the
+                # distributed side
+                assert [(f.name, f.dataType) for f in fast.schema] == [
+                    (f.name, f.dataType) for f in slow.schema
+                ]
+
+    def test_popcount_u64_exact(self):
+        """SWAR popcount == int.bit_count on every byte pattern class:
+        all-zeros, all-ones, single bits, random words."""
+        import numpy as np
+        from drune_spark.operators.dedup import _popcount_u64
+        vals = [0, 2**64 - 1] + [1 << k for k in range(64)]
+        rng = np.random.default_rng(7)
+        vals += [int(x) for x in rng.integers(0, 2**63, 500)]
+        arr = np.array(vals, dtype=np.uint64)
+        got = _popcount_u64(arr)
+        assert [int(g) for g in got] == [v.bit_count() for v in vals]
+
 
 class TestSimilarity:
     @pytest.fixture()

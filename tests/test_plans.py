@@ -542,19 +542,32 @@ class TestRound4ThirdWavePlans:
         assert "SortMergeJoin" not in head
         assert "BroadcastHashJoin" not in head
 
-    def test_set_sim_join_reads_cached_token_table(self, spark, entry):
-        """prefix_filter_join persists the (doc, token) table (5
-        consumers) and the candidate pairs (2 consumers): without the
-        caches the pair verification re-tokenizes the corpus per branch
-        (r10 interleaved A/B at sf0.1: 128-145 s/pass unpersisted vs
-        31-42 s). Pin that the executed plan reads the caches — an
-        unpersist-hygiene cleanup would silently restore the re-runs."""
+    def test_set_sim_join_reads_cached_token_table(
+        self, spark, entry, monkeypatch
+    ):
+        """DISTRIBUTED prefix_filter_join (pinned via a zero driver
+        cutoff) persists the (doc, token) table (5 consumers) and the
+        candidate pairs (2 consumers): without the caches the pair
+        verification re-tokenizes the corpus per branch (r10 interleaved
+        A/B at sf0.1: 128-145 s/pass unpersisted vs 31-42 s). Pin that
+        the executed plan reads the caches — an unpersist-hygiene
+        cleanup would silently restore the re-runs."""
+        monkeypatch.setenv("SPARK_GRAFT_SETSIM_DRIVER_CELLS", "0")
         plan = executed_plan(entry.q_set_sim_join(spark, SF))
         assert "InMemoryTableScan" in plan
         # the verification join consumes ta AND tb from the token cache
         # plus the candidate cache in two branches — several reads even
         # after AQE dedup
         assert plan.count("InMemoryTableScan") >= 3
+
+    def test_set_sim_join_driver_path_is_local_scan(self, spark, entry):
+        """Below the cell cutoff (the default at gate scale) the driver
+        bitmask replay returns ONE Arrow-backed local frame: no joins,
+        no exchanges in the returned plan — the job-sequencing cost of
+        the PPJoin tree is gone (r10 §23)."""
+        plan = executed_plan(entry.q_set_sim_join(spark, SF))
+        for op in ("SortMergeJoin", "BroadcastHashJoin", "Exchange"):
+            assert op not in plan
 
     def test_aspect_bucket_no_global_sort(self, spark, entry):
         """Batch ids come from a window PARTITIONED BY bucket — never a
