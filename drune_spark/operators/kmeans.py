@@ -98,6 +98,101 @@ def _best_cell(centroids: list[tuple[int, list[int]]]):
     )
 
 
+def _ivf_driver_result(
+    q: DataFrame,
+    k: int,
+    n_iters: int,
+    dim: int,
+    id_col: str,
+    with_stats: bool,
+    driver_cutoff: int | None,
+):
+    """Driver replay gate for ``ivf_train``: returns the final
+    (centroid_id, centroid, n_members, sse) rows when the Lloyd loop
+    should run on the driver, or ``None`` for the distributed loop.
+
+    Parity is structural: the quantized codes are collected AFTER the
+    distributed ``quantize_unsigned`` (no FP replay anywhere), and every
+    downstream value is int64 — squared-L2 distances, first-occurrence
+    argmin over centroid rows ordered by ascending id (== the
+    ``array_min`` (dist, centroid_id) lexicographic tie-break), bincount
+    members, the round-half-up mean ``(2s + n) // (2n)`` (numpy int64
+    floor division == the python ``//`` the distributed control loop
+    itself uses), scatter-added SSE. Ragged/mismatched dims, NULL-bearing
+    codes, non-integer ids or out-of-budget sizes decline to the
+    distributed path."""
+    import os
+
+    if driver_cutoff is None:
+        driver_cutoff = int(
+            os.environ.get("SPARK_GRAFT_IVF_DRIVER_CELLS", "2000000")
+        )
+    if driver_cutoff <= 0:
+        return None
+    if q.schema[id_col].dataType.simpleString() not in ("bigint", "int"):
+        return None
+    n = q.count()
+    if n == 0 or n * dim > driver_cutoff:
+        return None
+    # distance-matrix op budget per round (n·k·dim int64 mults)
+    if n * max(1, k) * dim > 512_000_000:
+        return None
+    import numpy as np
+
+    at = q.toArrow()
+    ids = at.column(id_col).combine_chunks().to_numpy(
+        zero_copy_only=False)
+    qv = at.column("qv").combine_chunks()
+    offs = np.asarray(qv.offsets, dtype=np.int64)
+    lens = np.diff(offs)
+    if (lens != dim).any():
+        return None
+    flat = qv.values.to_numpy(zero_copy_only=False)
+    flat = flat[offs[0]:offs[-1]]
+    if flat.dtype != np.int64:  # NULL elements surface as float
+        return None
+    codes = flat.reshape(int(n), dim)
+    if ids.dtype.kind not in "iu" or np.abs(codes).max(initial=0) > (
+        1 << 20
+    ):
+        # keep every (a-b)²·dim sum far inside int64 — past this the
+        # distributed ANSI path is the one that raises loudly
+        return None
+    order = np.argsort(ids)
+    ids_s, codes_s = ids[order].astype(np.int64), codes[order]
+    kk = min(int(k), int(n))
+    cids = ids_s[:kk]
+    cents = codes_s[:kk].copy()
+
+    def _assign(c):
+        d = codes_s[:, None, :] - c[None, :, :]
+        dist = (d * d).sum(axis=2)
+        a = dist.argmin(axis=1)  # first min == lowest centroid_id
+        return a, dist[np.arange(len(a)), a]
+
+    for _ in range(int(n_iters)):
+        asg, _ = _assign(cents)
+        cnt = np.bincount(asg, minlength=kk).astype(np.int64)
+        sums = np.zeros((kk, dim), dtype=np.int64)
+        np.add.at(sums, asg, codes_s)
+        nz = cnt > 0
+        cents[nz] = (2 * sums[nz] + cnt[nz, None]) // (
+            2 * cnt[nz, None]
+        )
+    if with_stats:
+        asg, dmin = _assign(cents)
+        cnt = np.bincount(asg, minlength=kk).astype(np.int64)
+        sse = np.zeros(kk, dtype=np.int64)
+        np.add.at(sse, asg, dmin)
+    else:
+        cnt = sse = np.zeros(kk, dtype=np.int64)
+    return [
+        (int(cids[j]), [int(x) for x in cents[j]], int(cnt[j]),
+         int(sse[j]))
+        for j in range(kk)
+    ]
+
+
 def ivf_train(
     corpus: DataFrame,
     n_centroids: int = 8,
@@ -106,6 +201,7 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_stats: bool = True,
+    driver_cutoff: int | None = None,
 ) -> DataFrame:
     """Train IVF coarse centroids with ``n_iters`` Lloyd rounds over
     quantized codes. Returns (centroid_id, centroid array<long>,
@@ -118,19 +214,53 @@ def ivf_train(
     similarity.py), so trained centroids drop into the existing
     assign/search layout unchanged.
     """
+    from drune_spark.functions.partitioning import fan_out
+
+    spark = corpus.sparkSession
     q = quantize_unsigned(corpus, vec_col, id_col).persist()
     try:
+        # Size-adaptive driver fast path (r10 §26): below a cell cutoff
+        # (SPARK_GRAFT_IVF_DRIVER_CELLS, n·dim rows — the broadcast
+        # memory class) ONE Arrow collect of the quantized codes replays
+        # the whole Lloyd loop in int64 numpy. The distributed loop at
+        # bench scale paid ~8 s PER ROUND: CollapseProject inlines the
+        # ``_best_cell`` argmin struct into the post-posexplode
+        # projection, re-evaluating the interpreted k·dim fold once per
+        # exploded element (64×/row) on the corpus's single input split.
+        # Above the cutoff the loop below runs (with the barrier fix).
+        hit = _ivf_driver_result(
+            q, n_centroids, n_iters, dim, id_col, with_stats,
+            driver_cutoff,
+        )
+        if hit is not None:
+            from drune_spark.functions.partitioning import local_frame
+
+            return local_frame(
+                spark,
+                hit,
+                "centroid_id long, centroid array<long>, "
+                "n_members long, sse long",
+            )
         seeds = q.orderBy(F.col(id_col)).limit(n_centroids).collect()
         centroids = [
             (int(r[id_col]), [int(v) for v in r["qv"]]) for r in seeds
         ]
 
         for _ in range(n_iters):
+            # fan_out between the argmin projection and the explode is
+            # an optimizer barrier (Repartition is not a Project, so
+            # CollapseProject cannot inline the argmin struct into the
+            # per-element projection — the 64×/row re-eval above) AND
+            # spreads the fold over every core (single-split corpus).
             sums = (
-                q.select(
-                    _best_cell(centroids)["centroid_id"].alias("__cid"),
-                    F.posexplode("qv").alias("pos", "val"),
+                fan_out(
+                    q.select(
+                        _best_cell(centroids)["centroid_id"]
+                        .alias("__cid"),
+                        F.col("qv"),
+                    )
                 )
+                .select("__cid", F.posexplode("qv").alias("pos", "val"))
                 .groupBy("__cid", "pos")
                 .agg(
                     F.sum("val").alias("s"),
@@ -171,7 +301,9 @@ def ivf_train(
                 "n_members long, sse long",
             )
         stats = (
-            q.select(_best_cell(centroids).alias("__best"))
+            # same fan_out barrier: the two GetStructField references
+            # would otherwise inline (and re-evaluate) the argmin twice
+            fan_out(q.select(_best_cell(centroids).alias("__best")))
             .select(
                 F.col("__best.centroid_id").alias("centroid_id"),
                 F.col("__best.dist").alias("dist"),

@@ -1792,6 +1792,40 @@ class TestIvfTrain:
             assert rows[cid].n_members == 0 and rows[cid].sse == 0
             assert list(rows[cid].centroid) == [code] * dim
 
+    def test_driver_path_matches_distributed(self, spark):
+        """The r10 numpy Lloyd replay (default cutoff) and the
+        distributed loop (cutoff 0) must return identical rows —
+        incl. argmin ties (duplicate vectors), empty cells, values
+        outside [-1, 1] (negative quantized codes exercise the floor
+        division on negatives), and with_stats=False."""
+        from drune_spark.operators.kmeans import ivf_train
+        import random
+        rng = random.Random(11)
+        dim = 6
+        rows = [
+            (i, [rng.uniform(-1.4, 1.4) for _ in range(dim)])
+            for i in range(60)
+        ] + [(60, [0.25] * dim), (61, [0.25] * dim)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        for stats in (True, False):
+            fast = sorted(
+                (r.centroid_id, tuple(r.centroid), r.n_members, r.sse)
+                for r in ivf_train(
+                    df, n_centroids=5, n_iters=2, dim=dim,
+                    with_stats=stats,
+                ).collect()
+            )
+            slow = sorted(
+                (r.centroid_id, tuple(r.centroid), r.n_members, r.sse)
+                for r in ivf_train(
+                    df, n_centroids=5, n_iters=2, dim=dim,
+                    with_stats=stats, driver_cutoff=0,
+                ).collect()
+            )
+            assert fast == slow
+
 
 class TestBm25:
     DOCS = [
