@@ -903,18 +903,25 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     path."""
     _tune(spark)
     from drune_spark.functions.partitioning import fan_out
-    from drune_spark.functions.vectors import cosine_similarity, to_double_array
+    from drune_spark.functions.vectors import dot, norm, to_double_array
 
+    # Per-row norm hoisted out of the pair projection (r10: the
+    # cosine_similarity form re-ran both interpreted norm folds once
+    # per PAIR — 3 folds × 2M pairs; same sqrt(Σx²) fold on the same
+    # values, so dot/(na·nb) is bit-identical — the §22 NSW precedent).
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array(F.col("embedding")).alias("v")
+        "vec_id",
+        to_double_array(F.col("embedding")).alias("v"),
     )
+    emb = emb.select("vec_id", "v", norm(F.col("v")).alias("nrm"))
     # Single-file corpus = 1 split; fan the probe side so the O(n²)
     # scoring runs on all cores.
     a, b = fan_out(emb).alias("a"), emb.alias("b")
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
-        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        (dot(F.col("a.v"), F.col("b.v"))
+         / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= 0.4).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")

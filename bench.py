@@ -395,6 +395,14 @@ BENCH_QUERIES = [
     # n_iters=1) but it is still Lloyd-control dominated (already
     # timed via ivf_train) + the exact-baseline eval; the serving-path
     # pieces it composes (ann_ivf_topk, pq_encode, pq_recall) are benched
+    # admitted in the r10 optimization round after their driver fast
+    # paths (k_truss/dbscan precedent — optimize first, then bench):
+    # ivf_train 16-21s -> ~0.5-0.7s steady (numpy Lloyd replay below
+    # SPARK_GRAFT_IVF_DRIVER_CELLS), set_sim_join 31-42s -> ~4s steady
+    # (bitmask pair replay below SPARK_GRAFT_SETSIM_DRIVER_CELLS; its
+    # 7.1M-row sf0.1 result materializes through the noop sink)
+    "ivf_train",
+    "set_sim_join",
 ]
 
 
