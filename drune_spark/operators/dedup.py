@@ -448,6 +448,13 @@ def _setsim_driver_pairs(tok: DataFrame, n_cells: int, t: int,
         return None
     if n * (n - 1) // 2 * w > _SETSIM_DRIVER_MAX_WORDOPS:
         return None
+    # The distributed path COUNTS duplicate (doc, token) cells (a
+    # repeated doc id contributes its cells once per row to sizes and
+    # intersections); the bitmask OR would dedupe them. Cells are
+    # distinct whenever doc ids are unique — anything else declines.
+    if len(np.unique(dcodes.astype(np.int64) * np.int64(v)
+                     + tcodes.astype(np.int64))) != n_cells:
+        return None
     masks = np.zeros((n, w), dtype=np.uint64)
     tcodes = tcodes.astype(np.int64)
     np.bitwise_or.at(

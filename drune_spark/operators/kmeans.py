@@ -152,11 +152,15 @@ def _ivf_driver_result(
     if flat.dtype != np.int64:  # NULL elements surface as float
         return None
     codes = flat.reshape(int(n), dim)
-    if ids.dtype.kind not in "iu" or np.abs(codes).max(initial=0) > (
-        1 << 20
-    ):
-        # keep every (a-b)²·dim sum far inside int64 — past this the
-        # distributed ANSI path is the one that raises loudly
+    if ids.dtype.kind not in "iu":
+        return None
+    mmax = int(np.abs(codes).max(initial=0))
+    # Bound EVERY int64 sum by the actual sizes, not the default
+    # cutoff: dist ≤ dim·(2M)² per row and SSE ≤ n·dim·(2M)², so
+    # require n·dim·4M² < 2⁶² (python-int arithmetic — the guard
+    # itself cannot overflow). Past it the distributed ANSI path is
+    # the one that raises loudly instead of wrapping.
+    if mmax > 0 and int(n) * dim * 4 * mmax * mmax >= (1 << 62):
         return None
     order = np.argsort(ids)
     ids_s, codes_s = ids[order].astype(np.int64), codes[order]
@@ -165,8 +169,12 @@ def _ivf_driver_result(
     cents = codes_s[:kk].copy()
 
     def _assign(c):
-        d = codes_s[:, None, :] - c[None, :, :]
-        dist = (d * d).sum(axis=2)
+        # per-centroid loop: n·dim transients instead of an n·k·dim
+        # difference tensor (k=256 at the cell cutoff would be ~4 GB)
+        dist = np.empty((len(codes_s), len(c)), dtype=np.int64)
+        for j in range(len(c)):
+            d = codes_s - c[j]
+            dist[:, j] = (d * d).sum(axis=1)
         a = dist.argmin(axis=1)  # first min == lowest centroid_id
         return a, dist[np.arange(len(a)), a]
 
@@ -214,8 +222,6 @@ def ivf_train(
     similarity.py), so trained centroids drop into the existing
     assign/search layout unchanged.
     """
-    from drune_spark.functions.partitioning import fan_out
-
     spark = corpus.sparkSession
     q = quantize_unsigned(corpus, vec_col, id_col).persist()
     try:
@@ -247,32 +253,40 @@ def ivf_train(
         ]
 
         for _ in range(n_iters):
-            # fan_out between the argmin projection and the explode is
-            # an optimizer barrier (Repartition is not a Project, so
-            # CollapseProject cannot inline the argmin struct into the
-            # per-element projection — the 64×/row re-eval above) AND
-            # spreads the fold over every core (single-split corpus).
-            sums = (
-                fan_out(
-                    q.select(
-                        _best_cell(centroids)["centroid_id"]
-                        .alias("__cid"),
-                        F.col("qv"),
-                    )
+            # The argmin struct is the GROUPING key: HashAggregate
+            # evaluates grouping expressions once per input row, so the
+            # interpreted k·dim fold cannot be inlined into a
+            # per-element projection (the old posexplode shape paid the
+            # CollapseProject re-eval 64×/row — ~8 s/round at sf0.1).
+            # Per-position sums via try_element_at keep the pass
+            # explode-free and the wire cost at k rows × dim+1 columns
+            # per task — the module's original map-side-partial design
+            # (try_: short arrays contribute NULL == the rows the old
+            # posexplode never produced, summed identically).
+            rows = (
+                q.groupBy(
+                    _best_cell(centroids)["centroid_id"].alias("__cid")
                 )
-                .select("__cid", F.posexplode("qv").alias("pos", "val"))
-                .groupBy("__cid", "pos")
                 .agg(
-                    F.sum("val").alias("s"),
-                    F.count(F.lit(1)).alias("n"),
+                    F.count(F.lit(1)).alias("__n"),
+                    *[
+                        F.sum(
+                            F.try_element_at("qv", F.lit(j + 1))
+                        ).alias(f"s{j}")
+                        for j in range(dim)
+                    ],
                 )
                 .collect()
             )
             acc: dict[int, tuple[int, list[int]]] = {}
-            for r in sums:
-                cid, n = int(r["__cid"]), int(r["n"])
-                vec = acc.setdefault(cid, (n, [0] * dim))[1]
-                vec[int(r["pos"])] = int(r["s"])
+            for r in rows:
+                acc[int(r["__cid"])] = (
+                    int(r["__n"]),
+                    [
+                        int(r[f"s{j}"]) if r[f"s{j}"] is not None else 0
+                        for j in range(dim)
+                    ],
+                )
             centroids = [
                 (
                     cid,
@@ -301,17 +315,20 @@ def ivf_train(
                 "n_members long, sse long",
             )
         stats = (
-            # same fan_out barrier: the two GetStructField references
-            # would otherwise inline (and re-evaluate) the argmin twice
-            fan_out(q.select(_best_cell(centroids).alias("__best")))
-            .select(
-                F.col("__best.centroid_id").alias("centroid_id"),
-                F.col("__best.dist").alias("dist"),
+            # group by the WHOLE argmin struct first (grouping keys
+            # evaluate once per row; two direct GetStructField
+            # references would inline — and re-evaluate — the fold
+            # twice), then fold the distinct (dist, cid) groups down
+            # to per-centroid stats: Σ counts and Σ dist·count are the
+            # same exact integers as the row-level aggregates.
+            q.groupBy(_best_cell(centroids).alias("__best"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .groupBy(
+                F.col("__best.centroid_id").alias("centroid_id")
             )
-            .groupBy("centroid_id")
             .agg(
-                F.count(F.lit(1)).alias("n_members"),
-                F.sum("dist").alias("sse"),
+                F.sum("__n").alias("n_members"),
+                F.sum(F.col("__best.dist") * F.col("__n")).alias("sse"),
             )
         )
         from drune_spark.functions.partitioning import local_frame

@@ -525,6 +525,23 @@ class TestPrefixFilterJoin:
                     (f.name, f.dataType) for f in slow.schema
                 ]
 
+    def test_duplicate_doc_ids_match_distributed(self, spark):
+        """A repeated doc id makes (doc, token) cells non-distinct:
+        the distributed path COUNTS duplicate cells into sizes and
+        intersections, which a bitmask OR would collapse — the driver
+        gate must decline and return the identical distributed rows
+        (found by the r10 session-5 review: the bitmask path returned
+        size_a=3 vs the distributed 4 on a planted dup id)."""
+        from drune_spark.operators.dedup import prefix_filter_join
+        rows = [(1, "a b"), (1, "b c"), (2, "a c d")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fast = sorted(map(tuple, prefix_filter_join(
+            df, "text", "doc_id", threshold_pct=40).collect()))
+        slow = sorted(map(tuple, prefix_filter_join(
+            df, "text", "doc_id", threshold_pct=40,
+            driver_cutoff=0).collect()))
+        assert fast == slow
+
     def test_popcount_u64_exact(self):
         """SWAR popcount == int.bit_count on every byte pattern class:
         all-zeros, all-ones, single bits, random words."""
